@@ -1,0 +1,202 @@
+"""Data model: the interleaved span-document table and its codec.
+
+The primary table (per ``BASELINE.json.input_hint``) holds one row per
+entity history ("OSH entity" in the reference,
+``oshdb/src/main/java/org/heigit/bigspatialdata/oshdb/osh/OSHEntity.java:11-34``):
+
+    doc_id: string          -- "{type}/{osm_id}", type in {node, way, relation}
+    spans:  list<struct<
+        kind:      string   -- 'version' | 'tag' | 'member' | 'geom'
+        text:      string   -- see SPAN TEXT FORMATS below
+        media_ref: string   -- geom spans: self-describing blob key; '' otherwise
+        offset:    int32    -- 0-based position in the document's span stream
+    >>
+
+SPAN TEXT FORMATS (one 'version' span, then its 'tag' spans sorted by
+key, then 'member' spans in ref order, then one 'geom' span when the
+version is visible; versions oldest->newest; ``offset`` is the total
+order — the per-row invariant vs the generator is span-sequence
+equality on ``(kind, text, media_ref, offset)``):
+
+    version:  "v={v};ts={ts_us};cs={changeset};uid={uid};vis={0|1}"
+    tag:      "{key}={value}"
+    member:   "{type}/{ref_id}@role={role}"
+    geom:     text='', media_ref="geom:v={v};lon={lon_e7};lat={lat_e7}"
+
+Timestamps are int64 unix MICROSECONDS. Coordinates are fixed-point
+int64, degrees * 1e7, mirroring the reference's
+``GEOM_PRECISION_TO_LONG = 10_000_000`` (``oshdb/.../OSHDB.java:8-9``).
+
+The reference packs one history into a delta/varint byte blob
+(``impl/osh/OSHNodeImpl.java:145-275``); here the equivalent payload is
+the spans list and the heavy lifting (dictionary/RLE encodings) is done
+by Arrow/Lance/Parquet column encodings. ``media_ref`` is
+self-describing in the sandbox generator (no external blob store); a
+production deployment would key a blob-store object instead — the
+decode below only touches the string, so swapping the resolver is a
+one-stage change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Fixed-point coordinate convention (reference: OSHDB.java:8-9).
+GEOM_PRECISION_TO_LONG = 10_000_000
+LON_MOD = 3_600_000_000  # 360 degrees in 1e-7 units
+LAT_MOD = 1_800_000_000  # 180 degrees in 1e-7 units
+
+SPAN_STRUCT = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+
+DOCUMENTS_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("osm_type", pa.string()),  # node | way | relation
+        pa.field("osm_id", pa.int64()),
+        pa.field("n_versions", pa.int32()),
+        # bbox over all versions (prefilter index, like OSHEntity.getBoundingBox)
+        pa.field("min_lon_e7", pa.int64()),
+        pa.field("max_lon_e7", pa.int64()),
+        pa.field("min_lat_e7", pa.int64()),
+        pa.field("max_lat_e7", pa.int64()),
+        pa.field("spans", pa.list_(SPAN_STRUCT)),
+    ]
+)
+
+# Flat per-version table produced by decode_spans (the analog of the
+# reference's decoded OSMEntity stream, osm/OSMEntity.java:13-39).
+VERSIONS_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("osm_type", pa.string()),
+        pa.field("osm_id", pa.int64()),
+        pa.field("v", pa.int64()),
+        pa.field("ts", pa.int64()),  # unix microseconds
+        pa.field("cs", pa.int64()),  # changeset id
+        pa.field("uid", pa.int64()),  # contributor user id
+        pa.field("visible", pa.bool_()),
+        pa.field("lon_e7", pa.int64()),  # 0 when not visible (ref: OSHNodeImpl.java:173-175)
+        pa.field("lat_e7", pa.int64()),
+        pa.field("tag_sig", pa.string()),  # '|'-joined "k=v" tag spans (sorted by key)
+        pa.field("etype", pa.string()),  # value of the 'etype' tag ('' if absent)
+        pa.field("kk", pa.int64()),  # value of the 'k' tag (-1 if absent)
+    ]
+)
+
+_VERSION_RE = r"^v=(\d+);ts=(\d+);cs=(\d+);uid=(\d+);vis=([01])$"
+_GEOM_RE = r"^geom:v=(\d+);lon=(-?\d+);lat=(-?\d+)$"
+
+
+def format_version_text(v: int, ts: int, cs: int, uid: int, vis: int) -> str:
+    return f"v={v};ts={ts};cs={cs};uid={uid};vis={vis}"
+
+
+def format_geom_ref(v: int, lon_e7: int, lat_e7: int) -> str:
+    return f"geom:v={v};lon={lon_e7};lat={lat_e7}"
+
+
+def _extract_ints(texts: pa.Array, pattern: str, names: list[str]) -> dict[str, np.ndarray]:
+    """Vectorized regex field extraction -> int64 numpy arrays."""
+    parts = pattern.split("(")
+    named = parts[0]
+    for i, p in enumerate(parts[1:]):
+        named += f"(?P<{names[i]}>" + p
+    struct = pc.extract_regex(texts, named)
+    return {
+        n: struct.field(n).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        for n in names
+    }
+
+
+def decode_spans(batch: pa.Table) -> pa.Table:
+    """Decode a batch of span-documents into the flat per-version table.
+
+    Vectorized: list_flatten + extract_regex + numpy scatter/gather.
+    All versions of a document land in the same output batch (the spans
+    of one row flatten contiguously), which the temporal stages rely on.
+
+    Mirrors the reference's per-entity delta decode
+    (``impl/osh/OSHNodeImpl.java:145-182``) but over Arrow columns.
+    """
+    spans = batch["spans"].combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):  # single chunk after combine
+        spans = spans.chunk(0)
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+
+    kind = flat.field("kind")
+    text = flat.field("text")
+    ref = flat.field("media_ref")
+
+    is_ver = pc.equal(kind, "version").to_numpy(zero_copy_only=False)
+    is_tag = pc.equal(kind, "tag").to_numpy(zero_copy_only=False)
+    is_geom = pc.equal(kind, "geom").to_numpy(zero_copy_only=False)
+
+    n_ver = int(is_ver.sum())
+    # global version ordinal for every span: index of the version span
+    # that precedes it (spans are ordered by (doc, offset)).
+    gid = np.cumsum(is_ver) - 1  # len == n_spans; tag/geom spans follow their version span
+
+    ver_text = pc.filter(text, pa.array(is_ver))
+    vf = _extract_ints(ver_text, _VERSION_RE, ["v", "ts", "cs", "uid", "vis"])
+
+    lon = np.zeros(n_ver, dtype=np.int64)
+    lat = np.zeros(n_ver, dtype=np.int64)
+    if is_geom.any():
+        geom_ref = pc.filter(ref, pa.array(is_geom))
+        gf = _extract_ints(geom_ref, _GEOM_RE, ["v", "lon", "lat"])
+        geom_gid = gid[is_geom]
+        lon[geom_gid] = gf["lon"]
+        lat[geom_gid] = gf["lat"]
+
+    # tag signature per version: join tag texts with '|'
+    tag_sig = np.full(n_ver, "", dtype=object)
+    etype = np.full(n_ver, "", dtype=object)
+    kk = np.full(n_ver, -1, dtype=np.int64)
+    if is_tag.any():
+        tag_gid = gid[is_tag]
+        tag_texts = pc.filter(text, pa.array(is_tag)).to_numpy(zero_copy_only=False)
+        # tag_gid is sorted (spans in order) -> reduceat-style join
+        bounds = np.flatnonzero(np.r_[True, np.diff(tag_gid) != 0])
+        groups = np.split(tag_texts, bounds[1:])
+        keys = tag_gid[bounds]
+        for g_idx, texts_g in zip(keys, groups):
+            tag_sig[g_idx] = "|".join(texts_g)
+            for t in texts_g:
+                if t.startswith("etype="):
+                    etype[g_idx] = t[6:]
+                elif t.startswith("k="):
+                    kk[g_idx] = int(t[2:])
+
+    ver_parent = parent[is_ver]
+    doc_id = batch["doc_id"].combine_chunks().take(pa.array(ver_parent))
+    osm_type = batch["osm_type"].combine_chunks().take(pa.array(ver_parent))
+    osm_id = batch["osm_id"].combine_chunks().take(pa.array(ver_parent))
+
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "osm_type": osm_type,
+            "osm_id": osm_id,
+            "v": pa.array(vf["v"]),
+            "ts": pa.array(vf["ts"]),
+            "cs": pa.array(vf["cs"]),
+            "uid": pa.array(vf["uid"]),
+            "visible": pa.array(vf["vis"] == 1),
+            "lon_e7": pa.array(lon),
+            "lat_e7": pa.array(lat),
+            "tag_sig": pa.array(tag_sig.astype(str)),
+            "etype": pa.array(etype.astype(str)),
+            "kk": pa.array(kk),
+        },
+        schema=VERSIONS_SCHEMA,
+    )

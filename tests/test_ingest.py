@@ -1,0 +1,97 @@
+"""Ingest pipeline: events -> span documents, determinism + invariants."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from rayhist.ingest import build_documents, ensure_documents, read_documents
+from rayhist.model import DOCUMENTS_SCHEMA, decode_spans
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_build_documents_schema_and_counts():
+    docs = build_documents(SF).materialize()
+    tbl = pa.Table.from_pandas(docs.to_pandas(), schema=DOCUMENTS_SCHEMA)
+    con = duckdb.connect()
+    n_users, n_events = con.sql(
+        f"select count(distinct user_id), count(*) from '{SF}/events.parquet'"
+    ).fetchone()
+    assert tbl.num_rows == n_users
+    assert int(pa.compute.sum(tbl["n_versions"]).as_py()) == n_events
+
+
+def test_decode_matches_sql_derivation():
+    """The decoded flat version table must equal the SQL derivation the
+    DuckDB oracles use — this is the contract that makes the
+    correctness gate meaningful."""
+    path = ensure_documents(SF)
+    docs = read_documents(SF).materialize()
+    flat = pa.concat_tables(
+        [decode_spans(b) for b in docs.iter_batches(batch_size=10_000, batch_format="pyarrow")]
+    )
+    got = (
+        flat.to_pandas()
+        .sort_values(["osm_id", "v"])
+        .reset_index(drop=True)[
+            ["osm_id", "v", "ts", "cs", "uid", "visible", "lon_e7", "lat_e7", "etype", "kk"]
+        ]
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""
+        WITH v AS (
+          SELECT user_id AS osm_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v,
+                 epoch_us(ts) AS ts,
+                 event_type <> 'error' AS visible,
+                 event_type AS etype,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk,
+                 CAST(round(value*100) AS BIGINT) % 37 AS uid
+          FROM '{SF}/events.parquet'
+        )
+        SELECT osm_id, v, ts, cs, uid, visible,
+               CASE WHEN visible THEN lon_e7 ELSE 0 END AS lon_e7,
+               CASE WHEN visible THEN lat_e7 ELSE 0 END AS lat_e7,
+               etype, kk
+        FROM (
+          SELECT *, osm_id*1000000 + (v-1)//3 AS cs,
+             (osm_id*7919 + ((v+1)//2)*104729 + kk*31) % 3600000000 - 1800000000 AS lon_e7,
+             (osm_id*15485863 + ((v+1)//2)*32452843 + kk*37) % 1800000000 - 900000000 AS lat_e7
+          FROM v
+        )
+        ORDER BY osm_id, v
+        """
+    ).df()
+    assert len(got) == len(want)
+    for col in got.columns:
+        assert np.array_equal(got[col].to_numpy(), want[col].to_numpy()), col
+    assert path == ensure_documents(SF)  # cache hit, deterministic
+
+
+def test_span_stream_invariant():
+    """Per-row invariant: spans are a valid interleaved stream —
+    offsets are 0..n-1, each version span followed by its tag spans and
+    (iff visible) one geom span, versions oldest->newest."""
+    docs = read_documents(SF).take(20)
+    for d in docs:
+        spans = d["spans"]
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+        last_ts = -1
+        i = 0
+        while i < len(spans):
+            s = spans[i]
+            assert s["kind"] == "version", (d["doc_id"], i)
+            vis = s["text"].endswith("vis=1")
+            ts = int(s["text"].split(";")[1].split("=")[1])
+            assert ts > last_ts
+            last_ts = ts
+            i += 1
+            tags = 0
+            while i < len(spans) and spans[i]["kind"] == "tag":
+                tags += 1
+                i += 1
+            assert tags == 2
+            if vis:
+                assert spans[i]["kind"] == "geom" and spans[i]["media_ref"].startswith("geom:")
+                i += 1

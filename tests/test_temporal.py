@@ -1,0 +1,162 @@
+"""Cross-check the vectorized temporal core against the loop oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayhist.fixtures import YEAR_US, make_versions, scenario_corpus, versions_to_documents
+from rayhist.model import decode_spans
+from rayhist.temporal import TagFilter, contributions, snapshots
+
+from .oracle_temporal import contributions_oracle, snapshots_oracle
+
+YEARLY = np.array([YEAR_US[y] for y in range(2007, 2018)], dtype=np.int64)
+
+
+def _snap_set(tbl: pa.Table):
+    return set(zip(tbl["doc_id"].to_pylist(), tbl["ts_q"].to_pylist(), tbl["v"].to_pylist()))
+
+
+def _contrib_list(tbl: pa.Table):
+    acts = []
+    for r in tbl.to_pylist():
+        a = set()
+        if r["is_creation"]:
+            a.add("CREATION")
+        if r["is_deletion"]:
+            a.add("DELETION")
+        if r["is_tag_change"]:
+            a.add("TAG_CHANGE")
+        if r["is_geom_change"]:
+            a.add("GEOMETRY_CHANGE")
+        acts.append((r["doc_id"], r["ts"], frozenset(a)))
+    acts.sort(key=lambda x: (x[0], x[1]))
+    return acts
+
+
+@pytest.mark.parametrize("tag_filter", [None, ("etype", "click"), ("etype", None)])
+def test_snapshots_scenarios(tag_filter):
+    tbl = scenario_corpus()
+    tf = TagFilter(*tag_filter) if tag_filter else None
+    got = _snap_set(snapshots(tbl, YEARLY, tf.mask(tbl) if tf else None))
+    want = snapshots_oracle(tbl, YEARLY, tag_filter)
+    assert got == want
+
+
+@pytest.mark.parametrize("tag_filter", [None, ("etype", "click"), ("etype", None)])
+def test_contributions_scenarios(tag_filter):
+    tbl = scenario_corpus()
+    t0, t1 = YEAR_US[2008], YEAR_US[2016]
+    tf = TagFilter(*tag_filter) if tag_filter else None
+    got = _contrib_list(contributions(tbl, t0, t1, tf.mask(tbl) if tf else None))
+    want = contributions_oracle(tbl, t0, t1, tag_filter)
+    assert got == want
+
+
+def test_contribution_known_sequences():
+    """Golden assertions in the style of IterateByContributionNodesTest."""
+    tbl = scenario_corpus()
+    got = _contrib_list(contributions(tbl, YEAR_US[2006], YEAR_US[2018]))
+    by_doc = {}
+    for doc, ts, acts in got:
+        by_doc.setdefault(doc, []).append(acts)
+    # N3 visibility cycle: create/del/recreate/del/recreate
+    assert by_doc["node/3"] == [
+        frozenset({"CREATION"}),
+        frozenset({"DELETION"}),
+        frozenset({"CREATION"}),
+        frozenset({"DELETION"}),
+        frozenset({"CREATION"}),
+    ]
+    # C1 changeset collapse: v2..v4 in cs 777 collapse to one contribution
+    assert by_doc["node/6"] == [
+        frozenset({"CREATION"}),
+        frozenset({"GEOMETRY_CHANGE"}),
+        frozenset({"GEOMETRY_CHANGE"}),
+    ]
+    # D1 leading tombstone: only the recreation emits
+    assert by_doc["node/8"] == [frozenset({"CREATION"})]
+    # E1: collapse lands on a state identical to prev -> empty type set
+    assert by_doc["node/9"] == [frozenset({"CREATION"}), frozenset()]
+    # N5 pre-interval only doc emits its create
+    assert by_doc["node/5"][0] == frozenset({"CREATION"})
+
+
+def test_filter_relative_deletion():
+    """F1: filter 'etype=click' -> losing the tag is a DELETION
+    (CellIterator.java:578-595), regaining it a CREATION."""
+    tbl = scenario_corpus()
+    tf = TagFilter("etype", "click")
+    got = _contrib_list(contributions(tbl, YEAR_US[2006], YEAR_US[2018], tf.mask(tbl)))
+    seq = [a for d, _, a in got if d == "node/7"]
+    assert seq == [
+        frozenset({"CREATION"}),
+        frozenset({"DELETION"}),
+        frozenset({"CREATION"}),
+    ]
+
+
+def test_snapshot_pre_interval_state():
+    """N5: all edits before the query timestamps -> snapshots return
+    the last state at every timestamp."""
+    tbl = scenario_corpus()
+    got = _snap_set(snapshots(tbl, YEARLY))
+    n5 = {(d, t, v) for d, t, v in got if d == "node/5"}
+    assert n5 == {("node/5", int(t), 2) for t in YEARLY}
+
+
+def test_randomized_against_oracle():
+    """Seeded randomized histories, both views, with and without filter."""
+    rng = np.random.default_rng(42)
+    rows = []
+    for doc in range(60):
+        n = int(rng.integers(1, 12))
+        ts = np.sort(rng.choice(np.arange(YEAR_US[2007], YEAR_US[2017], 10**9), n, replace=False))
+        for v in range(1, n + 1):
+            rows.append(
+                dict(
+                    doc_id=f"node/{doc}",
+                    v=v,
+                    ts=int(ts[v - 1]),
+                    cs=doc * 1000 + (v - 1) // int(rng.integers(1, 4)),
+                    uid=int(rng.integers(0, 5)),
+                    visible=bool(rng.random() > 0.25),
+                    lon_e7=int(rng.integers(0, 4)),
+                    lat_e7=int(rng.integers(0, 4)),
+                    tags={"etype": str(rng.choice(["click", "view"])), "k": str(int(rng.integers(0, 3)))},
+                )
+            )
+    tbl = make_versions(rows)
+    for tf_spec in [None, ("etype", "click")]:
+        tf = TagFilter(*tf_spec) if tf_spec else None
+        mask = tf.mask(tbl) if tf else None
+        got = _snap_set(snapshots(tbl, YEARLY, mask))
+        assert got == snapshots_oracle(tbl, YEARLY, tf_spec)
+        t0, t1 = YEAR_US[2009], YEAR_US[2015]
+        gotc = _contrib_list(contributions(tbl, t0, t1, mask))
+        assert gotc == contributions_oracle(tbl, t0, t1, tf_spec)
+
+
+def test_span_roundtrip_and_decode():
+    """Span-sequence invariant: versions -> spans -> decode == versions."""
+    tbl = scenario_corpus()
+    docs = versions_to_documents(tbl)
+    decoded = decode_spans(docs)
+    want = tbl.to_pandas().sort_values(["doc_id", "v"]).reset_index(drop=True)
+    got = decoded.to_pandas().sort_values(["doc_id", "v"]).reset_index(drop=True)
+    got = got[want.columns.tolist()]
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want)
+
+
+def test_decode_then_views_match_direct():
+    """Going through the span encoding must not change view results."""
+    tbl = scenario_corpus()
+    docs = versions_to_documents(tbl)
+    decoded = decode_spans(docs)
+    assert _snap_set(snapshots(decoded, YEARLY)) == _snap_set(snapshots(tbl, YEARLY))
+    t0, t1 = YEAR_US[2008], YEAR_US[2016]
+    assert _contrib_list(contributions(decoded, t0, t1)) == _contrib_list(
+        contributions(tbl, t0, t1)
+    )
