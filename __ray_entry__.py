@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the rayhist engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the rayhist package) initialises or shuts down
+Ray. Each ``queries()`` callable takes an sf_dir and returns a small
+pandas DataFrame whose column names match its ``oracle_sql()`` twin
+exactly (the driver sorts columns by name before hashing values).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Query inventory maps to SURVEY.md §2; history queries run over the
+span-document table (rayhist.ingest) with the fused
+decode+interpolation view stages (rayhist.views / rayhist.temporal).
 """
 
 from __future__ import annotations
@@ -20,25 +18,45 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: snapshot count per daily
+    timestamp over the span-document table (ingest -> decode ->
+    snapshot interpolation -> groupby(ts) -> zerofill)."""
+    from rayhist import pipelines as p
+
+    return p.q_snapshot_count_daily("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rayhist import pipelines as p
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "snapshot_count_daily": p.q_snapshot_count_daily,
+        "snapshot_count_daily_click": p.q_snapshot_count_daily_click,
+        "snapshot_cells": p.q_snapshot_cells,
+        "snapshot_latest_state": p.q_snapshot_latest_state,
+        "contrib_type_counts": p.q_contrib_type_counts,
+        "contrib_type_counts_click": p.q_contrib_type_counts_click,
+        "contrib_daily": p.q_contrib_daily,
+        "contrib_uniq_uids_daily": p.q_contrib_uniq_uids_daily,
+        "snapshot_pip_regions": p.q_snapshot_pip_regions,
+        "raster_join": p.q_raster_join,
+        "knn": p.q_knn,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rayhist import oracles as o
+
+    return {
+        "snapshot_count_daily": o.snapshot_count_daily(),
+        "snapshot_count_daily_click": o.snapshot_count_daily("visible AND etype = 'click'"),
+        "snapshot_cells": o.snapshot_cells(),
+        "snapshot_latest_state": o.snapshot_latest_state(),
+        "contrib_type_counts": o.contrib_type_counts(),
+        "contrib_type_counts_click": o.contrib_type_counts("visible AND etype = 'click'"),
+        "contrib_daily": o.contrib_daily(),
+        "contrib_uniq_uids_daily": o.contrib_uniq_uids_daily(),
+        "snapshot_pip_regions": o.snapshot_pip_regions(),
+        "raster_join": o.raster_join(),
+        "knn": o.knn(),
+    }

@@ -1,0 +1,106 @@
+"""Grouped spatio-temporal aggregation — the MapAggregator layer.
+
+Rebuilds the semantics of the reference's ``MapAggregator``
+(``oshdb-api/.../MapAggregator.java``, 1044 LoC) on Ray Data:
+
+- ``aggregateBy(indexer)``  -> a groupby key column
+- grouped reduce (TreeMap fold + merge, MapAggregator.java:848-869)
+  -> ``ds.groupby(keys).aggregate(...)`` — Ray's partial+final hash
+  aggregation is exactly the reference's accumulator+combiner split
+- ``aggregateByTimestamp`` (MapReducer.java:774-822): snapshot rows
+  already carry their snapshot timestamp (``ts_q``); contribution rows
+  are binned to the greatest query timestamp <= contribution timestamp
+  (``floor_bin``)
+- zerofill (MapAggregator.java:870-881, completeZerofill :956-988):
+  expected keys absent from the result get identity values; for
+  combined indices the FULL CROSS PRODUCT of expected key levels is
+  completed. Snapshot views zerofill every query timestamp;
+  contribution views all but the last (MapReducer.java:1857-1866).
+  Implemented as a driver-side reindex — the aggregated result is
+  small by construction (|keys| x |timestamps|), never the raw data.
+
+- ``estimated_quantiles``: per-batch t-digest partials merged on the
+  driver (TDigestReducer pattern, partial digests are tiny).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .functions.tdigest import DEFAULT_COMPRESSION, TDigest
+
+
+def floor_bin(ts: np.ndarray, timestamps: np.ndarray) -> np.ndarray:
+    """Greatest query timestamp <= ts (interval binning for the
+    contribution view, MapReducer.java:774-822). ts < timestamps[0]
+    maps to -1 (caller drops those — they are outside the interval)."""
+    timestamps = np.asarray(timestamps, dtype=np.int64)
+    idx = np.searchsorted(timestamps, np.asarray(ts, dtype=np.int64), side="right") - 1
+    return np.where(idx >= 0, timestamps[np.clip(idx, 0, None)], -1)
+
+
+def zerofill(
+    df: pd.DataFrame,
+    expected: dict[str, Sequence],
+    fill: dict[str, object],
+) -> pd.DataFrame:
+    """Complete a small aggregated frame with the cross product of
+    expected key levels, filling absent cells with identity values."""
+    keys = list(expected.keys())
+    if len(keys) == 1:
+        idx = pd.Index(list(expected[keys[0]]), name=keys[0])
+    else:
+        idx = pd.MultiIndex.from_product([list(expected[k]) for k in keys], names=keys)
+    out = df.set_index(keys).reindex(idx)
+    for col, val in fill.items():
+        out[col] = out[col].fillna(val)
+        if isinstance(val, int):
+            out[col] = out[col].astype("int64")
+    return out.reset_index().sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
+def count_by(
+    ds: ray.data.Dataset, keys: list[str], alias: str = "n"
+) -> pd.DataFrame:
+    """groupby(keys).count() -> small pandas frame (partial+final hash
+    aggregation under the hood — the reference's accumulator/combiner
+    contract, MapReducer.java:896-1034)."""
+    from ray.data.aggregate import Count
+
+    return ds.groupby(keys).aggregate(Count(alias_name=alias)).to_pandas()
+
+
+def estimated_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: Sequence[float],
+    compression: float = DEFAULT_COMPRESSION,
+) -> list[float]:
+    """estimatedQuantiles (MapReducer.java:1227-1360): one t-digest
+    partial per batch, merged on the driver (partials are ~KB)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = TDigest.of(batch[col].to_numpy(zero_copy_only=False), compression)
+        return pa.table({"digest": pa.array([d.to_bytes()], type=pa.binary())})
+
+    merged = TDigest(compression)
+    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+        merged = merged.merge(TDigest.from_bytes(row["digest"], compression))
+    return [merged.quantile(q) for q in qs]
+
+
+def uniq(ds: ray.data.Dataset, col: str) -> list:
+    """Exact distinct (MapReducer.uniq, :1134-1161): per-batch distinct
+    partials then a global unique — the set-union combiner expressed as
+    two stages so the shuffle only sees pre-deduplicated rows."""
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({col: pc.unique(batch[col])})
+
+    return sorted(ds.map_batches(batch_distinct, batch_format="pyarrow").unique(col))

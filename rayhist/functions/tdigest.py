@@ -1,0 +1,104 @@
+"""A from-scratch mergeable t-digest for estimated quantiles.
+
+The reference exposes ``estimatedMedian`` / ``estimatedQuantile`` via
+t-digest MergingDigest with compression=1000
+(``oshdb-api/.../TDigestReducer.java:21-41``,
+``MapReducer.java:1227-1387``). This is an independent implementation
+of the merging-digest algorithm (Dunning & Ertl, "Computing extremely
+accurate quantiles using t-digests") with the same scale function
+k(q) = delta/(2*pi) * asin(2q-1) and the same compression default.
+
+Digests are mergeable — the distributed pattern is: one partial digest
+per batch (map_batches), merge partials in a tiny reduce. Serialization
+is a plain (means, weights) float64 array pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEFAULT_COMPRESSION = 1000.0  # TDigestReducer.java:29
+
+
+class TDigest:
+    def __init__(self, compression: float = DEFAULT_COMPRESSION):
+        self.compression = float(compression)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+
+    # -- construction -------------------------------------------------
+    @classmethod
+    def of(cls, values: np.ndarray, compression: float = DEFAULT_COMPRESSION) -> "TDigest":
+        d = cls(compression)
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            v = np.sort(v)
+            d.means = v
+            d.weights = np.ones(len(v), dtype=np.float64)
+            d._compress()
+        return d
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(self.compression)
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        order = np.argsort(out.means, kind="mergesort")
+        out.means, out.weights = out.means[order], out.weights[order]
+        out._compress()
+        return out
+
+    # -- internals ----------------------------------------------------
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.compression / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    def _compress(self) -> None:
+        if len(self.means) <= 1:
+            return
+        total = self.weights.sum()
+        new_means: list[float] = []
+        new_weights: list[float] = []
+        w_so_far = 0.0
+        cur_mean, cur_w = self.means[0], self.weights[0]
+        k_lo = self._k(np.array([0.0]))[0]
+        for m, w in zip(self.means[1:], self.weights[1:]):
+            q_hi = (w_so_far + cur_w + w) / total
+            if self._k(np.array([q_hi]))[0] - k_lo <= 1.0:
+                cur_mean = (cur_mean * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                new_means.append(cur_mean)
+                new_weights.append(cur_w)
+                w_so_far += cur_w
+                k_lo = self._k(np.array([w_so_far / total]))[0]
+                cur_mean, cur_w = m, w
+        new_means.append(cur_mean)
+        new_weights.append(cur_w)
+        self.means = np.array(new_means)
+        self.weights = np.array(new_weights)
+
+    # -- queries --------------------------------------------------------
+    def quantile(self, q: float) -> float:
+        """Estimated value at quantile q (0..1), linear interpolation
+        between centroid means at cumulative mid-weights."""
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * total
+        return float(np.interp(target, cum, self.means))
+
+    # -- serialization (partial-aggregate transport) -------------------
+    def to_bytes(self) -> bytes:
+        return np.concatenate([self.means, self.weights]).astype("<f8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, compression: float = DEFAULT_COMPRESSION) -> "TDigest":
+        arr = np.frombuffer(b, dtype="<f8")
+        d = cls(compression)
+        n = len(arr) // 2
+        d.means = arr[:n].copy()
+        d.weights = arr[n:].copy()
+        return d

@@ -1,0 +1,270 @@
+"""DuckDB oracle SQL for every SQL-expressible query pipeline.
+
+The oracles re-derive the entity histories from the raw ``events``
+view with the SAME integer-exact formulas as rayhist.ingest, then
+express the temporal semantics with window functions:
+
+- snapshot state at T  = row_number() = 1 ordered by (ts desc, v desc)
+  over versions with ts <= T                  (OSHEntities.getByTimestamps)
+- modification keep    = match OR lag(match)  (OSHEntities.getModificationTimestamps)
+- changeset collapse   = drop row when lead(cs) over kept == cs
+- classification       = lag() over collapsed (CellIterator.iterateByContribution)
+
+Column names match the Ray pipelines in rayhist.pipelines exactly —
+the driver sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from .pipelines import (
+    CELL_ZOOM,
+    CONTRIB_BINS,
+    CONTRIB_FROM,
+    CONTRIB_TO,
+    DAY_US,
+    RASTER_ZOOM,
+    REGIONS,
+    SNAP_DAILY,
+    SNAP_WEEKLY,
+    T_MID,
+)
+from .spatial.raster import RASTER_HASH, RASTER_MOD
+
+# shared derivation CTE (mirrors rayhist.ingest derivation, see its docstring)
+DERIVE = """
+WITH v0 AS (
+  SELECT user_id AS osm_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v,
+         epoch_us(ts) AS ts_us,
+         (event_type <> 'error') AS visible,
+         event_type AS etype,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk,
+         CAST(round(value*100) AS BIGINT) % 37 AS uid
+  FROM events
+), d AS (
+  SELECT *,
+         osm_id*1000000 + (v-1)//3 AS cs,
+         CASE WHEN visible
+              THEN (osm_id*7919 + ((v+1)//2)*104729 + kk*31) % 3600000000 - 1800000000
+              ELSE 0 END AS lon_e7,
+         CASE WHEN visible
+              THEN (osm_id*15485863 + ((v+1)//2)*32452843 + kk*37) % 1800000000 - 900000000
+              ELSE 0 END AS lat_e7,
+         'etype=' || etype || '|k=' || kk AS tag_sig
+  FROM v0
+)
+"""
+
+
+def _ts_list(values) -> str:
+    return "(VALUES " + ", ".join(f"({int(v)})" for v in values) + ") tl(ts_q)"
+
+
+def _snap_cte(match_expr: str = "visible") -> str:
+    """State per (ts_q, osm_id): latest version at-or-before ts_q that
+    is visible and matches."""
+    return f"""
+, snap AS (
+  SELECT * FROM (
+    SELECT tl.ts_q, d.*,
+           row_number() OVER (PARTITION BY tl.ts_q, d.osm_id
+                              ORDER BY d.ts_us DESC, d.v DESC) AS rn
+    FROM TS_LIST JOIN d ON d.ts_us <= tl.ts_q
+  ) WHERE rn = 1 AND ({match_expr})
+)
+"""
+
+
+def _contrib_cte(match_expr: str = "visible", t_from: int = CONTRIB_FROM, t_to: int = CONTRIB_TO) -> str:
+    return f"""
+, m0 AS (
+  SELECT *, ({match_expr}) AS m FROM d
+), kept AS (
+  SELECT * FROM (
+    SELECT m0.*, lag(m) OVER (PARTITION BY osm_id ORDER BY v) AS pm FROM m0
+  ) WHERE m OR coalesce(pm, false)
+), coll AS (
+  SELECT * FROM (
+    SELECT kept.*, lead(cs) OVER (PARTITION BY osm_id ORDER BY v) AS next_cs FROM kept
+  ) WHERE next_cs IS NULL OR next_cs <> cs
+), seq AS (
+  SELECT coll.*,
+         coalesce(lag(m) OVER w, false) AS prev_present,
+         lag(tag_sig) OVER w AS p_tag,
+         lag(lon_e7) OVER w AS p_lon,
+         lag(lat_e7) OVER w AS p_lat
+  FROM coll WINDOW w AS (PARTITION BY osm_id ORDER BY v)
+), contrib AS (
+  SELECT *,
+         (m AND NOT prev_present) AS is_creation,
+         (NOT m AND prev_present) AS is_deletion,
+         (m AND prev_present AND tag_sig <> p_tag) AS is_tag_change,
+         (m AND prev_present AND (lon_e7 <> p_lon OR lat_e7 <> p_lat)) AS is_geom_change
+  FROM seq
+  WHERE ts_us >= {t_from} AND ts_us < {t_to} AND (m OR prev_present)
+)
+"""
+
+
+def snapshot_count_daily(match_expr: str = "visible") -> str:
+    cte = _snap_cte(match_expr).replace("TS_LIST", _ts_list(SNAP_DAILY))
+    return (
+        DERIVE
+        + cte
+        + f"""
+SELECT tl.ts_q, CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_snapshots
+FROM {_ts_list(SNAP_DAILY)}
+LEFT JOIN (SELECT ts_q, count(*) AS cnt FROM snap GROUP BY ts_q) s USING (ts_q)
+ORDER BY tl.ts_q
+"""
+    )
+
+
+def snapshot_cells() -> str:
+    cte = _snap_cte().replace("TS_LIST", _ts_list(SNAP_WEEKLY))
+    nx = 1 << CELL_ZOOM
+    ny = 1 << (CELL_ZOOM - 1)
+    return (
+        DERIVE
+        + cte
+        + f"""
+SELECT ts_q,
+       least((lat_e7 + 900000000) * {ny} // 1800000000, {ny - 1}) * {nx}
+         + ((lon_e7 + 1800000000) % 3600000000) * {nx} // 3600000000 AS cell,
+       count(*) AS n
+FROM snap GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
+def snapshot_latest_state() -> str:
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+SELECT 'node/' || osm_id AS doc_id, osm_id, v, lon_e7, lat_e7, etype, uid
+FROM snap ORDER BY osm_id
+"""
+    )
+
+
+def contrib_type_counts(match_expr: str = "visible") -> str:
+    return (
+        DERIVE
+        + _contrib_cte(match_expr)
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CAST(is_creation AS BIGINT)) AS BIGINT) AS n_creation,
+       CAST(sum(CAST(is_deletion AS BIGINT)) AS BIGINT) AS n_deletion,
+       CAST(sum(CAST(is_tag_change AS BIGINT)) AS BIGINT) AS n_tag_change,
+       CAST(sum(CAST(is_geom_change AS BIGINT)) AS BIGINT) AS n_geom_change
+FROM contrib
+"""
+    )
+
+
+def contrib_daily() -> str:
+    return (
+        DERIVE
+        + _contrib_cte()
+        + f"""
+SELECT tl.ts_q,
+       CAST(coalesce(s.n_contribs, 0) AS BIGINT) AS n_contribs,
+       CAST(coalesce(s.n_creations, 0) AS BIGINT) AS n_creations
+FROM {_ts_list(CONTRIB_BINS)}
+LEFT JOIN (
+  SELECT {CONTRIB_FROM} + ((ts_us - {CONTRIB_FROM}) // {DAY_US}) * {DAY_US} AS ts_q,
+         count(*) AS n_contribs,
+         sum(CAST(is_creation AS BIGINT)) AS n_creations
+  FROM contrib GROUP BY 1
+) s USING (ts_q)
+ORDER BY tl.ts_q
+"""
+    )
+
+
+def contrib_uniq_uids_daily() -> str:
+    return (
+        DERIVE
+        + _contrib_cte()
+        + f"""
+SELECT tl.ts_q, CAST(coalesce(s.n_uids, 0) AS BIGINT) AS n_uids
+FROM {_ts_list(CONTRIB_BINS)}
+LEFT JOIN (
+  SELECT {CONTRIB_FROM} + ((ts_us - {CONTRIB_FROM}) // {DAY_US}) * {DAY_US} AS ts_q,
+         count(DISTINCT uid) AS n_uids
+  FROM contrib GROUP BY 1
+) s USING (ts_q)
+ORDER BY tl.ts_q
+"""
+    )
+
+
+def _convex_condition(ring) -> str:
+    """AND of float64 cross-product sign tests — byte-identical to
+    rayhist.spatial.fip.contains_convex."""
+    conds = []
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        conds.append(
+            f"(({x2!r} - {x1!r}) * (CAST(lat_e7 AS DOUBLE) - {y1!r})"
+            f" - ({y2!r} - {y1!r}) * (CAST(lon_e7 AS DOUBLE) - {x1!r}) >= 0.0)"
+        )
+    return " AND ".join(conds)
+
+
+def snapshot_pip_regions() -> str:
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    parts = [
+        f"SELECT '{rid}' AS region_id, CAST(count(*) FILTER ({_convex_condition(ring)}) AS BIGINT) AS n FROM snap"
+        for rid, ring in sorted(REGIONS.items())
+    ]
+    return DERIVE + cte + "\nSELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY region_id"
+
+
+def raster_join() -> str:
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    nx = 1 << RASTER_ZOOM
+    ny = 1 << (RASTER_ZOOM - 1)
+    return (
+        DERIVE
+        + cte
+        + f"""
+, cells AS (
+  SELECT least((lat_e7 + 900000000) * {ny} // 1800000000, {ny - 1}) * {nx}
+           + ((lon_e7 + 1800000000) % 3600000000) * {nx} // 3600000000 AS cell
+  FROM snap
+)
+SELECT (CAST(cell AS BIGINT) * {RASTER_HASH}) % {RASTER_MOD} AS raster_value,
+       count(*) AS n_points
+FROM cells GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+def knn() -> str:
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+, pts AS (SELECT osm_id, lon_e7, lat_e7 FROM snap),
+q AS (SELECT * FROM pts WHERE osm_id % 17 = 0),
+cand AS (
+  SELECT q.osm_id AS query_id, p.osm_id AS neighbor_id,
+         (CAST(p.lon_e7 AS DOUBLE) - CAST(q.lon_e7 AS DOUBLE)) AS dx,
+         (CAST(p.lat_e7 AS DOUBLE) - CAST(q.lat_e7 AS DOUBLE)) AS dy
+  FROM q JOIN pts p ON p.osm_id <> q.osm_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER w AS BIGINT) AS rank,
+       dx*dx + dy*dy AS dist2
+FROM cand
+WINDOW w AS (PARTITION BY query_id ORDER BY dx*dx + dy*dy, neighbor_id)
+QUALIFY row_number() OVER w <= 3
+ORDER BY query_id, rank
+"""
+    )
