@@ -41,6 +41,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_pip_regions": p.q_snapshot_pip_regions,
         "raster_join": p.q_raster_join,
         "knn": p.q_knn,
+        "lineitem_agg": p.q_lineitem_agg,
+        "orders_by_nation": p.q_orders_by_nation,
+        "topk_orders": p.q_topk_orders,
+        "events_by_type": p.q_events_by_type,
+        "price_quantiles": p.q_price_quantiles,
+        "tdigest_price_quantiles": p.q_tdigest_price_quantiles,
+        "doc_stats": p.q_doc_stats,
+        "doc_fingerprints": p.q_doc_fingerprints,
+        "near_dup_pairs": p.q_near_dup_pairs,
+        "minhash_lsh_pairs": p.q_minhash_lsh_pairs,
+        "simhash_pairs": p.q_simhash_pairs,
+        "langid": p.q_langid,
+        "ann_cosine": p.q_ann_cosine,
     }
 
 
@@ -59,4 +72,15 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_pip_regions": o.snapshot_pip_regions(),
         "raster_join": o.raster_join(),
         "knn": o.knn(),
+        "lineitem_agg": o.lineitem_agg(),
+        "orders_by_nation": o.orders_by_nation(),
+        "topk_orders": o.topk_orders(),
+        "events_by_type": o.events_by_type(),
+        "price_quantiles": o.price_quantiles(),
+        "doc_stats": o.doc_stats(),
+        "doc_fingerprints": o.doc_fingerprints(),
+        "near_dup_pairs": o.near_dup_pairs(),
+        "ann_cosine": o.ann_cosine(),
+        # rows-only (non-SQL-expressible): tdigest_price_quantiles,
+        # minhash_lsh_pairs, simhash_pairs, langid
     }

@@ -1,0 +1,81 @@
+"""Relational primitives over Ray Datasets.
+
+These are the generic map/filter/join/aggregate/sort building blocks
+(SURVEY.md §2.3/2.7/2.9). Joins follow the broadcast pattern for small
+sides (``ray.put`` once, pandas merge per batch — no shuffle); both-
+sides-large joins co-partition on a shared bucket key (documented in
+rayhist.spatial.raster for the cell-key case).
+
+Money columns are converted to integer cents BEFORE aggregation so
+sums are order-independent and bit-equal to the SQL oracles (float
+sums are not associative; integer sums are).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def cents(batch: pa.Table, col: str, out: str) -> pa.Table:
+    """round(x*100) as int64 — the exact-sum money representation."""
+    v = batch[col].to_numpy(zero_copy_only=False)
+    return batch.append_column(out, pa.array(np.round(v * 100).astype(np.int64)))
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pd.DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Hash join against a broadcast small side: the dimension table is
+    put in the object store ONCE and merged per batch (no shuffle) —
+    the Ray analog of the reference's denormalize-instead-of-join
+    strategy (data-model.md:20-22)."""
+    ref = ray.put(small)
+
+    class JoinStage:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(JoinStage, batch_format="pandas", concurrency=(1, 8))
+
+
+def topk(ds: ray.data.Dataset, key: str, k: int, tiebreak: str, descending: bool = True) -> pd.DataFrame:
+    """Deterministic top-k: per-batch candidate top-k, then a global
+    reduce — no full sort shuffle (ds.sort would move every row; this
+    moves k rows per batch)."""
+
+    def cand(batch: pa.Table) -> pa.Table:
+        df = batch.select([key, tiebreak]).to_pandas()
+        df = df.sort_values([key, tiebreak], ascending=[not descending, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    allc = ds.map_batches(cand, batch_format="pyarrow").to_pandas()
+    allc = allc.sort_values([key, tiebreak], ascending=[not descending, True], kind="mergesort")
+    return allc.head(k).reset_index(drop=True)
+
+
+def exact_quantiles_int(ds: ray.data.Dataset, col: str, fracs: list[tuple[int, int]]) -> list[int]:
+    """Exact discrete quantiles of an integer column: value at sorted
+    index ((n-1)*num)//den. Distributed as groupby(value).count() (the
+    value-histogram is small relative to the data) + driver cumsum —
+    no global sort."""
+    hist = ds.groupby(col).count().to_pandas().sort_values(col)
+    counts = hist["count()"].to_numpy()
+    values = hist[col].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = []
+    for num, den in fracs:
+        idx = ((n - 1) * num) // den  # 0-based rank
+        pos = int(np.searchsorted(cum, idx + 1, side="left"))
+        out.append(int(values[pos]))
+    return out

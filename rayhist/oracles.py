@@ -268,3 +268,117 @@ QUALIFY row_number() OVER w <= 3
 ORDER BY query_id, rank
 """
     )
+
+
+# ------------------------------------------------------------- relational
+def lineitem_agg() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def orders_by_nation() -> str:
+    return """
+SELECT n.n_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def topk_orders() -> str:
+    return """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def events_by_type() -> str:
+    return """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def price_quantiles() -> str:
+    return """
+WITH s AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),
+o AS (SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS n FROM s)
+SELECT CAST(max(CASE WHEN rn = (n-1)//4 + 1 THEN c END) AS BIGINT) AS p25,
+       CAST(max(CASE WHEN rn = (n-1)//2 + 1 THEN c END) AS BIGINT) AS p50,
+       CAST(max(CASE WHEN rn = (3*(n-1))//4 + 1 THEN c END) AS BIGINT) AS p75
+FROM o
+"""
+
+
+# ------------------------------------------------------- documents corpus
+def doc_stats() -> str:
+    return """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN text = '' THEN 0
+                ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def doc_fingerprints() -> str:
+    return "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+
+def near_dup_pairs() -> str:
+    """Exact 3-shingle Jaccard >= 1/2 pairs — same shingle definition
+    as rayhist.ops.dedup (consecutive word triples over a single-space
+    split), integer threshold test."""
+    return """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM idx
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+       CAST(sa.n + sb.n - common AS BIGINT) AS un
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 2 >= (sa.n + sb.n - common) * 1
+ORDER BY doc_a, doc_b
+"""
+
+
+def ann_cosine() -> str:
+    """Brute-force cosine top-5; DuckDB list_cosine_similarity vs the
+    engine's numpy matmul — ranking must agree (asserted empirically;
+    random 64-dim embeddings have no near-ties)."""
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(row_number() OVER w AS BIGINT) AS rank
+FROM cand
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 5
+ORDER BY query_id, rank
+"""

@@ -226,3 +226,199 @@ def q_knn(sf_dir: str) -> pd.DataFrame:
     queries = list(qdf.itertuples(index=False, name=None))
     out = knn_points(snaps, queries, k=3, id_col="osm_id")
     return out[["query_id", "neighbor_id", "rank", "dist2"]].reset_index(drop=True)
+
+
+# ------------------------------------------------------------- relational
+def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style grouped aggregate over lineitem; money summed as
+    integer cents so sums are order-independent (exact vs oracle)."""
+    import ray.data
+    from .ops.relational import cents
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = cents(batch, "l_quantity", "qty_c")
+        batch = cents(batch, "l_extendedprice", "price_c")
+        return cents(batch, "l_discount", "disc_c")
+
+    df = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("qty_c", alias_name="sum_qty_cents"),
+            Sum("price_c", alias_name="sum_price_cents"),
+            Sum("disc_c", alias_name="sum_disc_cents"),
+        )
+        .to_pandas()
+    )
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders |x| customer |x| nation (both dimension sides broadcast),
+    grouped by nation name."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from .ops.relational import broadcast_join, cents
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    dims = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
+    dims = dims.rename(columns={"c_custkey": "o_custkey"})
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(lambda b: cents(b, "o_totalprice", "price_c"), batch_format="pyarrow")
+    joined = broadcast_join(orders, dims, on="o_custkey")
+    df = (
+        joined.groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="sum_price_cents"))
+        .to_pandas()
+    )
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
+def q_topk_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-20 orders by totalprice (deterministic tiebreak on key) —
+    per-batch candidates + tiny global reduce, no full sort shuffle."""
+    import ray.data
+    from .ops.relational import topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    out = topk(ds, key="o_totalprice", k=20, tiebreak="o_orderkey")
+    return out[["o_orderkey", "o_totalprice"]]
+
+
+def q_events_by_type(sf_dir: str) -> pd.DataFrame:
+    """events grouped by type: row count, distinct users, cents sum."""
+    import ray.data
+    from .ops.relational import cents
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+    base = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_cents"))
+        .to_pandas()
+    )
+    uniq_pairs = (
+        ds.groupby(["event_type", "user_id"]).count().to_pandas()
+        .groupby("event_type", as_index=False).size().rename(columns={"size": "n_users"})
+    )
+    out = base.merge(uniq_pairs, on="event_type")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete quartiles of extendedprice cents (value at sorted
+    index ((n-1)*q), distributed via value-histogram + cumsum)."""
+    import ray.data
+    from .ops.relational import cents, exact_quantiles_int
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]).map_batches(
+        lambda b: cents(b, "l_extendedprice", "price_c").select(["price_c"]), batch_format="pyarrow"
+    )
+    p25, p50, p75 = exact_quantiles_int(ds, "price_c", [(1, 4), (1, 2), (3, 4)])
+    return pd.DataFrame([{"p25": p25, "p50": p50, "p75": p75}])
+
+
+def q_tdigest_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """estimatedQuantiles via the from-scratch t-digest (rows-only
+    check; accuracy vs exact asserted in tests)."""
+    import ray.data
+    from .aggregate import estimated_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    est = estimated_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75])
+    return pd.DataFrame([{"p25_est": est[0], "p50_est": est[1], "p75_est": est[2]}])
+
+
+# ------------------------------------------------------- documents corpus
+def q_doc_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus stats: docs, chars, whitespace tokens."""
+    import ray.data
+    from .ops.text import add_token_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text", "n_chars"])
+    df = (
+        ds.map_batches(add_token_count, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+        )
+        .to_pandas()
+    )
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """md5 content fingerprint per document (matches SQL md5())."""
+    import ray.data
+    from .ops.text import fingerprint_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = ds.map_batches(fingerprint_stage, batch_format="pyarrow").select_columns(["doc_id", "fp"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact 3-shingle Jaccard >= 0.5 near-duplicate pairs."""
+    import ray.data
+    from .ops.dedup import exact_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_jaccard_pairs(ds, 1, 2)
+
+
+def q_minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH candidates verified to Jaccard >= 0.5 (rows-only;
+    recall vs the exact operator asserted in tests)."""
+    import ray.data
+    from .ops.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, 1, 2)
+
+
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs, hamming <= 3 (rows-only)."""
+    import ray.data
+    from .ops.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds)
+
+
+def q_langid(sf_dir: str) -> pd.DataFrame:
+    """Language-ID heuristic + quality scores (rows-only)."""
+    import ray.data
+    from .ops.text import langid_stage, quality_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = (
+        ds.map_batches(quality_stage, batch_format="pandas")
+        .map_batches(langid_stage, batch_format="pandas")
+        .select_columns(["doc_id", "lang_pred", "stop_ratio", "quality_ok"])
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ann_cosine(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-5 over the embeddings table; queries are
+    vec_id % 50 == 0."""
+    import ray.data
+    from .spatial.knn import ann_cosine_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = ds.select_columns(["vec_id"]).to_pandas()["vec_id"]
+    qids = sorted(int(i) for i in ids if i % 50 == 0)
+    out = ann_cosine_topk(ds, qids, k=5)
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)

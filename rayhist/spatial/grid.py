@@ -54,13 +54,17 @@ def cell_bounds(zoom: int, cell: int) -> tuple[int, int, int, int]:
     nx = 1 << zoom
     ny = max(1, 1 << (zoom - 1)) if zoom >= 1 else 1
     y, x = divmod(int(cell), nx)
-    w = LON_MOD // nx
-    h = LAT_MOD // ny
+
+    def ceildiv(a: int, b: int) -> int:
+        return -(-a // b)
+
+    # exact rational bounds consistent with cell_id's floor division:
+    # lon' belongs to cell x  iff  lon'*nx // LON_MOD == x
     return (
-        x * w - LON_MOD // 2,
-        y * h - LAT_MOD // 2,
-        (x + 1) * w - LON_MOD // 2,
-        (y + 1) * h - LAT_MOD // 2,
+        ceildiv(x * LON_MOD, nx) - LON_MOD // 2,
+        ceildiv(y * LAT_MOD, ny) - LAT_MOD // 2,
+        ceildiv((x + 1) * LON_MOD, nx) - LON_MOD // 2,
+        ceildiv((y + 1) * LAT_MOD, ny) - LAT_MOD // 2,
     )
 
 

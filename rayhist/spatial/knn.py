@@ -100,10 +100,17 @@ def ann_cosine_topk(
     list), L2-normalized once, and broadcast; each batch does one
     matmul. Ranking by (-cos, neighbor_id); self-matches excluded.
     """
-    qset = set(int(i) for i in query_ids)
-    qrows = embeddings.filter(
-        expr=f"{id_col} in ({','.join(str(i) for i in sorted(qset))})"
-    ).to_pandas()
+    import pyarrow.compute as pc
+
+    qset = sorted(int(i) for i in set(query_ids))
+    qrows = (
+        embeddings.map_batches(
+            lambda b: b.filter(pc.is_in(b[id_col], pa.array(qset, type=b[id_col].type))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
     qids = qrows[id_col].to_numpy(dtype=np.int64)
     qmat = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)

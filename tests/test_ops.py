@@ -1,0 +1,123 @@
+"""Operator tests: t-digest accuracy, dedup recall, text stages,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayhist.functions.tdigest import TDigest
+from rayhist.ops.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    shingle_set,
+    simhash64,
+)
+from rayhist.ops.multimodal import decode_media, synth_media_table
+from rayhist.ops.relational import exact_quantiles_int
+from rayhist.ops.text import add_token_count
+
+
+def test_tdigest_accuracy_vs_exact():
+    """t-digest at compression=1000 ~ 0.1% quantile accuracy
+    (TDigestReducer.java:9-21 claim)."""
+    rng = np.random.default_rng(5)
+    x = rng.lognormal(3, 1, 200_000)
+    d1 = TDigest.of(x[:100_000])
+    d2 = TDigest.of(x[100_000:])
+    d = d1.merge(d2)
+    xs = np.sort(x)
+    for q in (0.25, 0.5, 0.75, 0.95):
+        est = d.quantile(q)
+        # rank error, not value error
+        rank = np.searchsorted(xs, est) / len(xs)
+        assert abs(rank - q) < 0.005, (q, rank)
+
+
+def test_tdigest_serialization_roundtrip():
+    d = TDigest.of(np.arange(1000.0))
+    d2 = TDigest.from_bytes(d.to_bytes())
+    assert d2.quantile(0.5) == d.quantile(0.5)
+
+
+def test_tdigest_merge_order_insensitive():
+    rng = np.random.default_rng(9)
+    parts = [TDigest.of(rng.normal(0, 1, 1000)) for _ in range(4)]
+    a = parts[0].merge(parts[1]).merge(parts[2]).merge(parts[3])
+    b = parts[3].merge(parts[2]).merge(parts[1]).merge(parts[0])
+    assert a.quantile(0.5) == pytest.approx(b.quantile(0.5), abs=0.02)
+
+
+def _doc_ds():
+    import ray.data
+
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g x",  # near-dup of 0
+        "p q r s t u v w",
+        "a b c d e f g h",  # exact dup of 0
+        "z z z y y y x x",
+    ]
+    return ray.data.from_arrow(
+        pa.table({"doc_id": list(range(5)), "text": texts})
+    )
+
+
+def test_exact_dedup():
+    out = exact_dedup(_doc_ds()).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 1, 2, 4]  # doc 3 deduped to doc 0
+
+
+def test_jaccard_and_minhash_agree():
+    ds = _doc_ds()
+    exact = exact_jaccard_pairs(ds, 1, 2)
+    assert (0, 1) in set(zip(exact["doc_a"], exact["doc_b"]))
+    assert (0, 3) in set(zip(exact["doc_a"], exact["doc_b"]))  # identical
+    mh = minhash_lsh_pairs(ds, 1, 2)
+    # LSH with 16 bands x 8 rows has ~certain recall at J>=0.5 for
+    # identical docs and very high for J~0.8; verify against exact set
+    exact_set = set(zip(exact["doc_a"], exact["doc_b"]))
+    mh_set = set(zip(mh["doc_a"], mh["doc_b"]))
+    assert mh_set <= exact_set  # verification removes false positives
+    assert (0, 3) in mh_set
+
+
+def test_simhash_identical_docs():
+    s1 = simhash64(shingle_set("a b c d e f g h"))
+    s2 = simhash64(shingle_set("a b c d e f g h"))
+    s3 = simhash64(shingle_set("p q r s t u v w"))
+    assert s1 == s2
+    assert bin(s1 ^ s3).count("1") > 3
+
+
+def test_exact_quantiles_int():
+    import ray.data
+
+    vals = np.array([5, 1, 9, 3, 7, 2, 8, 4, 6, 0], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"x": vals}))
+    p25, p50, p75 = exact_quantiles_int(ds, "x", [(1, 4), (1, 2), (3, 4)])
+    # sorted: 0..9 ; idx = (9*1)//4=2 -> 2 ; (9)//2=4 -> 4 ; (27)//4=6 -> 6
+    assert (p25, p50, p75) == (2, 4, 6)
+
+
+def test_token_count_definition():
+    t = pa.table({"text": ["a b c", "", "one"]})
+    out = add_token_count(t)
+    assert out["n_tokens"].to_pylist() == [3, 0, 1]
+
+
+def test_multimodal_plumbing():
+    import ray.data
+
+    refs = [f"img://{i}" for i in range(10)]
+    ds = ray.data.from_arrow(synth_media_table(refs))
+    out = decode_media(ds, concurrency=1, batch_size=4).to_pandas()
+    assert len(out) == 10
+    assert set(out.columns) == {"media_ref", "kind", "width", "height", "feature"}
+    assert all(len(f) == 16 for f in out["feature"])
+    # deterministic: same ref -> same feature
+    out2 = decode_media(ray.data.from_arrow(synth_media_table(refs)), concurrency=1).to_pandas()
+    a = out.sort_values("media_ref")["feature"].tolist()
+    b = out2.sort_values("media_ref")["feature"].tolist()
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))

@@ -1,0 +1,119 @@
+"""Spatial engine unit tests: grid math, PIP, kNN, geo functions."""
+
+import numpy as np
+import pytest
+
+from rayhist.functions.geo import (
+    distance_equirectangular,
+    distance_haversine,
+    length_of_line,
+    ring_area,
+)
+from rayhist.model import LAT_MOD, LON_MOD
+from rayhist.spatial.fip import Polygon, bbox_inside, bbox_outside, contains_convex
+from rayhist.spatial.grid import bbox_cells, cell_bounds, cell_id, insert_zoom, pack_cell
+
+
+def test_cell_id_roundtrip():
+    """Points map into the bounds of their own cell (XYGridTest-style
+    round trip)."""
+    rng = np.random.default_rng(7)
+    lon = rng.integers(-LON_MOD // 2, LON_MOD // 2, 1000)
+    lat = rng.integers(-LAT_MOD // 2, LAT_MOD // 2, 1000)
+    for zoom in (0, 1, 4, 9, 15):
+        cells = cell_id(lon, lat, zoom)
+        for i in range(0, 1000, 97):
+            x0, y0, x1, y1 = cell_bounds(zoom, int(cells[i]))
+            assert x0 <= lon[i] < x1 or zoom == 0
+            assert y0 <= lat[i] < y1
+
+
+def test_cell_id_borders():
+    # antimeridian wraps to x=0 (XYGrid.java:124-149 analog)
+    assert cell_id(LON_MOD // 2, 0, 4) == cell_id(-LON_MOD // 2, 0, 4)
+    # north pole clamps into the top row
+    top = cell_id(0, LAT_MOD // 2, 4)
+    assert 0 <= top < (1 << 4) * (1 << 3)
+
+
+def test_insert_zoom_rule():
+    # a point -> deepest zoom
+    z = insert_zoom([100], [100], [100], [100])
+    assert z[0] == 15
+    # a bbox spanning half the world -> low zoom
+    z = insert_zoom([-LON_MOD // 4], [LON_MOD // 4], [-LAT_MOD // 4], [LAT_MOD // 4])
+    assert z[0] <= 2
+    # never more than 2 cells at the chosen zoom
+    rng = np.random.default_rng(3)
+    lo = rng.integers(-10**9, 10**9, 200)
+    w = rng.integers(0, 10**8, 200)
+    la = rng.integers(-8 * 10**8, 8 * 10**8, 200)
+    h = rng.integers(0, 10**8, 200)
+    zs = insert_zoom(lo, lo + w, la, la + h)
+    for i in range(200):
+        cells = bbox_cells(int(zs[i]), int(lo[i]), int(la[i]), int(lo[i] + w[i]), int(la[i] + h[i]))
+        assert len(cells) <= 2, (i, zs[i], len(cells))
+
+
+def test_pack_cell():
+    assert pack_cell(3, 5) == (3 << 56) | 5
+
+
+def test_convex_vs_even_odd():
+    ring = np.array([(-4e8, 6.2e8), (4e8, 6.2e8), (6e8, 7.5e8), (0.0, 8.8e8), (-6e8, 7.5e8)])
+    rng = np.random.default_rng(11)
+    px = rng.uniform(-1e9, 1e9, 5000)
+    py = rng.uniform(0, 9e8, 5000)
+    a = contains_convex(ring, px, py)
+    b = Polygon([ring]).contains(px, py)
+    assert (a == b).all()
+    assert 0 < a.sum() < len(a)
+
+
+def test_polygon_with_hole():
+    outer = np.array([(0, 0), (10, 0), (10, 10), (0, 10)], dtype=float)
+    hole = np.array([(4, 4), (6, 4), (6, 6), (4, 6)], dtype=float)
+    p = Polygon([outer, hole])
+    assert p.contains(np.array([2.0]), np.array([2.0]))[0]
+    assert not p.contains(np.array([5.0]), np.array([5.0]))[0]  # in the hole
+    assert not p.contains(np.array([11.0]), np.array([5.0]))[0]
+
+
+def test_bbox_shortcuts():
+    outer = np.array([(0, 0), (10, 0), (10, 10), (0, 10)], dtype=float)
+    p = Polygon([outer])
+    assert bbox_inside(p, 2, 2, 3, 3)
+    assert bbox_outside(p, 20, 20, 30, 30)
+    assert not bbox_inside(p, -1, -1, 3, 3)
+    assert not bbox_outside(p, -1, -1, 3, 3)
+
+
+def test_geo_constants_and_formulas():
+    # 1 degree of latitude ~ 111194.9 m with R=6371000 (reference constants)
+    d = distance_equirectangular(0.0, 0.0, 1.0, 0.0)
+    assert d == pytest.approx(6_371_000 * np.pi / 180, rel=1e-12)
+    h = distance_haversine(0.0, 0.0, 1.0, 0.0)
+    assert h == pytest.approx(d, rel=1e-9)
+    # equator-hugging line
+    assert length_of_line(np.array([0.0, 1.0, 2.0]), np.array([0.0, 0.0, 0.0])) == pytest.approx(
+        2 * 6_371_000 * np.pi / 180, rel=1e-9
+    )
+
+
+def test_ring_area_quarter_sphere():
+    # a 90x90 degree "square" at the equator: area formula sanity
+    lons = np.array([0.0, 90.0, 90.0, 0.0])
+    lats = np.array([0.0, 0.0, 90.0, 90.0])
+    a = abs(ring_area(lons, lats))
+    sphere = 4 * np.pi * 6_371_000**2
+    assert 0.03 * sphere < a < 0.15 * sphere  # ~1/8 sphere, approximate formula
+
+
+def test_ring_area_orientation_sign():
+    lons = np.array([0.0, 1.0, 1.0, 0.0])
+    lats = np.array([0.0, 0.0, 1.0, 1.0])
+    ccw = ring_area(lons, lats)
+    cw = ring_area(lons[::-1], lats[::-1])
+    assert ccw == pytest.approx(-cw, rel=1e-12)
+    # ~ (111 km)^2 cell at equator
+    assert abs(ccw) == pytest.approx((6_371_000 * np.pi / 180) ** 2, rel=1e-3)
