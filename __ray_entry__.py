@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": p.q_simhash_pairs,
         "langid": p.q_langid,
         "ann_cosine": p.q_ann_cosine,
+        "contrib_per_entity": p.q_contrib_per_entity,
+        "keytable_freqs": p.q_keytable_freqs,
+        "contrib_daily_by_etype": p.q_contrib_daily_by_etype,
     }
 
 
@@ -81,6 +84,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": o.doc_fingerprints(),
         "near_dup_pairs": o.near_dup_pairs(),
         "ann_cosine": o.ann_cosine(),
+        "contrib_per_entity": o.contrib_per_entity(),
+        "keytable_freqs": o.keytable_freqs(),
+        "contrib_daily_by_etype": o.contrib_daily_by_etype(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # minhash_lsh_pairs, simhash_pairs, langid
     }

@@ -1,0 +1,135 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "entity_versions": V, "entity_versions_per_sec": R}
+
+The headline follows BASELINE.json: snapshot+contribution aggregation
+throughput (entity-versions/sec) over the span-document table plus
+spatial-join wall time (point-in-polygon regions, raster join, kNN).
+
+--scaling: runs the same job in two FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input (the sandbox evidence for the N->4N
+cluster-scaling criterion; see BASELINE.md) and prints throughputs +
+scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    rep = int(os.environ.setdefault("RAYHIST_REP", "64"))  # bench-scale corpus
+    os.environ.setdefault("RAYHIST_KNN_MOD", "997")  # ~100 kNN queries at rep=64
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from rayhist import pipelines as p
+    from rayhist.ingest import ensure_documents, read_documents
+
+    # untimed: build the span-document cache + warm the page cache
+    ensure_documents(sf_dir, rep)
+    n_versions = int(
+        read_documents(sf_dir, columns=["n_versions"], rep=rep).to_pandas()["n_versions"].sum()
+    )
+
+    headline = [
+        ("snapshot_count_daily", p.q_snapshot_count_daily),
+        ("snapshot_cells", p.q_snapshot_cells),
+        ("contrib_type_counts", p.q_contrib_type_counts),
+        ("contrib_daily", p.q_contrib_daily),
+        ("snapshot_pip_regions", p.q_snapshot_pip_regions),
+        ("raster_join", p.q_raster_join),
+        ("knn", p.q_knn),
+        ("lineitem_agg", p.q_lineitem_agg),
+    ]
+    times: dict[str, float] = {}
+    for name, fn in headline:
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    # entity-versions/sec over the temporal-view queries (each decodes
+    # + interpolates every version in the table once)
+    temporal = ["snapshot_count_daily", "snapshot_cells", "contrib_type_counts", "contrib_daily"]
+    t_temporal = sum(times[q] for q in temporal)
+    result = {
+        "metric": "snapshot+contribution aggregation + spatial joins, wall sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "rep": rep,
+        "entity_versions": n_versions,
+        "entity_versions_per_sec": round(4 * n_versions / t_temporal, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, two fresh processes, two parallelism levels (N, 4N).
+
+    Default N=4 (RAYHIST_SCALE_LO): this sandbox VM's memory bandwidth
+    saturates near 32 cores (map-only probes: 2->8 cpus 3.46x, 4->16
+    3.52x, 8->32 only 2.6x with total CPU-seconds inflating), so the
+    4->16 pair measures the engine's scaling rather than the memory
+    wall; both pairs are recorded in BASELINE.md.
+    """
+    lo = int(os.environ.get("RAYHIST_SCALE_LO", "4"))
+    hi = lo * 4
+    out = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh processes)",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"evps_{lo}": out[lo]["entity_versions_per_sec"],
+        f"evps_{hi}": out[hi]["entity_versions_per_sec"],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": out[hi]["sf"],
+        f"queries_{lo}": out[lo]["queries"],
+        f"queries_{hi}": out[hi]["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -104,3 +104,29 @@ def uniq(ds: ray.data.Dataset, col: str) -> list:
         return pa.table({col: pc.unique(batch[col])})
 
     return sorted(ds.map_batches(batch_distinct, batch_format="pyarrow").unique(col))
+
+
+def combine_partials(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+) -> pd.DataFrame:
+    """Final combine of a pre-aggregated partials Dataset.
+
+    The partials stream is tiny by construction (#blocks x #keys), so
+    a Dataset-level groupby would pay a full shuffle's scheduling
+    overhead (~seconds) to move a few thousand rows; instead the
+    partials are streamed to the driver and combined with one pandas
+    groupby — the reference's combiner step (MapAggregator.java:848-869)
+    at the driver, exactly like its client-side node-result merge.
+
+    Use ONLY for low-cardinality keys (timestamps, cells at coarse
+    zoom, enum values). High-cardinality finals (fine-zoom cells,
+    per-document keys) must stay on Dataset.groupby — rule of thumb:
+    keys x blocks > ~10^7 rows means keep it distributed.
+    """
+    df = ds.to_pandas()
+    if not keys:
+        return pd.DataFrame([{out: df[src].sum() for src, out in sums.items()}]).astype("int64")
+    g = df.groupby(keys, as_index=False).agg(**{out: (src, "sum") for src, out in sums.items()})
+    return g

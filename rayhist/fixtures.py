@@ -174,3 +174,82 @@ def scenario_corpus() -> pa.Table:
         dict(doc_id="node/9", v=3, ts=t[2010] + 1_000_000, cs=902, lon_e7=4, lat_e7=4, tags={"etype": "view"}),
     ]
     return make_versions(rows)
+
+
+def make_compound_doc(
+    doc_id: str,
+    versions: list[dict],
+    children: dict[str, list[dict]],
+) -> list[dict]:
+    """Build the span stream of a way/relation document with
+    denormalized child histories (FIXTURES.md §1 layout).
+
+    versions: [{v, ts, cs, uid, visible, tags?, members?: [(id, role)]}]
+    children: {child_id: [{v, ts, cs?, uid?, visible, lon, lat}]}
+    """
+    spans: list[dict] = []
+    off = 0
+
+    def emit(kind, text="", ref=""):
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": ref, "offset": off})
+        off += 1
+
+    for r in versions:
+        emit(
+            "version",
+            format_version_text(
+                r["v"], r["ts"], r.get("cs", r["v"]), r.get("uid", 1),
+                1 if r.get("visible", True) else 0,
+            ),
+        )
+        for k, v in sorted(r.get("tags", {}).items()):
+            emit("tag", f"{k}={v}")
+        for child_id, role in r.get("members", []):
+            emit("member", f"{child_id}@role={role}")
+    for child_id, vs in sorted(children.items()):
+        for r in vs:
+            emit(
+                "version",
+                f"child={child_id};"
+                + format_version_text(
+                    r["v"], r["ts"], r.get("cs", r["v"] + 9000), r.get("uid", 2),
+                    1 if r.get("visible", True) else 0,
+                ),
+            )
+            if r.get("visible", True):
+                emit("geom", "", f"geom:child={child_id};v={r['v']};lon={r['lon']};lat={r['lat']}")
+    return spans
+
+
+def scenario_way_w1() -> list[dict]:
+    """W1 way-node-motion: the way has ONE version; a member node moves
+    between way versions -> GEOMETRY_CHANGE contributions without a new
+    way version, contributor uid resolved from the child."""
+    t = YEAR_US
+    versions = [
+        dict(v=1, ts=t[2008], cs=11, uid=5, tags={"highway": "residential"},
+             members=[("node/100", ""), ("node/101", "")]),
+    ]
+    children = {
+        "node/100": [
+            dict(v=1, ts=t[2007], uid=7, lon=0, lat=0),
+            dict(v=2, ts=t[2010], uid=8, lon=10_000_000, lat=0),
+            dict(v=3, ts=t[2013], uid=9, lon=20_000_000, lat=0),
+        ],
+        "node/101": [dict(v=1, ts=t[2007], uid=7, lon=0, lat=10_000_000)],
+    }
+    return make_compound_doc("way/1", versions, children)
+
+
+def scenario_way_w2_ring() -> list[dict]:
+    """W2 ring/area: closed ring with building=yes -> polygon."""
+    t = YEAR_US
+    ring = [(0, 0), (10_000_000, 0), (10_000_000, 10_000_000), (0, 10_000_000)]
+    members = [(f"node/{200+i}", "") for i in range(4)] + [("node/200", "")]
+    children = {
+        f"node/{200+i}": [dict(v=1, ts=t[2007], lon=lo, lat=la)]
+        for i, (lo, la) in enumerate(ring)
+    }
+    versions = [dict(v=1, ts=t[2008], cs=21, tags={"building": "yes"}, members=members)]
+    return make_compound_doc("way/2", versions, children)

@@ -1,0 +1,192 @@
+"""Geometry builder: entity version + member states -> geometry.
+
+From-scratch rebuild of ``OSHDBGeometryBuilder``
+(``oshdb-util/.../geometry/OSHDBGeometryBuilder.java:64-362``) without
+JTS, on plain numpy coordinate arrays:
+
+- node -> Point (:66-70)
+- way  -> LineString, or Polygon when the ring is closed AND the tag
+  interpreter says "area" (:72-110); degenerate ways (1/0 nodes) fall
+  back point/empty (:101-110)
+- relation (type=multipolygon) -> MultiPolygon via ring assembly: join
+  adjacent member ways into closed rings (join(), :304-362), match
+  inner rings to the outer ring that contains them (STRtree in the
+  reference; direct containment test here), tolerate missing members
+  (:140-185). Invalid/unclosable rings are dropped (the reference's
+  buffer(0)-repair ladder collapses to drop-or-keep without JTS; the
+  fallback ladder polygon->linestring->point->empty is preserved).
+
+- TagInterpreter: the area decision (``BaseTagInterpreter.java:74-97``
+  driven by polygon-features.json): a closed way is a polygon iff it
+  has an area tag (here: the 'area' key or any key in AREA_TAGS) and
+  not area=no.
+
+Geometries are plain dataclasses over numpy arrays — cheap to build
+per version inside a map_batches stage, with length/area from
+rayhist.functions.geo (reference-identical formulas).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .functions.geo import area_of_polygon, length_of_line
+
+# analog of polygon-features.json (DefaultTagInterpreter.java:23-191)
+AREA_TAGS = {"building", "landuse", "natural", "leisure", "amenity", "area"}
+
+
+@dataclass
+class Geom:
+    kind: str  # point | linestring | polygon | multipolygon | empty
+    # parts: list of rings/lines; each (lons_deg, lats_deg) float64
+    parts: list[tuple[np.ndarray, np.ndarray]] = field(default_factory=list)
+    holes: list[list[tuple[np.ndarray, np.ndarray]]] = field(default_factory=list)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.kind == "empty" or not self.parts
+
+    def length_m(self) -> float:
+        if self.kind == "linestring":
+            return sum(length_of_line(x, y) for x, y in self.parts)
+        return 0.0
+
+    def area_m2(self) -> float:
+        if self.kind == "polygon":
+            return area_of_polygon(self.parts[0], self.holes[0] if self.holes else ())
+        if self.kind == "multipolygon":
+            total = 0.0
+            for i, outer in enumerate(self.parts):
+                total += area_of_polygon(outer, self.holes[i] if i < len(self.holes) else ())
+            return total
+        return 0.0
+
+
+def is_area(tags: dict[str, str]) -> bool:
+    """Area decision (BaseTagInterpreter.java:74-97 behavior)."""
+    if tags.get("area") == "no":
+        return False
+    return any(k in AREA_TAGS for k in tags)
+
+
+def build_node(lon_e7: int, lat_e7: int) -> Geom:
+    return Geom("point", [(np.array([lon_e7 / 1e7]), np.array([lat_e7 / 1e7]))])
+
+
+def build_way(coords_e7: np.ndarray, tags: dict[str, str]) -> Geom:
+    """coords_e7: (n, 2) resolved member-node positions in ref order.
+    Missing members must already be dropped by the resolver (the
+    reference tolerates incomplete data, OSHDBGeometryBuilder.java:89-96)."""
+    n = len(coords_e7)
+    if n == 0:
+        return Geom("empty")
+    if n == 1:
+        return build_node(int(coords_e7[0, 0]), int(coords_e7[0, 1]))
+    lons = coords_e7[:, 0] / 1e7
+    lats = coords_e7[:, 1] / 1e7
+    closed = coords_e7[0, 0] == coords_e7[-1, 0] and coords_e7[0, 1] == coords_e7[-1, 1]
+    if closed and n >= 4 and is_area(tags):
+        return Geom("polygon", [(lons, lats)], [[]])
+    return Geom("linestring", [(lons, lats)])
+
+
+def _join_rings(ways: list[np.ndarray]) -> list[np.ndarray]:
+    """Join way segments endpoint-to-endpoint into closed rings
+    (OSHDBGeometryBuilder.join, :304-362). Unclosable chains dropped."""
+    open_chains = [w.copy() for w in ways if len(w) >= 2]
+    rings: list[np.ndarray] = []
+    progress = True
+    while open_chains:
+        chain = open_chains.pop(0)
+        if np.array_equal(chain[0], chain[-1]) and len(chain) >= 4:
+            rings.append(chain)
+            continue
+        progress = False
+        for i, other in enumerate(open_chains):
+            for flip in (False, True):
+                o = other[::-1] if flip else other
+                if np.array_equal(chain[-1], o[0]):
+                    open_chains[i] = np.vstack([chain, o[1:]])
+                    progress = True
+                    break
+                if np.array_equal(o[-1], chain[0]):
+                    open_chains[i] = np.vstack([o, chain[1:]])
+                    progress = True
+                    break
+            if progress:
+                break
+        if not progress:
+            continue  # drop unjoinable chain (incomplete relation)
+    return rings
+
+
+def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cond = (y > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x + (py - y) * (x2 - x) / (y2 - y)
+    return int((cond & (px < xint)).sum()) % 2 == 1
+
+
+def build_multipolygon(
+    outer_ways: list[np.ndarray], inner_ways: list[np.ndarray]
+) -> Geom:
+    """Ring assembly + inner->outer matching
+    (OSHDBGeometryBuilder.java:187-301)."""
+    outers = _join_rings(outer_ways)
+    inners = _join_rings(inner_ways)
+    if not outers:
+        return Geom("empty")
+    parts, holes = [], []
+    for o in outers:
+        parts.append((o[:, 0] / 1e7, o[:, 1] / 1e7))
+        holes.append([])
+    for inner in inners:
+        cx, cy = inner[:-1, 0].mean(), inner[:-1, 1].mean()
+        for i, o in enumerate(outers):
+            if _point_in_ring(cx, cy, o):
+                holes[i].append((inner[:, 0] / 1e7, inner[:, 1] / 1e7))
+                break
+    return Geom("multipolygon", parts, holes)
+
+
+# ------------------------------------------------------------------ clipping
+def clip_segments_to_bbox(
+    lons: np.ndarray, lats: np.ndarray, bbox: tuple[float, float, float, float]
+) -> float:
+    """Total length (m) of a polyline's parts inside a bbox —
+    Liang-Barsky per segment, vectorized. The clipped-length analog of
+    Geo.clip + Geo.lengthOf for the aggregateByGeometry invariant
+    (TestMapAggregateByGeometry.java:73-121)."""
+    x0, y0, x1, y1 = bbox
+    ax, ay = lons[:-1], lats[:-1]
+    bx, by = lons[1:], lats[1:]
+    dx, dy = bx - ax, by - ay
+    t0 = np.zeros(len(ax))
+    t1 = np.ones(len(ax))
+    for p, q in (
+        (-dx, ax - x0),
+        (dx, x1 - ax),
+        (-dy, ay - y0),
+        (dy, y1 - ay),
+    ):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(p != 0, -q / np.where(p != 0, p, 1), 0.0)
+        ent = (p < 0)
+        t0 = np.where(ent, np.maximum(t0, r), t0)
+        t1 = np.where(p > 0, np.minimum(t1, r), t1)
+        # p == 0 and q < 0 -> fully outside this edge
+        t1 = np.where((p == 0) & (q < 0), -1.0, t1)
+    ok = t0 <= t1
+    cax = ax + t0 * dx
+    cay = ay + t0 * dy
+    cbx = ax + t1 * dx
+    cby = ay + t1 * dy
+    total = 0.0
+    for i in np.flatnonzero(ok):
+        total += length_of_line(np.array([cax[i], cbx[i]]), np.array([cay[i], cby[i]]))
+    return total

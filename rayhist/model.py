@@ -158,24 +158,35 @@ def decode_spans(batch: pa.Table) -> pa.Table:
         lon[geom_gid] = gf["lon"]
         lat[geom_gid] = gf["lat"]
 
-    # tag signature per version: join tag texts with '|'
+    # tag signature per version: join tag texts with '|' — fully
+    # vectorized: a ListArray over the group boundaries + binary_join
     tag_sig = np.full(n_ver, "", dtype=object)
     etype = np.full(n_ver, "", dtype=object)
     kk = np.full(n_ver, -1, dtype=np.int64)
     if is_tag.any():
         tag_gid = gid[is_tag]
-        tag_texts = pc.filter(text, pa.array(is_tag)).to_numpy(zero_copy_only=False)
-        # tag_gid is sorted (spans in order) -> reduceat-style join
+        tag_texts = pc.filter(text, pa.array(is_tag))
         bounds = np.flatnonzero(np.r_[True, np.diff(tag_gid) != 0])
-        groups = np.split(tag_texts, bounds[1:])
-        keys = tag_gid[bounds]
-        for g_idx, texts_g in zip(keys, groups):
-            tag_sig[g_idx] = "|".join(texts_g)
-            for t in texts_g:
-                if t.startswith("etype="):
-                    etype[g_idx] = t[6:]
-                elif t.startswith("k="):
-                    kk[g_idx] = int(t[2:])
+        keys = tag_gid[bounds]  # one entry per version that has tags
+        offsets = np.r_[bounds, len(tag_gid)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), tag_texts)
+        joined = pc.binary_join(lists, "|").to_numpy(zero_copy_only=False)
+        tag_sig[keys] = joined
+
+        et_mask = pc.starts_with(tag_texts, "etype=").to_numpy(zero_copy_only=False)
+        if et_mask.any():
+            vals = pc.utf8_slice_codeunits(
+                pc.filter(tag_texts, pa.array(et_mask)), 6
+            ).to_numpy(zero_copy_only=False)
+            etype[tag_gid[et_mask]] = vals
+        kk_mask = pc.starts_with(tag_texts, "k=").to_numpy(zero_copy_only=False)
+        if kk_mask.any():
+            vals = (
+                pc.utf8_slice_codeunits(pc.filter(tag_texts, pa.array(kk_mask)), 2)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            kk[tag_gid[kk_mask]] = vals
 
     ver_parent = parent[is_ver]
     doc_id = batch["doc_id"].combine_chunks().take(pa.array(ver_parent))

@@ -382,3 +382,55 @@ WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
 QUALIFY row_number() OVER w <= 5
 ORDER BY query_id, rank
 """
+
+
+def contrib_per_entity() -> str:
+    return (
+        DERIVE
+        + _contrib_cte()
+        + """
+SELECT 'node/' || osm_id AS doc_id,
+       count(*) AS n_contribs,
+       CAST(sum(CAST(is_creation AS BIGINT)) AS BIGINT) AS n_creations
+FROM contrib GROUP BY osm_id ORDER BY doc_id
+"""
+    )
+
+
+def keytable_freqs() -> str:
+    """Tag spans = per version: 'etype=..' and 'k=..' (rayhist.ingest
+    span layout); frequency-ranked dictionary, ties broken by tag."""
+    return (
+        DERIVE
+        + """
+, tags AS (
+  SELECT 'etype=' || etype AS tag FROM d
+  UNION ALL
+  SELECT 'k=' || kk AS tag FROM d
+), freq AS (
+  SELECT tag, count(*) AS n FROM tags GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, tag) - 1 AS BIGINT) AS tag_id, tag, n
+FROM freq ORDER BY tag_id
+"""
+    )
+
+
+def contrib_daily_by_etype() -> str:
+    etypes = ["click", "error", "purchase", "signup", "view"]
+    ets = ", ".join(f"('{e}')" for e in etypes)
+    return (
+        DERIVE
+        + _contrib_cte()
+        + f"""
+SELECT tl.ts_q, el.etype, CAST(coalesce(s.n, 0) AS BIGINT) AS n
+FROM {_ts_list(CONTRIB_BINS)}
+CROSS JOIN (VALUES {ets}) el(etype)
+LEFT JOIN (
+  SELECT {CONTRIB_FROM} + ((ts_us - {CONTRIB_FROM}) // {DAY_US}) * {DAY_US} AS ts_q,
+         etype, count(*) AS n
+  FROM contrib GROUP BY 1, 2
+) s USING (ts_q, etype)
+ORDER BY tl.ts_q, el.etype
+"""
+    )

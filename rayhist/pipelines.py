@@ -49,39 +49,49 @@ REGIONS: dict[str, list[tuple[float, float]]] = {
 
 
 def _docs(sf_dir: str):
-    return read_documents(sf_dir)
+    import os
+
+    # RAYHIST_REP > 1 deterministically amplifies the corpus — set only
+    # by bench.py; correctness queries always run at rep=1.
+    return read_documents(sf_dir, rep=int(os.environ.get("RAYHIST_REP", "1")))
 
 
 # ---------------------------------------------------------------- snapshots
 def q_snapshot_count_daily(sf_dir: str) -> pd.DataFrame:
     """Snapshot count per daily timestamp, zerofilled (the
-    TestHelpersOSMEntitySnapshotView.java:46-87 shape)."""
-    snaps = snapshot_view(_docs(sf_dir), SNAP_DAILY)
-    df = count_by(snaps, ["ts_q"], alias="n_snapshots")
+    TestHelpersOSMEntitySnapshotView.java:46-87 shape). Fused
+    view+partial-count stage: the shuffle sees |timestamps| rows per
+    batch, not every snapshot."""
+    from .views import snapshot_counts
+
+    from .aggregate import combine_partials
+
+    partials, keys = snapshot_counts(_docs(sf_dir), SNAP_DAILY)
+    df = combine_partials(partials, keys, {"n_part": "n_snapshots"})
     return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
 
 
 def q_snapshot_count_daily_click(sf_dir: str) -> pd.DataFrame:
     """Same, filtered to tag etype=click (osmTag key+value filter)."""
-    snaps = snapshot_view(_docs(sf_dir), SNAP_DAILY, TagFilter("etype", "click"))
-    df = count_by(snaps, ["ts_q"], alias="n_snapshots")
+    from .views import snapshot_counts
+
+    from .aggregate import combine_partials
+
+    partials, keys = snapshot_counts(_docs(sf_dir), SNAP_DAILY, TagFilter("etype", "click"))
+    df = combine_partials(partials, keys, {"n_part": "n_snapshots"})
     return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
 
 
 def q_snapshot_cells(sf_dir: str) -> pd.DataFrame:
     """Snapshots at weekly timestamps grouped by grid cell (zoom 4) —
-    the aggregateBy(cell, timestamp) shuffle."""
-    snaps = snapshot_view(_docs(sf_dir), SNAP_WEEKLY)
+    the aggregateBy(cell, timestamp) shuffle over pre-aggregated
+    partials."""
+    from .views import snapshot_counts
 
-    def add_cell(batch: pa.Table) -> pa.Table:
-        cell = cell_id(
-            batch["lon_e7"].to_numpy(zero_copy_only=False),
-            batch["lat_e7"].to_numpy(zero_copy_only=False),
-            CELL_ZOOM,
-        )
-        return batch.append_column("cell", pa.array(cell))
+    from .aggregate import combine_partials
 
-    df = count_by(snaps.map_batches(add_cell, batch_format="pyarrow"), ["ts_q", "cell"])
+    partials, keys = snapshot_counts(_docs(sf_dir), SNAP_WEEKLY, cell_zoom=CELL_ZOOM)
+    df = combine_partials(partials, keys, {"n_part": "n"})
     return df.sort_values(["ts_q", "cell"]).reset_index(drop=True)
 
 
@@ -101,53 +111,51 @@ def _contrib_flags_to_int(batch: pa.Table) -> pa.Table:
     return out
 
 
-def q_contrib_type_counts(sf_dir: str) -> pd.DataFrame:
-    """Total contribution counts by type over the interval."""
-    ds = contribution_view(_docs(sf_dir), CONTRIB_FROM, CONTRIB_TO)
-    ds = ds.map_batches(_contrib_flags_to_int, batch_format="pyarrow")
-    row = ds.aggregate(
-        Count(alias_name="n_total"),
-        Sum("is_creation", alias_name="n_creation"),
-        Sum("is_deletion", alias_name="n_deletion"),
-        Sum("is_tag_change", alias_name="n_tag_change"),
-        Sum("is_geom_change", alias_name="n_geom_change"),
+def _contrib_totals(sf_dir: str, tag_filter=None) -> pd.DataFrame:
+    from .views import contribution_stats
+
+    from .aggregate import combine_partials
+
+    partials, _ = contribution_stats(_docs(sf_dir), CONTRIB_FROM, CONTRIB_TO, tag_filter)
+    return combine_partials(
+        partials,
+        [],
+        {
+            "n_part": "n_total",
+            "is_creation_part": "n_creation",
+            "is_deletion_part": "n_deletion",
+            "is_tag_change_part": "n_tag_change",
+            "is_geom_change_part": "n_geom_change",
+        },
     )
-    return pd.DataFrame([row])
+
+
+def q_contrib_type_counts(sf_dir: str) -> pd.DataFrame:
+    """Total contribution counts by type over the interval (fused
+    view + per-batch partial sums)."""
+    return _contrib_totals(sf_dir)
 
 
 def q_contrib_type_counts_click(sf_dir: str) -> pd.DataFrame:
     """Filter-relative contribution counts (tag etype=click): losing
     the tag is a DELETION, regaining it a CREATION
     (CellIterator.java:578-595)."""
-    ds = contribution_view(_docs(sf_dir), CONTRIB_FROM, CONTRIB_TO, TagFilter("etype", "click"))
-    ds = ds.map_batches(_contrib_flags_to_int, batch_format="pyarrow")
-    row = ds.aggregate(
-        Count(alias_name="n_total"),
-        Sum("is_creation", alias_name="n_creation"),
-        Sum("is_deletion", alias_name="n_deletion"),
-        Sum("is_tag_change", alias_name="n_tag_change"),
-        Sum("is_geom_change", alias_name="n_geom_change"),
-    )
-    return pd.DataFrame([row])
+    return _contrib_totals(sf_dir, TagFilter("etype", "click"))
 
 
 def q_contrib_daily(sf_dir: str) -> pd.DataFrame:
     """aggregateByTimestamp for contributions: floor-binned daily
     counts, zerofilled over every bin (MapReducer.java:774-822,
     zerofill :1857-1866)."""
-    ds = contribution_view(_docs(sf_dir), CONTRIB_FROM, CONTRIB_TO)
-    bins = np.asarray(CONTRIB_BINS, dtype=np.int64)
+    from .views import contribution_stats
 
-    def add_bin(batch: pa.Table) -> pa.Table:
-        b = floor_bin(batch["ts"].to_numpy(zero_copy_only=False), bins)
-        batch = batch.append_column("ts_q", pa.array(b))
-        return _contrib_flags_to_int(batch)
+    partials, keys = contribution_stats(
+        _docs(sf_dir), CONTRIB_FROM, CONTRIB_TO, bins=CONTRIB_BINS
+    )
+    from .aggregate import combine_partials
 
-    agg = (
-        ds.map_batches(add_bin, batch_format="pyarrow")
-        .groupby("ts_q")
-        .aggregate(Count(alias_name="n_contribs"), Sum("is_creation", alias_name="n_creations"))
-        .to_pandas()
+    agg = combine_partials(
+        partials, keys, {"n_part": "n_contribs", "is_creation_part": "n_creations"}
     )
     return zerofill(agg, {"ts_q": CONTRIB_BINS}, {"n_contribs": 0, "n_creations": 0})
 
@@ -165,7 +173,11 @@ def q_contrib_uniq_uids_daily(sf_dir: str) -> pd.DataFrame:
         # pre-dedup within batch so the shuffle sees fewer rows
         return pa.TableGroupBy(t, ["ts_q", "uid"]).aggregate([]).select(["ts_q", "uid"])
 
-    distinct = count_by(ds.map_batches(pairs, batch_format="pyarrow"), ["ts_q", "uid"], alias="_c")
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()  # partials are per-batch distinct; final dedup on driver
+    )
     out = distinct.groupby("ts_q", as_index=False).size().rename(columns={"size": "n_uids"})
     return zerofill(out, {"ts_q": CONTRIB_BINS}, {"n_uids": 0})
 
@@ -208,21 +220,36 @@ def q_raster_join(sf_dir: str) -> pd.DataFrame:
             batch["lat_e7"].to_numpy(zero_copy_only=False),
             RASTER_ZOOM,
         )
-        return pa.table(
-            {"cell": pa.array(cell), "raster_value": pa.array(raster_value_for(cell))}
-        )
+        t = pa.table({"raster_value": pa.array(raster_value_for(cell))})
+        g = pa.TableGroupBy(t, ["raster_value"]).aggregate([([], "count_all")])
+        return g.rename_columns(["raster_value", "n_part"])
+
+    from .aggregate import combine_partials
 
     joined = snaps.map_batches(stage, batch_format="pyarrow")
-    df = count_by(joined, ["raster_value"], alias="n_points")
+    df = combine_partials(joined, ["raster_value"], {"n_part": "n_points"})
     return df.sort_values("raster_value").reset_index(drop=True)
 
 
 def q_knn(sf_dir: str) -> pd.DataFrame:
     """kNN (k=3) among entity positions at T_MID; queries are the
-    entities with osm_id % 17 == 0."""
+    entities with osm_id % MOD == 0 (MOD=17 for the oracle check;
+    bench raises RAYHIST_KNN_MOD so the query count stays sane when
+    the corpus is amplified — brute-force kNN is O(queries x points))."""
+    import os
+
+    mod = int(os.environ.get("RAYHIST_KNN_MOD", "17"))
     snaps = snapshot_view(_docs(sf_dir), [T_MID]).materialize()
-    qdf = snaps.to_pandas()[["osm_id", "lon_e7", "lat_e7"]]
-    qdf = qdf[qdf["osm_id"] % 17 == 0].sort_values("osm_id")
+
+    def select_queries(b: pa.Table) -> pa.Table:
+        ids = b["osm_id"].to_numpy(zero_copy_only=False)
+        return b.select(["osm_id", "lon_e7", "lat_e7"]).filter(pa.array(ids % mod == 0))
+
+    qdf = (
+        snaps.map_batches(select_queries, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("osm_id")
+    )
     queries = list(qdf.itertuples(index=False, name=None))
     out = knn_points(snaps, queries, k=3, id_col="osm_id")
     return out[["query_id", "neighbor_id", "rank", "dist2"]].reset_index(drop=True)
@@ -240,21 +267,23 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
+    from .aggregate import combine_partials
+
     def prep(batch: pa.Table) -> pa.Table:
         batch = cents(batch, "l_quantity", "qty_c")
         batch = cents(batch, "l_extendedprice", "price_c")
-        return cents(batch, "l_discount", "disc_c")
+        batch = cents(batch, "l_discount", "disc_c")
+        batch = batch.append_column("one", pa.array(np.ones(len(batch), dtype=np.int64)))
+        g = pa.TableGroupBy(
+            batch.select(["l_returnflag", "l_linestatus", "one", "qty_c", "price_c", "disc_c"]),
+            ["l_returnflag", "l_linestatus"],
+        ).aggregate([("one", "sum"), ("qty_c", "sum"), ("price_c", "sum"), ("disc_c", "sum")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "n_p", "qty_p", "price_p", "disc_p"])
 
-    df = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Count(alias_name="n"),
-            Sum("qty_c", alias_name="sum_qty_cents"),
-            Sum("price_c", alias_name="sum_price_cents"),
-            Sum("disc_c", alias_name="sum_disc_cents"),
-        )
-        .to_pandas()
+    df = combine_partials(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"n_p": "n", "qty_p": "sum_qty_cents", "price_p": "sum_price_cents", "disc_p": "sum_disc_cents"},
     )
     return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -422,3 +451,82 @@ def q_ann_cosine(sf_dir: str) -> pd.DataFrame:
     qids = sorted(int(i) for i in ids if i % 50 == 0)
     out = ann_cosine_topk(ds, qids, k=5)
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+# --------------------------------------------- groupByEntity / keytables
+def q_contrib_per_entity(sf_dir: str) -> pd.DataFrame:
+    """groupByEntity (MapReducer.java:706-721): per-document
+    contribution counts. Each document's history lives in one batch, so
+    per-doc counts are final without any shuffle."""
+    from .model import decode_spans
+    from .temporal import contributions as contribs_fn
+
+    def stage(batch: pa.Table) -> pa.Table:
+        c = contribs_fn(decode_spans(batch), CONTRIB_FROM, CONTRIB_TO)
+        t = pa.table(
+            {
+                "doc_id": c["doc_id"],
+                "is_creation": c["is_creation"].cast(pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["doc_id"]).aggregate([([], "count_all"), ("is_creation", "sum")])
+        return g.rename_columns(["doc_id", "n_contribs", "n_creations"])
+
+    df = _docs(sf_dir).map_batches(stage, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_keytable_freqs(sf_dir: str) -> pd.DataFrame:
+    """The ETL 'extract' pass (Extract.java:58-409): frequency-ordered
+    tag dictionary built from the span table's tag spans; small ids go
+    to hot tags (rank = frequency order, deterministic tiebreak)."""
+    docs = _docs(sf_dir)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch["spans"].combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0)
+        flat = pc.list_flatten(spans)
+        tags = pc.filter(flat.field("text"), pc.equal(flat.field("kind"), "tag"))
+        t = pa.table({"tag": tags})
+        g = pa.TableGroupBy(t, ["tag"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tag", "n_part"])
+
+    from .aggregate import combine_partials
+
+    df = combine_partials(docs.map_batches(stage, batch_format="pyarrow"), ["tag"], {"n_part": "n"})
+    df = df.sort_values(["n", "tag"], ascending=[False, True], kind="mergesort").reset_index(drop=True)
+    df["tag_id"] = np.arange(len(df), dtype=np.int64)
+    return df[["tag_id", "tag", "n"]]
+
+
+def q_contrib_daily_by_etype(sf_dir: str) -> pd.DataFrame:
+    """Combined-index aggregation (OSHDBCombinedIndex, aggregation.md:54-84):
+    contributions keyed by (daily bin x etype of the modification's
+    version) with FULL cross-product zerofill
+    (MapAggregator.completeZerofill, :956-988)."""
+    from .model import decode_spans
+    from .temporal import contributions as contribs_fn
+
+    bins = np.asarray(CONTRIB_BINS, dtype=np.int64)
+    etypes = ["click", "error", "purchase", "signup", "view"]
+
+    def stage(batch: pa.Table) -> pa.Table:
+        c = contribs_fn(decode_spans(batch), CONTRIB_FROM, CONTRIB_TO)
+        t = pa.table(
+            {
+                "ts_q": pa.array(floor_bin(c["ts"].to_numpy(zero_copy_only=False), bins)),
+                "etype": c["etype"],
+            }
+        )
+        g = pa.TableGroupBy(t, ["ts_q", "etype"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ts_q", "etype", "n_part"])
+
+    from .aggregate import combine_partials
+
+    agg = combine_partials(
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"), ["ts_q", "etype"], {"n_part": "n"}
+    )
+    return zerofill(agg, {"ts_q": CONTRIB_BINS, "etype": etypes}, {"n": 0})

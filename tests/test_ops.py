@@ -121,3 +121,28 @@ def test_multimodal_plumbing():
     a = out.sort_values("media_ref")["feature"].tolist()
     b = out2.sort_values("media_ref")["feature"].tolist()
     assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_hash_join_matches_pandas():
+    import ray.data
+    from rayhist.ops.relational import broadcast_join, hash_join
+
+    rng = np.random.default_rng(8)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 500), "a": np.arange(500)})
+    right = pd.DataFrame({"k": np.arange(0, 60), "b": np.arange(60) * 10})
+    want = left.merge(right, on="k").sort_values(["k", "a"]).reset_index(drop=True)
+    got = (
+        hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", n_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "a"])
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # and the broadcast variant agrees
+    got2 = (
+        broadcast_join(ray.data.from_pandas(left), right, on="k")
+        .to_pandas()
+        .sort_values(["k", "a"])
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got2.astype("int64"), want.astype("int64"))
