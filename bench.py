@@ -63,6 +63,11 @@ def run_bench() -> dict:
         ("knn", p.q_knn),
         ("lineitem_agg", p.q_lineitem_agg),
     ]
+    # untimed warmup: spins up the worker pool and loads the library in
+    # every worker process so query timings measure compute, not
+    # process startup (same treatment at every parallelism level)
+    headline[0][1](sf_dir)
+
     times: dict[str, float] = {}
     for name, fn in headline:
         t0 = time.perf_counter()

@@ -188,23 +188,27 @@ def q_snapshot_pip_regions(sf_dir: str) -> pd.DataFrame:
     the broadcast convex region polygons; count per region,
     zerofilled (the aggregateByGeometry shape,
     MapReducer.java:857-888)."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
     from .spatial.fip import contains_convex
+    from .temporal import snapshots as snapshots_fn
 
-    snaps = snapshot_view(_docs(sf_dir), [T_MID])
     region_items = sorted(REGIONS.items())
+    ts = np.array([T_MID], dtype=np.int64)
 
-    def classify(batch: pa.Table) -> pa.Table:
-        lon = batch["lon_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
-        lat = batch["lat_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch), ts)
+        lon = s["lon_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = s["lat_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
         rids, counts = [], []
         for rid, ring in region_items:
             inside = contains_convex(np.asarray(ring), lon, lat)
             rids.append(rid)
             counts.append(int(inside.sum()))
-        return pa.table({"region_id": pa.array(rids), "n": pa.array(counts, type=pa.int64())})
+        return pa.table({"region_id": pa.array(rids), "n_part": pa.array(counts, type=pa.int64())})
 
-    partials = snaps.map_batches(classify, batch_format="pyarrow")
-    df = partials.groupby("region_id").aggregate(Sum("n", alias_name="n")).to_pandas()
+    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = combine_partials(partials, ["region_id"], {"n_part": "n"})
     return zerofill(df, {"region_id": [r for r, _ in region_items]}, {"n": 0})
 
 
@@ -212,21 +216,24 @@ def q_raster_join(sf_dir: str) -> pd.DataFrame:
     """Raster<->vector join: snapshot points at T_MID keyed by zoom-6
     cell, joined with the synthetic raster band, grouped by band
     value."""
-    snaps = snapshot_view(_docs(sf_dir), [T_MID])
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
 
     def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch), ts)
         cell = cell_id(
-            batch["lon_e7"].to_numpy(zero_copy_only=False),
-            batch["lat_e7"].to_numpy(zero_copy_only=False),
+            s["lon_e7"].to_numpy(zero_copy_only=False),
+            s["lat_e7"].to_numpy(zero_copy_only=False),
             RASTER_ZOOM,
         )
         t = pa.table({"raster_value": pa.array(raster_value_for(cell))})
         g = pa.TableGroupBy(t, ["raster_value"]).aggregate([([], "count_all")])
         return g.rename_columns(["raster_value", "n_part"])
 
-    from .aggregate import combine_partials
-
-    joined = snaps.map_batches(stage, batch_format="pyarrow")
+    joined = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
     df = combine_partials(joined, ["raster_value"], {"n_part": "n_points"})
     return df.sort_values("raster_value").reset_index(drop=True)
 
@@ -238,12 +245,20 @@ def q_knn(sf_dir: str) -> pd.DataFrame:
     the corpus is amplified — brute-force kNN is O(queries x points))."""
     import os
 
+    from .model import decode_spans
+    from .temporal import snapshots as snapshots_fn
+
     mod = int(os.environ.get("RAYHIST_KNN_MOD", "17"))
-    snaps = snapshot_view(_docs(sf_dir), [T_MID]).materialize()
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch), ts).select(["osm_id", "lon_e7", "lat_e7"])
+
+    snaps = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
 
     def select_queries(b: pa.Table) -> pa.Table:
         ids = b["osm_id"].to_numpy(zero_copy_only=False)
-        return b.select(["osm_id", "lon_e7", "lat_e7"]).filter(pa.array(ids % mod == 0))
+        return b.filter(pa.array(ids % mod == 0))
 
     qdf = (
         snaps.map_batches(select_queries, batch_format="pyarrow")
