@@ -13,8 +13,17 @@ decode+interpolation view stages (rayhist.views / rayhist.temporal).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# make the rayhist package importable regardless of the caller's cwd
+# (Ray workers resolve it through the driver's cwd / PYTHONPATH — see
+# .claude/skills/verify/SKILL.md)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry() -> Any:
@@ -57,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrib_per_entity": p.q_contrib_per_entity,
         "keytable_freqs": p.q_keytable_freqs,
         "contrib_daily_by_etype": p.q_contrib_daily_by_etype,
+        "way_lengths": p.q_way_lengths,
+        "lineitem_means": p.q_lineitem_means,
     }
 
 
@@ -87,6 +98,8 @@ def oracle_sql() -> dict[str, str]:
         "contrib_per_entity": o.contrib_per_entity(),
         "keytable_freqs": o.keytable_freqs(),
         "contrib_daily_by_etype": o.contrib_daily_by_etype(),
+        "way_lengths": o.way_lengths(),
+        "lineitem_means": o.lineitem_means(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # minhash_lsh_pairs, simhash_pairs, langid
     }

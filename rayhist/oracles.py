@@ -434,3 +434,46 @@ LEFT JOIN (
 ORDER BY tl.ts_q, el.etype
 """
     )
+
+
+def way_lengths() -> str:
+    """Equirectangular length (Geo.java:37-45 formula, same op order)
+    of synthetic ways node/u -> node/(u+1), floor micrometers."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+, pos AS (SELECT osm_id, lon_e7, lat_e7 FROM snap)
+SELECT a.osm_id AS way_id,
+       CAST(floor(6371000.0 * sqrt(
+         (radians(b.lon_e7/10000000.0 - a.lon_e7/10000000.0)
+            * cos(radians((b.lat_e7/10000000.0 + a.lat_e7/10000000.0) / 2)))
+         * (radians(b.lon_e7/10000000.0 - a.lon_e7/10000000.0)
+            * cos(radians((b.lat_e7/10000000.0 + a.lat_e7/10000000.0) / 2)))
+         + radians(b.lat_e7/10000000.0 - a.lat_e7/10000000.0)
+         * radians(b.lat_e7/10000000.0 - a.lat_e7/10000000.0)
+       ) * 1000000.0) AS BIGINT) AS length_um
+FROM pos a JOIN pos b ON b.osm_id = a.osm_id + 1
+ORDER BY way_id
+"""
+    )
+
+
+def lineitem_means() -> str:
+    return """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+         CAST(round(l_discount*100) AS BIGINT) AS disc_c
+  FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(sum(price_c) AS BIGINT) AS sum_price_cents,
+       CAST(sum(qty_c) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(price_c) AS DOUBLE) / count(*) AS avg_price_cents,
+       CAST(sum(disc_c * qty_c) AS DOUBLE) / CAST(sum(qty_c) AS DOUBLE) AS wavg_disc_cents
+FROM s GROUP BY 1 ORDER BY 1
+"""

@@ -545,3 +545,100 @@ def q_contrib_daily_by_etype(sf_dir: str) -> pd.DataFrame:
         _docs(sf_dir).map_batches(stage, batch_format="pyarrow"), ["ts_q", "etype"], {"n_part": "n"}
     )
     return zerofill(agg, {"ts_q": CONTRIB_BINS, "etype": etypes}, {"n": 0})
+
+
+# ------------------------------------------------------- derived ways
+def q_way_lengths(sf_dir: str) -> pd.DataFrame:
+    """Synthetic ways: way u connects node/u -> node/(u+1) when both
+    exist at T_MID; reports the reference's equirectangular length
+    (Geo.lengthOf, Geo.java:37-60) as floor(micrometers) so sums are
+    integer-exact. Exercises the co-partitioned hash join (endpoints
+    live in different ingest buckets) and the Geo formula parity
+    (duckdb and numpy share libm bit-for-bit — verified)."""
+    from .functions.geo import distance_equirectangular
+    from .model import decode_spans
+    from .ops.relational import hash_join
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch), ts).select(["osm_id", "lon_e7", "lat_e7"])
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+
+    def as_left(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "join_k": batch["osm_id"],
+                "lon1": batch["lon_e7"],
+                "lat1": batch["lat_e7"],
+            }
+        )
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "join_k": pa.compute.subtract(batch["osm_id"], 1),
+                "lon2": batch["lon_e7"],
+                "lat2": batch["lat_e7"],
+            }
+        )
+
+    left = pos.map_batches(as_left, batch_format="pyarrow")
+    right = pos.map_batches(as_right, batch_format="pyarrow")
+    joined = hash_join(left, right, on="join_k", n_buckets=32)
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        la1 = batch["lat1"].to_numpy(zero_copy_only=False) / 1e7
+        lo1 = batch["lon1"].to_numpy(zero_copy_only=False) / 1e7
+        la2 = batch["lat2"].to_numpy(zero_copy_only=False) / 1e7
+        lo2 = batch["lon2"].to_numpy(zero_copy_only=False) / 1e7
+        d = distance_equirectangular(la1, lo1, la2, lo2)
+        return pa.table(
+            {
+                "way_id": batch["join_k"],
+                "length_um": pa.array(np.floor(d * 1e6).astype(np.int64)),
+            }
+        )
+
+    df = joined.map_batches(lengths, batch_format="pyarrow").to_pandas()
+    return df.sort_values("way_id").reset_index(drop=True)
+
+
+def q_lineitem_means(sf_dir: str) -> pd.DataFrame:
+    """average / weightedAverage reducers (MapReducer.java:1179-1214):
+    integer-exact partial sums, one IEEE float division at the end —
+    bit-identical to the SQL oracle."""
+    import ray.data
+    from .aggregate import combine_partials
+    from .ops.relational import cents
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = cents(batch, "l_quantity", "qty_c")
+        batch = cents(batch, "l_extendedprice", "price_c")
+        batch = cents(batch, "l_discount", "disc_c")
+        dq = batch["disc_c"].to_numpy(zero_copy_only=False) * batch["qty_c"].to_numpy(
+            zero_copy_only=False
+        )
+        batch = batch.append_column("dq", pa.array(dq))
+        batch = batch.append_column("one", pa.array(np.ones(len(batch), dtype=np.int64)))
+        g = pa.TableGroupBy(
+            batch.select(["l_returnflag", "one", "price_c", "qty_c", "dq"]), ["l_returnflag"]
+        ).aggregate([("one", "sum"), ("price_c", "sum"), ("qty_c", "sum"), ("dq", "sum")])
+        return g.rename_columns(["l_returnflag", "n_p", "price_p", "qty_p", "dq_p"])
+
+    df = combine_partials(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"n_p": "n", "price_p": "sum_price_cents", "qty_p": "sum_qty_cents", "dq_p": "sum_dq"},
+    )
+    df["avg_price_cents"] = df["sum_price_cents"] / df["n"]
+    df["wavg_disc_cents"] = df["sum_dq"] / df["sum_qty_cents"]
+    df = df.drop(columns=["sum_dq"])
+    return df.sort_values("l_returnflag").reset_index(drop=True)

@@ -141,3 +141,65 @@ def salted_count_by(
         .aggregate(Count(alias_name="_pc"))
     )
     return partial.groupby(keys).aggregate(Sum("_pc", alias_name=alias))
+
+
+def write_partitioned_by_cell(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    zoom: int,
+    min_rows_per_cell: int = 100,
+) -> dict:
+    """The Load-pass analog (load/LoaderNode.java:44-100): write rows
+    partitioned by grid cell, COALESCING sparse cells into their parent
+    cell (one zoom up) until each output partition has at least
+    ``min_rows_per_cell`` rows or reaches zoom 0 — the reference's
+    minEntitiesPerCell rule. Output: one directory per (zoom, cell)
+    with a manifest (resumable layout).
+
+    Expects a ``cell`` column at ``zoom`` plus lon/lat columns for
+    re-assignment on promotion.
+    """
+    import numpy as np
+
+    counts = ds.groupby("cell").count().to_pandas()
+    small = dict(zip(counts["cell"], counts["count()"]))
+
+    # decide the final (zoom, cell) for every input cell, driver-side
+    # (cheap: one entry per occupied cell, not per row)
+    final_level: dict[int, tuple[int, int]] = {}
+    for c, n in small.items():
+        z, cc, total = zoom, int(c), int(n)
+        while total < min_rows_per_cell and z > 0:
+            z -= 1
+            nx_hi = 1 << (z + 1)
+            y, x = divmod(cc, nx_hi)
+            cc = (y // 2) * (1 << z) + (x // 2)
+            total = sum(
+                v for k, v in small.items()
+                if _ancestor_cell(int(k), zoom, z) == cc
+            )
+        final_level[int(c)] = (z, cc)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        zs = np.array([final_level[int(c)][0] for c in cells], dtype=np.int64)
+        fcs = np.array([final_level[int(c)][1] for c in cells], dtype=np.int64)
+        batch = batch.append_column("part_zoom", pa.array(zs))
+        return batch.append_column("part_cell", pa.array(fcs))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    tmp = Path(out_dir) / "_staging"
+    assigned.write_parquet(str(tmp), partition_cols=["part_zoom", "part_cell"])
+    manifest = {"zoom": zoom, "partitions": sorted(str(p.relative_to(tmp)) for p in tmp.glob("*/*"))}
+    with open(Path(out_dir) / "layout.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def _ancestor_cell(cell: int, from_zoom: int, to_zoom: int) -> int:
+    c = cell
+    for z in range(from_zoom, to_zoom, -1):
+        nx_hi = 1 << z
+        y, x = divmod(c, nx_hi)
+        c = (y // 2) * (1 << (z - 1)) + (x // 2)
+    return c

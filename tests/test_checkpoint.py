@@ -92,3 +92,57 @@ def test_salted_count_matches_unsalted():
         .reset_index(drop=True)
     )
     assert salted.equals(plain)
+
+
+def test_write_partitioned_by_cell_coalesces(tmp_path):
+    import numpy as np
+    import ray.data
+
+    from rayhist.state.checkpoint import _ancestor_cell, write_partitioned_by_cell
+
+    rng = np.random.default_rng(6)
+    # dense cell 100 (zoom 4) + sparse neighbors
+    cells = np.r_[np.full(500, 37), rng.choice([2, 3, 18, 19], 40)]
+    ds = ray.data.from_arrow(pa.table({"cell": cells.astype(np.int64), "x": np.arange(len(cells))}))
+    manifest = write_partitioned_by_cell(ds, str(tmp_path / "out"), zoom=4, min_rows_per_cell=100)
+    parts = manifest["partitions"]
+    assert any("part_cell=37" in p and "part_zoom=4" in p for p in parts)  # dense stays
+    assert all("part_zoom=4" not in p or "part_cell=37" in p for p in parts)  # sparse promoted
+    # row conservation
+    import pyarrow.parquet as pq
+
+    files = list((tmp_path / "out" / "_staging").rglob("*.parquet"))
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == len(cells)
+
+
+def test_ancestor_cell_math():
+    from rayhist.state.checkpoint import _ancestor_cell
+
+    # zoom 2 (4x2): cell (y=1,x=3) = 7 -> zoom 1 (2x1): (0, 1) = 1 -> zoom 0: 0
+    assert _ancestor_cell(7, 2, 1) == 1
+    assert _ancestor_cell(7, 2, 0) == 0
+
+
+def test_parallelism_invariance():
+    """The same query over different block layouts / batch sizes gives
+    identical results — the Ray analog of the reference's backend-
+    equivalence suite (TestMapReduceOSHDB_*.java)."""
+    import numpy as np
+
+    from rayhist.fixtures import scenario_corpus, versions_to_documents
+    from rayhist.model import decode_spans
+    from rayhist.temporal import snapshots
+    from rayhist.views import snapshot_counts
+    import ray.data
+
+    docs_tbl = versions_to_documents(scenario_corpus())
+    T = [1199145600000000 + i * 31536000000000 for i in range(8)]
+    results = []
+    for nblocks in (1, 3, 9):
+        ds = ray.data.from_arrow(docs_tbl).repartition(nblocks)
+        partials, keys = snapshot_counts(ds, T)
+        df = partials.to_pandas().groupby("ts_q", as_index=False)["n_part"].sum()
+        results.append(df.sort_values("ts_q").reset_index(drop=True))
+    assert results[0].equals(results[1])
+    assert results[0].equals(results[2])
