@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrib_daily_by_etype": p.q_contrib_daily_by_etype,
         "way_lengths": p.q_way_lengths,
         "lineitem_means": p.q_lineitem_means,
+        "knn_grid": p.q_knn_grid,
+        "ann_cosine_ivf": p.q_ann_cosine_ivf,
     }
 
 
@@ -100,6 +102,8 @@ def oracle_sql() -> dict[str, str]:
         "contrib_daily_by_etype": o.contrib_daily_by_etype(),
         "way_lengths": o.way_lengths(),
         "lineitem_means": o.lineitem_means(),
+        "knn_grid": o.knn(),
+        "ann_cosine_ivf": o.ann_cosine(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # minhash_lsh_pairs, simhash_pairs, langid
     }

@@ -642,3 +642,47 @@ def q_lineitem_means(sf_dir: str) -> pd.DataFrame:
     df["wavg_disc_cents"] = df["sum_dq"] / df["sum_qty_cents"]
     df = df.drop(columns=["sum_dq"])
     return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_knn_grid(sf_dir: str) -> pd.DataFrame:
+    """Same result contract as q_knn, computed by the exact
+    grid-accelerated path (expanding cell rings with a guarantee
+    radius) — two implementations, one oracle."""
+    import os
+
+    from .model import decode_spans
+    from .spatial.knn import knn_points_grid
+    from .temporal import snapshots as snapshots_fn
+
+    mod = int(os.environ.get("RAYHIST_KNN_MOD", "17"))
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch), ts).select(["osm_id", "lon_e7", "lat_e7"])
+
+    snaps = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
+
+    def select_queries(b: pa.Table) -> pa.Table:
+        ids = b["osm_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % mod == 0))
+
+    qdf = snaps.map_batches(select_queries, batch_format="pyarrow").to_pandas().sort_values("osm_id")
+    queries = list(qdf.itertuples(index=False, name=None))
+    out = knn_points_grid(snaps, queries, k=3, id_col="osm_id", zoom=6)
+    return out[["query_id", "neighbor_id", "rank", "dist2"]].reset_index(drop=True)
+
+
+def q_ann_cosine_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed ANN with full probing (nprobe == nlist), which is
+    provably exact — the bucketing machinery gets the same oracle as
+    the brute-force path; the approximate operating point (nprobe <
+    nlist) is covered by the recall tests."""
+    import ray.data
+
+    from .spatial.knn import ann_cosine_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = ds.select_columns(["vec_id"]).to_pandas()["vec_id"]
+    qids = sorted(int(i) for i in ids if i % 50 == 0)
+    out = ann_cosine_ivf(ds, qids, k=5, nlist=8, nprobe=8)
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)

@@ -146,3 +146,237 @@ def ann_cosine_topk(
 
     cands = embeddings.map_batches(stage, batch_format="pyarrow").to_pandas()
     return _topk_reduce(cands, k, by="cos_sim", ascending=False)
+
+
+def knn_points_grid(
+    points: ray.data.Dataset,
+    queries: list[tuple],
+    k: int = 3,
+    id_col: str = "osm_id",
+    zoom: int = 6,
+) -> pd.DataFrame:
+    """EXACT grid-accelerated kNN — the scale path for many points.
+
+    Per batch, points are bucketed by grid cell once; each query
+    explores expanding cell rings around its own cell and stops when
+    the k-th candidate distance is <= the guaranteed radius (the
+    distance from the query point to the edge of the explored cell
+    block) — every unexplored point is provably farther, so the
+    per-batch candidate set contains the batch's true top-k and the
+    global candidate reduce is exact. Falls back to a full scan when
+    the ring sweep exhausts the batch. Same output contract as
+    ``knn_points`` (ties broken by neighbor id).
+
+    Does not wrap the antimeridian (distances are planar e7, as in
+    ``knn_points``).
+    """
+    from ..model import LAT_MOD, LON_MOD
+    from .grid import cell_id
+
+    q = np.asarray([(a, b, c) for a, b, c in queries], dtype=np.int64)
+    nx = 1 << zoom
+    ny = max(1, 1 << (zoom - 1))
+    w = LON_MOD / nx
+    h = LAT_MOD / ny
+
+    def stage(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lon = batch["lon_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch["lat_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cells = cell_id(lon.astype(np.int64), lat.astype(np.int64), zoom)
+        order = np.argsort(cells, kind="mergesort")
+        sc = cells[order]
+        # cell -> row range in the sorted layout
+        uniq, starts = np.unique(sc, return_index=True)
+        ends = np.r_[starts[1:], len(sc)]
+        cell_rows = {int(c): (int(s), int(e)) for c, s, e in zip(uniq, starts, ends)}
+
+        frames = []
+        for qid, qlon, qlat in q:
+            qx = int(((qlon + LON_MOD // 2) % LON_MOD) * nx // LON_MOD)
+            qy = min(int((qlat + LAT_MOD // 2) * ny // LAT_MOD), ny - 1)
+            cand_idx: list[np.ndarray] = []
+            n_cand = 0
+            best_kth = np.inf
+            for r in range(max(nx, ny)):
+                # ring r cells (clipped at grid edges, no wrap)
+                ring = []
+                for yy in range(max(0, qy - r), min(ny - 1, qy + r) + 1):
+                    if abs(yy - qy) == r:
+                        xs = range(max(0, qx - r), min(nx - 1, qx + r) + 1)
+                    else:
+                        xs = [x for x in (qx - r, qx + r) if 0 <= x < nx]
+                    for xx in xs:
+                        rng_ = cell_rows.get(yy * nx + xx)
+                        if rng_:
+                            ring.append(np.arange(rng_[0], rng_[1]))
+                if ring:
+                    cand_idx.append(np.concatenate(ring))
+                    n_cand += len(cand_idx[-1])
+                # guaranteed radius: distance from query point to the
+                # edge of the explored (2r+1)-cell block
+                x0 = (qx - r) * w - LON_MOD / 2
+                x1 = (qx + r + 1) * w - LON_MOD / 2
+                y0 = (qy - r) * h - LAT_MOD / 2
+                y1 = (qy + r + 1) * h - LAT_MOD / 2
+                guard = min(qlon - x0, x1 - qlon, qlat - y0, y1 - qlat)
+                covered = (qx - r < 0 and qx + r >= nx and qy - r < 0 and qy + r >= ny)
+                if n_cand >= k + 1:  # +1 in case the query itself is here
+                    rows = np.concatenate(cand_idx)
+                    dx = lon[order[rows]] - np.float64(qlon)
+                    dy = lat[order[rows]] - np.float64(qlat)
+                    d2 = dx * dx + dy * dy
+                    mask = ids[order[rows]] != qid
+                    dm = d2[mask]
+                    if len(dm) >= k:
+                        best_kth = np.partition(dm, k - 1)[k - 1]
+                        if best_kth <= guard * guard or covered:
+                            break
+                if covered:
+                    break
+            rows = np.concatenate(cand_idx) if cand_idx else np.array([], dtype=np.int64)
+            gids = ids[order[rows]]
+            dx = lon[order[rows]] - np.float64(qlon)
+            dy = lat[order[rows]] - np.float64(qlat)
+            d2 = dx * dx + dy * dy
+            mask = gids != qid
+            gids, d2 = gids[mask], d2[mask]
+            take = min(k, len(gids))
+            if take == 0:
+                continue
+            part = np.argpartition(d2, take - 1)[:take]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(take, qid, dtype=np.int64),
+                        "neighbor_id": gids[part],
+                        "dist2": d2[part],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "dist2": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    cands = points.map_batches(stage, batch_format="pyarrow").to_pandas()
+    return _topk_reduce(cands, k, by="dist2", ascending=True)
+
+
+class IVFIndexStage:
+    """IVF-bucketed ANN assignment stage (the scale path for cosine
+    top-k): vectors are assigned to the nearest of ``nlist`` coarse
+    centroids; queries probe only the ``nprobe`` nearest buckets.
+
+    Centroids are deterministic: a seeded sample of the corpus
+    (vec_id % stride == 0) refined with one Lloyd iteration — identical
+    on every worker and across runs. Built once per actor.
+    """
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bucket = np.argmax(mat @ self.centroids.T, axis=1).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def build_ivf_centroids(
+    embeddings: ray.data.Dataset,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stride: int = 31,
+) -> np.ndarray:
+    """Deterministic coarse centroids: strided seed sample + one Lloyd
+    iteration over the sample (small, driver-side)."""
+    import pyarrow.compute as pc
+
+    sample = (
+        embeddings.map_batches(
+            lambda b: b.filter(
+                pa.array(b[id_col].to_numpy(zero_copy_only=False) % stride == 0)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = mat[:nlist].copy()
+    for _ in range(2):  # fixed Lloyd iterations -> deterministic
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for j in range(nlist):
+            sel = mat[assign == j]
+            if len(sel):
+                cents[j] = sel.mean(axis=0)
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def ann_cosine_ivf(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF ANN: assign once, then per batch only score vectors whose
+    bucket is probed by some query. Approximate (recall asserted in
+    tests against the brute-force baseline)."""
+    import pyarrow.compute as pc
+
+    cents = build_ivf_centroids(embeddings, nlist, vec_col, id_col)
+    qset = sorted(int(i) for i in set(query_ids))
+    qrows = (
+        embeddings.map_batches(
+            lambda b: b.filter(pc.is_in(b[id_col], pa.array(qset, type=b[id_col].type))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    qids = qrows[id_col].to_numpy(dtype=np.int64)
+    qmat = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qbuckets = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+
+    def stage(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bucket = np.argmax(mat @ cents.T, axis=1)
+        frames = []
+        for i, qid in enumerate(qids):
+            sel = np.isin(bucket, qbuckets[i]) & (ids != qid)
+            if not sel.any():
+                continue
+            s = mat[sel] @ qmat[i]
+            cid = ids[sel]
+            take = min(k, len(cid))
+            part = np.argpartition(-s, take - 1)[:take]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(take, qid, dtype=np.int64),
+                        "neighbor_id": cid[part],
+                        "cos_sim": s[part],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             "cos_sim": pd.Series([], dtype="float64")}
+        )
+
+    cands = embeddings.map_batches(stage, batch_format="pyarrow").to_pandas()
+    return _topk_reduce(cands, k, by="cos_sim", ascending=False)

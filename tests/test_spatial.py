@@ -117,3 +117,59 @@ def test_ring_area_orientation_sign():
     assert ccw == pytest.approx(-cw, rel=1e-12)
     # ~ (111 km)^2 cell at equator
     assert abs(ccw) == pytest.approx((6_371_000 * np.pi / 180) ** 2, rel=1e-3)
+
+
+def test_grid_knn_matches_brute_force():
+    """The exact grid-accelerated kNN must equal brute force, including
+    deterministic tie-breaks."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayhist.spatial.knn import knn_points, knn_points_grid
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    lon = rng.integers(-LON_MOD // 2, LON_MOD // 2, n)
+    lat = rng.integers(-LAT_MOD // 2, LAT_MOD // 2, n)
+    ds = ray.data.from_arrow(
+        pa.table({"osm_id": ids, "lon_e7": lon, "lat_e7": lat})
+    ).materialize()
+    queries = [(int(ids[i]), int(lon[i]), int(lat[i])) for i in range(0, n, 517)]
+    brute = knn_points(ds, queries, k=4)
+    grid = knn_points_grid(ds, queries, k=4, zoom=6)
+    cols = ["query_id", "neighbor_id", "rank", "dist2"]
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(
+        brute[cols].reset_index(drop=True), grid[cols].reset_index(drop=True)
+    )
+
+
+def test_ivf_ann_recall():
+    """IVF ANN recall vs brute force on the embeddings table.
+
+    The synthetic embeddings are UNCLUSTERED (intra-label cosine ==
+    inter-label, ~0), so coarse quantization cannot beat the
+    nprobe/nlist fraction by much — the honest properties to assert
+    are (a) recall >= the probed-bucket fraction, (b) recall grows
+    with nprobe, (c) full probing == exact."""
+    import ray.data
+
+    from rayhist.spatial.knn import ann_cosine_ivf, ann_cosine_topk
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    qids = [int(i) for i in range(0, 500, 50)]
+    brute = ann_cosine_topk(ds, qids, k=5)
+    b = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+
+    recalls = {}
+    for nprobe in (3, 6, 8):
+        ivf = ann_cosine_ivf(ds, qids, k=5, nlist=8, nprobe=nprobe)
+        a = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
+        recalls[nprobe] = len(a & b) / len(b)
+    assert recalls[3] >= 3 / 8
+    assert recalls[6] >= recalls[3]
+    assert recalls[8] == 1.0  # probing every bucket == brute force
