@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_means": p.q_lineitem_means,
         "knn_grid": p.q_knn_grid,
         "ann_cosine_ivf": p.q_ann_cosine_ivf,
+        "sessions": p.q_sessions,
     }
 
 
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_means": o.lineitem_means(),
         "knn_grid": o.knn(),
         "ann_cosine_ivf": o.ann_cosine(),
+        "sessions": o.sessions(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # minhash_lsh_pairs, simhash_pairs, langid
     }

@@ -1,0 +1,60 @@
+"""Event-time sessionization — the stream-shaped operator.
+
+Ray Data has no event-time windows (SURVEY.md §2.11); stream-shaped
+semantics are implemented as ordered, partitioned-log processing: the
+events table is bucketed by key hash (complete keys per bucket, like
+the ingest packer), sorted by time within the bucket, and the gap rule
+is applied vectorized. Session = maximal run of one user's events with
+inter-event gap < ``gap_us``.
+
+The same definition is SQL-expressible (lag + cumulative sum of
+session starts), so the operator is oracle-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def sessionize(
+    events: ray.data.Dataset,
+    gap_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """-> one row per (key, session): session_id (0-based per key),
+    n_events, start ts, end ts, duration."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("_bucket", pa.array((k % n_buckets).astype(np.int64)))
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        k = g[key_col].to_numpy()
+        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        gap = np.r_[0, t[1:] - t[:-1]]
+        new_session = new_key | (gap >= gap_us)
+        sid_global = np.cumsum(new_session) - 1
+        # per-key 0-based session ids
+        first_sid_of_key = np.maximum.accumulate(np.where(new_key, sid_global, 0))
+        sid = sid_global - first_sid_of_key
+        df = pd.DataFrame({key_col: k, "session_id": sid, "_ts": t})
+        out = df.groupby([key_col, "session_id"], as_index=False).agg(
+            n_events=("_ts", "size"), start_us=("_ts", "min"), end_us=("_ts", "max")
+        )
+        out["duration_us"] = out["end_us"] - out["start_us"]
+        return out
+
+    return (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_sessions(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+    )

@@ -477,3 +477,29 @@ SELECT l_returnflag,
        CAST(sum(disc_c * qty_c) AS DOUBLE) / CAST(sum(qty_c) AS DOUBLE) AS wavg_disc_cents
 FROM s GROUP BY 1 ORDER BY 1
 """
+
+
+def sessions() -> str:
+    gap = 30 * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) >= {gap}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM e
+), agg AS (
+  SELECT user_id, session_id, count(*) AS n, max(t) - min(t) AS dur
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(dur) AS BIGINT) AS total_session_us
+FROM agg GROUP BY 1 ORDER BY 1
+"""

@@ -686,3 +686,21 @@ def q_ann_cosine_ivf(sf_dir: str) -> pd.DataFrame:
     qids = sorted(int(i) for i in ids if i % 50 == 0)
     out = ann_cosine_ivf(ds, qids, k=5, nlist=8, nprobe=8)
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def q_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization (30-minute gap) over the events log, aggregated
+    per user: session count, events, total session time. Stream-shaped
+    semantics on the batch engine (ordered partitioned log)."""
+    import ray.data
+    from .ops.sessions import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    sess = sessionize(ev, gap_us=30 * 60 * 1_000_000)
+    df = (
+        sess.to_pandas()
+        .groupby("user_id", as_index=False)
+        .agg(n_sessions=("session_id", "size"), n_events=("n_events", "sum"),
+             total_session_us=("duration_us", "sum"))
+    )
+    return df.sort_values("user_id").reset_index(drop=True)

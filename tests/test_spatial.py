@@ -173,3 +173,30 @@ def test_ivf_ann_recall():
     assert recalls[3] >= 3 / 8
     assert recalls[6] >= recalls[3]
     assert recalls[8] == 1.0  # probing every bucket == brute force
+
+
+def test_region_index_matches_linear_scan():
+    """Grid-bucketed many-region PIP == per-region exact test."""
+    from rayhist.spatial.join import RegionIndex
+
+    rng = np.random.default_rng(21)
+    regions = []
+    for i in range(12):
+        cx, cy = rng.uniform(-1.5e9, 1.5e9), rng.uniform(-7e8, 7e8)
+        w, hh = rng.uniform(1e8, 6e8), rng.uniform(1e8, 4e8)
+        ring = np.array([(cx - w, cy - hh), (cx + w, cy - hh), (cx + w, cy + hh), (cx - w, cy + hh)])
+        regions.append((f"r{i}", [ring]))
+    idx = RegionIndex(regions, zoom=6)
+    px = rng.integers(-LON_MOD // 2, LON_MOD // 2, 4000)
+    py = rng.integers(-LAT_MOD // 2, LAT_MOD // 2, 4000)
+    got = set(idx.classify(px, py))
+    want = set()
+    for rid, rings in regions:
+        from rayhist.spatial.fip import Polygon
+
+        hit = Polygon([rings[0]]).contains(px.astype(np.float64), py.astype(np.float64))
+        want |= {(int(i), rid) for i in np.flatnonzero(hit)}
+    assert got == want
+    assert len(want) > 0
+    # the inside-cell fast path actually triggers for big rectangles
+    assert sum(len(v) for v in idx.inside.values()) > 0
