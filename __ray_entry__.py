@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_grid": p.q_knn_grid,
         "ann_cosine_ivf": p.q_ann_cosine_ivf,
         "sessions": p.q_sessions,
+        "snapshot_count_bbox": p.q_snapshot_count_bbox,
+        "media_features": p.q_media_features,
     }
 
 
@@ -106,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_grid": o.knn(),
         "ann_cosine_ivf": o.ann_cosine(),
         "sessions": o.sessions(),
+        "snapshot_count_bbox": o.snapshot_count_bbox(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
-        # minhash_lsh_pairs, simhash_pairs, langid
+        # minhash_lsh_pairs, simhash_pairs, langid, media_features
     }

@@ -22,10 +22,12 @@ Derivation (one 'node' document per ``user_id``; all integer-exact):
     tags       = etype={event_type}, k={props.k}    (sorted by key)
     gv         = (v+1) // 2    (coords change only every 2nd version ->
                  mixes GEOMETRY_CHANGE with pure TAG_CHANGE contribs)
-    lon_e7     = (user_id*7919 + gv*104729 + kk*31) % 3_600_000_000
-                   - 1_800_000_000
-    lat_e7     = (user_id*15_485_863 + gv*32_452_843 + kk*37)
+    lon_e7     = (user_id*982_451_653 + gv*373_587_883 + kk*15_485_863)
+                   % 3_600_000_000 - 1_800_000_000
+    lat_e7     = (user_id*472_882_027 + gv*198_491_317 + kk*32_452_843)
                    % 1_800_000_000 - 900_000_000
+    (multipliers are large so coordinates spread over the whole globe;
+    all products stay well inside int64)
 
 The ingest pipeline itself is the Ray-Data analog of the reference's
 Transform pass: ``read -> map_batches(derive, vectorized) ->
@@ -82,8 +84,8 @@ def derive_version_columns(batch: pa.Table) -> pa.Table:
 def coords_for(osm_id: np.ndarray, v: np.ndarray, kk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic fixed-point coordinates (int64-exact, SQL-mirrorable)."""
     gv = (v + 1) // 2
-    lon = (osm_id * 7919 + gv * 104729 + kk * 31) % LON_MOD - LON_MOD // 2
-    lat = (osm_id * 15485863 + gv * 32452843 + kk * 37) % LAT_MOD - LAT_MOD // 2
+    lon = (osm_id * 982451653 + gv * 373587883 + kk * 15485863) % LON_MOD - LON_MOD // 2
+    lat = (osm_id * 472882027 + gv * 198491317 + kk * 32452843) % LAT_MOD - LAT_MOD // 2
     return lon.astype(np.int64), lat.astype(np.int64)
 
 
@@ -251,7 +253,7 @@ def ensure_documents(sf_dir: str, rep: int = 1) -> str:
     """
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:v3".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:v4".encode()
     ).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / "documents_spans"
     if out.exists():

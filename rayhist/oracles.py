@@ -45,10 +45,10 @@ WITH v0 AS (
   SELECT *,
          osm_id*1000000 + (v-1)//3 AS cs,
          CASE WHEN visible
-              THEN (osm_id*7919 + ((v+1)//2)*104729 + kk*31) % 3600000000 - 1800000000
+              THEN (osm_id*982451653 + ((v+1)//2)*373587883 + kk*15485863) % 3600000000 - 1800000000
               ELSE 0 END AS lon_e7,
          CASE WHEN visible
-              THEN (osm_id*15485863 + ((v+1)//2)*32452843 + kk*37) % 1800000000 - 900000000
+              THEN (osm_id*472882027 + ((v+1)//2)*198491317 + kk*32452843) % 1800000000 - 900000000
               ELSE 0 END AS lat_e7,
          'etype=' || etype || '|k=' || kk AS tag_sig
   FROM v0
@@ -503,3 +503,19 @@ SELECT user_id, count(*) AS n_sessions,
        CAST(sum(dur) AS BIGINT) AS total_session_us
 FROM agg GROUP BY 1 ORDER BY 1
 """
+
+
+def snapshot_count_bbox() -> str:
+    from .pipelines import AOI_BBOX
+
+    x0, y0, x1, y1 = (int(v) for v in AOI_BBOX)
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_snapshots
+FROM snap
+WHERE lon_e7 >= {x0} AND lon_e7 <= {x1} AND lat_e7 >= {y0} AND lat_e7 <= {y1}
+"""
+    )

@@ -704,3 +704,68 @@ def q_sessions(sf_dir: str) -> pd.DataFrame:
              total_session_us=("duration_us", "sum"))
     )
     return df.sort_values("user_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------- AOI pruned read
+AOI_BBOX = (-9e8, -4.5e8, 9e8, 4.5e8)  # (min_lon, min_lat, max_lon, max_lat) e7
+
+
+def q_snapshot_count_bbox(sf_dir: str) -> pd.DataFrame:
+    """areaOfInterest(bbox) snapshot count at T_MID with PRUNING AT THE
+    READ: the document table carries a whole-history bbox (the OSH
+    getBoundingBox prefilter index); a pyarrow dataset filter pushes
+    the bbox-overlap test into the parquet scan so non-overlapping
+    row groups never leave storage (the Ray analog of the reference's
+    cell-range SQL BETWEEN, MapReducerJdbc.java:51-114 +
+    MapReducer.getCellIdRanges). The exact per-state test runs after
+    interpolation (CellIterator's per-entity bbox intersect + clip,
+    :198-211)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset  # noqa: F401  (expression support)
+
+    from .aggregate import combine_partials
+    from .ingest import ensure_documents
+    from .io import read_table
+    from .model import decode_spans
+    from .temporal import snapshots as snapshots_fn
+
+    x0, y0, x1, y1 = AOI_BBOX
+    import os
+
+    rep = int(os.environ.get("RAYHIST_REP", "1"))
+    path = ensure_documents(sf_dir, rep)
+    prefilter = (
+        (pc.field("max_lon_e7") >= int(x0))
+        & (pc.field("min_lon_e7") <= int(x1))
+        & (pc.field("max_lat_e7") >= int(y0))
+        & (pc.field("min_lat_e7") <= int(y1))
+    )
+    docs = read_table(path, filter=prefilter)
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch), ts)
+        lon = s["lon_e7"].to_numpy(zero_copy_only=False)
+        lat = s["lat_e7"].to_numpy(zero_copy_only=False)
+        inside = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        return pa.table({"n_part": pa.array([int(inside.sum())], type=pa.int64())})
+
+    partials = docs.map_batches(stage, batch_format="pyarrow")
+    return combine_partials(partials, [], {"n_part": "n_snapshots"})
+
+
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing as a pipeline: synthesize media refs from
+    the document ids, decode through the actor-pool stage (stubbed
+    codec, real schema/batching), return per-media feature stats
+    (rows-only check; determinism asserted in tests)."""
+    import ray.data
+
+    from .ops.multimodal import decode_media, synth_media_table
+
+    ids = _docs(sf_dir).select_columns(["doc_id"]).to_pandas()["doc_id"].tolist()
+    media = ray.data.from_arrow(synth_media_table([f"media://{d}" for d in sorted(ids)]))
+    feats = decode_media(media, concurrency=(1, 4), batch_size=128).to_pandas()
+    feats["feat_mean"] = feats["feature"].map(lambda f: float(np.mean(f)))
+    out = feats[["media_ref", "width", "height", "feat_mean"]]
+    return out.sort_values("media_ref").reset_index(drop=True)

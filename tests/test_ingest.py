@@ -56,8 +56,8 @@ def test_decode_matches_sql_derivation():
                etype, kk
         FROM (
           SELECT *, osm_id*1000000 + (v-1)//3 AS cs,
-             (osm_id*7919 + ((v+1)//2)*104729 + kk*31) % 3600000000 - 1800000000 AS lon_e7,
-             (osm_id*15485863 + ((v+1)//2)*32452843 + kk*37) % 1800000000 - 900000000 AS lat_e7
+             (osm_id*982451653 + ((v+1)//2)*373587883 + kk*15485863) % 3600000000 - 1800000000 AS lon_e7,
+             (osm_id*472882027 + ((v+1)//2)*198491317 + kk*32452843) % 1800000000 - 900000000 AS lat_e7
           FROM v
         )
         ORDER BY osm_id, v
