@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": p.q_sessions,
         "snapshot_count_bbox": p.q_snapshot_count_bbox,
         "media_features": p.q_media_features,
+        "contrib_type_counts_bbox": p.q_contrib_type_counts_bbox,
     }
 
 
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_ivf": o.ann_cosine(),
         "sessions": o.sessions(),
         "snapshot_count_bbox": o.snapshot_count_bbox(),
+        "contrib_type_counts_bbox": o.contrib_type_counts_bbox(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # minhash_lsh_pairs, simhash_pairs, langid, media_features
     }

@@ -60,7 +60,7 @@ def run_bench() -> dict:
         ("contrib_daily", p.q_contrib_daily),
         ("snapshot_pip_regions", p.q_snapshot_pip_regions),
         ("raster_join", p.q_raster_join),
-        ("knn", p.q_knn),
+        ("knn_grid", p.q_knn_grid),  # exact grid-accelerated kNN (scale path)
         ("lineitem_agg", p.q_lineitem_agg),
     ]
     # untimed warmup: spins up the worker pool and loads the library in

@@ -75,7 +75,16 @@ def _snap_cte(match_expr: str = "visible") -> str:
 """
 
 
-def _contrib_cte(match_expr: str = "visible", t_from: int = CONTRIB_FROM, t_to: int = CONTRIB_TO) -> str:
+def _contrib_cte(
+    match_expr: str = "visible",
+    t_from: int = CONTRIB_FROM,
+    t_to: int = CONTRIB_TO,
+    present_expr: str | None = None,
+) -> str:
+    """present_expr adds AOI membership on top of the filter match —
+    the clipped-empty DELETION semantics (CellIterator.java:625-642):
+    kept/collapse phases use m (filter only); classification uses p."""
+    p_expr = "m" if present_expr is None else f"(m AND ({present_expr}))"
     return f"""
 , m0 AS (
   SELECT *, ({match_expr}) AS m FROM d
@@ -87,21 +96,23 @@ def _contrib_cte(match_expr: str = "visible", t_from: int = CONTRIB_FROM, t_to: 
   SELECT * FROM (
     SELECT kept.*, lead(cs) OVER (PARTITION BY osm_id ORDER BY v) AS next_cs FROM kept
   ) WHERE next_cs IS NULL OR next_cs <> cs
+), coll2 AS (
+  SELECT coll.*, {p_expr} AS p FROM coll
 ), seq AS (
-  SELECT coll.*,
-         coalesce(lag(m) OVER w, false) AS prev_present,
+  SELECT coll2.*,
+         coalesce(lag(p) OVER w, false) AS prev_present,
          lag(tag_sig) OVER w AS p_tag,
          lag(lon_e7) OVER w AS p_lon,
          lag(lat_e7) OVER w AS p_lat
-  FROM coll WINDOW w AS (PARTITION BY osm_id ORDER BY v)
+  FROM coll2 WINDOW w AS (PARTITION BY osm_id ORDER BY v)
 ), contrib AS (
   SELECT *,
-         (m AND NOT prev_present) AS is_creation,
-         (NOT m AND prev_present) AS is_deletion,
-         (m AND prev_present AND tag_sig <> p_tag) AS is_tag_change,
-         (m AND prev_present AND (lon_e7 <> p_lon OR lat_e7 <> p_lat)) AS is_geom_change
+         (p AND NOT prev_present) AS is_creation,
+         (NOT p AND prev_present) AS is_deletion,
+         (p AND prev_present AND tag_sig <> p_tag) AS is_tag_change,
+         (p AND prev_present AND (lon_e7 <> p_lon OR lat_e7 <> p_lat)) AS is_geom_change
   FROM seq
-  WHERE ts_us >= {t_from} AND ts_us < {t_to} AND (m OR prev_present)
+  WHERE ts_us >= {t_from} AND ts_us < {t_to} AND (p OR prev_present)
 )
 """
 
@@ -517,5 +528,24 @@ def snapshot_count_bbox() -> str:
 SELECT CAST(count(*) AS BIGINT) AS n_snapshots
 FROM snap
 WHERE lon_e7 >= {x0} AND lon_e7 <= {x1} AND lat_e7 >= {y0} AND lat_e7 <= {y1}
+"""
+    )
+
+
+def contrib_type_counts_bbox() -> str:
+    from .pipelines import AOI_BBOX
+
+    x0, y0, x1, y1 = (int(v) for v in AOI_BBOX)
+    aoi = f"lon_e7 >= {x0} AND lon_e7 <= {x1} AND lat_e7 >= {y0} AND lat_e7 <= {y1}"
+    return (
+        DERIVE
+        + _contrib_cte(present_expr=aoi)
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CAST(is_creation AS BIGINT)) AS BIGINT) AS n_creation,
+       CAST(sum(CAST(is_deletion AS BIGINT)) AS BIGINT) AS n_deletion,
+       CAST(sum(CAST(is_tag_change AS BIGINT)) AS BIGINT) AS n_tag_change,
+       CAST(sum(CAST(is_geom_change AS BIGINT)) AS BIGINT) AS n_geom_change
+FROM contrib
 """
     )

@@ -769,3 +769,41 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     feats["feat_mean"] = feats["feature"].map(lambda f: float(np.mean(f)))
     out = feats[["media_ref", "width", "height", "feat_mean"]]
     return out.sort_values("media_ref").reset_index(drop=True)
+
+
+def q_contrib_type_counts_bbox(sf_dir: str) -> pd.DataFrame:
+    """areaOfInterest(bbox) contribution counts: a state outside the
+    bbox behaves like the reference's clipped-to-empty geometry —
+    DELETION on exit, CREATION on re-entry (CellIterator.java:625-642,
+    the S1 scenario)."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .temporal import contributions as contribs_fn
+
+    x0, y0, x1, y1 = AOI_BBOX
+
+    def stage(batch: pa.Table) -> pa.Table:
+        decoded = decode_spans(batch)
+        lon = decoded["lon_e7"].to_numpy(zero_copy_only=False)
+        lat = decoded["lat_e7"].to_numpy(zero_copy_only=False)
+        aoi = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        c = contribs_fn(decoded, CONTRIB_FROM, CONTRIB_TO, None, aoi)
+        sums = {"n_part": pa.array([len(c)], type=pa.int64())}
+        for f in ("is_creation", "is_deletion", "is_tag_change", "is_geom_change"):
+            sums[f + "_part"] = pa.array(
+                [int(c[f].to_numpy(zero_copy_only=False).sum())], type=pa.int64()
+            )
+        return pa.table(sums)
+
+    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    return combine_partials(
+        partials,
+        [],
+        {
+            "n_part": "n_total",
+            "is_creation_part": "n_creation",
+            "is_deletion_part": "n_deletion",
+            "is_tag_change_part": "n_tag_change",
+            "is_geom_change_part": "n_geom_change",
+        },
+    )

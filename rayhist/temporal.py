@@ -109,7 +109,9 @@ def _doc_codes(tbl: pa.Table) -> np.ndarray:
 
 
 def _sorted_versions(tbl: pa.Table):
-    """Return (table, codes, ts, v) sorted by (doc, ts, v).
+    """Return (table, codes, ts, v, order) sorted by (doc, ts, v);
+    ``order`` is None when the input was already sorted, else the
+    permutation (callers must realign any per-row masks with it).
 
     Handles out-of-order histories the way the reference's
     ``HEADER_TIMESTAMPS_NOT_IN_ORDER`` flag does (OSHNodeImpl.java:30):
@@ -119,10 +121,11 @@ def _sorted_versions(tbl: pa.Table):
     ts = tbl["ts"].to_numpy(zero_copy_only=False)
     v = tbl["v"].to_numpy(zero_copy_only=False)
     order = np.lexsort((v, ts, codes))
-    if not (np.diff(order) == 1).all():
+    if len(order) and not (np.diff(order) == 1).all():
         tbl = tbl.take(pa.array(order))
         codes, ts, v = codes[order], ts[order], v[order]
-    return tbl, codes, ts, v
+        return tbl, codes, ts, v, order
+    return tbl, codes, ts, v, None
 
 
 def snapshots(
@@ -140,7 +143,9 @@ def snapshots(
     if len(tbl) == 0:
         empty = tbl.select(_STATE_COLS).slice(0, 0)
         return empty.append_column("ts_q", pa.array([], type=pa.int64()))
-    tbl, codes, ts, _v = _sorted_versions(tbl)
+    tbl, codes, ts, _v, order = _sorted_versions(tbl)
+    if order is not None and match is not None:
+        match = match[order]
     visible = tbl["visible"].to_numpy(zero_copy_only=False)
     m = visible if match is None else (visible & match)
 
@@ -181,8 +186,18 @@ def contributions(
     t_from: int,
     t_to: int,
     match: np.ndarray | None = None,
+    aoi: np.ndarray | None = None,
 ) -> pa.Table:
     """Contribution classification over [t_from, t_to) — see module doc.
+
+    ``aoi`` is a per-version mask for area-of-interest membership of
+    the version's geometry: a state outside the AOI behaves like the
+    reference's clipped-to-empty geometry — it emits a DELETION when
+    the previous state was present, and re-entry emits a CREATION
+    (CellIterator.java:625-642). The AOI does NOT affect which
+    timestamps are modifications (the kept/collapse phases use only
+    visibility+filter, as in the reference where the clip is evaluated
+    during the walk).
 
     Output = state columns of the modification's version + boolean
     ``is_creation / is_deletion / is_tag_change / is_geom_change`` and
@@ -190,9 +205,15 @@ def contributions(
     """
     if len(tbl) == 0:
         return _empty_contributions(tbl)
-    tbl, codes, ts, _v = _sorted_versions(tbl)
+    tbl, codes, ts, _v, order = _sorted_versions(tbl)
+    if order is not None:
+        if match is not None:
+            match = match[order]
+        if aoi is not None:
+            aoi = aoi[order]
     visible = tbl["visible"].to_numpy(zero_copy_only=False)
     m = visible if match is None else (visible & match)
+    p_all = m if aoi is None else (m & aoi)  # "present" incl. AOI membership
 
     # 1. modification timestamps under the filter
     same_prev = np.r_[False, codes[1:] == codes[:-1]]
@@ -212,8 +233,8 @@ def contributions(
     doc_f = codes[f]
     has_prev = np.r_[False, doc_f[1:] == doc_f[:-1]]
     pf = np.r_[0, f[:-1]]  # prev index (valid only where has_prev)
-    present = m[f]
-    prev_present = np.where(has_prev, m[pf], False)
+    present = p_all[f]
+    prev_present = np.where(has_prev, p_all[pf], False)
 
     emit = present | (~present & prev_present)
     in_interval = (ts[f] >= t_from) & (ts[f] < t_to)
@@ -235,7 +256,7 @@ def contributions(
     rows = f[sel]
     out = tbl.select(_STATE_COLS).take(pa.array(rows))
     prev_rows = pf[sel]
-    prev_ok = has_prev[sel] & m[pf[sel]]
+    prev_ok = has_prev[sel] & p_all[pf[sel]]
     out = out.append_column("is_creation", pa.array(is_creation[sel]))
     out = out.append_column("is_deletion", pa.array(is_deletion[sel]))
     out = out.append_column("is_tag_change", pa.array(is_tag_change[sel]))

@@ -160,3 +160,39 @@ def test_decode_then_views_match_direct():
     assert _contrib_list(contributions(decoded, t0, t1)) == _contrib_list(
         contributions(tbl, t0, t1)
     )
+
+
+def test_aoi_contributions_s1():
+    """S1: moving out of the AOI emits a DELETION, re-entry a CREATION
+    (CellIterator.java:625-642 clipped-empty semantics)."""
+    rows = [
+        dict(doc_id="node/50", v=1, ts=YEAR_US[2008], cs=1, lon_e7=10, lat_e7=10),
+        dict(doc_id="node/50", v=2, ts=YEAR_US[2010], cs=2, lon_e7=900, lat_e7=900),  # leaves AOI
+        dict(doc_id="node/50", v=3, ts=YEAR_US[2012], cs=3, lon_e7=20, lat_e7=20),  # re-enters
+        dict(doc_id="node/50", v=4, ts=YEAR_US[2014], cs=4, lon_e7=30, lat_e7=20),  # moves inside
+    ]
+    tbl = make_versions(rows)
+    lon = tbl["lon_e7"].to_numpy()
+    lat = tbl["lat_e7"].to_numpy()
+    aoi = (lon >= 0) & (lon <= 100) & (lat >= 0) & (lat <= 100)
+    got = _contrib_list(contributions(tbl, YEAR_US[2006], YEAR_US[2018], None, aoi))
+    assert [a for _, _, a in got] == [
+        frozenset({"CREATION"}),
+        frozenset({"DELETION"}),
+        frozenset({"CREATION"}),
+        frozenset({"GEOMETRY_CHANGE"}),
+    ]
+
+
+def test_match_mask_realigned_after_sort():
+    """Masks computed on unsorted input must be realigned by the
+    internal sort (latent-bug regression test)."""
+    rows = [
+        dict(doc_id="node/60", v=2, ts=YEAR_US[2010], cs=2, lon_e7=1, lat_e7=1, tags={"etype": "click"}),
+        dict(doc_id="node/60", v=1, ts=YEAR_US[2008], cs=1, lon_e7=1, lat_e7=1, tags={"etype": "view"}),
+    ]
+    tbl = make_versions(rows)  # deliberately out of order
+    tf = TagFilter("etype", "click")
+    got = _snap_set(snapshots(tbl, YEARLY, tf.mask(tbl)))
+    # click only exists from 2010 on
+    assert got == {("node/60", int(t), 2) for t in YEARLY if t >= YEAR_US[2010]}
