@@ -141,3 +141,59 @@ def test_clip_segments_invariant():
     assert total == pytest.approx(left + right, rel=1e-9)
     outside = clip_segments_to_bbox(lons, lats, (50, 50, 60, 60))
     assert outside == 0.0
+
+
+def test_relation_with_way_members_full_chain():
+    """R1 end-to-end: relation -> member ways -> nodes, geometry
+    assembled from the resolved rings at a timestamp; a node edit deep
+    in the chain changes the relation's geometry."""
+    from rayhist.members import resolve_member_rings
+
+    # nodes of the outer ring (one node moves in 2012)
+    node_hist = {
+        "node/1": [dict(v=1, ts=T[2007], lon=0, lat=0)],
+        "node/2": [dict(v=1, ts=T[2007], lon=100_000_000, lat=0)],
+        "node/3": [
+            dict(v=1, ts=T[2007], lon=100_000_000, lat=100_000_000),
+            dict(v=2, ts=T[2012], lon=120_000_000, lat=120_000_000),
+        ],
+        "node/4": [dict(v=1, ts=T[2007], lon=0, lat=100_000_000)],
+    }
+    # two way members, each half the ring; the ways carry member spans
+    rel_spans = make_compound_doc(
+        "relation/1",
+        [
+            dict(
+                v=1, ts=T[2008], cs=1, tags={"type": "multipolygon"},
+                members=[("way/10", "outer"), ("way/11", "outer")],
+            )
+        ],
+        node_hist,
+    )
+    # append the way children with their own member lists (built
+    # manually: child way versions carrying member spans)
+    off = rel_spans[-1]["offset"] + 1
+    for wid, nds in (("way/10", ["node/1", "node/2", "node/3"]), ("way/11", ["node/3", "node/4", "node/1"])):
+        rel_spans.append(
+            {"kind": "version", "text": f"child={wid};v=1;ts={T[2007]};cs=5;uid=1;vis=1",
+             "media_ref": "", "offset": off}
+        )
+        off += 1
+        for nd in nds:
+            rel_spans.append({"kind": "member", "text": f"{nd}@role=", "media_ref": "", "offset": off})
+            off += 1
+    doc = parse_doc(rel_spans)
+    st = doc.versions[0]
+
+    rings_2009 = resolve_member_rings(doc, st, T[2009], "outer")
+    g1 = build_multipolygon(rings_2009, [])
+    assert g1.kind == "multipolygon"
+    a_2009 = g1.area_m2()
+
+    rings_2013 = resolve_member_rings(doc, st, T[2013], "outer")
+    a_2013 = build_multipolygon(rings_2013, []).area_m2()
+    assert a_2013 > a_2009 * 1.1  # node/3 moved outward -> bigger ring
+
+    # and the recursive modification timestamps see the node edit
+    mods = modification_timestamps(doc)
+    assert T[2012] in mods
