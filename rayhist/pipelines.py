@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Sum  # noqa: F401 (used by some pipelines)
 
 from .aggregate import count_by, floor_bin, zerofill
 from .ingest import read_documents

@@ -146,3 +146,55 @@ def test_parallelism_invariance():
         results.append(df.sort_values("ts_q").reset_index(drop=True))
     assert results[0].equals(results[1])
     assert results[0].equals(results[2])
+
+
+def test_sharded_snapshot_job_resume(tmp_path):
+    """Integration: the snapshot-count job run shard-by-shard over the
+    real span-table fragments with per-partition checkpoints; a
+    killed-and-resumed run redoes only missing partitions and the
+    combined result equals the single-pass pipeline."""
+    import numpy as np
+    import ray.data
+
+    from rayhist.ingest import ensure_documents
+    from rayhist.model import decode_spans
+    from rayhist.pipelines import SNAP_WEEKLY
+    from rayhist.state.checkpoint import run_sharded
+    from rayhist.temporal import snapshots
+    from rayhist.views import snapshot_counts
+
+    path = ensure_documents("/root/testdata/sf0.001")
+    frags = sorted(str(p) for p in Path(path).glob("*.parquet"))
+    shards = {f"shard_{i:02d}": [f] for i, f in enumerate(frags[:6])}
+    T = np.asarray(SNAP_WEEKLY, dtype=np.int64)
+
+    def process(paths):
+        ds = ray.data.read_parquet(paths)
+
+        def stage(batch: pa.Table) -> pa.Table:
+            s = snapshots(decode_spans(batch), T)
+            g = pa.TableGroupBy(s.select(["ts_q"]), "ts_q").aggregate([([], "count_all")])
+            return g.rename_columns(["ts_q", "n_part"])
+
+        return ds.map_batches(stage, batch_format="pyarrow")
+
+    out = tmp_path / "job"
+    run_sharded(shards, process, str(out))
+    # simulate failure + resume
+    shutil.rmtree(out / "shard_03")
+    manifest = run_sharded(shards, process, str(out))
+    assert set(manifest) == set(shards)
+
+    # combined shard outputs == single-pass pipeline over the same frags
+    import pyarrow.parquet as pq
+
+    parts = [pq.read_table(f) for f in (out).glob("shard_*/**/*.parquet")]
+    combined = (
+        pa.concat_tables(parts).to_pandas().groupby("ts_q", as_index=False)["n_part"].sum()
+    )
+    docs = ray.data.read_parquet(frags[:6])
+    partials, keys = snapshot_counts(docs, SNAP_WEEKLY)
+    single = partials.to_pandas().groupby("ts_q", as_index=False)["n_part"].sum()
+    assert combined.sort_values("ts_q").reset_index(drop=True).equals(
+        single.sort_values("ts_q").reset_index(drop=True)
+    )
