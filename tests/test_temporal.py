@@ -196,3 +196,61 @@ def test_match_mask_realigned_after_sort():
     got = _snap_set(snapshots(tbl, YEARLY, tf.mask(tbl)))
     # click only exists from 2010 on
     assert got == {("node/60", int(t), 2) for t in YEARLY if t >= YEAR_US[2010]}
+
+
+def test_property_random_histories_match_oracle():
+    """Property test (hypothesis): arbitrary small histories — the
+    vectorized core matches the loop oracle for both views under
+    every filter variant."""
+    from hypothesis import given, settings, strategies as st
+
+    version_st = st.fixed_dictionaries(
+        {
+            "ts_i": st.integers(0, 9),
+            "visible": st.booleans(),
+            "cs": st.integers(0, 3),
+            "lon": st.integers(0, 2),
+            "etype": st.sampled_from(["click", "view"]),
+        }
+    )
+    doc_st = st.lists(version_st, min_size=1, max_size=7)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc_st, min_size=1, max_size=5), st.integers(0, 8), st.integers(1, 9))
+    def run(docs, a, span):
+        rows = []
+        for d_i, versions in enumerate(docs):
+            seen = set()
+            v_n = 0
+            for vr in sorted(versions, key=lambda r: r["ts_i"]):
+                if vr["ts_i"] in seen:
+                    continue  # unique timestamps per doc
+                seen.add(vr["ts_i"])
+                v_n += 1
+                rows.append(
+                    dict(
+                        doc_id=f"node/{d_i}",
+                        v=v_n,
+                        ts=YEAR_US[2007 + vr["ts_i"]],
+                        cs=vr["cs"],
+                        uid=1,
+                        visible=vr["visible"],
+                        lon_e7=vr["lon"],
+                        lat_e7=0,
+                        tags={"etype": vr["etype"]},
+                    )
+                )
+        tbl = make_versions(rows)
+        t0 = YEAR_US[2007 + a]
+        t1 = YEAR_US[min(2007 + a + span, 2019)]
+        for tf_spec in [None, ("etype", "click")]:
+            tf = TagFilter(*tf_spec) if tf_spec else None
+            mask = tf.mask(tbl) if tf else None
+            assert _snap_set(snapshots(tbl, YEARLY, mask)) == snapshots_oracle(
+                tbl, YEARLY, tf_spec
+            )
+            assert _contrib_list(contributions(tbl, t0, t1, mask)) == contributions_oracle(
+                tbl, t0, t1, tf_spec
+            )
+
+    run()
