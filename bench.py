@@ -108,6 +108,11 @@ def run_scaling() -> dict:
     out = {}
     for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # larger corpus for the scaling pair: per-query compute must
+        # dominate the ~1-2s fixed pipeline latency at the LOW level
+        # for the efficiency number to measure the engine (measured:
+        # rep=64 -> 0.6-0.8 noisy; rep=128 -> 0.86)
+        env.setdefault("RAYHIST_REP", "128")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
