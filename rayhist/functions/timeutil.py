@@ -1,0 +1,88 @@
+"""Timestamp utilities — the OSHDBTimestamps / ISODateTimeParser
+analog (``oshdb-util/.../time/OSHDBTimestamps.java:23-149``,
+``time/ISODateTimeParser.java``).
+
+The reference builds snapshot-timestamp lists from an ISO-8601 start,
+end and period (YEARLY..HOURLY or an ISO period string); timestamps
+here are int64 unix MICROSECONDS throughout the engine.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+US = 1_000_000
+
+UNITS = {
+    "YEARLY": ("years", 1),
+    "MONTHLY": ("months", 1),
+    "DAILY": ("days", 1),
+    "HOURLY": ("hours", 1),
+}
+
+
+def parse_iso(ts: str) -> int:
+    """ISO-8601 date or datetime -> unix microseconds (UTC-naive, as
+    in the reference's normalization; 'Z' suffix accepted)."""
+    ts = ts.rstrip("Z")
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M", "%Y-%m-%d", "%Y-%m", "%Y"):
+        try:
+            dt = datetime.strptime(ts, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * US)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable ISO timestamp: {ts!r}")
+
+
+def format_iso(ts_us: int) -> str:
+    """unix microseconds -> ISO-8601 (TimestampFormatter analog)."""
+    return datetime.fromtimestamp(ts_us / US, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _add_months(dt: datetime, n: int) -> datetime:
+    y, m = divmod(dt.month - 1 + n, 12)
+    return dt.replace(year=dt.year + y, month=m + 1)
+
+
+def timestamps(start: str, end: str, period: str) -> list[int]:
+    """Regular timestamp grid [start, end] inclusive —
+    ``OSHDBTimestamps(start, end, interval)``. period: YEARLY |
+    MONTHLY | DAILY | HOURLY or ISO-8601 period (PnY, PnM, PnD,
+    PTnH)."""
+    t0 = datetime.fromtimestamp(parse_iso(start) / US, tz=timezone.utc)
+    t1 = datetime.fromtimestamp(parse_iso(end) / US, tz=timezone.utc)
+
+    p = period.upper()
+    months = 0
+    delta = None
+    if p in UNITS:
+        kind = UNITS[p][0]
+        if kind == "years":
+            months = 12
+        elif kind == "months":
+            months = 1
+        elif kind == "days":
+            delta = timedelta(days=1)
+        else:
+            delta = timedelta(hours=1)
+    elif p.startswith("P"):
+        body = p[1:]
+        if body.startswith("T") and body.endswith("H"):
+            delta = timedelta(hours=int(body[1:-1]))
+        elif body.endswith("Y"):
+            months = 12 * int(body[:-1])
+        elif body.endswith("M"):
+            months = int(body[:-1])
+        elif body.endswith("D"):
+            delta = timedelta(days=int(body[:-1]))
+        else:
+            raise ValueError(f"unsupported period: {period!r}")
+    else:
+        raise ValueError(f"unsupported period: {period!r}")
+
+    out = []
+    cur = t0
+    while cur <= t1:
+        out.append(int(cur.timestamp() * US))
+        cur = _add_months(cur, months) if months else cur + delta
+    return out

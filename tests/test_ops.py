@@ -146,3 +146,19 @@ def test_hash_join_matches_pandas():
         .reset_index(drop=True)[want.columns.tolist()]
     )
     pd.testing.assert_frame_equal(got2.astype("int64"), want.astype("int64"))
+
+
+def test_timeutil_grids_and_iso():
+    from rayhist.functions.timeutil import format_iso, parse_iso, timestamps
+    from rayhist.pipelines import DAY_US, SNAP_DAILY, T0
+
+    assert parse_iso("2024-01-01") == T0
+    assert parse_iso("2024-01-01T00:00:00Z") == T0
+    assert format_iso(T0) == "2024-01-01T00:00:00Z"
+    daily = timestamps("2024-01-01", "2024-02-02", "DAILY")
+    assert daily == SNAP_DAILY
+    assert timestamps("2024-01-01", "2024-01-02", "PT6H") == [T0 + i * DAY_US // 4 for i in range(5)]
+    monthly = timestamps("2008-01-01", "2009-01-01", "MONTHLY")
+    assert len(monthly) == 13
+    yearly = timestamps("2008-01-01", "2012-01-01", "YEARLY")
+    assert len(yearly) == 5
