@@ -151,7 +151,11 @@ def snapshots(
 
     ts_min = int(ts.min())
     rel = ts - ts_min
-    shift = int(max(rel.max(), 1)).bit_length() + 1
+    # the key must accommodate QUERY offsets too: timestamps typically
+    # extend past the last edit (found by hypothesis: a narrow history
+    # with far query timestamps overflowed into the doc-code bits)
+    t_span = max(int(rel.max()), int(timestamps.max()) - ts_min, 1)
+    shift = t_span.bit_length() + 1
     assert codes.max() < (1 << (62 - shift)), "batch too wide for composite key"
     key = (codes << shift) | rel
 
