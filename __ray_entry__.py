@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_count_bbox": p.q_snapshot_count_bbox,
         "media_features": p.q_media_features,
         "contrib_type_counts_bbox": p.q_contrib_type_counts_bbox,
+        "embedding_dup_pairs": p.q_embedding_dup_pairs,
     }
 
 
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "sessions": o.sessions(),
         "snapshot_count_bbox": o.snapshot_count_bbox(),
         "contrib_type_counts_bbox": o.contrib_type_counts_bbox(),
+        "embedding_dup_pairs": o.embedding_dup_pairs(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # minhash_lsh_pairs, simhash_pairs, langid, media_features
     }

@@ -260,3 +260,49 @@ def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id", text_col: str = 
         .map_groups(first, batch_format="pandas")
         .drop_columns(["_h"])
     )
+
+
+def embedding_dup_pairs(
+    embeddings: ray.data.Dataset,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= tau, i < j).
+
+    The L2-normalized corpus matrix is broadcast via ``ray.put`` once;
+    each batch computes one (batch x corpus) matmul and emits only its
+    above-threshold pairs — O(n^2/blocks) work per batch, no shuffle.
+    At 10^12 scale this brute-force kernel runs per IVF bucket (see
+    rayhist.spatial.knn.ann_cosine_ivf) instead of per corpus.
+    """
+    import ray
+
+    full = embeddings.to_pandas().sort_values(id_col)
+    ids_all = full[id_col].to_numpy(dtype=np.int64)
+    mat_all = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    mat_all /= np.linalg.norm(mat_all, axis=1, keepdims=True)
+    ref = ray.put((ids_all, mat_all))
+
+    class PairStage:
+        def __init__(self):
+            self.ids_all, self.mat_all = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ self.mat_all.T
+            bi, cj = np.nonzero(sims >= tau)
+            a, b = ids[bi], self.ids_all[cj]
+            keep = a < b  # canonical orientation, no self/dup pairs
+            return pd.DataFrame(
+                {
+                    "vec_a": a[keep],
+                    "vec_b": b[keep],
+                    "cos_sim": sims[bi[keep], cj[keep]],
+                }
+            )
+
+    out = embeddings.map_batches(PairStage, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

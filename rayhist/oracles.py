@@ -549,3 +549,14 @@ SELECT CAST(count(*) AS BIGINT) AS n_total,
 FROM contrib
 """
     )
+
+
+def embedding_dup_pairs() -> str:
+    return """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+ORDER BY vec_a, vec_b
+"""

@@ -807,3 +807,17 @@ def q_contrib_type_counts_bbox(sf_dir: str) -> pd.DataFrame:
             "is_geom_change_part": "n_geom_change",
         },
     )
+
+
+def q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs at cos >= 0.4."""
+    import ray.data
+    from .ops.dedup import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_dup_pairs(ds, tau=0.4)
+    # numpy (normalize-then-dot) and SQL (dot-over-norms) cosine differ
+    # at the last ulp; round for value comparison (pair SET is checked
+    # un-rounded by the row count)
+    out["cos_sim"] = out["cos_sim"].round(6)
+    return out[["vec_a", "vec_b", "cos_sim"]]
