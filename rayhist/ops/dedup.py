@@ -73,27 +73,52 @@ def exact_jaccard_pairs(
     ``common * den >= union * num`` (no float compare). Pipeline:
     explode shingles -> groupby(shingle) pair expansion -> pair counts
     -> size join -> threshold."""
-    sh = docs.map_batches(
-        lambda b: explode_shingles(b, id_col, text_col), batch_format="pyarrow"
-    ).materialize()
+    import zlib
+
+    def explode_with_bucket(b: pa.Table) -> pa.Table:
+        t = explode_shingles(b, id_col, text_col)
+        buckets = np.fromiter(
+            (zlib.crc32(s.encode()) & 63 for s in t["shingle"].to_pylist()),
+            dtype=np.int64,
+            count=len(t),
+        )
+        return t.append_column("_bucket", pa.array(buckets))
+
+    sh = docs.map_batches(explode_with_bucket, batch_format="pyarrow").materialize()
     sizes = sh.groupby(id_col).count().to_pandas().rename(columns={"count()": "n"})
     size_map = dict(zip(sizes[id_col], sizes["n"]))
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+    def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized pair expansion for EVERY shingle in the bucket
+        (a shingle's postings are complete within its bucket), partial
+        pair counts per bucket. One Ray group call per bucket, not per
+        shingle — the per-group overhead was 20x the useful work."""
+        g = g.sort_values(["shingle", id_col], kind="mergesort")
+        sh_v = g["shingle"].to_numpy()
+        ids = g[id_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, sh_v[1:] != sh_v[:-1]])
+        ends = np.r_[starts[1:], len(sh_v)]
+        das, dbs = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            das.append(ids[s + ii])
+            dbs.append(ids[s + jj])
+        if not das:
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0], "common": np.array([], dtype=np.int64)})
+        df = pd.DataFrame({"doc_a": np.concatenate(das), "doc_b": np.concatenate(dbs)})
+        return df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "common"})
 
-    pair_counts = (
-        sh.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .count()
+    # partial per-bucket counts -> driver combine (distinct pairs are
+    # ~1e6 at bench scale; at 10^12 docs keep this a Dataset groupby)
+    partials = (
+        sh.groupby("_bucket")
+        .map_groups(lambda g: bucket_pair_counts(g.drop(columns=["_bucket"])), batch_format="pandas")
         .to_pandas()
-        .rename(columns={"count()": "common"})
     )
+    pair_counts = partials.groupby(["doc_a", "doc_b"], as_index=False)["common"].sum()
     pair_counts["un"] = (
         pair_counts["doc_a"].map(size_map) + pair_counts["doc_b"].map(size_map) - pair_counts["common"]
     ).astype("int64")
