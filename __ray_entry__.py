@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": p.q_media_features,
         "contrib_type_counts_bbox": p.q_contrib_type_counts_bbox,
         "embedding_dup_pairs": p.q_embedding_dup_pairs,
+        "tdigest_value_by_type": p.q_tdigest_value_by_type,
     }
 
 
@@ -114,5 +115,6 @@ def oracle_sql() -> dict[str, str]:
         "contrib_type_counts_bbox": o.contrib_type_counts_bbox(),
         "embedding_dup_pairs": o.embedding_dup_pairs(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
-        # minhash_lsh_pairs, simhash_pairs, langid, media_features
+        # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
+        # media_features
     }

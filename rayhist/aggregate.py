@@ -130,3 +130,40 @@ def combine_partials(
         return pd.DataFrame([{out: df[src].sum() for src, out in sums.items()}]).astype("int64")
     g = df.groupby(keys, as_index=False).agg(**{out: (src, "sum") for src, out in sums.items()})
     return g
+
+
+def grouped_estimated_quantiles(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    qs: Sequence[float],
+    compression: float = DEFAULT_COMPRESSION,
+) -> pd.DataFrame:
+    """Grouped estimatedQuantiles (aggregateBy + t-digest,
+    MapAggregator.java:378-732): one digest PER KEY per batch, merged
+    per key on the driver — the grouped-sketch partial+combine shape
+    (sketches are the mergeable-aggregate answer at 10^12 rows; per-key
+    partials are ~KB regardless of row count)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({key: batch[key].to_pylist(), "_v": batch[col].to_numpy(zero_copy_only=False)})
+        rows_k, rows_d = [], []
+        for k, g in df.groupby(key, sort=True):
+            rows_k.append(k)
+            rows_d.append(TDigest.of(g["_v"].to_numpy(), compression).to_bytes())
+        return pa.table({key: pa.array(rows_k), "digest": pa.array(rows_d, type=pa.binary())})
+
+    merged: dict[object, TDigest] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+        d = TDigest.from_bytes(row["digest"], compression)
+        k = row[key]
+        merged[k] = merged[k].merge(d) if k in merged else d
+    out = []
+    for k in sorted(merged):
+        rec = {key: k}
+        for q in qs:
+            rec[f"p{int(q * 100)}_est"] = merged[k].quantile(q)
+        out.append(rec)
+    return pd.DataFrame(out)

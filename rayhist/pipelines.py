@@ -821,3 +821,14 @@ def q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     # un-rounded by the row count)
     out["cos_sim"] = out["cos_sim"].round(6)
     return out[["vec_a", "vec_b", "cos_sim"]]
+
+
+def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped t-digest quantiles: event value p50/p90 per event_type
+    (rows-only; sketch accuracy asserted against exact quantiles in
+    tests)."""
+    import ray.data
+    from .aggregate import grouped_estimated_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])

@@ -162,3 +162,19 @@ def test_timeutil_grids_and_iso():
     assert len(monthly) == 13
     yearly = timestamps("2008-01-01", "2012-01-01", "YEARLY")
     assert len(yearly) == 5
+
+
+def test_grouped_tdigest_accuracy():
+    import duckdb
+    import ray.data
+
+    from rayhist.aggregate import grouped_estimated_quantiles
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/events.parquet", columns=["event_type", "value"])
+    est = grouped_estimated_quantiles(ds, "event_type", "value", [0.5])
+    exact = duckdb.sql(
+        "SELECT event_type, quantile_cont(value, 0.5) AS m FROM '/root/testdata/sf0.01/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    merged = est.merge(exact, on="event_type")
+    rel = ((merged["p50_est"] - merged["m"]).abs() / merged["m"].abs().clip(lower=1)).max()
+    assert rel < 0.02, rel

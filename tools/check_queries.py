@@ -7,6 +7,7 @@ Usage: PYTHONPATH=/root/repo python tools/check_queries.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -56,7 +57,12 @@ def main() -> int:
     only = set(sys.argv[2:])
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("CHECK_CPUS", "8")),
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
