@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrib_type_counts_bbox": p.q_contrib_type_counts_bbox,
         "embedding_dup_pairs": p.q_embedding_dup_pairs,
         "tdigest_value_by_type": p.q_tdigest_value_by_type,
+        "snapshot_cells_fine": p.q_snapshot_cells_fine,
     }
 
 
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_count_bbox": o.snapshot_count_bbox(),
         "contrib_type_counts_bbox": o.contrib_type_counts_bbox(),
         "embedding_dup_pairs": o.embedding_dup_pairs(),
+        "snapshot_cells_fine": o.snapshot_cells_fine(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

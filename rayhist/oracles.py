@@ -560,3 +560,20 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 ORDER BY vec_a, vec_b
 """
+
+
+def snapshot_cells_fine() -> str:
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    nx = 1 << 10
+    ny = 1 << 9
+    return (
+        DERIVE
+        + cte
+        + f"""
+SELECT ts_q,
+       least((lat_e7 + 900000000) * {ny} // 1800000000, {ny - 1}) * {nx}
+         + ((lon_e7 + 1800000000) % 3600000000) * {nx} // 3600000000 AS cell,
+       count(*) AS n
+FROM snap GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )

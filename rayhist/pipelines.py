@@ -832,3 +832,19 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
+
+
+def q_snapshot_cells_fine(sf_dir: str) -> pd.DataFrame:
+    """Snapshot counts per FINE grid cell (zoom 10, ~0.35deg tiles):
+    the high-cardinality final where the partial-combine stays a
+    DISTRIBUTED Dataset groupby (the combine_partials docstring
+    threshold path), unlike the coarse-zoom variant."""
+    from .views import snapshot_counts
+
+    partials, keys = snapshot_counts(_docs(sf_dir), [T_MID], cell_zoom=10)
+    df = (
+        partials.groupby(keys)
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    return df.sort_values(["ts_q", "cell"]).reset_index(drop=True)
