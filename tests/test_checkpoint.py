@@ -198,3 +198,48 @@ def test_sharded_snapshot_job_resume(tmp_path):
     assert combined.sort_values("ts_q").reset_index(drop=True).equals(
         single.sort_values("ts_q").reset_index(drop=True)
     )
+
+
+def test_partitioned_layout_pruned_query(tmp_path):
+    """ETL->layout->pruned-query: points written partitioned by their
+    grid cell; an AOI query reads ONLY the matching partition
+    directories (directory-level pruning) and equals the full scan
+    filtered to the AOI."""
+    import numpy as np
+    import ray.data
+
+    from rayhist.model import LAT_MOD, LON_MOD
+    from rayhist.spatial.grid import bbox_cells, cell_id
+    from rayhist.state.checkpoint import write_partitioned_by_cell
+
+    ZOOM = 3
+    rng = np.random.default_rng(17)
+    lon = rng.integers(-LON_MOD // 2, LON_MOD // 2, 3000)
+    lat = rng.integers(-LAT_MOD // 2, LAT_MOD // 2, 3000)
+    cells = cell_id(lon, lat, ZOOM)
+    ds = ray.data.from_arrow(
+        pa.table({"lon_e7": lon, "lat_e7": lat, "cell": cells, "x": np.arange(3000)})
+    )
+    out = tmp_path / "layout"
+    # min_rows_per_cell=1: no coalescing -> every partition at the
+    # query zoom, so directory pruning is exercised (promoted coarse
+    # cells must always be read)
+    write_partitioned_by_cell(ds, str(out), zoom=ZOOM, min_rows_per_cell=1)
+
+    aoi = (-400_000_000, -200_000_000, 400_000_000, 200_000_000)
+    aoi_cells = set(int(c) for c in bbox_cells(ZOOM, *aoi))
+    staging = out / "_staging"
+    all_dirs = sorted(staging.glob("part_zoom=*/part_cell=*"))
+    matching = [d for d in all_dirs if int(d.name.split("=")[1]) in aoi_cells]
+    assert 0 < len(matching) < len(all_dirs)  # pruning skips directories
+
+    def aoi_count(dirs):
+        files = [str(f) for d in dirs for f in sorted(Path(d).glob("*.parquet"))]
+        t = ray.data.read_parquet(files).to_pandas()
+        m = (
+            (t["lon_e7"] >= aoi[0]) & (t["lon_e7"] <= aoi[2])
+            & (t["lat_e7"] >= aoi[1]) & (t["lat_e7"] <= aoi[3])
+        )
+        return int(m.sum())
+
+    assert aoi_count(matching) == aoi_count(all_dirs)  # nothing missed
