@@ -66,7 +66,9 @@ def derive_version_columns(batch: pa.Table) -> pa.Table:
     value = batch["value"].to_numpy(zero_copy_only=False)
     props = batch["props"].to_pylist()
     kk = np.array([json.loads(p)["k"] for p in props], dtype=np.int64)
-    uid = np.round(value * 100).astype(np.int64) % 37
+    from .ops.relational import round_half_away
+
+    uid = round_half_away(value * 100).astype(np.int64) % 37
     visible = np.array([e != "error" for e in etype], dtype=bool)
     return pa.table(
         {
@@ -253,7 +255,7 @@ def ensure_documents(sf_dir: str, rep: int = 1) -> str:
     """
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:v4".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:v5".encode()
     ).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / "documents_spans"
     if out.exists():

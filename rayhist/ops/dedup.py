@@ -40,9 +40,11 @@ def md5_hex(texts) -> list[str]:
 
 
 def shingle_set(text: str, n: int = SHINGLE_N) -> set[str]:
+    """Docs shorter than n words have NO shingles — same as the oracle's
+    ``generate_series(1, len(ws)-2)``, which emits nothing for them."""
     ws = text.split(" ")
     if len(ws) < n:
-        return {" ".join(ws)} if ws != [""] else set()
+        return set()
     return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
 
 

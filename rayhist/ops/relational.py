@@ -20,10 +20,20 @@ import ray
 import ray.data
 
 
+def round_half_away(x: np.ndarray) -> np.ndarray:
+    """Round half AWAY from zero — the SQL ``round()`` contract (DuckDB,
+    ANSI). numpy's ``np.round`` is half-to-even and would diverge from
+    the oracles on exact-.5 inputs; every value->integer derivation in
+    the engine uses this function so the rounding contract is pinned in
+    one place (mirrored by the oracle SQL's bare ``round()``)."""
+    return np.floor(np.abs(x) + 0.5) * np.sign(x)
+
+
 def cents(batch: pa.Table, col: str, out: str) -> pa.Table:
-    """round(x*100) as int64 — the exact-sum money representation."""
+    """round(x*100) as int64 — the exact-sum money representation
+    (half-away rounding, matching SQL round())."""
     v = batch[col].to_numpy(zero_copy_only=False)
-    return batch.append_column(out, pa.array(np.round(v * 100).astype(np.int64)))
+    return batch.append_column(out, pa.array(round_half_away(v * 100).astype(np.int64)))
 
 
 def broadcast_join(

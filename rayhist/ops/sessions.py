@@ -58,3 +58,49 @@ def sessionize(
             lambda g: bucket_sessions(g.drop(columns=["_bucket"])), batch_format="pandas"
         )
     )
+
+
+def user_session_stats(
+    events: ray.data.Dataset,
+    gap_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-user session stats (session count, events, total session
+    time) computed ENTIRELY inside the bucket stage: each hash bucket
+    holds complete users, so the per-user aggregate is final there and
+    only |users| small rows stream out — no driver-side groupby (user
+    count scales with data)."""
+    import numpy as np
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("_bucket", pa.array((k % n_buckets).astype(np.int64)))
+
+    def bucket_user_stats(g: pd.DataFrame) -> pd.DataFrame:
+        # sessionize + per-user aggregate in ONE group call — the group
+        # holds complete users by construction (hash bucket), so the
+        # aggregate is final here; re-batching can never split a user.
+        g = g.drop(columns=["_bucket"]).sort_values([key_col, ts_col], kind="mergesort")
+        k = g[key_col].to_numpy()
+        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        gap = np.r_[0, t[1:] - t[:-1]]
+        new_session = new_key | (gap >= gap_us)
+        sid = np.cumsum(new_session) - 1
+        df = pd.DataFrame({key_col: k, "_sid": sid, "_ts": t})
+        per_sess = df.groupby([key_col, "_sid"], as_index=False).agg(
+            n=("_ts", "size"), lo=("_ts", "min"), hi=("_ts", "max")
+        )
+        per_sess["dur"] = per_sess["hi"] - per_sess["lo"]
+        out = per_sess.groupby(key_col, as_index=False).agg(
+            n_sessions=("_sid", "size"), n_events=("n", "sum"), total_session_us=("dur", "sum")
+        )
+        return out
+
+    return (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_user_stats, batch_format="pandas")
+    )

@@ -691,18 +691,14 @@ def q_ann_cosine_ivf(sf_dir: str) -> pd.DataFrame:
 def q_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization (30-minute gap) over the events log, aggregated
     per user: session count, events, total session time. Stream-shaped
-    semantics on the batch engine (ordered partitioned log)."""
+    semantics on the batch engine (ordered partitioned log); the
+    per-user aggregate is FINAL inside the bucket stage (complete users
+    per hash bucket), so only |users| small rows reach the driver."""
     import ray.data
-    from .ops.sessions import sessionize
+    from .ops.sessions import user_session_stats
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    sess = sessionize(ev, gap_us=30 * 60 * 1_000_000)
-    df = (
-        sess.to_pandas()
-        .groupby("user_id", as_index=False)
-        .agg(n_sessions=("session_id", "size"), n_events=("n_events", "sum"),
-             total_session_us=("duration_us", "sum"))
-    )
+    df = user_session_stats(ev, gap_us=30 * 60 * 1_000_000).to_pandas()
     return df.sort_values("user_id").reset_index(drop=True)
 
 

@@ -46,14 +46,23 @@ def _fingerprint(path: str) -> str:
 
 
 def _table_checksum(tbl: pa.Table) -> str:
-    """Order-insensitive content checksum of an Arrow table."""
+    """Order-insensitive content checksum of an Arrow table.
+
+    Deterministic ACROSS processes and runs (the resume contract says
+    re-submitted jobs produce byte-identical output and checksums prove
+    it): values are hashed with pandas' fixed-key hash, never Python's
+    per-process-salted builtin ``hash()``.
+    """
     import numpy as np
+    import pandas as pd
 
     cols = sorted(tbl.schema.names)
     row_hashes = None
     for c in cols:
         vals = tbl[c].cast(pa.string()).to_numpy(zero_copy_only=False)
-        h = np.array([hash((c, v)) & 0x7FFFFFFFFFFFFFFF for v in vals], dtype=np.uint64)
+        h = pd.util.hash_pandas_object(
+            pd.Series(vals, dtype=object), index=False, hash_key=c.ljust(16, "_")[:16]
+        ).to_numpy()
         row_hashes = h if row_hashes is None else row_hashes * np.uint64(31) + h
     total = int(row_hashes.sum()) if row_hashes is not None and len(row_hashes) else 0
     return f"{total & ((1 << 64) - 1):016x}"
@@ -100,12 +109,17 @@ def run_sharded(
             "engine": ENGINE_VERSION,
         }
         final = out / pid
-        if final.exists():  # stale from a racing run
+        if final.exists():  # lost the rename race to a concurrent run
             import shutil
 
+            # The surviving directory is the other run's output; our tmp
+            # (and the rec describing it) are discarded so the manifest
+            # never describes a deleted directory. The winner appended
+            # its own (correct) manifest line.
             shutil.rmtree(tmp)
-        else:
-            tmp.rename(final)
+            done[pid] = {"partition": pid, "skipped_lost_race": True}
+            continue
+        tmp.rename(final)
         with open(manifest_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         done[pid] = rec
@@ -162,23 +176,31 @@ def write_partitioned_by_cell(
     import numpy as np
 
     counts = ds.groupby("cell").count().to_pandas()
-    small = dict(zip(counts["cell"], counts["count()"]))
+    small = {int(c): int(n) for c, n in zip(counts["cell"], counts["count()"])}
 
     # decide the final (zoom, cell) for every input cell, driver-side
-    # (cheap: one entry per occupied cell, not per row)
+    # (cheap: one entry per occupied cell, not per row). Ancestor sums
+    # are aggregated bottom-up ONCE per zoom level — O(cells * zoom),
+    # not O(cells^2) dict scans per promotion step.
+    level_counts: dict[int, dict[int, int]] = {zoom: dict(small)}
+    for z in range(zoom - 1, -1, -1):
+        agg: dict[int, int] = {}
+        nx_hi = 1 << (z + 1)
+        for c, n in level_counts[z + 1].items():
+            y, x = divmod(c, nx_hi)
+            parent = (y // 2) * (1 << z) + (x // 2)
+            agg[parent] = agg.get(parent, 0) + n
+        level_counts[z] = agg
+
     final_level: dict[int, tuple[int, int]] = {}
-    for c, n in small.items():
-        z, cc, total = zoom, int(c), int(n)
-        while total < min_rows_per_cell and z > 0:
+    for c in small:
+        z, cc = zoom, c
+        while level_counts[z][cc] < min_rows_per_cell and z > 0:
             z -= 1
             nx_hi = 1 << (z + 1)
             y, x = divmod(cc, nx_hi)
             cc = (y // 2) * (1 << z) + (x // 2)
-            total = sum(
-                v for k, v in small.items()
-                if _ancestor_cell(int(k), zoom, z) == cc
-            )
-        final_level[int(c)] = (z, cc)
+        final_level[c] = (z, cc)
 
     def assign(batch: pa.Table) -> pa.Table:
         cells = batch["cell"].to_numpy(zero_copy_only=False)
