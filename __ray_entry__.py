@@ -77,11 +77,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": p.q_embedding_dup_pairs,
         "tdigest_value_by_type": p.q_tdigest_value_by_type,
         "snapshot_cells_fine": p.q_snapshot_cells_fine,
+        "contrib_type_counts_ways": p.q_contrib_type_counts_ways,
+        "snapshot_way_geoms": p.q_snapshot_way_geoms,
+        "snapshot_count_by_type": p.q_snapshot_count_by_type,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from rayhist import oracles as o
+    from rayhist import pipelines as p
 
     return {
         "snapshot_count_daily": o.snapshot_count_daily(),
@@ -116,6 +120,11 @@ def oracle_sql() -> dict[str, str]:
         "contrib_type_counts_bbox": o.contrib_type_counts_bbox(),
         "embedding_dup_pairs": o.embedding_dup_pairs(),
         "snapshot_cells_fine": o.snapshot_cells_fine(),
+        "contrib_type_counts_ways": o.contrib_type_counts_ways(
+            p.WAY_CONTRIB_FROM, p.WAY_CONTRIB_TO
+        ),
+        "snapshot_way_geoms": o.snapshot_way_geoms(p.WAY_SNAPS),
+        "snapshot_count_by_type": o.snapshot_count_by_type(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

@@ -199,6 +199,174 @@ def _pack_bucket(group: pd.DataFrame) -> pa.Table:
 
 REP_STRIDE = 10_000_000  # replica r gets osm_id + r * REP_STRIDE
 
+# ------------------------------------------------------- way documents
+#
+# Compound (way) documents derive deterministically from the same
+# events table, so the member-recursion semantics (rayhist.members,
+# mirroring OSHEntities.java:315-478) are DuckDB-oracle-checkable:
+#
+#   way w          : members = nodes {5w .. 5w+4}  (ascending, role "")
+#   v1             : ts1 = min(member event ts), visible,
+#                    tags etype=way, k=(w%7), cs = 2e9 + w*1000 + 1,
+#                    uid = w % 37
+#   v2             : ts2 = max(member event ts) + 1us;
+#                    if w % 3 == 0 -> INVISIBLE (way deletion)
+#                    else visible, tags etype=way, k=(w%7)+1
+#                    cs = 2e9 + w*1000 + 2, uid = (w+1) % 37
+#   children       : the member nodes' FULL histories, denormalized
+#                    into the way document (the reference's
+#                    data-model.md:20-22 strategy), identical fields to
+#                    the node ingest derivation.
+#
+# Contribution timeline per way: CREATION at ts1, member-driven
+# GEOMETRY_CHANGEs / empty-set contributions at node version
+# timestamps (changeset-collapsed, parent changesets win), TAG_CHANGE
+# or DELETION at ts2 — the IterateByContributionWaysTest scenario
+# family, at corpus scale.
+
+WAY_BLOCK = 5
+WAY_CS_BASE = 2_000_000_000
+
+
+def _pack_way_bucket(group: pd.DataFrame) -> pa.Table:
+    """Pack a bucket of COMPLETE way histories (all member-node events
+    of each way) into compound span-document rows.
+
+    Child spans are built vectorized (same string kernel as
+    _pack_bucket); only the per-way header (2 parent versions + tags +
+    member list) is a Python loop over |ways in bucket|.
+    """
+    g = group.sort_values(["osm_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    osm = g["osm_id"].to_numpy()
+    n = len(g)
+    node_start = np.r_[True, osm[1:] != osm[:-1]]
+    start_idx = np.maximum.accumulate(np.where(node_start, np.arange(n), 0))
+    v = np.arange(n) - start_idx + 1
+    ts = g["ts"].to_numpy()
+    uid = g["uid"].to_numpy()
+    vis = g["visible"].to_numpy()
+    kk = g["kk"].to_numpy()
+    cs = osm * 1_000_000 + (v - 1) // 3
+    lon, lat = coords_for(osm, v, kk)
+    wid = osm // WAY_BLOCK
+
+    s = pd.Series
+    vs, tss, css, uids = s(v).astype(str), s(ts).astype(str), s(cs).astype(str), s(uid).astype(str)
+    child_pfx = ("child=node/" + s(osm).astype(str) + ";").to_numpy()
+    ver_text = (child_pfx + ("v=" + vs + ";ts=" + tss + ";cs=" + css + ";uid=" + uids
+                + ";vis=" + s(vis.astype(np.int64)).astype(str)).to_numpy())
+    geom_ref = ("geom:child=node/" + s(osm).astype(str) + ";v=" + vs
+                + ";lon=" + s(lon).astype(str) + ";lat=" + s(lat).astype(str)).to_numpy()
+
+    # interleave child spans: version (+ geom when visible)
+    n_slots = 1 + vis.astype(np.int64)
+    total = int(n_slots.sum())
+    ver_of_span = np.repeat(np.arange(n), n_slots)
+    span_end = np.cumsum(n_slots)
+    slot = np.arange(total) - np.repeat(span_end - n_slots, n_slots)
+    child_kinds = np.where(slot == 0, "version", "geom").astype(object)
+    child_texts = np.where(slot == 0, ver_text[ver_of_span], "").astype(object)
+    child_refs = np.where(slot == 1, geom_ref[ver_of_span], "").astype(object)
+    child_wid = np.repeat(wid, n_slots)
+
+    # per-way slices of the child-span arrays (g sorted by osm_id =>
+    # also grouped by wid; spans inherit that order)
+    way_first = np.r_[True, child_wid[1:] != child_wid[:-1]]
+    way_starts = np.flatnonzero(way_first)
+    way_ends = np.r_[way_starts[1:], total]
+    way_ids = child_wid[way_starts]
+
+    # per-way scalars for the parent versions
+    per_way = pd.DataFrame({"wid": wid, "ts": ts}).groupby("wid").agg(ts1=("ts", "min"), ts2=("ts", "max"))
+    bb = pd.DataFrame(
+        {
+            "wid": wid,
+            "lon": np.where(vis, lon, np.int64(np.iinfo(np.int64).max)),
+            "lon2": np.where(vis, lon, np.int64(np.iinfo(np.int64).min)),
+            "lat": np.where(vis, lat, np.int64(np.iinfo(np.int64).max)),
+            "lat2": np.where(vis, lat, np.int64(np.iinfo(np.int64).min)),
+            "v": vis.astype(np.int64),
+        }
+    ).groupby("wid").agg(mn_lon=("lon", "min"), mx_lon=("lon2", "max"),
+                         mn_lat=("lat", "min"), mx_lat=("lat2", "max"), anyv=("v", "max"))
+
+    members_of = {int(w): sorted(int(o) for o in set(osm[wid == w])) for w in way_ids}
+
+    kinds_parts, texts_parts, refs_parts, doc_lens = [], [], [], []
+    for w, cs_s, cs_e in zip(way_ids, way_starts, way_ends):
+        w = int(w)
+        ts1 = int(per_way.loc[w, "ts1"])
+        ts2 = int(per_way.loc[w, "ts2"]) + 1
+        vis2 = w % 3 != 0
+        members = members_of[w]
+        hk, ht, hr = [], [], []
+
+        def emit(kind, text="", ref=""):
+            hk.append(kind)
+            ht.append(text)
+            hr.append(ref)
+
+        emit("version", f"v=1;ts={ts1};cs={WAY_CS_BASE + w * 1000 + 1};uid={w % 37};vis=1")
+        emit("tag", "etype=way")
+        emit("tag", f"k={w % 7}")
+        for m in members:
+            emit("member", f"node/{m}@role=")
+        emit("version", f"v=2;ts={ts2};cs={WAY_CS_BASE + w * 1000 + 2};uid={(w + 1) % 37};vis={int(vis2)}")
+        if vis2:
+            emit("tag", "etype=way")
+            emit("tag", f"k={w % 7 + 1}")
+        for m in members:
+            emit("member", f"node/{m}@role=")
+
+        kinds_parts.append(np.array(hk, dtype=object))
+        kinds_parts.append(child_kinds[cs_s:cs_e])
+        texts_parts.append(np.array(ht, dtype=object))
+        texts_parts.append(child_texts[cs_s:cs_e])
+        refs_parts.append(np.array(hr, dtype=object))
+        refs_parts.append(child_refs[cs_s:cs_e])
+        doc_lens.append(len(hk) + (cs_e - cs_s))
+
+    all_kinds = np.concatenate(kinds_parts) if kinds_parts else np.array([], dtype=object)
+    all_texts = np.concatenate(texts_parts) if texts_parts else np.array([], dtype=object)
+    all_refs = np.concatenate(refs_parts) if refs_parts else np.array([], dtype=object)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    doc_span_start = np.repeat(np.r_[0, np.cumsum(doc_lens)[:-1]], doc_lens)
+    offsets = (np.arange(len(all_kinds)) - doc_span_start).astype(np.int32)
+
+    spans_flat = pa.StructArray.from_arrays(
+        [
+            pa.array(all_kinds, type=pa.string()),
+            pa.array(all_texts, type=pa.string()),
+            pa.array(all_refs, type=pa.string()),
+            pa.array(offsets, type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    list_offsets = np.r_[0, np.cumsum(doc_lens)].astype(np.int32)
+    spans_col = pa.ListArray.from_arrays(pa.array(list_offsets), spans_flat)
+
+    w_idx = [int(w) for w in way_ids]
+    zero = bb.loc[w_idx, "anyv"].to_numpy() == 0
+    bcols = {}
+    for c in ("mn_lon", "mx_lon", "mn_lat", "mx_lat"):
+        arr = bb.loc[w_idx, c].to_numpy().copy()
+        arr[zero] = 0
+        bcols[c] = arr
+    return pa.table(
+        {
+            "doc_id": pa.array(["way/" + str(w) for w in w_idx], type=pa.string()),
+            "osm_type": pa.array(np.full(len(w_idx), "way", dtype=object), type=pa.string()),
+            "osm_id": pa.array(np.asarray(w_idx, dtype=np.int64)),
+            "n_versions": pa.array(np.full(len(w_idx), 2, dtype=np.int32), type=pa.int32()),
+            "min_lon_e7": pa.array(bcols["mn_lon"]),
+            "max_lon_e7": pa.array(bcols["mx_lon"]),
+            "min_lat_e7": pa.array(bcols["mn_lat"]),
+            "max_lat_e7": pa.array(bcols["mx_lat"]),
+            "spans": spans_col,
+        },
+        schema=DOCUMENTS_SCHEMA,
+    )
+
 
 def build_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
     """events.parquet -> span-document Dataset (the ingest pipeline).
@@ -243,6 +411,72 @@ def build_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
         .groupby("_bucket")
         .map_groups(lambda g: _pack_bucket(g.drop(columns=["_bucket"])), batch_format="pandas")
     )
+
+
+def build_way_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
+    """events.parquet -> compound WAY span-document Dataset.
+
+    Same shape as build_documents but the ingest shuffle co-locates
+    each way's member-node events (bucket by way id), and the packer
+    emits compound documents with denormalized child histories."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    derived = ev.map_batches(derive_version_columns, batch_format="pyarrow")
+    if rep > 1:
+        import pyarrow.compute as pc
+
+        def replicate(batch: pa.Table) -> pa.Table:
+            parts = []
+            for r in range(rep):
+                t = batch.set_column(
+                    batch.schema.get_field_index("osm_id"),
+                    "osm_id",
+                    pc.add(batch["osm_id"], r * REP_STRIDE),
+                )
+                parts.append(t)
+            return pa.concat_tables(parts)
+
+        derived = derived.map_batches(replicate, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["osm_id"].to_numpy(zero_copy_only=False) // WAY_BLOCK) % 64
+        return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    return (
+        derived.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(lambda g: _pack_way_bucket(g.drop(columns=["_bucket"])), batch_format="pandas")
+    )
+
+
+def ensure_way_documents(sf_dir: str, rep: int = 1) -> str:
+    """Materialize (once) and return the way span-document table path
+    (same atomic cache protocol as ensure_documents)."""
+    src = Path(sf_dir) / "events.parquet"
+    key = hashlib.sha256(
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:ways:v1".encode()
+    ).hexdigest()[:16]
+    out = Path(CACHE_ROOT) / key / "documents_ways"
+    if out.exists():
+        return str(out)
+    tmp = Path(CACHE_ROOT) / key / f".tmp_{os.getpid()}"
+    ds = build_way_documents(sf_dir, rep)
+    rio.write_table(ds, str(tmp))
+    try:
+        tmp.rename(out)
+    except OSError:
+        if not out.exists():
+            raise
+    return str(out)
+
+
+def read_way_documents(
+    sf_dir: str, columns: list[str] | None = None, rep: int = 1
+) -> ray.data.Dataset:
+    """Read the (cached) compound way-document table."""
+    return rio.read_table(ensure_way_documents(sf_dir, rep), columns=columns)
 
 
 def ensure_documents(sf_dir: str, rep: int = 1) -> str:

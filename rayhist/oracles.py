@@ -562,6 +562,150 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ----------------------------------------------- compound (way) docs
+#
+# The way-document derivation (rayhist.ingest "way documents" comment
+# block) is mirrored here: way w = member nodes {5w..5w+4}, v1 at
+# ts1 = min(member ts) (visible, k=w%7), v2 at ts2 = max(member ts)+1
+# (invisible when w%3==0, else k=w%7+1). The member-recursion
+# semantics (modification timestamps = parent ts  U  child version ts
+# inside validity windows, changeset collapse with parent putIfAbsent
+# precedence, child-attributed uids, member-resolved coords) are
+# expressed with window functions + ASOF-style row_number joins.
+
+_WAY_CTE = """
+, ways AS (
+  SELECT osm_id//5 AS wid, min(ts_us) AS ts1, max(ts_us)+1 AS ts2
+  FROM d GROUP BY 1
+), wv AS (
+  SELECT wid, 1 AS pv, ts1 AS ts, 2000000000 + wid*1000 + 1 AS cs,
+         wid % 37 AS uid, TRUE AS visible FROM ways
+  UNION ALL
+  SELECT wid, 2, ts2, 2000000000 + wid*1000 + 2, (wid+1) % 37,
+         (wid % 3 <> 0) FROM ways
+)
+"""
+
+
+def contrib_type_counts_ways(t_from: int, t_to: int) -> str:
+    return (
+        DERIVE
+        + _WAY_CTE
+        + f"""
+, nodecs AS (
+  -- per (way, ts): engine's cs_map takes the FIRST member's changeset
+  -- (dict setdefault in member order = ascending id) and the LAST
+  -- member's uid (overwrite in member order)
+  SELECT osm_id//5 AS wid, ts_us AS ts,
+         arg_min(cs, osm_id) AS ncs, arg_max(uid, osm_id) AS nuid
+  FROM d GROUP BY 1, 2
+), mts AS (
+  SELECT wid, ts FROM wv
+  UNION
+  SELECT wid, ts FROM nodecs
+), cs_at AS (
+  SELECT m.wid, m.ts,
+         coalesce(p.cs, nc.ncs) AS cs,      -- parent wins at equal ts
+         coalesce(p.uid, nc.nuid) AS uid
+  FROM mts m
+  LEFT JOIN wv p ON p.wid = m.wid AND p.ts = m.ts
+  LEFT JOIN nodecs nc ON nc.wid = m.wid AND nc.ts = m.ts
+), coll AS (
+  SELECT * FROM (
+    SELECT c.*, lead(cs) OVER (PARTITION BY wid ORDER BY ts) AS next_cs FROM cs_at c
+  ) WHERE next_cs IS NULL OR next_cs <> cs
+), st2 AS (
+  SELECT coll.wid, coll.ts, coll.uid AS attr_uid,
+         CASE WHEN coll.ts >= w.ts2 THEN 2 ELSE 1 END AS pv
+  FROM coll JOIN ways w ON w.wid = coll.wid
+), res AS (
+  SELECT k.wid, k.ts AS qts, nd.osm_id, nd.lon_e7, nd.lat_e7, nd.visible
+  FROM coll k JOIN d nd ON nd.osm_id//5 = k.wid AND nd.ts_us <= k.ts
+  QUALIFY row_number() OVER (PARTITION BY k.wid, k.ts, nd.osm_id
+                             ORDER BY nd.ts_us DESC, nd.v DESC) = 1
+), sig AS (
+  -- member-resolved coord list in member order (engine compares the
+  -- bare coord tuples, ids excluded); deleted members skipped
+  SELECT wid, qts,
+         coalesce(string_agg(lon_e7 || ':' || lat_e7, ',' ORDER BY osm_id)
+                  FILTER (WHERE visible), '') AS csig
+  FROM res GROUP BY 1, 2
+), seq AS (
+  SELECT s.wid, s.ts, s.attr_uid, s.pv, p.visible AS pres, g.csig,
+         coalesce(lag(p.visible) OVER w, FALSE) AS prev_present,
+         lag(s.pv) OVER w AS prev_pv,
+         lag(g.csig) OVER w AS prev_csig
+  FROM st2 s
+  JOIN wv p ON p.wid = s.wid AND p.pv = s.pv
+  JOIN sig g ON g.wid = s.wid AND g.qts = s.ts
+  WINDOW w AS (PARTITION BY s.wid ORDER BY s.ts)
+), contrib AS (
+  SELECT *,
+         (pres AND NOT prev_present) AS is_creation,
+         (NOT pres AND prev_present) AS is_deletion,
+         (pres AND prev_present AND pv <> prev_pv) AS is_tag_change,
+         (pres AND prev_present AND csig <> prev_csig) AS is_geom_change
+  FROM seq
+  WHERE ts >= {int(t_from)} AND ts < {int(t_to)} AND (pres OR prev_present)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CAST(is_creation AS BIGINT)) AS BIGINT) AS n_creation,
+       CAST(sum(CAST(is_deletion AS BIGINT)) AS BIGINT) AS n_deletion,
+       CAST(sum(CAST(is_tag_change AS BIGINT)) AS BIGINT) AS n_tag_change,
+       CAST(sum(CAST(is_geom_change AS BIGINT)) AS BIGINT) AS n_geom_change,
+       CAST(sum(attr_uid) AS BIGINT) AS sum_uid
+FROM contrib
+"""
+    )
+
+
+def snapshot_way_geoms(timestamps) -> str:
+    return (
+        DERIVE
+        + _WAY_CTE
+        + f"""
+, pvis AS (
+  SELECT tl.ts_q, w.wid
+  FROM {_ts_list(timestamps)}
+  JOIN ways w ON w.ts1 <= tl.ts_q
+  JOIN wv p ON p.wid = w.wid
+           AND p.pv = CASE WHEN tl.ts_q >= w.ts2 THEN 2 ELSE 1 END
+  WHERE p.visible
+), res AS (
+  SELECT p.wid, p.ts_q, nd.osm_id, nd.lon_e7, nd.lat_e7, nd.visible
+  FROM pvis p JOIN d nd ON nd.osm_id//5 = p.wid AND nd.ts_us <= p.ts_q
+  QUALIFY row_number() OVER (PARTITION BY p.wid, p.ts_q, nd.osm_id
+                             ORDER BY nd.ts_us DESC, nd.v DESC) = 1
+)
+SELECT wid AS way_id, ts_q,
+       CAST(count(*) FILTER (WHERE visible) AS BIGINT) AS n_nodes,
+       CAST(coalesce(sum(lon_e7) FILTER (WHERE visible), 0) AS BIGINT) AS sum_lon,
+       CAST(coalesce(sum(lat_e7) FILTER (WHERE visible), 0) AS BIGINT) AS sum_lat
+FROM res GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
+def snapshot_count_by_type() -> str:
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + _WAY_CTE
+        + f"""
+SELECT * FROM (
+  SELECT 'node' AS osm_type, CAST(count(*) AS BIGINT) AS n_snapshots FROM snap
+  UNION ALL
+  SELECT 'way', CAST(count(*) AS BIGINT)
+  FROM ways w
+  JOIN wv p ON p.wid = w.wid
+           AND p.pv = CASE WHEN {T_MID} >= w.ts2 THEN 2 ELSE 1 END
+  WHERE w.ts1 <= {T_MID} AND p.visible
+) ORDER BY osm_type
+"""
+    )
+
+
 def snapshot_cells_fine() -> str:
     cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
     nx = 1 << 10

@@ -830,6 +830,100 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
+# ------------------------------------------------ compound (way) docs
+WAY_CONTRIB_FROM = T0  # full-January window so way CREATE/DELETE land inside
+WAY_CONTRIB_TO = T0 + 32 * DAY_US
+WAY_SNAPS = [*SNAP_WEEKLY, T0 + 32 * DAY_US]  # + Feb 2: after every way's v2
+
+
+def q_contrib_type_counts_ways(sf_dir: str) -> pd.DataFrame:
+    """Contribution counts over COMPOUND way documents — exercises the
+    member-history recursion (OSHEntities._getModificationTimestamps,
+    OSHEntities.java:330-393): member-node edits inside validity
+    windows surface as way contributions (GEOMETRY_CHANGE / empty
+    sets), changeset-collapsed with parent changesets winning, and the
+    contributor uid of a pure member edit comes from the CHILD version
+    (OSMContribution.java:211-257) — sum_uid pins that attribution."""
+    from .aggregate import combine_partials
+    from .ingest import read_way_documents
+    from .members import contribution_stats_batch
+
+    def stage(batch: pa.Table) -> pa.Table:
+        return contribution_stats_batch(batch, WAY_CONTRIB_FROM, WAY_CONTRIB_TO)
+
+    partials = read_way_documents(sf_dir).map_batches(stage, batch_format="pyarrow")
+    return combine_partials(
+        partials,
+        [],
+        {
+            "n_part": "n_total",
+            "creation_part": "n_creation",
+            "deletion_part": "n_deletion",
+            "tag_part": "n_tag_change",
+            "geom_part": "n_geom_change",
+            "uid_part": "sum_uid",
+        },
+    )
+
+
+def q_snapshot_way_geoms(sf_dir: str) -> pd.DataFrame:
+    """Snapshot view over compound way documents: per (way, ts) the
+    member-resolved geometry (each member node at its latest
+    at-or-before-ts version, deleted members skipped —
+    OSHDBGeometryBuilder.java:72-110), reported as integer-exact
+    node count + coordinate sums. The Feb-2 timestamp falls after
+    every way's v2, so deleted ways (w%3==0) drop out there."""
+    from .ingest import read_way_documents
+    from .members import snapshot_geoms_batch
+
+    def stage(batch: pa.Table) -> pa.Table:
+        return snapshot_geoms_batch(batch, WAY_SNAPS)
+
+    df = (
+        read_way_documents(sf_dir)
+        .map_batches(stage, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values(["way_id", "ts_q"]).reset_index(drop=True)
+
+
+def q_snapshot_count_by_type(sf_dir: str) -> pd.DataFrame:
+    """Mixed-corpus snapshot count at T_MID grouped by osmType — the
+    union of the node and way document tables with per-type routing
+    (vectorized node path, member-recursion way path), the
+    MapReducer.osmType(...) filter surface (MapReducer.java:396-401)."""
+    from .aggregate import combine_partials
+    from .ingest import read_way_documents
+    from .members import snapshot_geoms_batch
+    from .model import decode_spans
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def node_stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch), ts)
+        return pa.table(
+            {
+                "osm_type": pa.array(["node"]),
+                "n_part": pa.array([len(s)], type=pa.int64()),
+            }
+        )
+
+    def way_stage(batch: pa.Table) -> pa.Table:
+        s = snapshot_geoms_batch(batch, [T_MID])
+        return pa.table(
+            {
+                "osm_type": pa.array(["way"]),
+                "n_part": pa.array([len(s)], type=pa.int64()),
+            }
+        )
+
+    node_partials = _docs(sf_dir).map_batches(node_stage, batch_format="pyarrow")
+    way_partials = read_way_documents(sf_dir).map_batches(way_stage, batch_format="pyarrow")
+    df = combine_partials(node_partials.union(way_partials), ["osm_type"], {"n_part": "n_snapshots"})
+    return df.sort_values("osm_type").reset_index(drop=True)
+
+
 def q_snapshot_cells_fine(sf_dir: str) -> pd.DataFrame:
     """Snapshot counts per FINE grid cell (zoom 10, ~0.35deg tiles):
     the high-cardinality final where the partial-combine stays a
