@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrib_type_counts_ways": p.q_contrib_type_counts_ways,
         "snapshot_way_geoms": p.q_snapshot_way_geoms,
         "snapshot_count_by_type": p.q_snapshot_count_by_type,
+        "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
+        "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
     }
 
 
@@ -125,6 +127,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_way_geoms": o.snapshot_way_geoms(p.WAY_SNAPS),
         "snapshot_count_by_type": o.snapshot_count_by_type(),
+        "contrib_type_counts_relations": o.contrib_type_counts_relations(
+            p.WAY_CONTRIB_FROM, p.WAY_CONTRIB_TO
+        ),
+        "snapshot_relation_geoms": o.snapshot_relation_geoms(p.WAY_SNAPS),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

@@ -413,12 +413,165 @@ def build_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
     )
 
 
-def build_way_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
-    """events.parquet -> compound WAY span-document Dataset.
+# -------------------------------------------------- relation documents
+#
+# Relation r = way members {2r, 2r+1} (ascending; the last relation may
+# hold a single way when the way count is odd), ONE visible version at
+# rts = min(member-way ts1), tags etype=relation / k=(r%7),
+# cs = 3e9 + r*1000 + 1, uid = r % 37. Children are denormalized TWO
+# LEVELS deep: the member ways' own versions (each carrying ITS member
+# node list) plus every node's full history — exercising the
+# reference's recursive relation path (OSHEntities.java:395-478 and
+# the two-level OSMMember.entity chain). Ways are emitted before nodes
+# so the changeset map's putIfAbsent order matches parse_doc insertion.
+
+REL_BLOCK = 2 * WAY_BLOCK
+REL_CS_BASE = 3_000_000_000
+
+
+def _pack_rel_bucket(group: pd.DataFrame) -> pa.Table:
+    """Pack a bucket of COMPLETE relation histories (all node events of
+    each relation's member ways) into 2-level compound documents."""
+    g = group.sort_values(["osm_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    osm = g["osm_id"].to_numpy()
+    n = len(g)
+    node_start = np.r_[True, osm[1:] != osm[:-1]]
+    start_idx = np.maximum.accumulate(np.where(node_start, np.arange(n), 0))
+    v = np.arange(n) - start_idx + 1
+    ts = g["ts"].to_numpy()
+    uid = g["uid"].to_numpy()
+    vis = g["visible"].to_numpy()
+    kk = g["kk"].to_numpy()
+    cs = osm * 1_000_000 + (v - 1) // 3
+    lon, lat = coords_for(osm, v, kk)
+    wid = osm // WAY_BLOCK
+    rid = osm // REL_BLOCK
+
+    s = pd.Series
+    vs, tss, css, uids = s(v).astype(str), s(ts).astype(str), s(cs).astype(str), s(uid).astype(str)
+    child_pfx = ("child=node/" + s(osm).astype(str) + ";").to_numpy()
+    ver_text = (child_pfx + ("v=" + vs + ";ts=" + tss + ";cs=" + css + ";uid=" + uids
+                + ";vis=" + s(vis.astype(np.int64)).astype(str)).to_numpy())
+    geom_ref = ("geom:child=node/" + s(osm).astype(str) + ";v=" + vs
+                + ";lon=" + s(lon).astype(str) + ";lat=" + s(lat).astype(str)).to_numpy()
+
+    n_slots = 1 + vis.astype(np.int64)
+    total = int(n_slots.sum())
+    ver_of_span = np.repeat(np.arange(n), n_slots)
+    span_end = np.cumsum(n_slots)
+    slot = np.arange(total) - np.repeat(span_end - n_slots, n_slots)
+    child_kinds = np.where(slot == 0, "version", "geom").astype(object)
+    child_texts = np.where(slot == 0, ver_text[ver_of_span], "").astype(object)
+    child_refs = np.where(slot == 1, geom_ref[ver_of_span], "").astype(object)
+    child_rid = np.repeat(rid, n_slots)
+
+    rel_first = np.r_[True, child_rid[1:] != child_rid[:-1]]
+    rel_starts = np.flatnonzero(rel_first)
+    rel_ends = np.r_[rel_starts[1:], total]
+    rel_ids = child_rid[rel_starts]
+
+    per_way = pd.DataFrame({"wid": wid, "ts": ts}).groupby("wid").agg(ts1=("ts", "min"), ts2=("ts", "max"))
+    bb = pd.DataFrame(
+        {
+            "rid": rid,
+            "lon": np.where(vis, lon, np.int64(np.iinfo(np.int64).max)),
+            "lon2": np.where(vis, lon, np.int64(np.iinfo(np.int64).min)),
+            "lat": np.where(vis, lat, np.int64(np.iinfo(np.int64).max)),
+            "lat2": np.where(vis, lat, np.int64(np.iinfo(np.int64).min)),
+            "v": vis.astype(np.int64),
+        }
+    ).groupby("rid").agg(mn_lon=("lon", "min"), mx_lon=("lon2", "max"),
+                         mn_lat=("lat", "min"), mx_lat=("lat2", "max"), anyv=("v", "max"))
+    ways_of = {int(r): sorted(int(w) for w in set(wid[rid == r])) for r in rel_ids}
+    members_of = {int(w): sorted(int(o) for o in set(osm[wid == w])) for w in set(wid)}
+
+    kinds_parts, texts_parts, refs_parts, doc_lens = [], [], [], []
+    for r, cs_s, cs_e in zip(rel_ids, rel_starts, rel_ends):
+        r = int(r)
+        ways = ways_of[r]
+        rts = int(min(per_way.loc[w, "ts1"] for w in ways))
+        hk, ht, hr = [], [], []
+
+        def emit(kind, text="", ref=""):
+            hk.append(kind)
+            ht.append(text)
+            hr.append(ref)
+
+        emit("version", f"v=1;ts={rts};cs={REL_CS_BASE + r * 1000 + 1};uid={r % 37};vis=1")
+        emit("tag", "etype=relation")
+        emit("tag", f"k={r % 7}")
+        for w in ways:
+            emit("member", f"way/{w}@role=")
+        # way children (before nodes: changeset-map putIfAbsent order),
+        # each version carrying the way's OWN member list
+        for w in ways:
+            ts1 = int(per_way.loc[w, "ts1"])
+            ts2 = int(per_way.loc[w, "ts2"]) + 1
+            vis2 = w % 3 != 0
+            emit("version", f"child=way/{w};v=1;ts={ts1};cs={WAY_CS_BASE + w * 1000 + 1};uid={w % 37};vis=1")
+            for m in members_of[w]:
+                emit("member", f"node/{m}@role=")
+            emit("version", f"child=way/{w};v=2;ts={ts2};cs={WAY_CS_BASE + w * 1000 + 2};uid={(w + 1) % 37};vis={int(vis2)}")
+            for m in members_of[w]:
+                emit("member", f"node/{m}@role=")
+
+        kinds_parts.append(np.array(hk, dtype=object))
+        kinds_parts.append(child_kinds[cs_s:cs_e])
+        texts_parts.append(np.array(ht, dtype=object))
+        texts_parts.append(child_texts[cs_s:cs_e])
+        refs_parts.append(np.array(hr, dtype=object))
+        refs_parts.append(child_refs[cs_s:cs_e])
+        doc_lens.append(len(hk) + (cs_e - cs_s))
+
+    all_kinds = np.concatenate(kinds_parts) if kinds_parts else np.array([], dtype=object)
+    all_texts = np.concatenate(texts_parts) if texts_parts else np.array([], dtype=object)
+    all_refs = np.concatenate(refs_parts) if refs_parts else np.array([], dtype=object)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    doc_span_start = np.repeat(np.r_[0, np.cumsum(doc_lens)[:-1]], doc_lens)
+    offsets = (np.arange(len(all_kinds)) - doc_span_start).astype(np.int32)
+
+    spans_flat = pa.StructArray.from_arrays(
+        [
+            pa.array(all_kinds, type=pa.string()),
+            pa.array(all_texts, type=pa.string()),
+            pa.array(all_refs, type=pa.string()),
+            pa.array(offsets, type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    list_offsets = np.r_[0, np.cumsum(doc_lens)].astype(np.int32)
+    spans_col = pa.ListArray.from_arrays(pa.array(list_offsets), spans_flat)
+
+    r_idx = [int(r) for r in rel_ids]
+    zero = bb.loc[r_idx, "anyv"].to_numpy() == 0
+    bcols = {}
+    for c in ("mn_lon", "mx_lon", "mn_lat", "mx_lat"):
+        arr = bb.loc[r_idx, c].to_numpy().copy()
+        arr[zero] = 0
+        bcols[c] = arr
+    return pa.table(
+        {
+            "doc_id": pa.array(["relation/" + str(r) for r in r_idx], type=pa.string()),
+            "osm_type": pa.array(np.full(len(r_idx), "relation", dtype=object), type=pa.string()),
+            "osm_id": pa.array(np.asarray(r_idx, dtype=np.int64)),
+            "n_versions": pa.array(np.full(len(r_idx), 1, dtype=np.int32), type=pa.int32()),
+            "min_lon_e7": pa.array(bcols["mn_lon"]),
+            "max_lon_e7": pa.array(bcols["mx_lon"]),
+            "min_lat_e7": pa.array(bcols["mn_lat"]),
+            "max_lat_e7": pa.array(bcols["mx_lat"]),
+            "spans": spans_col,
+        },
+        schema=DOCUMENTS_SCHEMA,
+    )
+
+
+def _build_compound(sf_dir: str, rep: int, block: int, packer) -> ray.data.Dataset:
+    """events.parquet -> compound span-document Dataset.
 
     Same shape as build_documents but the ingest shuffle co-locates
-    each way's member-node events (bucket by way id), and the packer
-    emits compound documents with denormalized child histories."""
+    each parent entity's member-node events (bucket by parent id =
+    osm_id // block), and the packer emits compound documents with
+    denormalized child histories."""
     ev = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -441,28 +594,36 @@ def build_way_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
         derived = derived.map_batches(replicate, batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = (batch["osm_id"].to_numpy(zero_copy_only=False) // WAY_BLOCK) % 64
+        b = (batch["osm_id"].to_numpy(zero_copy_only=False) // block) % 64
         return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
 
     return (
         derived.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(lambda g: _pack_way_bucket(g.drop(columns=["_bucket"])), batch_format="pandas")
+        .map_groups(lambda g: packer(g.drop(columns=["_bucket"])), batch_format="pandas")
     )
 
 
-def ensure_way_documents(sf_dir: str, rep: int = 1) -> str:
-    """Materialize (once) and return the way span-document table path
-    (same atomic cache protocol as ensure_documents)."""
+def build_way_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
+    return _build_compound(sf_dir, rep, WAY_BLOCK, _pack_way_bucket)
+
+
+def build_relation_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
+    return _build_compound(sf_dir, rep, REL_BLOCK, _pack_rel_bucket)
+
+
+def _ensure_compound(sf_dir: str, rep: int, tag: str, builder) -> str:
+    """Materialize (once) a compound table (same atomic cache protocol
+    as ensure_documents)."""
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:ways:v1".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:{tag}:v1".encode()
     ).hexdigest()[:16]
-    out = Path(CACHE_ROOT) / key / "documents_ways"
+    out = Path(CACHE_ROOT) / key / f"documents_{tag}"
     if out.exists():
         return str(out)
     tmp = Path(CACHE_ROOT) / key / f".tmp_{os.getpid()}"
-    ds = build_way_documents(sf_dir, rep)
+    ds = builder(sf_dir, rep)
     rio.write_table(ds, str(tmp))
     try:
         tmp.rename(out)
@@ -472,11 +633,26 @@ def ensure_way_documents(sf_dir: str, rep: int = 1) -> str:
     return str(out)
 
 
+def ensure_way_documents(sf_dir: str, rep: int = 1) -> str:
+    return _ensure_compound(sf_dir, rep, "ways", build_way_documents)
+
+
+def ensure_relation_documents(sf_dir: str, rep: int = 1) -> str:
+    return _ensure_compound(sf_dir, rep, "relations", build_relation_documents)
+
+
 def read_way_documents(
     sf_dir: str, columns: list[str] | None = None, rep: int = 1
 ) -> ray.data.Dataset:
     """Read the (cached) compound way-document table."""
     return rio.read_table(ensure_way_documents(sf_dir, rep), columns=columns)
+
+
+def read_relation_documents(
+    sf_dir: str, columns: list[str] | None = None, rep: int = 1
+) -> ray.data.Dataset:
+    """Read the (cached) 2-level compound relation-document table."""
+    return rio.read_table(ensure_relation_documents(sf_dir, rep), columns=columns)
 
 
 def ensure_documents(sf_dir: str, rep: int = 1) -> str:

@@ -686,6 +686,115 @@ FROM res GROUP BY 1, 2 ORDER BY 1, 2
     )
 
 
+# 2-level relation documents: relation r = ways {2r, 2r+1}, one
+# visible version at rts = min(way ts1), cs = 3e9 + r*1000 + 1,
+# uid = r % 37. Node edits recurse through the way level; way
+# visibility gates whole node groups out of the resolved geometry.
+_REL_CTE = """
+, rels AS (SELECT wid//2 AS rid, min(ts1) AS rts FROM ways GROUP BY 1)
+"""
+
+
+def contrib_type_counts_relations(t_from: int, t_to: int) -> str:
+    return (
+        DERIVE
+        + _WAY_CTE
+        + _REL_CTE
+        + f"""
+, nodecs_r AS (
+  SELECT osm_id//10 AS rid, ts_us AS ts, arg_min(cs, osm_id) AS ncs
+  FROM d GROUP BY 1, 2
+), wvx AS (
+  -- direct way-member versions keyed by (relation, ts): changeset from
+  -- the FIRST way in member order (putIfAbsent), uid from the LAST
+  SELECT wid//2 AS rid, ts, arg_min(cs, wid) AS wcs, arg_max(uid, wid) AS wuid
+  FROM wv GROUP BY 1, 2
+), mts_r AS (
+  SELECT rid, rts AS ts FROM rels
+  UNION
+  SELECT rid, ts FROM wvx
+  UNION
+  SELECT rid, ts FROM nodecs_r
+), cs_at_r AS (
+  SELECT m.rid, m.ts,
+         CASE WHEN m.ts = r.rts THEN 3000000000 + m.rid*1000 + 1
+              WHEN wvx.wcs IS NOT NULL THEN wvx.wcs
+              ELSE nc.ncs END AS cs,
+         CASE WHEN m.ts = r.rts THEN m.rid % 37
+              WHEN wvx.wuid IS NOT NULL THEN wvx.wuid
+              ELSE m.rid % 37 END AS attr_uid
+  FROM mts_r m
+  JOIN rels r ON r.rid = m.rid
+  LEFT JOIN wvx ON wvx.rid = m.rid AND wvx.ts = m.ts
+  LEFT JOIN nodecs_r nc ON nc.rid = m.rid AND nc.ts = m.ts
+), coll_r AS (
+  SELECT * FROM (
+    SELECT c.*, lead(cs) OVER (PARTITION BY rid ORDER BY ts) AS next_cs FROM cs_at_r c
+  ) WHERE next_cs IS NULL OR next_cs <> cs
+), res_r AS (
+  SELECT k.rid, k.ts AS qts, nd.lon_e7, nd.lat_e7, nd.osm_id,
+         (nd.visible AND (k.ts < w.ts2 OR w.wid % 3 <> 0)) AS vis_eff
+  FROM coll_r k
+  JOIN d nd ON nd.osm_id//10 = k.rid AND nd.ts_us <= k.ts
+  JOIN ways w ON w.wid = nd.osm_id//5
+  QUALIFY row_number() OVER (PARTITION BY k.rid, k.ts, nd.osm_id
+                             ORDER BY nd.ts_us DESC, nd.v DESC) = 1
+), sig_r AS (
+  SELECT rid, qts,
+         coalesce(string_agg(lon_e7 || ':' || lat_e7, ',' ORDER BY osm_id)
+                  FILTER (WHERE vis_eff), '') AS csig
+  FROM res_r GROUP BY 1, 2
+), seq_r AS (
+  SELECT k.rid, k.ts, k.attr_uid, g.csig,
+         lag(g.csig) OVER w AS prev_csig,
+         row_number() OVER w AS rn
+  FROM coll_r k JOIN sig_r g ON g.rid = k.rid AND g.qts = k.ts
+  WINDOW w AS (PARTITION BY k.rid ORDER BY k.ts)
+), contrib_r AS (
+  SELECT *,
+         (rn = 1) AS is_creation,
+         FALSE AS is_deletion,
+         FALSE AS is_tag_change,
+         (rn > 1 AND csig <> prev_csig) AS is_geom_change
+  FROM seq_r
+  WHERE ts >= {int(t_from)} AND ts < {int(t_to)}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CAST(is_creation AS BIGINT)) AS BIGINT) AS n_creation,
+       CAST(sum(CAST(is_deletion AS BIGINT)) AS BIGINT) AS n_deletion,
+       CAST(sum(CAST(is_tag_change AS BIGINT)) AS BIGINT) AS n_tag_change,
+       CAST(sum(CAST(is_geom_change AS BIGINT)) AS BIGINT) AS n_geom_change,
+       CAST(sum(attr_uid) AS BIGINT) AS sum_uid
+FROM contrib_r
+"""
+    )
+
+
+def snapshot_relation_geoms(timestamps) -> str:
+    return (
+        DERIVE
+        + _WAY_CTE
+        + _REL_CTE
+        + f"""
+, res_r AS (
+  SELECT r.rid, tl.ts_q, nd.osm_id, nd.lon_e7, nd.lat_e7,
+         (nd.visible AND (tl.ts_q < w.ts2 OR w.wid % 3 <> 0)) AS vis_eff
+  FROM {_ts_list(timestamps)}
+  JOIN rels r ON r.rts <= tl.ts_q
+  JOIN d nd ON nd.osm_id//10 = r.rid AND nd.ts_us <= tl.ts_q
+  JOIN ways w ON w.wid = nd.osm_id//5
+  QUALIFY row_number() OVER (PARTITION BY r.rid, tl.ts_q, nd.osm_id
+                             ORDER BY nd.ts_us DESC, nd.v DESC) = 1
+)
+SELECT rid AS rel_id, ts_q,
+       CAST(count(*) FILTER (WHERE vis_eff) AS BIGINT) AS n_nodes,
+       CAST(coalesce(sum(lon_e7) FILTER (WHERE vis_eff), 0) AS BIGINT) AS sum_lon,
+       CAST(coalesce(sum(lat_e7) FILTER (WHERE vis_eff), 0) AS BIGINT) AS sum_lat
+FROM res_r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
 def snapshot_count_by_type() -> str:
     cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
     return (

@@ -887,6 +887,54 @@ def q_snapshot_way_geoms(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["way_id", "ts_q"]).reset_index(drop=True)
 
 
+def q_contrib_type_counts_relations(sf_dir: str) -> pd.DataFrame:
+    """Contribution counts over 2-LEVEL compound relation documents —
+    the recursive relation path (OSHEntities.java:395-478): a node edit
+    reaches the relation THROUGH its way's recursive modification
+    timestamps; way visibility changes drop whole member ways from the
+    resolved geometry. n_deletion/n_tag_change are structurally 0
+    (single visible relation version) and the oracle proves it."""
+    from .aggregate import combine_partials
+    from .ingest import read_relation_documents
+    from .members import contribution_stats_batch
+
+    def stage(batch: pa.Table) -> pa.Table:
+        return contribution_stats_batch(batch, WAY_CONTRIB_FROM, WAY_CONTRIB_TO)
+
+    partials = read_relation_documents(sf_dir).map_batches(stage, batch_format="pyarrow")
+    return combine_partials(
+        partials,
+        [],
+        {
+            "n_part": "n_total",
+            "creation_part": "n_creation",
+            "deletion_part": "n_deletion",
+            "tag_part": "n_tag_change",
+            "geom_part": "n_geom_change",
+            "uid_part": "sum_uid",
+        },
+    )
+
+
+def q_snapshot_relation_geoms(sf_dir: str) -> pd.DataFrame:
+    """Snapshot view over relation documents: member ways resolve at
+    ts, then THEIR member nodes resolve recursively
+    (resolve_coords two-level chain, OSMMember.entity); invisible ways
+    drop all their nodes from the geometry."""
+    from .ingest import read_relation_documents
+    from .members import snapshot_geoms_batch
+
+    def stage(batch: pa.Table) -> pa.Table:
+        return snapshot_geoms_batch(batch, WAY_SNAPS, id_name="rel_id")
+
+    df = (
+        read_relation_documents(sf_dir)
+        .map_batches(stage, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values(["rel_id", "ts_q"]).reset_index(drop=True)
+
+
 def q_snapshot_count_by_type(sf_dir: str) -> pd.DataFrame:
     """Mixed-corpus snapshot count at T_MID grouped by osmType — the
     union of the node and way document tables with per-type routing
