@@ -182,12 +182,20 @@ def minhash_lsh_pairs(
     threshold_den: int = 2,
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> minhash -> band ->
-    groupby(band, key) candidate pairs -> exact-Jaccard verification.
+    groupby(band, key) candidate pairs -> DISTRIBUTED exact-Jaccard
+    verification.
 
-    Verification broadcasts the doc->shingle-set map (small corpus); at
-    scale it becomes a join of the candidate list against the shingle
-    table (see module docstring).
+    Verification joins the candidate pairs back to the exploded shingle
+    table: the (small) candidate-pair set and candidate-doc set are
+    broadcast once via ``ray.put``; intersection counts come from the
+    same bucketed groupby(shingle) pair expansion as the exact path,
+    RESTRICTED to candidate docs/pairs — no driver-side corpus load, no
+    per-pair Python loop. Driver state is O(|candidates|), not O(corpus).
     """
+    import zlib
+
+    import ray
+
     cand = (
         docs.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 8))
         .groupby(["band", "key"])
@@ -203,17 +211,70 @@ def minhash_lsh_pairs(
         .to_pandas()
         .drop_duplicates()
     )
-    texts = docs.select_columns(["doc_id", "text"]).to_pandas()
-    sets = {r.doc_id: shingle_set(r.text) for r in texts.itertuples()}
-    rows = []
-    for a, b in cand.itertuples(index=False):
-        sa, sb = sets[a], sets[b]
-        common = len(sa & sb)
-        un = len(sa | sb)
-        if un and common * threshold_den >= un * threshold_num:
-            rows.append((a, b, common, un))
-    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "common", "un"])
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    if cand.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "common", "un"])
+    cand_docs = frozenset(cand["doc_a"]) | frozenset(cand["doc_b"])
+    cand_pairs = frozenset(zip(cand["doc_a"], cand["doc_b"]))
+    docs_ref = ray.put(cand_docs)
+    pairs_ref = ray.put(cand_pairs)
+
+    def explode_candidates(b: pa.Table) -> pa.Table:
+        cd = ray.get(docs_ref)
+        mask = pa.array([d in cd for d in b["doc_id"].to_pylist()])
+        t = explode_shingles(b.filter(mask))
+        buckets = np.fromiter(
+            (zlib.crc32(s.encode()) & 63 for s in t["shingle"].to_pylist()),
+            dtype=np.int64,
+            count=len(t),
+        )
+        return t.append_column("_bucket", pa.array(buckets))
+
+    sh = docs.map_batches(explode_candidates, batch_format="pyarrow").materialize()
+    sizes = sh.groupby("doc_id").count().to_pandas().rename(columns={"count()": "n"})
+    size_map = dict(zip(sizes["doc_id"], sizes["n"]))
+
+    def bucket_common(g: pd.DataFrame) -> pd.DataFrame:
+        cp = ray.get(pairs_ref)
+        g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
+        sh_v = g["shingle"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, sh_v[1:] != sh_v[:-1]])
+        ends = np.r_[starts[1:], len(sh_v)]
+        das, dbs = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            das.append(ids[s + ii])
+            dbs.append(ids[s + jj])
+        if not das:
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0], "common": np.array([], dtype=np.int64)})
+        df = pd.DataFrame({"doc_a": np.concatenate(das), "doc_b": np.concatenate(dbs)})
+        # count only candidate pairs — the rest never reach the driver
+        sel = pd.Series(list(zip(df["doc_a"], df["doc_b"]))).isin(cp).to_numpy()
+        df = df[sel]
+        return df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "common"})
+
+    partials = (
+        sh.groupby("_bucket")
+        .map_groups(lambda g: bucket_common(g.drop(columns=["_bucket"])), batch_format="pandas")
+        .to_pandas()
+    )
+    if partials.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "common", "un"])
+    counts = partials.groupby(["doc_a", "doc_b"], as_index=False)["common"].sum()
+    counts["un"] = (
+        counts["doc_a"].map(size_map).fillna(0) + counts["doc_b"].map(size_map).fillna(0) - counts["common"]
+    ).astype("int64")
+    hit = counts[
+        (counts["un"] > 0)
+        & (counts["common"] * threshold_den >= counts["un"] * threshold_num)
+    ]
+    return (
+        hit.sort_values(["doc_a", "doc_b"])[["doc_a", "doc_b", "common", "un"]]
+        .reset_index(drop=True)
+    )
 
 
 def simhash64(shingles: set[str]) -> int:
@@ -294,42 +355,65 @@ def embedding_dup_pairs(
     tau: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= tau, i < j).
+    """Embedding-cosine near-duplicate pairs (cos >= tau, i < j),
+    EXACT, via a distributed triangular block join.
 
-    The L2-normalized corpus matrix is broadcast via ``ray.put`` once;
-    each batch computes one (batch x corpus) matmul and emits only its
-    above-threshold pairs — O(n^2/blocks) work per batch, no shuffle.
-    At 10^12 scale this brute-force kernel runs per IVF bucket (see
-    rayhist.spatial.knn.ann_cosine_ivf) instead of per corpus.
+    The corpus is hash-split into ``n_blocks`` blocks; every unordered
+    block pair (bi <= bj) becomes one group of a Dataset groupby, and
+    each group computes ONE vectorized (block x block) matmul and emits
+    only its above-threshold pairs. Shuffle volume is O(n * n_blocks)
+    (each vector is replicated once per partner block); compute is the
+    same O(n^2) flops as brute force but spread over B*(B+1)/2
+    independent reducers — NOTHING is materialized on the driver and no
+    worker ever holds more than two blocks. (IVF bucketing would scale
+    further but drops cross-bucket pairs; an exact threshold join needs
+    the full triangle.)
     """
-    import ray
 
-    full = embeddings.to_pandas().sort_values(id_col)
-    ids_all = full[id_col].to_numpy(dtype=np.int64)
-    mat_all = np.stack(full[vec_col].to_numpy()).astype(np.float64)
-    mat_all /= np.linalg.norm(mat_all, axis=1, keepdims=True)
-    ref = ray.put((ids_all, mat_all))
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = ids % n_blocks
+        n = len(ids)
+        # each row joins every block pair it participates in
+        reps = np.repeat(np.arange(n), n_blocks)
+        other = np.tile(np.arange(n_blocks), n)
+        my = blk[reps]
+        bi = np.minimum(my, other)
+        bj = np.maximum(my, other)
+        # `other` hits each block exactly once, so each row lands in its
+        # self-pair (b,b) once and in every cross pair (min,max) once —
+        # no duplicates by construction
+        t = batch.take(pa.array(reps))
+        t = t.append_column("_bi", pa.array(bi))
+        t = t.append_column("_bj", pa.array(bj))
+        return t.append_column("_blk", pa.array(my))
 
-    class PairStage:
-        def __init__(self):
-            self.ids_all, self.mat_all = ray.get(ref)
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(g["_bi"].iloc[0]), int(g["_bj"].iloc[0])
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        if bi == bj:
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(sims >= tau)
+            keep = ids[ii] < ids[jj]
+            a, b, s = ids[ii[keep]], ids[jj[keep]], sims[ii[keep], jj[keep]]
+        else:
+            left = g["_blk"].to_numpy() == bi
+            la, lb = ids[left], ids[~left]
+            ma, mb = mat[left], mat[~left]
+            sims = ma @ mb.T
+            ii, jj = np.nonzero(sims >= tau)
+            a0, b0, s = la[ii], lb[jj], sims[ii, jj]
+            a, b = np.minimum(a0, b0), np.maximum(a0, b0)
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_sim": s})
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ self.mat_all.T
-            bi, cj = np.nonzero(sims >= tau)
-            a, b = ids[bi], self.ids_all[cj]
-            keep = a < b  # canonical orientation, no self/dup pairs
-            return pd.DataFrame(
-                {
-                    "vec_a": a[keep],
-                    "vec_b": b[keep],
-                    "cos_sim": sims[bi[keep], cj[keep]],
-                }
-            )
-
-    out = embeddings.map_batches(PairStage, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    out = (
+        embeddings.map_batches(tag, batch_format="pyarrow")
+        .groupby(["_bi", "_bj"])
+        .map_groups(pair_group, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

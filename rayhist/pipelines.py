@@ -673,18 +673,20 @@ def q_knn_grid(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ann_cosine_ivf(sf_dir: str) -> pd.DataFrame:
-    """IVF-bucketed ANN with full probing (nprobe == nlist), which is
-    provably exact — the bucketing machinery gets the same oracle as
-    the brute-force path; the approximate operating point (nprobe <
-    nlist) is covered by the recall tests."""
+    """IVF-bucketed ANN over the PARTITIONED-BY-BUCKET layout
+    (ensure_ivf_layout) with full probing (nprobe == nlist), which is
+    provably exact — the bucketing + scan-pruning machinery gets the
+    same oracle as the brute-force path; the pruned operating point
+    (nprobe < nlist, scan < corpus) is covered by the recall/pruning
+    tests."""
     import ray.data
 
-    from .spatial.knn import ann_cosine_ivf
+    from .spatial.knn import ann_cosine_ivf_pruned
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = ds.select_columns(["vec_id"]).to_pandas()["vec_id"]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    ids = ds.to_pandas()["vec_id"]
     qids = sorted(int(i) for i in ids if i % 50 == 0)
-    out = ann_cosine_ivf(ds, qids, k=5, nlist=8, nprobe=8)
+    out = ann_cosine_ivf_pruned(f"{sf_dir}/embeddings.parquet", qids, k=5, nlist=8, nprobe=8)
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 

@@ -178,3 +178,36 @@ def test_grouped_tdigest_accuracy():
     merged = est.merge(exact, on="event_type")
     rel = ((merged["p50_est"] - merged["m"]).abs() / merged["m"].abs().clip(lower=1)).max()
     assert rel < 0.02, rel
+
+
+def test_embedding_dup_pairs_blocked_equals_dense():
+    """The distributed triangular block join returns exactly the dense
+    in-memory all-pairs result (same pair set, same similarities)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rayhist.ops.dedup import embedding_dup_pairs
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    got = embedding_dup_pairs(ds, tau=0.4, n_blocks=4)
+
+    tb = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
+    ids = tb["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(tb["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ii, jj = np.nonzero(sims >= 0.4)
+    keep = ids[ii] < ids[jj]
+    import pandas as pd
+
+    exp = (
+        pd.DataFrame({"vec_a": ids[ii[keep]], "vec_b": ids[jj[keep]], "cos_sim": sims[ii[keep], jj[keep]]})
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["vec_a"].to_numpy() == exp["vec_a"].to_numpy()).all()
+    assert (got["vec_b"].to_numpy() == exp["vec_b"].to_numpy()).all()
+    assert np.allclose(got["cos_sim"].to_numpy(), exp["cos_sim"].to_numpy(), atol=1e-12)

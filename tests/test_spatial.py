@@ -175,6 +175,32 @@ def test_ivf_ann_recall():
     assert recalls[8] == 1.0  # probing every bucket == brute force
 
 
+def test_ivf_layout_prunes_scan():
+    """The partitioned-by-bucket layout prunes I/O: at nprobe < nlist
+    the scan reads fewer rows than the corpus, and at nprobe == nlist
+    the layout path equals the in-memory IVF path exactly."""
+    import ray.data
+
+    from rayhist.spatial.knn import ann_cosine_ivf, ann_cosine_ivf_pruned
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    total = ray.data.read_parquet(path).count()
+    qids = [int(i) for i in range(0, 500, 100)]
+
+    full = ann_cosine_ivf_pruned(path, qids, k=5, nlist=8, nprobe=8)
+    assert full.attrs["rows_scanned"] == total
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    mem = ann_cosine_ivf(ds, qids, k=5, nlist=8, nprobe=8)
+    assert full[["query_id", "neighbor_id", "rank"]].equals(
+        mem[["query_id", "neighbor_id", "rank"]]
+    )
+
+    pruned = ann_cosine_ivf_pruned(path, qids, k=5, nlist=8, nprobe=2)
+    assert pruned.attrs["rows_scanned"] < total  # I/O actually pruned
+    # pruned results come only from probed buckets but stay top-k shaped
+    assert (pruned.groupby("query_id")["rank"].max() <= 5).all()
+
+
 def test_region_index_matches_linear_scan():
     """Grid-bucketed many-region PIP == per-region exact test."""
     from rayhist.spatial.join import RegionIndex
