@@ -41,27 +41,50 @@ def md5_hex(texts) -> list[str]:
 
 def shingle_set(text: str, n: int = SHINGLE_N) -> set[str]:
     """Docs shorter than n words have NO shingles — same as the oracle's
-    ``generate_series(1, len(ws)-2)``, which emits nothing for them."""
+    ``generate_series(1, len(ws)-2)``, which emits nothing for them.
+    (Reference definition; the batch path is explode_shingles.)"""
     ws = text.split(" ")
     if len(ws) < n:
         return set()
     return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
 
 
-def _hash64(s: str) -> int:
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+def hash64_arr(strings) -> np.ndarray:
+    """Deterministic (fixed-key, process-salt-free) vectorized 64-bit
+    string hash — pandas' siphash kernel over an object array."""
+    return pd.util.hash_array(np.asarray(strings, dtype=object), categorize=False)
 
 
 def explode_shingles(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """(doc, text) -> one row per DISTINCT (doc, shingle)."""
-    ids = batch[id_col].to_pylist()
-    texts = batch[text_col].to_pylist()
-    out_ids, out_sh = [], []
-    for i, t in zip(ids, texts):
-        for s in shingle_set(t):
-            out_ids.append(i)
-            out_sh.append(s)
-    return pa.table({id_col: pa.array(out_ids, type=batch[id_col].type), "shingle": pa.array(out_sh)})
+    """(doc, text) -> one row per DISTINCT (doc, shingle), built with
+    Arrow kernels end to end: split -> list offsets -> three shifted
+    takes -> binary_join_element_wise -> group_by distinct. No Python
+    loop over words."""
+    import pyarrow.compute as pc
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parts = pc.split_pattern(texts, " ")
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(parts)
+    n_sh = np.maximum(lens - (SHINGLE_N - 1), 0)
+    total = int(n_sh.sum())
+    if total == 0:
+        return pa.table({id_col: batch[id_col].slice(0, 0), "shingle": pa.array([], type=pa.string())})
+    doc_of_sh = np.repeat(np.arange(len(lens)), n_sh)
+    sh_start = np.cumsum(n_sh) - n_sh
+    local = np.arange(total) - sh_start[doc_of_sh]
+    word_start = np.cumsum(lens) - lens
+    base = word_start[doc_of_sh] + local
+    w0 = flat.take(pa.array(base))
+    w1 = flat.take(pa.array(base + 1))
+    w2 = flat.take(pa.array(base + 2))
+    shingles = pc.binary_join_element_wise(w0, w1, w2, " ")
+    ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+    t = pa.table({id_col: ids.take(pa.array(doc_of_sh)), "shingle": shingles})
+    # distinct per (doc, shingle) — C-level hash aggregation
+    return pa.TableGroupBy(t, [id_col, "shingle"]).aggregate([]).select([id_col, "shingle"])
 
 
 def exact_jaccard_pairs(
@@ -75,15 +98,9 @@ def exact_jaccard_pairs(
     ``common * den >= union * num`` (no float compare). Pipeline:
     explode shingles -> groupby(shingle) pair expansion -> pair counts
     -> size join -> threshold."""
-    import zlib
-
     def explode_with_bucket(b: pa.Table) -> pa.Table:
         t = explode_shingles(b, id_col, text_col)
-        buckets = np.fromiter(
-            (zlib.crc32(s.encode()) & 63 for s in t["shingle"].to_pylist()),
-            dtype=np.int64,
-            count=len(t),
-        )
+        buckets = (hash64_arr(t["shingle"].to_pylist()) % 64).astype(np.int64)
         return t.append_column("_bucket", pa.array(buckets))
 
     sh = docs.map_batches(explode_with_bucket, batch_format="pyarrow").materialize()
@@ -135,8 +152,10 @@ class MinHashStage:
     """Actor-pool stage: per-document MinHash signature + LSH band keys.
 
     Permutation parameters are derived deterministically in __init__
-    (once per actor); per batch the work is a vectorized
-    (shingles x perms) min-reduce.
+    (once per actor); per batch the work is fully vectorized: one
+    shingle explode (Arrow kernels), one siphash over unique shingles,
+    one (rows x perms) affine transform, and a per-document
+    ``minimum.reduceat`` — no Python loop over documents or shingles.
     """
 
     def __init__(self, n_perm: int = N_PERM, bands: int = LSH_BANDS):
@@ -148,30 +167,50 @@ class MinHashStage:
         self.rows = n_perm // bands
 
     def signature(self, shingles: set[str]) -> np.ndarray:
+        """Single-doc signature (reference/tests); the batch path below
+        computes the identical values via reduceat."""
         if not shingles:
             return np.full(self.n_perm, MERSENNE, dtype=np.uint64)
-        h = np.array([_hash64(s) for s in shingles], dtype=np.uint64)
-        # (a*h + b) mod p, vectorized over (n_shingles, n_perm)
+        h = hash64_arr(sorted(shingles))
         prod = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(MERSENNE)
         return prod.min(axis=0)
 
+    def _band_keys(self, sigs: np.ndarray) -> np.ndarray:
+        """(docs, n_perm) -> (docs, bands) int64 keys: polynomial
+        combine of each band's rows (vectorized; replaces per-doc md5)."""
+        chunks = sigs.reshape(len(sigs), self.bands, self.rows)
+        key = chunks[:, :, 0].copy()
+        P = np.uint64(0x9E3779B97F4A7C15)
+        for r in range(1, self.rows):
+            key = key * P ^ chunks[:, :, r]
+        key ^= np.arange(self.bands, dtype=np.uint64)[None, :]  # band salt
+        return key.view(np.int64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.signature(shingle_set(t))
-            for b in range(self.bands):
-                chunk = sig[b * self.rows : (b + 1) * self.rows]
-                key = hashlib.md5(chunk.tobytes() + bytes([b])).hexdigest()[:16]
-                out_id.append(i)
-                out_band.append(b)
-                out_key.append(key)
+        n = len(batch)
+        ex = explode_shingles(batch)
+        # rows sorted by doc position for reduceat
+        ids_all = batch["doc_id"].to_pylist()
+        pos = {d: i for i, d in enumerate(ids_all)}
+        doc_idx = np.fromiter((pos[d] for d in ex["doc_id"].to_pylist()), dtype=np.int64, count=len(ex))
+        order = np.argsort(doc_idx, kind="stable")
+        doc_idx = doc_idx[order]
+        h = hash64_arr(np.asarray(ex["shingle"].to_pylist(), dtype=object))[order]
+        prod = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(MERSENNE)
+        sigs = np.full((n, self.n_perm), MERSENNE, dtype=np.uint64)
+        if len(doc_idx):
+            starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+            mins = np.minimum.reduceat(prod, starts, axis=0)
+            sigs[doc_idx[starts]] = mins
+        keys = self._band_keys(sigs)  # (n, bands)
+        out_id = []
+        for d in ids_all:
+            out_id.extend([d] * self.bands)
         return pa.table(
             {
                 "doc_id": pa.array(out_id, type=batch["doc_id"].type),
-                "band": pa.array(out_band, type=pa.int32()),
-                "key": pa.array(out_key),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "key": pa.array(keys.ravel()),
             }
         )
 
@@ -192,8 +231,6 @@ def minhash_lsh_pairs(
     RESTRICTED to candidate docs/pairs — no driver-side corpus load, no
     per-pair Python loop. Driver state is O(|candidates|), not O(corpus).
     """
-    import zlib
-
     import ray
 
     cand = (
@@ -222,11 +259,7 @@ def minhash_lsh_pairs(
         cd = ray.get(docs_ref)
         mask = pa.array([d in cd for d in b["doc_id"].to_pylist()])
         t = explode_shingles(b.filter(mask))
-        buckets = np.fromiter(
-            (zlib.crc32(s.encode()) & 63 for s in t["shingle"].to_pylist()),
-            dtype=np.int64,
-            count=len(t),
-        )
+        buckets = (hash64_arr(t["shingle"].to_pylist()) % 64).astype(np.int64)
         return t.append_column("_bucket", pa.array(buckets))
 
     sh = docs.map_batches(explode_candidates, batch_format="pyarrow").materialize()
@@ -278,10 +311,11 @@ def minhash_lsh_pairs(
 
 
 def simhash64(shingles: set[str]) -> int:
-    """Unweighted 64-bit SimHash over shingle hashes."""
+    """Unweighted 64-bit SimHash over shingle hashes (single-doc
+    reference; the batch stage computes identical values vectorized)."""
     if not shingles:
         return 0
-    h = np.array([_hash64(s) for s in shingles], dtype=np.uint64)
+    h = hash64_arr(sorted(shingles))
     bits = (h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]) & np.uint64(1)
     votes = bits.sum(axis=0) * 2 > len(h)
     return int(votes.astype(np.uint64) @ (np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)))
@@ -290,24 +324,40 @@ def simhash64(shingles: set[str]) -> int:
 def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints bucketed by 4
     16-bit chunks (any pair within hamming<=3 shares at least one of 4
-    chunks by pigeonhole), verified by exact hamming distance."""
+    chunks by pigeonhole), verified by exact hamming distance. Both the
+    fingerprint stage and the per-group verification are vectorized
+    (reduceat bit votes; unpackbits popcount)."""
 
     def stage(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        sh = [simhash64(shingle_set(t)) for t in batch["text"].to_pylist()]
-        out_id, out_chunk, out_key, out_sig = [], [], [], []
-        for i, s in zip(ids, sh):
-            for c in range(4):
-                out_id.append(i)
-                out_chunk.append(c)
-                out_key.append((s >> (16 * c)) & 0xFFFF)
-                out_sig.append(s)
+        n = len(batch)
+        ids_all = batch["doc_id"].to_pylist()
+        ex = explode_shingles(batch)
+        pos = {d: i for i, d in enumerate(ids_all)}
+        doc_idx = np.fromiter((pos[d] for d in ex["doc_id"].to_pylist()), dtype=np.int64, count=len(ex))
+        order = np.argsort(doc_idx, kind="stable")
+        doc_idx = doc_idx[order]
+        h = hash64_arr(np.asarray(ex["shingle"].to_pylist(), dtype=object))[order]
+        bits = (h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]) & np.uint64(1)
+        sigs = np.zeros(n, dtype=np.uint64)
+        if len(doc_idx):
+            starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+            votes = np.add.reduceat(bits, starts, axis=0)
+            counts = np.diff(np.r_[starts, len(doc_idx)])
+            maj = votes * 2 > counts[:, None]
+            weights = np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)
+            sigs[doc_idx[starts]] = (maj.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        out_id = []
+        for d in ids_all:
+            out_id.extend([d] * 4)
+        chunk = np.tile(np.arange(4, dtype=np.int32), n)
+        sig4 = np.repeat(sigs, 4)
+        key = (sig4 >> (np.uint64(16) * chunk.astype(np.uint64))) & np.uint64(0xFFFF)
         return pa.table(
             {
                 "doc_id": pa.array(out_id, type=batch["doc_id"].type),
-                "chunk": pa.array(out_chunk, type=pa.int32()),
-                "key": pa.array(out_key, type=pa.int64()),
-                "sig": pa.array(np.array(out_sig, dtype=np.uint64).view(np.int64)),
+                "chunk": pa.array(chunk),
+                "key": pa.array(key.astype(np.int64)),
+                "sig": pa.array(sig4.view(np.int64)),
             }
         )
 
@@ -316,9 +366,11 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFrame:
         ids = g["doc_id"].to_numpy()
         sigs = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
         ii, jj = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(sigs[a]) ^ int(sigs[b])).count("1") for a, b in zip(ii, jj)], dtype=np.int64
-        ) if len(ii) else np.array([], dtype=np.int64)
+        if len(ii):
+            xor = (sigs[ii] ^ sigs[jj]).view(np.uint8).reshape(len(ii), 8)
+            ham = np.unpackbits(xor, axis=1).sum(axis=1).astype(np.int64)
+        else:
+            ham = np.array([], dtype=np.int64)
         ok = ham <= max_hamming
         return pd.DataFrame({"doc_a": ids[ii[ok]], "doc_b": ids[jj[ok]], "hamming": ham[ok]})
 

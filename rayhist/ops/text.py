@@ -40,48 +40,99 @@ def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def quality_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Quality scoring: length, mean word length, stopword ratio,
-    punctuation ratio, uppercase ratio — the cheap-filters stage of a
-    training-data pipeline (C4/Gopher-style)."""
+    punctuation ratio — the cheap-filters stage of a training-data
+    pipeline (C4/Gopher-style). Fully vectorized: the stopword count
+    runs as explode + isin + level-groupby (C kernels), not a Python
+    set-intersection per row."""
     texts = batch[text_col]
-    words = texts.str.split(" ")
-    n_words = words.str.len().fillna(0).astype(int)
-    batch["n_chars_m"] = texts.str.len()
-    batch["mean_word_len"] = (texts.str.replace(" ", "", regex=False).str.len() / n_words.clip(lower=1)).round(4)
-    batch["stop_ratio"] = (
-        words.map(lambda ws: sum(w in STOPWORDS for w in ws)) / n_words.clip(lower=1)
-    ).round(4)
-    batch["punct_ratio"] = (texts.str.count(r"[^\w\s]") / texts.str.len().clip(lower=1)).round(4)
-    batch["quality_ok"] = (n_words >= 5) & (batch["mean_word_len"].between(2, 12))
+    n = len(texts)
+    arr = pa.array(texts.tolist(), type=pa.string())
+    parts = pc.split_pattern(arr, " ")
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(parts)
+    n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    nw = np.maximum(lens, 1)
+    no_space_len = n_chars - (lens - 1)  # chars minus the separators
+    doc_idx = np.repeat(np.arange(n), lens)
+    hits = pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS))).to_numpy(zero_copy_only=False)
+    stop_counts = np.bincount(doc_idx[hits], minlength=n)
+    batch["n_chars_m"] = n_chars
+    batch["mean_word_len"] = np.round(no_space_len / nw, 4)
+    batch["stop_ratio"] = np.round(stop_counts / nw, 4)
+    punct = texts.str.count(r"[^\w\s]").to_numpy()
+    batch["punct_ratio"] = np.round(punct / np.maximum(n_chars, 1), 4)
+    mwl = batch["mean_word_len"].to_numpy()
+    batch["quality_ok"] = (lens >= 5) & (mwl >= 2) & (mwl <= 12)
     return batch
+
+
+_LANGS_SORTED = sorted(k for k, m in LANG_MARKERS.items() if m)  # de,en,es,fr
 
 
 def langid_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Language-ID heuristic: CJK codepoint share, else marker-word
-    voting, else 'en'. Deterministic; rows-only check."""
-    preds = []
-    for t in batch[text_col]:
-        if sum("一" <= ch <= "鿿" for ch in t) > len(t) * 0.2:
-            preds.append("zh")
-            continue
-        ws = set(t.lower().split(" "))
-        scores = {lang: len(ws & m) for lang, m in LANG_MARKERS.items() if m}
-        best = max(scores, key=lambda k: (scores[k], k))
-        preds.append(best if scores[best] > 0 else "en")
+    voting, else 'en'. Vectorized: one regex count for the CJK share,
+    then explode + per-language isin + level-groupby for the votes
+    (ties break to the lexicographically largest language, matching
+    ``max(..., key=(score, lang))``)."""
+    texts = batch[text_col]
+    n = len(texts)
+    cjk = texts.str.count(r"[一-鿿]").to_numpy()
+    is_zh = cjk > texts.str.len().to_numpy() * 0.2
+
+    low = pc.utf8_lower(pa.array(texts.tolist(), type=pa.string()))
+    parts = pc.split_pattern(low, " ")
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(parts)
+    doc_idx = np.repeat(np.arange(n), lens)
+    scores = np.zeros((n, len(_LANGS_SORTED)), dtype=np.int64)
+    for j, lang in enumerate(_LANGS_SORTED):
+        # score = number of DISTINCT marker words present (set
+        # intersection size): one vectorized equality scan per marker
+        for marker in sorted(LANG_MARKERS[lang]):
+            hit = pc.equal(flat, marker).to_numpy(zero_copy_only=False)
+            present = np.bincount(doc_idx[hit], minlength=n) > 0
+            scores[:, j] += present
+    # last argmax = lexicographically largest language on ties
+    rev_best = np.argmax(scores[:, ::-1], axis=1)
+    best = len(_LANGS_SORTED) - 1 - rev_best
+    langs = np.array(_LANGS_SORTED, dtype=object)
+    preds = np.where(scores[np.arange(n), best] > 0, langs[best], "en")
+    preds = np.where(is_zh, "zh", preds)
     batch["lang_pred"] = preds
     return batch
 
 
+FNV_OFFSET = np.uint64(14695981039346656037)
+FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over a batch of strings: iterate BYTE
+    POSITIONS (bounded by the longest doc), each step a numpy uint64
+    xor-multiply over every still-active doc — O(max_len) numpy calls
+    instead of O(total_bytes) Python ops. uint64 multiply wraps mod
+    2^64, which IS the FNV modulus."""
+    arr = pa.array(texts, type=pa.string())  # utf-8 bytes in the data buffer
+    buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    starts, ends = offsets[:-1].astype(np.int64), offsets[1:].astype(np.int64)
+    lengths = ends - starts
+    h = np.full(len(texts), FNV_OFFSET, dtype=np.uint64)
+    max_len = int(lengths.max()) if len(lengths) else 0
+    for p in range(max_len):
+        active = lengths > p
+        idx = starts[active] + p
+        b = buf[idx].astype(np.uint64)
+        h[active] = (h[active] ^ b) * FNV_PRIME
+    return h
+
+
 def fingerprint_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """md5 content fingerprint (matches SQL md5()) plus a 64-bit
-    rolling polynomial hash (Rabin-Karp style) for windowed dedup."""
+    """md5 content fingerprint (matches SQL md5()) plus a 64-bit FNV-1a
+    rolling hash for windowed dedup (vectorized, fnv1a_batch)."""
     texts = batch[text_col].to_pylist()
     md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-    mask = (1 << 64) - 1
-    rolls = []
-    for t in texts:
-        h = 14695981039346656037
-        for b in t.encode():
-            h = ((h ^ b) * 1099511628211) & mask  # FNV-1a, 64-bit modular
-        rolls.append(h - (1 << 64) if h >= (1 << 63) else h)
+    rolls = fnv1a_batch(texts).view(np.int64)
     batch = batch.append_column("fp", pa.array(md5s))
     return batch.append_column("fp_roll", pa.array(rolls, type=pa.int64()))
