@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_count_by_type": p.q_snapshot_count_by_type,
         "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
+        "clipped_way_lengths": p.q_clipped_way_lengths,
     }
 
 
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
             p.WAY_CONTRIB_FROM, p.WAY_CONTRIB_TO
         ),
         "snapshot_relation_geoms": o.snapshot_relation_geoms(p.WAY_SNAPS),
+        "clipped_way_lengths": o.clipped_way_lengths(p.CLIP_REGIONS),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

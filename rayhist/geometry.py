@@ -155,6 +155,84 @@ def build_multipolygon(
 
 
 # ------------------------------------------------------------------ clipping
+def clip_segments_convex(
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    poly_e7,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cyrus–Beck parametric clip of segments a->b against a CONVEX CCW
+    polygon (e7 coordinates, float64). Returns (t0, t1, ok): the
+    clipped parameter interval per segment and whether any part lies
+    inside. The polygon∩segment core of FastPolygonOperations
+    (fip/FastPolygonOperations.java:15-160), done as half-plane
+    t-interval intersection.
+
+    The arithmetic (num/den per edge, max/min of ratios) is mirrored
+    LITERALLY by the SQL oracle (rayhist.oracles._cyrus_beck_sql), so
+    clipped lengths are bit-identical to DuckDB.
+    """
+    poly = np.asarray(poly_e7, dtype=np.float64)
+    dx, dy = bx - ax, by - ay
+    t0 = np.zeros(len(ax))
+    t1 = np.ones(len(ax))
+    ok = np.ones(len(ax), dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        vix, viy = poly[i]
+        vjx, vjy = poly[(i + 1) % n]
+        nx, ny = -(vjy - viy), (vjx - vix)  # inward normal of a CCW edge
+        den = nx * dx + ny * dy
+        num = nx * (vix - ax) + ny * (viy - ay)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(den != 0, num / np.where(den != 0, den, 1.0), 0.0)
+        t0 = np.where(den > 0, np.maximum(t0, r), t0)
+        t1 = np.where(den < 0, np.minimum(t1, r), t1)
+        ok &= ~((den == 0) & (num > 0))  # parallel & fully outside
+    ok &= t0 <= t1
+    return t0, t1, ok
+
+
+def clip_polygon_convex(ring_e7: np.ndarray, poly_e7) -> np.ndarray:
+    """Sutherland–Hodgman: clip an arbitrary subject ring against a
+    CONVEX CCW clip polygon. Returns the clipped ring as an (n, 2)
+    float64 array in e7 space (possibly empty). The polygon∩polygon
+    path of FastPolygonOperations — enables clipped-AREA
+    aggregateByGeometry for overlapping regions."""
+    subject = [tuple(p) for p in np.asarray(ring_e7, dtype=np.float64)]
+    if subject and subject[0] == subject[-1]:
+        subject = subject[:-1]
+    poly = np.asarray(poly_e7, dtype=np.float64)
+    n = len(poly)
+    for i in range(n):
+        if not subject:
+            break
+        vix, viy = poly[i]
+        vjx, vjy = poly[(i + 1) % n]
+        nx, ny = -(vjy - viy), (vjx - vix)
+
+        def inside(p):
+            return nx * (p[0] - vix) + ny * (p[1] - viy) >= 0
+
+        def intersect(p, q):
+            den = nx * (q[0] - p[0]) + ny * (q[1] - p[1])
+            t = (nx * (vix - p[0]) + ny * (viy - p[1])) / den
+            return (p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
+
+        out = []
+        for j, cur in enumerate(subject):
+            prev = subject[j - 1]
+            if inside(cur):
+                if not inside(prev):
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif inside(prev):
+                out.append(intersect(prev, cur))
+        subject = out
+    return np.asarray(subject, dtype=np.float64).reshape(-1, 2)
+
+
 def clip_segments_to_bbox(
     lons: np.ndarray, lats: np.ndarray, bbox: tuple[float, float, float, float]
 ) -> float:

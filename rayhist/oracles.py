@@ -562,6 +562,66 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ---------------------------------------- clipped aggregateByGeometry
+def _cyrus_beck_region(region_id: str, poly) -> str:
+    """SELECT over ``seg`` computing the Cyrus–Beck clipped length of
+    each segment against one convex CCW region — LITERAL mirror of
+    rayhist.geometry.clip_segments_convex (same num/den expressions,
+    max/min of ratios, feasibility test) so floats are bit-identical."""
+    n = len(poly)
+    ent, lev, feas = [], [], []
+    for i in range(n):
+        vix, viy = (float(v) for v in poly[i])
+        vjx, vjy = (float(v) for v in poly[(i + 1) % n])
+        nx, ny = -(vjy - viy), (vjx - vix)
+        den = f"({nx!r}*(bx-ax) + {ny!r}*(by-ay))"
+        num = f"({nx!r}*({vix!r}-ax) + {ny!r}*({viy!r}-ay))"
+        ent.append(f"CASE WHEN {den} > 0 THEN {num}/{den} ELSE 0.0 END")
+        lev.append(f"CASE WHEN {den} < 0 THEN {num}/{den} ELSE 1.0 END")
+        feas.append(f"NOT ({den} = 0 AND {num} > 0)")
+    t0 = "greatest(0.0, " + ", ".join(ent) + ")"
+    t1 = "least(1.0, " + ", ".join(lev) + ")"
+    ok = " AND ".join(feas)
+    return f"""
+SELECT '{region_id}' AS region_id, way_id,
+       CAST(floor(6371000.0 * sqrt(
+         (radians(cbx/10000000.0 - cax/10000000.0)
+            * cos(radians((cby/10000000.0 + cay/10000000.0) / 2)))
+         * (radians(cbx/10000000.0 - cax/10000000.0)
+            * cos(radians((cby/10000000.0 + cay/10000000.0) / 2)))
+         + radians(cby/10000000.0 - cay/10000000.0)
+         * radians(cby/10000000.0 - cay/10000000.0)
+       ) * 1000000.0) AS BIGINT) AS clip_um
+FROM (
+  SELECT way_id, ax + t0*(bx-ax) AS cax, ay + t0*(by-ay) AS cay,
+         ax + t1*(bx-ax) AS cbx, ay + t1*(by-ay) AS cby
+  FROM (
+    SELECT seg.*, {t0} AS t0, {t1} AS t1 FROM seg
+    WHERE {ok}
+  ) WHERE t0 <= t1
+)"""
+
+
+def clipped_way_lengths(regions: dict) -> str:
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    parts = [_cyrus_beck_region(rid, poly) for rid, poly in sorted(regions.items())]
+    return (
+        DERIVE
+        + cte
+        + """
+, pos AS (SELECT osm_id, lon_e7, lat_e7 FROM snap),
+seg AS (
+  SELECT a.osm_id AS way_id,
+         CAST(a.lon_e7 AS DOUBLE) AS ax, CAST(a.lat_e7 AS DOUBLE) AS ay,
+         CAST(b.lon_e7 AS DOUBLE) AS bx, CAST(b.lat_e7 AS DOUBLE) AS by
+  FROM pos a JOIN pos b ON b.osm_id = a.osm_id + 1
+)
+SELECT * FROM ("""
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY region_id, way_id"
+    )
+
+
 # ----------------------------------------------- compound (way) docs
 #
 # The way-document derivation (rayhist.ingest "way documents" comment

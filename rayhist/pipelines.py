@@ -832,6 +832,80 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
+# --------------------------------------- clipped aggregateByGeometry
+# A convex CCW pentagon split by the chord x=0 into two convex parts:
+# pent == pent_left U pent_right, so clipped lengths satisfy the
+# reference's split invariant (TestMapAggregateByGeometry.java:73-121:
+# len(total) == len(left) + len(right)), asserted in pytest; the
+# per-(region, way) clipped lengths themselves are oracle-hashed.
+CLIP_REGIONS: dict[str, list[tuple[float, float]]] = {
+    "pent": [(-8e8, -5e8), (8e8, -5e8), (9e8, 3e8), (0.0, 7e8), (-9e8, 3e8)],
+    "pent_left": [(-8e8, -5e8), (0.0, -5e8), (0.0, 7e8), (-9e8, 3e8)],
+    "pent_right": [(0.0, -5e8), (8e8, -5e8), (9e8, 3e8), (0.0, 7e8)],
+}
+
+
+def q_clipped_way_lengths(sf_dir: str) -> pd.DataFrame:
+    """aggregateByGeometry with CLIPPED geometries over OVERLAPPING
+    regions (MapAggregator.aggregateByGeometry + FastPolygonOperations
+    clip, MapReducer.java:857-888): each synthetic way u->u+1 at T_MID
+    is clipped against every region polygon (Cyrus-Beck, convex) and
+    its clipped length emitted per (region, way) — a way crossing the
+    chord contributes to pent, pent_left AND pent_right."""
+    from .functions.geo import distance_equirectangular
+    from .geometry import clip_segments_convex
+    from .model import decode_spans
+    from .ops.relational import hash_join
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch), ts).select(["osm_id", "lon_e7", "lat_e7"])
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    left = pos.map_batches(
+        lambda b: pa.table({"join_k": b["osm_id"], "lon1": b["lon_e7"], "lat1": b["lat_e7"]}),
+        batch_format="pyarrow",
+    )
+    right = pos.map_batches(
+        lambda b: pa.table(
+            {"join_k": pa.compute.subtract(b["osm_id"], 1), "lon2": b["lon_e7"], "lat2": b["lat_e7"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(left, right, on="join_k", n_buckets=32)
+    regions = sorted(CLIP_REGIONS.items())
+
+    def clip_stage(batch: pa.Table) -> pa.Table:
+        ax = batch["lon1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ay = batch["lat1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bx = batch["lon2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        by = batch["lat2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        wid = batch["join_k"].to_numpy(zero_copy_only=False)
+        rid_out, wid_out, um_out = [], [], []
+        for rid, poly in regions:
+            t0, t1, ok = clip_segments_convex(ax, ay, bx, by, poly)
+            dx, dy = bx - ax, by - ay
+            cax, cay = ax + t0 * dx, ay + t0 * dy
+            cbx, cby = ax + t1 * dx, ay + t1 * dy
+            d = distance_equirectangular(cay / 1e7, cax / 1e7, cby / 1e7, cbx / 1e7)
+            um = np.floor(d * 1e6).astype(np.int64)
+            rid_out.extend([rid] * int(ok.sum()))
+            wid_out.append(wid[ok])
+            um_out.append(um[ok])
+        return pa.table(
+            {
+                "region_id": pa.array(rid_out, type=pa.string()),
+                "way_id": pa.array(np.concatenate(wid_out) if wid_out else np.array([], dtype=np.int64)),
+                "clip_um": pa.array(np.concatenate(um_out) if um_out else np.array([], dtype=np.int64)),
+            }
+        )
+
+    df = joined.map_batches(clip_stage, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["region_id", "way_id"]).reset_index(drop=True)
+
+
 # ------------------------------------------------ compound (way) docs
 WAY_CONTRIB_FROM = T0  # full-January window so way CREATE/DELETE land inside
 WAY_CONTRIB_TO = T0 + 32 * DAY_US

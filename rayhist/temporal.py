@@ -85,19 +85,37 @@ class TagFilter:
     value_regex: str | None = None
     exclude: bool = False
 
-    def mask(self, tbl: pa.Table) -> np.ndarray:
+    def pattern(self) -> str:
         import re
 
         if self.value is not None:
-            pat = rf"(^|\|){re.escape(self.key)}={re.escape(self.value)}(\||$)"
-        elif self.values is not None:
+            return rf"(^|\|){re.escape(self.key)}={re.escape(self.value)}(\||$)"
+        if self.values is not None:
             alts = "|".join(re.escape(v) for v in self.values)
-            pat = rf"(^|\|){re.escape(self.key)}=({alts})(\||$)"
-        elif self.value_regex is not None:
-            pat = rf"(^|\|){re.escape(self.key)}=({self.value_regex})(\||$)"
-        else:
-            pat = rf"(^|\|){re.escape(self.key)}="
-        m = pc.match_substring_regex(tbl["tag_sig"], pat).to_numpy(zero_copy_only=False)
+            return rf"(^|\|){re.escape(self.key)}=({alts})(\||$)"
+        if self.value_regex is not None:
+            return rf"(^|\|){re.escape(self.key)}=({self.value_regex})(\||$)"
+        return rf"(^|\|){re.escape(self.key)}="
+
+    def mask(self, tbl: pa.Table) -> np.ndarray:
+        # Dictionary scan, not a per-row regex: tag signatures are
+        # heavily repeated (the tag universe is tiny next to the version
+        # count), so encode to dictionary indices once (C hash pass) and
+        # run the regex only over the UNIQUE values — the Arrow analog
+        # of the reference's int-keytable sorted-array scan
+        # (OSMEntity.hasTagValue, osm/OSMEntity.java:97-152: filters
+        # compare small ints, never strings, per version).
+        col = tbl["tag_sig"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq_match = pc.match_substring_regex(enc.dictionary, self.pattern()).to_numpy(
+            zero_copy_only=False
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        m = uniq_match[idx]
         return ~m if self.exclude else m
 
 

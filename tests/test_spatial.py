@@ -226,3 +226,65 @@ def test_region_index_matches_linear_scan():
     assert len(want) > 0
     # the inside-cell fast path actually triggers for big rectangles
     assert sum(len(v) for v in idx.inside.values()) > 0
+
+
+def test_clip_split_invariant():
+    """The reference's aggregateByGeometry split invariant
+    (TestMapAggregateByGeometry.java:73-121): clipping against a region
+    equals the sum of clips against a partition of that region — for
+    segment lengths (Cyrus-Beck) and polygon areas (Sutherland-
+    Hodgman)."""
+    from rayhist.functions.geo import distance_equirectangular, ring_area
+    from rayhist.geometry import clip_polygon_convex, clip_segments_convex
+    from rayhist.pipelines import CLIP_REGIONS
+
+    P, PL, PR = (CLIP_REGIONS[k] for k in ("pent", "pent_left", "pent_right"))
+    rng = np.random.default_rng(77)
+    # short segments (a few degrees) around the chord — equirectangular
+    # length is only near-additive for short geometry, like the
+    # reference fixtures
+    ax, ay = rng.uniform(-4e8, 4e8, 200), rng.uniform(-6e8, 8e8, 200)
+    bx = ax + rng.uniform(-5e7, 5e7, 200)
+    by = ay + rng.uniform(-5e7, 5e7, 200)
+
+    def clip_len(poly):
+        t0, t1, ok = clip_segments_convex(ax, ay, bx, by, poly)
+        dx, dy = bx - ax, by - ay
+        cax, cay = ax + t0 * dx, ay + t0 * dy
+        cbx, cby = ax + t1 * dx, ay + t1 * dy
+        d = distance_equirectangular(cay / 1e7, cax / 1e7, cby / 1e7, cbx / 1e7)
+        return np.where(ok, d, 0.0)
+
+    full, left, right = clip_len(P), clip_len(PL), clip_len(PR)
+    # equirectangular length is not exactly additive under subdivision
+    # (the reference test also asserts with a delta): relative 1e-3
+    nz = full > 1.0
+    assert nz.sum() > 30
+    rel = np.abs(left[nz] + right[nz] - full[nz]) / full[nz]
+    assert rel.max() < 1e-3, rel.max()
+
+    # polygon area split invariant via Sutherland-Hodgman
+    for _ in range(20):
+        cx, cy = rng.uniform(-6e8, 6e8), rng.uniform(-4e8, 4e8)
+        w, h = rng.uniform(2e8, 9e8), rng.uniform(2e8, 6e8)
+        ring = np.array(
+            [(cx - w, cy - h), (cx + w, cy - h), (cx + w, cy + h), (cx - w, cy + h)]
+        )
+
+        def clip_area(poly):
+            c = clip_polygon_convex(ring, poly)
+            if len(c) < 3:
+                return 0.0
+            return abs(ring_area(c[:, 0] / 1e7, c[:, 1] / 1e7))
+
+        a_full, a_l, a_r = clip_area(P), clip_area(PL), clip_area(PR)
+        if a_full > 1.0:
+            assert abs(a_l + a_r - a_full) / a_full < 1e-6, (a_full, a_l, a_r)
+
+    # fully-inside ring is unchanged by the clip
+    inner = np.array([(-1e8, -1e8), (1e8, -1e8), (1e8, 1e8), (-1e8, 1e8)])
+    c = clip_polygon_convex(inner, P)
+    assert len(c) == 4
+    assert abs(ring_area(c[:, 0] / 1e7, c[:, 1] / 1e7)) == pytest.approx(
+        abs(ring_area(inner[:, 0] / 1e7, inner[:, 1] / 1e7))
+    )
