@@ -83,7 +83,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
         "clipped_way_lengths": p.q_clipped_way_lengths,
+        "snapshot_pip_poly": p.q_snapshot_pip_poly,
     }
+
+
+def _poly_oracle(o, p) -> str:
+    from rayhist.spatial.polyfile import load_poly
+
+    name, rings = load_poly(p.POLY_FILE)
+    return o.snapshot_pip_poly(name, rings)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -133,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_relation_geoms": o.snapshot_relation_geoms(p.WAY_SNAPS),
         "clipped_way_lengths": o.clipped_way_lengths(p.CLIP_REGIONS),
+        "snapshot_pip_poly": _poly_oracle(o, p),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

@@ -562,6 +562,45 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ------------------------------------------------ .poly even-odd PIP
+def _even_odd_condition(rings) -> str:
+    """Crossing-number parity over ALL rings (outer + holes) — literal
+    SQL mirror of fip.Polygon.contains: per edge,
+    ``(y1 > lat) != (y2 > lat) AND lon < x1 + (lat-y1)*(x2-x1)/(y2-y1)``
+    counted, inside iff odd. float64 ops are identical in DuckDB."""
+    terms = []
+    for ring in rings:
+        r = [(float(x), float(y)) for x, y in ring]
+        if r[0] == r[-1]:
+            r = r[:-1]
+        n = len(r)
+        for i in range(n):
+            x1, y1 = r[i]
+            x2, y2 = r[(i + 1) % n]
+            terms.append(
+                f"CASE WHEN (({y1!r} > lat) <> ({y2!r} > lat))"
+                f" AND lon < {x1!r} + (lat - {y1!r}) * ({x2!r} - {x1!r}) / ({y2!r} - {y1!r})"
+                f" THEN 1 ELSE 0 END"
+            )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def snapshot_pip_poly(name: str, rings) -> str:
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, pts AS (
+  SELECT CAST(lon_e7 AS DOUBLE) AS lon, CAST(lat_e7 AS DOUBLE) AS lat FROM snap
+)
+SELECT '{name}' AS region_id,
+       CAST(count(*) FILTER (WHERE {_even_odd_condition(rings)}) AS BIGINT) AS n_inside
+FROM pts
+"""
+    )
+
+
 # ---------------------------------------- clipped aggregateByGeometry
 def _cyrus_beck_region(region_id: str, poly) -> str:
     """SELECT over ``seg`` computing the Cyrus–Beck clipped length of

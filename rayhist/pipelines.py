@@ -832,6 +832,49 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
+# ----------------------------------------------- .poly boundary file
+import os as _os
+
+POLY_FILE = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "data", "aoi_l_with_hole.poly")
+
+
+def q_snapshot_pip_poly(sf_dir: str) -> pd.DataFrame:
+    """areaOfInterest from a user-supplied osmosis ``.poly`` boundary
+    file (PolyFileReader.java) — a NON-CONVEX outer ring with a HOLE,
+    classified through the GENERAL even-odd banded-crossing-number path
+    (fip.Polygon.contains / FastInPolygon.java:21-150), actor-pool
+    compiled once per worker. Oracle mirrors the crossing test edge by
+    edge in SQL."""
+    import ray
+
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.fip import PointInPolygonStage
+    from .spatial.polyfile import load_poly
+    from .temporal import snapshots as snapshots_fn
+
+    name, rings = load_poly(POLY_FILE)
+    regions_ref = ray.put([(name, rings)])
+    ts = np.array([T_MID], dtype=np.int64)
+
+    class Stage(PointInPolygonStage):
+        def __init__(self):
+            super().__init__(regions_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = snapshots_fn(decode_spans(batch), ts)
+            tagged = super().__call__(s)
+            return pa.table(
+                {
+                    "region_id": pa.array([self.regions[0][0]]),
+                    "n_part": pa.array([len(tagged)], type=pa.int64()),
+                }
+            )
+
+    partials = _docs(sf_dir).map_batches(Stage, batch_format="pyarrow", concurrency=(1, 4))
+    return combine_partials(partials, ["region_id"], {"n_part": "n_inside"})
+
+
 # --------------------------------------- clipped aggregateByGeometry
 # A convex CCW pentagon split by the chord x=0 into two convex parts:
 # pent == pent_left U pent_right, so clipped lengths satisfy the

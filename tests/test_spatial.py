@@ -288,3 +288,24 @@ def test_clip_split_invariant():
     assert abs(ring_area(c[:, 0] / 1e7, c[:, 1] / 1e7)) == pytest.approx(
         abs(ring_area(inner[:, 0] / 1e7, inner[:, 1] / 1e7))
     )
+
+
+def test_polyfile_parse_and_contains():
+    """.poly loader: osmosis format with hole sections; parsed rings
+    feed the general even-odd Polygon (non-convex + hole)."""
+    from rayhist.pipelines import POLY_FILE
+    from rayhist.spatial.fip import Polygon
+    from rayhist.spatial.polyfile import load_poly, parse_poly
+
+    name, rings = load_poly(POLY_FILE)
+    assert name == "l_region_with_hole"
+    assert len(rings) == 2  # outer + hole
+    p = Polygon(rings)
+    # inside the L's long arm; inside the hole; in the L's notch (outside)
+    lon = np.array([-110.0, -80.0, 10.0, -10.0]) * 1e7
+    lat = np.array([30.0, -15.0, -20.0, 30.0]) * 1e7
+    got = p.contains(lon, lat)
+    assert got.tolist() == [True, False, True, False]
+
+    with pytest.raises(ValueError):
+        parse_poly("name\nsec\n 1 2\nEND\nEND")  # <3 points
