@@ -242,6 +242,57 @@ def scenario_way_w1() -> list[dict]:
     return make_compound_doc("way/1", versions, children)
 
 
+def scenario_relation_old_style() -> list[dict]:
+    """R3 old-style multipolygon (pre-2008 tagging): the relation
+    carries ONLY type=multipolygon; the interesting tag (building=yes)
+    lives on the single OUTER way; one inner way punches a hole. The
+    inner ring grows in 2012 -> the holes-only geometry grows."""
+    t = YEAR_US
+    node_hist = {
+        # outer square 0..100Me7
+        "node/1": [dict(v=1, ts=t[2007], lon=0, lat=0)],
+        "node/2": [dict(v=1, ts=t[2007], lon=100_000_000, lat=0)],
+        "node/3": [dict(v=1, ts=t[2007], lon=100_000_000, lat=100_000_000)],
+        "node/4": [dict(v=1, ts=t[2007], lon=0, lat=100_000_000)],
+        # inner square 40..60Me7, node 7 moves outward in 2012
+        "node/5": [dict(v=1, ts=t[2007], lon=40_000_000, lat=40_000_000)],
+        "node/6": [dict(v=1, ts=t[2007], lon=60_000_000, lat=40_000_000)],
+        "node/7": [
+            dict(v=1, ts=t[2007], lon=60_000_000, lat=60_000_000),
+            dict(v=2, ts=t[2012], lon=70_000_000, lat=70_000_000),
+        ],
+        "node/8": [dict(v=1, ts=t[2007], lon=40_000_000, lat=60_000_000)],
+    }
+    spans = make_compound_doc(
+        "relation/3",
+        [
+            dict(
+                v=1, ts=t[2008], cs=31, tags={"type": "multipolygon"},
+                members=[("way/20", "outer"), ("way/21", "inner")],
+            )
+        ],
+        node_hist,
+    )
+    off = spans[-1]["offset"] + 1
+    way_members = {
+        "way/20": (["node/1", "node/2", "node/3", "node/4", "node/1"], "building=yes"),
+        "way/21": (["node/5", "node/6", "node/7", "node/8", "node/5"], None),
+    }
+    for wid, (nds, tag) in way_members.items():
+        spans.append(
+            {"kind": "version", "text": f"child={wid};v=1;ts={t[2007]};cs=7;uid=1;vis=1",
+             "media_ref": "", "offset": off}
+        )
+        off += 1
+        if tag:
+            spans.append({"kind": "tag", "text": tag, "media_ref": "", "offset": off})
+            off += 1
+        for nd in nds:
+            spans.append({"kind": "member", "text": f"{nd}@role=", "media_ref": "", "offset": off})
+            off += 1
+    return spans
+
+
 def scenario_way_w2_ring() -> list[dict]:
     """W2 ring/area: closed ring with building=yes -> polygon."""
     t = YEAR_US

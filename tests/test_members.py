@@ -197,3 +197,45 @@ def test_relation_with_way_members_full_chain():
     # and the recursive modification timestamps see the node edit
     mods = modification_timestamps(doc)
     assert T[2012] in mods
+
+
+def test_old_style_multipolygon():
+    """R3: old-style multipolygon (CellIterator.java:260-318 +
+    BaseTagInterpreter.isOldStyleMultipolygon :111-136) — filter is
+    tested on the OUTER way's tags, geometry emitted is ONLY the inner
+    holes, and the hole grows when a deep node moves."""
+    from rayhist.fixtures import scenario_relation_old_style
+    from rayhist.geometry import build_multipolygon
+    from rayhist.members import (
+        is_old_style_multipolygon,
+        parse_doc,
+        snapshots_old_style,
+    )
+
+    doc = parse_doc(scenario_relation_old_style())
+    st = doc.versions[0]
+    assert is_old_style_multipolygon(st)
+
+    # a second outer way disqualifies (the "new-style" shape)
+    st2 = type(st)(**{**st.__dict__})
+    st2.members = st.members + [("way/22", "outer")]
+    assert not is_old_style_multipolygon(st2)
+    # an interesting tag on the relation disqualifies
+    st3 = type(st)(**{**st.__dict__, "tags": {"type": "multipolygon", "building": "yes"}})
+    st3.members = st.members
+    assert not is_old_style_multipolygon(st3)
+
+    # filter on the OUTER WAY's tags, not the relation's
+    snaps = snapshots_old_style(doc, [T[2009]], match=lambda v: v.tags.get("building") == "yes")
+    assert len(snaps) == 1
+    snaps_no = snapshots_old_style(doc, [T[2009]], match=lambda v: v.tags.get("building") == "no")
+    assert snaps_no == []
+
+    # geometry = holes only; hole grows after the 2012 node move
+    _, _, holes_2009 = snaps[0]
+    g09 = build_multipolygon(holes_2009, [])
+    a09 = g09.area_m2()
+    assert g09.kind == "multipolygon" and a09 > 0
+    _, _, holes_2013 = snapshots_old_style(doc, [T[2013]])[0]
+    a13 = build_multipolygon(holes_2013, []).area_m2()
+    assert a13 > a09 * 1.2
