@@ -117,12 +117,20 @@ def _extract_ints(texts: pa.Array, pattern: str, names: list[str]) -> dict[str, 
     }
 
 
-def decode_spans(batch: pa.Table) -> pa.Table:
+def decode_spans(batch: pa.Table, tags: bool = True, geom: bool = True) -> pa.Table:
     """Decode a batch of span-documents into the flat per-version table.
 
     Vectorized: list_flatten + extract_regex + numpy scatter/gather.
     All versions of a document land in the same output batch (the spans
     of one row flatten contiguously), which the temporal stages rely on.
+
+    ``tags=False`` / ``geom=False`` PRUNE the decode: the tag-signature
+    join / geometry regex (the two heaviest kernels) are skipped and
+    the columns are constant-filled. Callers set them per query — a
+    snapshot COUNT needs neither, a cell aggregation needs only geom —
+    the decode analog of ``read_parquet(columns=...)``; memory traffic
+    is the scaling wall (BASELINE.md), so decoding unread fields is
+    wasted bandwidth.
 
     Mirrors the reference's per-entity delta decode
     (``impl/osh/OSHNodeImpl.java:145-182``) but over Arrow columns.
@@ -138,8 +146,6 @@ def decode_spans(batch: pa.Table) -> pa.Table:
     ref = flat.field("media_ref")
 
     is_ver = pc.equal(kind, "version").to_numpy(zero_copy_only=False)
-    is_tag = pc.equal(kind, "tag").to_numpy(zero_copy_only=False)
-    is_geom = pc.equal(kind, "geom").to_numpy(zero_copy_only=False)
 
     n_ver = int(is_ver.sum())
     # global version ordinal for every span: index of the version span
@@ -151,18 +157,25 @@ def decode_spans(batch: pa.Table) -> pa.Table:
 
     lon = np.zeros(n_ver, dtype=np.int64)
     lat = np.zeros(n_ver, dtype=np.int64)
-    if is_geom.any():
-        geom_ref = pc.filter(ref, pa.array(is_geom))
-        gf = _extract_ints(geom_ref, _GEOM_RE, ["v", "lon", "lat"])
-        geom_gid = gid[is_geom]
-        lon[geom_gid] = gf["lon"]
-        lat[geom_gid] = gf["lat"]
+    if geom:
+        is_geom = pc.equal(kind, "geom").to_numpy(zero_copy_only=False)
+        if is_geom.any():
+            geom_ref = pc.filter(ref, pa.array(is_geom))
+            gf = _extract_ints(geom_ref, _GEOM_RE, ["v", "lon", "lat"])
+            geom_gid = gid[is_geom]
+            lon[geom_gid] = gf["lon"]
+            lat[geom_gid] = gf["lat"]
 
     # tag signature per version: join tag texts with '|' — fully
     # vectorized: a ListArray over the group boundaries + binary_join
     tag_sig = np.full(n_ver, "", dtype=object)
     etype = np.full(n_ver, "", dtype=object)
     kk = np.full(n_ver, -1, dtype=np.int64)
+    is_tag = (
+        pc.equal(kind, "tag").to_numpy(zero_copy_only=False)
+        if tags
+        else np.zeros(1, dtype=bool)
+    )
     if is_tag.any():
         tag_gid = gid[is_tag]
         tag_texts = pc.filter(text, pa.array(is_tag))

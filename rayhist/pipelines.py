@@ -150,7 +150,8 @@ def q_contrib_daily(sf_dir: str) -> pd.DataFrame:
     from .views import contribution_stats
 
     partials, keys = contribution_stats(
-        _docs(sf_dir), CONTRIB_FROM, CONTRIB_TO, bins=CONTRIB_BINS
+        _docs(sf_dir), CONTRIB_FROM, CONTRIB_TO, bins=CONTRIB_BINS,
+        flag_cols=["is_creation"],  # prunes the tag/geom decode
     )
     from .aggregate import combine_partials
 
@@ -164,7 +165,7 @@ def q_contrib_uniq_uids_daily(sf_dir: str) -> pd.DataFrame:
     """countUniq of contributor uids per daily bin
     (MapReducer.countUniq, :1165-1168): per-batch distinct partials,
     then an exact distinct-pair groupby."""
-    ds = contribution_view(_docs(sf_dir), CONTRIB_FROM, CONTRIB_TO)
+    ds = contribution_view(_docs(sf_dir), CONTRIB_FROM, CONTRIB_TO, tags=False, geom=False)
     bins = np.asarray(CONTRIB_BINS, dtype=np.int64)
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -197,7 +198,7 @@ def q_snapshot_pip_regions(sf_dir: str) -> pd.DataFrame:
     ts = np.array([T_MID], dtype=np.int64)
 
     def stage(batch: pa.Table) -> pa.Table:
-        s = snapshots_fn(decode_spans(batch), ts)
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
         lon = s["lon_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
         lat = s["lat_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
         rids, counts = [], []
@@ -223,7 +224,7 @@ def q_raster_join(sf_dir: str) -> pd.DataFrame:
     ts = np.array([T_MID], dtype=np.int64)
 
     def stage(batch: pa.Table) -> pa.Table:
-        s = snapshots_fn(decode_spans(batch), ts)
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
         cell = cell_id(
             s["lon_e7"].to_numpy(zero_copy_only=False),
             s["lat_e7"].to_numpy(zero_copy_only=False),
@@ -252,7 +253,7 @@ def q_knn(sf_dir: str) -> pd.DataFrame:
     ts = np.array([T_MID], dtype=np.int64)
 
     def positions(batch: pa.Table) -> pa.Table:
-        return snapshots_fn(decode_spans(batch), ts).select(["osm_id", "lon_e7", "lat_e7"])
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
 
     snaps = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
 
@@ -477,7 +478,7 @@ def q_contrib_per_entity(sf_dir: str) -> pd.DataFrame:
     from .temporal import contributions as contribs_fn
 
     def stage(batch: pa.Table) -> pa.Table:
-        c = contribs_fn(decode_spans(batch), CONTRIB_FROM, CONTRIB_TO)
+        c = contribs_fn(decode_spans(batch, tags=False, geom=False), CONTRIB_FROM, CONTRIB_TO)
         t = pa.table(
             {
                 "doc_id": c["doc_id"],
@@ -529,7 +530,8 @@ def q_contrib_daily_by_etype(sf_dir: str) -> pd.DataFrame:
     etypes = ["click", "error", "purchase", "signup", "view"]
 
     def stage(batch: pa.Table) -> pa.Table:
-        c = contribs_fn(decode_spans(batch), CONTRIB_FROM, CONTRIB_TO)
+        # etype comes from the tag spans -> tags=True; geometry unread
+        c = contribs_fn(decode_spans(batch, geom=False), CONTRIB_FROM, CONTRIB_TO)
         t = pa.table(
             {
                 "ts_q": pa.array(floor_bin(c["ts"].to_numpy(zero_copy_only=False), bins)),
@@ -563,7 +565,7 @@ def q_way_lengths(sf_dir: str) -> pd.DataFrame:
     ts = np.array([T_MID], dtype=np.int64)
 
     def positions(batch: pa.Table) -> pa.Table:
-        return snapshots_fn(decode_spans(batch), ts).select(["osm_id", "lon_e7", "lat_e7"])
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
 
     pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
 
@@ -658,7 +660,7 @@ def q_knn_grid(sf_dir: str) -> pd.DataFrame:
     ts = np.array([T_MID], dtype=np.int64)
 
     def positions(batch: pa.Table) -> pa.Table:
-        return snapshots_fn(decode_spans(batch), ts).select(["osm_id", "lon_e7", "lat_e7"])
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
 
     snaps = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
 
@@ -742,7 +744,7 @@ def q_snapshot_count_bbox(sf_dir: str) -> pd.DataFrame:
     ts = np.array([T_MID], dtype=np.int64)
 
     def stage(batch: pa.Table) -> pa.Table:
-        s = snapshots_fn(decode_spans(batch), ts)
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
         lon = s["lon_e7"].to_numpy(zero_copy_only=False)
         lat = s["lat_e7"].to_numpy(zero_copy_only=False)
         inside = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
@@ -862,7 +864,7 @@ def q_snapshot_pip_poly(sf_dir: str) -> pd.DataFrame:
             super().__init__(regions_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            s = snapshots_fn(decode_spans(batch), ts)
+            s = snapshots_fn(decode_spans(batch, tags=False), ts)
             tagged = super().__call__(s)
             return pa.table(
                 {
@@ -904,7 +906,7 @@ def q_clipped_way_lengths(sf_dir: str) -> pd.DataFrame:
     ts = np.array([T_MID], dtype=np.int64)
 
     def positions(batch: pa.Table) -> pa.Table:
-        return snapshots_fn(decode_spans(batch), ts).select(["osm_id", "lon_e7", "lat_e7"])
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
 
     pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
     left = pos.map_batches(
@@ -1068,7 +1070,7 @@ def q_snapshot_count_by_type(sf_dir: str) -> pd.DataFrame:
     ts = np.array([T_MID], dtype=np.int64)
 
     def node_stage(batch: pa.Table) -> pa.Table:
-        s = snapshots_fn(decode_spans(batch), ts)
+        s = snapshots_fn(decode_spans(batch, tags=False, geom=False), ts)
         return pa.table(
             {
                 "osm_type": pa.array(["node"]),

@@ -57,13 +57,19 @@ def contribution_view(
     t_from: int,
     t_to: int,
     tag_filter: TagFilter | None = None,
+    tags: bool = True,
+    geom: bool = True,
 ) -> ray.data.Dataset:
     """Dataset of classified contributions in [t_from, t_to) —
     semantics of ``CellIterator.iterateByContribution``
-    (CellIterator.java:437-712)."""
+    (CellIterator.java:437-712). ``tags``/``geom`` prune the decode
+    when the caller never reads tag/geometry outputs (the
+    is_tag_change / is_geom_change flags become vacuously false)."""
 
     def stage(batch: pa.Table) -> pa.Table:
-        decoded = decode_spans(batch)
+        decoded = decode_spans(
+            batch, tags=tags or tag_filter is not None, geom=geom
+        )
         return contributions(
             decoded, int(t_from), int(t_to), _match_mask(decoded, tag_filter)
         )
@@ -95,9 +101,13 @@ def snapshot_counts(
     """
     ts = np.asarray(list(timestamps), dtype=np.int64)
     keys = ["ts_q"] + (["cell"] if cell_zoom is not None else [])
+    # prune the decode to what this aggregation reads (BASELINE.md:
+    # memory bandwidth is the wall; unread fields are wasted traffic)
+    need_tags = tag_filter is not None
+    need_geom = cell_zoom is not None
 
     def stage(batch: pa.Table) -> pa.Table:
-        decoded = decode_spans(batch)
+        decoded = decode_spans(batch, tags=need_tags, geom=need_geom)
         s = snapshots(decoded, ts, _match_mask(decoded, tag_filter))
         cols = s.select(["ts_q"])
         if cell_zoom is not None:
@@ -121,9 +131,15 @@ def contribution_stats(
     t_to: int,
     tag_filter: TagFilter | None = None,
     bins=None,
+    flag_cols: list[str] | None = None,
 ):
     """Partial contribution stats per batch: count + per-type sums,
     optionally keyed by floor-binned timestamp.
+
+    ``flag_cols`` limits which classification flags are aggregated —
+    and thereby how much of the span decode runs: a query that only
+    counts contributions/creations never pays for the tag-signature
+    join or the geometry regex.
 
     Returns (partials Dataset, key list). Finish with groupby(keys)
     .aggregate(Sum over each partial column).
@@ -132,10 +148,13 @@ def contribution_stats(
 
     bins_arr = None if bins is None else np.asarray(list(bins), dtype=np.int64)
     keys = ["ts_q"] if bins_arr is not None else []
-    flag_cols = ["is_creation", "is_deletion", "is_tag_change", "is_geom_change"]
+    if flag_cols is None:
+        flag_cols = ["is_creation", "is_deletion", "is_tag_change", "is_geom_change"]
+    need_tags = tag_filter is not None or "is_tag_change" in flag_cols
+    need_geom = "is_geom_change" in flag_cols
 
     def stage(batch: pa.Table) -> pa.Table:
-        decoded = decode_spans(batch)
+        decoded = decode_spans(batch, tags=need_tags, geom=need_geom)
         c = contributions(decoded, int(t_from), int(t_to), _match_mask(decoded, tag_filter))
         t = pa.table(
             {
