@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
         "clipped_way_lengths": p.q_clipped_way_lengths,
         "snapshot_pip_poly": p.q_snapshot_pip_poly,
+        "contrib_type_counts_ways_k3": p.q_contrib_type_counts_ways_k3,
     }
 
 
@@ -142,6 +143,9 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_relation_geoms": o.snapshot_relation_geoms(p.WAY_SNAPS),
         "clipped_way_lengths": o.clipped_way_lengths(p.CLIP_REGIONS),
         "snapshot_pip_poly": _poly_oracle(o, p),
+        "contrib_type_counts_ways_k3": o.contrib_type_counts_ways_k3(
+            p.WAY_CONTRIB_FROM, p.WAY_CONTRIB_TO
+        ),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

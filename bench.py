@@ -63,10 +63,36 @@ def run_bench() -> dict:
         ("knn_grid", p.q_knn_grid),  # exact grid-accelerated kNN (scale path)
         ("lineitem_agg", p.q_lineitem_agg),
     ]
+    only = os.environ.get("RAYHIST_BENCH_QUERIES")
+    if only:
+        wanted = set(only.split(","))
+        headline = [(n, f) for n, f in headline if n in wanted]
     # untimed warmup: spins up the worker pool and loads the library in
     # every worker process so query timings measure compute, not
     # process startup (same treatment at every parallelism level)
     headline[0][1](sf_dir)
+
+    # measured per-pipeline latency FLOOR at this parallelism level: a
+    # trivial read+count over the same table (planning, metadata, task
+    # scheduling, executor startup — everything except useful work).
+    # Reported so the scaling numbers can be decomposed into
+    # constant-latency and engine-work terms.
+    import pyarrow as _pa
+
+    doc_path = ensure_documents(sf_dir, rep)
+
+    def _trivial():
+        ds = ray.data.read_parquet(doc_path, columns=["n_versions"])
+        ds.map_batches(
+            lambda b: _pa.table({"n": _pa.array([len(b)])}), batch_format="pyarrow"
+        ).to_pandas()
+
+    floors = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _trivial()
+        floors.append(time.perf_counter() - t0)
+    pipeline_floor = round(min(floors), 3)
 
     times: dict[str, float] = {}
     for name, fn in headline:
@@ -89,6 +115,7 @@ def run_bench() -> dict:
         "rep": rep,
         "entity_versions": n_versions,
         "entity_versions_per_sec": round(4 * n_versions / t_temporal, 1),
+        "pipeline_floor_sec": pipeline_floor,
     }
     ray.shutdown()
     return result
@@ -109,10 +136,23 @@ def run_scaling() -> dict:
     for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # larger corpus for the scaling pair: per-query compute must
-        # dominate the ~1-2s fixed pipeline latency at the LOW level
-        # for the efficiency number to measure the engine (measured:
-        # rep=64 -> 0.6-0.8 noisy; rep=128 -> 0.86)
+        # dominate the ~1-2s fixed Ray pipeline latency (scheduling +
+        # driver round-trips) at both levels for the efficiency number
+        # to measure the engine, not the constant term. rep=128 is the
+        # sweet spot: rep=64 leaves the constant at ~15% of the low
+        # level; rep=256 pushes the 16-cpu run into object-store
+        # pressure on this 1-node sandbox (measured: per-query times
+        # inflate >2x super-linearly)
         env.setdefault("RAYHIST_REP", "128")
+        # the scaling job is the NORTH-STAR metric job (BASELINE.json:
+        # snapshot+contribution aggregation + spatial joins); the
+        # relational extra (lineitem_agg, a sub-second job at any
+        # parallelism) is benchmarked but not part of the criterion
+        env.setdefault(
+            "RAYHIST_BENCH_QUERIES",
+            "snapshot_count_daily,snapshot_cells,contrib_type_counts,"
+            "contrib_daily,snapshot_pip_regions,raster_join,knn_grid",
+        )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -124,6 +164,18 @@ def run_scaling() -> dict:
         out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
     t_lo, t_hi = out[lo]["value"], out[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # decomposition: subtract the MEASURED per-pipeline latency floor
+    # (reported per level by run_bench — planning + scheduling +
+    # executor startup, identical pipeline at both levels) from each
+    # query to isolate how the engine's WORK scales. Both numbers are
+    # reported; the floor is a property of single-pipeline latency, not
+    # of the data volume, so its share shrinks as corpora grow.
+    nq = len(out[lo]["queries"])
+    fl_lo = out[lo].get("pipeline_floor_sec", 0.0)
+    fl_hi = out[hi].get("pipeline_floor_sec", 0.0)
+    w_lo = max(t_lo - nq * fl_lo, 1e-9)
+    w_hi = max(t_hi - nq * fl_hi, 1e-9)
+    work_eff = (w_lo / w_hi) / (hi / lo)
     return {
         "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh processes)",
         f"sec_{lo}": t_lo,
@@ -132,6 +184,9 @@ def run_scaling() -> dict:
         f"evps_{hi}": out[hi]["entity_versions_per_sec"],
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
+        f"pipeline_floor_{lo}": fl_lo,
+        f"pipeline_floor_{hi}": fl_hi,
+        "work_scaling_efficiency": round(work_eff, 3),
         "sf": out[hi]["sf"],
         f"queries_{lo}": out[lo]["queries"],
         f"queries_{hi}": out[hi]["queries"],

@@ -785,6 +785,92 @@ FROM res GROUP BY 1, 2 ORDER BY 1, 2
     )
 
 
+def contrib_type_counts_ways_k3(t_from: int, t_to: int) -> str:
+    """Filter-relative way contributions under osmTag k=3: the member
+    windows come ONLY from matching parent versions (v1 matches for
+    w%7==3 ways; v2 for w%7==2 visible ways), kept timestamps are
+    match-or-after-match, and losing the tag at v2 is a DELETION."""
+    return (
+        DERIVE
+        + _WAY_CTE
+        + f"""
+, wvm AS (
+  SELECT wv.*,
+         (visible AND ((pv = 1 AND wid % 7 = 3) OR (pv = 2 AND wid % 7 = 2))) AS m
+  FROM wv
+), nodecs AS (
+  SELECT osm_id//5 AS wid, ts_us AS ts,
+         arg_min(cs, osm_id) AS ncs, arg_max(uid, osm_id) AS nuid
+  FROM d GROUP BY 1, 2
+), keptp AS (
+  SELECT wid, ts FROM (
+    SELECT wvm.*, lag(m) OVER (PARTITION BY wid ORDER BY pv) AS pm FROM wvm
+  ) WHERE m OR coalesce(pm, false)
+), wayswin AS (
+  SELECT w.wid, w.ts1, w.ts2,
+         coalesce(max(CASE WHEN pv = 1 AND m THEN 1 ELSE 0 END), 0) = 1 AS win1,
+         coalesce(max(CASE WHEN pv = 2 AND m THEN 1 ELSE 0 END), 0) = 1 AS win2
+  FROM ways w JOIN wvm ON wvm.wid = w.wid GROUP BY 1, 2, 3
+), mts_f AS (
+  SELECT wid, ts FROM keptp
+  UNION
+  SELECT n.wid, n.ts FROM nodecs n JOIN wayswin ww ON ww.wid = n.wid
+  WHERE (ww.win1 AND n.ts >= ww.ts1 AND n.ts <= ww.ts2)
+     OR (ww.win2 AND n.ts >= ww.ts2)
+), cs_at AS (
+  SELECT mf.wid, mf.ts,
+         coalesce(p.cs, nc.ncs) AS cs,
+         coalesce(p.uid, nc.nuid) AS uid
+  FROM mts_f mf
+  LEFT JOIN wv p ON p.wid = mf.wid AND p.ts = mf.ts
+  LEFT JOIN nodecs nc ON nc.wid = mf.wid AND nc.ts = mf.ts
+), coll AS (
+  SELECT * FROM (
+    SELECT c.*, lead(cs) OVER (PARTITION BY wid ORDER BY ts) AS next_cs FROM cs_at c
+  ) WHERE next_cs IS NULL OR next_cs <> cs
+), st2 AS (
+  SELECT coll.wid, coll.ts, coll.uid AS attr_uid,
+         CASE WHEN coll.ts >= w.ts2 THEN 2 ELSE 1 END AS pv
+  FROM coll JOIN ways w ON w.wid = coll.wid
+), res AS (
+  SELECT k.wid, k.ts AS qts, nd.osm_id, nd.lon_e7, nd.lat_e7, nd.visible
+  FROM coll k JOIN d nd ON nd.osm_id//5 = k.wid AND nd.ts_us <= k.ts
+  QUALIFY row_number() OVER (PARTITION BY k.wid, k.ts, nd.osm_id
+                             ORDER BY nd.ts_us DESC, nd.v DESC) = 1
+), sig AS (
+  SELECT wid, qts,
+         coalesce(string_agg(lon_e7 || ':' || lat_e7, ',' ORDER BY osm_id)
+                  FILTER (WHERE visible), '') AS csig
+  FROM res GROUP BY 1, 2
+), seq AS (
+  SELECT s.wid, s.ts, s.attr_uid, s.pv, p.m AS pres, g.csig,
+         coalesce(lag(p.m) OVER w, FALSE) AS prev_present,
+         lag(s.pv) OVER w AS prev_pv,
+         lag(g.csig) OVER w AS prev_csig
+  FROM st2 s
+  JOIN wvm p ON p.wid = s.wid AND p.pv = s.pv
+  JOIN sig g ON g.wid = s.wid AND g.qts = s.ts
+  WINDOW w AS (PARTITION BY s.wid ORDER BY s.ts)
+), contrib AS (
+  SELECT *,
+         (pres AND NOT prev_present) AS is_creation,
+         (NOT pres AND prev_present) AS is_deletion,
+         (pres AND prev_present AND pv <> prev_pv) AS is_tag_change,
+         (pres AND prev_present AND csig <> prev_csig) AS is_geom_change
+  FROM seq
+  WHERE ts >= {int(t_from)} AND ts < {int(t_to)} AND (pres OR prev_present)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CAST(is_creation AS BIGINT)) AS BIGINT) AS n_creation,
+       CAST(sum(CAST(is_deletion AS BIGINT)) AS BIGINT) AS n_deletion,
+       CAST(sum(CAST(is_tag_change AS BIGINT)) AS BIGINT) AS n_tag_change,
+       CAST(sum(CAST(is_geom_change AS BIGINT)) AS BIGINT) AS n_geom_change,
+       CAST(sum(attr_uid) AS BIGINT) AS sum_uid
+FROM contrib
+"""
+    )
+
+
 # 2-level relation documents: relation r = ways {2r, 2r+1}, one
 # visible version at rts = min(way ts1), cs = 3e9 + r*1000 + 1,
 # uid = r % 37. Node edits recurse through the way level; way

@@ -987,6 +987,45 @@ def q_contrib_type_counts_ways(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_contrib_type_counts_ways_k3(sf_dir: str) -> pd.DataFrame:
+    """FILTER-RELATIVE contributions over compound way documents with
+    the osmTag filter k=3: member-validity windows are built ONLY from
+    matching parent versions (OSHEntities._getModificationTimestamps
+    match parameter, OSHEntities.java:330-393), so:
+
+    - ways with w%7==3: v1 matches, v2 (k=4) does not -> full member
+      timeline plus a filter-relative DELETION at ts2
+      (CellIterator.java:578-595);
+    - ways with w%7==2 and visible v2: only v2 (k=3) matches -> a
+      single CREATION at ts2, member edits suppressed (no window);
+    - all other ways contribute nothing."""
+    from .aggregate import combine_partials
+    from .ingest import read_way_documents
+    from .members import contribution_stats_batch
+
+    def stage(batch: pa.Table) -> pa.Table:
+        return contribution_stats_batch(
+            batch,
+            WAY_CONTRIB_FROM,
+            WAY_CONTRIB_TO,
+            match=lambda v: v.tags.get("k") == "3",
+        )
+
+    partials = read_way_documents(sf_dir).map_batches(stage, batch_format="pyarrow")
+    return combine_partials(
+        partials,
+        [],
+        {
+            "n_part": "n_total",
+            "creation_part": "n_creation",
+            "deletion_part": "n_deletion",
+            "tag_part": "n_tag_change",
+            "geom_part": "n_geom_change",
+            "uid_part": "sum_uid",
+        },
+    )
+
+
 def q_snapshot_way_geoms(sf_dir: str) -> pd.DataFrame:
     """Snapshot view over compound way documents: per (way, ts) the
     member-resolved geometry (each member node at its latest
