@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clipped_way_lengths": p.q_clipped_way_lengths,
         "snapshot_pip_poly": p.q_snapshot_pip_poly,
         "contrib_type_counts_ways_k3": p.q_contrib_type_counts_ways_k3,
+        "snapshot_count_even_uid": p.q_snapshot_count_even_uid,
+        "dedup_docs": p.q_dedup_docs,
     }
 
 
@@ -146,6 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "contrib_type_counts_ways_k3": o.contrib_type_counts_ways_k3(
             p.WAY_CONTRIB_FROM, p.WAY_CONTRIB_TO
         ),
+        "snapshot_count_even_uid": o.snapshot_count_daily("visible AND uid % 2 = 0"),
+        "dedup_docs": o.dedup_docs(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

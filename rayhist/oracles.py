@@ -562,6 +562,15 @@ ORDER BY vec_a, vec_b
 """
 
 
+def dedup_docs() -> str:
+    return """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------ .poly even-odd PIP
 def _even_odd_condition(rings) -> str:
     """Crossing-number parity over ALL rings (outer + holes) — literal

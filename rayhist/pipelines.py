@@ -834,6 +834,41 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
+def q_snapshot_count_even_uid(sf_dir: str) -> pd.DataFrame:
+    """osmEntityFilter with an ARBITRARY (non-tag) predicate — the
+    reference's osmEntityFilter(Predicate<OSMEntity>)
+    (MapReducer.java:642-660): here "last editor uid is even", passed
+    as a raw per-version mask into the snapshot interpolation."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.asarray(SNAP_DAILY, dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        decoded = decode_spans(batch, tags=False, geom=False)
+        mask = decoded["uid"].to_numpy(zero_copy_only=False) % 2 == 0
+        s = snapshots_fn(decoded, ts, mask)
+        g = pa.TableGroupBy(s.select(["ts_q"]), ["ts_q"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ts_q", "n_part"])
+
+    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = combine_partials(partials, ["ts_q"], {"n_part": "n_snapshots"})
+    return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
+
+
+def q_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact deduplication as a pipeline result: surviving doc_ids
+    after hash-partitioned keep-first dedup over the documents corpus."""
+    import ray.data
+
+    from .ops.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()[["doc_id"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ----------------------------------------------- .poly boundary file
 import os as _os
 
