@@ -66,6 +66,10 @@ def run_bench() -> dict:
     only = os.environ.get("RAYHIST_BENCH_QUERIES")
     if only:
         wanted = set(only.split(","))
+        known = {n for n, _ in headline}
+        unknown = wanted - known
+        if unknown:  # fail loud: a typo must not silently skew the job
+            raise ValueError(f"unknown RAYHIST_BENCH_QUERIES: {sorted(unknown)}")
         headline = [(n, f) for n, f in headline if n in wanted]
     # untimed warmup: spins up the worker pool and loads the library in
     # every worker process so query timings measure compute, not

@@ -68,7 +68,10 @@ def derive_version_columns(batch: pa.Table) -> pa.Table:
     kk = np.array([json.loads(p)["k"] for p in props], dtype=np.int64)
     from .ops.relational import round_half_away
 
-    uid = round_half_away(value * 100).astype(np.int64) % 37
+    # np.fmod keeps the dividend's sign like SQL's % (numpy's % does
+    # not); identical for the current non-negative values, pinned for
+    # any future corpus with negatives
+    uid = np.fmod(round_half_away(value * 100).astype(np.int64), 37)
     visible = np.array([e != "error" for e in etype], dtype=bool)
     return pa.table(
         {
@@ -228,6 +231,17 @@ WAY_BLOCK = 5
 WAY_CS_BASE = 2_000_000_000
 
 
+def _members_by_parent(parent: np.ndarray, child: np.ndarray) -> dict[int, list[int]]:
+    """{parent: sorted distinct children} in ONE sorted pass (the rows
+    arrive sorted by child already; np.unique keeps it O(n log n) and
+    avoids a boolean rescan of the bucket per parent)."""
+    pairs = np.unique(np.stack([parent, child], axis=1), axis=0)
+    out: dict[int, list[int]] = {}
+    for p, c in pairs:
+        out.setdefault(int(p), []).append(int(c))
+    return out
+
+
 def _pack_way_bucket(group: pd.DataFrame) -> pa.Table:
     """Pack a bucket of COMPLETE way histories (all member-node events
     of each way) into compound span-document rows.
@@ -290,7 +304,8 @@ def _pack_way_bucket(group: pd.DataFrame) -> pa.Table:
     ).groupby("wid").agg(mn_lon=("lon", "min"), mx_lon=("lon2", "max"),
                          mn_lat=("lat", "min"), mx_lat=("lat2", "max"), anyv=("v", "max"))
 
-    members_of = {int(w): sorted(int(o) for o in set(osm[wid == w])) for w in way_ids}
+    # one sorted pass, not a boolean rescan of the bucket per way
+    members_of = _members_by_parent(wid, osm)
 
     kinds_parts, texts_parts, refs_parts, doc_lens = [], [], [], []
     for w, cs_s, cs_e in zip(way_ids, way_starts, way_ends):
@@ -482,8 +497,8 @@ def _pack_rel_bucket(group: pd.DataFrame) -> pa.Table:
         }
     ).groupby("rid").agg(mn_lon=("lon", "min"), mx_lon=("lon2", "max"),
                          mn_lat=("lat", "min"), mx_lat=("lat2", "max"), anyv=("v", "max"))
-    ways_of = {int(r): sorted(int(w) for w in set(wid[rid == r])) for r in rel_ids}
-    members_of = {int(w): sorted(int(o) for o in set(osm[wid == w])) for w in set(wid)}
+    ways_of = _members_by_parent(rid, wid)
+    members_of = _members_by_parent(wid, osm)
 
     kinds_parts, texts_parts, refs_parts, doc_lens = [], [], [], []
     for r, cs_s, cs_e in zip(rel_ids, rel_starts, rel_ends):

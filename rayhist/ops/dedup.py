@@ -77,10 +77,8 @@ def explode_shingles(batch: pa.Table, id_col: str = "doc_id", text_col: str = "t
     local = np.arange(total) - sh_start[doc_of_sh]
     word_start = np.cumsum(lens) - lens
     base = word_start[doc_of_sh] + local
-    w0 = flat.take(pa.array(base))
-    w1 = flat.take(pa.array(base + 1))
-    w2 = flat.take(pa.array(base + 2))
-    shingles = pc.binary_join_element_wise(w0, w1, w2, " ")
+    words = [flat.take(pa.array(base + i)) for i in range(SHINGLE_N)]
+    shingles = pc.binary_join_element_wise(*words, " ")
     ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
     t = pa.table({id_col: ids.take(pa.array(doc_of_sh)), "shingle": shingles})
     # distinct per (doc, shingle) — C-level hash aggregation
@@ -198,19 +196,27 @@ class MinHashStage:
         h = hash64_arr(np.asarray(ex["shingle"].to_pylist(), dtype=object))[order]
         prod = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(MERSENNE)
         sigs = np.full((n, self.n_perm), MERSENNE, dtype=np.uint64)
+        has_shingles = np.zeros(n, dtype=bool)
         if len(doc_idx):
             starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
             mins = np.minimum.reduceat(prod, starts, axis=0)
             sigs[doc_idx[starts]] = mins
-        keys = self._band_keys(sigs)  # (n, bands)
+            has_shingles[doc_idx[starts]] = True
+        # docs with NO shingles (fewer than SHINGLE_N words) emit no
+        # band rows at all: they cannot be near-dups under the shingle
+        # Jaccard definition, and giving them a shared sentinel
+        # signature would collide every short doc in every band — a
+        # quadratic candidate explosion at corpus scale
+        keep = np.flatnonzero(has_shingles)
+        keys = self._band_keys(sigs[keep])  # (n_keep, bands)
         out_id = []
-        for d in ids_all:
-            out_id.extend([d] * self.bands)
+        for i in keep:
+            out_id.extend([ids_all[i]] * self.bands)
         return pa.table(
             {
                 "doc_id": pa.array(out_id, type=batch["doc_id"].type),
-                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
-                "key": pa.array(keys.ravel()),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), len(keep))),
+                "key": pa.array(keys.ravel() if len(keep) else np.array([], dtype=np.int64)),
             }
         )
 
@@ -339,6 +345,7 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFrame:
         h = hash64_arr(np.asarray(ex["shingle"].to_pylist(), dtype=object))[order]
         bits = (h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]) & np.uint64(1)
         sigs = np.zeros(n, dtype=np.uint64)
+        has_shingles = np.zeros(n, dtype=bool)
         if len(doc_idx):
             starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
             votes = np.add.reduceat(bits, starts, axis=0)
@@ -346,10 +353,16 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFrame:
             maj = votes * 2 > counts[:, None]
             weights = np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)
             sigs[doc_idx[starts]] = (maj.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            has_shingles[doc_idx[starts]] = True
+        # no-shingle docs are excluded (see MinHashStage): sig 0 for
+        # every short doc would both bucket-collide them all AND pass
+        # hamming==0 verification as false near-dup pairs
+        keep = np.flatnonzero(has_shingles)
+        sigs = sigs[keep]
         out_id = []
-        for d in ids_all:
-            out_id.extend([d] * 4)
-        chunk = np.tile(np.arange(4, dtype=np.int32), n)
+        for i in keep:
+            out_id.extend([ids_all[i]] * 4)
+        chunk = np.tile(np.arange(4, dtype=np.int32), len(keep))
         sig4 = np.repeat(sigs, 4)
         key = (sig4 >> (np.uint64(16) * chunk.astype(np.uint64))) & np.uint64(0xFFFF)
         return pa.table(

@@ -22,11 +22,17 @@ import ray.data
 
 def round_half_away(x: np.ndarray) -> np.ndarray:
     """Round half AWAY from zero — the SQL ``round()`` contract (DuckDB,
-    ANSI). numpy's ``np.round`` is half-to-even and would diverge from
-    the oracles on exact-.5 inputs; every value->integer derivation in
-    the engine uses this function so the rounding contract is pinned in
-    one place (mirrored by the oracle SQL's bare ``round()``)."""
-    return np.floor(np.abs(x) + 0.5) * np.sign(x)
+    ANSI; C ``round()``). numpy's ``np.round`` is half-to-even and
+    ``floor(abs(x)+0.5)`` rounds UP across the integer for values half
+    an ulp below .5 (0.49999999999999994+0.5 == 1.0 in IEEE); this
+    kernel compares the exact fractional part instead, so it matches
+    DuckDB bit-for-bit on every double. Every value->integer derivation
+    in the engine uses this function so the rounding contract is pinned
+    in one place (mirrored by the oracle SQL's bare ``round()``)."""
+    x = np.asarray(x, dtype=np.float64)
+    t = np.trunc(x)
+    frac = x - t  # exact for |x| < 2^52 (money values always are)
+    return t + np.where(np.abs(frac) >= 0.5, np.sign(x), 0.0)
 
 
 def cents(batch: pa.Table, col: str, out: str) -> pa.Table:

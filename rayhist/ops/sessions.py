@@ -19,6 +19,36 @@ import pyarrow as pa
 import ray.data
 
 
+def _bucketed(events: ray.data.Dataset, key_col: str, n_buckets: int, group_fn):
+    """Hash-bucket the log by key and run ``group_fn`` per bucket —
+    the shared shuffle of every sessionization variant (complete keys
+    per bucket by construction)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("_bucket", pa.array((k % n_buckets).astype(np.int64)))
+
+    return (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(lambda g: group_fn(g.drop(columns=["_bucket"])), batch_format="pandas")
+    )
+
+
+def _session_frame(g: pd.DataFrame, gap_us: int, key_col: str, ts_col: str):
+    """Shared gap rule: sort by (key, ts), return (keys, ts_us,
+    new_key mask, global session ids). The ONE definition of a session
+    boundary — both public operators derive from it."""
+    g = g.sort_values([key_col, ts_col], kind="mergesort")
+    k = g[key_col].to_numpy()
+    t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    new_key = np.r_[True, k[1:] != k[:-1]]
+    gap = np.r_[0, t[1:] - t[:-1]]
+    new_session = new_key | (gap >= gap_us)
+    sid_global = np.cumsum(new_session) - 1
+    return k, t, new_key, sid_global
+
+
 def sessionize(
     events: ray.data.Dataset,
     gap_us: int,
@@ -29,18 +59,8 @@ def sessionize(
     """-> one row per (key, session): session_id (0-based per key),
     n_events, start ts, end ts, duration."""
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        k = batch[key_col].to_numpy(zero_copy_only=False)
-        return batch.append_column("_bucket", pa.array((k % n_buckets).astype(np.int64)))
-
     def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, ts_col], kind="mergesort")
-        k = g[key_col].to_numpy()
-        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_key = np.r_[True, k[1:] != k[:-1]]
-        gap = np.r_[0, t[1:] - t[:-1]]
-        new_session = new_key | (gap >= gap_us)
-        sid_global = np.cumsum(new_session) - 1
+        k, t, new_key, sid_global = _session_frame(g, gap_us, key_col, ts_col)
         # per-key 0-based session ids
         first_sid_of_key = np.maximum.accumulate(np.where(new_key, sid_global, 0))
         sid = sid_global - first_sid_of_key
@@ -51,13 +71,7 @@ def sessionize(
         out["duration_us"] = out["end_us"] - out["start_us"]
         return out
 
-    return (
-        events.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(
-            lambda g: bucket_sessions(g.drop(columns=["_bucket"])), batch_format="pandas"
-        )
-    )
+    return _bucketed(events, key_col, n_buckets, bucket_sessions)
 
 
 def user_session_stats(
@@ -72,35 +86,16 @@ def user_session_stats(
     holds complete users, so the per-user aggregate is final there and
     only |users| small rows stream out — no driver-side groupby (user
     count scales with data)."""
-    import numpy as np
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        k = batch[key_col].to_numpy(zero_copy_only=False)
-        return batch.append_column("_bucket", pa.array((k % n_buckets).astype(np.int64)))
 
     def bucket_user_stats(g: pd.DataFrame) -> pd.DataFrame:
-        # sessionize + per-user aggregate in ONE group call — the group
-        # holds complete users by construction (hash bucket), so the
-        # aggregate is final here; re-batching can never split a user.
-        g = g.drop(columns=["_bucket"]).sort_values([key_col, ts_col], kind="mergesort")
-        k = g[key_col].to_numpy()
-        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_key = np.r_[True, k[1:] != k[:-1]]
-        gap = np.r_[0, t[1:] - t[:-1]]
-        new_session = new_key | (gap >= gap_us)
-        sid = np.cumsum(new_session) - 1
+        k, t, _new_key, sid = _session_frame(g, gap_us, key_col, ts_col)
         df = pd.DataFrame({key_col: k, "_sid": sid, "_ts": t})
         per_sess = df.groupby([key_col, "_sid"], as_index=False).agg(
             n=("_ts", "size"), lo=("_ts", "min"), hi=("_ts", "max")
         )
         per_sess["dur"] = per_sess["hi"] - per_sess["lo"]
-        out = per_sess.groupby(key_col, as_index=False).agg(
+        return per_sess.groupby(key_col, as_index=False).agg(
             n_sessions=("_sid", "size"), n_events=("n", "sum"), total_session_us=("dur", "sum")
         )
-        return out
 
-    return (
-        events.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(bucket_user_stats, batch_format="pandas")
-    )
+    return _bucketed(events, key_col, n_buckets, bucket_user_stats)

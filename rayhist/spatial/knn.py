@@ -458,12 +458,19 @@ def ann_cosine_ivf_pruned(
     layout, cents = ensure_ivf_layout(parquet_path, nlist, id_col, vec_col)
 
     qset = sorted(int(i) for i in set(query_ids))
-    qtab = pds.dataset(parquet_path).to_table(columns=[id_col, vec_col])
-    qsel = np.isin(qtab[id_col].to_numpy(zero_copy_only=False), qset)
-    qids = qtab[id_col].to_numpy(zero_copy_only=False)[qsel].astype(np.int64)
+    # pushed-down id filter: only the O(|queries|) rows reach the
+    # driver — never the corpus (the scan pruning below would be
+    # pointless if the query lookup materialized everything)
+    import pyarrow.compute as _pc
+
+    qtab = pds.dataset(parquet_path).to_table(
+        columns=[id_col, vec_col],
+        filter=_pc.field(id_col).isin(qset),
+    )
+    qids = qtab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(qids)
     qids = qids[order]
-    qmat = np.stack(qtab[vec_col].to_numpy(zero_copy_only=False)[qsel])[order].astype(np.float64)
+    qmat = np.stack(qtab[vec_col].to_numpy(zero_copy_only=False))[order].astype(np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     qbuckets = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
 

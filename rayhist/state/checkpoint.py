@@ -113,11 +113,12 @@ def run_sharded(
             import shutil
 
             # The surviving directory is the other run's output; our tmp
-            # (and the rec describing it) are discarded so the manifest
-            # never describes a deleted directory. The winner appended
-            # its own (correct) manifest line.
+            # is discarded so the manifest never describes a deleted
+            # directory (the winner appended its own line). The pipeline
+            # is deterministic, so the computed rec still describes the
+            # surviving content — return it (full schema) flagged.
             shutil.rmtree(tmp)
-            done[pid] = {"partition": pid, "skipped_lost_race": True}
+            done[pid] = {**rec, "lost_race": True}
             continue
         tmp.rename(final)
         with open(manifest_path, "a") as f:

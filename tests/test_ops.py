@@ -211,3 +211,32 @@ def test_embedding_dup_pairs_blocked_equals_dense():
     assert (got["vec_a"].to_numpy() == exp["vec_a"].to_numpy()).all()
     assert (got["vec_b"].to_numpy() == exp["vec_b"].to_numpy()).all()
     assert np.allclose(got["cos_sim"].to_numpy(), exp["cos_sim"].to_numpy(), atol=1e-12)
+
+
+def test_short_docs_never_near_dup():
+    """Docs with fewer than SHINGLE_N words have no shingles: they must
+    produce NO near-dup pairs in any path, and must not share LSH/
+    SimHash buckets (a shared sentinel signature would collide every
+    short doc -> quadratic candidates at corpus scale)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayhist.ops.dedup import (
+        MinHashStage,
+        exact_jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    texts = ["hi", "yo", "", "one two", "a proper document with many words here",
+             "a proper document with many words here"]
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(6)), "text": texts}))
+    ex = exact_jaccard_pairs(ds, 1, 2)
+    assert set(zip(ex["doc_a"], ex["doc_b"])) == {(4, 5)}
+    mh = minhash_lsh_pairs(ds, 1, 2)
+    assert set(zip(mh["doc_a"], mh["doc_b"])) == {(4, 5)}
+    sh = simhash_pairs(ds)
+    assert set(zip(sh["doc_a"], sh["doc_b"])) == {(4, 5)}
+    # short docs emit zero band rows
+    bands = MinHashStage()(pa.table({"doc_id": [0, 1], "text": ["hi", "yo"]}))
+    assert len(bands) == 0
