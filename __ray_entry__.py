@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrib_type_counts_ways_k3": p.q_contrib_type_counts_ways_k3,
         "snapshot_count_even_uid": p.q_snapshot_count_even_uid,
         "dedup_docs": p.q_dedup_docs,
+        "contrib_type_counts_poly": p.q_contrib_type_counts_poly,
     }
 
 
@@ -150,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_count_even_uid": o.snapshot_count_daily("visible AND uid % 2 = 0"),
         "dedup_docs": o.dedup_docs(),
+        "contrib_type_counts_poly": o.contrib_type_counts_poly(),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

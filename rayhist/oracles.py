@@ -551,6 +551,25 @@ FROM contrib
     )
 
 
+def contrib_type_counts_poly() -> str:
+    """AOI = convex polygon membership as the present_expr — the
+    polygon analog of contrib_type_counts_bbox, byte-identical float
+    sign tests (see _convex_condition)."""
+    aoi = _convex_condition(REGIONS["north_pentagon"])
+    return (
+        DERIVE
+        + _contrib_cte(present_expr=aoi)
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CAST(is_creation AS BIGINT)) AS BIGINT) AS n_creation,
+       CAST(sum(CAST(is_deletion AS BIGINT)) AS BIGINT) AS n_deletion,
+       CAST(sum(CAST(is_tag_change AS BIGINT)) AS BIGINT) AS n_tag_change,
+       CAST(sum(CAST(is_geom_change AS BIGINT)) AS BIGINT) AS n_geom_change
+FROM contrib
+"""
+    )
+
+
 def embedding_dup_pairs() -> str:
     return """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -809,6 +809,46 @@ def q_contrib_type_counts_bbox(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_contrib_type_counts_poly(sf_dir: str) -> pd.DataFrame:
+    """areaOfInterest(POLYGON) contribution counts: like the bbox
+    variant but the membership test is point-in-convex-polygon
+    (north_pentagon) — a state outside the polygon behaves like the
+    reference's clipped-to-empty geometry (CellIterator.java:625-642),
+    so crossing the boundary emits DELETION/CREATION pairs."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.fip import contains_convex
+    from .temporal import contributions as contribs_fn
+
+    ring = np.asarray(REGIONS["north_pentagon"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        decoded = decode_spans(batch)
+        lon = decoded["lon_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = decoded["lat_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
+        aoi = contains_convex(ring, lon, lat)
+        c = contribs_fn(decoded, CONTRIB_FROM, CONTRIB_TO, None, aoi)
+        sums = {"n_part": pa.array([len(c)], type=pa.int64())}
+        for f in ("is_creation", "is_deletion", "is_tag_change", "is_geom_change"):
+            sums[f + "_part"] = pa.array(
+                [int(c[f].to_numpy(zero_copy_only=False).sum())], type=pa.int64()
+            )
+        return pa.table(sums)
+
+    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    return combine_partials(
+        partials,
+        [],
+        {
+            "n_part": "n_total",
+            "is_creation_part": "n_creation",
+            "is_deletion_part": "n_deletion",
+            "is_tag_change_part": "n_tag_change",
+            "is_geom_change_part": "n_geom_change",
+        },
+    )
+
+
 def q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs at cos >= 0.4."""
     import ray.data
