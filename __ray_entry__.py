@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_count_even_uid": p.q_snapshot_count_even_uid,
         "dedup_docs": p.q_dedup_docs,
         "contrib_type_counts_poly": p.q_contrib_type_counts_poly,
+        "hopping_window_counts": p.q_hopping_window_counts,
     }
 
 
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_count_even_uid": o.snapshot_count_daily("visible AND uid % 2 = 0"),
         "dedup_docs": o.dedup_docs(),
         "contrib_type_counts_poly": o.contrib_type_counts_poly(),
+        "hopping_window_counts": o.hopping_window_counts(p.HOP_US, p.WIN_US),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

@@ -38,6 +38,59 @@ from .functions.geo import area_of_polygon, length_of_line
 AREA_TAGS = {"building", "landuse", "natural", "leisure", "amenity", "area"}
 
 
+class TagInterpreter:
+    """Configurable area decision — the engine's DefaultTagInterpreter
+    (``oshdb-util/.../taginterpreter/DefaultTagInterpreter.java:23-191``
+    driven by polygon-features.json).
+
+    Spec: a list of ``{"key": k, "polygon": "all"}`` /
+    ``{"key": k, "polygon": "whitelist", "values": [...]}`` /
+    ``{"key": k, "polygon": "blacklist", "values": [...]}`` entries,
+    the exact shape of the osm polygon-features dataset. A closed way
+    is an area iff some entry accepts one of its tags, and ``area=no``
+    always wins (BaseTagInterpreter.java:74-97).
+    """
+
+    def __init__(self, spec: list[dict] | None = None):
+        if spec is None:
+            spec = [{"key": k, "polygon": "all"} for k in sorted(AREA_TAGS)]
+        self.all_keys: set[str] = set()
+        self.white: dict[str, set[str]] = {}
+        self.black: dict[str, set[str]] = {}
+        for e in spec:
+            mode = e.get("polygon", "all")
+            if mode == "all":
+                self.all_keys.add(e["key"])
+            elif mode == "whitelist":
+                self.white[e["key"]] = set(e["values"])
+            elif mode == "blacklist":
+                self.black[e["key"]] = set(e["values"])
+            else:
+                raise ValueError(f"unknown polygon mode: {mode!r}")
+
+    @classmethod
+    def from_json(cls, path: str) -> "TagInterpreter":
+        import json
+
+        with open(path) as f:
+            return cls(json.load(f))
+
+    def is_area(self, tags: dict[str, str]) -> bool:
+        if tags.get("area") == "no":
+            return False
+        for k, v in tags.items():
+            if k in self.all_keys:
+                return True
+            if k in self.white and v in self.white[k]:
+                return True
+            if k in self.black and v not in self.black[k]:
+                return True
+        return False
+
+
+DEFAULT_TAG_INTERPRETER = TagInterpreter()
+
+
 @dataclass
 class Geom:
     kind: str  # point | linestring | polygon | multipolygon | empty
@@ -65,18 +118,21 @@ class Geom:
         return 0.0
 
 
-def is_area(tags: dict[str, str]) -> bool:
-    """Area decision (BaseTagInterpreter.java:74-97 behavior)."""
-    if tags.get("area") == "no":
-        return False
-    return any(k in AREA_TAGS for k in tags)
+def is_area(tags: dict[str, str], interpreter: TagInterpreter | None = None) -> bool:
+    """Area decision (BaseTagInterpreter.java:74-97 behavior),
+    delegated to the (configurable) TagInterpreter."""
+    return (interpreter or DEFAULT_TAG_INTERPRETER).is_area(tags)
 
 
 def build_node(lon_e7: int, lat_e7: int) -> Geom:
     return Geom("point", [(np.array([lon_e7 / 1e7]), np.array([lat_e7 / 1e7]))])
 
 
-def build_way(coords_e7: np.ndarray, tags: dict[str, str]) -> Geom:
+def build_way(
+    coords_e7: np.ndarray,
+    tags: dict[str, str],
+    interpreter: TagInterpreter | None = None,
+) -> Geom:
     """coords_e7: (n, 2) resolved member-node positions in ref order.
     Missing members must already be dropped by the resolver (the
     reference tolerates incomplete data, OSHDBGeometryBuilder.java:89-96)."""
@@ -88,7 +144,7 @@ def build_way(coords_e7: np.ndarray, tags: dict[str, str]) -> Geom:
     lons = coords_e7[:, 0] / 1e7
     lats = coords_e7[:, 1] / 1e7
     closed = coords_e7[0, 0] == coords_e7[-1, 0] and coords_e7[0, 1] == coords_e7[-1, 1]
-    if closed and n >= 4 and is_area(tags):
+    if closed and n >= 4 and is_area(tags, interpreter):
         return Geom("polygon", [(lons, lats)], [[]])
     return Geom("linestring", [(lons, lats)])
 

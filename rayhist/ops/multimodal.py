@@ -94,3 +94,82 @@ def decode_media(ds: ray.data.Dataset, concurrency=(1, 4), batch_size: int = 256
     return ds.map_batches(
         MediaDecodeStage, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
+
+
+class MediaResizeStage:
+    """Actor-pool stage: resize images to fit a bounding box, keeping
+    aspect ratio. The pixel resample is the stubbed codec step (same
+    RAYHIST_FAKE_DECODE contract as MediaDecodeStage: the fake rewrites
+    the payload deterministically from (ref, target) so downstream
+    stages see a changed payload); the metadata math (target size,
+    aspect preservation) is real and tested."""
+
+    def __init__(self, max_w: int = 32, max_h: int = 32):
+        self.max_w, self.max_h = max_w, max_h
+        if os.environ.get("RAYHIST_FAKE_DECODE", "1") != "1":  # pragma: no cover
+            raise NotImplementedError("real resize needs PIL; set RAYHIST_FAKE_DECODE=1")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(np.minimum(self.max_w / w, self.max_h / h), 1.0)
+        nw = np.maximum((w * scale).astype(np.int32), 1)
+        nh = np.maximum((h * scale).astype(np.int32), 1)
+        payloads = [
+            hashlib.sha256(p + f":{a}x{b}".encode()).digest() * 4
+            for p, a, b in zip(batch["payload"].to_pylist(), nw, nh)
+        ]
+        out = batch.drop_columns(["payload", "width", "height"])
+        out = out.append_column("payload", pa.array(payloads, type=pa.binary()))
+        out = out.append_column("width", pa.array(nw, type=pa.int32()))
+        return out.append_column("height", pa.array(nh, type=pa.int32()))
+
+
+class FrameSampleStage:
+    """Actor-pool flat-map stage: sample N frames per video payload at
+    evenly spaced timestamps (1 -> N row explosion, the video analog of
+    the shingle explode). Frame extraction is the stubbed codec step;
+    the timestamp math and row fan-out are real."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n = n_frames
+        if os.environ.get("RAYHIST_FAKE_DECODE", "1") != "1":  # pragma: no cover
+            raise NotImplementedError("real frame extraction needs ffmpeg; set RAYHIST_FAKE_DECODE=1")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        durs = batch["duration_ms"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        out_ref, out_idx, out_ts, out_frame = [], [], [], []
+        for r, d, p in zip(refs, durs, payloads):
+            step = max(int(d), 1) / self.n
+            for i in range(self.n):
+                t = int(i * step + step / 2)
+                out_ref.append(r)
+                out_idx.append(i)
+                out_ts.append(t)
+                out_frame.append(hashlib.sha256(p + t.to_bytes(8, "little")).digest())
+        return pa.table(
+            {
+                "media_ref": pa.array(out_ref),
+                "frame_idx": pa.array(out_idx, type=pa.int32()),
+                "ts_ms": pa.array(out_ts, type=pa.int32()),
+                "frame": pa.array(out_frame, type=pa.binary()),
+            }
+        )
+
+
+def resize_media(ds: ray.data.Dataset, max_w: int = 32, max_h: int = 32,
+                 concurrency=(1, 4), batch_size: int = 256) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaResizeStage, fn_constructor_args=(max_w, max_h),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def sample_frames(ds: ray.data.Dataset, n_frames: int = 4,
+                  concurrency=(1, 4), batch_size: int = 64) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSampleStage, fn_constructor_args=(n_frames,),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )

@@ -581,6 +581,17 @@ ORDER BY vec_a, vec_b
 """
 
 
+def hopping_window_counts(hop_us: int, win_us: int) -> str:
+    k = win_us // hop_us
+    return f"""
+SELECT (epoch_us(ts)//{hop_us} - s.i) * {hop_us} AS ws,
+       count(*) AS n
+FROM events
+CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i) s
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def dedup_docs() -> str:
     return """
 SELECT doc_id FROM (

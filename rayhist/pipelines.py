@@ -874,6 +874,34 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
+HOP_US = 6 * 3600 * 1_000_000  # hop: 6h
+WIN_US = 24 * 3600 * 1_000_000  # window: 24h -> 4 overlapping windows/event
+
+
+def q_hopping_window_counts(sf_dir: str) -> pd.DataFrame:
+    """HOPPING-window event counts (window 24h, hop 6h): every event
+    lands in window/hop = 4 overlapping windows — the stream-shaped
+    windowed aggregate beyond tumbling floor-bins (SURVEY.md §2.11).
+    Implemented as a per-batch fan-out + partial counts; the shuffle
+    sees |windows| rows per batch, not |events| x 4."""
+    import ray.data
+
+    from .aggregate import combine_partials
+
+    k = WIN_US // HOP_US
+
+    def stage(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        base = t // HOP_US
+        ws = ((base[:, None] - np.arange(k)[None, :]) * HOP_US).ravel()
+        g = pa.TableGroupBy(pa.table({"ws": pa.array(ws)}), ["ws"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ws", "n_part"])
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    df = combine_partials(ev.map_batches(stage, batch_format="pyarrow"), ["ws"], {"n_part": "n"})
+    return df.sort_values("ws").reset_index(drop=True)
+
+
 def q_snapshot_count_even_uid(sf_dir: str) -> pd.DataFrame:
     """osmEntityFilter with an ARBITRARY (non-tag) predicate — the
     reference's osmEntityFilter(Predicate<OSMEntity>)

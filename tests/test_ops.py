@@ -240,3 +240,54 @@ def test_short_docs_never_near_dup():
     # short docs emit zero band rows
     bands = MinHashStage()(pa.table({"doc_id": [0, 1], "text": ["hi", "yo"]}))
     assert len(bands) == 0
+
+
+def test_media_resize_and_frame_sample():
+    """Resize keeps aspect ratio and caps the box; frame sampling fans
+    1 video -> n deterministic frame rows at evenly spaced timestamps."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayhist.ops.multimodal import resize_media, sample_frames, synth_media_table
+
+    refs = [f"vid://{i}" for i in range(6)]
+    t = synth_media_table(refs, kind="video")
+    t = t.set_column(t.schema.get_field_index("duration_ms"), "duration_ms",
+                     pa.array([1000, 2000, 400, 8000, 100, 60000], type=pa.int32()))
+    ds = ray.data.from_arrow(t)
+
+    r = resize_media(ds, max_w=20, max_h=10).to_pandas().sort_values("media_ref")
+    assert (r["width"] <= 20).all() and (r["height"] <= 10).all()
+    orig = t.to_pandas().sort_values("media_ref")
+    ar_old = orig["width"].to_numpy() / orig["height"].to_numpy()
+    ar_new = r["width"].to_numpy() / r["height"].to_numpy()
+    assert np.abs(ar_old - ar_new).max() / ar_old.max() < 0.25  # int rounding tolerance
+
+    f = sample_frames(ray.data.from_arrow(t), n_frames=4).to_pandas()
+    assert len(f) == 6 * 4
+    per = f[f["media_ref"] == "vid://5"].sort_values("frame_idx")
+    assert per["ts_ms"].tolist() == [7500, 22500, 37500, 52500]  # evenly spaced in 60s
+    # deterministic across runs
+    f2 = sample_frames(ray.data.from_arrow(t), n_frames=4).to_pandas()
+    a = f.sort_values(["media_ref", "frame_idx"])["frame"].tolist()
+    b = f2.sort_values(["media_ref", "frame_idx"])["frame"].tolist()
+    assert a == b
+
+
+def test_tag_interpreter_modes():
+    from rayhist.geometry import TagInterpreter, is_area
+
+    ti = TagInterpreter([
+        {"key": "building", "polygon": "all"},
+        {"key": "highway", "polygon": "whitelist", "values": ["services", "rest_area"]},
+        {"key": "natural", "polygon": "blacklist", "values": ["coastline", "ridge"]},
+    ])
+    assert ti.is_area({"building": "yes"})
+    assert not ti.is_area({"building": "yes", "area": "no"})  # area=no wins
+    assert ti.is_area({"highway": "services"})
+    assert not ti.is_area({"highway": "residential"})
+    assert ti.is_area({"natural": "water"})
+    assert not ti.is_area({"natural": "coastline"})
+    assert not ti.is_area({"name": "x"})
+    # default interpreter == historical AREA_TAGS behavior
+    assert is_area({"building": "yes"}) and not is_area({"name": "x"})
