@@ -308,8 +308,11 @@ def clip_segments_to_bbox(
         (-dy, ay - y0),
         (dy, y1 - ay),
     ):
+        # Liang-Barsky: r = q/p; p<0 tightens the entry parameter,
+        # p>0 the exit (the round-1 code negated q, rejecting every
+        # segment — caught by the Cyrus-Beck cross-check test)
         with np.errstate(divide="ignore", invalid="ignore"):
-            r = np.where(p != 0, -q / np.where(p != 0, p, 1), 0.0)
+            r = np.where(p != 0, q / np.where(p != 0, p, 1), 0.0)
         ent = (p < 0)
         t0 = np.where(ent, np.maximum(t0, r), t0)
         t1 = np.where(p > 0, np.minimum(t1, r), t1)

@@ -309,3 +309,58 @@ def test_polyfile_parse_and_contains():
 
     with pytest.raises(ValueError):
         parse_poly("name\nsec\n 1 2\nEND\nEND")  # <3 points
+
+
+def test_cyrus_beck_equals_bbox_clip_on_rectangles():
+    """Two independent clip implementations must agree when the convex
+    polygon IS an axis-aligned rectangle: Cyrus-Beck t-interval vs
+    Liang-Barsky bbox clip (total clipped length)."""
+    from rayhist.functions.geo import distance_equirectangular
+    from rayhist.geometry import clip_segments_convex, clip_segments_to_bbox
+
+    rng = np.random.default_rng(42)
+    bbox = (-3e8, -2e8, 5e8, 4e8)
+    x0, y0, x1, y1 = bbox
+    rect = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]  # CCW
+    lons = rng.uniform(-8e8, 8e8, 60)
+    lats = rng.uniform(-6e8, 6e8, 60)
+
+    # liang-barsky path works on a polyline in DEGREE space
+    lb = clip_segments_to_bbox(lons / 1e7, lats / 1e7, tuple(v / 1e7 for v in bbox))
+
+    ax, ay, bx, by = lons[:-1], lats[:-1], lons[1:], lats[1:]
+    t0, t1, ok = clip_segments_convex(ax, ay, bx, by, rect)
+    dx, dy = bx - ax, by - ay
+    cax, cay = ax + t0 * dx, ay + t0 * dy
+    cbx, cby = ax + t1 * dx, ay + t1 * dy
+    d = distance_equirectangular(cay / 1e7, cax / 1e7, cby / 1e7, cbx / 1e7)
+    cb = float(d[ok].sum())
+    assert cb == pytest.approx(lb, rel=1e-9)
+
+
+def test_decode_pruning_preserves_counts():
+    """tags=False / geom=False decode must not change any output the
+    pruned queries actually read: contribution counts + creation flags
+    and snapshot counts are identical to the full decode."""
+    import pyarrow.parquet as pq
+
+    from rayhist.ingest import ensure_documents
+    from rayhist.model import decode_spans
+    from rayhist.pipelines import CONTRIB_FROM, CONTRIB_TO, SNAP_DAILY
+    from rayhist.temporal import contributions, snapshots
+
+    tbl = pq.read_table(ensure_documents("/root/testdata/sf0.001"))
+    full = decode_spans(tbl)
+    pruned = decode_spans(tbl, tags=False, geom=False)
+
+    ts = np.asarray(SNAP_DAILY, dtype=np.int64)
+    assert len(snapshots(full, ts)) == len(snapshots(pruned, ts))
+
+    cf = contributions(full, CONTRIB_FROM, CONTRIB_TO)
+    cp = contributions(pruned, CONTRIB_FROM, CONTRIB_TO)
+    assert len(cf) == len(cp)
+    for col in ("is_creation", "is_deletion"):
+        assert cf[col].to_pylist() == cp[col].to_pylist()
+    # and the pruned columns are constant-filled, not garbage
+    assert set(pruned["tag_sig"].to_pylist()) == {""}
+    assert set(pruned["lon_e7"].to_pylist()) == {0}
