@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs": p.q_dedup_docs,
         "contrib_type_counts_poly": p.q_contrib_type_counts_poly,
         "hopping_window_counts": p.q_hopping_window_counts,
+        "knn_all": p.q_knn_all,
     }
 
 
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_docs": o.dedup_docs(),
         "contrib_type_counts_poly": o.contrib_type_counts_poly(),
         "hopping_window_counts": o.hopping_window_counts(p.HOP_US, p.WIN_US),
+        "knn_all": o.knn("TRUE"),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

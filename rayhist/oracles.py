@@ -256,14 +256,14 @@ FROM cells GROUP BY 1 ORDER BY 1
     )
 
 
-def knn() -> str:
+def knn(query_filter: str = "osm_id % 17 = 0") -> str:
     cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
     return (
         DERIVE
         + cte
-        + """
+        + f"""
 , pts AS (SELECT osm_id, lon_e7, lat_e7 FROM snap),
-q AS (SELECT * FROM pts WHERE osm_id % 17 = 0),
+q AS (SELECT * FROM pts WHERE {query_filter}),
 cand AS (
   SELECT q.osm_id AS query_id, p.osm_id AS neighbor_id,
          (CAST(p.lon_e7 AS DOUBLE) - CAST(q.lon_e7 AS DOUBLE)) AS dx,

@@ -874,6 +874,26 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
+def q_knn_all(sf_dir: str) -> pd.DataFrame:
+    """kNN for EVERY entity position at T_MID (kNN-all) via the
+    halo-replicated cell join (spatial.knn.knn_all): one 9x-replication
+    shuffle + per-cell vectorized kNN with guarantee-radius resolution,
+    brute-force fallback only for sparse-cell stragglers — no per-query
+    driver loop, the all-pairs workload the per-query kernels cap on."""
+    from .model import decode_spans
+    from .spatial.knn import knn_all
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
+    out = knn_all(pos, k=3, zoom=3)
+    return out[["query_id", "neighbor_id", "rank", "dist2"]].reset_index(drop=True)
+
+
 HOP_US = 6 * 3600 * 1_000_000  # hop: 6h
 WIN_US = 24 * 3600 * 1_000_000  # window: 24h -> 4 overlapping windows/event
 

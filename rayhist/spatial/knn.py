@@ -520,3 +520,144 @@ def ann_cosine_ivf_pruned(
     out = _topk_reduce(cands, k, by="cos_sim", ascending=False)
     out.attrs["rows_scanned"] = int(rows_scanned)
     return out
+
+
+# ------------------------------------------------------------ kNN-all
+def knn_all(
+    points: ray.data.Dataset,
+    k: int = 3,
+    id_col: str = "osm_id",
+    zoom: int = 3,
+) -> pd.DataFrame:
+    """EXACT k nearest neighbors for EVERY point (kNN-all) — the
+    all-pairs workload the per-query kernels cap out on.
+
+    Shape: halo-replicated neighborhood join. Each point is emitted to
+    its own grid cell AND its 8 neighbors (9x replication — the halo);
+    one groupby(cell) then gives every cell's CORE points all
+    candidates within the 3x3 block, and the per-group kNN is one
+    vectorized distance matrix. A core point is RESOLVED when its k-th
+    candidate distance is within the guaranteed radius (distance to the
+    edge of the explored block — everything beyond is provably
+    farther); the rare unresolved points (sparse cells) fall back to
+    one brute-force pass. Partitioning assumption: a 3x3 block of
+    cells fits in one group — pick ``zoom`` so cells hold O(100-10k)
+    points; the shuffle volume is 9x the corpus, independent of k.
+    """
+    from ..model import LAT_MOD, LON_MOD
+    from .grid import cell_id
+
+    nx = 1 << zoom
+    ny = max(1, 1 << (zoom - 1))
+    w = LON_MOD / nx
+    h = LAT_MOD / ny
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = batch["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = batch["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = cell_id(lon, lat, zoom)
+        cx = cells % nx
+        cy = cells // nx
+        n = len(ids)
+        reps = np.repeat(np.arange(n), 9)
+        off = np.tile(np.arange(9), n)
+        ox = off % 3 - 1
+        oy = off // 3 - 1
+        tx = cx[reps] + ox
+        ty = cy[reps] + oy
+        valid = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
+        reps, tx, ty, ox, oy = reps[valid], tx[valid], ty[valid], ox[valid], oy[valid]
+        return pa.table(
+            {
+                "_tcell": pa.array(ty * nx + tx),
+                id_col: pa.array(ids[reps]),
+                "lon_e7": pa.array(lon[reps]),
+                "lat_e7": pa.array(lat[reps]),
+                "_core": pa.array((ox == 0) & (oy == 0)),
+            }
+        )
+
+    def group_knn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        lon = g["lon_e7"].to_numpy(dtype=np.float64)
+        lat = g["lat_e7"].to_numpy(dtype=np.float64)
+        core = g["_core"].to_numpy(dtype=bool)
+        ci = np.flatnonzero(core)
+        if len(ci) == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "d2": pd.Series([], dtype="float64"),
+                 "q_lon": pd.Series([], dtype="int64"),
+                 "q_lat": pd.Series([], dtype="int64"),
+                 "resolved": pd.Series([], dtype="bool")}
+            )
+        tcell = int(g["_tcell"].iloc[0])
+        cx, cy = tcell % nx, tcell // nx
+        # explored block bounds in e7 (edges at the grid border explore
+        # to the end of the world -> infinite guard on that side)
+        xlo = (cx - 1) * w - LON_MOD / 2 if cx - 1 >= 0 else -np.inf
+        xhi = (cx + 2) * w - LON_MOD / 2 if cx + 1 < nx else np.inf
+        ylo = (cy - 1) * h - LAT_MOD / 2 if cy - 1 >= 0 else -np.inf
+        yhi = (cy + 2) * h - LAT_MOD / 2 if cy + 1 < ny else np.inf
+
+        dx = lon[ci][:, None] - lon[None, :]
+        dy = lat[ci][:, None] - lat[None, :]
+        d2 = dx * dx + dy * dy
+        d2[np.arange(len(ci)), ci] = np.inf  # self
+        take = min(k, d2.shape[1] - 1)
+        rows = []
+        for j, q in enumerate(ci):
+            order = np.lexsort((ids, d2[j]))[:take] if take > 0 else np.array([], dtype=int)
+            kth = d2[j][order[-1]] if take > 0 and len(order) else np.inf
+            guard = min(lon[q] - xlo, xhi - lon[q], lat[q] - ylo, yhi - lat[q])
+            # resolved needs a FULL k candidates inside the guarantee —
+            # fewer than k means more neighbors may exist outside the
+            # explored block even when the k-th found is close
+            resolved = len(order) == k and kth <= guard * guard
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), ids[q], dtype=np.int64),
+                        "neighbor_id": ids[order],
+                        "d2": d2[j][order],
+                        "q_lon": np.full(len(order), int(lon[q]), dtype=np.int64),
+                        "q_lat": np.full(len(order), int(lat[q]), dtype=np.int64),
+                        "resolved": np.full(len(order), resolved, dtype=bool),
+                    }
+                )
+                if len(order)
+                else pd.DataFrame(
+                    {
+                        "query_id": [ids[q]], "neighbor_id": [-1], "d2": [np.inf],
+                        "q_lon": [int(lon[q])], "q_lat": [int(lat[q])], "resolved": [False],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    cand = (
+        points.map_batches(replicate, batch_format="pyarrow")
+        .groupby("_tcell")
+        .map_groups(lambda g: group_knn(g), batch_format="pandas")
+        .to_pandas()
+    )
+    resolved = cand[cand["resolved"] & (cand["neighbor_id"] >= 0)][
+        ["query_id", "neighbor_id", "d2"]
+    ]
+    unresolved = cand[~cand["resolved"]][["query_id", "q_lon", "q_lat"]].drop_duplicates("query_id")
+    if len(unresolved):
+        # brute-force pass for the sparse-region remainder (rare by
+        # construction when zoom matches density)
+        queries = list(unresolved.itertuples(index=False, name=None))
+        brute = knn_points(points, queries, k=k, id_col=id_col)
+        resolved = pd.concat(
+            [resolved, brute.rename(columns={"dist2": "d2"})[["query_id", "neighbor_id", "d2"]]],
+            ignore_index=True,
+        )
+    out = resolved.sort_values(["query_id", "d2", "neighbor_id"], kind="mergesort")
+    out = out.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out = out.rename(columns={"d2": "dist2"})
+    return out[["query_id", "neighbor_id", "rank", "dist2"]]

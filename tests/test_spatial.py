@@ -364,3 +364,27 @@ def test_decode_pruning_preserves_counts():
     # and the pruned columns are constant-filled, not garbage
     assert set(pruned["tag_sig"].to_pylist()) == {""}
     assert set(pruned["lon_e7"].to_pylist()) == {0}
+
+
+def test_knn_all_matches_per_query_brute():
+    """knn_all (halo cell join + guarantee + fallback) must equal the
+    brute-force per-query kernel for EVERY point, at a dense zoom (few
+    fallbacks) AND a sparse zoom (mostly fallbacks)."""
+    import pandas.testing as pdt
+    import pyarrow as pa
+    import ray.data
+
+    from rayhist.spatial.knn import knn_all, knn_points
+
+    rng = np.random.default_rng(31)
+    n = 800
+    ids = np.arange(n, dtype=np.int64)
+    lon = rng.integers(-LON_MOD // 2, LON_MOD // 2, n)
+    lat = rng.integers(-LAT_MOD // 2, LAT_MOD // 2, n)
+    ds = ray.data.from_arrow(pa.table({"osm_id": ids, "lon_e7": lon, "lat_e7": lat})).materialize()
+    queries = [(int(ids[i]), int(lon[i]), int(lat[i])) for i in range(n)]
+    brute = knn_points(ds, queries, k=3)
+    cols = ["query_id", "neighbor_id", "rank", "dist2"]
+    for zoom in (2, 6):  # dense cells vs sparse cells (fallback-heavy)
+        got = knn_all(ds, k=3, zoom=zoom)
+        pdt.assert_frame_equal(got[cols].reset_index(drop=True), brute[cols].reset_index(drop=True))
