@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrib_type_counts_poly": p.q_contrib_type_counts_poly,
         "hopping_window_counts": p.q_hopping_window_counts,
         "knn_all": p.q_knn_all,
+        "shared_windows": p.q_shared_windows,
     }
 
 
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "contrib_type_counts_poly": o.contrib_type_counts_poly(),
         "hopping_window_counts": o.hopping_window_counts(p.HOP_US, p.WIN_US),
         "knn_all": o.knn("TRUE"),
+        "shared_windows": o.shared_windows(32, 16),
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

@@ -128,6 +128,40 @@ def fnv1a_batch(texts: list[str]) -> np.ndarray:
     return h
 
 
+WINDOW_LEN = 32
+WINDOW_STRIDE = 16
+
+
+def explode_windows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(doc, text) -> one row per DISTINCT (doc, 32-char window at
+    stride 16) — the windowed-dedup unit (Lee et al.-style substring
+    dedup). Vectorized BY POSITION: each stride offset is one pandas
+    str.slice over every doc (max_len/stride slices total, each a C
+    kernel), not a per-doc loop."""
+    texts = batch[text_col].to_pandas()
+    ids = batch[id_col]
+    lens = texts.str.len().to_numpy()
+    out_ids, out_win = [], []
+    max_i = int((lens.max() - WINDOW_LEN) // WINDOW_STRIDE) if len(lens) and lens.max() >= WINDOW_LEN else -1
+    for i in range(max_i + 1):
+        start = i * WINDOW_STRIDE
+        ok = lens >= start + WINDOW_LEN
+        if not ok.any():
+            break
+        win = texts[ok].str.slice(start, start + WINDOW_LEN)
+        out_ids.append(ids.take(pa.array(np.flatnonzero(ok))))
+        out_win.append(pa.array(win.to_numpy(), type=pa.string()))
+    if not out_ids:
+        return pa.table({id_col: batch[id_col].slice(0, 0), "window": pa.array([], type=pa.string())})
+    t = pa.table(
+        {
+            id_col: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_ids]),
+            "window": pa.concat_arrays(out_win),
+        }
+    )
+    return pa.TableGroupBy(t, [id_col, "window"]).aggregate([]).select([id_col, "window"])
+
+
 def fingerprint_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """md5 content fingerprint (matches SQL md5()) plus a 64-bit FNV-1a
     rolling hash for windowed dedup (vectorized, fnv1a_batch)."""

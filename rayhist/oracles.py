@@ -592,6 +592,19 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def shared_windows(win: int, stride: int) -> str:
+    return f"""
+WITH s AS (SELECT unnest(generate_series(0, 1000)) AS i),
+w AS (
+  SELECT DISTINCT doc_id, substr(text, 1 + i*{stride}, {win}) AS "window"
+  FROM documents CROSS JOIN s
+  WHERE length(text) >= i*{stride} + {win}
+)
+SELECT "window", count(*) AS n_docs FROM w GROUP BY 1
+HAVING count(*) >= 2 ORDER BY 1
+"""
+
+
 def dedup_docs() -> str:
     return """
 SELECT doc_id FROM (

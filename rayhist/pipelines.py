@@ -874,6 +874,28 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
+def q_shared_windows(sf_dir: str) -> pd.DataFrame:
+    """Windowed (substring) dedup: 32-char windows at stride 16 shared
+    by >= 2 documents — the cross-document duplicate-span detector
+    (Lee et al.-style substring dedup) over the rolling-window unit.
+    Per-batch distinct (doc, window) pairs, then a distributed window
+    groupby counting distinct docs."""
+    import ray.data
+
+    from .ops.text import explode_windows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    wins = ds.map_batches(explode_windows, batch_format="pyarrow")
+    df = (
+        wins.groupby("window")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_docs"})
+    )
+    out = df[df["n_docs"] >= 2].sort_values("window").reset_index(drop=True)
+    return out[["window", "n_docs"]]
+
+
 def q_knn_all(sf_dir: str) -> pd.DataFrame:
     """kNN for EVERY entity position at T_MID (kNN-all) via the
     halo-replicated cell join (spatial.knn.knn_all): one 9x-replication
