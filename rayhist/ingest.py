@@ -632,7 +632,7 @@ def _ensure_compound(sf_dir: str, rep: int, tag: str, builder) -> str:
     as ensure_documents)."""
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:{tag}:v1".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:{tag}:v2".encode()
     ).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / f"documents_{tag}"
     if out.exists():
@@ -680,7 +680,7 @@ def ensure_documents(sf_dir: str, rep: int = 1) -> str:
     """
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:v5".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:v6".encode()
     ).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / "documents_spans"
     if out.exists():

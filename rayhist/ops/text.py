@@ -140,7 +140,9 @@ def explode_windows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "te
     kernel), not a per-doc loop."""
     texts = batch[text_col].to_pandas()
     ids = batch[id_col]
-    lens = texts.str.len().to_numpy()
+    # null texts have no windows but must not poison the batch (a NaN
+    # length would void max())
+    lens = texts.str.len().fillna(0).astype(np.int64).to_numpy()
     out_ids, out_win = [], []
     max_i = int((lens.max() - WINDOW_LEN) // WINDOW_STRIDE) if len(lens) and lens.max() >= WINDOW_LEN else -1
     for i in range(max_i + 1):

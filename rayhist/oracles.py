@@ -594,7 +594,13 @@ GROUP BY 1 ORDER BY 1
 
 def shared_windows(win: int, stride: int) -> str:
     return f"""
-WITH s AS (SELECT unnest(generate_series(0, 1000)) AS i),
+WITH s AS (
+  -- offset bound derived from the corpus, not a fixed cap (the engine
+  -- explode is unbounded)
+  SELECT unnest(generate_series(0,
+    (SELECT CAST(greatest(coalesce(max(length(text)), 0) - {win}, 0) // {stride} AS BIGINT)
+     FROM documents))) AS i
+),
 w AS (
   SELECT DISTINCT doc_id, substr(text, 1 + i*{stride}, {win}) AS "window"
   FROM documents CROSS JOIN s

@@ -65,13 +65,19 @@ def knn_points(
             take = min(k, len(cand_ids))
             if take == 0:
                 continue
+            # argpartition keeps an ARBITRARY member of a distance tie
+            # at the cut; emit every candidate at <= the k-th distance
+            # so the global reduce's (dist2, neighbor_id) tie-break sees
+            # all of them (exact e7-integer ties are realistic: 3-4-5)
             part = np.argpartition(cand_d2, take - 1)[:take]
+            kth = cand_d2[part].max()
+            sel = cand_d2 <= kth
             frames.append(
                 pd.DataFrame(
                     {
-                        "query_id": np.full(take, qid, dtype=np.int64),
-                        "neighbor_id": cand_ids[part],
-                        "dist2": cand_d2[part],
+                        "query_id": np.full(int(sel.sum()), qid, dtype=np.int64),
+                        "neighbor_id": cand_ids[sel],
+                        "dist2": cand_d2[sel],
                     }
                 )
             )
@@ -129,12 +135,14 @@ def ann_cosine_topk(
             if take == 0:
                 continue
             part = np.argpartition(-cs, take - 1)[:take]
+            kth = cs[part].min()
+            sel = cs >= kth  # include all similarity ties at the cut
             frames.append(
                 pd.DataFrame(
                     {
-                        "query_id": np.full(take, qid, dtype=np.int64),
-                        "neighbor_id": cid[part],
-                        "cos_sim": cs[part],
+                        "query_id": np.full(int(sel.sum()), qid, dtype=np.int64),
+                        "neighbor_id": cid[sel],
+                        "cos_sim": cs[sel],
                     }
                 )
             )
@@ -245,12 +253,14 @@ def knn_points_grid(
             if take == 0:
                 continue
             part = np.argpartition(d2, take - 1)[:take]
+            kth = d2[part].max()
+            sel = d2 <= kth  # include all distance ties at the cut
             frames.append(
                 pd.DataFrame(
                     {
-                        "query_id": np.full(take, qid, dtype=np.int64),
-                        "neighbor_id": gids[part],
-                        "dist2": d2[part],
+                        "query_id": np.full(int(sel.sum()), qid, dtype=np.int64),
+                        "neighbor_id": gids[sel],
+                        "dist2": d2[sel],
                     }
                 )
             )
@@ -363,12 +373,14 @@ def ann_cosine_ivf(
             cid = ids[sel]
             take = min(k, len(cid))
             part = np.argpartition(-s, take - 1)[:take]
+            kth = s[part].min()
+            tsel = s >= kth  # include all similarity ties at the cut
             frames.append(
                 pd.DataFrame(
                     {
-                        "query_id": np.full(take, qid, dtype=np.int64),
-                        "neighbor_id": cid[part],
-                        "cos_sim": s[part],
+                        "query_id": np.full(int(tsel.sum()), qid, dtype=np.int64),
+                        "neighbor_id": cid[tsel],
+                        "cos_sim": s[tsel],
                     }
                 )
             )
@@ -500,12 +512,14 @@ def ann_cosine_ivf_pruned(
             cid = ids[sel]
             take = min(k, len(cid))
             part = np.argpartition(-s, take - 1)[:take]
+            kth = s[part].min()
+            tsel = s >= kth  # include all similarity ties at the cut
             frames.append(
                 pd.DataFrame(
                     {
-                        "query_id": np.full(take, qid, dtype=np.int64),
-                        "neighbor_id": cid[part],
-                        "cos_sim": s[part],
+                        "query_id": np.full(int(tsel.sum()), qid, dtype=np.int64),
+                        "neighbor_id": cid[tsel],
+                        "cos_sim": s[tsel],
                     }
                 )
             )
@@ -607,35 +621,38 @@ def knn_all(
         d2 = dx * dx + dy * dy
         d2[np.arange(len(ci)), ci] = np.inf  # self
         take = min(k, d2.shape[1] - 1)
-        rows = []
+        # flat accumulation: one DataFrame per GROUP, not per point
+        q_parts, n_parts, d_parts, res_flags, n_rows = [], [], [], [], []
         for j, q in enumerate(ci):
             order = np.lexsort((ids, d2[j]))[:take] if take > 0 else np.array([], dtype=int)
             kth = d2[j][order[-1]] if take > 0 and len(order) else np.inf
             guard = min(lon[q] - xlo, xhi - lon[q], lat[q] - ylo, yhi - lat[q])
-            # resolved needs a FULL k candidates inside the guarantee —
-            # fewer than k means more neighbors may exist outside the
-            # explored block even when the k-th found is close
-            resolved = len(order) == k and kth <= guard * guard
-            rows.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(len(order), ids[q], dtype=np.int64),
-                        "neighbor_id": ids[order],
-                        "d2": d2[j][order],
-                        "q_lon": np.full(len(order), int(lon[q]), dtype=np.int64),
-                        "q_lat": np.full(len(order), int(lat[q]), dtype=np.int64),
-                        "resolved": np.full(len(order), resolved, dtype=bool),
-                    }
-                )
-                if len(order)
-                else pd.DataFrame(
-                    {
-                        "query_id": [ids[q]], "neighbor_id": [-1], "d2": [np.inf],
-                        "q_lon": [int(lon[q])], "q_lat": [int(lat[q])], "resolved": [False],
-                    }
-                )
-            )
-        return pd.concat(rows, ignore_index=True)
+            # resolved needs a FULL k candidates STRICTLY inside the
+            # guarantee: a tied candidate exactly ON the block boundary
+            # may be owned by an unexplored cell, so boundary ties fall
+            # through to the brute pass; fewer than k found likewise
+            resolved = len(order) == k and kth < guard * guard
+            if len(order):
+                n_parts.append(ids[order])
+                d_parts.append(d2[j][order])
+                n_rows.append(len(order))
+            else:
+                n_parts.append(np.array([-1], dtype=np.int64))
+                d_parts.append(np.array([np.inf]))
+                n_rows.append(1)
+            res_flags.append(resolved)
+        n_rows = np.asarray(n_rows)
+        qv = ids[ci]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qv, n_rows),
+                "neighbor_id": np.concatenate(n_parts),
+                "d2": np.concatenate(d_parts),
+                "q_lon": np.repeat(lon[ci].astype(np.int64), n_rows),
+                "q_lat": np.repeat(lat[ci].astype(np.int64), n_rows),
+                "resolved": np.repeat(np.asarray(res_flags, dtype=bool), n_rows),
+            }
+        )
 
     cand = (
         points.map_batches(replicate, batch_format="pyarrow")
@@ -656,8 +673,5 @@ def knn_all(
             [resolved, brute.rename(columns={"dist2": "d2"})[["query_id", "neighbor_id", "d2"]]],
             ignore_index=True,
         )
-    out = resolved.sort_values(["query_id", "d2", "neighbor_id"], kind="mergesort")
-    out = out.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    out = out.rename(columns={"d2": "dist2"})
+    out = _topk_reduce(resolved.rename(columns={"d2": "dist2"}), k, by="dist2", ascending=True)
     return out[["query_id", "neighbor_id", "rank", "dist2"]]

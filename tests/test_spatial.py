@@ -388,3 +388,30 @@ def test_knn_all_matches_per_query_brute():
     for zoom in (2, 6):  # dense cells vs sparse cells (fallback-heavy)
         got = knn_all(ds, k=3, zoom=zoom)
         pdt.assert_frame_equal(got[cols].reset_index(drop=True), brute[cols].reset_index(drop=True))
+
+
+def test_knn_tie_break_at_cut():
+    """Exact distance ties at the k-th cut must resolve to the SMALLEST
+    neighbor_id (the oracle's ORDER BY dist2, neighbor_id), in the
+    brute kernel AND in knn_all — including a tie that sits exactly on
+    knn_all's explored-block boundary (3-4-5 integer configuration)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayhist.spatial.knn import knn_all, knn_points
+
+    # query 1 at origin; ids 5 and 7 both at d2 = 25 (3-4-5 triangles),
+    # id 9 farther away
+    pts = pa.table(
+        {
+            "osm_id": np.array([1, 7, 5, 9], dtype=np.int64),
+            "lon_e7": np.array([0, 3, -4, 40], dtype=np.int64),
+            "lat_e7": np.array([0, 4, 3, 0], dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pts).materialize()
+    brute = knn_points(ds, [(1, 0, 0)], k=1)
+    assert brute["neighbor_id"].tolist() == [5]  # tie -> smaller id
+    allk = knn_all(ds, k=1, zoom=6)
+    got = allk[allk["query_id"] == 1]
+    assert got["neighbor_id"].tolist() == [5]
