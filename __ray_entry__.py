@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_counts": p.q_hopping_window_counts,
         "knn_all": p.q_knn_all,
         "shared_windows": p.q_shared_windows,
+        "snapshot_cells_salted": p.q_snapshot_cells_salted,
+        "snapshot_count_daily_checkpointed": p.q_snapshot_count_daily_checkpointed,
     }
 
 
@@ -158,6 +160,8 @@ def oracle_sql() -> dict[str, str]:
         "hopping_window_counts": o.hopping_window_counts(p.HOP_US, p.WIN_US),
         "knn_all": o.knn("TRUE"),
         "shared_windows": o.shared_windows(32, 16),
+        "snapshot_cells_salted": o.snapshot_cells(),  # same values, salted plan
+        "snapshot_count_daily_checkpointed": o.snapshot_count_daily(),  # same values, sharded+resumable plan
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

@@ -874,6 +874,90 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
+def q_snapshot_count_daily_checkpointed(sf_dir: str) -> pd.DataFrame:
+    """snapshot_count_daily EXECUTED THROUGH THE CHECKPOINTED SHARD
+    RUNNER (state.checkpoint.run_sharded): the span table's parquet
+    fragments are split into 4 independent shards, each processed as
+    its own Ray pipeline with an atomically-renamed output directory +
+    manifest line (lineage fingerprints, row counts, content checksum,
+    wall time); a re-run — including this function called twice —
+    skips completed shards and combines the SAME values. This is the
+    north rule's 'resumable from checkpoint with per-partition
+    lineage + metrics' path under the value-exact oracle."""
+    import glob
+    import hashlib as _hl
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .ingest import ensure_documents
+    from .model import decode_spans
+    from .temporal import snapshots as snapshots_fn
+
+    rep = int(os.environ.get("RAYHIST_REP", "1"))
+    path = ensure_documents(sf_dir, rep)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    n_shards = min(4, len(files))
+    shards = {
+        f"shard_{i:02d}": files[i::n_shards] for i in range(n_shards)
+    }
+    out_dir = os.path.join(
+        os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache"),
+        "ckpt_" + _hl.sha256(path.encode()).hexdigest()[:12],
+        "snap_daily",
+    )
+    ts = np.asarray(SNAP_DAILY, dtype=np.int64)
+
+    def process(inputs: list[str]) -> ray.data.Dataset:
+        def stage(batch: pa.Table) -> pa.Table:
+            s = snapshots_fn(decode_spans(batch, tags=False, geom=False), ts)
+            g = pa.TableGroupBy(s.select(["ts_q"]), ["ts_q"]).aggregate([([], "count_all")])
+            return g.rename_columns(["ts_q", "n_part"])
+
+        return ray.data.read_parquet(inputs).map_batches(stage, batch_format="pyarrow")
+
+    from .state.checkpoint import run_sharded
+
+    manifest = run_sharded(shards, process, out_dir)
+    parts = []
+    for pid in manifest:
+        for f in sorted(glob.glob(os.path.join(out_dir, pid, "*.parquet"))):
+            parts.append(pq.read_table(f))
+    df = pa.concat_tables(parts).to_pandas()
+    agg = df.groupby("ts_q", as_index=False)["n_part"].sum().rename(columns={"n_part": "n_snapshots"})
+    return zerofill(agg, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
+
+
+def q_snapshot_cells_salted(sf_dir: str) -> pd.DataFrame:
+    """snapshot_cells computed through the SALTED two-stage aggregation
+    (state.checkpoint.salted_count_by): snapshot rows keyed by (cell,
+    ts) with a deterministic salt spreading each mega-cell over 16
+    reducers — the skew path of the north rule ('skewed mega-cells
+    split via salted repartitioning'), sharing snapshot_cells'
+    oracle (same values, different physical plan)."""
+    from .model import decode_spans
+    from .state.checkpoint import salted_count_by
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.asarray(SNAP_WEEKLY, dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        cell = cell_id(
+            s["lon_e7"].to_numpy(zero_copy_only=False),
+            s["lat_e7"].to_numpy(zero_copy_only=False),
+            CELL_ZOOM,
+        )
+        return pa.table(
+            {"ts_q": s["ts_q"], "cell": pa.array(cell), "osm_id": s["osm_id"]}
+        )
+
+    rows = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = salted_count_by(rows, ["ts_q", "cell"], salt_col="osm_id", n_salt=16, alias="n").to_pandas()
+    return df.sort_values(["ts_q", "cell"]).reset_index(drop=True)
+
+
 def q_shared_windows(sf_dir: str) -> pd.DataFrame:
     """Windowed (substring) dedup: 32-char windows at stride 16 shared
     by >= 2 documents — the cross-document duplicate-span detector
