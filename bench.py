@@ -177,9 +177,11 @@ def run_scaling() -> dict:
     nq = len(out[lo]["queries"])
     fl_lo = out[lo].get("pipeline_floor_sec", 0.0)
     fl_hi = out[hi].get("pipeline_floor_sec", 0.0)
-    w_lo = max(t_lo - nq * fl_lo, 1e-9)
-    w_hi = max(t_hi - nq * fl_hi, 1e-9)
-    work_eff = (w_lo / w_hi) / (hi / lo)
+    w_lo = t_lo - nq * fl_lo
+    w_hi = t_hi - nq * fl_hi
+    # if the floor eats the whole measured wall the decomposition is
+    # invalid — report null rather than an absurd clamped efficiency
+    work_eff = (w_lo / w_hi) / (hi / lo) if (w_lo > 0 and w_hi > 0) else None
     return {
         "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh processes)",
         f"sec_{lo}": t_lo,
@@ -190,7 +192,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         f"pipeline_floor_{lo}": fl_lo,
         f"pipeline_floor_{hi}": fl_hi,
-        "work_scaling_efficiency": round(work_eff, 3),
+        "work_scaling_efficiency": round(work_eff, 3) if work_eff is not None else None,
         "sf": out[hi]["sf"],
         f"queries_{lo}": out[lo]["queries"],
         f"queries_{hi}": out[hi]["queries"],

@@ -346,6 +346,9 @@ def _pack_way_bucket(group: pd.DataFrame) -> pa.Table:
     all_refs = np.concatenate(refs_parts) if refs_parts else np.array([], dtype=object)
     doc_lens = np.asarray(doc_lens, dtype=np.int64)
     doc_span_start = np.repeat(np.r_[0, np.cumsum(doc_lens)[:-1]], doc_lens)
+    # compound docs denormalize full child histories — a huge bucket
+    # would silently wrap int32 ListArray offsets and corrupt the table
+    assert len(all_kinds) < 2**31, "bucket span total exceeds int32 offsets"
     offsets = (np.arange(len(all_kinds)) - doc_span_start).astype(np.int32)
 
     spans_flat = pa.StructArray.from_arrays(
@@ -543,6 +546,9 @@ def _pack_rel_bucket(group: pd.DataFrame) -> pa.Table:
     all_refs = np.concatenate(refs_parts) if refs_parts else np.array([], dtype=object)
     doc_lens = np.asarray(doc_lens, dtype=np.int64)
     doc_span_start = np.repeat(np.r_[0, np.cumsum(doc_lens)[:-1]], doc_lens)
+    # relations duplicate every node history of every member way — guard
+    # the int32 ListArray offsets against silent wraparound
+    assert len(all_kinds) < 2**31, "bucket span total exceeds int32 offsets"
     offsets = (np.arange(len(all_kinds)) - doc_span_start).astype(np.int32)
 
     spans_flat = pa.StructArray.from_arrays(

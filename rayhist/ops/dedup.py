@@ -397,21 +397,43 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
-    """Exact dedup: content-hash column -> groupby(hash) -> keep the
-    row with the smallest id (hash-partition + per-group first)."""
+def exact_dedup(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact dedup: content-hash -> keep the smallest-id row per hash.
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_h", pa.array(md5_hex(batch[text_col].to_pylist())))
+    Scale shape (hash-partition + vectorized keep-first), NOT one
+    ``map_groups`` call per distinct hash (group size is ~1, so
+    per-group Python/pandas overhead would dominate — the same
+    ~20x-overhead lesson as minhash verify above):
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
+    1. per-batch PARTIAL keep-first — each batch emits at most one row
+       per distinct hash it contains, shrinking the shuffle;
+    2. shuffle by a coarse hash BUCKET (``_hb``, ``num_buckets`` of
+       them), so the final stage issues O(num_buckets) group calls,
+       each one vectorized sort+drop_duplicates over many hashes.
+    """
+
+    def add_hash_and_partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column("_h", pa.array(md5_hex(batch[text_col].to_pylist())))
+        df = t.to_pandas()
+        df = df.sort_values(id_col, kind="mergesort").drop_duplicates("_h", keep="first")
+        df["_hb"] = (
+            pd.util.hash_array(df["_h"].to_numpy(dtype=object)) % num_buckets
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").drop_duplicates("_h", keep="first")
+        return g.drop(columns=["_h", "_hb"])
 
     return (
-        docs.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("_h")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["_h"])
+        docs.map_batches(add_hash_and_partial, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(keep_first, batch_format="pandas")
     )
 
 

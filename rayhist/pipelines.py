@@ -165,6 +165,8 @@ def q_contrib_uniq_uids_daily(sf_dir: str) -> pd.DataFrame:
     """countUniq of contributor uids per daily bin
     (MapReducer.countUniq, :1165-1168): per-batch distinct partials,
     then an exact distinct-pair groupby."""
+    from .aggregate import combine_partials
+
     ds = contribution_view(_docs(sf_dir), CONTRIB_FROM, CONTRIB_TO, tags=False, geom=False)
     bins = np.asarray(CONTRIB_BINS, dtype=np.int64)
 
@@ -174,12 +176,18 @@ def q_contrib_uniq_uids_daily(sf_dir: str) -> pd.DataFrame:
         # pre-dedup within batch so the shuffle sees fewer rows
         return pa.TableGroupBy(t, ["ts_q", "uid"]).aggregate([]).select(["ts_q", "uid"])
 
-    distinct = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()  # partials are per-batch distinct; final dedup on driver
-    )
-    out = distinct.groupby("ts_q", as_index=False).size().rename(columns={"size": "n_uids"})
+    # Distributed exact distinct: the (ts_q, uid) groupby shuffles the
+    # per-batch-distinct pairs once; blocks after the aggregate hold
+    # globally-unique pairs, so counting per bin is a per-batch partial
+    # (no O(#distinct-uids) driver pull).
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(batch.select(["ts_q"]), ["ts_q"]).aggregate(
+            [([], "count_all")]
+        ).rename_columns(["ts_q", "n_part"])
+
+    distinct = ds.map_batches(pairs, batch_format="pyarrow").groupby(["ts_q", "uid"]).count()
+    partials = distinct.map_batches(bin_counts, batch_format="pyarrow")
+    out = combine_partials(partials, ["ts_q"], {"n_part": "n_uids"})
     return zerofill(out, {"ts_q": CONTRIB_BINS}, {"n_uids": 0})
 
 
@@ -970,14 +978,24 @@ def q_shared_windows(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     wins = ds.map_batches(explode_windows, batch_format="pyarrow")
+
+    # The >=2 filter runs INSIDE the dataset, after the distributed
+    # count — only shared windows (a tiny fraction of the ~chars/16
+    # distinct windows) ever reach the driver.
+    def shared_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch["count()"]
+        t = batch.filter(pc.greater_equal(n, 2))
+        return pa.table({"window": t["window"], "n_docs": t["count()"]})
+
     df = (
         wins.groupby("window")
         .count()
+        .map_batches(shared_only, batch_format="pyarrow")
         .to_pandas()
-        .rename(columns={"count()": "n_docs"})
     )
-    out = df[df["n_docs"] >= 2].sort_values("window").reset_index(drop=True)
-    return out[["window", "n_docs"]]
+    return df.sort_values("window").reset_index(drop=True)[["window", "n_docs"]]
 
 
 def q_knn_all(sf_dir: str) -> pd.DataFrame:
@@ -996,7 +1014,12 @@ def q_knn_all(sf_dir: str) -> pd.DataFrame:
         return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
 
     pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
-    out = knn_all(pos, k=3, zoom=3)
+    # derive zoom from the corpus size so cells hold O(100-10k) points
+    # (cells = 2^(2z-1)); a constant zoom would make per-group candidate
+    # matrices O((n/cells)^2) — quadratic blow-up at larger scale factors
+    n = pos.count()
+    zoom = max(1, min(12, int(np.ceil((np.log2(max(n, 1) / 2000.0) + 1) / 2))))
+    out = knn_all(pos, k=3, zoom=zoom)
     return out[["query_id", "neighbor_id", "rank", "dist2"]].reset_index(drop=True)
 
 

@@ -414,7 +414,7 @@ def ensure_ivf_layout(
     src = Path(parquet_path)
     cache_root = os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:ivf{nlist}:v1".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:ivf{nlist}:{id_col}:{vec_col}:v1".encode()
     ).hexdigest()[:16]
     out = Path(cache_root) / key / "ivf_layout"
     cents_file = "_centroids.npy"

@@ -113,12 +113,30 @@ def run_sharded(
             import shutil
 
             # The surviving directory is the other run's output; our tmp
-            # is discarded so the manifest never describes a deleted
-            # directory (the winner appended its own line). The pipeline
-            # is deterministic, so the computed rec still describes the
-            # surviving content — return it (full schema) flagged.
+            # is discarded. Describe the SURVIVING content, not ours:
+            # take the winner's manifest line if it has landed, else
+            # re-checksum the surviving directory (a racing run on a
+            # different engine version may differ from our rec).
             shutil.rmtree(tmp)
-            done[pid] = {**rec, "lost_race": True}
+            winner = None
+            if manifest_path.exists():
+                for line in manifest_path.read_text().splitlines():
+                    r = json.loads(line)
+                    if r["partition"] == pid:
+                        winner = r  # last line wins (append-only log)
+            if winner is None:
+                surv = sorted(str(f) for f in final.glob("*.parquet"))
+                stbl = (
+                    pa.concat_tables([pq.read_table(f) for f in surv])
+                    if surv
+                    else pa.table({})
+                )
+                winner = {
+                    **rec,
+                    "rows_out": stbl.num_rows,
+                    "checksum": _table_checksum(stbl) if stbl.num_rows else "0" * 16,
+                }
+            done[pid] = {**winner, "lost_race": True}
             continue
         tmp.rename(final)
         with open(manifest_path, "a") as f:
