@@ -638,13 +638,21 @@ def _ensure_compound(sf_dir: str, rep: int, tag: str, builder) -> str:
     as ensure_documents)."""
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:{tag}:v2".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:{tag}:v3".encode()
     ).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / f"documents_{tag}"
     if out.exists():
         return str(out)
     tmp = Path(CACHE_ROOT) / key / f".tmp_{os.getpid()}"
     ds = builder(sf_dir, rep)
+    # Write MANY small files (~COMPOUND_BATCH docs each): the downstream
+    # map_batches parallelism unit is the read block, and a single-file
+    # cache reads as 1-2 blocks -> the whole member-recursion stage runs
+    # on one core no matter what batch_size says. Partitioned output is
+    # also the resumable / 100-TB layout.
+    from .members import COMPOUND_BATCH
+
+    ds = ds.repartition(target_num_rows_per_block=COMPOUND_BATCH)
     rio.write_table(ds, str(tmp))
     try:
         tmp.rename(out)

@@ -22,6 +22,7 @@ from ray.data.aggregate import Count, Sum  # noqa: F401 (used by some pipelines)
 
 from .aggregate import count_by, floor_bin, zerofill
 from .ingest import read_documents
+from .members import COMPOUND_BATCH
 from .spatial.grid import cell_id
 from .spatial.knn import knn_points
 from .spatial.raster import raster_value_for
@@ -1224,7 +1225,9 @@ def q_contrib_type_counts_ways(sf_dir: str) -> pd.DataFrame:
     def stage(batch: pa.Table) -> pa.Table:
         return contribution_stats_batch(batch, WAY_CONTRIB_FROM, WAY_CONTRIB_TO)
 
-    partials = read_way_documents(sf_dir).map_batches(stage, batch_format="pyarrow")
+    partials = read_way_documents(sf_dir).map_batches(
+        stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH
+    )
     return combine_partials(
         partials,
         [],
@@ -1260,10 +1263,12 @@ def q_contrib_type_counts_ways_k3(sf_dir: str) -> pd.DataFrame:
             batch,
             WAY_CONTRIB_FROM,
             WAY_CONTRIB_TO,
-            match=lambda v: v.tags.get("k") == "3",
+            match_kv=("k", "3"),  # tags.get("k") == "3", vectorized path
         )
 
-    partials = read_way_documents(sf_dir).map_batches(stage, batch_format="pyarrow")
+    partials = read_way_documents(sf_dir).map_batches(
+        stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH
+    )
     return combine_partials(
         partials,
         [],
@@ -1293,7 +1298,7 @@ def q_snapshot_way_geoms(sf_dir: str) -> pd.DataFrame:
 
     df = (
         read_way_documents(sf_dir)
-        .map_batches(stage, batch_format="pyarrow")
+        .map_batches(stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH)
         .to_pandas()
     )
     return df.sort_values(["way_id", "ts_q"]).reset_index(drop=True)
@@ -1313,7 +1318,9 @@ def q_contrib_type_counts_relations(sf_dir: str) -> pd.DataFrame:
     def stage(batch: pa.Table) -> pa.Table:
         return contribution_stats_batch(batch, WAY_CONTRIB_FROM, WAY_CONTRIB_TO)
 
-    partials = read_relation_documents(sf_dir).map_batches(stage, batch_format="pyarrow")
+    partials = read_relation_documents(sf_dir).map_batches(
+        stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH
+    )
     return combine_partials(
         partials,
         [],
@@ -1341,7 +1348,7 @@ def q_snapshot_relation_geoms(sf_dir: str) -> pd.DataFrame:
 
     df = (
         read_relation_documents(sf_dir)
-        .map_batches(stage, batch_format="pyarrow")
+        .map_batches(stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH)
         .to_pandas()
     )
     return df.sort_values(["rel_id", "ts_q"]).reset_index(drop=True)
@@ -1379,7 +1386,9 @@ def q_snapshot_count_by_type(sf_dir: str) -> pd.DataFrame:
         )
 
     node_partials = _docs(sf_dir).map_batches(node_stage, batch_format="pyarrow")
-    way_partials = read_way_documents(sf_dir).map_batches(way_stage, batch_format="pyarrow")
+    way_partials = read_way_documents(sf_dir).map_batches(
+        way_stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH
+    )
     df = combine_partials(node_partials.union(way_partials), ["osm_type"], {"n_part": "n_snapshots"})
     return df.sort_values("osm_type").reset_index(drop=True)
 

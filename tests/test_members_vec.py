@@ -1,0 +1,208 @@
+"""A/B equivalence of the vectorized compound-document engine
+(rayhist.members_vec) against the per-document reference path
+(rayhist.members) — on the real cached corpora AND on adversarial
+synthetic documents hitting the edge semantics the vec engine mirrors
+(duplicate members, equal-ts versions, tag keep-last dedup, missing
+children, empty member lists)."""
+
+import glob
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayhist import members
+from rayhist.fixtures import make_compound_doc
+from rayhist.members_vec import (
+    contribution_stats_batch_vec,
+    snapshot_geoms_batch_vec,
+)
+
+SF = "/root/testdata/sf0.001"
+TS = [
+    int(np.datetime64(f"2024-01-{d:02d}", "us").astype(np.int64))
+    for d in (1, 8, 15, 22, 29)
+] + [int(np.datetime64("2024-02-02", "us").astype(np.int64))]
+
+
+def _batch_of(span_docs: list[list[dict]], ids=None) -> pa.Table:
+    """Wrap span lists into the compound-document batch layout."""
+    flat = [s for doc in span_docs for s in doc]
+    spans_flat = pa.StructArray.from_arrays(
+        [
+            pa.array([s["kind"] for s in flat], type=pa.string()),
+            pa.array([s["text"] for s in flat], type=pa.string()),
+            pa.array([s.get("media_ref", "") for s in flat], type=pa.string()),
+            pa.array([s["offset"] for s in flat], type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    offs = np.r_[0, np.cumsum([len(d) for d in span_docs])].astype(np.int32)
+    return pa.table(
+        {
+            "osm_id": pa.array(
+                ids if ids is not None else list(range(len(span_docs))),
+                type=pa.int64(),
+            ),
+            "spans": pa.ListArray.from_arrays(pa.array(offs), spans_flat),
+        }
+    )
+
+
+def _load(path: str) -> pa.Table:
+    return pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(path + "/*.parquet"))]
+    ).combine_chunks()
+
+
+def _assert_contrib_ab(tbl, match_py, match_kv):
+    old = members.contribution_stats_batch(tbl, 0, 1 << 61, match=match_py)
+    new = contribution_stats_batch_vec(tbl, 0, 1 << 61, match_kv=match_kv)
+    assert old.to_pydict() == new.to_pydict()
+
+
+def _assert_snap_ab(tbl, id_name="way_id"):
+    old = (
+        members.snapshot_geoms_batch(tbl, TS, match=lambda v: True, id_name=id_name)
+        .to_pandas()
+        .sort_values([id_name, "ts_q"])
+        .reset_index(drop=True)
+    )
+    new = (
+        snapshot_geoms_batch_vec(tbl, TS, id_name=id_name)
+        .to_pandas()
+        .sort_values([id_name, "ts_q"])
+        .reset_index(drop=True)
+    )
+    assert old.equals(new)
+
+
+@pytest.fixture(scope="module")
+def way_tbl():
+    from rayhist.ingest import ensure_way_documents
+
+    return _load(ensure_way_documents(SF))
+
+
+@pytest.fixture(scope="module")
+def rel_tbl():
+    from rayhist.ingest import ensure_relation_documents
+
+    return _load(ensure_relation_documents(SF))
+
+
+def test_way_corpus_contrib_ab(way_tbl):
+    _assert_contrib_ab(way_tbl, lambda v: True, None)
+
+
+def test_way_corpus_contrib_filtered_ab(way_tbl):
+    _assert_contrib_ab(way_tbl, lambda v: v.tags.get("k") == "3", ("k", "3"))
+
+
+def test_way_corpus_snapshots_ab(way_tbl):
+    _assert_snap_ab(way_tbl)
+
+
+def test_relation_corpus_contrib_ab(rel_tbl):
+    _assert_contrib_ab(rel_tbl, lambda v: True, None)
+
+
+def test_relation_corpus_contrib_filtered_ab(rel_tbl):
+    _assert_contrib_ab(rel_tbl, lambda v: v.tags.get("k") == "3", ("k", "3"))
+
+
+def test_relation_corpus_snapshots_ab(rel_tbl):
+    _assert_snap_ab(rel_tbl, id_name="rel_id")
+
+
+def _adversarial_docs() -> pa.Table:
+    """Edge-semantics documents: duplicate member entries, equal-ts
+    parent versions (last (ts,v) wins for state AND changeset map),
+    duplicate tag keys (keep-last), members referencing missing
+    children, a version with NO members (snapshot skip rule), and a
+    child whose visible flag toggles (coords drop mid-history)."""
+    d1 = make_compound_doc(
+        "way/1",
+        [
+            {"v": 1, "ts": 100, "cs": 11, "uid": 1, "visible": True,
+             "tags": {"a": "1"}, "members": [("node/10", ""), ("node/10", ""), ("node/11", "")]},
+            # equal-ts second version: state + cs-map must take v=2
+            {"v": 2, "ts": 100, "cs": 12, "uid": 2, "visible": True,
+             "tags": {"a": "2"}, "members": [("node/10", ""), ("node/11", "")]},
+            # no members at all: snapshot skip rule; missing child ref
+            {"v": 3, "ts": 300, "cs": 13, "uid": 3, "visible": True,
+             "tags": {"a": "2"}, "members": []},
+            {"v": 4, "ts": 400, "cs": 14, "uid": 4, "visible": True,
+             "tags": {"a": "2"}, "members": [("node/10", ""), ("node/99", "")]},
+        ],
+        {
+            "node/10": [
+                {"v": 1, "ts": 100, "cs": 50, "uid": 7, "visible": True, "lon": 5, "lat": 6},
+                {"v": 2, "ts": 150, "cs": 51, "uid": 8, "visible": False, "lon": 0, "lat": 0},
+                {"v": 3, "ts": 350, "cs": 52, "uid": 9, "visible": True, "lon": 7, "lat": 8},
+            ],
+            "node/11": [
+                {"v": 1, "ts": 100, "cs": 60, "uid": 5, "visible": True, "lon": 1, "lat": 2},
+                {"v": 2, "ts": 250, "cs": 61, "uid": 6, "visible": True, "lon": 3, "lat": 4},
+            ],
+        },
+    )
+    # duplicate tag key in the span stream: dict keeps the LAST value
+    d2 = make_compound_doc(
+        "way/2",
+        [
+            {"v": 1, "ts": 100, "cs": 21, "uid": 1, "visible": True,
+             "tags": {}, "members": [("node/20", "")]},
+            {"v": 2, "ts": 200, "cs": 22, "uid": 2, "visible": False,
+             "tags": {}, "members": [("node/20", "")]},
+            {"v": 3, "ts": 300, "cs": 23, "uid": 3, "visible": True,
+             "tags": {"k": "3"}, "members": [("node/20", "")]},
+        ],
+        {
+            "node/20": [
+                {"v": 1, "ts": 100, "cs": 70, "uid": 4, "visible": True, "lon": 9, "lat": 9},
+                {"v": 2, "ts": 250, "cs": 71, "uid": 5, "visible": True, "lon": 9, "lat": 10},
+            ]
+        },
+    )
+    dup = {"kind": "tag", "text": "k=OVERRIDDEN", "media_ref": "", "offset": -1}
+    # splice a duplicate "k=..." before the real one for version 3 of d2
+    idx = next(i for i, s in enumerate(d2) if s["text"] == "k=3")
+    d2.insert(idx, dup)
+    for i, s in enumerate(d2):
+        s["offset"] = i
+    return _batch_of([d1, d2], ids=[1, 2])
+
+
+def test_adversarial_contrib_ab():
+    tbl = _adversarial_docs()
+    _assert_contrib_ab(tbl, lambda v: True, None)
+    _assert_contrib_ab(tbl, lambda v: v.tags.get("k") == "3", ("k", "3"))
+    _assert_contrib_ab(tbl, lambda v: v.tags.get("a") == "2", ("a", "2"))
+
+
+def test_adversarial_snapshots_ab():
+    tbl = _adversarial_docs()
+    for ts in ([50], [100], [150, 250, 350], [125, 500]):
+        old = (
+            members.snapshot_geoms_batch(tbl, ts, match=lambda v: True)
+            .to_pandas()
+            .sort_values(["way_id", "ts_q"])
+            .reset_index(drop=True)
+        )
+        new = (
+            snapshot_geoms_batch_vec(tbl, ts)
+            .to_pandas()
+            .sort_values(["way_id", "ts_q"])
+            .reset_index(drop=True)
+        )
+        assert old.equals(new), f"mismatch at ts={ts}"
+
+
+def test_vec_handles_empty_batch():
+    tbl = _batch_of([])
+    out = contribution_stats_batch_vec(tbl, 0, 1 << 61)
+    assert out["n_part"].to_pylist() == [0]
+    snaps = snapshot_geoms_batch_vec(tbl, TS)
+    assert snaps.num_rows == 0
