@@ -679,7 +679,12 @@ def q_knn_grid(sf_dir: str) -> pd.DataFrame:
 
     qdf = snaps.map_batches(select_queries, batch_format="pyarrow").to_pandas().sort_values("osm_id")
     queries = list(qdf.itertuples(index=False, name=None))
-    out = knn_points_grid(snaps, queries, k=3, id_col="osm_id", zoom=6)
+    # every block pays the full query set, so bound block count to
+    # O(cpus); zoom=None sizes the grid per batch (knn.py docstring)
+    nb = max(1, min(64, snaps.count() // 2048 + 1))
+    if snaps.num_blocks() > nb:
+        snaps = snaps.repartition(nb)
+    out = knn_points_grid(snaps, queries, k=3, id_col="osm_id", zoom=None)
     return out[["query_id", "neighbor_id", "rank", "dist2"]].reset_index(drop=True)
 
 

@@ -161,19 +161,33 @@ def knn_points_grid(
     queries: list[tuple],
     k: int = 3,
     id_col: str = "osm_id",
-    zoom: int = 6,
+    zoom: int | None = 6,
 ) -> pd.DataFrame:
     """EXACT grid-accelerated kNN — the scale path for many points.
 
-    Per batch, points are bucketed by grid cell once; each query
-    explores expanding cell rings around its own cell and stops when
-    the k-th candidate distance is <= the guaranteed radius (the
+    Per batch, points are bucketed by grid cell once; queries explore
+    expanding cell rings around their own cells and a query stops when
+    its k-th candidate distance is <= the guaranteed radius (the
     distance from the query point to the edge of the explored cell
     block) — every unexplored point is provably farther, so the
     per-batch candidate set contains the batch's true top-k and the
-    global candidate reduce is exact. Falls back to a full scan when
-    the ring sweep exhausts the batch. Same output contract as
+    global candidate reduce is exact. Same output contract as
     ``knn_points`` (ties broken by neighbor id).
+
+    The sweep is vectorized ACROSS queries: round ``r`` gathers ring-r
+    candidate rows for every still-active query in one numpy CSR-style
+    expansion (searchsorted cell lookup, repeat/cumsum row expansion),
+    then one lexsort over the accumulated (query, dist2) pairs yields
+    every active query's running k-th distance for the guarantee test.
+    There is no per-query Python loop — total work per batch is
+    O(C log C) in the accumulated candidate count C.
+
+    ``zoom=None`` picks the grid per batch: ~1 point per cell
+    (exactness is zoom-independent — the guarantee radius adapts), which
+    keeps ring rounds short for any batch size. Block count matters
+    more than zoom: each block pays the full query set, so callers with
+    many small blocks should ``repartition`` to O(num_cpus) blocks
+    first (measured 256→32 blocks = 14x on the sandbox corpus).
 
     Does not wrap the antimeridian (distances are planar e7, as in
     ``knn_points``).
@@ -182,95 +196,122 @@ def knn_points_grid(
     from .grid import cell_id
 
     q = np.asarray([(a, b, c) for a, b, c in queries], dtype=np.int64)
-    nx = 1 << zoom
-    ny = max(1, 1 << (zoom - 1))
-    w = LON_MOD / nx
-    h = LAT_MOD / ny
+    nq = len(q)
+    if nq:
+        qid_all = q[:, 0]
+        qlon_all = q[:, 1].astype(np.float64)
+        qlat_all = q[:, 2].astype(np.float64)
+
+    def _ring_offsets(r: int) -> tuple[np.ndarray, np.ndarray]:
+        # Chebyshev ring r: cells with max(|dx|,|dy|) == r, each once.
+        if r == 0:
+            return np.zeros(1, dtype=np.int64), np.zeros(1, dtype=np.int64)
+        side = np.arange(-r, r + 1, dtype=np.int64)
+        inner = np.arange(-r + 1, r, dtype=np.int64)
+        dx = np.concatenate([side, side, np.full(len(inner), -r), np.full(len(inner), r)])
+        dy = np.concatenate([np.full(len(side), -r), np.full(len(side), r), inner, inner])
+        return dx, dy
 
     def stage(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             "dist2": pd.Series([], dtype="float64")}
+        )
+        if nq == 0 or len(batch) == 0:
+            return empty
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         lon = batch["lon_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
         lat = batch["lat_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
-        cells = cell_id(lon.astype(np.int64), lat.astype(np.int64), zoom)
+        if zoom is None:  # ~1 point per cell: 2^(2z-1) ≈ n
+            z = min(10, max(3, int(round((np.log2(len(batch)) + 1) / 2))))
+        else:
+            z = zoom
+        nx = 1 << z
+        ny = max(1, 1 << (z - 1))
+        w = LON_MOD / nx
+        h = LAT_MOD / ny
+        qx_all = (((q[:, 1] + LON_MOD // 2) % LON_MOD) * nx // LON_MOD).astype(np.int64)
+        qy_all = np.minimum((q[:, 2] + LAT_MOD // 2) * ny // LAT_MOD, ny - 1).astype(np.int64)
+        cells = cell_id(lon.astype(np.int64), lat.astype(np.int64), z)
         order = np.argsort(cells, kind="mergesort")
         sc = cells[order]
-        # cell -> row range in the sorted layout
         uniq, starts = np.unique(sc, return_index=True)
         ends = np.r_[starts[1:], len(sc)]
-        cell_rows = {int(c): (int(s), int(e)) for c, s, e in zip(uniq, starts, ends)}
+        slon, slat, sids = lon[order], lat[order], ids[order]
 
-        frames = []
-        for qid, qlon, qlat in q:
-            qx = int(((qlon + LON_MOD // 2) % LON_MOD) * nx // LON_MOD)
-            qy = min(int((qlat + LAT_MOD // 2) * ny // LAT_MOD), ny - 1)
-            cand_idx: list[np.ndarray] = []
-            n_cand = 0
-            best_kth = np.inf
-            for r in range(max(nx, ny)):
-                # ring r cells (clipped at grid edges, no wrap)
-                ring = []
-                for yy in range(max(0, qy - r), min(ny - 1, qy + r) + 1):
-                    if abs(yy - qy) == r:
-                        xs = range(max(0, qx - r), min(nx - 1, qx + r) + 1)
-                    else:
-                        xs = [x for x in (qx - r, qx + r) if 0 <= x < nx]
-                    for xx in xs:
-                        rng_ = cell_rows.get(yy * nx + xx)
-                        if rng_:
-                            ring.append(np.arange(rng_[0], rng_[1]))
-                if ring:
-                    cand_idx.append(np.concatenate(ring))
-                    n_cand += len(cand_idx[-1])
-                # guaranteed radius: distance from query point to the
-                # edge of the explored (2r+1)-cell block
-                x0 = (qx - r) * w - LON_MOD / 2
-                x1 = (qx + r + 1) * w - LON_MOD / 2
-                y0 = (qy - r) * h - LAT_MOD / 2
-                y1 = (qy + r + 1) * h - LAT_MOD / 2
-                guard = min(qlon - x0, x1 - qlon, qlat - y0, y1 - qlat)
-                covered = (qx - r < 0 and qx + r >= nx and qy - r < 0 and qy + r >= ny)
-                if n_cand >= k + 1:  # +1 in case the query itself is here
-                    rows = np.concatenate(cand_idx)
-                    dx = lon[order[rows]] - np.float64(qlon)
-                    dy = lat[order[rows]] - np.float64(qlat)
-                    d2 = dx * dx + dy * dy
-                    mask = ids[order[rows]] != qid
-                    dm = d2[mask]
-                    if len(dm) >= k:
-                        best_kth = np.partition(dm, k - 1)[k - 1]
-                        if best_kth <= guard * guard or covered:
-                            break
-                if covered:
-                    break
-            rows = np.concatenate(cand_idx) if cand_idx else np.array([], dtype=np.int64)
-            gids = ids[order[rows]]
-            dx = lon[order[rows]] - np.float64(qlon)
-            dy = lat[order[rows]] - np.float64(qlat)
-            d2 = dx * dx + dy * dy
-            mask = gids != qid
-            gids, d2 = gids[mask], d2[mask]
-            take = min(k, len(gids))
-            if take == 0:
-                continue
-            part = np.argpartition(d2, take - 1)[:take]
-            kth = d2[part].max()
-            sel = d2 <= kth  # include all distance ties at the cut
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(int(sel.sum()), qid, dtype=np.int64),
-                        "neighbor_id": gids[sel],
-                        "dist2": d2[sel],
-                    }
+        active = np.arange(nq)
+        # accumulated candidates: query index / dist2 / neighbor id
+        acc_q: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        acc_n: list[np.ndarray] = []
+        for r in range(max(nx, ny)):
+            if not active.size:
+                break
+            ax, ay = qx_all[active], qy_all[active]
+            dxo, dyo = _ring_offsets(r)
+            cx = ax[:, None] + dxo[None, :]
+            cy = ay[:, None] + dyo[None, :]
+            valid = (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+            cellv = (cy * nx + cx)[valid]
+            qof = np.broadcast_to(active[:, None], cx.shape)[valid]
+            pos = np.searchsorted(uniq, cellv)
+            ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == cellv)
+            pos, qof = pos[ok], qof[ok]
+            cnt = ends[pos] - starts[pos]
+            total = int(cnt.sum())
+            if total:
+                # CSR expansion: rows of each (query, cell) pair
+                rows = (
+                    np.repeat(starts[pos], cnt)
+                    + np.arange(total)
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt)
                 )
-            )
-        if not frames:
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype="int64"),
-                 "neighbor_id": pd.Series([], dtype="int64"),
-                 "dist2": pd.Series([], dtype="float64")}
-            )
-        return pd.concat(frames, ignore_index=True)
+                qi = np.repeat(qof, cnt)
+                dx = slon[rows] - qlon_all[qi]
+                dy = slat[rows] - qlat_all[qi]
+                d2 = dx * dx + dy * dy
+                nbr = sids[rows]
+                keep = nbr != qid_all[qi]  # a query never matches itself
+                acc_q.append(qi[keep])
+                acc_d.append(d2[keep])
+                acc_n.append(nbr[keep])
+            # guaranteed radius per active query: distance to the edge
+            # of the explored (2r+1)-cell block
+            x0 = (ax - r) * w - LON_MOD / 2
+            x1 = (ax + r + 1) * w - LON_MOD / 2
+            y0 = (ay - r) * h - LAT_MOD / 2
+            y1 = (ay + r + 1) * h - LAT_MOD / 2
+            ql, qt = qlon_all[active], qlat_all[active]
+            guard = np.minimum(np.minimum(ql - x0, x1 - ql), np.minimum(qt - y0, y1 - qt))
+            covered = (ax - r < 0) & (ax + r >= nx - 1) & (ay - r < 0) & (ay + r >= ny - 1)
+            # running k-th distance per active query (one lexsort)
+            kth = np.full(nq, np.inf)
+            if acc_q:
+                A = np.concatenate(acc_q)
+                D = np.concatenate(acc_d)
+                o2 = np.lexsort((D, A))
+                As, Ds = A[o2], D[o2]
+                first_q, first_i, per_cnt = np.unique(As, return_index=True, return_counts=True)
+                has_k = per_cnt >= k
+                kth[first_q[has_k]] = Ds[first_i[has_k] + k - 1]
+            done = (kth[active] <= guard * guard) | covered
+            active = active[~done]
+
+        if not acc_q:
+            return empty
+        A = np.concatenate(acc_q)
+        D = np.concatenate(acc_d)
+        N = np.concatenate(acc_n)
+        o2 = np.lexsort((D, A))
+        As, Ds, Ns = A[o2], D[o2], N[o2]
+        first_q, first_i, per_cnt = np.unique(As, return_index=True, return_counts=True)
+        # per-pair k-th distance of its own query; keep D <= kth (ties kept)
+        kth_of = Ds[first_i + np.minimum(per_cnt, k) - 1]
+        sel = Ds <= np.repeat(kth_of, per_cnt)
+        return pd.DataFrame(
+            {"query_id": qid_all[As[sel]], "neighbor_id": Ns[sel], "dist2": Ds[sel]}
+        )
 
     cands = points.map_batches(stage, batch_format="pyarrow").to_pandas()
     return _topk_reduce(cands, k, by="dist2", ascending=True)
