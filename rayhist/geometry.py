@@ -289,6 +289,101 @@ def clip_polygon_convex(ring_e7: np.ndarray, poly_e7) -> np.ndarray:
     return np.asarray(subject, dtype=np.float64).reshape(-1, 2)
 
 
+def points_even_odd(
+    lon: np.ndarray, lat: np.ndarray, rings
+) -> np.ndarray:
+    """Crossing-number parity membership over ALL rings (outer + holes)
+    of a general polygon — numpy twin of the SQL mirror
+    ``oracles._even_odd_condition``: per edge, the crossing test
+    ``(y1 > lat) != (y2 > lat) AND lon < x1 + (lat-y1)*(x2-x1)/(y2-y1)``
+    is counted; inside iff the count is odd. Identical float64 ops on
+    both sides, so boundary decisions agree bit-for-bit."""
+    cnt = np.zeros(len(lon), dtype=np.int64)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        n = len(r)
+        for i in range(n):
+            x1, y1 = r[i]
+            x2, y2 = r[(i + 1) % n]
+            crosses = (y1 > lat) != (y2 > lat)
+            if y2 != y1:
+                xi = x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+                cnt += (crosses & (lon < xi)).astype(np.int64)
+    return cnt % 2 == 1
+
+
+def clip_segments_even_odd(
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    rings,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """GENERAL polygon clip of segments a->b against an arbitrary
+    (non-convex, holed, even-odd) polygon given as a list of rings —
+    the full polygon∩line path of FastPolygonOperations
+    (fip/FastPolygonOperations.java:15-160, used by
+    CellIterator.java:361-377 / GeometrySplitter.java:80-203), which
+    the convex-only Cyrus–Beck kernel above cannot express.
+
+    Method (mirrored LITERALLY by oracles._even_odd_clip_region so the
+    SQL twin is bit-identical): per segment, collect the parameters
+    ``t in (0,1)`` where the segment properly crosses any ring edge
+    (cross-product solve, strict inequalities on t and u), sort them
+    together with {0, 1}, and classify each sub-interval by the
+    even-odd membership of its midpoint (``points_even_odd``). Returns
+    ``(seg_idx, t_lo, t_hi)`` for every INSIDE sub-interval. Fully
+    vectorized: one (segments x edges) parameter solve + one row sort.
+    """
+    ax = np.asarray(ax, dtype=np.float64)
+    ay = np.asarray(ay, dtype=np.float64)
+    bx = np.asarray(bx, dtype=np.float64)
+    by = np.asarray(by, dtype=np.float64)
+    S = len(ax)
+    if S == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z.astype(np.float64), z.astype(np.float64)
+    edges = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        nxt = np.roll(r, -1, axis=0)
+        edges.append(np.column_stack([r, nxt]))
+    E = np.concatenate(edges)  # (E, 4): px py qx qy
+    px, py, qx, qy = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    dx, dy = bx - ax, by - ay
+    ex, ey = qx - px, qy - py
+    # a + t*d == p + u*e  ->  t = cross(p-a, e)/cross(d, e),
+    #                         u = cross(p-a, d)/cross(d, e)
+    den = dx[:, None] * ey[None, :] - dy[:, None] * ex[None, :]
+    wx = px[None, :] - ax[:, None]
+    wy = py[None, :] - ay[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (wx * ey[None, :] - wy * ex[None, :]) / den
+        u = (wx * dy[:, None] - wy * dx[:, None]) / den
+    valid = (den != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+    tmat = np.where(valid, t, np.inf)
+    tmat = np.concatenate(
+        [np.zeros((S, 1)), np.ones((S, 1)), tmat], axis=1
+    )
+    tmat.sort(axis=1)  # invalid (inf) entries collect at the end
+    ncut = 2 + valid.sum(axis=1)  # per-row count of finite t values
+    # explode rows into their (ncut-1) consecutive intervals
+    ncols = tmat.shape[1]
+    has = np.arange(ncols - 1)[None, :] < (ncut - 1)[:, None]
+    lo = tmat[:, :-1][has]
+    hi = tmat[:, 1:][has]
+    seg = np.broadcast_to(np.arange(S)[:, None], has.shape)[has]
+    tm = (lo + hi) / 2.0
+    mx = ax[seg] + tm * dx[seg]
+    my = ay[seg] + tm * dy[seg]
+    inside = points_even_odd(mx, my, rings)
+    return seg[inside], lo[inside], hi[inside]
+
+
 def clip_segments_to_bbox(
     lons: np.ndarray, lats: np.ndarray, bbox: tuple[float, float, float, float]
 ) -> float:

@@ -699,6 +699,83 @@ FROM (
 )"""
 
 
+def _even_odd_clip_region(region_id: str, rings) -> str:
+    """SELECT over ``seg`` computing the GENERAL even-odd clipped
+    length of each segment against one arbitrary (non-convex, holed)
+    region — LITERAL mirror of rayhist.geometry.clip_segments_even_odd:
+    same cross-product t/u solve with strict (0,1) bounds per edge, the
+    same sorted {0,1}∪crossings parameter list, midpoint even-odd
+    classification (``_even_odd_condition``), and per-interval lengths
+    floored to integer micrometers before the per-way sum (integer sum
+    is order-independent, so Ray/SQL agree bit-for-bit)."""
+    exprs = []
+    for ring in rings:
+        r = [(float(x), float(y)) for x, y in ring]
+        if r[0] == r[-1]:
+            r = r[:-1]
+        n = len(r)
+        for i in range(n):
+            px, py = r[i]
+            qx, qy = r[(i + 1) % n]
+            ex, ey = qx - px, qy - py
+            den = f"((bx-ax)*({ey!r}) - (by-ay)*({ex!r}))"
+            t = f"(((({px!r})-ax)*({ey!r}) - (({py!r})-ay)*({ex!r})) / {den})"
+            u = f"(((({px!r})-ax)*(by-ay) - (({py!r})-ay)*(bx-ax)) / {den})"
+            exprs.append(
+                f"CASE WHEN {den} <> 0 AND {t} > 0 AND {t} < 1"
+                f" AND {u} > 0 AND {u} < 1 THEN {t} ELSE NULL END"
+            )
+    tlist = "[" + ", ".join(["0.0", "1.0"] + exprs) + "]"
+    dist = """6371000.0 * sqrt(
+         (radians(cbx/10000000.0 - cax/10000000.0)
+            * cos(radians((cby/10000000.0 + cay/10000000.0) / 2)))
+         * (radians(cbx/10000000.0 - cax/10000000.0)
+            * cos(radians((cby/10000000.0 + cay/10000000.0) / 2)))
+         + radians(cby/10000000.0 - cay/10000000.0)
+         * radians(cby/10000000.0 - cay/10000000.0)
+       )"""
+    return f"""
+SELECT '{region_id}' AS region_id, way_id,
+       CAST(sum(CASE WHEN inside THEN um ELSE 0 END) AS BIGINT) AS clip_um
+FROM (
+  SELECT way_id, {_even_odd_condition(rings)} AS inside,
+         CAST(floor({dist} * 1000000.0) AS BIGINT) AS um
+  FROM (
+    SELECT way_id,
+           ax + ts[i]*(bx-ax) AS cax, ay + ts[i]*(by-ay) AS cay,
+           ax + ts[i+1]*(bx-ax) AS cbx, ay + ts[i+1]*(by-ay) AS cby,
+           ax + ((ts[i]+ts[i+1])/2.0)*(bx-ax) AS lon,
+           ay + ((ts[i]+ts[i+1])/2.0)*(by-ay) AS lat
+    FROM (
+      SELECT way_id, ax, ay, bx, by,
+             list_sort(list_filter({tlist}, x -> x IS NOT NULL)) AS ts
+      FROM seg
+    ) CROSS JOIN UNNEST(generate_series(1, len(ts)-1)) AS g(i)
+  )
+)
+GROUP BY way_id HAVING count(*) FILTER (WHERE inside) >= 1"""
+
+
+def clipped_way_lengths_poly(regions: dict) -> str:
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    parts = [_even_odd_clip_region(rid, rings) for rid, rings in sorted(regions.items())]
+    return (
+        DERIVE
+        + cte
+        + """
+, pos AS (SELECT osm_id, lon_e7, lat_e7 FROM snap),
+seg AS (
+  SELECT a.osm_id AS way_id,
+         CAST(a.lon_e7 AS DOUBLE) AS ax, CAST(a.lat_e7 AS DOUBLE) AS ay,
+         CAST(b.lon_e7 AS DOUBLE) AS bx, CAST(b.lat_e7 AS DOUBLE) AS by
+  FROM pos a JOIN pos b ON b.osm_id = a.osm_id + 1
+)
+SELECT * FROM ("""
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY region_id, way_id"
+    )
+
+
 def clipped_way_lengths(regions: dict) -> str:
     cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
     parts = [_cyrus_beck_region(rid, poly) for rid, poly in sorted(regions.items())]

@@ -1209,6 +1209,93 @@ def q_clipped_way_lengths(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["region_id", "way_id"]).reset_index(drop=True)
 
 
+# A NON-CONVEX comb (two slots cut from the top edge) and the same comb
+# with a rectangular hole in its solid base — the arbitrary-polygon
+# clip regions the convex Cyrus–Beck path cannot express
+# (fip/FastPolygonOperations.java:15-160 clips against general
+# (Multi)Polygons with holes). Each region is a list of rings
+# (outer first), even-odd semantics.
+_COMB_OUTER: list[tuple[float, float]] = [
+    (-9e8, -6e8), (9e8, -6e8), (9e8, 6e8), (4.5e8, 6e8),
+    (4.5e8, -2e8), (1.5e8, -2e8), (1.5e8, 6e8), (-1.5e8, 6e8),
+    (-1.5e8, -2e8), (-4.5e8, -2e8), (-4.5e8, 6e8), (-9e8, 6e8),
+]
+NONCONVEX_CLIP_REGIONS: dict[str, list[list[tuple[float, float]]]] = {
+    "comb": [_COMB_OUTER],
+    "comb_hole": [
+        _COMB_OUTER,
+        [(-8e8, -5.5e8), (-5.5e8, -5.5e8), (-5.5e8, -3.5e8), (-8e8, -3.5e8)],
+    ],
+}
+
+
+def q_clipped_way_lengths_poly(sf_dir: str) -> pd.DataFrame:
+    """aggregateByGeometry with clipped geometries over GENERAL
+    (non-convex, holed) regions — the full FastPolygonOperations clip
+    (fip/FastPolygonOperations.java:15-160 via CellIterator.java:361-377,
+    reference test TestMapAggregateByGeometry.java:73-121). Each
+    synthetic way u->u+1 at T_MID is clipped even-odd against every
+    region's ring set; a way may contribute several disjoint inside
+    sub-intervals (a segment crossing a comb slot re-enters), whose
+    lengths are summed as integer micrometers per (region, way)."""
+    from .functions.geo import distance_equirectangular
+    from .geometry import clip_segments_even_odd
+    from .model import decode_spans
+    from .ops.relational import hash_join
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    left = pos.map_batches(
+        lambda b: pa.table({"join_k": b["osm_id"], "lon1": b["lon_e7"], "lat1": b["lat_e7"]}),
+        batch_format="pyarrow",
+    )
+    right = pos.map_batches(
+        lambda b: pa.table(
+            {"join_k": pa.compute.subtract(b["osm_id"], 1), "lon2": b["lon_e7"], "lat2": b["lat_e7"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(left, right, on="join_k", n_buckets=32)
+    regions = sorted(NONCONVEX_CLIP_REGIONS.items())
+
+    def clip_stage(batch: pa.Table) -> pa.Table:
+        ax = batch["lon1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ay = batch["lat1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bx = batch["lon2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        by = batch["lat2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        wid = batch["join_k"].to_numpy(zero_copy_only=False)
+        rid_out, wid_out, um_out = [], [], []
+        for rid, rings in regions:
+            seg, lo, hi = clip_segments_even_odd(ax, ay, bx, by, rings)
+            dxs, dys = bx[seg] - ax[seg], by[seg] - ay[seg]
+            cax, cay = ax[seg] + lo * dxs, ay[seg] + lo * dys
+            cbx, cby = ax[seg] + hi * dxs, ay[seg] + hi * dys
+            d = distance_equirectangular(cay / 1e7, cax / 1e7, cby / 1e7, cbx / 1e7)
+            um = np.floor(d * 1e6).astype(np.int64)
+            acc = np.zeros(len(ax), dtype=np.int64)
+            np.add.at(acc, seg, um)  # int um per interval -> exact, order-free
+            present = np.zeros(len(ax), dtype=bool)
+            present[seg] = True
+            rid_out.extend([rid] * int(present.sum()))
+            wid_out.append(wid[present])
+            um_out.append(acc[present])
+        return pa.table(
+            {
+                "region_id": pa.array(rid_out, type=pa.string()),
+                "way_id": pa.array(np.concatenate(wid_out) if wid_out else np.array([], dtype=np.int64)),
+                "clip_um": pa.array(np.concatenate(um_out) if um_out else np.array([], dtype=np.int64)),
+            }
+        )
+
+    df = joined.map_batches(clip_stage, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["region_id", "way_id"]).reset_index(drop=True)
+
+
 # ------------------------------------------------ compound (way) docs
 WAY_CONTRIB_FROM = T0  # full-January window so way CREATE/DELETE land inside
 WAY_CONTRIB_TO = T0 + 32 * DAY_US

@@ -290,6 +290,85 @@ def test_clip_split_invariant():
     )
 
 
+def test_clip_even_odd_general():
+    """The general (non-convex, holed) even-odd segment clip: agrees
+    with Cyrus-Beck on a convex region, excludes hole interiors,
+    re-enters across comb slots, and satisfies the reference's split
+    invariant (TestMapAggregateByGeometry.java:73-121) over a
+    NON-CONVEX partition of the pentagon."""
+    from rayhist.geometry import (
+        clip_segments_convex,
+        clip_segments_even_odd,
+        points_even_odd,
+    )
+    from rayhist.pipelines import CLIP_REGIONS, NONCONVEX_CLIP_REGIONS
+
+    rng = np.random.default_rng(99)
+    n = 300
+    ax, ay = rng.uniform(-9.5e8, 9.5e8, n), rng.uniform(-7e8, 7e8, n)
+    bx = ax + rng.uniform(-6e8, 6e8, n)
+    by = ay + rng.uniform(-6e8, 6e8, n)
+
+    def eo_len(rings):
+        # planar Euclidean measure in e7 units — EXACTLY additive under
+        # interval splitting (unlike equirectangular length, whose
+        # per-piece cos(mean_lat) makes long-segment sums path-dependent)
+        seg, lo, hi = clip_segments_even_odd(ax, ay, bx, by, rings)
+        dx, dy = bx[seg] - ax[seg], by[seg] - ay[seg]
+        d = (hi - lo) * np.hypot(dx, dy)
+        out = np.zeros(n)
+        np.add.at(out, seg, d)
+        return out
+
+    # 1. agrees with the convex kernel on the convex pentagon
+    P = CLIP_REGIONS["pent"]
+    t0, t1, ok = clip_segments_convex(ax, ay, bx, by, P)
+    dx, dy = bx - ax, by - ay
+    convex = np.where(ok, (t1 - t0) * np.hypot(dx, dy), 0.0)
+    general = eo_len([P])
+    assert np.allclose(general, convex, rtol=1e-9, atol=1e-3)
+
+    # 2. hole interiors are excluded: comb minus comb_hole == hole clip
+    comb = eo_len(NONCONVEX_CLIP_REGIONS["comb"])
+    comb_hole = eo_len(NONCONVEX_CLIP_REGIONS["comb_hole"])
+    hole_only = eo_len([NONCONVEX_CLIP_REGIONS["comb_hole"][1]])
+    assert np.all(comb_hole <= comb + 1e-3)
+    nzh = hole_only > 1.0
+    assert nzh.sum() > 5
+    relh = np.abs((comb - comb_hole)[nzh] - hole_only[nzh]) / hole_only[nzh]
+    assert relh.max() < 1e-9, relh.max()
+
+    # 3. a horizontal segment across both comb slots re-enters: exactly
+    # 3 inside sub-intervals
+    seg, lo, hi = clip_segments_even_odd(
+        np.array([-8e8]), np.array([2e8]), np.array([8e8]), np.array([2e8]),
+        NONCONVEX_CLIP_REGIONS["comb"],
+    )
+    assert len(seg) == 3
+    assert np.all(hi > lo)
+
+    # 4. split invariant over a NON-CONVEX partition: pent = comb∩pent
+    # is not needed — instead split the comb itself by the chord x=0
+    comb_rings = NONCONVEX_CLIP_REGIONS["comb"]
+    left_rings = [[(x, y) for x, y in [(-9e8, -6e8), (0.0, -6e8), (0.0, 6e8),
+                                        (-1.5e8, 6e8), (-1.5e8, -2e8), (-4.5e8, -2e8),
+                                        (-4.5e8, 6e8), (-9e8, 6e8)]]]
+    right_rings = [[(x, y) for x, y in [(0.0, -6e8), (9e8, -6e8), (9e8, 6e8),
+                                         (4.5e8, 6e8), (4.5e8, -2e8), (1.5e8, -2e8),
+                                         (1.5e8, 6e8), (0.0, 6e8)]]]
+    full, left, right = eo_len(comb_rings), eo_len(left_rings), eo_len(right_rings)
+    nz = full > 1.0
+    assert nz.sum() > 50
+    rel = np.abs(left[nz] + right[nz] - full[nz]) / full[nz]
+    assert rel.max() < 1e-9, rel.max()
+
+    # 5. membership kernel sanity: slot interior is outside, base inside
+    assert not points_even_odd(np.array([3e8]), np.array([4e8]), comb_rings)[0]
+    assert points_even_odd(np.array([3e8]), np.array([-4e8]), comb_rings)[0]
+    ch = NONCONVEX_CLIP_REGIONS["comb_hole"]
+    assert not points_even_odd(np.array([-7e8]), np.array([-4.5e8]), ch)[0]
+
+
 def test_polyfile_parse_and_contains():
     """.poly loader: osmosis format with hole sections; parsed rings
     feed the general even-odd Polygon (non-convex + hole)."""
