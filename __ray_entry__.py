@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
         "clipped_way_lengths": p.q_clipped_way_lengths,
         "clipped_way_lengths_poly": p.q_clipped_way_lengths_poly,
+        "snapshot_old_style": p.q_snapshot_old_style,
         "snapshot_pip_poly": p.q_snapshot_pip_poly,
         "contrib_type_counts_ways_k3": p.q_contrib_type_counts_ways_k3,
         "snapshot_count_even_uid": p.q_snapshot_count_even_uid,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_relation_geoms": o.snapshot_relation_geoms(p.WAY_SNAPS),
         "clipped_way_lengths": o.clipped_way_lengths(p.CLIP_REGIONS),
         "clipped_way_lengths_poly": o.clipped_way_lengths_poly(p.NONCONVEX_CLIP_REGIONS),
+        "snapshot_old_style": o.snapshot_old_style(p.WAY_SNAPS),
         "snapshot_pip_poly": _poly_oracle(o, p),
         "contrib_type_counts_ways_k3": o.contrib_type_counts_ways_k3(
             p.WAY_CONTRIB_FROM, p.WAY_CONTRIB_TO

@@ -126,6 +126,12 @@ def combine_partials(
     keys x blocks > ~10^7 rows means keep it distributed.
     """
     df = ds.to_pandas()
+    if df.empty and not set(keys) <= set(df.columns):
+        # an all-empty partials stream can arrive schema-less (Ray
+        # drops empty blocks): return a typed empty result
+        cols = {k: pd.Series([], dtype="object") for k in keys}
+        cols.update({out: pd.Series([], dtype="int64") for out in sums.values()})
+        return pd.DataFrame(cols)
     if not keys:
         return pd.DataFrame([{out: df[src].sum() for src, out in sums.items()}]).astype("int64")
     g = df.groupby(keys, as_index=False).agg(**{out: (src, "sum") for src, out in sums.items()})

@@ -586,6 +586,170 @@ def _pack_rel_bucket(group: pd.DataFrame) -> pa.Table:
     )
 
 
+# ----------------------------------- old-style multipolygon documents
+#
+# Relation o = node block {8o..8o+7}: outer way wo=2o over the present
+# ids with id%8 < 4 (closed ring: smallest id repeated at the end),
+# inner way wi=2o+1 over id%8 >= 4 (closed the same way). ONE visible
+# relation version at rts = min(node ts), cs = 4e9 + o*1000 + 1,
+# uid = o%37; relation tags: type=multipolygon, PLUS the real tag k=9
+# when o%5 == 0 (tag disqualifier, BaseTagInterpreter.java:118-129).
+# Member roles: wo@outer, wi@inner — except o%11 == 0, where wi is
+# ALSO @outer (two-outer disqualifier, :114-117). Outer way: v1 at
+# ts1o = min(outer node ts), vis=1, tag k=(o%7) [the query's filter
+# target — old-style filters test the OUTER WAY, CellIterator.java:
+# 260-318]; inner way: v1 at ts1i, vis=1, no tags. Node children:
+# full histories. Relations with no outer node are skipped.
+# Mirrored by oracles.snapshot_old_style — change both together.
+
+OS_BLOCK = 8
+OS_CS_BASE = 4_000_000_000
+
+
+def _pack_oldstyle_bucket(group: pd.DataFrame) -> pa.Table:
+    """Pack a bucket of old-style multipolygon relation documents (see
+    the derivation comment block above)."""
+    g = group.sort_values(["osm_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    osm = g["osm_id"].to_numpy()
+    n = len(g)
+    node_start = np.r_[True, osm[1:] != osm[:-1]]
+    start_idx = np.maximum.accumulate(np.where(node_start, np.arange(n), 0))
+    v = np.arange(n) - start_idx + 1
+    ts = g["ts"].to_numpy()
+    uid = g["uid"].to_numpy()
+    vis = g["visible"].to_numpy()
+    kk = g["kk"].to_numpy()
+    cs = osm * 1_000_000 + (v - 1) // 3
+    lon, lat = coords_for(osm, v, kk)
+    rid = osm // OS_BLOCK
+
+    s = pd.Series
+    vs, tss, css, uids = s(v).astype(str), s(ts).astype(str), s(cs).astype(str), s(uid).astype(str)
+    child_pfx = ("child=node/" + s(osm).astype(str) + ";").to_numpy()
+    ver_text = (child_pfx + ("v=" + vs + ";ts=" + tss + ";cs=" + css + ";uid=" + uids
+                + ";vis=" + s(vis.astype(np.int64)).astype(str)).to_numpy())
+    geom_ref = ("geom:child=node/" + s(osm).astype(str) + ";v=" + vs
+                + ";lon=" + s(lon).astype(str) + ";lat=" + s(lat).astype(str)).to_numpy()
+
+    n_slots = 1 + vis.astype(np.int64)
+    total = int(n_slots.sum())
+    ver_of_span = np.repeat(np.arange(n), n_slots)
+    span_end = np.cumsum(n_slots)
+    slot = np.arange(total) - np.repeat(span_end - n_slots, n_slots)
+    child_kinds = np.where(slot == 0, "version", "geom").astype(object)
+    child_texts = np.where(slot == 0, ver_text[ver_of_span], "").astype(object)
+    child_refs = np.where(slot == 1, geom_ref[ver_of_span], "").astype(object)
+    child_rid = np.repeat(rid, n_slots)
+
+    rel_first = np.r_[True, child_rid[1:] != child_rid[:-1]]
+    rel_starts = np.flatnonzero(rel_first)
+    rel_ends = np.r_[rel_starts[1:], total]
+    rel_ids = child_rid[rel_starts]
+
+    per_node = pd.DataFrame({"osm": osm, "rid": rid, "ts": ts}).groupby("osm").agg(
+        rid=("rid", "first"), ts1=("ts", "min")
+    )
+    bb = pd.DataFrame(
+        {
+            "rid": rid,
+            "lon": np.where(vis, lon, np.int64(np.iinfo(np.int64).max)),
+            "lon2": np.where(vis, lon, np.int64(np.iinfo(np.int64).min)),
+            "lat": np.where(vis, lat, np.int64(np.iinfo(np.int64).max)),
+            "lat2": np.where(vis, lat, np.int64(np.iinfo(np.int64).min)),
+            "v": vis.astype(np.int64),
+        }
+    ).groupby("rid").agg(mn_lon=("lon", "min"), mx_lon=("lon2", "max"),
+                         mn_lat=("lat", "min"), mx_lat=("lat2", "max"), anyv=("v", "max"))
+
+    kinds_parts, texts_parts, refs_parts, doc_lens, kept_rids = [], [], [], [], []
+    for r, cs_s, cs_e in zip(rel_ids, rel_starts, rel_ends):
+        r = int(r)
+        nodes = per_node[per_node["rid"] == r]
+        ids = nodes.index.to_numpy()
+        outer = sorted(int(i) for i in ids if i % OS_BLOCK < 4)
+        inner = sorted(int(i) for i in ids if i % OS_BLOCK >= 4)
+        if not outer:
+            continue
+        rts = int(nodes["ts1"].min())
+        ts1o = int(nodes.loc[outer, "ts1"].min())
+        wo, wi = 2 * r, 2 * r + 1
+        inner_role = "outer" if r % 11 == 0 else "inner"
+        hk, ht, hr = [], [], []
+
+        def emit(kind, text="", ref=""):
+            hk.append(kind)
+            ht.append(text)
+            hr.append(ref)
+
+        emit("version", f"v=1;ts={rts};cs={OS_CS_BASE + r * 1000 + 1};uid={r % 37};vis=1")
+        emit("tag", "type=multipolygon")
+        if r % 5 == 0:
+            emit("tag", "k=9")  # a real tag -> NOT old-style
+        emit("member", f"way/{wo}@role=outer")
+        if inner:
+            emit("member", f"way/{wi}@role={inner_role}")
+        # outer way child (single visible version; tags live HERE)
+        emit("version", f"child=way/{wo};v=1;ts={ts1o};cs={OS_CS_BASE + r * 1000 + 2};uid={r % 37};vis=1")
+        emit("tag", f"k={r % 7}")
+        for m in outer + [outer[0]]:
+            emit("member", f"node/{m}@role=")
+        if inner:
+            ts1i = int(nodes.loc[inner, "ts1"].min())
+            emit("version", f"child=way/{wi};v=1;ts={ts1i};cs={OS_CS_BASE + r * 1000 + 3};uid={r % 37};vis=1")
+            for m in inner + [inner[0]]:
+                emit("member", f"node/{m}@role=")
+
+        kinds_parts.append(np.array(hk, dtype=object))
+        kinds_parts.append(child_kinds[cs_s:cs_e])
+        texts_parts.append(np.array(ht, dtype=object))
+        texts_parts.append(child_texts[cs_s:cs_e])
+        refs_parts.append(np.array(hr, dtype=object))
+        refs_parts.append(child_refs[cs_s:cs_e])
+        doc_lens.append(len(hk) + (cs_e - cs_s))
+        kept_rids.append(r)
+
+    all_kinds = np.concatenate(kinds_parts) if kinds_parts else np.array([], dtype=object)
+    all_texts = np.concatenate(texts_parts) if texts_parts else np.array([], dtype=object)
+    all_refs = np.concatenate(refs_parts) if refs_parts else np.array([], dtype=object)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    doc_span_start = np.repeat(np.r_[0, np.cumsum(doc_lens)[:-1]], doc_lens) if len(doc_lens) else np.array([], dtype=np.int64)
+    assert len(all_kinds) < 2**31, "bucket span total exceeds int32 offsets"
+    offsets = (np.arange(len(all_kinds)) - doc_span_start).astype(np.int32)
+
+    spans_flat = pa.StructArray.from_arrays(
+        [
+            pa.array(all_kinds, type=pa.string()),
+            pa.array(all_texts, type=pa.string()),
+            pa.array(all_refs, type=pa.string()),
+            pa.array(offsets, type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    list_offsets = np.r_[0, np.cumsum(doc_lens)].astype(np.int32)
+    spans_col = pa.ListArray.from_arrays(pa.array(list_offsets), spans_flat)
+
+    zero = bb.loc[kept_rids, "anyv"].to_numpy() == 0 if kept_rids else np.array([], dtype=bool)
+    bcols = {}
+    for c in ("mn_lon", "mx_lon", "mn_lat", "mx_lat"):
+        arr = bb.loc[kept_rids, c].to_numpy().copy() if kept_rids else np.array([], dtype=np.int64)
+        arr[zero] = 0
+        bcols[c] = arr
+    return pa.table(
+        {
+            "doc_id": pa.array(["relation/" + str(r) for r in kept_rids], type=pa.string()),
+            "osm_type": pa.array(np.full(len(kept_rids), "relation", dtype=object), type=pa.string()),
+            "osm_id": pa.array(np.asarray(kept_rids, dtype=np.int64)),
+            "n_versions": pa.array(np.full(len(kept_rids), 1, dtype=np.int32), type=pa.int32()),
+            "min_lon_e7": pa.array(bcols["mn_lon"]),
+            "max_lon_e7": pa.array(bcols["mx_lon"]),
+            "min_lat_e7": pa.array(bcols["mn_lat"]),
+            "max_lat_e7": pa.array(bcols["mx_lat"]),
+            "spans": spans_col,
+        },
+        schema=DOCUMENTS_SCHEMA,
+    )
+
+
 def _build_compound(sf_dir: str, rep: int, block: int, packer) -> ray.data.Dataset:
     """events.parquet -> compound span-document Dataset.
 
@@ -660,6 +824,21 @@ def _ensure_compound(sf_dir: str, rep: int, tag: str, builder) -> str:
         if not out.exists():
             raise
     return str(out)
+
+
+def build_oldstyle_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
+    return _build_compound(sf_dir, rep, OS_BLOCK, _pack_oldstyle_bucket)
+
+
+def ensure_oldstyle_documents(sf_dir: str, rep: int = 1) -> str:
+    return _ensure_compound(sf_dir, rep, "oldstyle", build_oldstyle_documents)
+
+
+def read_oldstyle_documents(
+    sf_dir: str, columns: list[str] | None = None, rep: int = 1
+) -> ray.data.Dataset:
+    """Read the (cached) old-style multipolygon relation table."""
+    return rio.read_table(ensure_oldstyle_documents(sf_dir, rep), columns=columns)
 
 
 def ensure_way_documents(sf_dir: str, rep: int = 1) -> str:

@@ -659,6 +659,55 @@ FROM pts
     )
 
 
+# -------------------------------------- old-style multipolygon
+def snapshot_old_style(ts_list) -> str:
+    """Mirror of rayhist.ingest._pack_oldstyle_bucket (see its comment
+    block) + members.snapshots_old_style: relation o = node block
+    {8o..8o+7}; old-style iff o%5<>0 (no real relation tag) and
+    o%11<>0 (single outer way); outer-way filter k=(o%7)=3; relation
+    visible from rts=min(node ts), outer way from ts1o; hole ring =
+    alive inner nodes at ts with the smallest inner id counted twice
+    (closed-ring repeat)."""
+    B = 8
+    cte = _snap_cte().replace("TS_LIST", _ts_list(ts_list))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, rel AS (
+  SELECT osm_id//{B} AS rid,
+         min(ts_us) AS rts,
+         min(CASE WHEN osm_id%{B} < 4 THEN ts_us END) AS ts1o,
+         min(CASE WHEN osm_id%{B} >= 4 THEN ts_us END) AS ts1i,
+         count(CASE WHEN osm_id%{B} < 4 THEN 1 END) AS n_outer_ev,
+         min(CASE WHEN osm_id%{B} >= 4 THEN osm_id END) AS first_inner
+  FROM d GROUP BY 1
+), qual AS (
+  SELECT tl.ts_q, r.rid, r.ts1i, r.first_inner
+  FROM {_ts_list(ts_list)} CROSS JOIN rel r
+  WHERE r.rid % 5 <> 0 AND r.rid % 11 <> 0 AND r.rid % 7 = 3
+    AND r.n_outer_ev > 0
+    AND tl.ts_q >= r.rts AND tl.ts_q >= r.ts1o
+), hp AS (
+  SELECT q.ts_q, q.rid,
+         sum(s.lon_e7 * (CASE WHEN s.osm_id = q.first_inner THEN 2 ELSE 1 END)) AS lon_s,
+         sum(s.lat_e7 * (CASE WHEN s.osm_id = q.first_inner THEN 2 ELSE 1 END)) AS lat_s
+  FROM qual q JOIN snap s
+    ON s.ts_q = q.ts_q AND s.osm_id//{B} = q.rid AND s.osm_id%{B} >= 4
+  WHERE q.ts1i IS NOT NULL AND q.ts_q >= q.ts1i
+  GROUP BY 1, 2
+)
+SELECT q.ts_q,
+       CAST(count(*) AS BIGINT) AS n_rels,
+       CAST(count(h.rid) AS BIGINT) AS n_holes,
+       CAST(coalesce(sum(h.lon_s), 0) AS BIGINT) AS sum_hole_lon,
+       CAST(coalesce(sum(h.lat_s), 0) AS BIGINT) AS sum_hole_lat
+FROM qual q LEFT JOIN hp h ON h.ts_q = q.ts_q AND h.rid = q.rid
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 # ---------------------------------------- clipped aggregateByGeometry
 def _cyrus_beck_region(region_id: str, poly) -> str:
     """SELECT over ``seg`` computing the Cyrus–Beck clipped length of

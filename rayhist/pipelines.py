@@ -1446,6 +1446,61 @@ def q_snapshot_relation_geoms(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["rel_id", "ts_q"]).reset_index(drop=True)
 
 
+def q_snapshot_old_style(sf_dir: str) -> pd.DataFrame:
+    """Old-style multipolygon snapshots (CellIterator.java:260-318,
+    BaseTagInterpreter.isOldStyleMultipolygon :111-136): relations
+    whose only tags are relation-area/uninteresting and which have
+    EXACTLY one outer way; the FILTER (k=3) is tested against the
+    resolved OUTER WAY, and the emitted geometry is ONLY THE INNER
+    HOLES. Per snapshot ts: qualifying-relation count, hole-ring
+    count, and the integer sums of hole-ring point coordinates
+    (pinning member-resolved node positions at ts, including the
+    closed-ring repeat of the first inner node)."""
+    from .aggregate import combine_partials
+    from .ingest import read_oldstyle_documents
+    from .members import COMPOUND_BATCH, parse_doc, snapshots_old_style
+
+    def match(st):
+        return st.tags.get("k") == "3"
+
+    def stage(batch: pa.Table) -> pa.Table:
+        agg: dict[int, list[int]] = {}
+        for spans in batch["spans"].to_pylist():
+            doc = parse_doc(spans)
+            for t, _st, holes in snapshots_old_style(doc, WAY_SNAPS, match=match):
+                a = agg.setdefault(t, [0, 0, 0, 0])
+                a[0] += 1
+                a[1] += len(holes)
+                for ring in holes:
+                    a[2] += int(ring[:, 0].sum())
+                    a[3] += int(ring[:, 1].sum())
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "ts_q": pa.array([int(k) for k in keys], type=pa.int64()),
+                "rel_part": pa.array([agg[k][0] for k in keys], type=pa.int64()),
+                "hole_part": pa.array([agg[k][1] for k in keys], type=pa.int64()),
+                "lon_part": pa.array([agg[k][2] for k in keys], type=pa.int64()),
+                "lat_part": pa.array([agg[k][3] for k in keys], type=pa.int64()),
+            }
+        )
+
+    partials = read_oldstyle_documents(sf_dir).map_batches(
+        stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH
+    )
+    df = combine_partials(
+        partials,
+        ["ts_q"],
+        {
+            "rel_part": "n_rels",
+            "hole_part": "n_holes",
+            "lon_part": "sum_hole_lon",
+            "lat_part": "sum_hole_lat",
+        },
+    )
+    return df.sort_values("ts_q").reset_index(drop=True)
+
+
 def q_snapshot_count_by_type(sf_dir: str) -> pd.DataFrame:
     """Mixed-corpus snapshot count at T_MID grouped by osmType — the
     union of the node and way document tables with per-type routing

@@ -90,3 +90,44 @@ def test_way_ingest_deterministic(tmp_path):
     t2 = build_way_documents(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert t1.equals(t2)
     assert os.path.isdir(ensure_way_documents(SF))  # cache path exists
+
+
+def test_oldstyle_doc_structure():
+    """Old-style multipolygon table: relation header (type=multipolygon
+    + conditional disqualifiers), role assignment, closed member rings,
+    and the is_old_style predicate over the packed docs."""
+    import pyarrow.parquet as pq
+
+    from rayhist.ingest import OS_BLOCK, ensure_oldstyle_documents
+    from rayhist.members import is_old_style_multipolygon, parse_doc
+
+    rows = pq.read_table(ensure_oldstyle_documents(SF)).to_pylist()
+    assert rows, "no old-style docs packed"
+    for row in rows:
+        o = row["osm_id"]
+        assert row["osm_type"] == "relation"
+        doc = parse_doc(row["spans"])
+        st = doc.versions[0]
+        assert st.visible and st.tags.get("type") == "multipolygon"
+        # disqualifier branches mirror the SQL predicate
+        assert is_old_style_multipolygon(st) == (o % 5 != 0 and o % 11 != 0)
+        if o % 5 == 0:
+            assert st.tags.get("k") == "9"
+        outer_ways = [m for m, r in st.members if r == "outer"]
+        assert f"way/{2 * o}" in outer_ways
+        # outer way: closed ring over ids %8 < 4, carries the filter tag
+        ow = doc.children[f"way/{2 * o}"][0]
+        assert ow.tags.get("k") == str(o % 7)
+        mids = [int(m.split("/")[1]) for m, _ in ow.members]
+        assert mids[0] == mids[-1] and len(set(mids)) == len(mids) - 1
+        assert all(i // OS_BLOCK == o and i % OS_BLOCK < 4 for i in set(mids))
+        # inner way (if present): closed ring over ids %8 >= 4
+        iw_key = f"way/{2 * o + 1}"
+        if iw_key in doc.children:
+            iw = doc.children[iw_key][0]
+            nids = [int(m.split("/")[1]) for m, _ in iw.members]
+            assert nids[0] == nids[-1]
+            assert all(i % OS_BLOCK >= 4 for i in set(nids))
+        # every ring node has a denormalized child history
+        for m, _ in ow.members:
+            assert m in doc.children
