@@ -11,12 +11,11 @@ approximate the same similarity and are cross-checked against the
 exact pairs in tests.
 
 Scale notes (10^12 docs): the exact path's ``groupby(shingle)`` pair
-explosion is quadratic in per-shingle document frequency — at scale,
-drop stop-shingles above a document-frequency cap (the standard
-trick) or use the MinHash path, whose shuffle volume is
-O(docs x bands). Candidate verification here broadcasts the
-(doc -> shingle-set) map because the corpus side is small; at scale
-verification is a join of candidates back to the shingle table.
+explosion is quadratic in per-shingle document frequency — the
+``df_cap`` stop-shingle guard (exact_jaccard_pairs) bounds it, and the
+MinHash path's shuffle volume is O(docs x bands). Verification is a
+join of candidates back to the shingle table; pair combining is a
+distributed pair-bucket groupby with the threshold applied in-stage.
 """
 
 from __future__ import annotations
@@ -91,19 +90,38 @@ def exact_jaccard_pairs(
     threshold_den: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int = 1024,
 ) -> pd.DataFrame:
     """Exact n-gram Jaccard near-dup pairs with integer threshold test
     ``common * den >= union * num`` (no float compare). Pipeline:
-    explode shingles -> groupby(shingle) pair expansion -> pair counts
-    -> size join -> threshold."""
+    explode shingles (carrying each doc's set size batch-locally) ->
+    groupby(shingle-bucket) pair expansion -> groupby(pair-bucket)
+    combine + threshold -> tiny hit set to the driver.
+
+    No O(corpus) driver state: set sizes ride on the shingle rows (a
+    doc's text lives in one batch, so its distinct-shingle count is
+    batch-local), pair partials are combined by a SECOND distributed
+    groupby keyed on a pair hash, and the threshold filter runs inside
+    that stage so only actual near-dup pairs ever reach the driver.
+
+    ``df_cap`` is the stop-shingle document-frequency cap (the standard
+    quadratic-pair-explosion guard): a shingle appearing in more than
+    ``df_cap`` documents is skipped during pair expansion — exactly,
+    with no extra pass, because a shingle's postings are complete
+    within its hash bucket. Union sizes keep ALL shingles, so capping
+    can only LOWER ``common`` — a false-negative-only trade. Pass
+    ``df_cap=None`` to disable (the oracle twin is uncapped; the
+    sandbox corpus has no shingle near the default cap, proven by
+    pytest capped == uncapped)."""
     def explode_with_bucket(b: pa.Table) -> pa.Table:
         t = explode_shingles(b, id_col, text_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        _uq, inv, cnt = np.unique(ids, return_inverse=True, return_counts=True)
         buckets = (hash64_arr(t["shingle"].to_pylist()) % 64).astype(np.int64)
+        t = t.append_column("n", pa.array(cnt[inv].astype(np.int64)))
         return t.append_column("_bucket", pa.array(buckets))
 
-    sh = docs.map_batches(explode_with_bucket, batch_format="pyarrow").materialize()
-    sizes = sh.groupby(id_col).count().to_pandas().rename(columns={"count()": "n"})
-    size_map = dict(zip(sizes[id_col], sizes["n"]))
+    sh = docs.map_batches(explode_with_bucket, batch_format="pyarrow")
 
     def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
         """Vectorized pair expansion for EVERY shingle in the bucket
@@ -113,37 +131,62 @@ def exact_jaccard_pairs(
         g = g.sort_values(["shingle", id_col], kind="mergesort")
         sh_v = g["shingle"].to_numpy()
         ids = g[id_col].to_numpy()
+        szs = g["n"].to_numpy()
         starts = np.flatnonzero(np.r_[True, sh_v[1:] != sh_v[:-1]])
         ends = np.r_[starts[1:], len(sh_v)]
-        das, dbs = [], []
+        das, dbs, nas, nbs = [], [], [], []
         for s, e in zip(starts, ends):
             n = e - s
-            if n < 2:
+            if n < 2 or (df_cap is not None and n > df_cap):  # stop-shingle
                 continue
             ii, jj = np.triu_indices(n, k=1)
             das.append(ids[s + ii])
             dbs.append(ids[s + jj])
+            nas.append(szs[s + ii])
+            nbs.append(szs[s + jj])
         if not das:
-            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0], "common": np.array([], dtype=np.int64)})
-        df = pd.DataFrame({"doc_a": np.concatenate(das), "doc_b": np.concatenate(dbs)})
-        return df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "common"})
+            z = np.array([], dtype=np.int64)
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0], "common": z, "n_a": z, "n_b": z})
+        df = pd.DataFrame(
+            {
+                "doc_a": np.concatenate(das),
+                "doc_b": np.concatenate(dbs),
+                "n_a": np.concatenate(nas),
+                "n_b": np.concatenate(nbs),
+            }
+        )
+        out = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            common=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        return out
 
-    # partial per-bucket counts -> driver combine (distinct pairs are
-    # ~1e6 at bench scale; at 10^12 docs keep this a Dataset groupby)
-    partials = (
-        sh.groupby("_bucket")
-        .map_groups(lambda g: bucket_pair_counts(g.drop(columns=["_bucket"])), batch_format="pandas")
+    partials = sh.groupby("_bucket").map_groups(
+        lambda g: bucket_pair_counts(g.drop(columns=["_bucket"])), batch_format="pandas"
+    )
+
+    def add_pair_bucket(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ bb) % np.uint64(64)
+        return b.append_column("_pb", pa.array(pb.astype(np.int64)))
+
+    def combine_and_threshold(g: pd.DataFrame) -> pd.DataFrame:
+        """Sum partial commons per pair (cross-bucket), then apply the
+        integer threshold HERE so only hits leave the stage."""
+        pc_ = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            common=("common", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        pc_["un"] = (pc_["n_a"] + pc_["n_b"] - pc_["common"]).astype("int64")
+        hit = pc_[pc_["common"] * threshold_den >= pc_["un"] * threshold_num]
+        return hit[["doc_a", "doc_b", "common", "un"]]
+
+    hits = (
+        partials.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(lambda g: combine_and_threshold(g.drop(columns=["_pb"])), batch_format="pandas")
         .to_pandas()
     )
-    pair_counts = partials.groupby(["doc_a", "doc_b"], as_index=False)["common"].sum()
-    pair_counts["un"] = (
-        pair_counts["doc_a"].map(size_map) + pair_counts["doc_b"].map(size_map) - pair_counts["common"]
-    ).astype("int64")
-    hit = pair_counts[pair_counts["common"] * threshold_den >= pair_counts["un"] * threshold_num]
-    return (
-        hit.sort_values(["doc_a", "doc_b"])[["doc_a", "doc_b", "common", "un"]]
-        .reset_index(drop=True)
-    )
+    return hits.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 class MinHashStage:

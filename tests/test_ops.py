@@ -83,6 +83,34 @@ def test_jaccard_and_minhash_agree():
     assert (0, 3) in mh_set
 
 
+def test_jaccard_df_cap():
+    """Stop-shingle DF cap: capped == uncapped on corpora whose max
+    shingle frequency is under the cap (the default-cap contract the
+    oracle relies on), and a hot shingle above the cap is excluded
+    from pair expansion (false-negative-only)."""
+    ds = _doc_ds()
+    capped = exact_jaccard_pairs(ds, 1, 2)  # default df_cap=1024
+    uncapped = exact_jaccard_pairs(ds, 1, 2, df_cap=None)
+    assert capped.equals(uncapped)
+
+    # corpus whose ONLY overlap is one shingle shared by all docs: with
+    # df_cap below the doc count that shingle is a stop-shingle and no
+    # pairs survive; uncapped still finds the identical pair
+    import ray.data
+
+    hot = ["h o t x%d y%d z%d" % (i, i, i) for i in range(6)]
+    hot[5] = hot[0]  # identical pair (0, 5)
+    ds2 = ray.data.from_arrow(pa.table({"doc_id": list(range(6)), "text": hot}))
+    # at 1/8, a single shared shingle (common=1, union=7) IS a hit:
+    # uncapped emits all 15 cross pairs
+    un2 = exact_jaccard_pairs(ds2, 1, 8, df_cap=None)
+    assert len(un2) == 15
+    cap2 = exact_jaccard_pairs(ds2, 1, 8, df_cap=5)
+    # "h o t" (df=6) is capped; docs 0/5 still share their unique
+    # shingles so the identical pair survives on those alone
+    assert set(zip(cap2["doc_a"], cap2["doc_b"])) == {(0, 5)}
+
+
 def test_simhash_identical_docs():
     s1 = simhash64(shingle_set("a b c d e f g h"))
     s2 = simhash64(shingle_set("a b c d e f g h"))
