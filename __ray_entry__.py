@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "snapshot_count_daily": p.q_snapshot_count_daily,
         "snapshot_count_daily_click": p.q_snapshot_count_daily_click,
+        "snapshot_count_key_excluding": p.q_snapshot_count_key_excluding,
         "snapshot_cells": p.q_snapshot_cells,
         "snapshot_latest_state": p.q_snapshot_latest_state,
         "contrib_type_counts": p.q_contrib_type_counts,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "snapshot_count_daily": o.snapshot_count_daily(),
         "snapshot_count_daily_click": o.snapshot_count_daily("visible AND etype = 'click'"),
+        "snapshot_count_key_excluding": o.snapshot_count_daily("visible AND kk NOT IN (0, 2, 5)"),
         "snapshot_cells": o.snapshot_cells(),
         "snapshot_latest_state": o.snapshot_latest_state(),
         "contrib_type_counts": o.contrib_type_counts(),

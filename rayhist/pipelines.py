@@ -83,6 +83,22 @@ def q_snapshot_count_daily_click(sf_dir: str) -> pd.DataFrame:
     return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
 
 
+def q_snapshot_count_key_excluding(sf_dir: str) -> pd.DataFrame:
+    """hasTagKeyExcluding exact semantics (OSMEntity.java:123-137): key
+    PRESENT with value NOT in the excluded set — a different predicate
+    from key-absent (TagFilter.exclude). Daily snapshot counts where
+    tag 'k' is present with value outside {'0','2','5'}."""
+    from .views import snapshot_counts
+
+    from .aggregate import combine_partials
+
+    partials, keys = snapshot_counts(
+        _docs(sf_dir), SNAP_DAILY, TagFilter("k", exclude_values=("0", "2", "5"))
+    )
+    df = combine_partials(partials, keys, {"n_part": "n_snapshots"})
+    return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
+
+
 def q_snapshot_cells(sf_dir: str) -> pd.DataFrame:
     """Snapshots at weekly timestamps grouped by grid cell (zoom 4) —
     the aggregateBy(cell, timestamp) shuffle over pre-aggregated

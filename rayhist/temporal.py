@@ -75,8 +75,11 @@ class TagFilter:
     - value="x"             -> exact key=value     (:477-504)
     - values=("a","b")      -> key with value-in-set (:514-549)
     - value_regex="pat"     -> value matches regex (:559-585)
-    - exclude=True          -> key absent          (hasTagKeyExcluding,
-                               OSMEntity.java:123-137)
+    - exclude=True          -> key absent (NOT hasTagKey)
+    - exclude_values=("a",) -> key PRESENT with value NOT in the set —
+                               the exact hasTagKeyExcluding predicate
+                               (OSMEntity.java:123-137), a different
+                               predicate from key-absent
     """
 
     key: str
@@ -84,6 +87,7 @@ class TagFilter:
     values: tuple[str, ...] | None = None
     value_regex: str | None = None
     exclude: bool = False
+    exclude_values: tuple[str, ...] | None = None
 
     def pattern(self) -> str:
         import re
@@ -114,6 +118,17 @@ class TagFilter:
         uniq_match = pc.match_substring_regex(enc.dictionary, self.pattern()).to_numpy(
             zero_copy_only=False
         )
+        if self.exclude_values is not None:
+            # hasTagKeyExcluding: key present AND value not in the set
+            # (both regexes run over UNIQUE signatures only)
+            import re
+
+            alts = "|".join(re.escape(v) for v in self.exclude_values)
+            bad = rf"(^|\|){re.escape(self.key)}=({alts})(\||$)"
+            uniq_bad = pc.match_substring_regex(enc.dictionary, bad).to_numpy(
+                zero_copy_only=False
+            )
+            uniq_match = uniq_match & ~uniq_bad
         idx = enc.indices.to_numpy(zero_copy_only=False)
         m = uniq_match[idx]
         return ~m if self.exclude else m

@@ -254,3 +254,18 @@ def test_property_random_histories_match_oracle():
             )
 
     run()
+
+
+def test_tagfilter_exclude_values():
+    """hasTagKeyExcluding (OSMEntity.java:123-137): key present AND
+    value not in the excluded set — NOT the same as key-absent."""
+    import pyarrow as pa
+
+    from rayhist.temporal import TagFilter
+
+    tbl = pa.table({"tag_sig": ["a=1|k=2", "a=1", "k=5", "k=3", "kx=5"]})
+    m = TagFilter("k", exclude_values=("5",)).mask(tbl)
+    assert list(m) == [True, False, False, True, False]
+    # contrast: key-absent excludes every row with the key
+    m2 = TagFilter("k", exclude=True).mask(tbl)
+    assert list(m2) == [False, True, False, False, True]
