@@ -53,6 +53,7 @@ def make_versions(rows: list[dict]) -> pa.Table:
         cols["tag_sig"].append("|".join(f"{k}={v}" for k, v in sorted(tags.items())))
         cols["etype"].append(tags.get("etype", ""))
         cols["kk"].append(int(tags.get("k", -1)))
+    cols["tag_id"] = [-1] * len(cols["doc_id"])
     return pa.table(cols, schema=VERSIONS_SCHEMA)
 
 
@@ -105,6 +106,7 @@ def versions_to_documents(versions: pa.Table) -> pa.Table:
                 "min_lat_e7": int(vis["lat_e7"].min()) if len(vis) else 0,
                 "max_lat_e7": int(vis["lat_e7"].max()) if len(vis) else 0,
                 "spans": spans,
+                "tag_ids": [],
             }
         )
     return pa.Table.from_pandas(pd.DataFrame(doc_rows), schema=DOCUMENTS_SCHEMA, preserve_index=False)

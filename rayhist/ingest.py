@@ -52,6 +52,64 @@ from .model import DOCUMENTS_SCHEMA, LAT_MOD, LON_MOD
 
 CACHE_ROOT = os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")
 
+# ------------------------------------------------------- sig keytable
+#
+# The int-keytable analog of the reference's Extract pass
+# (Extract.java:58-409) at SIGNATURE granularity: every distinct tag
+# signature ("etype=X|k=N") gets a small int id, frequency-ordered so
+# hot signatures take small ids (data-model.md:29-34). All TagFilter
+# predicates are pure functions of the signature, so filtering on the
+# per-version sig id is exactly the reference's sorted-int-array scan
+# (osm/OSMEntity.java:29,97-152): versions compare small ints, never
+# strings. tag_sig strings stay in the spans for oracle parity.
+
+_SIG_KT_MEM: dict[str, list[str]] = {}
+
+
+def sig_keytable(sf_dir: str) -> list[str]:
+    """Frequency-ordered signature keytable; index in the list = id.
+
+    Built once per events file with a distributed count (the partials
+    are |distinct sigs| x |batches| — tiny, the signature universe is
+    bounded by |etype| x |k|), cached on disk + in-process. Broadcast
+    to the pack/filter stages by closure capture (small); a large
+    keytable would go through ``ray.put`` instead.
+    """
+    src = Path(sf_dir) / "events.parquet"
+    memkey = f"{src.resolve()}:{src.stat().st_mtime_ns}"
+    if memkey in _SIG_KT_MEM:
+        return _SIG_KT_MEM[memkey]
+    key = hashlib.sha256(f"{memkey}:sigkt:v1".encode()).hexdigest()[:16]
+    out = Path(CACHE_ROOT) / key / "sig_keytable.parquet"
+    if not out.exists():
+        import pyarrow.parquet as pq
+
+        ev = ray.data.read_parquet(str(src), columns=["event_type", "props"])
+
+        def stage(batch: pa.Table) -> pa.Table:
+            etype = batch["event_type"].to_pylist()
+            kk = [json.loads(p)["k"] for p in batch["props"].to_pylist()]
+            sig = pa.array([f"etype={e}|k={k}" for e, k in zip(etype, kk)])
+            g = pa.TableGroupBy(pa.table({"sig": sig}), ["sig"]).aggregate([([], "count_all")])
+            return g.rename_columns(["sig", "n_part"])
+
+        parts = ev.map_batches(stage, batch_format="pyarrow").to_pandas()
+        agg = parts.groupby("sig", as_index=False)["n_part"].sum()
+        agg = agg.sort_values(["n_part", "sig"], ascending=[False, True], kind="mergesort")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.parent / f".tmp_{os.getpid()}.parquet"
+        pq.write_table(pa.table({"sig": pa.array(agg["sig"].to_numpy(), type=pa.string())}), tmp)
+        try:
+            tmp.rename(out)
+        except OSError:
+            if not out.exists():
+                raise
+    import pyarrow.parquet as pq
+
+    sigs = pq.read_table(out)["sig"].to_pylist()
+    _SIG_KT_MEM[memkey] = sigs
+    return sigs
+
 
 def derive_version_columns(batch: pa.Table) -> pa.Table:
     """Vectorized derivation of per-version fields from raw events.
@@ -94,9 +152,11 @@ def coords_for(osm_id: np.ndarray, v: np.ndarray, kk: np.ndarray) -> tuple[np.nd
     return lon.astype(np.int64), lat.astype(np.int64)
 
 
-def _pack_bucket(group: pd.DataFrame) -> pa.Table:
+def _pack_bucket(group: pd.DataFrame, keytable: dict[str, int] | None = None) -> pa.Table:
     """Pack a bucket of COMPLETE entity histories into span-document
-    rows, fully vectorized.
+    rows, fully vectorized. ``keytable`` (sig -> small int) fills the
+    per-version ``tag_ids`` column — the int-keytable storage analog
+    (osm/OSMEntity.java:29); missing/unknown sigs pack -1.
 
     Mirrors the reference's history packing (delta-encode per entity,
     ``impl/osh/OSHNodeImpl.java:197-275``) with spans instead of a
@@ -167,6 +227,16 @@ def _pack_bucket(group: pd.DataFrame) -> pa.Table:
     docs_idx = np.flatnonzero(doc_start)
     doc_ids = osm[docs_idx]
     n_versions = np.diff(np.r_[docs_idx, n]).astype(np.int32)
+
+    # per-version keytable ids, one list per doc (aligned with versions)
+    if keytable is not None:
+        sig = ("etype=" + g["etype"] + "|k=" + s(kk).astype(str))
+        tid = sig.map(keytable).fillna(-1).to_numpy().astype(np.int32)
+    else:
+        tid = np.full(n, -1, dtype=np.int32)
+    tag_ids_col = pa.ListArray.from_arrays(
+        pa.array(np.r_[docs_idx, n].astype(np.int32)), pa.array(tid, type=pa.int32())
+    )
     bb = pd.DataFrame(
         {
             "d": np.repeat(np.arange(len(docs_idx)), n_versions),
@@ -195,6 +265,7 @@ def _pack_bucket(group: pd.DataFrame) -> pa.Table:
             "min_lat_e7": pa.array(bb["mn_lat"].to_numpy()),
             "max_lat_e7": pa.array(bb["mx_lat"].to_numpy()),
             "spans": spans_col,
+            "tag_ids": tag_ids_col,
         },
         schema=DOCUMENTS_SCHEMA,
     )
@@ -240,6 +311,16 @@ def _members_by_parent(parent: np.ndarray, child: np.ndarray) -> dict[int, list[
     for p, c in pairs:
         out.setdefault(int(p), []).append(int(c))
     return out
+
+
+def _empty_tag_ids(n_docs: int) -> pa.ListArray:
+    """All-empty per-doc tag_ids lists: compound documents filter on
+    parent tag SPANS (filter-relative member recursion), so they carry
+    no per-version keytable ids — decode_spans(tags='ids') falls back
+    to -1 there."""
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n_docs + 1, dtype=np.int32)), pa.array([], type=pa.int32())
+    )
 
 
 def _pack_way_bucket(group: pd.DataFrame) -> pa.Table:
@@ -381,6 +462,7 @@ def _pack_way_bucket(group: pd.DataFrame) -> pa.Table:
             "min_lat_e7": pa.array(bcols["mn_lat"]),
             "max_lat_e7": pa.array(bcols["mx_lat"]),
             "spans": spans_col,
+            "tag_ids": _empty_tag_ids(len(w_idx)),
         },
         schema=DOCUMENTS_SCHEMA,
     )
@@ -424,10 +506,14 @@ def build_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
         b = batch["osm_id"].to_numpy(zero_copy_only=False) % 256
         return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
 
+    # sig -> id map from the Extract pass; tiny, shipped by closure
+    # capture (once per task, not per batch)
+    kt = {s: i for i, s in enumerate(sig_keytable(sf_dir))}
+
     return (
         derived.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(lambda g: _pack_bucket(g.drop(columns=["_bucket"])), batch_format="pandas")
+        .map_groups(lambda g: _pack_bucket(g.drop(columns=["_bucket"]), kt), batch_format="pandas")
     )
 
 
@@ -581,6 +667,7 @@ def _pack_rel_bucket(group: pd.DataFrame) -> pa.Table:
             "min_lat_e7": pa.array(bcols["mn_lat"]),
             "max_lat_e7": pa.array(bcols["mx_lat"]),
             "spans": spans_col,
+            "tag_ids": _empty_tag_ids(len(r_idx)),
         },
         schema=DOCUMENTS_SCHEMA,
     )
@@ -745,6 +832,7 @@ def _pack_oldstyle_bucket(group: pd.DataFrame) -> pa.Table:
             "min_lat_e7": pa.array(bcols["mn_lat"]),
             "max_lat_e7": pa.array(bcols["mx_lat"]),
             "spans": spans_col,
+            "tag_ids": _empty_tag_ids(len(kept_rids)),
         },
         schema=DOCUMENTS_SCHEMA,
     )
@@ -802,7 +890,7 @@ def _ensure_compound(sf_dir: str, rep: int, tag: str, builder) -> str:
     as ensure_documents)."""
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:{tag}:v3".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:{tag}:v4".encode()
     ).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / f"documents_{tag}"
     if out.exists():
@@ -873,7 +961,7 @@ def ensure_documents(sf_dir: str, rep: int = 1) -> str:
     """
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:v6".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:v7".encode()
     ).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / "documents_spans"
     if out.exists():

@@ -69,6 +69,13 @@ DOCUMENTS_SCHEMA = pa.schema(
         pa.field("min_lat_e7", pa.int64()),
         pa.field("max_lat_e7", pa.int64()),
         pa.field("spans", pa.list_(SPAN_STRUCT)),
+        # int-keytable tag storage (osm/OSMEntity.java:29,97-152): one
+        # keytable id per VERSION (order-aligned with the version
+        # spans), indexing the Extract pass's tag dictionary
+        # (ingest.ensure_keytable). Filters scan these ints instead of
+        # tag_sig strings; the string spans stay for oracle parity.
+        # Empty list = no per-version ids (compound tables).
+        pa.field("tag_ids", pa.list_(pa.int32())),
     ]
 )
 
@@ -89,6 +96,7 @@ VERSIONS_SCHEMA = pa.schema(
         pa.field("tag_sig", pa.string()),  # '|'-joined "k=v" tag spans (sorted by key)
         pa.field("etype", pa.string()),  # value of the 'etype' tag ('' if absent)
         pa.field("kk", pa.int64()),  # value of the 'k' tag (-1 if absent)
+        pa.field("tag_id", pa.int32()),  # keytable id (-1 when absent/undecoded)
     ]
 )
 
@@ -117,7 +125,7 @@ def _extract_ints(texts: pa.Array, pattern: str, names: list[str]) -> dict[str, 
     }
 
 
-def decode_spans(batch: pa.Table, tags: bool = True, geom: bool = True) -> pa.Table:
+def decode_spans(batch: pa.Table, tags: bool | str = True, geom: bool = True) -> pa.Table:
     """Decode a batch of span-documents into the flat per-version table.
 
     Vectorized: list_flatten + extract_regex + numpy scatter/gather.
@@ -131,6 +139,12 @@ def decode_spans(batch: pa.Table, tags: bool = True, geom: bool = True) -> pa.Ta
     the decode analog of ``read_parquet(columns=...)``; memory traffic
     is the scaling wall (BASELINE.md), so decoding unread fields is
     wasted bandwidth.
+
+    ``tags="ids"`` is the int-keytable path (osm/OSMEntity.java:29,
+    97-152): the per-version ``tag_ids`` column (packed at ingest from
+    the Extract keytable) is flattened into ``tag_id`` and NO tag
+    string work runs at all — filters compare small ints per version,
+    never strings. tag_sig/etype/kk stay constant-filled.
 
     Mirrors the reference's per-entity delta decode
     (``impl/osh/OSHNodeImpl.java:145-182``) but over Arrow columns.
@@ -171,9 +185,17 @@ def decode_spans(batch: pa.Table, tags: bool = True, geom: bool = True) -> pa.Ta
     tag_sig = np.full(n_ver, "", dtype=object)
     etype = np.full(n_ver, "", dtype=object)
     kk = np.full(n_ver, -1, dtype=np.int64)
+    tag_id = np.full(n_ver, -1, dtype=np.int32)
+    if tags == "ids" and "tag_ids" in batch.column_names:
+        tid_col = batch["tag_ids"].combine_chunks()
+        if isinstance(tid_col, pa.ChunkedArray):
+            tid_col = tid_col.chunk(0)
+        flat_ids = pc.list_flatten(tid_col).to_numpy(zero_copy_only=False)
+        if len(flat_ids) == n_ver:  # compound tables pack empty lists
+            tag_id = flat_ids.astype(np.int32)
     is_tag = (
         pc.equal(kind, "tag").to_numpy(zero_copy_only=False)
-        if tags
+        if tags is True
         else np.zeros(1, dtype=bool)
     )
     if is_tag.any():
@@ -221,6 +243,7 @@ def decode_spans(batch: pa.Table, tags: bool = True, geom: bool = True) -> pa.Ta
             "tag_sig": pa.array(tag_sig.astype(str)),
             "etype": pa.array(etype.astype(str)),
             "kk": pa.array(kk),
+            "tag_id": pa.array(tag_id, type=pa.int32()),
         },
         schema=VERSIONS_SCHEMA,
     )

@@ -73,12 +73,20 @@ def q_snapshot_count_daily(sf_dir: str) -> pd.DataFrame:
 
 
 def q_snapshot_count_daily_click(sf_dir: str) -> pd.DataFrame:
-    """Same, filtered to tag etype=click (osmTag key+value filter)."""
+    """Same, filtered to tag etype=click (osmTag key+value filter).
+
+    Runs on the int-keytable path (osm/OSMEntity.java:29,97-152): the
+    filter is a LUT gather over per-version sig ids — no tag-string
+    decode at all in the hot stage."""
+    from .ingest import sig_keytable
     from .views import snapshot_counts
 
     from .aggregate import combine_partials
 
-    partials, keys = snapshot_counts(_docs(sf_dir), SNAP_DAILY, TagFilter("etype", "click"))
+    partials, keys = snapshot_counts(
+        _docs(sf_dir), SNAP_DAILY, TagFilter("etype", "click"),
+        keytable=sig_keytable(sf_dir),
+    )
     df = combine_partials(partials, keys, {"n_part": "n_snapshots"})
     return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
 
@@ -92,8 +100,11 @@ def q_snapshot_count_key_excluding(sf_dir: str) -> pd.DataFrame:
 
     from .aggregate import combine_partials
 
+    from .ingest import sig_keytable
+
     partials, keys = snapshot_counts(
-        _docs(sf_dir), SNAP_DAILY, TagFilter("k", exclude_values=("0", "2", "5"))
+        _docs(sf_dir), SNAP_DAILY, TagFilter("k", exclude_values=("0", "2", "5")),
+        keytable=sig_keytable(sf_dir),
     )
     df = combine_partials(partials, keys, {"n_part": "n_snapshots"})
     return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
@@ -129,11 +140,18 @@ def _contrib_flags_to_int(batch: pa.Table) -> pa.Table:
 
 
 def _contrib_totals(sf_dir: str, tag_filter=None) -> pd.DataFrame:
+    from .ingest import sig_keytable
     from .views import contribution_stats
 
     from .aggregate import combine_partials
 
-    partials, _ = contribution_stats(_docs(sf_dir), CONTRIB_FROM, CONTRIB_TO, tag_filter)
+    # node docs carry per-version keytable ids, so the tag filter AND
+    # the TAG_CHANGE compare both run on small ints (sig ids are
+    # bijective with signatures; equality is identical)
+    partials, _ = contribution_stats(
+        _docs(sf_dir), CONTRIB_FROM, CONTRIB_TO, tag_filter,
+        keytable=sig_keytable(sf_dir),
+    )
     return combine_partials(
         partials,
         [],

@@ -101,6 +101,18 @@ class TagFilter:
             return rf"(^|\|){re.escape(self.key)}=({self.value_regex})(\||$)"
         return rf"(^|\|){re.escape(self.key)}="
 
+    def _match_sigs(self, sigs: pa.Array) -> np.ndarray:
+        """Predicate over an array of (unique) tag signatures."""
+        m = pc.match_substring_regex(sigs, self.pattern()).to_numpy(zero_copy_only=False)
+        if self.exclude_values is not None:
+            # hasTagKeyExcluding: key present AND value not in the set
+            import re
+
+            alts = "|".join(re.escape(v) for v in self.exclude_values)
+            bad = rf"(^|\|){re.escape(self.key)}=({alts})(\||$)"
+            m = m & ~pc.match_substring_regex(sigs, bad).to_numpy(zero_copy_only=False)
+        return ~m if self.exclude else m
+
     def mask(self, tbl: pa.Table) -> np.ndarray:
         # Dictionary scan, not a per-row regex: tag signatures are
         # heavily repeated (the tag universe is tiny next to the version
@@ -115,23 +127,21 @@ class TagFilter:
         enc = pc.dictionary_encode(col)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
-        uniq_match = pc.match_substring_regex(enc.dictionary, self.pattern()).to_numpy(
-            zero_copy_only=False
-        )
-        if self.exclude_values is not None:
-            # hasTagKeyExcluding: key present AND value not in the set
-            # (both regexes run over UNIQUE signatures only)
-            import re
-
-            alts = "|".join(re.escape(v) for v in self.exclude_values)
-            bad = rf"(^|\|){re.escape(self.key)}=({alts})(\||$)"
-            uniq_bad = pc.match_substring_regex(enc.dictionary, bad).to_numpy(
-                zero_copy_only=False
-            )
-            uniq_match = uniq_match & ~uniq_bad
+        uniq_match = self._match_sigs(enc.dictionary)
         idx = enc.indices.to_numpy(zero_copy_only=False)
-        m = uniq_match[idx]
-        return ~m if self.exclude else m
+        return uniq_match[idx]
+
+    def sig_lut(self, keytable: list[str]) -> np.ndarray:
+        """Boolean LUT over keytable signature ids + a trailing slot
+        for id -1 (no tags, treated as the empty signature).
+
+        Computed ONCE on the driver — the regex runs over the tiny
+        keytable only; per-version filtering is then a pure int gather
+        ``lut[tag_id]`` (numpy's -1 wraps to the trailing slot). This
+        is the true int-keytable scan of osm/OSMEntity.java:97-152:
+        per-version work touches only small ints.
+        """
+        return self._match_sigs(pa.array(list(keytable) + [""], type=pa.string()))
 
 
 def _doc_codes(tbl: pa.Table) -> np.ndarray:
@@ -224,8 +234,14 @@ def contributions(
     t_to: int,
     match: np.ndarray | None = None,
     aoi: np.ndarray | None = None,
+    tag_col: str = "tag_sig",
 ) -> pa.Table:
     """Contribution classification over [t_from, t_to) — see module doc.
+
+    ``tag_col`` selects the column compared for TAG_CHANGE: the string
+    signature by default, or ``"tag_id"`` when the decode ran on the
+    int-keytable path (ids are bijective with signatures, so the
+    equality compare is identical — and integer-cheap).
 
     ``aoi`` is a per-version mask for area-of-interest membership of
     the version's geometry: a state outside the AOI behaves like the
@@ -281,7 +297,7 @@ def contributions(
 
     lon = tbl["lon_e7"].to_numpy(zero_copy_only=False)
     lat = tbl["lat_e7"].to_numpy(zero_copy_only=False)
-    tag = tbl["tag_sig"].to_numpy(zero_copy_only=False)
+    tag = tbl[tag_col].to_numpy(zero_copy_only=False)
 
     both = present & prev_present
     is_creation = present & ~prev_present

@@ -32,6 +32,12 @@ def _match_mask(decoded: pa.Table, tag_filter: TagFilter | None) -> np.ndarray |
     return None if tag_filter is None else tag_filter.mask(decoded)
 
 
+def _ids_mask(decoded: pa.Table, lut: np.ndarray) -> np.ndarray:
+    """Int-keytable filter: a pure gather through the precomputed sig
+    LUT (id -1 wraps to the trailing no-tags slot)."""
+    return lut[decoded["tag_id"].to_numpy(zero_copy_only=False)]
+
+
 def snapshot_view(
     docs: ray.data.Dataset,
     timestamps,
@@ -93,8 +99,13 @@ def snapshot_counts(
     timestamps,
     tag_filter: TagFilter | None = None,
     cell_zoom: int | None = None,
+    keytable: list[str] | None = None,
 ):
     """Partial snapshot counts per (ts_q[, cell]) per batch.
+
+    ``keytable`` (the ingest sig keytable) switches the tag filter to
+    the int-id path: no tag-string decode at all, the per-version test
+    is a LUT gather (osm/OSMEntity.java:97-152 semantics).
 
     Returns a Dataset of partials; finish with
     ``groupby(keys).aggregate(Sum("n_part"))``.
@@ -103,12 +114,15 @@ def snapshot_counts(
     keys = ["ts_q"] + (["cell"] if cell_zoom is not None else [])
     # prune the decode to what this aggregation reads (BASELINE.md:
     # memory bandwidth is the wall; unread fields are wasted traffic)
-    need_tags = tag_filter is not None
+    use_ids = keytable is not None and tag_filter is not None
+    lut = tag_filter.sig_lut(keytable) if use_ids else None
+    need_tags = "ids" if use_ids else tag_filter is not None
     need_geom = cell_zoom is not None
 
     def stage(batch: pa.Table) -> pa.Table:
         decoded = decode_spans(batch, tags=need_tags, geom=need_geom)
-        s = snapshots(decoded, ts, _match_mask(decoded, tag_filter))
+        m = _ids_mask(decoded, lut) if use_ids else _match_mask(decoded, tag_filter)
+        s = snapshots(decoded, ts, m)
         cols = s.select(["ts_q"])
         if cell_zoom is not None:
             from .spatial.grid import cell_id
@@ -132,6 +146,7 @@ def contribution_stats(
     tag_filter: TagFilter | None = None,
     bins=None,
     flag_cols: list[str] | None = None,
+    keytable: list[str] | None = None,
 ):
     """Partial contribution stats per batch: count + per-type sums,
     optionally keyed by floor-binned timestamp.
@@ -139,7 +154,8 @@ def contribution_stats(
     ``flag_cols`` limits which classification flags are aggregated —
     and thereby how much of the span decode runs: a query that only
     counts contributions/creations never pays for the tag-signature
-    join or the geometry regex.
+    join or the geometry regex. ``keytable`` switches the tag work
+    (filter + TAG_CHANGE compare) to int sig ids — see snapshot_counts.
 
     Returns (partials Dataset, key list). Finish with groupby(keys)
     .aggregate(Sum over each partial column).
@@ -151,11 +167,21 @@ def contribution_stats(
     if flag_cols is None:
         flag_cols = ["is_creation", "is_deletion", "is_tag_change", "is_geom_change"]
     need_tags = tag_filter is not None or "is_tag_change" in flag_cols
+    # int-keytable path: tag filter AND tag-change compare both run on
+    # per-version sig ids; no tag-string decode at all
+    use_ids = keytable is not None and need_tags
+    lut = tag_filter.sig_lut(keytable) if (use_ids and tag_filter is not None) else None
+    if use_ids:
+        need_tags = "ids"
     need_geom = "is_geom_change" in flag_cols
 
     def stage(batch: pa.Table) -> pa.Table:
         decoded = decode_spans(batch, tags=need_tags, geom=need_geom)
-        c = contributions(decoded, int(t_from), int(t_to), _match_mask(decoded, tag_filter))
+        m = _ids_mask(decoded, lut) if lut is not None else _match_mask(decoded, tag_filter)
+        c = contributions(
+            decoded, int(t_from), int(t_to), m,
+            tag_col="tag_id" if use_ids else "tag_sig",
+        )
         t = pa.table(
             {
                 **(

@@ -95,3 +95,43 @@ def test_span_stream_invariant():
             if vis:
                 assert spans[i]["kind"] == "geom" and spans[i]["media_ref"].startswith("geom:")
                 i += 1
+
+def test_int_keytable_matches_string_path():
+    """Int-keytable tag storage (osm/OSMEntity.java:29,97-152): the
+    per-version tag_ids must be bijective with the tag signatures, and
+    every TagFilter variant must give an identical mask through the
+    sig-LUT gather as through the string-regex path."""
+    from rayhist.ingest import sig_keytable
+    from rayhist.temporal import TagFilter
+
+    kt = sig_keytable(SF)
+    assert len(kt) == len(set(kt))  # ids are a bijection
+    docs = read_documents(SF).materialize()
+    flat_str = pa.concat_tables(
+        [decode_spans(b) for b in docs.iter_batches(batch_size=10_000, batch_format="pyarrow")]
+    )
+    flat_ids = pa.concat_tables(
+        [
+            decode_spans(b, tags="ids", geom=False)
+            for b in docs.iter_batches(batch_size=10_000, batch_format="pyarrow")
+        ]
+    )
+    # same row order (same batches), ids decode back to the signature
+    tid = flat_ids["tag_id"].to_numpy(zero_copy_only=False)
+    sig = flat_str["tag_sig"].to_numpy(zero_copy_only=False)
+    assert (tid >= 0).all()
+    kt_arr = np.asarray(kt, dtype=object)
+    assert np.array_equal(kt_arr[tid], sig)
+
+    for f in (
+        TagFilter("etype", "click"),
+        TagFilter("etype", values=("click", "view")),
+        TagFilter("k", value_regex="1|3"),
+        TagFilter("k", exclude_values=("0", "2", "5")),
+        TagFilter("etype", exclude=True),
+        TagFilter("nosuchkey"),
+    ):
+        lut = f.sig_lut(kt)
+        got = lut[tid]  # -1 wraps to the trailing empty-sig slot
+        want = f.mask(flat_str)
+        assert np.array_equal(got, want), f
