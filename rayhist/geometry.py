@@ -93,18 +93,25 @@ DEFAULT_TAG_INTERPRETER = TagInterpreter()
 
 @dataclass
 class Geom:
-    kind: str  # point | linestring | polygon | multipolygon | empty
+    kind: str  # point | linestring | polygon | multipolygon | collection | empty
     # parts: list of rings/lines; each (lons_deg, lats_deg) float64
     parts: list[tuple[np.ndarray, np.ndarray]] = field(default_factory=list)
     holes: list[list[tuple[np.ndarray, np.ndarray]]] = field(default_factory=list)
+    # collection members (GeometryCollection fallback for
+    # non-multipolygon relations, OSHDBGeometryBuilder.java:140-185)
+    subs: list["Geom"] = field(default_factory=list)
 
     @property
     def is_empty(self) -> bool:
+        if self.kind == "collection":
+            return not self.subs
         return self.kind == "empty" or not self.parts
 
     def length_m(self) -> float:
         if self.kind == "linestring":
             return sum(length_of_line(x, y) for x, y in self.parts)
+        if self.kind == "collection":  # JTS: sum of linear members
+            return sum(g.length_m() for g in self.subs)
         return 0.0
 
     def area_m2(self) -> float:
@@ -115,6 +122,8 @@ class Geom:
             for i, outer in enumerate(self.parts):
                 total += area_of_polygon(outer, self.holes[i] if i < len(self.holes) else ())
             return total
+        if self.kind == "collection":  # JTS: sum of areal members
+            return sum(g.area_m2() for g in self.subs)
         return 0.0
 
 
@@ -179,6 +188,67 @@ def _join_rings(ways: list[np.ndarray]) -> list[np.ndarray]:
     return rings
 
 
+def _shoelace_e7(ring: np.ndarray) -> float:
+    """Planar signed area x2 of a closed e7 ring; positive = CCW."""
+    x = ring[:-1, 0].astype(np.float64)
+    y = ring[:-1, 1].astype(np.float64)
+    return float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum())
+
+
+def normalize_ring(ring: np.ndarray, ccw: bool = True) -> list[np.ndarray]:
+    """Self-touching-ring repair — the no-JTS analog of the reference's
+    buffer(0) ladder (``OSHDBGeometryBuilder.java:187-301``, which runs
+    JTS buffer(0) on invalid assembled rings).
+
+    A closed ring that revisits a vertex (a pinch point: e.g. a
+    figure-eight traced through one shared node — the most common
+    invalid-multipolygon shape in dirty OSM data) is split AT the
+    repeated vertex into the enclosed sub-ring and the remainder,
+    recursively, until every piece is vertex-simple. Each surviving
+    piece is re-oriented by shoelace sign (``ccw=True`` for outers,
+    ``False`` for holes — the GeoJSON winding) and degenerate pieces
+    (fewer than 3 distinct vertices, or zero planar area) are dropped.
+    That is exactly buffer(0)'s observable effect on pinched rings:
+    simple valid polygons out, zero-area slivers gone — instead of the
+    previous behavior of keeping the invalid ring as-is.
+    """
+    out: list[np.ndarray] = []
+    stack = [np.asarray(ring)]
+    while stack:
+        r = stack.pop()
+        if len(r) < 4:  # closed ring needs >= 3 distinct vertices
+            continue
+        body = r[:-1]
+        order = np.lexsort((body[:, 1], body[:, 0]))
+        sb = body[order]
+        dup = np.flatnonzero((sb[1:] == sb[:-1]).all(axis=1))
+        if len(dup):
+            i, j = sorted((int(order[dup[0]]), int(order[dup[0] + 1])))
+            # body[i] == body[j]: the pinch vertex. Enclosed sub-ring
+            # i..j is already closed; the remainder re-closes on body[0].
+            stack.append(body[i : j + 1])
+            stack.append(np.vstack([body[: i + 1], body[j + 1 :], body[:1]]))
+            continue
+        sl = _shoelace_e7(r)
+        if sl == 0.0:  # zero-area sliver (buffer(0) removes these)
+            continue
+        if (sl > 0) != ccw:
+            r = r[::-1]
+        out.append(r)
+    return out
+
+
+def build_geometry_collection(geoms: list[Geom]) -> Geom:
+    """Non-multipolygon relation fallback
+    (``OSHDBGeometryBuilder.java:140-185``): a relation whose type tag
+    is not multipolygon/boundary degrades gracefully to a
+    GeometryCollection of its members' own geometries (each built with
+    the member's tags) instead of losing geometry entirely. Empty
+    members are dropped; an all-empty collection is empty."""
+    subs = [g for g in geoms if not g.is_empty]
+    return Geom("collection", subs=subs) if subs else Geom("empty")
+
+
 def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
     x, y = ring[:, 0], ring[:, 1]
     x2, y2 = np.roll(x, -1), np.roll(y, -1)
@@ -192,9 +262,11 @@ def build_multipolygon(
     outer_ways: list[np.ndarray], inner_ways: list[np.ndarray]
 ) -> Geom:
     """Ring assembly + inner->outer matching
-    (OSHDBGeometryBuilder.java:187-301)."""
-    outers = _join_rings(outer_ways)
-    inners = _join_rings(inner_ways)
+    (OSHDBGeometryBuilder.java:187-301). Joined rings go through the
+    buffer(0)-analog repair (normalize_ring): pinched rings split into
+    simple pieces, slivers dropped, windings normalized."""
+    outers = [p for r in _join_rings(outer_ways) for p in normalize_ring(r, ccw=True)]
+    inners = [p for r in _join_rings(inner_ways) for p in normalize_ring(r, ccw=False)]
     if not outers:
         return Geom("empty")
     parts, holes = [], []

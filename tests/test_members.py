@@ -243,3 +243,102 @@ def test_old_style_multipolygon():
     _, _, holes_2013 = snapshots_old_style(doc, [T[2013]])[0]
     a13 = build_multipolygon(holes_2013, []).area_m2()
     assert a13 > a09 * 1.2
+
+def test_pinched_ring_repair():
+    """R4: a figure-eight outer ring pinched at one shared vertex is
+    split into two simple CCW rings — the buffer(0)-analog repair
+    (OSHDBGeometryBuilder.java:187-301). Area is preserved as the sum
+    of the two lobes; previously the invalid ring was kept as-is."""
+    import numpy as np
+
+    from rayhist.geometry import _shoelace_e7, build_multipolygon, normalize_ring
+    from rayhist.functions.geo import ring_area
+
+    M = 1_000_000  # 0.1 degree in e7 units
+    eight = np.array(
+        [(0, 0), (2, 0), (2, 2), (4, 2), (4, 4), (2, 4), (2, 2), (0, 2), (0, 0)],
+        dtype=np.int64,
+    ) * M
+    pieces = normalize_ring(eight)
+    assert len(pieces) == 2
+    for p in pieces:
+        assert np.array_equal(p[0], p[-1])  # closed
+        body = p[:-1]
+        assert len(np.unique(body, axis=0)) == len(body)  # vertex-simple
+        assert _shoelace_e7(p) > 0  # CCW
+    sq_a = np.array([(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)], dtype=np.int64) * M
+    sq_b = np.array([(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)], dtype=np.int64) * M
+    want = abs(ring_area(sq_a[:, 0] / 1e7, sq_a[:, 1] / 1e7)) + abs(
+        ring_area(sq_b[:, 0] / 1e7, sq_b[:, 1] / 1e7)
+    )
+    g = build_multipolygon([eight], [])
+    assert g.kind == "multipolygon" and len(g.parts) == 2
+    assert abs(g.area_m2() - want) < 1e-6 * want
+
+
+def test_spike_sliver_dropped_and_cw_reoriented():
+    """Zero-area spike pieces are dropped (buffer(0) removes slivers)
+    and a CW-traced simple ring is re-oriented CCW."""
+    import numpy as np
+
+    from rayhist.geometry import _shoelace_e7, normalize_ring
+
+    M = 1_000_000
+    spiked = np.array(
+        [(0, 0), (2, 0), (2, 2), (0, 2), (0, 4), (0, 2), (0, 0)], dtype=np.int64
+    ) * M
+    pieces = normalize_ring(spiked)
+    assert len(pieces) == 1  # the spike (0,2)-(0,4) sliver is gone
+    assert len(pieces[0]) == 5 and _shoelace_e7(pieces[0]) > 0
+
+    cw = np.array([(0, 0), (0, 2), (2, 2), (2, 0), (0, 0)], dtype=np.int64) * M
+    (fixed,) = normalize_ring(cw)
+    assert _shoelace_e7(fixed) > 0
+    (hole,) = normalize_ring(cw, ccw=False)
+    assert _shoelace_e7(hole) < 0
+
+
+def test_relation_geometry_collection_fallback():
+    """R5: a relation whose type is NOT multipolygon/boundary degrades
+    to a GeometryCollection of member geometries
+    (OSHDBGeometryBuilder.java:140-185) instead of losing geometry."""
+    import numpy as np
+
+    from rayhist.functions.geo import length_of_line
+    from rayhist.members import DocHistory, Version, build_relation_geom
+
+    M = 1_000_000
+
+    def node(ts, lon, lat):
+        return Version(v=1, ts=ts, cs=1, uid=1, visible=True, lon_e7=lon * M, lat_e7=lat * M)
+
+    children = {
+        "node/1": [node(0, 0, 0)],
+        "node/2": [node(0, 2, 0)],
+        "node/3": [node(0, 2, 2)],
+        "node/4": [node(0, 5, 5)],
+        "way/10": [
+            Version(v=1, ts=0, cs=1, uid=1, visible=True,
+                    members=[("node/1", ""), ("node/2", ""), ("node/3", "")])
+        ],
+    }
+    rel = Version(
+        v=1, ts=0, cs=1, uid=1, visible=True, tags={"type": "route"},
+        members=[("way/10", "forward"), ("node/4", "stop"), ("way/99", "")],
+    )
+    doc = DocHistory("relation/1", [rel], children)
+    g = build_relation_geom(doc, rel, 10)
+    assert g.kind == "collection" and len(g.subs) == 2  # missing way/99 tolerated
+    kinds = sorted(s.kind for s in g.subs)
+    assert kinds == ["linestring", "point"]
+    lons = np.array([0.0, 0.2, 0.2])
+    lats = np.array([0.0, 0.0, 0.2])
+    assert abs(g.length_m() - length_of_line(lons, lats)) < 1e-9
+
+    # multipolygon-typed relation still takes the ring-assembly path
+    rel_mp = Version(
+        v=1, ts=0, cs=1, uid=1, visible=True, tags={"type": "multipolygon"},
+        members=[("way/10", "outer")],
+    )
+    g2 = build_relation_geom(DocHistory("relation/2", [rel_mp], children), rel_mp, 10)
+    assert g2.kind in ("multipolygon", "empty")  # open chain -> no ring
