@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_ivf": p.q_ann_cosine_ivf,
         "sessions": p.q_sessions,
         "snapshot_count_bbox": p.q_snapshot_count_bbox,
+        "snapshot_count_bbox_multizoom": p.q_snapshot_count_bbox_multizoom,
         "media_features": p.q_media_features,
         "contrib_type_counts_bbox": p.q_contrib_type_counts_bbox,
         "embedding_dup_pairs": p.q_embedding_dup_pairs,
@@ -141,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_ivf": o.ann_cosine(),
         "sessions": o.sessions(),
         "snapshot_count_bbox": o.snapshot_count_bbox(),
+        "snapshot_count_bbox_multizoom": o.snapshot_count_bbox_multizoom(),
         "contrib_type_counts_bbox": o.contrib_type_counts_bbox(),
         "embedding_dup_pairs": o.embedding_dup_pairs(),
         "snapshot_cells_fine": o.snapshot_cells_fine(),

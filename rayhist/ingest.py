@@ -982,3 +982,58 @@ def read_documents(
 ) -> ray.data.Dataset:
     """Read the (cached) span-document table for a scale-factor dir."""
     return rio.read_table(ensure_documents(sf_dir, rep), columns=columns)
+
+
+def ensure_multizoom_layout(sf_dir: str, rep: int = 1, max_zoom: int = 6) -> str:
+    """Materialize (once) the MULTI-ZOOM cell layout of the document
+    table: every document is stored under the packed ``zoom<<56|cell``
+    id of its whole-history bbox per the XYGridTree insert rule
+    (deepest zoom covering the bbox with <=2 cells, stored at the SW
+    corner's cell — ``index/XYGridTree.java:89-97``), written as one
+    hive partition per packed id so a bbox query can prune THE SCAN by
+    enumerating candidate cells at every zoom
+    (grid.multizoom_query_cells). This is the reference's per-zoom
+    ``grid_*`` cell-table layout (``TableNames.java:10-66`` +
+    ``CellId.levelId``) in parquet-partition form.
+
+    ``max_zoom`` bounds the partition count (the reference uses 15; at
+    sandbox scale 6 keeps directories O(100); production would pair a
+    deeper zoom with the sparse-cell coalescing rule of
+    state.checkpoint.write_partitioned_by_cell)."""
+    from .spatial.grid import insert_cell, insert_zoom, pack_cell
+
+    src = Path(sf_dir) / "events.parquet"
+    key = hashlib.sha256(
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:mz{max_zoom}:v1".encode()
+    ).hexdigest()[:16]
+    out = Path(CACHE_ROOT) / key / "documents_mz"
+    if out.exists():
+        return str(out)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        iz = insert_zoom(
+            batch["min_lon_e7"].to_numpy(zero_copy_only=False),
+            batch["max_lon_e7"].to_numpy(zero_copy_only=False),
+            batch["min_lat_e7"].to_numpy(zero_copy_only=False),
+            batch["max_lat_e7"].to_numpy(zero_copy_only=False),
+            max_zoom=max_zoom,
+        )
+        cell = insert_cell(
+            batch["min_lon_e7"].to_numpy(zero_copy_only=False),
+            batch["min_lat_e7"].to_numpy(zero_copy_only=False),
+            iz,
+        )
+        mz = pack_cell(iz, cell)
+        return batch.append_column("pmz", pa.array(mz, type=pa.int64()))
+
+    ds = rio.read_table(ensure_documents(sf_dir, rep))
+    tmp = out.parent / f".tmp_{os.getpid()}"
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        str(tmp), partition_cols=["pmz"]
+    )
+    try:
+        tmp.rename(out)
+    except OSError:
+        if not out.exists():
+            raise
+    return str(out)

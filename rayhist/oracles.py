@@ -532,6 +532,25 @@ WHERE lon_e7 >= {x0} AND lon_e7 <= {x1} AND lat_e7 >= {y0} AND lat_e7 <= {y1}
     )
 
 
+def snapshot_count_bbox_multizoom() -> str:
+    # the multi-zoom cell enumeration is a sound prefilter, so the
+    # oracle is plain exact bbox counting — any pruning bug shows up
+    # as a count mismatch
+    from .pipelines import MZ_BBOX
+
+    x0, y0, x1, y1 = (int(v) for v in MZ_BBOX)
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_snapshots
+FROM snap
+WHERE lon_e7 >= {x0} AND lon_e7 <= {x1} AND lat_e7 >= {y0} AND lat_e7 <= {y1}
+"""
+    )
+
+
 def contrib_type_counts_bbox() -> str:
     from .pipelines import AOI_BBOX
 

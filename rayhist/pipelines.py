@@ -802,6 +802,63 @@ def q_snapshot_count_bbox(sf_dir: str) -> pd.DataFrame:
     return combine_partials(partials, [], {"n_part": "n_snapshots"})
 
 
+# asymmetric sub-bbox for the multi-zoom query (exercises the per-zoom
+# floor + SW-enlargement arithmetic on both axes)
+MZ_BBOX = (-4.0e8, -2.0e8, 2.0e8, 3.0e8)
+MZ_MAX_ZOOM = 6
+
+
+def q_snapshot_count_bbox_multizoom(sf_dir: str) -> pd.DataFrame:
+    """areaOfInterest(bbox) through the MULTI-ZOOM cell layout — the
+    XYGridTree insert/query rule (``index/XYGridTree.java:89-97``,
+    ``:219-248``): documents are stored partitioned by the packed
+    (zoom, cell) of their history bbox; the query enumerates candidate
+    cells at EVERY zoom (bbox enlarged one tile SW per zoom) and reads
+    ONLY matching partitions, so large features stored at coarse zooms
+    still surface (the coarse-cell fallback). Exactness comes from the
+    per-version bbox test after interpolation (CellIterator.java:
+    198-211); the enumeration is a sound prefilter, never a semantic.
+
+    On this corpus multi-version histories are world-spanning (random
+    walk) so they sit at zoom 1 and every partition matches — same as
+    the reference would store them; the pruning regime is exercised by
+    the synthetic mixed-size corpus in tests/test_spatial.py."""
+    import os
+    from pathlib import Path as _P
+
+    from .aggregate import combine_partials
+    from .ingest import ensure_multizoom_layout
+    from .model import decode_spans
+    from .spatial.grid import multizoom_query_cells
+    from .temporal import snapshots as snapshots_fn
+
+    x0, y0, x1, y1 = (int(v) for v in MZ_BBOX)
+    rep = int(os.environ.get("RAYHIST_REP", "1"))
+    layout = ensure_multizoom_layout(sf_dir, rep, max_zoom=MZ_MAX_ZOOM)
+    cand = multizoom_query_cells(x0, y0, x1, y1, max_zoom=MZ_MAX_ZOOM)
+    paths = [
+        str(f)
+        for c in cand.tolist()
+        for f in sorted(_P(f"{layout}/pmz={c}").glob("*.parquet"))
+    ]
+    if not paths:
+        return pd.DataFrame({"n_snapshots": pd.array([0], dtype="int64")})
+    import ray.data
+
+    docs = ray.data.read_parquet(paths)
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        lon = s["lon_e7"].to_numpy(zero_copy_only=False)
+        lat = s["lat_e7"].to_numpy(zero_copy_only=False)
+        inside = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        return pa.table({"n_part": pa.array([int(inside.sum())], type=pa.int64())})
+
+    partials = docs.map_batches(stage, batch_format="pyarrow")
+    return combine_partials(partials, [], {"n_part": "n_snapshots"})
+
+
 def q_media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing as a pipeline: synthesize media refs from
     the document ids, decode through the actor-pool stage (stubbed

@@ -105,6 +105,57 @@ def insert_zoom(
     return out
 
 
+def insert_cell(lon_e7, lat_e7, zoom) -> np.ndarray:
+    """Vectorized cell id with a PER-ROW zoom — the cell an entity is
+    stored at: its bbox's south-west corner at its insert zoom
+    (``XYGridTree.getInsertId``, index/XYGridTree.java:89-97)."""
+    lon = np.asarray(lon_e7, dtype=np.int64)
+    lat = np.asarray(lat_e7, dtype=np.int64)
+    z = np.asarray(zoom, dtype=np.int64)
+    nx = np.int64(1) << z
+    ny = np.int64(1) << np.maximum(z - 1, 0)  # zoom 0 and 1 both have 1 row
+    x = ((lon + LON_MOD // 2) % LON_MOD) * nx // LON_MOD
+    y = np.minimum((lat + LAT_MOD // 2) * ny // LAT_MOD, ny - 1)
+    return y * nx + x
+
+
+def multizoom_query_cells(
+    min_lon_e7: int,
+    min_lat_e7: int,
+    max_lon_e7: int,
+    max_lat_e7: int,
+    max_zoom: int = MAXZOOM,
+) -> np.ndarray:
+    """Packed ``zoom<<56|cell`` candidate ids at EVERY zoom 0..max_zoom
+    for a bbox query — the multi-zoom query rule
+    (``XYGridTree.bbox2CellIdRanges``, index/XYGridTree.java:219-248).
+
+    At each zoom the bbox is enlarged by ONE tile to the south-west
+    (``XYGrid.java:359-367``): an entity is stored at the cell of its
+    bbox's SW corner, and its bbox spans at most 2 cells at its insert
+    zoom, so the SW corner sits at most one tile west OR south of any
+    tile the entity touches — the enlargement makes the enumeration
+    sound (no false negatives), exactness comes from the per-version
+    test after interpolation. Large features stored at coarse zooms are
+    caught because every zoom is enumerated — the coarse-cell fallback
+    the single-zoom query path lacks."""
+    out = []
+    for z in range(max_zoom + 1):
+        nx = 1 << z
+        ny = max(1, 1 << (z - 1)) if z >= 1 else 1
+        x0 = int((min_lon_e7 + LON_MOD // 2) * nx // LON_MOD) - 1  # one tile W
+        x1 = int((max_lon_e7 + LON_MOD // 2) * nx // LON_MOD)
+        y0 = max(int((min_lat_e7 + LAT_MOD // 2) * ny // LAT_MOD) - 1, 0)  # one S
+        y1 = min(int((max_lat_e7 + LAT_MOD // 2) * ny // LAT_MOD), ny - 1)
+        if x1 - x0 + 1 >= nx:
+            xs = np.arange(nx, dtype=np.int64)
+        else:
+            xs = np.arange(x0, x1 + 1, dtype=np.int64) % nx  # antimeridian wrap
+        ys = np.arange(y0, y1 + 1, dtype=np.int64)
+        out.append(pack_cell(z, (ys[:, None] * nx + xs[None, :]).ravel()))
+    return np.concatenate(out)
+
+
 def bbox_cells(zoom: int, min_lon_e7: int, min_lat_e7: int, max_lon_e7: int, max_lat_e7: int) -> np.ndarray:
     """All cell ids at one zoom intersecting a (non-wrapping) bbox —
     the per-level half of ``XYGridTree.bbox2CellIdRanges``

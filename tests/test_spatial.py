@@ -494,3 +494,70 @@ def test_knn_tie_break_at_cut():
     allk = knn_all(ds, k=1, zoom=6)
     got = allk[allk["query_id"] == 1]
     assert got["neighbor_id"].tolist() == [5]
+
+def test_multizoom_insert_query_soundness():
+    """XYGridTree insert/query rule (index/XYGridTree.java:89-97,
+    :219-248): for a synthetic corpus of mixed-size bboxes (points,
+    small boxes, large features), the multi-zoom candidate enumeration
+    must contain the packed insert cell of EVERY entity whose bbox
+    intersects the query bbox (soundness / no false negatives), and
+    must prune a meaningful share of compact non-intersecting entities
+    (the regime the world-spanning sandbox corpus can't exercise)."""
+    import numpy as np
+
+    from rayhist.spatial.grid import (
+        insert_cell,
+        insert_zoom,
+        multizoom_query_cells,
+        pack_cell,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    # centers anywhere; sizes log-uniform from point to continent
+    cx = rng.randint(-1_700_000_000, 1_700_000_000, n).astype(np.int64)
+    cy = rng.randint(-850_000_000, 850_000_000, n).astype(np.int64)
+    half = (10.0 ** rng.uniform(0, 8.5, n)).astype(np.int64)
+    half[: n // 4] = 0  # a quarter are points
+    x0 = np.maximum(cx - half, -1_799_999_999)
+    x1 = np.minimum(cx + half, 1_799_999_999)
+    y0 = np.maximum(cy - half, -899_999_999)
+    y1 = np.minimum(cy + half, 899_999_999)
+
+    mz = 8
+    iz = insert_zoom(x0, x1, y0, y1, max_zoom=mz)
+    packed = pack_cell(iz, insert_cell(x0, y0, iz))
+
+    for qx0, qy0, qx1, qy1 in [
+        (-4.0e8, -2.0e8, 2.0e8, 3.0e8),
+        (1.0e9, 1.0e8, 1.2e9, 2.0e8),
+        (-1.79e9, -8.9e8, -1.7e9, -8.0e8),  # near the SW world corner
+    ]:
+        cand = set(multizoom_query_cells(int(qx0), int(qy0), int(qx1), int(qy1), mz).tolist())
+        hits = (x1 >= qx0) & (x0 <= qx1) & (y1 >= qy0) & (y0 <= qy1)
+        # soundness: every intersecting entity's cell is a candidate
+        assert all(int(p) in cand for p in packed[hits])
+        # pruning: a meaningful share of non-intersecting entities skipped
+        miss = packed[~hits]
+        kept = sum(int(p) in cand for p in miss)
+        assert kept < 0.7 * len(miss), (kept, len(miss))
+
+
+def test_multizoom_layout_query_matches_plain_bbox():
+    """End-to-end: the multi-zoom partitioned layout + every-zoom
+    enumeration gives the exact same count as the plain full-scan bbox
+    query on the real corpus."""
+    from rayhist.pipelines import q_snapshot_count_bbox_multizoom
+
+    df = q_snapshot_count_bbox_multizoom("/root/testdata/sf0.001")
+
+    import duckdb
+
+    from rayhist import oracles
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM '/root/testdata/sf0.001/events.parquet'"
+    )
+    want = con.sql(oracles.snapshot_count_bbox_multizoom()).df()
+    assert int(df["n_snapshots"].iloc[0]) == int(want["n_snapshots"].iloc[0])
