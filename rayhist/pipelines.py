@@ -499,6 +499,23 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _query_vec_ids(sf_dir: str, mod: int = 50) -> list[int]:
+    """Query-id selection with the predicate INSIDE the scan stage: a
+    distributed per-batch ``vec_id % mod == 0`` filter, so only the
+    O(corpus/mod) selected ids ever reach the driver — never the whole
+    id column (parquet expressions can't push modulo, so the filter
+    runs as the first map stage instead)."""
+    import ray.data
+
+    def pick(b: pa.Table) -> pa.Table:
+        v = b["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"vec_id": pa.array(v[v % mod == 0])})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    sel = ds.map_batches(pick, batch_format="pyarrow").to_pandas()["vec_id"]
+    return sorted(int(i) for i in sel)
+
+
 def q_ann_cosine(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-5 over the embeddings table; queries are
     vec_id % 50 == 0."""
@@ -506,9 +523,7 @@ def q_ann_cosine(sf_dir: str) -> pd.DataFrame:
     from .spatial.knn import ann_cosine_topk
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = ds.select_columns(["vec_id"]).to_pandas()["vec_id"]
-    qids = sorted(int(i) for i in ids if i % 50 == 0)
-    out = ann_cosine_topk(ds, qids, k=5)
+    out = ann_cosine_topk(ds, _query_vec_ids(sf_dir), k=5)
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
@@ -733,10 +748,9 @@ def q_ann_cosine_ivf(sf_dir: str) -> pd.DataFrame:
 
     from .spatial.knn import ann_cosine_ivf_pruned
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
-    ids = ds.to_pandas()["vec_id"]
-    qids = sorted(int(i) for i in ids if i % 50 == 0)
-    out = ann_cosine_ivf_pruned(f"{sf_dir}/embeddings.parquet", qids, k=5, nlist=8, nprobe=8)
+    out = ann_cosine_ivf_pruned(
+        f"{sf_dir}/embeddings.parquet", _query_vec_ids(sf_dir), k=5, nlist=8, nprobe=8
+    )
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
@@ -868,8 +882,14 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
 
     from .ops.multimodal import decode_media, synth_media_table
 
-    ids = _docs(sf_dir).select_columns(["doc_id"]).to_pandas()["doc_id"].tolist()
-    media = ray.data.from_arrow(synth_media_table([f"media://{d}" for d in sorted(ids)]))
+    # synthesize media rows INSIDE the scan (pure function of the ref):
+    # the doc-id column never rides the driver
+    def synth(b: pa.Table) -> pa.Table:
+        return synth_media_table(sorted(f"media://{d}" for d in b["doc_id"].to_pylist()))
+
+    media = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
     feats = decode_media(media, concurrency=(1, 4), batch_size=128).to_pandas()
     feats["feat_mean"] = feats["feature"].map(lambda f: float(np.mean(f)))
     out = feats[["media_ref", "width", "height", "feat_mean"]]
