@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
         "clipped_way_lengths": p.q_clipped_way_lengths,
         "clipped_way_lengths_poly": p.q_clipped_way_lengths_poly,
+        "clipped_way_lengths_daily": p.q_clipped_way_lengths_daily,
         "snapshot_old_style": p.q_snapshot_old_style,
         "snapshot_pip_poly": p.q_snapshot_pip_poly,
         "contrib_type_counts_ways_k3": p.q_contrib_type_counts_ways_k3,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_relation_geoms": o.snapshot_relation_geoms(p.WAY_SNAPS),
         "clipped_way_lengths": o.clipped_way_lengths(p.CLIP_REGIONS),
         "clipped_way_lengths_poly": o.clipped_way_lengths_poly(p.NONCONVEX_CLIP_REGIONS),
+        "clipped_way_lengths_daily": o.clipped_way_lengths_daily(p.CLIP_REGIONS, p.SNAP_WEEKLY),
         "snapshot_old_style": o.snapshot_old_style(p.WAY_SNAPS),
         "snapshot_pip_poly": _poly_oracle(o, p),
         "contrib_type_counts_ways_k3": o.contrib_type_counts_ways_k3(

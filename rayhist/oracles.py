@@ -728,11 +728,14 @@ GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------- clipped aggregateByGeometry
-def _cyrus_beck_region(region_id: str, poly) -> str:
+def _cyrus_beck_region(region_id: str, poly, with_ts: bool = False) -> str:
     """SELECT over ``seg`` computing the Cyrus–Beck clipped length of
     each segment against one convex CCW region — LITERAL mirror of
     rayhist.geometry.clip_segments_convex (same num/den expressions,
-    max/min of ratios, feasibility test) so floats are bit-identical."""
+    max/min of ratios, feasibility test) so floats are bit-identical.
+    ``with_ts`` threads ``ts_q`` through for the combined
+    geometry x timestamp index (seg must then carry ts_q)."""
+    ts_sel = "ts_q, " if with_ts else ""
     n = len(poly)
     ent, lev, feas = [], [], []
     for i in range(n):
@@ -748,7 +751,7 @@ def _cyrus_beck_region(region_id: str, poly) -> str:
     t1 = "least(1.0, " + ", ".join(lev) + ")"
     ok = " AND ".join(feas)
     return f"""
-SELECT '{region_id}' AS region_id, way_id,
+SELECT '{region_id}' AS region_id, {ts_sel}way_id,
        CAST(floor(6371000.0 * sqrt(
          (radians(cbx/10000000.0 - cax/10000000.0)
             * cos(radians((cby/10000000.0 + cay/10000000.0) / 2)))
@@ -758,7 +761,7 @@ SELECT '{region_id}' AS region_id, way_id,
          * radians(cby/10000000.0 - cay/10000000.0)
        ) * 1000000.0) AS BIGINT) AS clip_um
 FROM (
-  SELECT way_id, ax + t0*(bx-ax) AS cax, ay + t0*(by-ay) AS cay,
+  SELECT {ts_sel}way_id, ax + t0*(bx-ax) AS cax, ay + t0*(by-ay) AS cay,
          ax + t1*(bx-ax) AS cbx, ay + t1*(by-ay) AS cby
   FROM (
     SELECT seg.*, {t0} AS t0, {t1} AS t1 FROM seg
@@ -841,6 +844,43 @@ seg AS (
 SELECT * FROM ("""
         + " UNION ALL ".join(parts)
         + ") ORDER BY region_id, way_id"
+    )
+
+
+def clipped_way_lengths_daily(regions: dict, ts_list) -> str:
+    """Chained aggregateByGeometry().aggregateByTimestamp(): clipped
+    way length summed per (region, timestamp), zerofilled over the
+    full region x timestamp cross product (the reference's nested
+    OSHDBCombinedIndex, MapAggregator.java:172-200 after
+    MapReducer.aggregateByGeometry, MapReducer.java:857-888). The
+    per-segment clip floats are the bit-identical Cyrus-Beck mirror;
+    the per-cell sum is over exact integer micrometers, so it is
+    order-independent and Ray/SQL agree bit-for-bit."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list(ts_list))
+    parts = [_cyrus_beck_region(rid, poly, with_ts=True) for rid, poly in sorted(regions.items())]
+    region_vals = ", ".join(f"('{rid}')" for rid in sorted(regions))
+    return (
+        DERIVE
+        + cte
+        + """
+, pos AS (SELECT ts_q, osm_id, lon_e7, lat_e7 FROM snap),
+seg AS (
+  SELECT a.ts_q, a.osm_id AS way_id,
+         CAST(a.lon_e7 AS DOUBLE) AS ax, CAST(a.lat_e7 AS DOUBLE) AS ay,
+         CAST(b.lon_e7 AS DOUBLE) AS bx, CAST(b.lat_e7 AS DOUBLE) AS by
+  FROM pos a JOIN pos b ON b.osm_id = a.osm_id + 1 AND b.ts_q = a.ts_q
+),
+parts AS ("""
+        + " UNION ALL ".join(parts)
+        + f"""
+)
+SELECT r.region_id, tl.ts_q,
+       CAST(coalesce(sum(p.clip_um), 0) AS BIGINT) AS total_um,
+       CAST(count(p.way_id) AS BIGINT) AS n_ways
+FROM (VALUES {region_vals}) r(region_id)
+CROSS JOIN {_ts_list(ts_list)}
+LEFT JOIN parts p ON p.region_id = r.region_id AND p.ts_q = tl.ts_q
+GROUP BY 1, 2 ORDER BY 1, 2"""
     )
 
 

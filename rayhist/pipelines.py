@@ -1320,6 +1320,109 @@ def q_clipped_way_lengths(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["region_id", "way_id"]).reset_index(drop=True)
 
 
+def q_clipped_way_lengths_daily(sf_dir: str) -> pd.DataFrame:
+    """Chained aggregateByGeometry().aggregateByTimestamp() — the
+    reference's NESTED combined index (MapAggregator.java:172-200
+    called on an aggregateByGeometry result, MapReducer.java:857-888):
+    total clipped way length and way count per (region, weekly
+    timestamp), zerofilled over the full region x timestamp cross
+    product (OSHDBCombinedIndex zerofill). The clip floats are the
+    same bit-identical Cyrus-Beck kernel as q_clipped_way_lengths;
+    the per-cell sums are exact integer micrometers accumulated with
+    np.add.at (order-independent), and each batch emits only
+    |regions| x |timestamps| partial rows — the final combine is
+    driver-tiny regardless of corpus size."""
+    from .aggregate import combine_partials
+    from .functions.geo import distance_equirectangular
+    from .geometry import clip_segments_convex
+    from .model import decode_spans
+    from .ops.relational import hash_join
+    from .temporal import snapshots as snapshots_fn
+
+    ts_arr = np.array(SNAP_WEEKLY, dtype=np.int64)
+    n_ts = len(SNAP_WEEKLY)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch, tags=False), ts_arr).select(
+            ["osm_id", "lon_e7", "lat_e7", "ts_q"]
+        )
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+
+    # composite (osm_id, ts) equi-join key: way u at timestamp index i
+    # joins node u with node u+1 AT THE SAME timestamp
+    def left_side(b: pa.Table) -> pa.Table:
+        oid = b["osm_id"].to_numpy(zero_copy_only=False)
+        ti = np.searchsorted(ts_arr, b["ts_q"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "join_k": pa.array(oid * n_ts + ti),
+                "ts_q": b["ts_q"],
+                "lon1": b["lon_e7"],
+                "lat1": b["lat_e7"],
+            }
+        )
+
+    def right_side(b: pa.Table) -> pa.Table:
+        oid = b["osm_id"].to_numpy(zero_copy_only=False)
+        ti = np.searchsorted(ts_arr, b["ts_q"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "join_k": pa.array((oid - 1) * n_ts + ti),
+                "lon2": b["lon_e7"],
+                "lat2": b["lat_e7"],
+            }
+        )
+
+    joined = hash_join(
+        pos.map_batches(left_side, batch_format="pyarrow"),
+        pos.map_batches(right_side, batch_format="pyarrow"),
+        on="join_k",
+        n_buckets=32,
+    )
+    regions = sorted(CLIP_REGIONS.items())
+
+    def clip_partials(batch: pa.Table) -> pa.Table:
+        ax = batch["lon1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ay = batch["lat1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bx = batch["lon2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        by = batch["lat2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ti = np.searchsorted(ts_arr, batch["ts_q"].to_numpy(zero_copy_only=False))
+        rid_out, ts_out, um_out, n_out = [], [], [], []
+        for rid, poly in regions:
+            t0, t1, ok = clip_segments_convex(ax, ay, bx, by, poly)
+            dx, dy = bx - ax, by - ay
+            cax, cay = ax + t0 * dx, ay + t0 * dy
+            cbx, cby = ax + t1 * dx, ay + t1 * dy
+            d = distance_equirectangular(cay / 1e7, cax / 1e7, cby / 1e7, cbx / 1e7)
+            um = np.floor(d * 1e6).astype(np.int64)
+            acc = np.zeros(n_ts, dtype=np.int64)
+            np.add.at(acc, ti[ok], um[ok])  # exact int sum (no float weights)
+            cnt = np.bincount(ti[ok], minlength=n_ts).astype(np.int64)
+            rid_out.extend([rid] * n_ts)
+            ts_out.append(ts_arr)
+            um_out.append(acc)
+            n_out.append(cnt)
+        return pa.table(
+            {
+                "region_id": pa.array(rid_out, type=pa.string()),
+                "ts_q": pa.array(np.concatenate(ts_out)),
+                "um_part": pa.array(np.concatenate(um_out)),
+                "n_part": pa.array(np.concatenate(n_out)),
+            }
+        )
+
+    partials = joined.map_batches(clip_partials, batch_format="pyarrow")
+    df = combine_partials(
+        partials, ["region_id", "ts_q"], {"um_part": "total_um", "n_part": "n_ways"}
+    )
+    return zerofill(
+        df,
+        {"region_id": sorted(CLIP_REGIONS), "ts_q": SNAP_WEEKLY},
+        {"total_um": 0, "n_ways": 0},
+    )
+
+
 # A NON-CONVEX comb (two slots cut from the top edge) and the same comb
 # with a rectangular hole in its solid base — the arbitrary-polygon
 # clip regions the convex Cyrus–Beck path cannot express
