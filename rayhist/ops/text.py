@@ -38,6 +38,22 @@ def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", toks.cast(pa.int64()))
 
 
+# GPT-2-style pretokenizer, RE2-safe (no lookahead): contractions,
+# optionally-space-prefixed letter runs / digit runs / punctuation
+# runs, residual whitespace runs. Arrow and DuckDB both execute RE2
+# with leftmost-first alternation, so counts are oracle-exact.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def add_bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish token count: number of pretokenizer matches (each match
+    is what a byte-pair tokenizer would split further; the count is a
+    stable LENGTH ESTIMATE for training-data budgeting). One vectorized
+    RE2 pass per batch — no Python per row."""
+    toks = pc.count_substring_regex(batch[text_col], BPE_PRETOKEN_RE)
+    return batch.append_column("n_bpe_tokens", toks.cast(pa.int64()))
+
+
 def quality_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Quality scoring: length, mean word length, stopword ratio,
     punctuation ratio — the cheap-filters stage of a training-data

@@ -345,6 +345,21 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def doc_tokens() -> str:
+    """Mirror of ops.text.BPE_PRETOKEN_RE — DuckDB and Arrow both run
+    RE2 with leftmost-first alternation, so the non-overlapping match
+    counts are identical engine-for-engine."""
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+".replace("'", "''")
+    return f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN text = '' THEN 0
+                ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS sum_bpe_tokens
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def doc_fingerprints() -> str:
     return "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
 

@@ -446,6 +446,30 @@ def q_doc_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
+def q_doc_tokens(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish token budget per source: pretokenizer-match counts
+    (ops.text.BPE_PRETOKEN_RE) summed per source alongside the
+    whitespace count — the two token-length estimates a training-data
+    pipeline budgets with."""
+    import ray.data
+
+    from .ops.text import add_bpe_token_count, add_token_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    df = (
+        ds.map_batches(add_token_count, batch_format="pyarrow")
+        .map_batches(add_bpe_token_count, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="sum_ws_tokens"),
+            Sum("n_bpe_tokens", alias_name="sum_bpe_tokens"),
+        )
+        .to_pandas()
+    )
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     """md5 content fingerprint per document (matches SQL md5())."""
     import ray.data
