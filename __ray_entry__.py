@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_means": p.q_lineitem_means,
         "knn_grid": p.q_knn_grid,
         "ann_cosine_ivf": p.q_ann_cosine_ivf,
+        "ann_cosine_lsh": p.q_ann_cosine_lsh,
         "sessions": p.q_sessions,
         "snapshot_count_bbox": p.q_snapshot_count_bbox,
         "snapshot_count_bbox_multizoom": p.q_snapshot_count_bbox_multizoom,
@@ -143,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_means": o.lineitem_means(),
         "knn_grid": o.knn(),
         "ann_cosine_ivf": o.ann_cosine(),
+        "ann_cosine_lsh": o.ann_cosine(),
         "sessions": o.sessions(),
         "snapshot_count_bbox": o.snapshot_count_bbox(),
         "snapshot_count_bbox_multizoom": o.snapshot_count_bbox_multizoom(),

@@ -778,6 +778,21 @@ def q_ann_cosine_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
+def q_ann_cosine_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed ANN (random-hyperplane signatures) over the
+    PARTITIONED-BY-BUCKET layout with full probing (nprobe ==
+    2**n_bits), which is provably exact — the signature + Hamming-probe
+    + scan-pruning machinery gets the same oracle as the brute-force
+    path; the pruned operating point (nprobe < all, scan < corpus) is
+    covered by the recall/pruning tests."""
+    from .spatial.knn import ann_cosine_lsh_pruned
+
+    out = ann_cosine_lsh_pruned(
+        f"{sf_dir}/embeddings.parquet", _query_vec_ids(sf_dir), k=5, n_bits=3, nprobe=8
+    )
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
 def q_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization (30-minute gap) over the events log, aggregated
     per user: session count, events, total session time. Stream-shaped

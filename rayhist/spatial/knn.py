@@ -591,6 +591,172 @@ def ann_cosine_ivf_pruned(
     return out
 
 
+# ------------------------------------------- LSH-bucketed cosine ANN
+def lsh_hyperplanes(dim: int, n_bits: int, seed: int = 20240115) -> np.ndarray:
+    """Deterministic random-hyperplane family: fixed seed, so the same
+    (dim, n_bits) yields the same planes on every worker and run."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+class LSHIndexStage:
+    """Random-hyperplane LSH bucket assignment for cosine ANN (the
+    second scale path beside IVF): bucket = packed sign bits of
+    ``v @ planes.T``. Sign is norm-invariant, so no normalization pass
+    is needed at index time. Planes built once per actor."""
+
+    def __init__(self, planes: np.ndarray):
+        self.planes = planes
+        self.weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        bits = (mat @ self.planes.T) >= 0.0
+        bucket = (bits * self.weights).sum(axis=1).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def ensure_lsh_layout(
+    parquet_path: str,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize (once) the LSH-bucketed LAYOUT of an embedding
+    table — same partitioned-parquet shape as ``ensure_ivf_layout``,
+    so probing prunes the SCAN, not just the compute. Returns
+    (layout_dir, planes)."""
+    import hashlib
+    import os
+    from pathlib import Path
+
+    src = Path(parquet_path)
+    cache_root = os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")
+    key = hashlib.sha256(
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:lsh{n_bits}:{id_col}:{vec_col}:v1".encode()
+    ).hexdigest()[:16]
+    out = Path(cache_root) / key / "lsh_layout"
+    planes_file = "_planes.npy"
+    if out.exists():
+        return str(out), np.load(out / planes_file)
+
+    ds = ray.data.read_parquet(str(src), columns=[id_col, vec_col])
+    first = ds.take(1)[0]
+    planes = lsh_hyperplanes(len(first[vec_col]), n_bits)
+    assigned = ds.map_batches(
+        LSHIndexStage,
+        fn_constructor_args=(planes,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def dup_part_col(b: pa.Table) -> pa.Table:
+        return b.append_column("pb", b["bucket"])
+
+    tmp = out.parent / f".tmp_{os.getpid()}"
+    assigned.map_batches(dup_part_col, batch_format="pyarrow").write_parquet(
+        str(tmp), partition_cols=["pb"]
+    )
+    np.save(tmp / planes_file, planes)
+    try:
+        tmp.rename(out)
+    except OSError:
+        if not out.exists():
+            raise
+    return str(out), planes
+
+
+def ann_cosine_lsh_pruned(
+    parquet_path: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_bits: int = 4,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """LSH ANN over the bucket-partitioned layout: each query probes
+    the ``nprobe`` buckets nearest to its own signature in Hamming
+    distance (ties broken by bucket id — deterministic). nprobe ==
+    2**n_bits probes every bucket and is provably exact; smaller
+    nprobe trades recall for I/O, and only probed partitions are read
+    (``result.attrs['rows_scanned']`` lets tests assert the pruning)."""
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pds
+
+    n_buckets = 1 << n_bits
+    if nprobe is None:
+        nprobe = n_buckets
+    layout, planes = ensure_lsh_layout(parquet_path, n_bits, id_col, vec_col)
+
+    qset = sorted(int(i) for i in set(query_ids))
+    qtab = pds.dataset(parquet_path).to_table(
+        columns=[id_col, vec_col],
+        filter=_pc.field(id_col).isin(qset),
+    )
+    qids = qtab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(qids)
+    qids = qids[order]
+    qmat = np.stack(qtab[vec_col].to_numpy(zero_copy_only=False))[order].astype(np.float64)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    qbucket = (((qmat @ planes.T) >= 0.0) * weights).sum(axis=1).astype(np.int64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    # Hamming-nearest probe sets (n_buckets is tiny; popcount per pair)
+    all_b = np.arange(n_buckets, dtype=np.int64)
+    pop = np.array([bin(x).count("1") for x in range(n_buckets)], dtype=np.int64)
+    ham = pop[np.bitwise_xor(qbucket[:, None], all_b[None, :])]
+    probe_order = np.lexsort((all_b[None, :].repeat(len(qids), 0), ham), axis=1)
+    qbuckets = probe_order[:, :nprobe]
+
+    probe_union = sorted(int(b) for b in set(qbuckets.ravel()))
+    from pathlib import Path as _P
+
+    paths = [
+        str(f)
+        for b in probe_union
+        for f in sorted(_P(f"{layout}/pb={b}").glob("*.parquet"))
+    ]
+    scan = ray.data.read_parquet(paths, columns=[id_col, vec_col, "bucket"])
+
+    def stage(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        frames = []
+        for i, qid in enumerate(qids):
+            sel = np.isin(bucket, qbuckets[i]) & (ids != qid)
+            if not sel.any():
+                continue
+            s = mat[sel] @ qmat[i]
+            cid = ids[sel]
+            take = min(k, len(cid))
+            part = np.argpartition(-s, take - 1)[:take]
+            kth = s[part].min()
+            tsel = s >= kth
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(int(tsel.sum()), qid, dtype=np.int64),
+                        "neighbor_id": cid[tsel],
+                        "cos_sim": s[tsel],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             "cos_sim": pd.Series([], dtype="float64")}
+        )
+
+    rows_scanned = scan.count()
+    cands = scan.map_batches(stage, batch_format="pyarrow").to_pandas()
+    out = _topk_reduce(cands, k, by="cos_sim", ascending=False)
+    out.attrs["rows_scanned"] = int(rows_scanned)
+    return out
+
+
 # ------------------------------------------------------------ kNN-all
 def knn_all(
     points: ray.data.Dataset,

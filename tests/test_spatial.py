@@ -201,6 +201,46 @@ def test_ivf_layout_prunes_scan():
     assert (pruned.groupby("query_id")["rank"].max() <= 5).all()
 
 
+def test_lsh_ann_recall_and_pruning():
+    """LSH-bucketed ANN: full Hamming probing == brute force exactly;
+    partial probing prunes the scan and recall grows with nprobe.
+
+    The unclustered synthetic embeddings make random hyperplanes an
+    honest worst case — assert the structural guarantees (exactness at
+    full probe, monotone recall, real I/O pruning), not a recall magic
+    number."""
+    import ray.data
+
+    from rayhist.spatial.knn import ann_cosine_lsh_pruned, ann_cosine_topk
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    total = ray.data.read_parquet(path).count()
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    qids = [int(i) for i in range(0, 500, 50)]
+    brute = ann_cosine_topk(ds, qids, k=5)
+    b = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+
+    full = ann_cosine_lsh_pruned(path, qids, k=5, n_bits=3, nprobe=8)
+    assert full.attrs["rows_scanned"] == total
+    a = {(r.query_id, r.neighbor_id) for r in full.itertuples()}
+    assert a == b  # probing every bucket == brute force
+
+    recalls = {}
+    for nprobe in (2, 5):
+        pr = ann_cosine_lsh_pruned(path, qids, k=5, n_bits=3, nprobe=nprobe)
+        got = {(r.query_id, r.neighbor_id) for r in pr.itertuples()}
+        recalls[nprobe] = len(got & b) / len(b)
+        assert (pr.groupby("query_id")["rank"].max() <= 5).all()
+    assert recalls[5] >= recalls[2]
+
+    # scan pruning: with few queries at nprobe=1 the probe union cannot
+    # cover every bucket, so the partitioned layout must read less
+    # (many queries x wide probing legitimately reads everything —
+    # pruning is a property of the probe union, not of LSH itself)
+    pr1 = ann_cosine_lsh_pruned(path, qids[:3], k=5, n_bits=3, nprobe=1)
+    assert pr1.attrs["rows_scanned"] < total
+
+
 def test_region_index_matches_linear_scan():
     """Grid-bucketed many-region PIP == per-region exact test."""
     from rayhist.spatial.join import RegionIndex
