@@ -98,11 +98,21 @@ def run_bench() -> dict:
         floors.append(time.perf_counter() - t0)
     pipeline_floor = round(min(floors), 3)
 
+    # RAYHIST_BENCH_PASSES > 1: per-query min over P passes in the SAME
+    # process, applied identically at every parallelism level. On this
+    # co-tenanted VM noise only ever ADDS time, so min-of-P is closer
+    # to the machine's true capability at BOTH levels and the scaling
+    # ratio is unbiased; the headline protocol stays at 1 pass for
+    # round-over-round comparability.
+    passes = int(os.environ.get("RAYHIST_BENCH_PASSES", "1"))
     times: dict[str, float] = {}
     for name, fn in headline:
-        t0 = time.perf_counter()
-        fn(sf_dir)
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn(sf_dir)
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     # entity-versions/sec over the temporal-view queries (each decodes
@@ -120,6 +130,7 @@ def run_bench() -> dict:
         "entity_versions": n_versions,
         "entity_versions_per_sec": round(4 * n_versions / t_temporal, 1),
         "pipeline_floor_sec": pipeline_floor,
+        "passes": passes,
     }
     ray.shutdown()
     return result
@@ -157,6 +168,10 @@ def run_scaling() -> dict:
             "snapshot_count_daily,snapshot_cells,contrib_type_counts,"
             "contrib_daily,snapshot_pip_regions,raster_join,knn_grid",
         )
+        # symmetric de-noising (see run_bench): per-query min of 2
+        # passes at BOTH levels — co-tenant bursts only ever inflate
+        # time, and hit the ~2.5x-longer low-parallelism run hardest
+        env.setdefault("RAYHIST_BENCH_PASSES", "2")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -193,6 +208,7 @@ def run_scaling() -> dict:
         f"pipeline_floor_{lo}": fl_lo,
         f"pipeline_floor_{hi}": fl_hi,
         "work_scaling_efficiency": round(work_eff, 3) if work_eff is not None else None,
+        "passes": out[hi].get("passes", 1),
         "sf": out[hi]["sf"],
         f"queries_{lo}": out[lo]["queries"],
         f"queries_{hi}": out[hi]["queries"],
