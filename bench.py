@@ -215,8 +215,85 @@ def run_scaling() -> dict:
     }
 
 
+def run_probe() -> dict:
+    """Hardware-attribution probe for the scaling pair: run a purely
+    COMPUTE-bound kernel and a purely BANDWIDTH-bound kernel as plain
+    Ray tasks (no Ray Data, no engine code) at the same two parallelism
+    levels as --scaling, in this process with num_cpus set per level
+    via fresh subprocesses. If the compute kernel scales ~1.0 while the
+    bandwidth kernel scales like the engine's queries, the efficiency
+    gap is the VM's shared memory bus, not engine overhead — on a real
+    multi-node cluster each node brings its own memory subsystem."""
+    if os.environ.get("RAYHIST_PROBE_LEVEL"):
+        # child: run the two kernels at this level and print JSON
+        ncpu = int(os.environ["RAYHIST_PROBE_LEVEL"])
+        import numpy as _np
+        import ray
+
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
+
+        @ray.remote
+        def compute_task(n: int) -> float:
+            # ~0.5s of register/L1-bound work: tiny footprint, no streaming
+            acc, x = 0.0, 1.0
+            for _ in range(n):
+                x = x * 1.0000001 + 1e-9
+                acc += x
+            return acc
+
+        @ray.remote
+        def bandwidth_task(mb: int) -> float:
+            # stream `mb` MiB through memory repeatedly: bandwidth-bound
+            a = _np.arange(mb * 131072, dtype=_np.float64)  # mb MiB
+            s = 0.0
+            for _ in range(8):
+                s += float(a.sum())
+                a += 1.0
+            return s
+
+        ntasks = ncpu * 4  # same per-core task count at every level
+        t0 = time.perf_counter()
+        ray.get([compute_task.remote(2_000_000) for _ in range(ntasks)])
+        t_compute = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ray.get([bandwidth_task.remote(256) for _ in range(ntasks)])
+        t_bandwidth = time.perf_counter() - t0
+        ray.shutdown()
+        print(json.dumps({"ncpu": ncpu, "compute_sec": round(t_compute, 3),
+                          "bandwidth_sec": round(t_bandwidth, 3)}))
+        return {}
+
+    lo = int(os.environ.get("RAYHIST_SCALE_LO", "4"))
+    hi = lo * 4
+    res = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAYHIST_PROBE_LEVEL=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        res[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    # per-core task count is constant, so perfect scaling = equal walls
+    c_eff = res[lo]["compute_sec"] / res[hi]["compute_sec"]
+    b_eff = res[lo]["bandwidth_sec"] / res[hi]["bandwidth_sec"]
+    return {
+        "metric": f"hardware attribution probe ({lo} vs {hi} cpus, fresh processes)",
+        f"compute_sec_{lo}": res[lo]["compute_sec"],
+        f"compute_sec_{hi}": res[hi]["compute_sec"],
+        "compute_scaling_efficiency": round(c_eff, 3),
+        f"bandwidth_sec_{lo}": res[lo]["bandwidth_sec"],
+        f"bandwidth_sec_{hi}": res[hi]["bandwidth_sec"],
+        "bandwidth_scaling_efficiency": round(b_eff, 3),
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--probe" in sys.argv:
+        out = run_probe()
+        if out:
+            print(json.dumps(out))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
