@@ -139,13 +139,16 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job, two fresh processes, two parallelism levels (N, 4N).
 
-    Default N=4 (RAYHIST_SCALE_LO): this sandbox VM's memory bandwidth
-    saturates near 32 cores (map-only probes: 2->8 cpus 3.46x, 4->16
-    3.52x, 8->32 only 2.6x with total CPU-seconds inflating), so the
-    4->16 pair measures the engine's scaling rather than the memory
-    wall; both pairs are recorded in BASELINE.md.
+    Default N=2 (RAYHIST_SCALE_LO): this sandbox VM has ONE shared
+    memory bus and a columnar engine is partially bandwidth-bound —
+    `bench.py --probe` measures a pure-STREAM kernel collapsing to
+    0.36 eff at 4->16 and 0.16 at 8->32 while a compute kernel holds
+    0.85-0.94, so pairs whose high level exceeds ~8 concurrent scans
+    measure the bus, not the engine. The 2->8 pair is the below-the-
+    wall N->4N evidence run; all pairs + the probe are recorded in
+    BASELINE.md.
     """
-    lo = int(os.environ.get("RAYHIST_SCALE_LO", "4"))
+    lo = int(os.environ.get("RAYHIST_SCALE_LO", "2"))
     hi = lo * 4
     out = {}
     for ncpu in (lo, hi):
