@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": p.q_doc_stats,
         "doc_fingerprints": p.q_doc_fingerprints,
         "doc_tokens": p.q_doc_tokens,
+        "sample_docs": p.q_sample_docs,
         "near_dup_pairs": p.q_near_dup_pairs,
         "minhash_lsh_pairs": p.q_minhash_lsh_pairs,
         "simhash_pairs": p.q_simhash_pairs,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": o.doc_stats(),
         "doc_fingerprints": o.doc_fingerprints(),
         "doc_tokens": o.doc_tokens(),
+        "sample_docs": o.sample_docs(),
         "near_dup_pairs": o.near_dup_pairs(),
         "ann_cosine": o.ann_cosine(),
         "contrib_per_entity": o.contrib_per_entity(),

@@ -151,3 +151,30 @@ def hash_join(
         return lg.merge(rg, on=on, how=how)
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def deterministic_sample(
+    ds: ray.data.Dataset,
+    rate_num: int,
+    rate_den: int,
+    key_col: str,
+) -> ray.data.Dataset:
+    """Deterministic, resume-stable corpus sampling: keep a row iff the
+    first 32 bits of md5(key) fall under ``rate_num/rate_den`` of the
+    hash space (integer threshold — exact in every engine). The sample
+    is a pure function of the key, so it is identical across runs,
+    partitionings and parallelism levels, composable (a 1/4 sample of
+    a 1/2 sample is a 1/8 sample), and mirrorable in SQL
+    (``('0x' || substr(md5(k),1,8))::UBIGINT < thresh``). md5 stays a
+    per-row hashlib call for oracle parity — swap in a vectorized hash
+    when parity isn't needed (same note as ops.text.fingerprint_stage)."""
+    import hashlib
+
+    thresh = (rate_num << 32) // rate_den
+
+    def stage(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        mask = [int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < thresh for k in keys]
+        return b.filter(pa.array(mask, type=pa.bool_()))
+
+    return ds.map_batches(stage, batch_format="pyarrow")

@@ -360,6 +360,17 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def sample_docs() -> str:
+    """Mirror of ops.relational.deterministic_sample at rate 1/4:
+    same md5-prefix integer threshold, bit-exact in both engines."""
+    thresh = (1 << 32) // 4
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < {thresh}
+ORDER BY doc_id
+"""
+
+
 def doc_fingerprints() -> str:
     return "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
 

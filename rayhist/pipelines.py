@@ -470,6 +470,20 @@ def q_doc_tokens(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
+def q_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 1/4 hash sample of the documents corpus
+    (ops.relational.deterministic_sample): resume-stable,
+    partitioning-invariant, SQL-mirrorable subsampling — the standard
+    first stage of a training-data ablation."""
+    import ray.data
+
+    from .ops.relational import deterministic_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    df = deterministic_sample(ds, 1, 4, "doc_id").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     """md5 content fingerprint per document (matches SQL md5())."""
     import ray.data
