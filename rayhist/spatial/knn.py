@@ -137,37 +137,44 @@ def ann_cosine_topk(
 
     def stage(batch: pa.Table) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return _EMPTY_COS
         mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         sims = qmat @ mat.T  # (nq, nb)
-        frames = []
-        for i, qid in enumerate(qids):
-            s = sims[i]
-            mask = ids != qid
-            cid, cs = ids[mask], s[mask]
-            take = min(k, len(cid))
-            if take == 0:
-                continue
-            part = np.argpartition(-cs, take - 1)[:take]
-            kth = cs[part].min()
-            sel = cs >= kth  # include all similarity ties at the cut
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(int(sel.sum()), qid, dtype=np.int64),
-                        "neighbor_id": cid[sel],
-                        "cos_sim": cs[sel],
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-            {"query_id": pd.Series([], dtype="int64"),
-             "neighbor_id": pd.Series([], dtype="int64"),
-             "cos_sim": pd.Series([], dtype="float64")}
-        )
+        return _emit_cos_topk(sims, qids, ids, k)
 
     cands = embeddings.map_batches(stage, batch_format="pyarrow").to_pandas()
     return _topk_reduce(cands, k, by="cos_sim", ascending=False)
+
+
+_EMPTY_COS = pd.DataFrame(
+    {"query_id": pd.Series([], dtype="int64"),
+     "neighbor_id": pd.Series([], dtype="int64"),
+     "cos_sim": pd.Series([], dtype="float64")}
+)
+
+
+def _emit_cos_topk(sims: np.ndarray, qids: np.ndarray, ids: np.ndarray, k: int) -> pd.DataFrame:
+    """Row-wise tie-inclusive top-k emission over a (nq, n) similarity
+    matrix — vectorized across queries (the per-query loop was the last
+    Python hot path in the ANN stages). Self-matches and non-candidates
+    must already be masked to -inf; rows with < k finite candidates get
+    kth = -inf and emit every finite one, identical to the per-query
+    take=min(k, n_valid) semantics."""
+    n = sims.shape[1]
+    sims[ids[None, :] == qids[:, None]] = -np.inf  # self-exclusion
+    take = min(k, n)
+    part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+    kth = np.take_along_axis(sims, part, axis=1).min(axis=1)
+    sel = (sims >= kth[:, None]) & np.isfinite(sims)
+    qi, ci = np.nonzero(sel)
+    if len(qi) == 0:
+        return _EMPTY_COS
+    return pd.DataFrame(
+        {"query_id": qids[qi], "neighbor_id": ids[ci], "cos_sim": sims[qi, ci]}
+    )
 
 
 def knn_points_grid(
@@ -413,37 +420,19 @@ def ann_cosine_ivf(
     qmat = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     qbuckets = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed = np.zeros((len(qids), nlist), dtype=bool)
+    probed[np.arange(len(qids))[:, None], qbuckets] = True
 
     def stage(batch: pa.Table) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return _EMPTY_COS
         mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         bucket = np.argmax(mat @ cents.T, axis=1)
-        frames = []
-        for i, qid in enumerate(qids):
-            sel = np.isin(bucket, qbuckets[i]) & (ids != qid)
-            if not sel.any():
-                continue
-            s = mat[sel] @ qmat[i]
-            cid = ids[sel]
-            take = min(k, len(cid))
-            part = np.argpartition(-s, take - 1)[:take]
-            kth = s[part].min()
-            tsel = s >= kth  # include all similarity ties at the cut
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(int(tsel.sum()), qid, dtype=np.int64),
-                        "neighbor_id": cid[tsel],
-                        "cos_sim": s[tsel],
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-            {"query_id": pd.Series([], dtype="int64"),
-             "neighbor_id": pd.Series([], dtype="int64"),
-             "cos_sim": pd.Series([], dtype="float64")}
-        )
+        sims = qmat @ mat.T  # same float path as the brute + pruned stages
+        sims[~probed[:, bucket]] = -np.inf
+        return _emit_cos_topk(sims, qids, ids, k)
 
     cands = embeddings.map_batches(stage, batch_format="pyarrow").to_pandas()
     return _topk_reduce(cands, k, by="cos_sim", ascending=False)
@@ -553,36 +542,20 @@ def ann_cosine_ivf_pruned(
     ]
     scan = ray.data.read_parquet(paths, columns=[id_col, vec_col, "bucket"])
 
+    # query x bucket membership LUT: probed[i, b] == query i probes b
+    probed = np.zeros((len(qids), nlist), dtype=bool)
+    probed[np.arange(len(qids))[:, None], qbuckets] = True
+
     def stage(batch: pa.Table) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return _EMPTY_COS
         mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         bucket = batch["bucket"].to_numpy(zero_copy_only=False)
-        frames = []
-        for i, qid in enumerate(qids):
-            sel = np.isin(bucket, qbuckets[i]) & (ids != qid)
-            if not sel.any():
-                continue
-            s = mat[sel] @ qmat[i]
-            cid = ids[sel]
-            take = min(k, len(cid))
-            part = np.argpartition(-s, take - 1)[:take]
-            kth = s[part].min()
-            tsel = s >= kth  # include all similarity ties at the cut
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(int(tsel.sum()), qid, dtype=np.int64),
-                        "neighbor_id": cid[tsel],
-                        "cos_sim": s[tsel],
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-            {"query_id": pd.Series([], dtype="int64"),
-             "neighbor_id": pd.Series([], dtype="int64"),
-             "cos_sim": pd.Series([], dtype="float64")}
-        )
+        sims = qmat @ mat.T  # (nq, nb), same float path as the brute stage
+        sims[~probed[:, bucket]] = -np.inf  # outside this query's probe set
+        return _emit_cos_topk(sims, qids, ids, k)
 
     rows_scanned = scan.count()
     cands = scan.map_batches(stage, batch_format="pyarrow").to_pandas()
@@ -719,36 +692,19 @@ def ann_cosine_lsh_pruned(
     ]
     scan = ray.data.read_parquet(paths, columns=[id_col, vec_col, "bucket"])
 
+    probed = np.zeros((len(qids), n_buckets), dtype=bool)
+    probed[np.arange(len(qids))[:, None], qbuckets] = True
+
     def stage(batch: pa.Table) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return _EMPTY_COS
         mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         bucket = batch["bucket"].to_numpy(zero_copy_only=False)
-        frames = []
-        for i, qid in enumerate(qids):
-            sel = np.isin(bucket, qbuckets[i]) & (ids != qid)
-            if not sel.any():
-                continue
-            s = mat[sel] @ qmat[i]
-            cid = ids[sel]
-            take = min(k, len(cid))
-            part = np.argpartition(-s, take - 1)[:take]
-            kth = s[part].min()
-            tsel = s >= kth
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(int(tsel.sum()), qid, dtype=np.int64),
-                        "neighbor_id": cid[tsel],
-                        "cos_sim": s[tsel],
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-            {"query_id": pd.Series([], dtype="int64"),
-             "neighbor_id": pd.Series([], dtype="int64"),
-             "cos_sim": pd.Series([], dtype="float64")}
-        )
+        sims = qmat @ mat.T
+        sims[~probed[:, bucket]] = -np.inf
+        return _emit_cos_topk(sims, qids, ids, k)
 
     rows_scanned = scan.count()
     cands = scan.map_batches(stage, batch_format="pyarrow").to_pandas()
