@@ -474,7 +474,10 @@ def q_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Deterministic 1/4 hash sample of the documents corpus
     (ops.relational.deterministic_sample): resume-stable,
     partitioning-invariant, SQL-mirrorable subsampling — the standard
-    first stage of a training-data ablation."""
+    first stage of a training-data ablation. The driver to_pandas here
+    is the oracle-compare convention for row-returning queries; at
+    production scale the sample terminates in write_parquet, not a
+    driver collect (the sampler itself is a streaming filter)."""
     import ray.data
 
     from .ops.relational import deterministic_sample

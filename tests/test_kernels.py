@@ -1,0 +1,82 @@
+"""Pure-kernel property tests (no Dataset round-trips): the vectorized
+ANN emission vs a per-query reference, and sampling invariants."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _emit_reference(sims, qids, ids, k):
+    """Per-query reference implementation of tie-inclusive top-k
+    emission (the shape all ANN stages used before vectorization)."""
+    rows = []
+    for i, qid in enumerate(qids):
+        s = sims[i].copy()
+        mask = (ids != qid) & np.isfinite(s)
+        cid, cs = ids[mask], s[mask]
+        take = min(k, len(cid))
+        if take == 0:
+            continue
+        part = np.argpartition(-cs, take - 1)[:take]
+        kth = cs[part].min()
+        sel = cs >= kth
+        for c, v in zip(cid[sel], cs[sel]):
+            rows.append((qid, c, v))
+    return sorted(rows)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 40),
+    nq=st.integers(1, 8),
+    k=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+    dup_level=st.sampled_from([None, 2, 4]),  # quantize sims to force ties
+)
+def test_emit_cos_topk_matches_per_query_reference(n, nq, k, seed, dup_level):
+    from rayhist.spatial.knn import _emit_cos_topk
+
+    rng = np.random.default_rng(seed)
+    ids = rng.choice(np.arange(n * 2), size=n, replace=False).astype(np.int64)
+    qids = rng.choice(ids, size=min(nq, n), replace=False).astype(np.int64)
+    sims = rng.standard_normal((len(qids), n))
+    if dup_level:
+        sims = np.round(sims * dup_level) / dup_level  # many exact ties
+    ref = _emit_reference(sims.copy(), qids, ids, k)
+    out = _emit_cos_topk(sims.copy(), qids, ids, k)
+    got = sorted(zip(out["query_id"], out["neighbor_id"], out["cos_sim"]))
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in ref]
+    assert np.allclose([v for *_, v in got], [v for *_, v in ref], rtol=0, atol=0)
+
+
+def _sample_mask(keys, num, den):
+    thresh = (num << 32) // den
+    return [int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < thresh for k in keys]
+
+
+def test_deterministic_sample_composable_and_monotone():
+    """Rate thresholds nest: the 1/8 sample is a subset of the 1/4
+    sample is a subset of the 1/2 sample, and a composed
+    half-of-half equals the direct 1/4 (same prefix ordering)."""
+    keys = [f"doc{i}" for i in range(5000)]
+    m2 = np.array(_sample_mask(keys, 1, 2))
+    m4 = np.array(_sample_mask(keys, 1, 4))
+    m8 = np.array(_sample_mask(keys, 1, 8))
+    assert (m8 <= m4).all() and (m4 <= m2).all()
+    assert (m4 == (m2 & m4)).all()  # composed == direct at nested rates
+    # rate is honest within binomial noise
+    assert abs(m4.mean() - 0.25) < 0.03
+
+
+def test_bpe_pretoken_count_reference_cases():
+    import pyarrow as pa
+
+    from rayhist.ops.text import add_bpe_token_count
+
+    t = pa.table({"text": ["it's a test", "", "42x7", "  ", "word"]})
+    out = add_bpe_token_count(t)["n_bpe_tokens"].to_pylist()
+    # "it" "'s" " a" " test" | "" | "42" "x" "7" | "  " | "word"
+    assert out == [4, 0, 3, 1, 1]
