@@ -85,8 +85,10 @@ def run_bench() -> dict:
 
     doc_path = ensure_documents(sf_dir, rep)
 
+    from rayhist import io as rio
+
     def _trivial():
-        ds = ray.data.read_parquet(doc_path, columns=["n_versions"])
+        ds = rio.read_table(doc_path, columns=["n_versions"])
         ds.map_batches(
             lambda b: _pa.table({"n": _pa.array([len(b)])}), batch_format="pyarrow"
         ).to_pandas()

@@ -84,7 +84,7 @@ def sig_keytable(sf_dir: str) -> list[str]:
     if not out.exists():
         import pyarrow.parquet as pq
 
-        ev = ray.data.read_parquet(str(src), columns=["event_type", "props"])
+        ev = rio.read_table(str(src), columns=["event_type", "props"])
 
         def stage(batch: pa.Table) -> pa.Table:
             etype = batch["event_type"].to_pylist()
@@ -477,7 +477,7 @@ def build_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
     the grid like independent entities. rep=1 (the default, used by
     all correctness queries) is a byte-stable identity.
     """
-    ev = ray.data.read_parquet(
+    ev = rio.read_table(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
@@ -845,7 +845,7 @@ def _build_compound(sf_dir: str, rep: int, block: int, packer) -> ray.data.Datas
     each parent entity's member-node events (bucket by parent id =
     osm_id // block), and the packer emits compound documents with
     denormalized child histories."""
-    ev = ray.data.read_parquet(
+    ev = rio.read_table(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )

@@ -10,6 +10,9 @@ the swap is transparent.
 
 from __future__ import annotations
 
+import os
+
+import ray
 import ray.data
 
 try:  # pragma: no cover - lance not present in the sandbox
@@ -20,9 +23,56 @@ except ImportError:
     HAVE_LANCE = False
 
 
-def read_table(path: str, **kwargs) -> ray.data.Dataset:
-    if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
+def _local_parquet_stats(path) -> tuple[int, int] | None:
+    """(file count, total bytes) for local parquet paths, else None."""
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    n_files, total = 0, 0
+    for p in paths:
+        p = str(p)
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        total += os.path.getsize(os.path.join(root, f))
+        elif os.path.isfile(p):
+            n_files += 1
+            total += os.path.getsize(p)
+        else:  # remote / missing: let Ray's own heuristic decide
+            return None
+    return (n_files, total) if n_files else None
+
+
+def auto_num_blocks(path) -> int | None:
+    """Read-task count: one per target-size chunk of input, never fewer
+    than the cluster's CPUs.
+
+    Ray Data's default parallelism heuristic carries a 200-block
+    minimum (``read_op_min_num_blocks``) sized for large clusters; on a
+    modest table it splits every file 4x (``SplitBlocks``), breaking
+    read->map fusion and paying ~200 task round-trips per downstream
+    stage. Measured at sf0.1 rep=64 (64 files / 320 MB / 32 cpus):
+    trivial read+count 1.02s -> 0.19s, fused temporal query
+    3.9s -> 1.5s. At cluster scale ``total/target_max_block_size``
+    dominates and the policy converges to Ray's own sizing minus the
+    200-block floor.
+    """
+    stats = _local_parquet_stats(path)
+    if stats is None or not ray.is_initialized():
+        return None
+    _n_files, total = stats
+    ncpu = int(ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
+    target = ray.data.DataContext.get_current().target_max_block_size or (128 << 20)
+    return max(ncpu, -(-total // target))
+
+
+def read_table(path, **kwargs) -> ray.data.Dataset:
+    if HAVE_LANCE and str(path).endswith(".lance"):  # pragma: no cover
         return ray.data.read_lance(path, **kwargs)
+    if "override_num_blocks" not in kwargs:
+        blocks = auto_num_blocks(path)
+        if blocks is not None:
+            kwargs["override_num_blocks"] = blocks
     return ray.data.read_parquet(path, **kwargs)
 
 

@@ -20,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 from ray.data.aggregate import Count, Sum  # noqa: F401 (used by some pipelines)
 
+from . import io as rio
 from .aggregate import count_by, floor_bin, zerofill
 from .ingest import read_documents
 from .members import COMPOUND_BATCH
@@ -318,10 +319,10 @@ def q_knn(sf_dir: str) -> pd.DataFrame:
 def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-style grouped aggregate over lineitem; money summed as
     integer cents so sums are order-independent (exact vs oracle)."""
-    import ray.data
+    import ray.data  # noqa: F401
     from .ops.relational import cents
 
-    ds = ray.data.read_parquet(
+    ds = rio.read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -358,7 +359,7 @@ def q_orders_by_nation(sf_dir: str) -> pd.DataFrame:
     nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     dims = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
     dims = dims.rename(columns={"c_custkey": "o_custkey"})
-    orders = ray.data.read_parquet(
+    orders = rio.read_table(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(lambda b: cents(b, "o_totalprice", "price_c"), batch_format="pyarrow")
     joined = broadcast_join(orders, dims, on="o_custkey")
@@ -376,7 +377,7 @@ def q_topk_orders(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.relational import topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    ds = rio.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
     out = topk(ds, key="o_totalprice", k=20, tiebreak="o_orderkey")
     return out[["o_orderkey", "o_totalprice"]]
 
@@ -386,7 +387,7 @@ def q_events_by_type(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.relational import cents
 
-    ds = ray.data.read_parquet(
+    ds = rio.read_table(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
     ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
     base = (
@@ -408,7 +409,7 @@ def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.relational import cents, exact_quantiles_int
 
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]).map_batches(
+    ds = rio.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]).map_batches(
         lambda b: cents(b, "l_extendedprice", "price_c").select(["price_c"]), batch_format="pyarrow"
     )
     p25, p50, p75 = exact_quantiles_int(ds, "price_c", [(1, 4), (1, 2), (3, 4)])
@@ -421,7 +422,7 @@ def q_tdigest_price_quantiles(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .aggregate import estimated_quantiles
 
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    ds = rio.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
     est = estimated_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75])
     return pd.DataFrame([{"p25_est": est[0], "p50_est": est[1], "p75_est": est[2]}])
 
@@ -432,7 +433,7 @@ def q_doc_stats(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.text import add_token_count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text", "n_chars"])
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text", "n_chars"])
     df = (
         ds.map_batches(add_token_count, batch_format="pyarrow")
         .groupby("source")
@@ -455,7 +456,7 @@ def q_doc_tokens(sf_dir: str) -> pd.DataFrame:
 
     from .ops.text import add_bpe_token_count, add_token_count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
     df = (
         ds.map_batches(add_token_count, batch_format="pyarrow")
         .map_batches(add_bpe_token_count, batch_format="pyarrow")
@@ -482,7 +483,7 @@ def q_sample_docs(sf_dir: str) -> pd.DataFrame:
 
     from .ops.relational import deterministic_sample
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
     df = deterministic_sample(ds, 1, 4, "doc_id").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -492,7 +493,7 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.text import fingerprint_stage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     df = ds.map_batches(fingerprint_stage, batch_format="pyarrow").select_columns(["doc_id", "fp"]).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -502,7 +503,7 @@ def q_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.dedup import exact_jaccard_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_jaccard_pairs(ds, 1, 2)
 
 
@@ -512,7 +513,7 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.dedup import minhash_lsh_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, 1, 2)
 
 
@@ -521,7 +522,7 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.dedup import simhash_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_pairs(ds)
 
 
@@ -530,7 +531,7 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.text import langid_stage, quality_stage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     df = (
         ds.map_batches(quality_stage, batch_format="pandas")
         .map_batches(langid_stage, batch_format="pandas")
@@ -552,7 +553,7 @@ def _query_vec_ids(sf_dir: str, mod: int = 50) -> list[int]:
         v = b["vec_id"].to_numpy(zero_copy_only=False)
         return pa.table({"vec_id": pa.array(v[v % mod == 0])})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    ds = rio.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     sel = ds.map_batches(pick, batch_format="pyarrow").to_pandas()["vec_id"]
     return sorted(int(i) for i in sel)
 
@@ -563,7 +564,7 @@ def q_ann_cosine(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .spatial.knn import ann_cosine_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rio.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = ann_cosine_topk(ds, _query_vec_ids(sf_dir), k=5)
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
@@ -715,7 +716,7 @@ def q_lineitem_means(sf_dir: str) -> pd.DataFrame:
     from .aggregate import combine_partials
     from .ops.relational import cents
 
-    ds = ray.data.read_parquet(
+    ds = rio.read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -819,7 +820,7 @@ def q_sessions(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.sessions import user_session_stats
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     df = user_session_stats(ev, gap_us=30 * 60 * 1_000_000).to_pandas()
     return df.sort_values("user_id").reset_index(drop=True)
 
@@ -915,7 +916,7 @@ def q_snapshot_count_bbox_multizoom(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"n_snapshots": pd.array([0], dtype="int64")})
     import ray.data
 
-    docs = ray.data.read_parquet(paths)
+    docs = rio.read_table(paths)
     ts = np.array([T_MID], dtype=np.int64)
 
     def stage(batch: pa.Table) -> pa.Table:
@@ -1035,7 +1036,7 @@ def q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.dedup import embedding_dup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rio.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = embedding_dup_pairs(ds, tau=0.4)
     # numpy (normalize-then-dot) and SQL (dot-over-norms) cosine differ
     # at the last ulp; round for value comparison (pair SET is checked
@@ -1051,7 +1052,7 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .aggregate import grouped_estimated_quantiles
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = rio.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
@@ -1096,7 +1097,7 @@ def q_snapshot_count_daily_checkpointed(sf_dir: str) -> pd.DataFrame:
             g = pa.TableGroupBy(s.select(["ts_q"]), ["ts_q"]).aggregate([([], "count_all")])
             return g.rename_columns(["ts_q", "n_part"])
 
-        return ray.data.read_parquet(inputs).map_batches(stage, batch_format="pyarrow")
+        return rio.read_table(inputs).map_batches(stage, batch_format="pyarrow")
 
     from .state.checkpoint import run_sharded
 
@@ -1149,7 +1150,7 @@ def q_shared_windows(sf_dir: str) -> pd.DataFrame:
 
     from .ops.text import explode_windows
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     wins = ds.map_batches(explode_windows, batch_format="pyarrow")
 
     # The >=2 filter runs INSIDE the dataset, after the distributed
@@ -1219,7 +1220,7 @@ def q_hopping_window_counts(sf_dir: str) -> pd.DataFrame:
         g = pa.TableGroupBy(pa.table({"ws": pa.array(ws)}), ["ws"]).aggregate([([], "count_all")])
         return g.rename_columns(["ws", "n_part"])
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
     df = combine_partials(ev.map_batches(stage, batch_format="pyarrow"), ["ws"], {"n_part": "n"})
     return df.sort_values("ws").reset_index(drop=True)
 
@@ -1254,7 +1255,7 @@ def q_dedup_docs(sf_dir: str) -> pd.DataFrame:
 
     from .ops.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = exact_dedup(ds).to_pandas()[["doc_id"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 

@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from .. import io as rio
+
 
 def _topk_reduce(cands: pd.DataFrame, k: int, by: str, ascending: bool) -> pd.DataFrame:
     cands = cands.sort_values(
@@ -465,7 +467,7 @@ def ensure_ivf_layout(
     if out.exists():
         return str(out), np.load(out / cents_file)
 
-    ds = ray.data.read_parquet(str(src), columns=[id_col, vec_col])
+    ds = rio.read_table(str(src), columns=[id_col, vec_col])
     cents = build_ivf_centroids(ds, nlist, vec_col, id_col)
     assigned = ds.map_batches(
         IVFIndexStage,
@@ -540,7 +542,7 @@ def ann_cosine_ivf_pruned(
         for b in probe_union
         for f in sorted(_P(f"{layout}/pb={b}").glob("*.parquet"))
     ]
-    scan = ray.data.read_parquet(paths, columns=[id_col, vec_col, "bucket"])
+    scan = rio.read_table(paths, columns=[id_col, vec_col, "bucket"])
 
     # query x bucket membership LUT: probed[i, b] == query i probes b
     probed = np.zeros((len(qids), nlist), dtype=bool)
@@ -613,7 +615,7 @@ def ensure_lsh_layout(
     if out.exists():
         return str(out), np.load(out / planes_file)
 
-    ds = ray.data.read_parquet(str(src), columns=[id_col, vec_col])
+    ds = rio.read_table(str(src), columns=[id_col, vec_col])
     first = ds.take(1)[0]
     planes = lsh_hyperplanes(len(first[vec_col]), n_bits)
     assigned = ds.map_batches(
@@ -690,7 +692,7 @@ def ann_cosine_lsh_pruned(
         for b in probe_union
         for f in sorted(_P(f"{layout}/pb={b}").glob("*.parquet"))
     ]
-    scan = ray.data.read_parquet(paths, columns=[id_col, vec_col, "bucket"])
+    scan = rio.read_table(paths, columns=[id_col, vec_col, "bucket"])
 
     probed = np.zeros((len(qids), n_buckets), dtype=bool)
     probed[np.arange(len(qids))[:, None], qbuckets] = True
