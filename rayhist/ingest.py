@@ -51,6 +51,9 @@ from . import io as rio
 from .model import DOCUMENTS_SCHEMA, LAT_MOD, LON_MOD
 
 CACHE_ROOT = os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")
+# span-document cache shard size (docs per parquet file): ~67 versions
+# per doc in the synthetic corpus -> ~3-4 MB shards
+DOC_SHARD_ROWS = 1500
 
 # ------------------------------------------------------- sig keytable
 #
@@ -961,14 +964,26 @@ def ensure_documents(sf_dir: str, rep: int = 1) -> str:
     """
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:v7".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:v8".encode()
     ).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / "documents_spans"
     if out.exists():
         return str(out)
     tmp = Path(CACHE_ROOT) / key / f".tmp_{os.getpid()}"
     ds = build_documents(sf_dir, rep)
-    rio.write_table(ds, str(tmp))
+    # uniform ~4 MB shards: the pack groupby emits blocks whose sizes
+    # track bucket skew (measured 56-115 MB at rep=128 — a 2x spread),
+    # and any read that maps files to ncpu tasks inherits that skew as
+    # straggler wall time. repartition(n) balances rows evenly
+    # (target_num_rows_per_block only SPLITS oversized blocks — it
+    # keeps the skew); the materialize is bounded by the cache being a
+    # single sf_dir's table and is untimed build work. At cluster scale
+    # the ingest writes shard-keyed partitions instead (checkpoint.py).
+    docs = ds.materialize()
+    # floor of 8 shards so even tiny sf_dirs keep a multi-fragment
+    # layout (parallel first-read, per-shard resume)
+    n_shards = max(8, -(-docs.count() // DOC_SHARD_ROWS))
+    rio.write_table(docs.repartition(n_shards), str(tmp))
     try:
         tmp.rename(out)
     except OSError:  # lost the race: another process finished first

@@ -77,23 +77,34 @@ def run_sharded(
     per-shard checkpointing.
 
     shards: {partition_id: [input paths]}. Returns the manifest dict.
-    Already-completed shards (manifest entry + output present) are
-    skipped; partial outputs (temp dirs) from a killed run are ignored
-    and redone.
+    Already-completed shards (manifest entry + output present AND the
+    recorded input lineage matching the current inputs) are skipped; a
+    shard whose inputs changed since its manifest line was written
+    (different files, sizes or mtimes under the same partition id) is
+    INVALIDATED and redone — resume is keyed on lineage, not on the
+    partition name. Partial outputs (temp dirs) from a killed run are
+    ignored and redone.
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest_path = out / "manifest.jsonl"
-    done: dict[str, dict] = {}
+    prior: dict[str, dict] = {}
     if manifest_path.exists():
         for line in manifest_path.read_text().splitlines():
             rec = json.loads(line)
-            if (out / rec["partition"]).exists():
-                done[rec["partition"]] = rec
+            prior[rec["partition"]] = rec  # last line wins (append-only)
 
+    done: dict[str, dict] = {}
     for pid, inputs in sorted(shards.items()):
-        if pid in done:
+        lineage = {p: _fingerprint(p) for p in inputs}
+        rec = prior.get(pid)
+        if rec is not None and rec.get("lineage") == lineage and (out / pid).exists():
+            done[pid] = rec
             continue
+        if (out / pid).exists():  # stale output (lineage changed): redo
+            import shutil
+
+            shutil.rmtree(out / pid)
         t0 = time.perf_counter()
         ds = process(inputs)
         tmp = out / f".tmp_{pid}_{os.getpid()}"
@@ -102,7 +113,7 @@ def run_sharded(
         tbl = pa.concat_tables([pq.read_table(f) for f in parts]) if parts else pa.table({})
         rec = {
             "partition": pid,
-            "lineage": {p: _fingerprint(p) for p in inputs},
+            "lineage": lineage,
             "rows_out": tbl.num_rows,
             "checksum": _table_checksum(tbl) if tbl.num_rows else "0" * 16,
             "wall_s": round(time.perf_counter() - t0, 3),

@@ -61,6 +61,32 @@ def test_run_resume_and_identical_output(shard_inputs, tmp_path):
     assert manifest2["part_0"]["wall_s"] == manifest1["part_0"]["wall_s"]
 
 
+def test_resume_invalidates_changed_lineage(shard_inputs, tmp_path):
+    """A shard whose INPUTS changed under the same partition id is
+    redone, not skipped — resume keys on lineage fingerprints. (This
+    bit: a cache-layout change reshuffled which files each shard id
+    covered and a stale checkpoint silently double-counted.)"""
+    out = tmp_path / "out_lineage"
+    run_sharded(shard_inputs, _process, str(out))
+    stale = _read_all(out)
+
+    # same partition ids, different input files (rewrite part_1's input
+    # with different content)
+    p1 = Path(shard_inputs["part_1"][0])
+    pq.write_table(pa.table({"x": [1000, 1001]}), p1)
+    manifest = run_sharded(shard_inputs, _process, str(out))
+    fresh = _read_all(out)
+    assert not stale.equals(fresh)
+    assert 2000 in fresh["y"].to_pylist()  # recomputed from new input
+    assert manifest["part_1"]["rows_out"] == 2
+    # untouched shards were skipped (single manifest line each)
+    lines = [json.loads(ln) for ln in (out / "manifest.jsonl").read_text().splitlines()]
+    n_by_part = {}
+    for rec in lines:
+        n_by_part[rec["partition"]] = n_by_part.get(rec["partition"], 0) + 1
+    assert n_by_part["part_0"] == 1 and n_by_part["part_1"] == 2
+
+
 def test_manifest_lineage_and_metrics(shard_inputs, tmp_path):
     out = tmp_path / "out2"
     manifest = run_sharded(shard_inputs, _process, str(out))
