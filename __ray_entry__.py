@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_lsh": p.q_ann_cosine_lsh,
         "sessions": p.q_sessions,
         "snapshot_count_bbox": p.q_snapshot_count_bbox,
+        "api_snapshot_weekly_click_bbox": p.q_api_snapshot_weekly_click_bbox,
+        "api_contrib_creations_daily_even_uid": p.q_api_contrib_creations_daily_even_uid,
         "snapshot_count_bbox_multizoom": p.q_snapshot_count_bbox_multizoom,
         "media_features": p.q_media_features,
         "contrib_type_counts_bbox": p.q_contrib_type_counts_bbox,
@@ -149,6 +151,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_lsh": o.ann_cosine(),
         "sessions": o.sessions(),
         "snapshot_count_bbox": o.snapshot_count_bbox(),
+        "api_snapshot_weekly_click_bbox": o.api_snapshot_weekly_click_bbox(),
+        "api_contrib_creations_daily_even_uid": o.api_contrib_creations_daily_even_uid(),
         "snapshot_count_bbox_multizoom": o.snapshot_count_bbox_multizoom(),
         "contrib_type_counts_bbox": o.contrib_type_counts_bbox(),
         "embedding_dup_pairs": o.embedding_dup_pairs(),

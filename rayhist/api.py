@@ -1,0 +1,458 @@
+"""Fluent MapReducer facade — the oshdb-api user surface on Ray Data.
+
+Mirrors the reference's query-builder chain
+(``oshdb-api/.../mapreducer/MapReducer.java``), so a user of
+
+    OSMEntitySnapshotView.on(oshdb)
+        .areaOfInterest(bbox)
+        .timestamps("2024-01-01", "2024-02-01", "DAILY")
+        .osmTag("building", "yes")
+        .aggregateByTimestamp()
+        .count()
+
+can write the same chain here and get a pandas frame back:
+
+    OSMEntitySnapshotView.on(sf_dir)
+        .areaOfInterest(bbox=(x0, y0, x1, y1))
+        .timestamps("2024-01-01", "2024-02-01", "DAILY")
+        .osmTag("etype", "click")
+        .aggregateByTimestamp()
+        .count()
+
+Method-for-method parity (reference file:line in each docstring);
+execution is NOT a port: every terminal compiles the whole chain into
+ONE fused ``map_batches`` stage over the span-document table — decode
+(pruned to what the chain reads) + temporal interpolation + filters +
+AOI + per-batch partial aggregation — followed by a driver combine of
+the tiny partials (the reference's accumulator/combiner split,
+MapReducer.java:896-1034, done the Ray Data way). Builders are
+immutable: every method returns a NEW MapReducer, so partial chains
+can be reused and shared.
+
+Semantic contracts that differ deliberately from the reference:
+
+- ``map`` / ``filter`` / ``osmEntityFilter`` take VECTORIZED
+  batch-level callables (``pyarrow.Table -> Table`` / ``-> bool
+  ndarray``), not per-row lambdas — a per-row Python callable is the
+  one shape that cannot run at 10^12 rows.
+- grouped results come back as small pandas DataFrames (the
+  reference's ``SortedMap`` analog), scalars as Python numbers.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, replace
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .temporal import TagFilter
+
+
+def _to_us(t) -> int:
+    from .functions.timeutil import parse_iso
+
+    return parse_iso(t) if isinstance(t, str) else int(t)
+
+
+@dataclass(frozen=True)
+class MapReducer:
+    """Immutable query builder; construct via ``OSMEntitySnapshotView
+    .on(...)`` / ``OSMContributionView.on(...)``."""
+
+    _view: str  # "snapshot" | "contribution"
+    _source: object  # sf_dir str or a span-document Dataset
+    _ts: tuple[int, ...] = ()
+    _tag_filters: tuple[TagFilter, ...] = ()
+    _types: tuple[str, ...] = ()
+    _bbox: tuple[int, int, int, int] | None = None
+    _rings: tuple | None = None  # ((outer), (hole), ...) e7 coords
+    _entity_filters: tuple[Callable, ...] = ()
+    _row_filters: tuple[Callable, ...] = ()
+    _maps: tuple[Callable, ...] = ()
+    _agg_ts: bool = False
+    _agg_cols: tuple[str, ...] = ()
+
+    # ------------------------------------------------------- settings
+    def timestamps(self, *args) -> MapReducer:
+        """All reference overloads (MapReducer.java:291-394):
+        ``timestamps(iso)``, ``timestamps(start, end, period)``,
+        ``timestamps(list_or_args_of_iso_or_us)``. For the contribution
+        view the first/last define the half-open interval [t0, tN) and
+        the intermediate ones become aggregateByTimestamp bins, as in
+        the reference (MapReducer.java:774-822)."""
+        def _is_period(s) -> bool:
+            from .functions.timeutil import UNITS
+
+            return isinstance(s, str) and (s.upper() in UNITS or s.upper().startswith("P"))
+
+        if len(args) == 3 and all(isinstance(a, str) for a in args) and _is_period(args[2]):
+            from .functions.timeutil import timestamps as grid
+
+            ts = grid(*args)
+        elif len(args) == 1 and isinstance(args[0], (list, tuple)):
+            ts = [_to_us(t) for t in args[0]]
+        else:
+            ts = [_to_us(t) for t in args]
+        return replace(self, _ts=tuple(sorted(ts)))
+
+    def areaOfInterest(
+        self, bbox: tuple | None = None, polygon: Sequence | None = None,
+        holes: Sequence = (),
+    ) -> MapReducer:
+        """areaOfInterest (MapReducer.java:242-282). ``bbox`` =
+        (lon0, lat0, lon1, lat1) in e7; ``polygon`` = outer ring
+        [(lon, lat), ...] in e7 with optional ``holes`` (each a ring).
+        Membership for non-convex/holed rings is the even-odd
+        crossing-number test (spatial.fip); the entity-level bbox
+        prefilter is pushed into the parquet scan either way."""
+        if (bbox is None) == (polygon is None):
+            raise ValueError("exactly one of bbox= or polygon= required")
+        if bbox is not None:
+            return replace(self, _bbox=tuple(int(v) for v in bbox), _rings=None)
+        rings = (tuple(map(tuple, polygon)),) + tuple(tuple(map(tuple, h)) for h in holes)
+        return replace(self, _rings=rings, _bbox=None)
+
+    def osmType(self, *types: str) -> MapReducer:
+        """osmType (MapReducer.java:397-408): restrict to
+        node/way/relation — pushed into the parquet scan as an
+        ``osm_type IN (...)`` row filter."""
+        ok = {"node", "way", "relation"}
+        if not set(types) <= ok:
+            raise ValueError(f"osmType must be among {ok}")
+        return replace(self, _types=tuple(sorted(set(types))))
+
+    def osmTag(
+        self, key: str, value: str | None = None, *,
+        values: Sequence[str] | None = None, value_regex: str | None = None,
+        exclude: bool = False, exclude_values: Sequence[str] | None = None,
+    ) -> MapReducer:
+        """All osmTag overloads (MapReducer.java:424-632) plus
+        hasTagKeyExcluding (osm/OSMEntity.java:123-137) via
+        ``exclude_values``. Multiple calls AND together, as in the
+        reference."""
+        tf = TagFilter(
+            key, value,
+            tuple(values) if values is not None else None,
+            value_regex, exclude,
+            tuple(exclude_values) if exclude_values is not None else None,
+        )
+        return replace(self, _tag_filters=self._tag_filters + (tf,))
+
+    def osmEntityFilter(self, fn: Callable[[pa.Table], np.ndarray]) -> MapReducer:
+        """osmEntityFilter (MapReducer.java:411-422): arbitrary
+        predicate over entity VERSIONS, vectorized — ``fn(decoded
+        version table) -> bool ndarray`` (columns: osm_id, v, ts, cs,
+        uid, visible, tag_sig, lon_e7, lat_e7, ...)."""
+        return replace(self, _entity_filters=self._entity_filters + (fn,))
+
+    # ------------------------------------------------------ transforms
+    def filter(self, fn: Callable[[pa.Table], np.ndarray]) -> MapReducer:
+        """filter (MapReducer.java:680-692) over VIEW rows (snapshots /
+        contributions), vectorized: ``fn(view table) -> bool ndarray``."""
+        return replace(self, _row_filters=self._row_filters + (fn,))
+
+    def map(self, fn: Callable[[pa.Table], pa.Table]) -> MapReducer:
+        """map (MapReducer.java:647-657), batch-level: ``fn(view
+        table) -> table``. Use to add/derive columns for a downstream
+        terminal (sum/average/uniq on the new column)."""
+        return replace(self, _maps=self._maps + (fn,))
+
+    # ----------------------------------------------------- aggregation
+    def aggregateByTimestamp(self) -> MapReducer:
+        """aggregateByTimestamp (MapReducer.java:775-836): snapshot
+        rows group by their snapshot timestamp; contribution rows are
+        floor-binned to the greatest query timestamp <= contribution
+        timestamp. Zerofilled over the full grid (snapshot) / all bins
+        (contribution), per MapAggregator.java:870-881."""
+        return replace(self, _agg_ts=True)
+
+    def aggregateBy(self, col: str) -> MapReducer:
+        """aggregateBy (MapReducer.java:735-766) keyed by a view/mapped
+        column; combined with aggregateByTimestamp it zerofills the
+        cross product of the timestamp grid x observed key levels
+        (completeZerofill, MapAggregator.java:956-988)."""
+        return replace(self, _agg_cols=self._agg_cols + (col,))
+
+    def groupByEntity(self) -> MapReducer:
+        """groupByEntity (MapReducer.java:707-733) — the aggregation
+        analog: subsequent terminals group per osm entity."""
+        return self.aggregateBy("osm_id")
+
+    # -------------------------------------------------------- plumbing
+    def _interval(self) -> tuple[int, int]:
+        if len(self._ts) < 2:
+            raise ValueError("contribution view needs >=2 timestamps (interval)")
+        return self._ts[0], self._ts[-1]
+
+    def _aoi_prefilter(self):
+        """Parquet row filter on the doc-level history bbox columns —
+        the OSH pre-filter (the reference prunes at the cell level,
+        CellIterator.java:182-195; here the scan itself prunes)."""
+        import pyarrow.compute as pc
+
+        flt = None
+        box = self._bbox
+        if self._rings is not None:
+            from .spatial.fip import Polygon
+
+            box = tuple(Polygon([np.asarray(r, float) for r in self._rings]).bbox)
+        if box is not None:
+            x0, y0, x1, y1 = box
+            flt = (
+                (pc.field("max_lon_e7") >= int(x0)) & (pc.field("min_lon_e7") <= int(x1))
+                & (pc.field("max_lat_e7") >= int(y0)) & (pc.field("min_lat_e7") <= int(y1))
+            )
+        if self._types:
+            tflt = pc.field("osm_type").isin(list(self._types))
+            flt = tflt if flt is None else (flt & tflt)
+        return flt
+
+    def _docs(self) -> ray.data.Dataset:
+        if not isinstance(self._source, str):
+            return self._source
+        from . import io as rio
+        from .ingest import ensure_documents
+
+        rep = int(os.environ.get("RAYHIST_REP", "1"))
+        path = ensure_documents(self._source, rep)
+        flt = self._aoi_prefilter()
+        return rio.read_table(path, **({"filter": flt} if flt is not None else {}))
+
+    def _aoi_mask_fn(self):
+        """Vectorized (lon_e7, lat_e7) -> inside mask, or None."""
+        if self._bbox is not None:
+            x0, y0, x1, y1 = self._bbox
+
+            def fn(lon, lat):
+                return (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+
+            return fn
+        if self._rings is not None:
+            rings = [np.asarray(r, np.float64) for r in self._rings]
+
+            def fn(lon, lat):
+                from .spatial.fip import Polygon
+
+                # constructed per task (cheap: band index over the ring
+                # edges), shipped as raw arrays in the closure
+                return Polygon(rings).contains(
+                    lon.astype(np.float64), lat.astype(np.float64)
+                )
+
+            return fn
+        return None
+
+    def _needs_full_decode(self) -> bool:
+        return bool(self._entity_filters or self._row_filters or self._maps)
+
+    def _view_stage(self, need_tags, need_geom):
+        """The fused per-batch kernel: decode -> version masks ->
+        interpolate/classify -> AOI -> row filters -> maps."""
+        from .model import decode_spans
+        from .temporal import contributions as contrib_fn
+        from .temporal import snapshots as snap_fn
+
+        tag_filters = self._tag_filters
+        entity_filters = self._entity_filters
+        row_filters = self._row_filters
+        maps = self._maps
+        aoi = self._aoi_mask_fn()
+        is_snap = self._view == "snapshot"
+        ts = np.asarray(self._ts, dtype=np.int64)
+        t_from, t_to = (0, 0) if is_snap else self._interval()
+
+        def stage(batch: pa.Table) -> pa.Table:
+            decoded = decode_spans(batch, tags=need_tags, geom=need_geom)
+            m = None
+            for tf in tag_filters:
+                mm = tf.mask(decoded)
+                m = mm if m is None else (m & mm)
+            for ef in entity_filters:
+                mm = np.asarray(ef(decoded), dtype=bool)
+                m = mm if m is None else (m & mm)
+            if is_snap:
+                out = snap_fn(decoded, ts, m)
+                if aoi is not None:
+                    keep = aoi(
+                        out["lon_e7"].to_numpy(zero_copy_only=False),
+                        out["lat_e7"].to_numpy(zero_copy_only=False),
+                    )
+                    out = out.filter(pa.array(keep))
+            else:
+                amask = None
+                if aoi is not None:
+                    amask = aoi(
+                        decoded["lon_e7"].to_numpy(zero_copy_only=False),
+                        decoded["lat_e7"].to_numpy(zero_copy_only=False),
+                    )
+                out = contrib_fn(decoded, t_from, t_to, m, aoi=amask)
+            for rf in row_filters:
+                out = out.filter(pa.array(np.asarray(rf(out), dtype=bool)))
+            for mp in maps:
+                out = mp(out)
+            return out
+
+        return stage
+
+    def view(self) -> ray.data.Dataset:
+        """Escape hatch: the lazy Dataset of view rows (snapshots or
+        contributions) after filters/AOI/maps — for callers composing
+        beyond the fluent terminals."""
+        need_full = self._needs_full_decode()
+        stage = self._view_stage(
+            need_tags=True if need_full else bool(self._tag_filters),
+            need_geom=True,
+        )
+        return self._docs().map_batches(stage, batch_format="pyarrow")
+
+    # -------------------------------------------------------- terminals
+    def _keys(self) -> list[str]:
+        return (["ts_q"] if self._agg_ts else []) + list(self._agg_cols)
+
+    def _bins(self) -> np.ndarray:
+        # contribution aggregateByTimestamp bins = all but the last
+        # timestamp (MapReducer.java:1857-1866)
+        return np.asarray(self._ts[:-1], dtype=np.int64)
+
+    def _zerofill_ts(self) -> list[int]:
+        return list(self._ts) if self._view == "snapshot" else list(self._ts[:-1])
+
+    def _grouped_numeric(self, sums: dict[str, str], count_alias: str | None):
+        """Shared count/sum engine: per-batch partial aggregation inside
+        the fused stage, driver combine of the tiny partials, zerofill."""
+        from .aggregate import combine_partials, floor_bin, zerofill
+
+        keys = self._keys()
+        read_cols = set(sums.keys()) | set(self._agg_cols)
+        need_full = self._needs_full_decode()
+        # prune the decode to what the chain actually reads (the
+        # memory-traffic rule — see model.decode_spans)
+        need_tags = need_full or bool(self._tag_filters) or bool(
+            {"tag_sig", "is_tag_change"} & read_cols
+        )
+        need_geom = need_full or self._aoi_mask_fn() is not None or bool(
+            {"lon_e7", "lat_e7", "is_geom_change", "prev_lon_e7", "prev_lat_e7"}
+            & read_cols
+        )
+        view_stage = self._view_stage(need_tags, need_geom)
+        agg_ts, is_snap = self._agg_ts, self._view == "snapshot"
+        bins = self._bins() if (agg_ts and not is_snap) else None
+        src_cols = list(sums.keys())
+
+        def stage(batch: pa.Table) -> pa.Table:
+            v = view_stage(batch)
+            cols: dict[str, pa.Array] = {}
+            if agg_ts:
+                tsq = (
+                    v["ts_q"].to_numpy(zero_copy_only=False)
+                    if is_snap
+                    else floor_bin(v["ts"].to_numpy(zero_copy_only=False), bins)
+                )
+                cols["ts_q"] = pa.array(tsq, type=pa.int64())
+            for c in self._agg_cols:
+                cols[c] = v[c]
+            for c in src_cols:
+                cols[c] = v[c].cast(pa.int64()) if pa.types.is_boolean(v[c].type) else v[c]
+            cols["_one"] = pa.array(np.ones(len(v), dtype=np.int64))
+            t = pa.table(cols)
+            aggs = [("_one", "sum")] + [(c, "sum") for c in src_cols]
+            if keys:
+                g = pa.TableGroupBy(t, keys).aggregate(aggs)
+                return g.rename_columns([*keys, "_n_part", *[c + "_part" for c in src_cols]])
+            import pyarrow.compute as pc
+
+            out = {"_n_part": pa.array([len(t)], type=pa.int64())}
+            for c in src_cols:
+                out[c + "_part"] = pa.array([pc.sum(t[c]).as_py() or 0], type=pa.int64())
+            return pa.table(out)
+
+        partials = self._docs().map_batches(stage, batch_format="pyarrow")
+        outmap = {"_n_part": count_alias or "_n"}
+        outmap.update({c + "_part": out for c, out in sums.items()})
+        df = combine_partials(partials, keys, outmap)
+        if not keys:
+            return df  # single-row frame; terminal unwraps
+        if self._agg_ts:
+            expected: dict[str, Sequence] = {"ts_q": self._zerofill_ts()}
+            for c in self._agg_cols:  # observed levels (completeZerofill)
+                expected[c] = sorted(df[c].dropna().unique())
+            if all(len(v) for v in expected.values()):
+                df = zerofill(df, expected, {v: 0 for v in outmap.values()})
+        if count_alias is None:
+            df = df.drop(columns=["_n"])
+        return df.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+    def count(self, alias: str = "count"):
+        """count (MapReducer.java:1122-1132): scalar, or a frame keyed
+        by the aggregation index."""
+        res = self._grouped_numeric({}, alias)
+        return res if self._keys() else int(res[alias].iloc[0])
+
+    def sum(self, col: str, alias: str | None = None):
+        """sum (MapReducer.java:1097-1120) over a view/mapped column
+        (booleans count ``True`` rows, as the reference's map-to-int)."""
+        res = self._grouped_numeric({col: alias or f"sum_{col}"}, None)
+        return res if self._keys() else res[alias or f"sum_{col}"].iloc[0]
+
+    def average(self, col: str, alias: str | None = None):
+        """average (MapReducer.java:1180-1205): exact integer partials,
+        ONE IEEE division at the end (repo money/float rule)."""
+        out = alias or f"avg_{col}"
+        res = self._grouped_numeric({col: "_s"}, "_c")
+        if not self._keys():
+            return float(res["_s"].iloc[0] / res["_c"].iloc[0])
+        res[out] = res["_s"] / res["_c"].replace(0, np.nan)
+        return res.drop(columns=["_s", "_c"])
+
+    def uniq(self, col: str) -> list:
+        """uniq (MapReducer.java:1134-1161): exact distinct values of a
+        view column, distributed (per-batch distinct partials)."""
+        from .aggregate import uniq as _uniq
+
+        return _uniq(self.view(), col)
+
+    def countUniq(self, col: str) -> int:
+        """countUniq (MapReducer.java:1166-1178)."""
+        return len(self.uniq(col))
+
+    def estimatedQuantile(self, col: str, q: float) -> float:
+        """estimatedQuantile (MapReducer.java:1261-1293): mergeable
+        t-digest partials."""
+        return self.estimatedQuantiles(col, [q])[0]
+
+    def estimatedQuantiles(self, col: str, qs: Sequence[float]) -> list[float]:
+        """estimatedQuantiles (MapReducer.java:1296-1333)."""
+        from .aggregate import estimated_quantiles
+
+        return estimated_quantiles(self.view(), col, qs)
+
+    def collect(self) -> pd.DataFrame:
+        """collect (MapReducer.java:1404-1414) — materializes the view
+        rows to the driver; small results only, stream() otherwise."""
+        return self.view().to_pandas()
+
+    def stream(self, batch_size: int | None = None):
+        """stream (MapReducer.java:1422-1430): iterator of Arrow
+        batches — the driver never holds the full result."""
+        return self.view().iter_batches(batch_format="pyarrow", batch_size=batch_size)
+
+
+class OSMEntitySnapshotView:
+    """OSMEntitySnapshotView.on(...) (oshdb-api/.../OSMEntitySnapshotView.java)."""
+
+    @staticmethod
+    def on(source) -> MapReducer:
+        return MapReducer("snapshot", source)
+
+
+class OSMContributionView:
+    """OSMContributionView.on(...) (oshdb-api/.../OSMContributionView.java)."""
+
+    @staticmethod
+    def on(source) -> MapReducer:
+        return MapReducer("contribution", source)

@@ -1284,3 +1284,43 @@ SELECT ts_q,
 FROM snap GROUP BY 1, 2 ORDER BY 1, 2
 """
     )
+
+
+def api_snapshot_weekly_click_bbox() -> str:
+    from .pipelines import AOI_BBOX
+
+    x0, y0, x1, y1 = (int(v) for v in AOI_BBOX)
+    cte = _snap_cte("visible AND etype = 'click'").replace(
+        "TS_LIST", _ts_list(SNAP_WEEKLY)
+    )
+    return (
+        DERIVE
+        + cte
+        + f"""
+SELECT tl.ts_q, CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_snapshots
+FROM {_ts_list(SNAP_WEEKLY)}
+LEFT JOIN (
+  SELECT ts_q, count(*) AS cnt FROM snap
+  WHERE lon_e7 >= {x0} AND lon_e7 <= {x1} AND lat_e7 >= {y0} AND lat_e7 <= {y1}
+  GROUP BY ts_q
+) s USING (ts_q)
+ORDER BY tl.ts_q
+"""
+    )
+
+
+def api_contrib_creations_daily_even_uid() -> str:
+    return (
+        DERIVE
+        + _contrib_cte("visible AND uid % 2 = 0")
+        + f"""
+SELECT tl.ts_q, CAST(coalesce(s.n_creations, 0) AS BIGINT) AS n_creations
+FROM {_ts_list(CONTRIB_BINS)}
+LEFT JOIN (
+  SELECT {CONTRIB_FROM} + ((ts_us - {CONTRIB_FROM}) // {DAY_US}) * {DAY_US} AS ts_q,
+         sum(CAST(is_creation AS BIGINT)) AS n_creations
+  FROM contrib GROUP BY 1
+) s USING (ts_q)
+ORDER BY tl.ts_q
+"""
+    )

@@ -1825,3 +1825,39 @@ def q_snapshot_cells_fine(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return df.sort_values(["ts_q", "cell"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------- fluent-facade
+def q_api_snapshot_weekly_click_bbox(sf_dir: str) -> pd.DataFrame:
+    """The full reference chain shape — areaOfInterest(bbox) +
+    timestamps + osmTag(k, v) + aggregateByTimestamp + count — written
+    through the fluent MapReducer facade (rayhist.api), which compiles
+    it into the same one-fused-stage plan the direct pipelines use.
+    In the oracle surface so the facade's composition logic (filter
+    ANDing, AOI masking, binning, zerofill) is value-checked, not just
+    unit-tested."""
+    from .api import OSMEntitySnapshotView
+
+    return (
+        OSMEntitySnapshotView.on(sf_dir)
+        .areaOfInterest(bbox=AOI_BBOX)
+        .timestamps(SNAP_WEEKLY)
+        .osmTag("etype", "click")
+        .aggregateByTimestamp()
+        .count(alias="n_snapshots")
+    )
+
+
+def q_api_contrib_creations_daily_even_uid(sf_dir: str) -> pd.DataFrame:
+    """Contribution-view facade chain: interval timestamps +
+    osmEntityFilter (vectorized arbitrary predicate, MapReducer.java
+    :411-422) + aggregateByTimestamp + sum over a classification flag."""
+    from .api import OSMContributionView
+
+    return (
+        OSMContributionView.on(sf_dir)
+        .timestamps(list(CONTRIB_BINS) + [CONTRIB_TO])
+        .osmEntityFilter(lambda t: t["uid"].to_numpy(zero_copy_only=False) % 2 == 0)
+        .aggregateByTimestamp()
+        .sum("is_creation", alias="n_creations")
+    )

@@ -1,0 +1,192 @@
+"""Fluent MapReducer facade (rayhist.api): every chain must equal the
+oracle-checked direct pipeline it mirrors — the facade adds surface,
+never new semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayhist.api import MapReducer, OSMContributionView, OSMEntitySnapshotView
+from rayhist.pipelines import (
+    AOI_BBOX,
+    CONTRIB_BINS,
+    POLY_FILE,
+    SNAP_DAILY,
+    T_MID,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_snapshot_count_daily_matches_pipeline():
+    from rayhist.pipelines import q_snapshot_count_daily
+
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps("2024-01-01", "2024-02-02", "DAILY")
+        .aggregateByTimestamp()
+        .count(alias="n_snapshots")
+    )
+    want = q_snapshot_count_daily(SF)
+    assert list(got["ts_q"]) == SNAP_DAILY  # ISO grid == pipeline constants
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_snapshot_tag_filter_matches_pipeline():
+    from rayhist.pipelines import q_snapshot_count_daily_click
+
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps(SNAP_DAILY)
+        .osmTag("etype", "click")
+        .aggregateByTimestamp()
+        .count(alias="n_snapshots")
+    )
+    want = q_snapshot_count_daily_click(SF)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_snapshot_bbox_scalar_matches_pipeline():
+    from rayhist.pipelines import q_snapshot_count_bbox
+
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .areaOfInterest(bbox=AOI_BBOX)
+        .count()
+    )
+    want = int(q_snapshot_count_bbox(SF)["n_snapshots"].iloc[0])
+    assert got == want
+
+
+def test_snapshot_polygon_matches_pip_poly_pipeline():
+    from rayhist.pipelines import q_snapshot_pip_poly
+    from rayhist.spatial.polyfile import load_poly
+
+    _name, rings = load_poly(POLY_FILE)
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .areaOfInterest(polygon=rings[0], holes=rings[1:])
+        .count()
+    )
+    want = int(q_snapshot_pip_poly(SF)["n_inside"].iloc[0])
+    assert got == want
+
+
+def test_contribution_count_matches_pipeline():
+    from rayhist.pipelines import q_contrib_daily
+
+    got = (
+        OSMContributionView.on(SF)
+        .timestamps("2024-01-05", "2024-01-25", "DAILY")
+        .aggregateByTimestamp()
+        .count(alias="n_contribs")
+    )
+    want = q_contrib_daily(SF)[["ts_q", "n_contribs"]]
+    assert list(got["ts_q"]) == CONTRIB_BINS
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_contribution_sum_of_flag_matches_pipeline():
+    from rayhist.pipelines import q_contrib_daily
+
+    got = (
+        OSMContributionView.on(SF)
+        .timestamps(list(CONTRIB_BINS) + [CONTRIB_BINS[-1] + 86_400_000_000])
+        .aggregateByTimestamp()
+        .sum("is_creation", alias="n_creations")
+    )
+    want = q_contrib_daily(SF)[["ts_q", "n_creations"]]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_entity_filter_and_row_filter_and_map():
+    """osmEntityFilter (version-level), filter (view-row-level) and map
+    (derived column) compose; equivalent masks agree with collect()."""
+    base = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
+    all_rows = base.collect()
+
+    even = base.osmEntityFilter(
+        lambda t: t["osm_id"].to_numpy(zero_copy_only=False) % 2 == 0
+    ).collect()
+    assert set(even["osm_id"]) == {i for i in all_rows["osm_id"] if i % 2 == 0}
+
+    rowf = base.filter(
+        lambda t: t["lon_e7"].to_numpy(zero_copy_only=False) > 0
+    ).collect()
+    assert (rowf["lon_e7"] > 0).all()
+    assert len(rowf) == int((all_rows["lon_e7"] > 0).sum())
+
+    mapped = base.map(
+        lambda t: t.append_column(
+            "abs_lat",
+            pa.array(np.abs(t["lat_e7"].to_numpy(zero_copy_only=False))),
+        )
+    ).sum("abs_lat")
+    assert mapped == int(np.abs(all_rows["lat_e7"]).sum())
+
+
+def test_average_uniq_quantiles_against_collect():
+    base = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
+    rows = base.collect()
+    assert base.average("kk") == pytest.approx(rows["kk"].mean())
+    assert base.uniq("uid") == sorted(rows["uid"].unique())
+    assert base.countUniq("uid") == rows["uid"].nunique()
+    est = base.estimatedQuantile("lat_e7", 0.5)
+    lo, hi = np.quantile(rows["lat_e7"], [0.25, 0.75])
+    assert lo <= est <= hi  # t-digest median well inside the IQR
+
+
+def test_group_by_entity_counts():
+    got = (
+        OSMContributionView.on(SF)
+        .timestamps([CONTRIB_BINS[0], CONTRIB_BINS[-1] + 86_400_000_000])
+        .groupByEntity()
+        .count(alias="n")
+    )
+    rows = (
+        OSMContributionView.on(SF)
+        .timestamps([CONTRIB_BINS[0], CONTRIB_BINS[-1] + 86_400_000_000])
+        .collect()
+    )
+    want = rows.groupby("osm_id").size()
+    assert dict(zip(got["osm_id"], got["n"])) == want.to_dict()
+
+
+def test_timestamps_overloads_and_errors():
+    mr = OSMEntitySnapshotView.on(SF)
+    a = mr.timestamps("2024-01-01", "2024-01-03", "P1D")._ts
+    b = mr.timestamps("2024-01-01", "2024-01-02", "2024-01-03")._ts
+    c = mr.timestamps([T_MID])._ts
+    assert a == b and len(a) == 3 and c == (T_MID,)
+    with pytest.raises(ValueError):
+        mr.areaOfInterest()
+    with pytest.raises(ValueError):
+        mr.osmType("building")
+    with pytest.raises(ValueError):
+        OSMContributionView.on(SF).timestamps([T_MID]).count()
+
+
+def test_builder_immutability():
+    base = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
+    filtered = base.osmTag("etype", "click")
+    assert base._tag_filters == () and len(filtered._tag_filters) == 1
+    assert isinstance(filtered, MapReducer)
+
+
+def test_stream_iterates_batches():
+    n = 0
+    for b in OSMEntitySnapshotView.on(SF).timestamps([T_MID]).stream():
+        assert isinstance(b, pa.Table)
+        n += len(b)
+    assert n == len(OSMEntitySnapshotView.on(SF).timestamps([T_MID]).collect())
