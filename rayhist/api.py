@@ -76,6 +76,7 @@ class MapReducer:
     _maps: tuple[Callable, ...] = ()
     _agg_ts: bool = False
     _agg_cols: tuple[str, ...] = ()
+    _regions: tuple = ()  # ((name, (ring, ...)), ...) for aggregateByGeometry
 
     # ------------------------------------------------------- settings
     def timestamps(self, *args) -> MapReducer:
@@ -178,6 +179,25 @@ class MapReducer:
         (completeZerofill, MapAggregator.java:956-988)."""
         return replace(self, _agg_cols=self._agg_cols + (col,))
 
+    def aggregateByGeometry(self, regions: dict) -> MapReducer:
+        """aggregateByGeometry (MapAggregatable.java / MapReducer.java
+        :857-888): 1->N expansion of each view row into every region
+        containing it (regions may OVERLAP), keyed by ``region_id``.
+        ``regions`` maps name -> outer ring [(lon, lat), ...] in e7, or
+        (outer, hole, ...) for holed polygons. Membership is the
+        general even-odd banded test (spatial.fip); results zerofill
+        over ALL region names. For hundreds+ regions prefer the
+        compiled actor-pool stage (spatial.fip.PointInPolygonStage) or
+        the region-index join (spatial.join)."""
+        norm = []
+        for name, rings in sorted(regions.items()):
+            if rings and not isinstance(rings[0][0], (list, tuple)):
+                rings = (rings,)  # a bare outer ring
+            norm.append((str(name), tuple(tuple(map(tuple, r)) for r in rings)))
+        return replace(
+            self, _regions=tuple(norm), _agg_cols=self._agg_cols + ("region_id",)
+        )
+
     def groupByEntity(self) -> MapReducer:
         """groupByEntity (MapReducer.java:707-733) — the aggregation
         analog: subsequent terminals group per osm entity."""
@@ -262,6 +282,7 @@ class MapReducer:
         row_filters = self._row_filters
         maps = self._maps
         aoi = self._aoi_mask_fn()
+        regions = self._regions
         is_snap = self._view == "snapshot"
         ts = np.asarray(self._ts, dtype=np.int64)
         t_from, t_to = (0, 0) if is_snap else self._interval()
@@ -295,6 +316,24 @@ class MapReducer:
                 out = out.filter(pa.array(np.asarray(rf(out), dtype=bool)))
             for mp in maps:
                 out = mp(out)
+            if regions:
+                from .spatial.fip import Polygon
+
+                lon = out["lon_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
+                lat = out["lat_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
+                parts = []
+                for name, rings in regions:
+                    inside = Polygon([np.asarray(r, np.float64) for r in rings]).contains(
+                        lon, lat
+                    )
+                    sub = out.filter(pa.array(inside))
+                    parts.append(
+                        sub.append_column(
+                            "region_id",
+                            pa.array([name] * len(sub), type=pa.string()),
+                        )
+                    )
+                out = pa.concat_tables(parts)
             return out
 
         return stage
@@ -336,6 +375,8 @@ class MapReducer:
             {"tag_sig", "is_tag_change"} & read_cols
         )
         need_geom = need_full or self._aoi_mask_fn() is not None or bool(
+            self._regions
+        ) or bool(
             {"lon_e7", "lat_e7", "is_geom_change", "prev_lon_e7", "prev_lat_e7"}
             & read_cols
         )
@@ -377,10 +418,16 @@ class MapReducer:
         df = combine_partials(partials, keys, outmap)
         if not keys:
             return df  # single-row frame; terminal unwraps
-        if self._agg_ts:
-            expected: dict[str, Sequence] = {"ts_q": self._zerofill_ts()}
-            for c in self._agg_cols:  # observed levels (completeZerofill)
-                expected[c] = sorted(df[c].dropna().unique())
+        if self._agg_ts or self._regions:
+            expected: dict[str, Sequence] = (
+                {"ts_q": self._zerofill_ts()} if self._agg_ts else {}
+            )
+            region_names = [n for n, _ in self._regions]
+            for c in self._agg_cols:  # observed levels (completeZerofill),
+                # except region_id which zerofills over ALL regions
+                expected[c] = (
+                    region_names if c == "region_id" else sorted(df[c].dropna().unique())
+                )
             if all(len(v) for v in expected.values()):
                 df = zerofill(df, expected, {v: 0 for v in outmap.values()})
         if count_alias is None:

@@ -110,6 +110,34 @@ def test_contribution_sum_of_flag_matches_pipeline():
     )
 
 
+def test_aggregate_by_geometry_matches_pip_regions_pipeline():
+    from rayhist.pipelines import REGIONS, q_snapshot_pip_regions
+
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .aggregateByGeometry(REGIONS)
+        .count(alias="n")
+    )
+    want = q_snapshot_pip_regions(SF)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_aggregate_by_geometry_overlapping_regions_expand():
+    """Overlapping regions each count the shared rows (1->N)."""
+    big = [(-1.8e9, -9e8), (1.8e9, -9e8), (1.8e9, 9e8), (-1.8e9, 9e8)]
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .aggregateByGeometry({"all1": big, "all2": big})
+        .count(alias="n")
+    )
+    total = OSMEntitySnapshotView.on(SF).timestamps([T_MID]).count()
+    assert list(got["n"]) == [total, total]
+
+
 def test_entity_filter_and_row_filter_and_map():
     """osmEntityFilter (version-level), filter (view-row-level) and map
     (derived column) compose; equivalent masks agree with collect()."""
