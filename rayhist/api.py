@@ -434,6 +434,41 @@ class MapReducer:
             df = df.drop(columns=["_n"])
         return df.sort_values(keys, kind="mergesort").reset_index(drop=True)
 
+    def _keyed_rows(self, cols: list[str]) -> ray.data.Dataset:
+        """Dataset of (group keys..., cols...) view rows — ts binning
+        applied, used by the distributed distinct/sketch terminals."""
+        from .aggregate import floor_bin
+
+        need_full = self._needs_full_decode()
+        need_tags = need_full or bool(self._tag_filters) or "tag_sig" in cols
+        need_geom = (
+            need_full or self._aoi_mask_fn() is not None or bool(self._regions)
+            or bool({"lon_e7", "lat_e7"} & set(cols))
+        )
+        view_stage = self._view_stage(need_tags, need_geom)
+        agg_ts, is_snap = self._agg_ts, self._view == "snapshot"
+        bins = self._bins() if (agg_ts and not is_snap) else None
+        agg_cols = self._agg_cols
+
+        def stage(batch: pa.Table) -> pa.Table:
+            v = view_stage(batch)
+            out: dict[str, pa.Array] = {}
+            if agg_ts:
+                tsq = (
+                    v["ts_q"].to_numpy(zero_copy_only=False)
+                    if is_snap
+                    else floor_bin(v["ts"].to_numpy(zero_copy_only=False), bins)
+                )
+                out["ts_q"] = pa.array(tsq, type=pa.int64())
+            for c in agg_cols:
+                out[c] = v[c]
+            for c in cols:
+                if c not in out:
+                    out[c] = v[c]
+            return pa.table(out)
+
+        return self._docs().map_batches(stage, batch_format="pyarrow")
+
     def count(self, alias: str = "count"):
         """count (MapReducer.java:1122-1132): scalar, or a frame keyed
         by the aggregation index."""
@@ -456,27 +491,89 @@ class MapReducer:
         res[out] = res["_s"] / res["_c"].replace(0, np.nan)
         return res.drop(columns=["_s", "_c"])
 
-    def uniq(self, col: str) -> list:
+    def uniq(self, col: str):
         """uniq (MapReducer.java:1134-1161): exact distinct values of a
-        view column, distributed (per-batch distinct partials)."""
-        from .aggregate import uniq as _uniq
+        view column, distributed (per-batch distinct partials). With an
+        aggregation index: a frame of distinct (keys..., col) pairs."""
+        keys = self._keys()
+        if not keys:
+            from .aggregate import uniq as _uniq
 
-        return _uniq(self.view(), col)
+            return _uniq(self.view(), col)
+        return (
+            self._distinct_pairs(col)
+            .to_pandas()
+            .sort_values([*keys, col], kind="mergesort")
+            .reset_index(drop=True)
+        )
 
-    def countUniq(self, col: str) -> int:
-        """countUniq (MapReducer.java:1166-1178)."""
-        return len(self.uniq(col))
+    def _distinct_pairs(self, col: str) -> ray.data.Dataset:
+        """Globally-distinct (keys..., col) rows: per-batch distinct
+        partials, ONE groupby shuffle — no O(#distinct) driver pull."""
+        keys = self._keys()
 
-    def estimatedQuantile(self, col: str, q: float) -> float:
+        def batch_distinct(batch: pa.Table) -> pa.Table:
+            return (
+                pa.TableGroupBy(batch, [*keys, col]).aggregate([]).select([*keys, col])
+            )
+
+        return (
+            self._keyed_rows([col])
+            .map_batches(batch_distinct, batch_format="pyarrow")
+            .groupby([*keys, col])
+            .count()
+        )
+
+    def countUniq(self, col: str, alias: str | None = None):
+        """countUniq (MapReducer.java:1166-1178). Grouped: blocks after
+        the distinct-pair groupby hold globally-unique pairs, so the
+        per-key count is a per-batch partial + tiny driver combine."""
+        keys = self._keys()
+        if not keys:
+            return len(self.uniq(col))
+        from .aggregate import combine_partials, zerofill
+
+        out = alias or f"uniq_{col}"
+
+        def bin_counts(batch: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(batch.select(keys), keys).aggregate([([], "count_all")])
+            return g.rename_columns([*keys, "_part"])
+
+        partials = self._distinct_pairs(col).map_batches(
+            bin_counts, batch_format="pyarrow"
+        )
+        df = combine_partials(partials, keys, {"_part": out})
+        if self._agg_ts:
+            expected: dict[str, Sequence] = {"ts_q": self._zerofill_ts()}
+            region_names = [n for n, _ in self._regions]
+            for c in self._agg_cols:
+                expected[c] = (
+                    region_names if c == "region_id" else sorted(df[c].dropna().unique())
+                )
+            if all(len(v) for v in expected.values()):
+                df = zerofill(df, expected, {out: 0})
+        return df.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+    def estimatedQuantile(self, col: str, q: float):
         """estimatedQuantile (MapReducer.java:1261-1293): mergeable
         t-digest partials."""
-        return self.estimatedQuantiles(col, [q])[0]
+        r = self.estimatedQuantiles(col, [q])
+        return r[0] if isinstance(r, list) else r
 
-    def estimatedQuantiles(self, col: str, qs: Sequence[float]) -> list[float]:
-        """estimatedQuantiles (MapReducer.java:1296-1333)."""
-        from .aggregate import estimated_quantiles
+    def estimatedQuantiles(self, col: str, qs: Sequence[float]):
+        """estimatedQuantiles (MapReducer.java:1296-1333). Grouped (one
+        aggregation key): per-key digest partials merged per key —
+        MapAggregator.estimatedQuantiles, the grouped-sketch shape."""
+        keys = self._keys()
+        if not keys:
+            from .aggregate import estimated_quantiles
 
-        return estimated_quantiles(self.view(), col, qs)
+            return estimated_quantiles(self.view(), col, qs)
+        if len(keys) > 1:
+            raise NotImplementedError("grouped quantiles support one aggregation key")
+        from .aggregate import grouped_estimated_quantiles
+
+        return grouped_estimated_quantiles(self._keyed_rows([col]), keys[0], col, qs)
 
     def collect(self) -> pd.DataFrame:
         """collect (MapReducer.java:1404-1414) — materializes the view

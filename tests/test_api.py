@@ -175,6 +175,33 @@ def test_average_uniq_quantiles_against_collect():
     assert lo <= est <= hi  # t-digest median well inside the IQR
 
 
+def test_grouped_count_uniq_matches_pipeline():
+    from rayhist.pipelines import CONTRIB_FROM, CONTRIB_TO, q_contrib_uniq_uids_daily
+
+    got = (
+        OSMContributionView.on(SF)
+        .timestamps(list(CONTRIB_BINS) + [CONTRIB_TO])
+        .aggregateByTimestamp()
+        .countUniq("uid", alias="n_uids")
+    )
+    assert CONTRIB_FROM == CONTRIB_BINS[0]
+    want = q_contrib_uniq_uids_daily(SF)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_grouped_uniq_and_quantiles():
+    base = OSMEntitySnapshotView.on(SF).timestamps([T_MID]).aggregateByTimestamp()
+    pairs = base.uniq("uid")
+    rows = base.collect()
+    assert set(zip(pairs["ts_q"], pairs["uid"])) == {
+        (T_MID, u) for u in rows["uid"].unique()
+    }
+    qdf = base.estimatedQuantiles("lat_e7", [0.5])
+    assert len(qdf) == 1 and "p50_est" in qdf.columns
+
+
 def test_group_by_entity_counts():
     got = (
         OSMContributionView.on(SF)
