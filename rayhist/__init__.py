@@ -23,3 +23,8 @@ session is owned by the caller (driver, bench.py, or the test fixture).
 """
 
 __version__ = "0.1.0"
+
+# the fluent oshdb-api facade is the primary user entry point
+from .api import MapReducer, OSMContributionView, OSMEntitySnapshotView  # noqa: E402
+
+__all__ = ["MapReducer", "OSMContributionView", "OSMEntitySnapshotView", "__version__"]

@@ -53,6 +53,13 @@ import ray.data
 from .temporal import TagFilter
 
 
+# view columns whose values come from the tag / geometry decode: a
+# terminal reading any of these must not prune that decode (the pruned
+# decode constant-fills them — see model.decode_spans)
+_TAG_COLS = {"tag_sig", "tag_id", "etype", "kk", "is_tag_change"}
+_GEOM_COLS = {"lon_e7", "lat_e7", "is_geom_change", "prev_lon_e7", "prev_lat_e7"}
+
+
 def _to_us(t) -> int:
     from .functions.timeutil import parse_iso
 
@@ -341,12 +348,11 @@ class MapReducer:
     def view(self) -> ray.data.Dataset:
         """Escape hatch: the lazy Dataset of view rows (snapshots or
         contributions) after filters/AOI/maps — for callers composing
-        beyond the fluent terminals."""
-        need_full = self._needs_full_decode()
-        stage = self._view_stage(
-            need_tags=True if need_full else bool(self._tag_filters),
-            need_geom=True,
-        )
+        beyond the fluent terminals. Always a FULL decode: these rows
+        are user-visible, so no column may be constant-filled (pruning
+        belongs to the aggregation terminals, which know what they
+        read)."""
+        stage = self._view_stage(need_tags=True, need_geom=True)
         return self._docs().map_batches(stage, batch_format="pyarrow")
 
     # -------------------------------------------------------- terminals
@@ -371,15 +377,10 @@ class MapReducer:
         need_full = self._needs_full_decode()
         # prune the decode to what the chain actually reads (the
         # memory-traffic rule — see model.decode_spans)
-        need_tags = need_full or bool(self._tag_filters) or bool(
-            {"tag_sig", "is_tag_change"} & read_cols
-        )
+        need_tags = need_full or bool(self._tag_filters) or bool(_TAG_COLS & read_cols)
         need_geom = need_full or self._aoi_mask_fn() is not None or bool(
             self._regions
-        ) or bool(
-            {"lon_e7", "lat_e7", "is_geom_change", "prev_lon_e7", "prev_lat_e7"}
-            & read_cols
-        )
+        ) or bool(_GEOM_COLS & read_cols)
         view_stage = self._view_stage(need_tags, need_geom)
         agg_ts, is_snap = self._agg_ts, self._view == "snapshot"
         bins = self._bins() if (agg_ts and not is_snap) else None
@@ -440,10 +441,12 @@ class MapReducer:
         from .aggregate import floor_bin
 
         need_full = self._needs_full_decode()
-        need_tags = need_full or bool(self._tag_filters) or "tag_sig" in cols
+        need_tags = need_full or bool(self._tag_filters) or bool(
+            _TAG_COLS & set(cols)
+        )
         need_geom = (
             need_full or self._aoi_mask_fn() is not None or bool(self._regions)
-            or bool({"lon_e7", "lat_e7"} & set(cols))
+            or bool(_GEOM_COLS & set(cols))
         )
         view_stage = self._view_stage(need_tags, need_geom)
         agg_ts, is_snap = self._agg_ts, self._view == "snapshot"
@@ -574,6 +577,52 @@ class MapReducer:
         from .aggregate import grouped_estimated_quantiles
 
         return grouped_estimated_quantiles(self._keyed_rows([col]), keys[0], col, qs)
+
+    def weightedAverage(self, col: str, weight: str, alias: str | None = None):
+        """weightedAverage (MapReducer.java:1207-1225): exact integer
+        sum(w*x) / sum(w) partials, one IEEE division at the end.
+        Integer columns only (the repo money/float rule)."""
+        import pyarrow.compute as pc
+
+        mr = self.map(
+            lambda t: t.append_column(
+                "_wx",
+                pc.multiply(t[col].cast(pa.int64()), t[weight].cast(pa.int64())),
+            )
+        )
+        out = alias or f"wavg_{col}"
+        res = mr._grouped_numeric({"_wx": "_s", weight: "_w"}, None)
+        if not self._keys():
+            return float(res["_s"].iloc[0] / res["_w"].iloc[0])
+        res[out] = res["_s"] / res["_w"].replace(0, np.nan)
+        return res.drop(columns=["_s", "_w"])
+
+    def reduce(self, partial: Callable[[pa.Table], object], combine: Callable):
+        """Generic reduce (MapReducer.java:896-1034 accumulator/combiner
+        contract): ``partial(view batch) -> partial value`` runs
+        distributed, ``combine(a, b)`` folds the per-batch partials on
+        the driver (partials must be small — that is the contract)."""
+
+        def stage(batch: pa.Table) -> pa.Table:
+            import pickle
+
+            return pa.table(
+                {"_p": pa.array([pickle.dumps(partial(batch))], type=pa.binary())}
+            )
+
+        import pickle
+
+        acc = None
+        for row in self.view().map_batches(stage, batch_format="pyarrow").iter_rows():
+            v = pickle.loads(row["_p"])
+            acc = v if acc is None else combine(acc, v)
+        return acc
+
+    def forEach(self, action: Callable[[pa.Table], None]) -> None:
+        """forEach (MapReducer.java:1390-1400), batch-level, on the
+        driver via the streaming iterator."""
+        for batch in self.stream():
+            action(batch)
 
     def collect(self) -> pd.DataFrame:
         """collect (MapReducer.java:1404-1414) — materializes the view

@@ -218,6 +218,26 @@ def test_group_by_entity_counts():
     assert dict(zip(got["osm_id"], got["n"])) == want.to_dict()
 
 
+def test_weighted_average_reduce_foreach():
+    base = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
+    rows = base.collect()
+    w = np.abs(rows["kk"]) + 1
+    base_w = base.map(
+        lambda t: t.append_column(
+            "w",
+            pa.array(np.abs(t["kk"].to_numpy(zero_copy_only=False)) + 1),
+        )
+    )
+    assert base_w.weightedAverage("uid", "w") == pytest.approx(
+        (rows["uid"] * w).sum() / w.sum()
+    )
+    total = base.reduce(lambda t: len(t), lambda a, b: a + b)
+    assert total == len(rows)
+    seen = []
+    base.forEach(lambda t: seen.append(len(t)))
+    assert sum(seen) == len(rows)
+
+
 def test_timestamps_overloads_and_errors():
     mr = OSMEntitySnapshotView.on(SF)
     a = mr.timestamps("2024-01-01", "2024-01-03", "P1D")._ts
