@@ -80,3 +80,56 @@ def test_bpe_pretoken_count_reference_cases():
     out = add_bpe_token_count(t)["n_bpe_tokens"].to_pylist()
     # "it" "'s" " a" " test" | "" | "42" "x" "7" | "  " | "word"
     assert out == [4, 0, 3, 1, 1]
+
+
+# ------------------------------------------------- fixed-layout parse
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 10**9),       # v
+            st.integers(0, 2**52),       # ts
+            st.integers(0, 2**52),       # cs
+            st.integers(0, 10**9),       # uid
+            st.integers(0, 1),           # vis
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_parse_fixed_equals_regex_on_roundtrip(rows):
+    """format_version_text -> _parse_fixed == _extract_ints, field for
+    field (the fast path must be a pure substitution)."""
+    import pyarrow as pa
+
+    from rayhist.model import (
+        _VERSION_FIELDS,
+        _VERSION_RE,
+        _extract_ints,
+        _parse_fixed,
+        format_version_text,
+    )
+
+    texts = pa.array([format_version_text(*r) for r in rows], type=pa.string())
+    fast = _parse_fixed(texts, _VERSION_FIELDS, _VERSION_RE)
+    slow = _extract_ints(texts, _VERSION_RE, [n for n, _ in _VERSION_FIELDS])
+    for k in slow:
+        assert (fast[k] == slow[k]).all(), k
+
+
+def test_parse_fixed_falls_back_on_layout_mismatch():
+    """A span with a stray ';' (wrong part count) must route to the
+    strict regex path, not misparse."""
+    import pyarrow as pa
+
+    from rayhist.model import _VERSION_FIELDS, _VERSION_RE, _parse_fixed
+
+    texts = pa.array(["v=1;ts=2;cs=3;uid=4;vis=1;junk=9"], type=pa.string())
+    # the strict path must either raise or surface a null/NaN — never
+    # silently return wrong integers
+    try:
+        out = _parse_fixed(texts, _VERSION_FIELDS, _VERSION_RE)
+    except Exception:
+        return
+    v0 = out["v"][0]
+    assert v0 is None or v0 != v0
