@@ -170,6 +170,12 @@ class MapReducer:
         terminal (sum/average/uniq on the new column)."""
         return replace(self, _maps=self._maps + (fn,))
 
+    def flatMap(self, fn: Callable[[pa.Table], pa.Table]) -> MapReducer:
+        """flatMap (MapReducer.java:665-678): identical contract to
+        ``map`` here — the batch-level callable already may return a
+        table with more or fewer rows than its input."""
+        return self.map(fn)
+
     # ----------------------------------------------------- aggregation
     def aggregateByTimestamp(self) -> MapReducer:
         """aggregateByTimestamp (MapReducer.java:775-836): snapshot
