@@ -58,6 +58,9 @@ from .temporal import TagFilter
 # decode constant-fills them — see model.decode_spans)
 _TAG_COLS = {"tag_sig", "tag_id", "etype", "kk", "is_tag_change"}
 _GEOM_COLS = {"lon_e7", "lat_e7", "is_geom_change", "prev_lon_e7", "prev_lat_e7"}
+# aggregation keys whose cardinality scales with the corpus: finals on
+# these stay distributed (never combine_partials on the driver)
+_HIGH_CARD_KEYS = {"osm_id", "doc_id"}
 
 
 def _to_us(t) -> int:
@@ -128,10 +131,25 @@ class MapReducer:
     def osmType(self, *types: str) -> MapReducer:
         """osmType (MapReducer.java:397-408): restrict to
         node/way/relation — pushed into the parquet scan as an
-        ``osm_type IN (...)`` row filter."""
+        ``osm_type IN (...)`` row filter AND re-checked on the decoded
+        versions (so Dataset sources are filtered too).
+
+        The default sf_dir source is the NODE span table; way/relation
+        histories are compound documents with member-recursion
+        semantics the fused chain cannot interpolate (rayhist.members /
+        members_vec; see pipelines.q_snapshot_count_by_type for the
+        mixed-corpus union) — asking for them here raises loudly
+        instead of returning a silent 0."""
         ok = {"node", "way", "relation"}
         if not set(types) <= ok:
             raise ValueError(f"osmType must be among {ok}")
+        if isinstance(self._source, str) and set(types) - {"node"}:
+            raise NotImplementedError(
+                "the fluent chain runs over the node span table; way/"
+                "relation histories need the compound member-recursion "
+                "engine (rayhist.members_vec, e.g. pipelines."
+                "q_snapshot_count_by_type / q_contrib_type_counts_ways)"
+            )
         return replace(self, _types=tuple(sorted(set(types))))
 
     def osmTag(
@@ -296,6 +314,7 @@ class MapReducer:
         maps = self._maps
         aoi = self._aoi_mask_fn()
         regions = self._regions
+        types = self._types
         is_snap = self._view == "snapshot"
         ts = np.asarray(self._ts, dtype=np.int64)
         t_from, t_to = (0, 0) if is_snap else self._interval()
@@ -303,6 +322,12 @@ class MapReducer:
         def stage(batch: pa.Table) -> pa.Table:
             decoded = decode_spans(batch, tags=need_tags, geom=need_geom)
             m = None
+            if types:  # exact check (the scan filter is a prefilter)
+                import pyarrow.compute as pc
+
+                m = pc.is_in(
+                    decoded["osm_type"], value_set=pa.array(list(types))
+                ).to_numpy(zero_copy_only=False)
             for tf in tag_filters:
                 mm = tf.mask(decoded)
                 m = mm if m is None else (m & mm)
@@ -422,7 +447,20 @@ class MapReducer:
         partials = self._docs().map_batches(stage, batch_format="pyarrow")
         outmap = {"_n_part": count_alias or "_n"}
         outmap.update({c + "_part": out for c, out in sums.items()})
-        df = combine_partials(partials, keys, outmap)
+        if _HIGH_CARD_KEYS & set(keys):
+            # per-entity/per-document keys: the final combine must stay
+            # a DISTRIBUTED Dataset groupby (combine_partials' own
+            # contract: keys x blocks > ~10^7 rows means keep it
+            # distributed — aggregate.py)
+            from ray.data.aggregate import Sum
+
+            df = (
+                partials.groupby(keys)
+                .aggregate(*[Sum(src, alias_name=out) for src, out in outmap.items()])
+                .to_pandas()
+            )
+        else:
+            df = combine_partials(partials, keys, outmap)
         if not keys:
             return df  # single-row frame; terminal unwraps
         if self._agg_ts or self._regions:
@@ -508,9 +546,10 @@ class MapReducer:
         if not keys:
             from .aggregate import uniq as _uniq
 
-            return _uniq(self.view(), col)
+            return _uniq(self._keyed_rows([col]), col)
         return (
             self._distinct_pairs(col)
+            .select_columns([*keys, col])  # drop Ray's internal count()
             .to_pandas()
             .sort_values([*keys, col], kind="mergesort")
             .reset_index(drop=True)
@@ -552,8 +591,10 @@ class MapReducer:
             bin_counts, batch_format="pyarrow"
         )
         df = combine_partials(partials, keys, {"_part": out})
-        if self._agg_ts:
-            expected: dict[str, Sequence] = {"ts_q": self._zerofill_ts()}
+        if self._agg_ts or self._regions:
+            expected: dict[str, Sequence] = (
+                {"ts_q": self._zerofill_ts()} if self._agg_ts else {}
+            )
             region_names = [n for n, _ in self._regions]
             for c in self._agg_cols:
                 expected[c] = (
@@ -577,7 +618,7 @@ class MapReducer:
         if not keys:
             from .aggregate import estimated_quantiles
 
-            return estimated_quantiles(self.view(), col, qs)
+            return estimated_quantiles(self._keyed_rows([col]), col, qs)
         if len(keys) > 1:
             raise NotImplementedError("grouped quantiles support one aggregation key")
         from .aggregate import grouped_estimated_quantiles
@@ -593,7 +634,9 @@ class MapReducer:
         mr = self.map(
             lambda t: t.append_column(
                 "_wx",
-                pc.multiply(t[col].cast(pa.int64()), t[weight].cast(pa.int64())),
+                # checked: a silently wrapped product would return a
+                # plausible-looking wrong average
+                pc.multiply_checked(t[col].cast(pa.int64()), t[weight].cast(pa.int64())),
             )
         )
         out = alias or f"wavg_{col}"

@@ -144,6 +144,10 @@ class ParsedBatch:
 
             mask = ~has_child
             f = _parse_fixed(vtext.filter(pa.array(mask)), _VERSION_FIELDS, _VER_PLAIN_RE)
+            if any(arr.dtype.kind != "i" for arr in f.values()):
+                # regex fallback surfaces malformed spans as nulls
+                # (float NaN after to_numpy) — keep the loud error
+                raise ValueError("unparseable version span in compound document")
             v[mask] = f["v"]
             ts[mask] = f["ts"]
             cs[mask] = f["cs"]
@@ -156,23 +160,30 @@ class ParsedBatch:
             sub = vtext.filter(pa.array(has_child))
             lists = pc.split_pattern(sub, ";")
             n_parts = pc.sum(pc.list_value_length(lists)).as_py() or 0
+            f6 = child = None
             if n_parts == 6 * len(sub):
                 try:
-                    f6 = {
-                        name: pc.utf8_slice_codeunits(pc.list_element(lists, i + 1), off)
-                        .cast(pa.int64())
-                        .to_numpy(zero_copy_only=False)
-                        for i, (name, off) in enumerate(
-                            [("v", 2), ("ts", 3), ("cs", 3), ("uid", 4), ("vis", 4)]
+                    parsed = {}
+                    for i, (name, prefix) in enumerate(
+                        [("v", "v="), ("ts", "ts="), ("cs", "cs="),
+                         ("uid", "uid="), ("vis", "vis=")]
+                    ):
+                        elem = pc.list_element(lists, i + 1)
+                        if not pc.all(pc.starts_with(elem, prefix)).as_py():
+                            parsed = None
+                            break
+                        parsed[name] = (
+                            pc.utf8_slice_codeunits(elem, len(prefix))
+                            .cast(pa.int64())
+                            .to_numpy(zero_copy_only=False)
                         )
-                    }
-                    child = pc.utf8_slice_codeunits(
-                        pc.list_element(lists, 0), 6
-                    ).to_numpy(zero_copy_only=False)
+                    if parsed is not None:
+                        f6 = parsed
+                        child = pc.utf8_slice_codeunits(
+                            pc.list_element(lists, 0), 6  # 'child='
+                        ).to_numpy(zero_copy_only=False)
                 except pa.ArrowInvalid:
                     f6 = child = None
-            else:
-                f6 = child = None
             if f6 is None:
                 ex = pc.extract_regex(sub, _VER_CHILD_RE)
                 if ex.null_count:

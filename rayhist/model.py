@@ -113,11 +113,17 @@ def format_geom_ref(v: int, lon_e7: int, lat_e7: int) -> str:
 
 
 def _extract_ints(texts: pa.Array, pattern: str, names: list[str]) -> dict[str, np.ndarray]:
-    """Vectorized regex field extraction -> int64 numpy arrays."""
-    parts = pattern.split("(")
-    named = parts[0]
-    for i, p in enumerate(parts[1:]):
-        named += f"(?P<{names[i]}>" + p
+    """Vectorized regex field extraction -> int64 numpy arrays.
+
+    ``pattern`` may already carry named groups (``(?P<...>``); plain
+    groups are named positionally from ``names``."""
+    if "(?P<" in pattern:
+        named = pattern
+    else:
+        parts = pattern.split("(")
+        named = parts[0]
+        for i, p in enumerate(parts[1:]):
+            named += f"(?P<{names[i]}>" + p
     struct = pc.extract_regex(texts, named)
     return {
         n: struct.field(n).cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -127,34 +133,44 @@ def _extract_ints(texts: pa.Array, pattern: str, names: list[str]) -> dict[str, 
 
 def _parse_fixed(
     texts: pa.Array,
-    fields: list[tuple[str, int]],
+    fields: list[tuple[str, str]],
     pattern: str,
 ) -> dict[str, np.ndarray]:
     """Delimiter parse of the fixed ``k=v;k=v;...`` span layout:
-    split on ';', take the i-th element, slice off the ``k=`` prefix,
-    cast. ~2x faster than ``extract_regex`` on the same input
+    split on ';', take the i-th element, verify its ``k=`` prefix,
+    slice, cast. ~2x faster than ``extract_regex`` on the same input
     (measured 82 vs 162 ms per 200k version spans) — the span parse is
     the single hottest kernel in every history query. Falls back to
-    the anchored regex if the layout check fails or a cast rejects
-    (ingest always emits the fixed form; the fallback keeps malformed
-    input on the strict path instead of misparsing it)."""
+    the anchored regex if the part count, any key prefix, or a cast
+    rejects (ingest always emits the fixed form; the fallback keeps
+    malformed input on the strict path instead of misparsing it —
+    e.g. swapped same-length keys must NOT silently transpose values).
+
+    ``fields``: (output name, exact key prefix incl. '=') per part, in
+    span order.
+    """
     lists = pc.split_pattern(texts, ";")
     n_parts = pc.sum(pc.list_value_length(lists)).as_py() or 0
     if n_parts != len(texts) * len(fields):
         return _extract_ints(texts, pattern, [n for n, _ in fields])
     try:
-        return {
-            name: pc.utf8_slice_codeunits(pc.list_element(lists, i), off)
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            for i, (name, off) in enumerate(fields)
-        }
+        out = {}
+        for i, (name, prefix) in enumerate(fields):
+            elem = pc.list_element(lists, i)
+            if not pc.all(pc.starts_with(elem, prefix)).as_py():
+                return _extract_ints(texts, pattern, [n for n, _ in fields])
+            out[name] = (
+                pc.utf8_slice_codeunits(elem, len(prefix))
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+        return out
     except pa.ArrowInvalid:
         return _extract_ints(texts, pattern, [n for n, _ in fields])
 
 
-_VERSION_FIELDS = [("v", 2), ("ts", 3), ("cs", 3), ("uid", 4), ("vis", 4)]
-_GEOM_FIELDS = [("v", 7), ("lon", 4), ("lat", 4)]  # 'geom:v=' prefix
+_VERSION_FIELDS = [("v", "v="), ("ts", "ts="), ("cs", "cs="), ("uid", "uid="), ("vis", "vis=")]
+_GEOM_FIELDS = [("v", "geom:v="), ("lon", "lon="), ("lat", "lat=")]
 
 
 def decode_spans(batch: pa.Table, tags: bool | str = True, geom: bool = True) -> pa.Table:

@@ -96,8 +96,18 @@ def run_sharded(
 
     done: dict[str, dict] = {}
     for pid, inputs in sorted(shards.items()):
-        lineage = {p: _fingerprint(p) for p in inputs}
         rec = prior.get(pid)
+        try:
+            lineage = {p: _fingerprint(p) for p in inputs}
+        except FileNotFoundError:
+            # an input vanished (e.g. cache GC) after the shard
+            # completed: the output + manifest are the only record —
+            # keep them rather than crash; without a completed output
+            # the shard is unservable either way, so re-raise.
+            if rec is not None and (out / pid).exists():
+                done[pid] = rec
+                continue
+            raise
         if rec is not None and rec.get("lineage") == lineage and (out / pid).exists():
             done[pid] = rec
             continue

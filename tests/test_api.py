@@ -252,6 +252,68 @@ def test_timestamps_overloads_and_errors():
         OSMContributionView.on(SF).timestamps([T_MID]).count()
 
 
+def test_osm_type_way_raises_instead_of_silent_zero():
+    with pytest.raises(NotImplementedError):
+        OSMEntitySnapshotView.on(SF).osmType("way")
+    # node is served (the span table IS the node table)
+    n = OSMEntitySnapshotView.on(SF).osmType("node").timestamps([T_MID]).count()
+    assert n == OSMEntitySnapshotView.on(SF).timestamps([T_MID]).count()
+
+
+def test_osm_type_filters_dataset_source():
+    """With a Dataset source the scan prefilter is unavailable — the
+    decoded-version mask must still enforce the type filter."""
+    import os
+
+    from rayhist.ingest import read_documents
+
+    docs = read_documents(SF, rep=int(os.environ.get("RAYHIST_REP", "1")))
+    got = (
+        MapReducer("snapshot", docs)
+        .osmType("relation")  # absent from the node table
+        .timestamps([T_MID])
+        .count()
+    )
+    assert got == 0
+
+
+def test_region_only_count_uniq_zerofills():
+    empty = [(1.7e9, 8.9e8), (1.79e9, 8.9e8), (1.79e9, 8.99e8)]
+    big = [(-1.8e9, -9e8), (1.8e9, -9e8), (1.8e9, 9e8), (-1.8e9, 9e8)]
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .aggregateByGeometry({"all": big, "none": empty})
+        .countUniq("uid", alias="n_uids")
+    )
+    assert list(got["region_id"]) == ["all", "none"]
+    assert got["n_uids"].iloc[1] == 0
+
+
+def test_grouped_uniq_has_no_internal_columns():
+    pairs = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .aggregateByTimestamp()
+        .uniq("uid")
+    )
+    assert list(pairs.columns) == ["ts_q", "uid"]
+
+
+def test_group_by_entity_distributed_final():
+    """osm_id is a high-cardinality key: the final combine must be a
+    Dataset groupby, not combine_partials (aggregate.py contract)."""
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .groupByEntity()
+        .count(alias="n")
+    )
+    rows = OSMEntitySnapshotView.on(SF).timestamps([T_MID]).collect()
+    want = rows.groupby("osm_id").size()
+    assert dict(zip(got["osm_id"], got["n"])) == want.to_dict()
+
+
 def test_builder_immutability():
     base = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
     filtered = base.osmTag("etype", "click")
