@@ -274,10 +274,21 @@ def build_multipolygon(
         parts.append((o[:, 0] / 1e7, o[:, 1] / 1e7))
         holes.append([])
     for inner in inners:
-        cx, cy = inner[:-1, 0].mean(), inner[:-1, 1].mean()
-        for i, o in enumerate(outers):
-            if _point_in_ring(cx, cy, o):
-                holes[i].append((inner[:, 0] / 1e7, inner[:, 1] / 1e7))
+        # candidate probe points: the vertex mean (fast, usually
+        # interior), then actual ring vertices — a NON-CONVEX inner
+        # ring's mean can fall outside every outer (e.g. a crescent in
+        # a horseshoe's arm), which would silently drop the hole
+        probes = [(inner[:-1, 0].mean(), inner[:-1, 1].mean())] + [
+            (float(x), float(y)) for x, y in inner[:-1]
+        ]
+        placed = False
+        for cx, cy in probes:
+            for i, o in enumerate(outers):
+                if _point_in_ring(cx, cy, o):
+                    holes[i].append((inner[:, 0] / 1e7, inner[:, 1] / 1e7))
+                    placed = True
+                    break
+            if placed:
                 break
     return Geom("multipolygon", parts, holes)
 

@@ -20,7 +20,8 @@ oracle in tests) which itself mirrors the reference:
 Exact-mirror notes (each pinned by tests/test_members_vec.py A/B):
 
 - tag dicts compare equal iff their canonical signatures (dedup
-  keep-LAST per key, sort by key, join "k=v" with ";") compare equal;
+  keep-LAST per key, sort by key, join "k=v" with "\x1f" — values may
+  contain ';') compare equal;
 - the changeset map takes the LAST parent version per timestamp, then
   children in FIRST-APPEARANCE (span) order, first (ts,v) per child;
 - member-validity windows need no merging for the membership test:
@@ -51,7 +52,7 @@ _VER_PLAIN_RE = (
     r"cs=(?P<cs>-?\d+);uid=(?P<uid>-?\d+);vis=(?P<vis>[01])$"
 )
 _GEOM_RE = r"v=(?P<v>-?\d+);lon=(?P<lon>-?\d+);lat=(?P<lat>-?\d+)$"
-_MEM_RE = r"^(?P<ent>.*)@role=(?P<role>.*)$"
+_MEM_RE = r"^(?P<ent>.*?)@role=(?P<role>.*)$"  # non-greedy: split on the FIRST @role= (parse_doc parity)
 _TAG_RE = r"^(?P<k>[^=]*)=(?P<v>.*)$"
 
 
@@ -269,8 +270,12 @@ class ParsedBatch:
                 ["vidx", "k"], kind="mergesort"
             )
             kv = tdf["k"].to_numpy(dtype=object) + "=" + tdf["v"].to_numpy(dtype=object)
+            # join with \x1f (unit separator): tag VALUES may contain
+            # ';'/'=' and a ';' join would collide distinct tag dicts
+            # ({'a':'1;b=2'} vs {'a':'1','b':'2'}) — keys cannot contain
+            # '=' (parse regex), so k=v + \x1f is unambiguous
             joined = (
-                pd.Series(kv).groupby(tdf["vidx"].to_numpy()).agg(";".join)
+                pd.Series(kv).groupby(tdf["vidx"].to_numpy()).agg("\x1f".join)
             )
             sig[joined.index.to_numpy()] = joined.to_numpy(dtype=object)
             if match_kv is not None:
@@ -482,6 +487,15 @@ def _resolve_coords_rows(P: ParsedBatch, cmap: dict, row_ts, gk):
         else:
             frontier = (np.empty(0, np.int64),) * 3 + ([],)
         depth += 1
+
+    if len(frontier[0]):
+        # the per-document reference (members.resolve_coords) recurses
+        # unboundedly; silently truncating deep leaves would diverge
+        # from it — raise loudly (also catches membership cycles, which
+        # the reference surfaces as RecursionError)
+        raise ValueError(
+            "member recursion exceeded depth 8 (cycle or unsupported nesting)"
+        )
 
     if not out_rows:
         return (

@@ -29,6 +29,15 @@ import ray.data
 from .. import io as rio
 
 
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization, zero-norm safe: an all-zero embedding
+    stays zero (cosine 0 vs everything) instead of NaN — a single NaN
+    similarity would poison the shared top-k cut for every query in
+    the batch."""
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(n == 0, 1.0, n)
+
+
 def _topk_reduce(cands: pd.DataFrame, k: int, by: str, ascending: bool) -> pd.DataFrame:
     cands = cands.sort_values(
         ["query_id", by, "neighbor_id"], ascending=[True, ascending, True], kind="mergesort"
@@ -135,7 +144,7 @@ def ann_cosine_topk(
     )
     qids = qrows[id_col].to_numpy(dtype=np.int64)
     qmat = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = _unit_rows(qmat)
 
     def stage(batch: pa.Table) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -143,7 +152,7 @@ def ann_cosine_topk(
         if n == 0:
             return _EMPTY_COS
         mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _unit_rows(mat)
         sims = qmat @ mat.T  # (nq, nb)
         return _emit_cos_topk(sims, qids, ids, k)
 
@@ -318,7 +327,12 @@ def knn_points_grid(
                 first_q, first_i, per_cnt = np.unique(As, return_index=True, return_counts=True)
                 has_k = per_cnt >= k
                 kth[first_q[has_k]] = Ds[first_i[has_k] + k - 1]
-            done = (kth[active] <= guard * guard) | covered
+            # strict <: a candidate tied exactly ON the explored-block
+            # boundary may be owned by an unexplored cell (same rule
+            # as knn_all); negative guards (antimeridian wrap of the
+            # cell index vs raw planar coords) clamp to 0 = never done
+            guard = np.maximum(guard, 0.0)
+            done = (kth[active] < guard * guard) | covered
             active = active[~done]
 
         if not acc_q:
@@ -351,11 +365,11 @@ class IVFIndexStage:
     """
 
     def __init__(self, centroids: np.ndarray):
-        self.centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        self.centroids = _unit_rows(centroids)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _unit_rows(mat)
         bucket = np.argmax(mat @ self.centroids.T, axis=1).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket))
 
@@ -382,16 +396,16 @@ def build_ivf_centroids(
         .sort_values(id_col)
     )
     mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = _unit_rows(mat)
     cents = mat[:nlist].copy()
     for _ in range(2):  # fixed Lloyd iterations -> deterministic
-        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        cents = _unit_rows(cents)
         assign = np.argmax(mat @ cents.T, axis=1)
         for j in range(nlist):
             sel = mat[assign == j]
             if len(sel):
                 cents[j] = sel.mean(axis=0)
-    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    return _unit_rows(cents)
 
 
 def ann_cosine_ivf(
@@ -420,7 +434,7 @@ def ann_cosine_ivf(
     )
     qids = qrows[id_col].to_numpy(dtype=np.int64)
     qmat = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = _unit_rows(qmat)
     qbuckets = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     probed = np.zeros((len(qids), nlist), dtype=bool)
     probed[np.arange(len(qids))[:, None], qbuckets] = True
@@ -430,7 +444,7 @@ def ann_cosine_ivf(
         if len(ids) == 0:
             return _EMPTY_COS
         mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _unit_rows(mat)
         bucket = np.argmax(mat @ cents.T, axis=1)
         sims = qmat @ mat.T  # same float path as the brute + pruned stages
         sims[~probed[:, bucket]] = -np.inf
@@ -529,7 +543,7 @@ def ann_cosine_ivf_pruned(
     order = np.argsort(qids)
     qids = qids[order]
     qmat = np.stack(qtab[vec_col].to_numpy(zero_copy_only=False))[order].astype(np.float64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = _unit_rows(qmat)
     qbuckets = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
 
     probe_union = sorted(int(b) for b in set(qbuckets.ravel()))
@@ -553,7 +567,7 @@ def ann_cosine_ivf_pruned(
         if len(ids) == 0:
             return _EMPTY_COS
         mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _unit_rows(mat)
         bucket = batch["bucket"].to_numpy(zero_copy_only=False)
         sims = qmat @ mat.T  # (nq, nb), same float path as the brute stage
         sims[~probed[:, bucket]] = -np.inf  # outside this query's probe set
@@ -675,7 +689,7 @@ def ann_cosine_lsh_pruned(
     qmat = np.stack(qtab[vec_col].to_numpy(zero_copy_only=False))[order].astype(np.float64)
     weights = 1 << np.arange(n_bits, dtype=np.int64)
     qbucket = (((qmat @ planes.T) >= 0.0) * weights).sum(axis=1).astype(np.int64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = _unit_rows(qmat)
 
     # Hamming-nearest probe sets (n_buckets is tiny; popcount per pair)
     all_b = np.arange(n_buckets, dtype=np.int64)
@@ -702,7 +716,7 @@ def ann_cosine_lsh_pruned(
         if len(ids) == 0:
             return _EMPTY_COS
         mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _unit_rows(mat)
         bucket = batch["bucket"].to_numpy(zero_copy_only=False)
         sims = qmat @ mat.T
         sims[~probed[:, bucket]] = -np.inf
@@ -805,7 +819,10 @@ def knn_all(
         for j, q in enumerate(ci):
             order = np.lexsort((ids, d2[j]))[:take] if take > 0 else np.array([], dtype=int)
             kth = d2[j][order[-1]] if take > 0 and len(order) else np.inf
-            guard = min(lon[q] - xlo, xhi - lon[q], lat[q] - ylo, yhi - lat[q])
+            guard = max(
+                0.0,  # antimeridian wrap can make the raw margin negative
+                min(lon[q] - xlo, xhi - lon[q], lat[q] - ylo, yhi - lat[q]),
+            )
             # resolved needs a FULL k candidates STRICTLY inside the
             # guarantee: a tied candidate exactly ON the block boundary
             # may be owned by an unexplored cell, so boundary ties fall

@@ -133,3 +133,24 @@ def test_parse_fixed_falls_back_on_layout_mismatch():
         return
     v0 = out["v"][0]
     assert v0 is None or v0 != v0
+
+
+def test_emit_cos_topk_survives_zero_norm_embedding():
+    """One all-zero embedding must not poison the shared top-k cut for
+    every query in the batch (NaN kth -> zero emissions)."""
+    import numpy as np
+    import pandas as pd
+
+    from rayhist.spatial.knn import _emit_cos_topk, _unit_rows
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(5, 8))
+    mat[2] = 0.0  # zero-norm row
+    unit = _unit_rows(mat)
+    assert np.isfinite(unit).all()
+    qmat = _unit_rows(rng.normal(size=(2, 8)))
+    sims = qmat @ unit.T
+    out = _emit_cos_topk(sims, np.array([100, 101]), np.arange(5), k=5)
+    assert isinstance(out, pd.DataFrame)
+    # every finite candidate emitted for both queries (5 ids, no self)
+    assert (out.groupby("query_id").size() == 5).all()

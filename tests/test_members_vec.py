@@ -206,3 +206,34 @@ def test_vec_handles_empty_batch():
     assert out["n_part"].to_pylist() == [0]
     snaps = snapshot_geoms_batch_vec(tbl, TS)
     assert snaps.num_rows == 0
+
+
+def test_separator_adversarial_tag_values_and_roles_ab():
+    """Tag VALUES containing ';'/'=' must not collide distinct tag
+    dicts in the vectorized signature (a ';' join read {'a':'1;b=2'}
+    and {'a':'1','b':'2'} as equal -> missed TAG_CHANGE), and a role
+    containing '@role=' must split on the FIRST marker like the
+    per-document parser."""
+    from rayhist.fixtures import make_compound_doc
+
+    d = make_compound_doc(
+        "way/9",
+        [
+            {"v": 1, "ts": 100, "cs": 1, "uid": 1, "visible": True,
+             "tags": {"a": "1;b=2"},
+             "members": [("node/90", "x@role=y")]},
+            # same ';'-joined signature, DIFFERENT tag dict: TAG_CHANGE
+            {"v": 2, "ts": 200, "cs": 2, "uid": 2, "visible": True,
+             "tags": {"a": "1", "b": "2"},
+             "members": [("node/90", "x@role=y")]},
+        ],
+        {
+            "node/90": [
+                {"v": 1, "ts": 100, "cs": 5, "uid": 3, "visible": True, "lon": 1, "lat": 2},
+            ]
+        },
+    )
+    tbl = _batch_of([d], ids=[9])
+    _assert_contrib_ab(tbl, None, None)
+    new = contribution_stats_batch_vec(tbl, 0, 1 << 61, match_kv=None)
+    assert new.to_pydict()["tag_part"][0] == 1  # the change IS detected

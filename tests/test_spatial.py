@@ -601,3 +601,34 @@ def test_multizoom_layout_query_matches_plain_bbox():
     )
     want = con.sql(oracles.snapshot_count_bbox_multizoom()).df()
     assert int(df["n_snapshots"].iloc[0]) == int(want["n_snapshots"].iloc[0])
+
+
+def test_grid_knn_antimeridian_point_matches_brute():
+    """A point at lon exactly +180 deg wraps to grid column 0 while its
+    planar coordinate stays +1.8e9 — the explored-block guard must
+    clamp to 0 there (never 'resolve' off a negative margin) and fall
+    through to the exact path."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayhist.spatial.knn import knn_points, knn_points_grid
+
+    rng = np.random.default_rng(7)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    # cluster near the antimeridian, one point exactly AT it
+    lon = rng.integers(LON_MOD // 2 - 5_000_000, LON_MOD // 2, n)
+    lon[0] = LON_MOD // 2
+    lat = rng.integers(-1_000_000, 1_000_000, n)
+    ds = ray.data.from_arrow(
+        pa.table({"osm_id": ids, "lon_e7": lon, "lat_e7": lat})
+    ).materialize()
+    queries = [(0, int(lon[0]), int(lat[0])), (5, int(lon[5]), int(lat[5]))]
+    brute = knn_points(ds, queries, k=3)
+    grid = knn_points_grid(ds, queries, k=3, zoom=6)
+    cols = ["query_id", "neighbor_id", "rank", "dist2"]
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(
+        brute[cols].reset_index(drop=True), grid[cols].reset_index(drop=True)
+    )
