@@ -64,6 +64,10 @@ def explode_shingles(batch: pa.Table, id_col: str = "doc_id", text_col: str = "t
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    # a null text's split is a null list whose length is NaN -> int64
+    # garbage in the offset math; treat nulls as empty (same defense
+    # as text.explode_windows)
+    texts = pc.fill_null(texts, "")
     parts = pc.split_pattern(texts, " ")
     lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(parts)
@@ -186,7 +190,19 @@ def exact_jaccard_pairs(
         .map_groups(lambda g: combine_and_threshold(g.drop(columns=["_pb"])), batch_format="pandas")
         .to_pandas()
     )
+    if hits.empty:  # zero surviving pairs can come back schema-less
+        hits = pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_a", "doc_b", "common", "un")})
     return hits.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _bucket_candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """All unordered id pairs of one (band, key) bucket — sort and
+    triangle indices computed ONCE per group (they were duplicated in
+    the inline lambda, doubling the O(n^2) hot-path work)."""
+    ids = np.sort(g["doc_id"].to_numpy())
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
 
 
 class MinHashStage:
@@ -231,9 +247,16 @@ class MinHashStage:
         n = len(batch)
         ex = explode_shingles(batch)
         # rows sorted by doc position for reduceat
-        ids_all = batch["doc_id"].to_pylist()
-        pos = {d: i for i, d in enumerate(ids_all)}
-        doc_idx = np.fromiter((pos[d] for d in ex["doc_id"].to_pylist()), dtype=np.int64, count=len(ex))
+        import pyarrow.compute as pc
+
+        ids_col = batch["doc_id"]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids_all = ids_col.to_pylist()
+        # id -> batch position as one C kernel, not a per-row dict scan
+        doc_idx = pc.index_in(ex["doc_id"], value_set=ids_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         order = np.argsort(doc_idx, kind="stable")
         doc_idx = doc_idx[order]
         h = hash64_arr(np.asarray(ex["shingle"].to_pylist(), dtype=object))[order]
@@ -252,9 +275,7 @@ class MinHashStage:
         # quadratic candidate explosion at corpus scale
         keep = np.flatnonzero(has_shingles)
         keys = self._band_keys(sigs[keep])  # (n_keep, bands)
-        out_id = []
-        for i in keep:
-            out_id.extend([ids_all[i]] * self.bands)
+        out_id = np.repeat(np.asarray(ids_all, dtype=object)[keep], self.bands)
         return pa.table(
             {
                 "doc_id": pa.array(out_id, type=batch["doc_id"].type),
@@ -285,15 +306,7 @@ def minhash_lsh_pairs(
     cand = (
         docs.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 8))
         .groupby(["band", "key"])
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {
-                    "doc_a": np.sort(g["doc_id"].to_numpy())[np.triu_indices(len(g), k=1)[0]],
-                    "doc_b": np.sort(g["doc_id"].to_numpy())[np.triu_indices(len(g), k=1)[1]],
-                }
-            ),
-            batch_format="pandas",
-        )
+        .map_groups(_bucket_candidate_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
@@ -402,9 +415,7 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFrame:
         # hamming==0 verification as false near-dup pairs
         keep = np.flatnonzero(has_shingles)
         sigs = sigs[keep]
-        out_id = []
-        for i in keep:
-            out_id.extend([ids_all[i]] * 4)
+        out_id = np.repeat(np.asarray(ids_all, dtype=object)[keep], 4)
         chunk = np.tile(np.arange(4, dtype=np.int32), len(keep))
         sig4 = np.repeat(sigs, 4)
         key = (sig4 >> (np.uint64(16) * chunk.astype(np.uint64))) & np.uint64(0xFFFF)
@@ -435,8 +446,12 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFrame:
         .groupby(["chunk", "key"])
         .map_groups(pairs_of_group, batch_format="pandas")
         .to_pandas()
-        .drop_duplicates(subset=["doc_a", "doc_b"])
     )
+    if out.empty:  # zero surviving pairs can come back schema-less
+        out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                            "doc_b": pd.Series([], dtype="int64"),
+                            "hamming": pd.Series([], dtype="int64")})
+    out = out.drop_duplicates(subset=["doc_a", "doc_b"])
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -524,7 +539,9 @@ def embedding_dup_pairs(
         bi, bj = int(g["_bi"].iloc[0]), int(g["_bj"].iloc[0])
         ids = g[id_col].to_numpy(dtype=np.int64)
         mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        from ..spatial.knn import _unit_rows
+
+        mat = _unit_rows(mat)  # zero-norm safe (a zero vector must not NaN its row)
         if bi == bj:
             sims = mat @ mat.T
             ii, jj = np.nonzero(sims >= tau)

@@ -10,7 +10,6 @@ checks — no SQL equivalent).
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -62,7 +61,7 @@ def quality_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     set-intersection per row."""
     texts = batch[text_col]
     n = len(texts)
-    arr = pa.array(texts.tolist(), type=pa.string())
+    arr = pc.fill_null(pa.array(texts.tolist(), type=pa.string()), "")
     parts = pc.split_pattern(arr, " ")
     lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(parts)
@@ -75,7 +74,7 @@ def quality_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     batch["n_chars_m"] = n_chars
     batch["mean_word_len"] = np.round(no_space_len / nw, 4)
     batch["stop_ratio"] = np.round(stop_counts / nw, 4)
-    punct = texts.str.count(r"[^\w\s]").to_numpy()
+    punct = texts.fillna("").str.count(r"[^\w\s]").to_numpy()
     batch["punct_ratio"] = np.round(punct / np.maximum(n_chars, 1), 4)
     mwl = batch["mean_word_len"].to_numpy()
     batch["quality_ok"] = (lens >= 5) & (mwl >= 2) & (mwl <= 12)
@@ -93,10 +92,11 @@ def langid_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     ``max(..., key=(score, lang))``)."""
     texts = batch[text_col]
     n = len(texts)
-    cjk = texts.str.count(r"[一-鿿]").to_numpy()
-    is_zh = cjk > texts.str.len().to_numpy() * 0.2
+    safe = texts.fillna("")
+    cjk = safe.str.count(r"[一-鿿]").to_numpy()
+    is_zh = cjk > safe.str.len().to_numpy() * 0.2
 
-    low = pc.utf8_lower(pa.array(texts.tolist(), type=pa.string()))
+    low = pc.utf8_lower(pc.fill_null(pa.array(texts.tolist(), type=pa.string()), ""))
     parts = pc.split_pattern(low, " ")
     lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(parts)
@@ -183,8 +183,10 @@ def explode_windows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "te
 def fingerprint_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """md5 content fingerprint (matches SQL md5()) plus a 64-bit FNV-1a
     rolling hash for windowed dedup (vectorized, fnv1a_batch)."""
+    from .dedup import md5_hex
+
     texts = batch[text_col].to_pylist()
-    md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    md5s = md5_hex(texts)  # the one definition of the oracle-parity md5
     rolls = fnv1a_batch(texts).view(np.int64)
     batch = batch.append_column("fp", pa.array(md5s))
     return batch.append_column("fp_roll", pa.array(rolls, type=pa.int64()))

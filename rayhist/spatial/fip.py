@@ -151,7 +151,18 @@ def bbox_inside(poly: Polygon, min_x, min_y, max_x, max_y) -> bool:
     e = poly._edges
     vx, vy = e[:, 0], e[:, 1]
     # a polygon vertex strictly inside the bbox -> boundary enters it
-    return not ((vx > min_x) & (vx < max_x) & (vy > min_y) & (vy < max_y)).any()
+    if ((vx > min_x) & (vx < max_x) & (vy > min_y) & (vy < max_y)).any():
+        return False
+    # a polygon EDGE may still cross the bbox with neither endpoint
+    # inside (a thin slit / hole notch through the box): conservative
+    # edge-bbox overlap test, mirroring bbox_outside — overlap means
+    # "cannot prove inside", fall through to the exact per-point test
+    ex0 = np.minimum(e[:, 0], e[:, 2])
+    ex1 = np.maximum(e[:, 0], e[:, 2])
+    ey0 = np.minimum(e[:, 1], e[:, 3])
+    ey1 = np.maximum(e[:, 1], e[:, 3])
+    overlap = (ex1 >= min_x) & (ex0 <= max_x) & (ey1 >= min_y) & (ey0 <= max_y)
+    return not overlap.any()
 
 
 class PointInPolygonStage:

@@ -319,3 +319,40 @@ def test_tag_interpreter_modes():
     assert not ti.is_area({"name": "x"})
     # default interpreter == historical AREA_TAGS behavior
     assert is_area({"building": "yes"}) and not is_area({"name": "x"})
+
+
+def test_dedup_and_text_stages_survive_null_text():
+    """One null text must not poison a batch (explode_shingles offset
+    math, quality/langid stages) — nulls behave as empty strings."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayhist.ops.dedup import explode_shingles
+    from rayhist.ops.text import langid_stage, quality_stage
+
+    t = pa.table({"doc_id": [0, 1, 2], "text": ["a b c d", None, "e f g h"]})
+    sh = explode_shingles(t)
+    assert set(sh["doc_id"].to_pylist()) == {0, 2}
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["the quick brown fox", None]})
+    q = quality_stage(df.copy())
+    assert q["n_chars_m"].iloc[1] == 0 and not q["quality_ok"].iloc[1]
+    assert np.isfinite(q["punct_ratio"]).all()
+    lid = langid_stage(df.copy())
+    assert lid["lang_pred"].iloc[1] == "en"  # default, not a crash
+
+
+def test_pair_ops_empty_result_schemas():
+    """Zero surviving pairs must return the documented typed columns,
+    not a schema-less frame."""
+    import ray.data
+
+    from rayhist.ops.dedup import exact_jaccard_pairs, simhash_pairs
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"unique{i} words{i} here{i} now{i}"} for i in range(6)]
+    )
+    ej = exact_jaccard_pairs(docs, 1, 2)
+    assert list(ej.columns) == ["doc_a", "doc_b", "common", "un"] and ej.empty
+    sh = simhash_pairs(docs, max_hamming=0)
+    assert list(sh.columns) == ["doc_a", "doc_b", "hamming"]

@@ -632,3 +632,19 @@ def test_grid_knn_antimeridian_point_matches_brute():
     pdt.assert_frame_equal(
         brute[cols].reset_index(drop=True), grid[cols].reset_index(drop=True)
     )
+
+
+def test_bbox_inside_rejects_slit_crossing():
+    """A polygon edge crossing the bbox with no vertex inside it (thin
+    slit / hole notch) must defeat the 'provably inside' short-circuit
+    — it previously returned True and mis-tagged whole cells."""
+    from rayhist.spatial.fip import Polygon, bbox_inside
+
+    outer = np.array(
+        [[0, 0], [10, 0], [10, 4.9], [0.5, 4.9], [0.5, 5.1], [10, 5.1], [10, 10], [0, 10]],
+        dtype=np.float64,
+    )
+    poly = Polygon([outer])
+    assert not bbox_inside(poly, 4, 4, 6, 6)
+    # a genuinely interior bbox still short-circuits
+    assert bbox_inside(poly, 1, 1, 2, 2)
