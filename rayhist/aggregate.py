@@ -126,9 +126,12 @@ def combine_partials(
     keys x blocks > ~10^7 rows means keep it distributed.
     """
     df = ds.to_pandas()
-    if df.empty and not set(keys) <= set(df.columns):
+    if df.empty and not set(keys) | set(sums) <= set(df.columns):
         # an all-empty partials stream can arrive schema-less (Ray
-        # drops empty blocks): return a typed empty result
+        # drops empty blocks): return a typed empty result — or, for a
+        # global total (no keys), the zero row
+        if not keys:
+            return pd.DataFrame([{out: 0 for out in sums.values()}]).astype("int64")
         cols = {k: pd.Series([], dtype="object") for k in keys}
         cols.update({out: pd.Series([], dtype="int64") for out in sums.values()})
         return pd.DataFrame(cols)
@@ -154,12 +157,17 @@ def grouped_estimated_quantiles(
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        key_type = batch[key].type  # empty batches must keep the key
+        # type (a null-typed column would break downstream schema
+        # unification)
         df = pd.DataFrame({key: batch[key].to_pylist(), "_v": batch[col].to_numpy(zero_copy_only=False)})
         rows_k, rows_d = [], []
         for k, g in df.groupby(key, sort=True):
             rows_k.append(k)
             rows_d.append(TDigest.of(g["_v"].to_numpy(), compression).to_bytes())
-        return pa.table({key: pa.array(rows_k), "digest": pa.array(rows_d, type=pa.binary())})
+        return pa.table(
+            {key: pa.array(rows_k, type=key_type), "digest": pa.array(rows_d, type=pa.binary())}
+        )
 
     merged: dict[object, TDigest] = {}
     for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():

@@ -29,12 +29,18 @@ from ..model import LAT_MOD, LON_MOD
 MAXZOOM = 15
 
 
+def grid_dims(zoom: int) -> tuple[int, int]:
+    """(nx, ny) of the equal-degree grid at a zoom: 2^z columns,
+    2^(z-1) rows (1 row at zoom 0 AND 1) — the reference's XYGrid
+    shape. The ONE definition; an H3/S2 swap changes only this."""
+    return 1 << zoom, 1 << max(zoom - 1, 0)
+
+
 def cell_id(lon_e7, lat_e7, zoom: int):
     """Vectorized point -> row-major cell id at a zoom level."""
     lon = np.asarray(lon_e7, dtype=np.int64)
     lat = np.asarray(lat_e7, dtype=np.int64)
-    nx = np.int64(1) << zoom
-    ny = max(1, 1 << (zoom - 1)) if zoom >= 1 else 1
+    nx, ny = (np.int64(d) for d in grid_dims(zoom))
     x = ((lon + LON_MOD // 2) % LON_MOD) * nx // LON_MOD
     y = (lat + LAT_MOD // 2) * ny // LAT_MOD
     y = np.minimum(y, ny - 1)  # lat=+90 border -> top row
@@ -51,8 +57,7 @@ def cell_bounds(zoom: int, cell: int) -> tuple[int, int, int, int]:
     """cell -> (min_lon_e7, min_lat_e7, max_lon_e7, max_lat_e7),
     half-open on the east/north edges (XYGrid.getCellDimensions
     analog, :177-202)."""
-    nx = 1 << zoom
-    ny = max(1, 1 << (zoom - 1)) if zoom >= 1 else 1
+    nx, ny = grid_dims(zoom)
     y, x = divmod(int(cell), nx)
 
     def ceildiv(a: int, b: int) -> int:
@@ -90,8 +95,7 @@ def insert_zoom(
     out = np.zeros(len(lo_x), dtype=np.int64)
     done = np.zeros(len(lo_x), dtype=bool)
     for z in range(max_zoom, -1, -1):
-        nx = 1 << z
-        ny = max(1, 1 << (z - 1)) if z >= 1 else 1
+        nx, ny = grid_dims(z)
         cx0 = lo_x * nx // LON_MOD
         cx1 = hi_x * nx // LON_MOD
         cy0 = np.minimum(lo_y * ny // LAT_MOD, ny - 1)
@@ -141,8 +145,7 @@ def multizoom_query_cells(
     the single-zoom query path lacks."""
     out = []
     for z in range(max_zoom + 1):
-        nx = 1 << z
-        ny = max(1, 1 << (z - 1)) if z >= 1 else 1
+        nx, ny = grid_dims(z)
         x0 = int((min_lon_e7 + LON_MOD // 2) * nx // LON_MOD) - 1  # one tile W
         x1 = int((max_lon_e7 + LON_MOD // 2) * nx // LON_MOD)
         y0 = max(int((min_lat_e7 + LAT_MOD // 2) * ny // LAT_MOD) - 1, 0)  # one S
@@ -162,8 +165,7 @@ def bbox_cells(zoom: int, min_lon_e7: int, min_lat_e7: int, max_lon_e7: int, max
     (index/XYGridTree.java:219-248). Used for partition pruning at the
     read (the Ray analog of the SQL ``id BETWEEN ?`` cell fetch,
     backend/MapReducerJdbc.java:51-114)."""
-    nx = 1 << zoom
-    ny = max(1, 1 << (zoom - 1)) if zoom >= 1 else 1
+    nx, ny = grid_dims(zoom)
     x0 = int((min_lon_e7 + LON_MOD // 2) * nx // LON_MOD)
     x1 = int((max_lon_e7 + LON_MOD // 2) * nx // LON_MOD)
     y0 = min(int((min_lat_e7 + LAT_MOD // 2) * ny // LAT_MOD), ny - 1)

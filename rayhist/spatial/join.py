@@ -47,10 +47,15 @@ class RegionIndex:
                 else:
                     self.boundary.setdefault(int(c), []).append(rid)
 
-    def classify(self, lon_e7: np.ndarray, lat_e7: np.ndarray) -> list[tuple[int, str]]:
-        """-> (row index, region id) pairs for every containment."""
+    def classify(
+        self, lon_e7: np.ndarray, lat_e7: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """-> (row indices, region ids) arrays, one entry per
+        containment. Array-per-cell accumulation: no per-row Python
+        tuples (the common fully-inside cells are pure numpy)."""
         cells = cell_id(lon_e7.astype(np.int64), lat_e7.astype(np.int64), self.zoom)
-        out: list[tuple[int, str]] = []
+        row_parts: list[np.ndarray] = []
+        rid_parts: list[np.ndarray] = []
         order = np.argsort(cells, kind="mergesort")
         sc = cells[order]
         uniq, starts = np.unique(sc, return_index=True)
@@ -58,13 +63,21 @@ class RegionIndex:
         for c, s, e in zip(uniq, starts, ends):
             rows = order[s:e]
             for rid in self.inside.get(int(c), ()):
-                out.extend((int(r), rid) for r in rows)
+                row_parts.append(rows)
+                rid_parts.append(np.full(len(rows), rid, dtype=object))
             for rid in self.boundary.get(int(c), ()):
                 hit = self.polys[rid].contains(
                     lon_e7[rows].astype(np.float64), lat_e7[rows].astype(np.float64)
                 )
-                out.extend((int(r), rid) for r in rows[hit])
-        return out
+                sub = rows[hit]
+                row_parts.append(sub)
+                rid_parts.append(np.full(len(sub), rid, dtype=object))
+        if not row_parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+        return (
+            np.concatenate(row_parts).astype(np.int64),
+            np.concatenate(rid_parts),
+        )
 
 
 class RegionJoinStage:
@@ -82,11 +95,9 @@ class RegionJoinStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon_e7"].to_numpy(zero_copy_only=False)
         lat = batch["lat_e7"].to_numpy(zero_copy_only=False)
-        pairs = self.index.classify(lon, lat)
-        if not pairs:
+        rows, rids = self.index.classify(lon, lat)
+        if not len(rows):
             out = batch.slice(0, 0)
             return out.append_column("region_id", pa.array([], type=pa.string()))
-        rows = np.array([p[0] for p in pairs], dtype=np.int64)
-        rids = [p[1] for p in pairs]
         out = batch.take(pa.array(rows))
         return out.append_column("region_id", pa.array(rids, type=pa.string()))

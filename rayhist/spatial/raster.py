@@ -29,16 +29,22 @@ RASTER_MOD = 251
 
 
 def raster_value_for(cell: np.ndarray, band: int = 0) -> np.ndarray:
-    """Deterministic synthetic raster band value for a cell id."""
+    """Deterministic synthetic raster band value for a cell id.
+
+    Modular multiply (reduce BEFORE the product): mathematically
+    identical to ``(c * HASH + band) % MOD`` in exact arithmetic but
+    cannot wrap int64 for large/packed cell ids — a silent wrap would
+    diverge from the DuckDB oracle, which computes exactly."""
     c = np.asarray(cell, dtype=np.int64)
-    return (c * RASTER_HASH + band) % RASTER_MOD
+    return ((c % RASTER_MOD) * (RASTER_HASH % RASTER_MOD) + band) % RASTER_MOD
 
 
 def make_raster_tiles(zoom: int, band: int = 0) -> pa.Table:
     """The full synthetic raster table at one zoom (driver-side; tiny
     for coarse zooms; written to Lance/Parquet for the scale path)."""
-    nx = 1 << zoom
-    ny = max(1, 1 << (zoom - 1)) if zoom >= 1 else 1
+    from .grid import grid_dims
+
+    nx, ny = grid_dims(zoom)
     cells = np.arange(nx * ny, dtype=np.int64)
     return pa.table(
         {

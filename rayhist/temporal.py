@@ -183,7 +183,7 @@ def snapshots(
     Output = state columns + ``ts_q`` (the query timestamp).
     """
     timestamps = np.asarray(timestamps, dtype=np.int64)
-    if len(tbl) == 0:
+    if len(tbl) == 0 or len(timestamps) == 0:
         empty = tbl.select(_STATE_COLS).slice(0, 0)
         return empty.append_column("ts_q", pa.array([], type=pa.int64()))
     tbl, codes, ts, _v, order = _sorted_versions(tbl)
@@ -199,7 +199,10 @@ def snapshots(
     # with far query timestamps overflowed into the doc-code bits)
     t_span = max(int(rel.max()), int(timestamps.max()) - ts_min, 1)
     shift = t_span.bit_length() + 1
-    assert codes.max() < (1 << (62 - shift)), "batch too wide for composite key"
+    if codes.max() >= (1 << (62 - shift)):
+        # data-dependent invariant: must hold under `python -O` too —
+        # a silent overflow would return states from the WRONG document
+        raise ValueError("batch too wide for composite key")
     key = (codes << shift) | rel
 
     n_docs = int(codes.max()) + 1

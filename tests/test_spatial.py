@@ -255,7 +255,8 @@ def test_region_index_matches_linear_scan():
     idx = RegionIndex(regions, zoom=6)
     px = rng.integers(-LON_MOD // 2, LON_MOD // 2, 4000)
     py = rng.integers(-LAT_MOD // 2, LAT_MOD // 2, 4000)
-    got = set(idx.classify(px, py))
+    rows, rids = idx.classify(px, py)
+    got = {(int(r), str(rid)) for r, rid in zip(rows, rids)}
     want = set()
     for rid, rings in regions:
         from rayhist.spatial.fip import Polygon
