@@ -223,6 +223,7 @@ def _pack_bucket(group: pd.DataFrame, keytable: dict[str, int] | None = None) ->
         ],
         names=["kind", "text", "media_ref", "offset"],
     )
+    assert total < 2**31, "span offsets exceed int32 — shrink the bucket count"
     list_offsets = np.r_[np.flatnonzero(doc_first_span), total].astype(np.int32)
     spans_col = pa.ListArray.from_arrays(pa.array(list_offsets), spans_flat)
 
@@ -471,6 +472,35 @@ def _pack_way_bucket(group: pd.DataFrame) -> pa.Table:
     )
 
 
+def _replicated(derived: ray.data.Dataset, rep: int) -> ray.data.Dataset:
+    """rep-fold deterministic corpus amplification: replica r of an
+    entity gets osm_id + r*REP_STRIDE. Base ids must stay below the
+    stride — a collision would silently MERGE two distinct entities'
+    histories into one document (interleaved versions, corrupt cs and
+    coordinates), so the guard is loud."""
+    if rep <= 1:
+        return derived
+    import pyarrow.compute as pc
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        hi = pc.max(batch["osm_id"]).as_py()
+        if hi is not None and hi >= REP_STRIDE:
+            raise ValueError(
+                f"osm_id {hi} >= REP_STRIDE {REP_STRIDE}: replicas would collide"
+            )
+        parts = []
+        for r in range(rep):
+            t = batch.set_column(
+                batch.schema.get_field_index("osm_id"),
+                "osm_id",
+                pc.add(batch["osm_id"], r * REP_STRIDE),
+            )
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    return derived.map_batches(replicate, batch_format="pyarrow")
+
+
 def build_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
     """events.parquet -> span-document Dataset (the ingest pipeline).
 
@@ -485,21 +515,7 @@ def build_documents(sf_dir: str, rep: int = 1) -> ray.data.Dataset:
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
     derived = ev.map_batches(derive_version_columns, batch_format="pyarrow")
-    if rep > 1:
-        import pyarrow.compute as pc
-
-        def replicate(batch: pa.Table) -> pa.Table:
-            parts = []
-            for r in range(rep):
-                t = batch.set_column(
-                    batch.schema.get_field_index("osm_id"),
-                    "osm_id",
-                    pc.add(batch["osm_id"], r * REP_STRIDE),
-                )
-                parts.append(t)
-            return pa.concat_tables(parts)
-
-        derived = derived.map_batches(replicate, batch_format="pyarrow")
+    derived = _replicated(derived, rep)
 
     # the one ingest shuffle: co-locate each entity's versions. Bucket
     # by entity-id hash so each map_groups call packs MANY complete
@@ -752,9 +768,10 @@ def _pack_oldstyle_bucket(group: pd.DataFrame) -> pa.Table:
                          mn_lat=("lat", "min"), mx_lat=("lat2", "max"), anyv=("v", "max"))
 
     kinds_parts, texts_parts, refs_parts, doc_lens, kept_rids = [], [], [], [], []
+    by_rid = dict(tuple(per_node.groupby("rid", sort=False)))
     for r, cs_s, cs_e in zip(rel_ids, rel_starts, rel_ends):
         r = int(r)
-        nodes = per_node[per_node["rid"] == r]
+        nodes = by_rid.get(r, per_node.iloc[0:0])
         ids = nodes.index.to_numpy()
         outer = sorted(int(i) for i in ids if i % OS_BLOCK < 4)
         inner = sorted(int(i) for i in ids if i % OS_BLOCK >= 4)
@@ -853,21 +870,7 @@ def _build_compound(sf_dir: str, rep: int, block: int, packer) -> ray.data.Datas
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
     derived = ev.map_batches(derive_version_columns, batch_format="pyarrow")
-    if rep > 1:
-        import pyarrow.compute as pc
-
-        def replicate(batch: pa.Table) -> pa.Table:
-            parts = []
-            for r in range(rep):
-                t = batch.set_column(
-                    batch.schema.get_field_index("osm_id"),
-                    "osm_id",
-                    pc.add(batch["osm_id"], r * REP_STRIDE),
-                )
-                parts.append(t)
-            return pa.concat_tables(parts)
-
-        derived = derived.map_batches(replicate, batch_format="pyarrow")
+    derived = _replicated(derived, rep)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = (batch["osm_id"].to_numpy(zero_copy_only=False) // block) % 64

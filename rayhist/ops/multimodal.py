@@ -19,7 +19,6 @@ import hashlib
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -79,8 +78,17 @@ class MediaDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
+        n_blocks = -(-self.dim * 2 // 32)  # sha256 yields 32 bytes; chain
+        # counter-suffixed digests for dims > 16 (a bare slice silently
+        # TRUNCATED to 16 dims)
         for payload in batch["payload"].to_pylist():
-            h = hashlib.sha256(payload).digest()
+            if n_blocks == 1:  # dims <= 16: the original single digest
+                h = hashlib.sha256(payload).digest()
+            else:
+                h = b"".join(
+                    hashlib.sha256(payload + bytes([i])).digest()
+                    for i in range(n_blocks)
+                )
             feats.append(np.frombuffer(h[: self.dim * 2], dtype=np.uint16).astype(np.float32) / 65535.0)
         out = batch.select(["media_ref", "kind", "width", "height"])
         return out.append_column(

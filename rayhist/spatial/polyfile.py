@@ -56,6 +56,25 @@ def parse_poly(text: str) -> tuple[str, list[np.ndarray]]:
         (holes if is_hole else outers).append(ring)
     if not outers:
         raise ValueError("no outer ring in .poly file")
+    if len(outers) > 1:
+        # Osmosis semantics UNION multiple outer sections (Area.add);
+        # the downstream even-odd crossing test instead cancels parity
+        # where outers OVERLAP — silently wrong AOI answers. Accept
+        # multiple outers only when their bboxes are provably disjoint;
+        # raise loudly otherwise rather than misclassify.
+        boxes = [
+            (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max())
+            for r in outers
+        ]
+        for a in range(len(boxes)):
+            for b in range(a + 1, len(boxes)):
+                ax0, ay0, ax1, ay1 = boxes[a]
+                bx0, by0, bx1, by1 = boxes[b]
+                if ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1:
+                    raise NotImplementedError(
+                        ".poly files with OVERLAPPING outer sections need "
+                        "union semantics the even-odd test cannot express"
+                    )
     return name, outers + holes
 
 
