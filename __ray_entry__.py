@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_lsh": p.q_ann_cosine_lsh,
         "sessions": p.q_sessions,
         "snapshot_count_bbox": p.q_snapshot_count_bbox,
+        "snapshot_pip_many_regions": p.q_snapshot_pip_many_regions,
         "api_snapshot_weekly_click_bbox": p.q_api_snapshot_weekly_click_bbox,
         "api_contrib_creations_daily_even_uid": p.q_api_contrib_creations_daily_even_uid,
         "snapshot_count_bbox_multizoom": p.q_snapshot_count_bbox_multizoom,
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_lsh": o.ann_cosine(),
         "sessions": o.sessions(),
         "snapshot_count_bbox": o.snapshot_count_bbox(),
+        "snapshot_pip_many_regions": o.snapshot_pip_many_regions(),
         "api_snapshot_weekly_click_bbox": o.api_snapshot_weekly_click_bbox(),
         "api_contrib_creations_daily_even_uid": o.api_contrib_creations_daily_even_uid(),
         "snapshot_count_bbox_multizoom": o.snapshot_count_bbox_multizoom(),

@@ -1324,3 +1324,18 @@ LEFT JOIN (
 ORDER BY tl.ts_q
 """
     )
+
+
+def snapshot_pip_many_regions() -> str:
+    from .pipelines import _many_regions
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    sels = []
+    for rid, (ring,) in _many_regions():
+        (x0, y0), (x1, y1) = ring[0], ring[2]
+        sels.append(
+            f"SELECT '{rid}' AS region_id, count(*) FILTER ("
+            f"lon_e7 >= {x0} AND lon_e7 <= {x1} AND lat_e7 >= {y0} AND lat_e7 <= {y1}"
+            f") AS n FROM snap"
+        )
+    return DERIVE + cte + "\nUNION ALL\n".join(sels) + "\nORDER BY region_id"

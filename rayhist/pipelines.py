@@ -1861,3 +1861,60 @@ def q_api_contrib_creations_daily_even_uid(sf_dir: str) -> pd.DataFrame:
         .aggregateByTimestamp()
         .sum("is_creation", alias="n_creations")
     )
+
+
+def _many_regions() -> list[tuple[str, list]]:
+    """24 deterministic axis-aligned rectangles (some overlapping) in
+    e7 coords — literal-mirrored in the SQL oracle."""
+    out = []
+    for i in range(24):
+        cx = ((i * 982451653) % 3_000_000_000) - 1_500_000_000
+        cy = ((i * 472882027) % 1_400_000_000) - 700_000_000
+        # half-integer edges: integer points can never lie exactly ON
+        # a boundary, so the even-odd kernel and the SQL inequalities
+        # agree everywhere by construction
+        w = 2e8 + (i % 5) * 1e8 + 0.5
+        h = 1e8 + (i % 3) * 1e8 + 0.5
+        ring = [(cx - w, cy - h), (cx + w, cy - h), (cx + w, cy + h), (cx - w, cy + h)]
+        out.append((f"r{i:02d}", [ring]))
+    return out
+
+
+def q_snapshot_pip_many_regions(sf_dir: str) -> pd.DataFrame:
+    """Many-region point-in-polygon join through the grid-bucketed
+    region index (RegionIndex / RegionJoinStage — the GeometrySplitter
+    analog, oshdb-api/.../mapreducer/GeometrySplitter.java:80-203):
+    cells fully inside a region skip the exact test, boundary cells run
+    the banded PIP; one actor-pool stage, regions broadcast via
+    ray.put. Counts per region over the T_MID snapshot, zerofilled —
+    this puts the index itself (inside/boundary cell classification)
+    under the value-exact oracle, not just the pytest linear-scan
+    equivalence."""
+    import ray
+
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.join import RegionJoinStage
+    from .temporal import snapshots as snapshots_fn
+
+    regions = _many_regions()
+    regions_ref = ray.put(regions)
+    ts = np.array([T_MID], dtype=np.int64)
+
+    class Stage(RegionJoinStage):
+        def __init__(self):
+            super().__init__(regions_ref, zoom=6)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = snapshots_fn(decode_spans(batch, tags=False), ts)
+            tagged = super().__call__(s.select(["lon_e7", "lat_e7"]))
+            g = pa.TableGroupBy(tagged.select(["region_id"]), ["region_id"]).aggregate(
+                [([], "count_all")]
+            )
+            return g.rename_columns(["region_id", "n_part"])
+
+    partials = _docs(sf_dir).map_batches(
+        Stage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    df = combine_partials(partials, ["region_id"], {"n_part": "n"})
+    return zerofill(df, {"region_id": [r for r, _ in regions]}, {"n": 0})
