@@ -20,6 +20,16 @@ import ray
 import ray.data
 
 
+def _ncpu() -> int:
+    """Cluster CPU count (fallback: host cores) — the scaling knob for
+    parallelism defaults that must grow with the cluster."""
+    import os
+
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
+    return os.cpu_count() or 8
+
+
 def round_half_away(x: np.ndarray) -> np.ndarray:
     """Round half AWAY from zero — the SQL ``round()`` contract (DuckDB,
     ANSI; C ``round()``). numpy's ``np.round`` is half-to-even and
@@ -51,7 +61,9 @@ def broadcast_join(
     """Hash join against a broadcast small side: the dimension table is
     put in the object store ONCE and merged per batch (no shuffle) —
     the Ray analog of the reference's denormalize-instead-of-join
-    strategy (data-model.md:20-22)."""
+    strategy (data-model.md:20-22). ONLY for fixed-size dimension
+    tables (nation/region-class); a side that grows with the corpus
+    belongs in hash_join."""
     ref = ray.put(small)
 
     class JoinStage:
@@ -61,7 +73,11 @@ def broadcast_join(
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.small, on=on, how=how)
 
-    return ds.map_batches(JoinStage, batch_format="pandas", concurrency=(1, 8))
+    # actor pool sized to the cluster — a fixed cap would bottleneck
+    # the stage at that many cores no matter how wide the scan fans out
+    return ds.map_batches(
+        JoinStage, batch_format="pandas", concurrency=(1, max(8, _ncpu()))
+    )
 
 
 def topk(ds: ray.data.Dataset, key: str, k: int, tiebreak: str, descending: bool = True) -> pd.DataFrame:
@@ -101,7 +117,7 @@ def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     on: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     how: str = "inner",
 ) -> ray.data.Dataset:
     """Both-sides-large equi-join: explicit partitioned hash join.
@@ -109,15 +125,19 @@ def hash_join(
     Each side gets a deterministic ``bucket = key % n_buckets`` column;
     the two datasets are unioned with a side marker and co-grouped by
     bucket, and matching buckets are joined pairwise inside
-    ``map_groups`` — one shuffle per side, no broadcast. Salt hot keys
-    by raising n_buckets (the bucket function is the single knob; at
-    10^12 rows pick n_buckets ~ cluster cores x 4).
+    ``map_groups`` — one shuffle per side, no broadcast. The default
+    bucket count SCALES WITH THE CLUSTER (cores x 4, floor 64): a
+    constant would make per-bucket memory grow with the corpus until a
+    single map_groups task OOMs. Salt hot keys by raising n_buckets.
 
     Ray >= 2.46 also ships ``Dataset.join``; this explicit form is kept
     because its partitioning is deterministic (resume-stable) and the
     bucket count is an explicit, documented knob.
     """
     import pandas as pd
+
+    if n_buckets is None:
+        n_buckets = max(64, _ncpu() * 4)
 
     # pad both sides to the union schema so the bucket groupby sees
     # one consistent block type
@@ -145,10 +165,19 @@ def hash_join(
         right.map_batches(tag_side("r", [on, *rcols]), batch_format="pyarrow")
     )
 
+    # the union-padded nulls coerce integer columns to float64 in the
+    # pandas group block; restore exact int64 after the merge (money
+    # rule: integer cents, never float sums)
+    int_cols = [n for n, t in all_fields if pa.types.is_integer(t)]
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == "l"][lcols]
         rg = g[g["_side"] == "r"][[on, *rcols]]
-        return lg.merge(rg, on=on, how=how)
+        out = lg.merge(rg, on=on, how=how)
+        for c in int_cols:
+            if c in out.columns and out[c].notna().all():
+                out[c] = out[c].astype("int64")
+        return out
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -158,23 +187,43 @@ def deterministic_sample(
     rate_num: int,
     rate_den: int,
     key_col: str,
+    hash_fn: str = "fnv1a",
 ) -> ray.data.Dataset:
     """Deterministic, resume-stable corpus sampling: keep a row iff the
-    first 32 bits of md5(key) fall under ``rate_num/rate_den`` of the
+    top 32 bits of hash(key) fall under ``rate_num/rate_den`` of the
     hash space (integer threshold — exact in every engine). The sample
     is a pure function of the key, so it is identical across runs,
-    partitionings and parallelism levels, composable (a 1/4 sample of
-    a 1/2 sample is a 1/8 sample), and mirrorable in SQL
-    (``('0x' || substr(md5(k),1,8))::UBIGINT < thresh``). md5 stays a
-    per-row hashlib call for oracle parity — swap in a vectorized hash
-    when parity isn't needed (same note as ops.text.fingerprint_stage)."""
-    import hashlib
+    partitionings and parallelism levels, and composable (a 1/4 sample
+    of a 1/2 sample is a 1/8 sample).
 
+    ``hash_fn``:
+    - ``"fnv1a"`` (default, the production path): vectorized 64-bit
+      FNV-1a over the key bytes (ops.text.fnv1a_batch) — no per-row
+      Python in the hot filter.
+    - ``"md5"``: per-row hashlib, bit-mirrorable in SQL
+      (``('0x' || substr(md5(k),1,8))::UBIGINT < thresh``) — used by
+      the oracle-checked twin; at corpus scale prefer fnv1a.
+    """
     thresh = (rate_num << 32) // rate_den
 
-    def stage(b: pa.Table) -> pa.Table:
-        keys = b[key_col].to_pylist()
-        mask = [int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < thresh for k in keys]
-        return b.filter(pa.array(mask, type=pa.bool_()))
+    if hash_fn == "md5":
+        import hashlib
+
+        def stage(b: pa.Table) -> pa.Table:
+            keys = b[key_col].to_pylist()
+            mask = [
+                int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < thresh
+                for k in keys
+            ]
+            return b.filter(pa.array(mask, type=pa.bool_()))
+
+    else:
+
+        def stage(b: pa.Table) -> pa.Table:
+            from .text import fnv1a_batch
+
+            keys = [str(k) for k in b[key_col].to_pylist()]
+            h = fnv1a_batch(keys) >> np.uint64(32)  # top 32 bits
+            return b.filter(pa.array(h < np.uint64(thresh)))
 
     return ds.map_batches(stage, batch_format="pyarrow")

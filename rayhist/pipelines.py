@@ -349,20 +349,40 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
 
 
 def q_orders_by_nation(sf_dir: str) -> pd.DataFrame:
-    """orders |x| customer |x| nation (both dimension sides broadcast),
-    grouped by nation name."""
+    """orders |x| customer (both corpus-scaled: partitioned HASH join)
+    |x| nation (25 rows: broadcast), grouped by nation name. Customer
+    grows with the corpus, so it must NOT ride the broadcast path — at
+    cluster scale a broadcast customer frame is a driver OOM
+    (broadcast_join's contract covers fixed-size dimensions only).
+    Nation joins broadcast-side as a pre-merge into customer batches
+    BEFORE the shuffle (n_name replaces c_nationkey, keeping the
+    shuffled payload narrow)."""
     import pyarrow.parquet as pq
     import ray.data
-    from .ops.relational import broadcast_join, cents
+    from .ops.relational import broadcast_join, cents, hash_join
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
-    dims = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
-    dims = dims.rename(columns={"c_custkey": "o_custkey"})
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()[
+        ["n_nationkey", "n_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey"})
+    cust = rio.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    def slim(b: pd.DataFrame) -> pa.Table:  # arrow out: hash_join reads
+        # the side's Arrow schema to pad the union
+        return pa.table(
+            {
+                "o_custkey": pa.array(b["c_custkey"].to_numpy(), type=pa.int64()),
+                "n_name": pa.array(b["n_name"].astype(str), type=pa.string()),
+            }
+        )
+
+    cust = broadcast_join(cust, nat, on="c_nationkey").map_batches(
+        slim, batch_format="pandas"
+    )
     orders = rio.read_table(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(lambda b: cents(b, "o_totalprice", "price_c"), batch_format="pyarrow")
-    joined = broadcast_join(orders, dims, on="o_custkey")
+    joined = hash_join(orders, cust, on="o_custkey")
     df = (
         joined.groupby("n_name")
         .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="sum_price_cents"))
@@ -395,9 +415,24 @@ def q_events_by_type(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_cents"))
         .to_pandas()
     )
-    uniq_pairs = (
-        ds.groupby(["event_type", "user_id"]).count().to_pandas()
-        .groupby("event_type", as_index=False).size().rename(columns={"size": "n_users"})
+    # count-distinct users per type WITHOUT an O(#users) driver pull:
+    # blocks after the distinct-pair groupby hold globally-unique
+    # pairs, so the per-type count is a per-batch partial (the
+    # q_contrib_uniq_uids_daily pattern)
+    def type_counts(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["event_type"]), ["event_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "_part"])
+
+    from .aggregate import combine_partials as _cp
+
+    uniq_pairs = _cp(
+        ds.groupby(["event_type", "user_id"])
+        .count()
+        .map_batches(type_counts, batch_format="pyarrow"),
+        ["event_type"],
+        {"_part": "n_users"},
     )
     out = base.merge(uniq_pairs, on="event_type")
     return out.sort_values("event_type").reset_index(drop=True)
@@ -484,7 +519,7 @@ def q_sample_docs(sf_dir: str) -> pd.DataFrame:
     from .ops.relational import deterministic_sample
 
     ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-    df = deterministic_sample(ds, 1, 4, "doc_id").to_pandas()
+    df = deterministic_sample(ds, 1, 4, "doc_id", hash_fn="md5").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -541,13 +576,20 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
-def _query_vec_ids(sf_dir: str, mod: int = 50) -> list[int]:
+def _query_vec_ids(sf_dir: str, mod: int | None = None) -> list[int]:
     """Query-id selection with the predicate INSIDE the scan stage: a
     distributed per-batch ``vec_id % mod == 0`` filter, so only the
     O(corpus/mod) selected ids ever reach the driver — never the whole
     id column (parquet expressions can't push modulo, so the filter
-    runs as the first map stage instead)."""
+    runs as the first map stage instead). ``RAYHIST_ANN_MOD`` bounds
+    the query-set size at larger corpora (the query count must not
+    scale with the corpus: per-batch ANN work is O(n_queries x rows))."""
+    import os
+
     import ray.data
+
+    if mod is None:
+        mod = int(os.environ.get("RAYHIST_ANN_MOD", "50"))
 
     def pick(b: pa.Table) -> pa.Table:
         v = b["vec_id"].to_numpy(zero_copy_only=False)
@@ -610,9 +652,16 @@ def q_keytable_freqs(sf_dir: str) -> pd.DataFrame:
         g = pa.TableGroupBy(t, ["tag"]).aggregate([([], "count_all")])
         return g.rename_columns(["tag", "n_part"])
 
-    from .aggregate import combine_partials
-
-    df = combine_partials(docs.map_batches(stage, batch_format="pyarrow"), ["tag"], {"n_part": "n"})
+    # the tag vocabulary scales with the corpus — the final combine
+    # stays a DISTRIBUTED Dataset groupby (combine_partials' contract
+    # forbids corpus-cardinality keys); only the finished dictionary
+    # (one row per distinct tag) reaches the driver
+    df = (
+        docs.map_batches(stage, batch_format="pyarrow")
+        .groupby("tag")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
     df = df.sort_values(["n", "tag"], ascending=[False, True], kind="mergesort").reset_index(drop=True)
     df["tag_id"] = np.arange(len(df), dtype=np.int64)
     return df[["tag_id", "tag", "n"]]
@@ -689,7 +738,7 @@ def q_way_lengths(sf_dir: str) -> pd.DataFrame:
 
     left = pos.map_batches(as_left, batch_format="pyarrow")
     right = pos.map_batches(as_right, batch_format="pyarrow")
-    joined = hash_join(left, right, on="join_k", n_buckets=32)
+    joined = hash_join(left, right, on="join_k")
 
     def lengths(batch: pa.Table) -> pa.Table:
         la1 = batch["lat1"].to_numpy(zero_copy_only=False) / 1e7
@@ -772,7 +821,13 @@ def q_knn_grid(sf_dir: str) -> pd.DataFrame:
     queries = list(qdf.itertuples(index=False, name=None))
     # every block pays the full query set, so bound block count to
     # O(cpus); zoom=None sizes the grid per batch (knn.py docstring)
-    nb = max(1, min(64, snaps.count() // 2048 + 1))
+    # block-count cap SCALES WITH THE CLUSTER (a constant cap makes
+    # per-block size unbounded as the corpus grows -> task OOM); the
+    # cap exists because every block pays the broadcast query set once
+    import ray as _ray
+
+    _cap = 4 * (int(_ray.cluster_resources().get("CPU", 0)) or 8)
+    nb = max(1, min(_cap, snaps.count() // 2048 + 1))
     if snaps.num_blocks() > nb:
         snaps = snaps.repartition(nb)
     out = knn_points_grid(snaps, queries, k=3, id_col="osm_id", zoom=None)
@@ -947,8 +1002,28 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     media = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
         synth, batch_format="pyarrow"
     )
-    feats = decode_media(media, concurrency=(1, 4), batch_size=128).to_pandas()
-    feats["feat_mean"] = feats["feature"].map(lambda f: float(np.mean(f)))
+    def feat_mean_stage(b: pa.Table) -> pa.Table:
+        f = b["feature"]
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        flat = f.flatten().to_numpy(zero_copy_only=False)
+        lens = np.diff(f.offsets.to_numpy(zero_copy_only=False))
+        sums = np.add.reduceat(flat, np.r_[0, np.cumsum(lens)[:-1]].astype(np.int64))
+        means = np.where(lens > 0, sums / np.maximum(lens, 1), np.nan)
+        return pa.table(
+            {
+                "media_ref": b["media_ref"],
+                "width": b["width"],
+                "height": b["height"],
+                "feat_mean": pa.array(means, type=pa.float64()),
+            }
+        )
+
+    feats = (
+        decode_media(media, concurrency=(1, 4), batch_size=128)
+        .map_batches(feat_mean_stage, batch_format="pyarrow")
+        .to_pandas()
+    )
     out = feats[["media_ref", "width", "height", "feat_mean"]]
     return out.sort_values("media_ref").reset_index(drop=True)
 
@@ -1345,7 +1420,7 @@ def q_clipped_way_lengths(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    joined = hash_join(left, right, on="join_k", n_buckets=32)
+    joined = hash_join(left, right, on="join_k")
     regions = sorted(CLIP_REGIONS.items())
 
     def clip_stage(batch: pa.Table) -> pa.Table:
@@ -1435,7 +1510,6 @@ def q_clipped_way_lengths_daily(sf_dir: str) -> pd.DataFrame:
         pos.map_batches(left_side, batch_format="pyarrow"),
         pos.map_batches(right_side, batch_format="pyarrow"),
         on="join_k",
-        n_buckets=32,
     )
     regions = sorted(CLIP_REGIONS.items())
 
@@ -1531,7 +1605,7 @@ def q_clipped_way_lengths_poly(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    joined = hash_join(left, right, on="join_k", n_buckets=32)
+    joined = hash_join(left, right, on="join_k")
     regions = sorted(NONCONVEX_CLIP_REGIONS.items())
 
     def clip_stage(batch: pa.Table) -> pa.Table:
