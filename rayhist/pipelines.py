@@ -4,8 +4,13 @@ Each function takes ``sf_dir`` and returns a small pandas DataFrame
 with EXACTLY the column names its DuckDB oracle (rayhist.oracles)
 produces. All history pipelines read the span-document table (built
 once per sf_dir by rayhist.ingest) and run the fused
-decode+interpolate view stages; aggregation results are tiny by
-construction, so ``to_pandas`` at the end is driver-safe.
+decode+interpolate view stages. Grouped-aggregate results are tiny by
+construction, so their terminal ``to_pandas`` is driver-safe at any
+scale; queries that return one row PER ENTITY/WAY (latest-state,
+per-entity counts, way lengths) use the driver collect only as the
+ORACLE-COMPARE convention — at production scale those pipelines
+terminate in ``write_parquet`` (the computation itself is streaming;
+see q_sample_docs' docstring for the pattern).
 
 Canonical query constants: the synthetic testdata spans January 2024
 (all scale factors), so snapshot timestamps are daily
