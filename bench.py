@@ -119,7 +119,9 @@ def run_bench() -> dict:
     total = round(sum(times.values()), 3)
     # entity-versions/sec over the temporal-view queries (each decodes
     # + interpolates every version in the table once)
-    temporal = ["snapshot_count_daily", "snapshot_cells", "contrib_type_counts", "contrib_daily"]
+    temporal = [q for q in
+                ("snapshot_count_daily", "snapshot_cells", "contrib_type_counts", "contrib_daily")
+                if q in times]
     t_temporal = sum(times[q] for q in temporal)
     result = {
         "metric": "snapshot+contribution aggregation + spatial joins, wall sec",
@@ -130,7 +132,9 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "rep": rep,
         "entity_versions": n_versions,
-        "entity_versions_per_sec": round(4 * n_versions / t_temporal, 1),
+        "entity_versions_per_sec": (
+            round(len(temporal) * n_versions / t_temporal, 1) if temporal else None
+        ),
         "pipeline_floor_sec": pipeline_floor,
         "passes": passes,
     }
@@ -268,7 +272,7 @@ def run_probe() -> dict:
                           "bandwidth_sec": round(t_bandwidth, 3)}))
         return {}
 
-    lo = int(os.environ.get("RAYHIST_SCALE_LO", "4"))
+    lo = int(os.environ.get("RAYHIST_SCALE_LO", "2"))  # same default pair as --scaling
     hi = lo * 4
     res = {}
     for ncpu in (lo, hi):

@@ -59,7 +59,7 @@ def make_versions(rows: list[dict]) -> pa.Table:
 
 def versions_to_documents(versions: pa.Table) -> pa.Table:
     """Pack a flat version table into span-document rows (test helper,
-    same layout as rayhist.ingest._pack_document)."""
+    same layout as rayhist.ingest._pack_bucket)."""
     import pandas as pd
 
     df = versions.to_pandas()

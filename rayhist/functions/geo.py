@@ -59,6 +59,8 @@ def ring_area(lons: np.ndarray, lats: np.ndarray) -> float:
     """
     lons = np.asarray(lons, dtype=np.float64)
     lats = np.asarray(lats, dtype=np.float64)
+    if len(lons) == 0:
+        return 0.0
     if np.array_equal([lons[0], lats[0]], [lons[-1], lats[-1]]):
         lons, lats = lons[:-1], lats[:-1]
     n = len(lons)
@@ -67,8 +69,8 @@ def ring_area(lons: np.ndarray, lats: np.ndarray) -> float:
     lo = np.radians(lons)
     la = np.radians(lats)
     p1 = lo  # lower
-    p2 = np.roll(lo, -1)  # middle (x unused; y used)
-    p3 = np.roll(lo, -2)  # upper
+    p3 = np.roll(lo, -2)  # upper (the middle point contributes only
+    # its latitude — mid_lat below)
     mid_lat = np.roll(la, -1)
     area = float(((p3 - p1) * np.sin(mid_lat)).sum())
     return area * EARTH_RADIUS * EARTH_RADIUS / 2

@@ -40,8 +40,14 @@ def format_iso(ts_us: int) -> str:
 
 
 def _add_months(dt: datetime, n: int) -> datetime:
+    import calendar
+
     y, m = divmod(dt.month - 1 + n, 12)
-    return dt.replace(year=dt.year + y, month=m + 1)
+    year, month = dt.year + y, m + 1
+    # clamp day-of-month to the target month's end (Java plusMonths
+    # semantics): a Jan-31-anchored MONTHLY grid yields Feb 29/28
+    day = min(dt.day, calendar.monthrange(year, month)[1])
+    return dt.replace(year=year, month=month, day=day)
 
 
 def timestamps(start: str, end: str, period: str) -> list[int]:
@@ -80,9 +86,19 @@ def timestamps(start: str, end: str, period: str) -> list[int]:
     else:
         raise ValueError(f"unsupported period: {period!r}")
 
+    if not months and (delta is None or delta.total_seconds() <= 0):
+        raise ValueError(f"period must be positive: {period!r}")
+    # each grid point is start + i*period FROM THE ORIGIN (the
+    # reference multiplies the period, OSHDBTimestamps.java:185:
+    # start.plus(period.multipliedBy(counter))) — chaining would
+    # propagate a month-end clamp (Jan 31 -> Feb 29 -> Mar 29 instead
+    # of Mar 31)
     out = []
-    cur = t0
-    while cur <= t1:
+    i = 0
+    while True:
+        cur = _add_months(t0, months * i) if months else t0 + delta * i
+        if cur > t1:
+            break
         out.append(int(cur.timestamp() * US))
-        cur = _add_months(cur, months) if months else cur + delta
+        i += 1
     return out

@@ -269,3 +269,20 @@ def test_tagfilter_exclude_values():
     # contrast: key-absent excludes every row with the key
     m2 = TagFilter("k", exclude=True).mask(tbl)
     assert list(m2) == [False, True, False, False, True]
+
+
+def test_timestamp_grid_month_end_clamp_from_origin():
+    """MONTHLY/YEARLY grids anchored on day 29-31 clamp to each target
+    month's end, computed start + i*period FROM THE ORIGIN
+    (OSHDBTimestamps.java:185) — chained clamping would turn Jan 31
+    into Mar 29."""
+    from rayhist.functions.timeutil import format_iso, timestamps
+
+    got = [format_iso(t)[:10] for t in timestamps("2024-01-31", "2024-04-30", "MONTHLY")]
+    assert got == ["2024-01-31", "2024-02-29", "2024-03-31", "2024-04-30"]
+    got = [format_iso(t)[:10] for t in timestamps("2016-02-29", "2019-01-01", "YEARLY")]
+    assert got == ["2016-02-29", "2017-02-28", "2018-02-28"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        timestamps("2024-01-01", "2024-01-02", "P0D")

@@ -74,6 +74,9 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, os_ = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:  # fail loud: a typo must not print a green 0/0 result
+        raise SystemExit(f"unknown query names: {sorted(unknown)}")
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
