@@ -136,7 +136,11 @@ def combine_partials(
         cols.update({out: pd.Series([], dtype="int64") for out in sums.values()})
         return pd.DataFrame(cols)
     if not keys:
-        return pd.DataFrame([{out: df[src].sum() for src, out in sums.items()}]).astype("int64")
+        row = pd.DataFrame([{out: df[src].sum() for src, out in sums.items()}])
+        for src, out in sums.items():  # ints stay exact int64; floats stay float
+            if pd.api.types.is_integer_dtype(df[src].dtype):
+                row[out] = row[out].astype("int64")
+        return row
     g = df.groupby(keys, as_index=False).agg(**{out: (src, "sum") for src, out in sums.items()})
     return g
 

@@ -82,8 +82,9 @@ class MapReducer:
     _bbox: tuple[int, int, int, int] | None = None
     _rings: tuple | None = None  # ((outer), (hole), ...) e7 coords
     _entity_filters: tuple[Callable, ...] = ()
-    _row_filters: tuple[Callable, ...] = ()
-    _maps: tuple[Callable, ...] = ()
+    # (kind, fn) in CHAIN ORDER — filter/map interleaving is semantic
+    # (a filter after a map reads the mapped columns)
+    _transforms: tuple[tuple[str, Callable], ...] = ()
     _agg_ts: bool = False
     _agg_cols: tuple[str, ...] = ()
     _regions: tuple = ()  # ((name, (ring, ...)), ...) for aggregateByGeometry
@@ -109,7 +110,7 @@ class MapReducer:
             ts = [_to_us(t) for t in args[0]]
         else:
             ts = [_to_us(t) for t in args]
-        return replace(self, _ts=tuple(sorted(ts)))
+        return replace(self, _ts=tuple(sorted(set(ts))))  # sorted-set, as OSHDBTimestamps
 
     def areaOfInterest(
         self, bbox: tuple | None = None, polygon: Sequence | None = None,
@@ -161,6 +162,14 @@ class MapReducer:
         hasTagKeyExcluding (osm/OSMEntity.java:123-137) via
         ``exclude_values``. Multiple calls AND together, as in the
         reference."""
+        n_sel = sum(
+            x is not None for x in (value, values, value_regex, exclude_values)
+        )
+        if n_sel > 1:
+            raise ValueError(
+                "osmTag takes at most ONE of value/values/value_regex/"
+                "exclude_values (conflicting selectors would silently narrow)"
+            )
         tf = TagFilter(
             key, value,
             tuple(values) if values is not None else None,
@@ -179,14 +188,16 @@ class MapReducer:
     # ------------------------------------------------------ transforms
     def filter(self, fn: Callable[[pa.Table], np.ndarray]) -> MapReducer:
         """filter (MapReducer.java:680-692) over VIEW rows (snapshots /
-        contributions), vectorized: ``fn(view table) -> bool ndarray``."""
-        return replace(self, _row_filters=self._row_filters + (fn,))
+        contributions), vectorized: ``fn(view table) -> bool ndarray``.
+        Applied in CHAIN ORDER relative to map()."""
+        return replace(self, _transforms=self._transforms + (("filter", fn),))
 
     def map(self, fn: Callable[[pa.Table], pa.Table]) -> MapReducer:
         """map (MapReducer.java:647-657), batch-level: ``fn(view
         table) -> table``. Use to add/derive columns for a downstream
-        terminal (sum/average/uniq on the new column)."""
-        return replace(self, _maps=self._maps + (fn,))
+        terminal (sum/average/uniq on the new column). Applied in
+        CHAIN ORDER relative to filter()."""
+        return replace(self, _transforms=self._transforms + (("map", fn),))
 
     def flatMap(self, fn: Callable[[pa.Table], pa.Table]) -> MapReducer:
         """flatMap (MapReducer.java:665-678): identical contract to
@@ -299,7 +310,7 @@ class MapReducer:
         return None
 
     def _needs_full_decode(self) -> bool:
-        return bool(self._entity_filters or self._row_filters or self._maps)
+        return bool(self._entity_filters or self._transforms)
 
     def _view_stage(self, need_tags, need_geom):
         """The fused per-batch kernel: decode -> version masks ->
@@ -310,14 +321,32 @@ class MapReducer:
 
         tag_filters = self._tag_filters
         entity_filters = self._entity_filters
-        row_filters = self._row_filters
-        maps = self._maps
+        transforms = self._transforms
         aoi = self._aoi_mask_fn()
         regions = self._regions
         types = self._types
         is_snap = self._view == "snapshot"
+        if is_snap and not self._ts:
+            # symmetric with the contribution view's _interval() check:
+            # a forgotten timestamps() must not return a silent 0
+            raise ValueError("snapshot view needs timestamps()")
         ts = np.asarray(self._ts, dtype=np.int64)
         t_from, t_to = (0, 0) if is_snap else self._interval()
+        # int-keytable tag filtering: when the caller asks for
+        # need_tags="luts" (tag strings would be decoded ONLY for the
+        # filters), run the filters as per-version sig-id LUT gathers
+        # instead — the direct pipelines' hot path
+        # (views.snapshot_counts; osm/OSMEntity.java:97-152 semantics)
+        luts = None
+        if need_tags == "luts":
+            if tag_filters and isinstance(self._source, str):
+                from .ingest import sig_keytable
+
+                kt = sig_keytable(self._source)
+                luts = [tf.sig_lut(kt) for tf in tag_filters]
+                need_tags = "ids"
+            else:  # Dataset source has no keytable: string path
+                need_tags = bool(tag_filters)
 
         def stage(batch: pa.Table) -> pa.Table:
             decoded = decode_spans(batch, tags=need_tags, geom=need_geom)
@@ -328,9 +357,15 @@ class MapReducer:
                 m = pc.is_in(
                     decoded["osm_type"], value_set=pa.array(list(types))
                 ).to_numpy(zero_copy_only=False)
-            for tf in tag_filters:
-                mm = tf.mask(decoded)
-                m = mm if m is None else (m & mm)
+            if luts is not None:
+                ids = decoded["tag_id"].to_numpy(zero_copy_only=False)
+                for lut in luts:
+                    mm = lut[ids]  # id -1 wraps to the trailing no-tags slot
+                    m = mm if m is None else (m & mm)
+            else:
+                for tf in tag_filters:
+                    mm = tf.mask(decoded)
+                    m = mm if m is None else (m & mm)
             for ef in entity_filters:
                 mm = np.asarray(ef(decoded), dtype=bool)
                 m = mm if m is None else (m & mm)
@@ -350,15 +385,32 @@ class MapReducer:
                         decoded["lat_e7"].to_numpy(zero_copy_only=False),
                     )
                 out = contrib_fn(decoded, t_from, t_to, m, aoi=amask)
-            for rf in row_filters:
-                out = out.filter(pa.array(np.asarray(rf(out), dtype=bool)))
-            for mp in maps:
-                out = mp(out)
+            for kind, fn in transforms:  # chain order is semantic
+                if kind == "filter":
+                    out = out.filter(pa.array(np.asarray(fn(out), dtype=bool)))
+                else:
+                    out = fn(out)
             if regions:
                 from .spatial.fip import Polygon
 
                 lon = out["lon_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
                 lat = out["lat_e7"].to_numpy(zero_copy_only=False).astype(np.float64)
+                if not is_snap and "is_deletion" in out.column_names:
+                    # a DELETION's current geometry is the constant-
+                    # filled origin; its region membership is where the
+                    # entity WAS (prev state) — same rule as the AOI
+                    # clipped-empty semantics (temporal.contributions)
+                    dele = out["is_deletion"].to_numpy(zero_copy_only=False)
+                    lon = np.where(
+                        dele,
+                        out["prev_lon_e7"].to_numpy(zero_copy_only=False).astype(np.float64),
+                        lon,
+                    )
+                    lat = np.where(
+                        dele,
+                        out["prev_lat_e7"].to_numpy(zero_copy_only=False).astype(np.float64),
+                        lat,
+                    )
                 parts = []
                 for name, rings in regions:
                     inside = Polygon([np.asarray(r, np.float64) for r in rings]).contains(
@@ -408,7 +460,12 @@ class MapReducer:
         need_full = self._needs_full_decode()
         # prune the decode to what the chain actually reads (the
         # memory-traffic rule — see model.decode_spans)
-        need_tags = need_full or bool(self._tag_filters) or bool(_TAG_COLS & read_cols)
+        if need_full or _TAG_COLS & read_cols:
+            need_tags = True
+        elif self._tag_filters:
+            need_tags = "luts"  # filters only: int-keytable path
+        else:
+            need_tags = False
         need_geom = need_full or self._aoi_mask_fn() is not None or bool(
             self._regions
         ) or bool(_GEOM_COLS & read_cols)
@@ -441,7 +498,11 @@ class MapReducer:
 
             out = {"_n_part": pa.array([len(t)], type=pa.int64())}
             for c in src_cols:
-                out[c + "_part"] = pa.array([pc.sum(t[c]).as_py() or 0], type=pa.int64())
+                # keep the source type (a float column must not be
+                # forced through an int64 cast — that is the grouped
+                # path's behavior too)
+                typ = t[c].type if pa.types.is_floating(t[c].type) else pa.int64()
+                out[c + "_part"] = pa.array([pc.sum(t[c]).as_py() or 0], type=typ)
             return pa.table(out)
 
         partials = self._docs().map_batches(stage, batch_format="pyarrow")
@@ -485,12 +546,18 @@ class MapReducer:
         from .aggregate import floor_bin
 
         need_full = self._needs_full_decode()
-        need_tags = need_full or bool(self._tag_filters) or bool(
-            _TAG_COLS & set(cols)
-        )
+        read_cols = set(cols) | set(self._agg_cols)  # grouping by a
+        # tag/geom column reads it too — pruning it would constant-fill
+        # the group key (collapsing every group into one)
+        if need_full or _TAG_COLS & read_cols:
+            need_tags = True
+        elif self._tag_filters:
+            need_tags = "luts"
+        else:
+            need_tags = False
         need_geom = (
             need_full or self._aoi_mask_fn() is not None or bool(self._regions)
-            or bool(_GEOM_COLS & set(cols))
+            or bool(_GEOM_COLS & read_cols)
         )
         view_stage = self._view_stage(need_tags, need_geom)
         agg_ts, is_snap = self._agg_ts, self._view == "snapshot"
@@ -590,7 +657,18 @@ class MapReducer:
         partials = self._distinct_pairs(col).map_batches(
             bin_counts, batch_format="pyarrow"
         )
-        df = combine_partials(partials, keys, {"_part": out})
+        if _HIGH_CARD_KEYS & set(keys):
+            # per-entity keys: the final stays a distributed groupby
+            # (combine_partials' cardinality contract)
+            from ray.data.aggregate import Sum
+
+            df = (
+                partials.groupby(keys)
+                .aggregate(Sum("_part", alias_name=out))
+                .to_pandas()
+            )
+        else:
+            df = combine_partials(partials, keys, {"_part": out})
         if self._agg_ts or self._regions:
             expected: dict[str, Sequence] = (
                 {"ts_q": self._zerofill_ts()} if self._agg_ts else {}

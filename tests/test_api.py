@@ -314,6 +314,72 @@ def test_group_by_entity_distributed_final():
     assert dict(zip(got["osm_id"], got["n"])) == want.to_dict()
 
 
+def test_aggregate_by_tag_column_decodes_it():
+    """Grouping a sketch/distinct terminal by a tag-derived column must
+    decode that column (pruning it constant-fills the group key and
+    collapses every group into one)."""
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .aggregateBy("etype")
+        .countUniq("uid", alias="n_uids")
+    )
+    rows = OSMEntitySnapshotView.on(SF).timestamps([T_MID]).collect()
+    want = rows.groupby("etype")["uid"].nunique()
+    assert dict(zip(got["etype"], got["n_uids"])) == want.to_dict()
+    assert len(got) > 1  # more than the single constant-filled group
+
+
+def test_map_then_filter_chain_order():
+    """filter() after map() must see the mapped columns (chain order is
+    semantic, MapReducer.java:647-692)."""
+    base = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
+    n = (
+        base.map(
+            lambda t: t.append_column(
+                "flag", pa.array(t["lon_e7"].to_numpy(zero_copy_only=False) > 0)
+            )
+        )
+        .filter(lambda t: t["flag"].to_numpy(zero_copy_only=False))
+        .count()
+    )
+    rows = base.collect()
+    assert n == int((rows["lon_e7"] > 0).sum())
+
+
+def test_region_deletion_uses_prev_coordinates():
+    """A contribution DELETION's region membership is where the entity
+    WAS — its current decoded coords are the constant-filled origin."""
+    from rayhist.pipelines import CONTRIB_BINS, CONTRIB_TO
+
+    big = [(-1.8e9, -9e8), (1.8e9, -9e8), (1.8e9, 9e8), (-1.8e9, 9e8)]
+    base = OSMContributionView.on(SF).timestamps([CONTRIB_BINS[0], CONTRIB_TO])
+    got = base.aggregateByGeometry({"all": big}).sum("is_deletion", alias="n_del")
+    want = int(base.collect()["is_deletion"].sum())
+    assert want > 0  # the corpus has deletions in the window
+    assert int(got["n_del"].iloc[0]) == want
+
+
+def test_timestamps_dedupe_and_missing_raise():
+    mr = OSMEntitySnapshotView.on(SF)
+    assert mr.timestamps([T_MID, T_MID])._ts == (T_MID,)
+    with pytest.raises(ValueError):
+        mr.osmTag("etype", "click").count()  # timestamps forgotten
+    with pytest.raises(ValueError):
+        mr.timestamps([T_MID]).osmTag("k", "1", values=("2", "3"))
+
+
+def test_float_column_sum_ungrouped():
+    base = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
+    s = base.map(
+        lambda t: t.append_column(
+            "f", pa.array(t["lat_e7"].to_numpy(zero_copy_only=False) / 1e7)
+        )
+    ).sum("f")
+    rows = base.collect()
+    assert s == pytest.approx((rows["lat_e7"] / 1e7).sum())
+
+
 def test_builder_immutability():
     base = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
     filtered = base.osmTag("etype", "click")
