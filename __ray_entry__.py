@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_count_bbox": p.q_snapshot_count_bbox,
         "snapshot_pip_many_regions": p.q_snapshot_pip_many_regions,
         "api_snapshot_weekly_click_bbox": p.q_api_snapshot_weekly_click_bbox,
+        "api_snapshot_daily_any_tags": p.q_api_snapshot_daily_any_tags,
         "api_contrib_creations_daily_even_uid": p.q_api_contrib_creations_daily_even_uid,
         "snapshot_count_bbox_multizoom": p.q_snapshot_count_bbox_multizoom,
         "media_features": p.q_media_features,
@@ -154,6 +155,9 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_count_bbox": o.snapshot_count_bbox(),
         "snapshot_pip_many_regions": o.snapshot_pip_many_regions(),
         "api_snapshot_weekly_click_bbox": o.api_snapshot_weekly_click_bbox(),
+        "api_snapshot_daily_any_tags": o.snapshot_count_daily(
+            "visible AND (etype = 'click' OR kk = 3)"
+        ),
         "api_contrib_creations_daily_even_uid": o.api_contrib_creations_daily_even_uid(),
         "snapshot_count_bbox_multizoom": o.snapshot_count_bbox_multizoom(),
         "contrib_type_counts_bbox": o.contrib_type_counts_bbox(),

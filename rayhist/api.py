@@ -161,7 +161,16 @@ class MapReducer:
         """All osmTag overloads (MapReducer.java:424-632) plus
         hasTagKeyExcluding (osm/OSMEntity.java:123-137) via
         ``exclude_values``. Multiple calls AND together, as in the
-        reference."""
+        reference. The collection overload (:595 — match ANY of a set
+        of exact tags) takes a list of (key, value) pairs as the sole
+        argument: ``osmTag([("building", "yes"), ("amenity", "cafe")])``."""
+        if isinstance(key, (list, tuple)):
+            if value is not None or values or value_regex or exclude or exclude_values:
+                raise ValueError("the collection overload takes no other selectors")
+            from .temporal import AnyTagFilter
+
+            tf = AnyTagFilter(tuple((str(k), str(v)) for k, v in key))
+            return replace(self, _tag_filters=self._tag_filters + (tf,))
         n_sel = sum(
             x is not None for x in (value, values, value_regex, exclude_values)
         )

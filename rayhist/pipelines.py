@@ -1997,3 +1997,18 @@ def q_snapshot_pip_many_regions(sf_dir: str) -> pd.DataFrame:
     )
     df = combine_partials(partials, ["region_id"], {"n_part": "n"})
     return zerofill(df, {"region_id": [r for r, _ in regions]}, {"n": 0})
+
+
+def q_api_snapshot_daily_any_tags(sf_dir: str) -> pd.DataFrame:
+    """The osmTag COLLECTION overload (match ANY of a set of exact
+    tags, MapReducer.java:595-632) through the facade, on the
+    int-keytable LUT path; daily snapshot counts, zerofilled."""
+    from .api import OSMEntitySnapshotView
+
+    return (
+        OSMEntitySnapshotView.on(sf_dir)
+        .timestamps(SNAP_DAILY)
+        .osmTag([("etype", "click"), ("k", "3")])
+        .aggregateByTimestamp()
+        .count(alias="n_snapshots")
+    )

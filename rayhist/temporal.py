@@ -144,6 +144,33 @@ class TagFilter:
         return self._match_sigs(pa.array(list(keytable) + [""], type=pa.string()))
 
 
+@dataclass(frozen=True)
+class AnyTagFilter:
+    """``osmTag(Collection<OSMTag>)`` (MapReducer.java:595-632): match
+    entities carrying ANY of the given exact (key, value) tags — one
+    alternation regex over the signature dictionary, same int-keytable
+    LUT contract as TagFilter."""
+
+    pairs: tuple[tuple[str, str], ...]
+
+    def pattern(self) -> str:
+        import re
+
+        alts = "|".join(
+            rf"{re.escape(k)}={re.escape(v)}" for k, v in self.pairs
+        )
+        return rf"(^|\|)({alts})(\||$)"
+
+    def _match_sigs(self, sigs: pa.Array) -> np.ndarray:
+        return pc.match_substring_regex(sigs, self.pattern()).to_numpy(
+            zero_copy_only=False
+        )
+
+    # same dictionary-scan / LUT interface as TagFilter
+    mask = TagFilter.mask
+    sig_lut = TagFilter.sig_lut
+
+
 def _doc_codes(tbl: pa.Table) -> np.ndarray:
     enc = pc.dictionary_encode(tbl["doc_id"].combine_chunks())
     if isinstance(enc, pa.ChunkedArray):

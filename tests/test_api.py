@@ -393,3 +393,15 @@ def test_stream_iterates_batches():
         assert isinstance(b, pa.Table)
         n += len(b)
     assert n == len(OSMEntitySnapshotView.on(SF).timestamps([T_MID]).collect())
+
+
+def test_osm_tag_collection_overload_any_match():
+    """osmTag([(k, v), ...]) matches ANY of the tags
+    (MapReducer.java:595-632); conflicts with other selectors raise."""
+    base = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
+    got = base.osmTag([("etype", "click"), ("etype", "view")]).count()
+    rows = base.collect()
+    want = int(rows["etype"].isin(["click", "view"]).sum())
+    assert got == want
+    with pytest.raises(ValueError):
+        base.osmTag([("a", "1")], "extra")
