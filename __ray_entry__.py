@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_pip_many_regions": p.q_snapshot_pip_many_regions,
         "api_snapshot_weekly_click_bbox": p.q_api_snapshot_weekly_click_bbox,
         "api_snapshot_daily_any_tags": p.q_api_snapshot_daily_any_tags,
+        "api_snapshot_weighted_avg": p.q_api_snapshot_weighted_avg,
         "api_contrib_creations_daily_even_uid": p.q_api_contrib_creations_daily_even_uid,
         "snapshot_count_bbox_multizoom": p.q_snapshot_count_bbox_multizoom,
         "media_features": p.q_media_features,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_count_bbox": o.snapshot_count_bbox(),
         "snapshot_pip_many_regions": o.snapshot_pip_many_regions(),
         "api_snapshot_weekly_click_bbox": o.api_snapshot_weekly_click_bbox(),
+        "api_snapshot_weighted_avg": o.api_snapshot_weighted_avg(),
         "api_snapshot_daily_any_tags": o.snapshot_count_daily(
             "visible AND (etype = 'click' OR kk = 3)"
         ),

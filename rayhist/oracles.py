@@ -1339,3 +1339,16 @@ def snapshot_pip_many_regions() -> str:
             f") AS n FROM snap"
         )
     return DERIVE + cte + "\nUNION ALL\n".join(sels) + "\nORDER BY region_id"
+
+
+def api_snapshot_weighted_avg() -> str:
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+SELECT CAST(sum(uid * (kk + 40)) AS DOUBLE) / CAST(sum(kk + 40) AS DOUBLE)
+       AS wavg_uid
+FROM snap
+"""
+    )

@@ -2012,3 +2012,21 @@ def q_api_snapshot_daily_any_tags(sf_dir: str) -> pd.DataFrame:
         .aggregateByTimestamp()
         .count(alias="n_snapshots")
     )
+
+
+def q_api_snapshot_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """weightedAverage through the facade (MapReducer.java:1207-1225):
+    exact integer sum(w*x) / sum(w) partials, ONE IEEE division at the
+    end — value-identical to the SQL division of exact BIGINT sums.
+    Weight = kk + 40 (positive by construction), x = uid."""
+    import pyarrow.compute as pc_
+
+    from .api import OSMEntitySnapshotView
+
+    wavg = (
+        OSMEntitySnapshotView.on(sf_dir)
+        .timestamps([T_MID])
+        .map(lambda t: t.append_column("w", pc_.add(t["kk"], 40)))
+        .weightedAverage("uid", "w")
+    )
+    return pd.DataFrame([{"wavg_uid": wavg}])
