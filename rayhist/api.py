@@ -223,11 +223,25 @@ class MapReducer:
         (contribution), per MapAggregator.java:870-881."""
         return replace(self, _agg_ts=True)
 
-    def aggregateBy(self, col: str) -> MapReducer:
+    def aggregateBy(self, col, name: str = "_agg_key") -> MapReducer:
         """aggregateBy (MapReducer.java:735-766) keyed by a view/mapped
-        column; combined with aggregateByTimestamp it zerofills the
-        cross product of the timestamp grid x observed key levels
-        (completeZerofill, MapAggregator.java:956-988)."""
+        column NAME, or by a custom vectorized indexer ``fn(view
+        table) -> array`` (the reference's function-typed overload) —
+        the indexer becomes a mapped column named ``name``. Combined
+        with aggregateByTimestamp it zerofills the cross product of the
+        timestamp grid x observed key levels (completeZerofill,
+        MapAggregator.java:956-988)."""
+        if callable(col):
+            fn = col
+
+            def add_key(t: pa.Table) -> pa.Table:
+                return t.append_column(name, pa.array(np.asarray(fn(t))))
+
+            return replace(
+                self,
+                _transforms=self._transforms + (("map", add_key),),
+                _agg_cols=self._agg_cols + (name,),
+            )
         return replace(self, _agg_cols=self._agg_cols + (col,))
 
     def aggregateByGeometry(self, regions: dict) -> MapReducer:
@@ -690,6 +704,10 @@ class MapReducer:
             if all(len(v) for v in expected.values()):
                 df = zerofill(df, expected, {out: 0})
         return df.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+    def estimatedMedian(self, col: str):
+        """estimatedMedian (MapReducer.java:1228-1258)."""
+        return self.estimatedQuantile(col, 0.5)
 
     def estimatedQuantile(self, col: str, q: float):
         """estimatedQuantile (MapReducer.java:1261-1293): mergeable

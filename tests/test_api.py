@@ -405,3 +405,16 @@ def test_osm_tag_collection_overload_any_match():
     assert got == want
     with pytest.raises(ValueError):
         base.osmTag([("a", "1")], "extra")
+
+
+def test_aggregate_by_callable_indexer_and_estimated_median():
+    base = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
+    got = base.aggregateBy(
+        lambda t: t["uid"].to_numpy(zero_copy_only=False) % 2, name="parity"
+    ).count(alias="n")
+    rows = base.collect()
+    want = rows.groupby(rows["uid"] % 2).size()
+    assert dict(zip(got["parity"], got["n"])) == want.to_dict()
+    med = base.estimatedMedian("lat_e7")
+    lo, hi = np.quantile(rows["lat_e7"], [0.25, 0.75])
+    assert lo <= med <= hi
