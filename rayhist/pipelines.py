@@ -30,7 +30,6 @@ from .aggregate import count_by, floor_bin, zerofill
 from .ingest import read_documents
 from .members import COMPOUND_BATCH
 from .spatial.grid import cell_id
-from .spatial.knn import knn_points
 from .spatial.raster import raster_value_for
 from .temporal import TagFilter
 from .views import contribution_view, snapshot_view
@@ -288,35 +287,55 @@ def q_raster_join(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("raster_value").reset_index(drop=True)
 
 
-def q_knn(sf_dir: str) -> pd.DataFrame:
-    """kNN (k=3) among entity positions at T_MID; queries are the
-    entities with osm_id % MOD == 0 (MOD=17 for the oracle check;
-    bench raises RAYHIST_KNN_MOD so the query count stays sane when
-    the corpus is amplified — brute-force kNN is O(queries x points))."""
-    import os
-
+def _knn_positions_flagged(sf_dir: str, mod: int):
+    """Entity positions at T_MID with the query subset FLAGGED IN-STAGE
+    (``_is_query`` = osm_id % mod == 0) — queries stay a Dataset column;
+    no driver-built query list (the round-3 scale-killer: the list was
+    corpus/17 rows of driver state). Returns (dataset, count, zoom)
+    with zoom derived so cells hold O(2000) points (cells = 2^(2z-1))."""
     from .model import decode_spans
     from .temporal import snapshots as snapshots_fn
 
-    mod = int(os.environ.get("RAYHIST_KNN_MOD", "17"))
     ts = np.array([T_MID], dtype=np.int64)
 
     def positions(batch: pa.Table) -> pa.Table:
-        return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
+        t = snapshots_fn(decode_spans(batch, tags=False), ts).select(
+            ["osm_id", "lon_e7", "lat_e7"]
+        )
+        ids = t["osm_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("_is_query", pa.array(ids % mod == 0))
 
-    snaps = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
+    n = pos.count()
+    # coalesce the decode's many small blocks to the io.read_table
+    # sizing rule (CPU floor, 128MB target): the halo join's sort
+    # shuffle pays per-block overhead on BOTH groupbys, and block
+    # count propagates through them
+    import ray as _ray
 
-    def select_queries(b: pa.Table) -> pa.Table:
-        ids = b["osm_id"].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(ids % mod == 0))
+    ncpu = int(_ray.cluster_resources().get("CPU", 0)) or 8
+    nb = max(ncpu, int(pos.size_bytes() or 0) // (128 << 20) + 1)
+    if pos.num_blocks() > 2 * nb:
+        pos = pos.repartition(nb).materialize()
+    zoom = max(1, min(12, int(np.ceil((np.log2(max(n, 1) / 2000.0) + 1) / 2))))
+    return pos, n, zoom
 
-    qdf = (
-        snaps.map_batches(select_queries, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("osm_id")
-    )
-    queries = list(qdf.itertuples(index=False, name=None))
-    out = knn_points(snaps, queries, k=3, id_col="osm_id")
+
+def q_knn(sf_dir: str) -> pd.DataFrame:
+    """kNN (k=3) among entity positions at T_MID; queries are the
+    entities with osm_id % MOD == 0 (MOD=17 for the oracle check;
+    bench raises RAYHIST_KNN_MOD). Distributed end-to-end via the
+    asymmetric halo join (spatial.knn.knn_queries): corpus scattered
+    once, queries replicated to a 3x3 halo, per-cell vectorized top-k
+    partials, bucketed groupby resolve with guarantee radii — no
+    driver query list, no driver candidate reduce."""
+    import os
+
+    from .spatial.knn import knn_queries
+
+    mod = int(os.environ.get("RAYHIST_KNN_MOD", "17"))
+    pos, _n, zoom = _knn_positions_flagged(sf_dir, mod)
+    out = knn_queries(pos, k=3, id_col="osm_id", zoom=zoom, halo=1)
     return out[["query_id", "neighbor_id", "rank", "dist2"]].reset_index(drop=True)
 
 
@@ -801,41 +820,19 @@ def q_lineitem_means(sf_dir: str) -> pd.DataFrame:
 
 
 def q_knn_grid(sf_dir: str) -> pd.DataFrame:
-    """Same result contract as q_knn, computed by the exact
-    grid-accelerated path (expanding cell rings with a guarantee
-    radius) — two implementations, one oracle."""
+    """Same result contract as q_knn under a DIFFERENT partitioning
+    operating point — coarser grid (zoom-1) with a 5x5 halo (halo=2) —
+    two distributed configurations, one oracle: exactness must be
+    zoom/halo-independent (the guarantee radius adapts). The wider halo
+    trades query replication (25x of the sparse query side only) for
+    near-zero brute-force fallbacks on sparse neighborhoods."""
     import os
 
-    from .model import decode_spans
-    from .spatial.knn import knn_points_grid
-    from .temporal import snapshots as snapshots_fn
+    from .spatial.knn import knn_queries
 
     mod = int(os.environ.get("RAYHIST_KNN_MOD", "17"))
-    ts = np.array([T_MID], dtype=np.int64)
-
-    def positions(batch: pa.Table) -> pa.Table:
-        return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
-
-    snaps = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
-
-    def select_queries(b: pa.Table) -> pa.Table:
-        ids = b["osm_id"].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(ids % mod == 0))
-
-    qdf = snaps.map_batches(select_queries, batch_format="pyarrow").to_pandas().sort_values("osm_id")
-    queries = list(qdf.itertuples(index=False, name=None))
-    # every block pays the full query set, so bound block count to
-    # O(cpus); zoom=None sizes the grid per batch (knn.py docstring)
-    # block-count cap SCALES WITH THE CLUSTER (a constant cap makes
-    # per-block size unbounded as the corpus grows -> task OOM); the
-    # cap exists because every block pays the broadcast query set once
-    import ray as _ray
-
-    _cap = 4 * (int(_ray.cluster_resources().get("CPU", 0)) or 8)
-    nb = max(1, min(_cap, snaps.count() // 2048 + 1))
-    if snaps.num_blocks() > nb:
-        snaps = snaps.repartition(nb)
-    out = knn_points_grid(snaps, queries, k=3, id_col="osm_id", zoom=None)
+    pos, _n, zoom = _knn_positions_flagged(sf_dir, mod)
+    out = knn_queries(pos, k=3, id_col="osm_id", zoom=max(1, zoom - 1), halo=2)
     return out[["query_id", "neighbor_id", "rank", "dist2"]].reset_index(drop=True)
 
 

@@ -729,6 +729,218 @@ def ann_cosine_lsh_pruned(
     return out
 
 
+# ------------------------------------------------- distributed queries
+def knn_queries(
+    points: ray.data.Dataset,
+    k: int = 3,
+    id_col: str = "osm_id",
+    query_col: str = "_is_query",
+    zoom: int = 6,
+    halo: int = 1,
+) -> pd.DataFrame:
+    """EXACT kNN for a FLAGGED SUBSET of the points, fully distributed —
+    the scale path when the query set itself grows with the corpus (the
+    per-query kernels above take a driver-built Python list, which is
+    O(corpus) driver state when queries are e.g. every 17th entity).
+
+    Shape (asymmetric halo join — cheaper than ``knn_all``'s 9x corpus
+    replication when queries are a sparse subset):
+
+    1. scatter: every point goes to its OWN grid cell once; every
+       flagged query is additionally replicated to its (2*halo+1)^2
+       halo cells. Shuffle volume = corpus + queries x (2*halo+1)^2.
+    2. groupby(cell): per-cell vectorized distance matrix (queries in
+       the cell x candidate points of the cell), emitting each query's
+       per-cell top-k candidates by (dist2, neighbor_id). The home cell
+       additionally emits one sentinel row per query (neighbor -1,
+       dist2 inf) so queries with empty neighborhoods still reach the
+       resolve stage.
+    3. groupby(query bucket): DISTRIBUTED per-query top-k resolve —
+       one lexsort per bucket, running k-th distance vs the guaranteed
+       radius (distance from the query point to the edge of its
+       explored block; a side that reaches the grid border guards
+       infinite — nothing exists beyond the planar world). Strict ``<``
+       so boundary ties fall through to the fallback, same rule as
+       ``knn_all``.
+    4. the rare unresolved queries (sparse neighborhoods) fall back to
+       one brute-force broadcast pass — O(stragglers) driver state, by
+       construction small when ``zoom`` matches point density.
+
+    Exactness is zoom/halo-independent (the guarantee adapts); zoom
+    picks the partitioning granularity, halo trades replication for
+    fewer fallbacks. Planar e7 distances, no antimeridian wrap (same
+    contract as ``knn_points``).
+    """
+    from ..model import LAT_MOD, LON_MOD
+    from .grid import cell_id
+
+    nx = 1 << zoom
+    ny = max(1, 1 << (zoom - 1))
+    w = LON_MOD / nx
+    h = LAT_MOD / ny
+    side = 2 * halo + 1
+    nqb = 64  # query-resolve buckets: many queries per group call
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = batch["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = batch["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qf = batch[query_col].to_numpy(zero_copy_only=False).astype(bool)
+        cells = cell_id(lon, lat, zoom)
+        qi = np.flatnonzero(qf)
+        reps = np.repeat(qi, side * side)
+        off = np.tile(np.arange(side * side), len(qi))
+        ox = off % side - halo
+        oy = off // side - halo
+        tx = (cells % nx)[reps] + ox
+        ty = (cells // nx)[reps] + oy
+        valid = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
+        reps2, tx, ty = reps[valid], tx[valid], ty[valid]
+        home = (ox[valid] == 0) & (oy[valid] == 0)
+        return pa.table(
+            {
+                "_tcell": pa.array(np.concatenate([cells, ty * nx + tx])),
+                id_col: pa.array(np.concatenate([ids, ids[reps2]])),
+                "lon_e7": pa.array(np.concatenate([lon, lon[reps2]])),
+                "lat_e7": pa.array(np.concatenate([lat, lat[reps2]])),
+                "_q": pa.array(
+                    np.concatenate([np.zeros(len(ids), dtype=bool), np.ones(len(reps2), dtype=bool)])
+                ),
+                "_home": pa.array(
+                    np.concatenate([np.zeros(len(ids), dtype=bool), home])
+                ),
+            }
+        )
+
+    _EMPTY_PART = pd.DataFrame(
+        {"query_id": pd.Series([], dtype="int64"),
+         "neighbor_id": pd.Series([], dtype="int64"),
+         "d2": pd.Series([], dtype="float64"),
+         "q_lon": pd.Series([], dtype="int64"),
+         "q_lat": pd.Series([], dtype="int64"),
+         "_qb": pd.Series([], dtype="int64")}
+    )
+
+    def cell_partials(g: pd.DataFrame) -> pd.DataFrame:
+        qm = g["_q"].to_numpy(dtype=bool)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        lon = g["lon_e7"].to_numpy(dtype=np.float64)
+        lat = g["lat_e7"].to_numpy(dtype=np.float64)
+        ci = np.flatnonzero(qm)
+        if len(ci) == 0:
+            return _EMPTY_PART
+        frames = []
+        pi = np.flatnonzero(~qm)
+        if len(pi):
+            qid = ids[ci]
+            dx = lon[ci][:, None] - lon[pi][None, :]
+            dy = lat[ci][:, None] - lat[pi][None, :]
+            d2 = dx * dx + dy * dy
+            d2[ids[pi][None, :] == qid[:, None]] = np.inf  # self-exclusion
+            take = min(k, len(pi))
+            part = np.argpartition(d2, take - 1, axis=1)[:, :take]
+            kth = np.take_along_axis(d2, part, axis=1).max(axis=1)
+            sel = (d2 <= kth[:, None]) & np.isfinite(d2)  # tie-inclusive
+            qrow, crow = np.nonzero(sel)
+            if len(qrow):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid[qrow],
+                            "neighbor_id": ids[pi][crow],
+                            "d2": d2[qrow, crow],
+                            "q_lon": lon[ci][qrow].astype(np.int64),
+                            "q_lat": lat[ci][qrow].astype(np.int64),
+                        }
+                    )
+                )
+        hm = np.flatnonzero(qm & g["_home"].to_numpy(dtype=bool))
+        if len(hm):  # sentinel: every query surfaces in the resolve stage
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": ids[hm],
+                        "neighbor_id": np.full(len(hm), -1, dtype=np.int64),
+                        "d2": np.full(len(hm), np.inf),
+                        "q_lon": lon[hm].astype(np.int64),
+                        "q_lat": lat[hm].astype(np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return _EMPTY_PART
+        out = pd.concat(frames, ignore_index=True)
+        out["_qb"] = (out["query_id"].to_numpy() % nqb).astype(np.int64)
+        return out
+
+    def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["query_id"].to_numpy(dtype=np.int64)
+        d2 = g["d2"].to_numpy(dtype=np.float64)
+        nid = g["neighbor_id"].to_numpy(dtype=np.int64)
+        qlon = g["q_lon"].to_numpy(dtype=np.float64)
+        qlat = g["q_lat"].to_numpy(dtype=np.float64)
+        o = np.lexsort((nid, d2, qid))
+        qid, d2, nid, qlon, qlat = qid[o], d2[o], nid[o], qlon[o], qlat[o]
+        starts = np.flatnonzero(np.r_[True, qid[1:] != qid[:-1]])
+        cnt = np.diff(np.r_[starts, len(qid)])
+        # sentinels (d2=inf) sort last, so they only reach the k-th slot
+        # when a query has < k real candidates — which correctly forces
+        # kth=inf and the fallback below
+        take = np.minimum(cnt, k)
+        offset = np.arange(len(qid)) - np.repeat(starts, cnt)
+        sel = offset < np.repeat(take, cnt)
+        kth = d2[starts + take - 1]
+        # guaranteed radius: explored block edges; grid-border sides
+        # guard infinite (no planar points beyond the world edge)
+        ql, qt = qlon[starts], qlat[starts]
+        cx = ((ql.astype(np.int64) + LON_MOD // 2) % LON_MOD) * nx // LON_MOD
+        cy = np.minimum((qt.astype(np.int64) + LAT_MOD // 2) * ny // LAT_MOD, ny - 1)
+        xlo = np.where(cx - halo >= 0, (cx - halo) * w - LON_MOD / 2, -np.inf)
+        xhi = np.where(cx + halo <= nx - 1, (cx + halo + 1) * w - LON_MOD / 2, np.inf)
+        ylo = np.where(cy - halo >= 0, (cy - halo) * h - LAT_MOD / 2, -np.inf)
+        yhi = np.where(cy + halo <= ny - 1, (cy + halo + 1) * h - LAT_MOD / 2, np.inf)
+        guard = np.minimum(np.minimum(ql - xlo, xhi - ql), np.minimum(qt - ylo, yhi - qt))
+        guard = np.maximum(guard, 0.0)  # antimeridian cell-index wrap clamp
+        resolved = (cnt >= k) & (kth < guard * guard)
+        return pd.DataFrame(
+            {
+                "query_id": qid[sel],
+                "neighbor_id": nid[sel],
+                "d2": d2[sel],
+                "q_lon": qlon[sel].astype(np.int64),
+                "q_lat": qlat[sel].astype(np.int64),
+                "resolved": np.repeat(resolved, cnt)[sel],
+            }
+        )
+
+    res = (
+        points.map_batches(scatter, batch_format="pyarrow")
+        .groupby("_tcell")
+        .map_groups(lambda g: cell_partials(g.drop(columns=["_tcell"])), batch_format="pandas")
+        .groupby("_qb")
+        .map_groups(lambda g: resolve_bucket(g.drop(columns=["_qb"])), batch_format="pandas")
+        .to_pandas()  # output-sized: <= queries x (k + boundary ties) rows
+    )
+    if res.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64"),
+             "dist2": pd.Series([], dtype="float64")}
+        )
+    good = res[res["resolved"] & (res["neighbor_id"] >= 0)][["query_id", "neighbor_id", "d2"]]
+    unresolved = res[~res["resolved"]][["query_id", "q_lon", "q_lat"]].drop_duplicates("query_id")
+    if len(unresolved):
+        queries = list(unresolved.itertuples(index=False, name=None))
+        brute = knn_points(points, queries, k=k, id_col=id_col)
+        good = pd.concat(
+            [good, brute.rename(columns={"dist2": "d2"})[["query_id", "neighbor_id", "d2"]]],
+            ignore_index=True,
+        )
+    out = _topk_reduce(good.rename(columns={"d2": "dist2"}), k, by="dist2", ascending=True)
+    return out[["query_id", "neighbor_id", "rank", "dist2"]]
+
+
 # ------------------------------------------------------------ kNN-all
 def knn_all(
     points: ray.data.Dataset,

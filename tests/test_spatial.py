@@ -649,3 +649,58 @@ def test_bbox_inside_rejects_slit_crossing():
     assert not bbox_inside(poly, 4, 4, 6, 6)
     # a genuinely interior bbox still short-circuits
     assert bbox_inside(poly, 1, 1, 2, 2)
+
+
+def test_knn_queries_matches_brute_across_partitionings():
+    """knn_queries (asymmetric halo join: corpus scattered once, flagged
+    queries replicated to halo cells, distributed bucketed resolve) must
+    equal the brute-force kernel for a flagged subset — at a dense zoom,
+    a sparse zoom (fallback-heavy), and a wider halo (the q_knn_grid
+    operating point). Exactness is zoom/halo-independent."""
+    import pandas.testing as pdt
+    import pyarrow as pa
+    import ray.data
+
+    from rayhist.spatial.knn import knn_points, knn_queries
+
+    rng = np.random.default_rng(47)
+    n = 900
+    ids = np.arange(n, dtype=np.int64)
+    lon = rng.integers(-LON_MOD // 2, LON_MOD // 2, n)
+    lat = rng.integers(-LAT_MOD // 2, LAT_MOD // 2, n)
+    flag = ids % 7 == 0
+    ds = ray.data.from_arrow(
+        pa.table({"osm_id": ids, "lon_e7": lon, "lat_e7": lat, "_is_query": flag})
+    ).materialize()
+    queries = [(int(ids[i]), int(lon[i]), int(lat[i])) for i in np.flatnonzero(flag)]
+    brute = knn_points(ds, queries, k=3)
+    cols = ["query_id", "neighbor_id", "rank", "dist2"]
+    for zoom, halo in ((2, 1), (6, 1), (3, 2)):
+        got = knn_queries(ds, k=3, zoom=zoom, halo=halo)
+        pdt.assert_frame_equal(
+            got[cols].reset_index(drop=True), brute[cols].reset_index(drop=True)
+        )
+
+
+def test_knn_queries_empty_neighborhood_sentinel():
+    """A query whose halo block holds no other point must still get its
+    true neighbors (the home-cell sentinel routes it to the fallback
+    instead of silently dropping it)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayhist.spatial.knn import knn_queries
+
+    # one isolated query far from a distant cluster at zoom 6
+    pts = pa.table(
+        {
+            "osm_id": np.array([1, 50, 51], dtype=np.int64),
+            "lon_e7": np.array([-1_700_000_000, 1_700_000_000, 1_700_000_100], dtype=np.int64),
+            "lat_e7": np.array([0, 800_000_000, 800_000_000], dtype=np.int64),
+            "_is_query": np.array([True, False, False]),
+        }
+    )
+    ds = ray.data.from_arrow(pts).materialize()
+    got = knn_queries(ds, k=2, zoom=6)
+    assert got["query_id"].tolist() == [1, 1]
+    assert sorted(got["neighbor_id"].tolist()) == [50, 51]
