@@ -285,6 +285,22 @@ class MinHashStage:
         )
 
 
+_PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
+_N_PAIR_BUCKETS = 64
+
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic bucket of an id pair (same mix as the exact path);
+    non-integer ids are routed through the vectorized string hash
+    first (ADVICE: the raw astype(uint64) admits only numeric ids)."""
+    if not np.issubdtype(np.asarray(a).dtype, np.integer):
+        a = hash64_arr(a)
+        b = hash64_arr(b)
+    au = a.astype(np.uint64)
+    bu = b.astype(np.uint64)
+    return (((au * _PAIR_MIX) ^ bu) % np.uint64(_N_PAIR_BUCKETS)).astype(np.int64)
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     threshold_num: int = 1,
@@ -292,50 +308,77 @@ def minhash_lsh_pairs(
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> minhash -> band ->
     groupby(band, key) candidate pairs -> DISTRIBUTED exact-Jaccard
-    verification.
+    verification. NOTHING corpus- or candidate-sized ever lands on the
+    driver — candidates stay a Dataset end to end (the round-3 version
+    broadcast frozensets of the candidate set, which is itself huge at
+    10^12 docs):
 
-    Verification joins the candidate pairs back to the exploded shingle
-    table: the (small) candidate-pair set and candidate-doc set are
-    broadcast once via ``ray.put``; intersection counts come from the
-    same bucketed groupby(shingle) pair expansion as the exact path,
-    RESTRICTED to candidate docs/pairs — no driver-side corpus load, no
-    per-pair Python loop. Driver state is O(|candidates|), not O(corpus).
+    1. candidate pairs (cross-band duplicates included) keep flowing as
+       a Dataset with a deterministic pair-bucket key;
+    2. the candidate DOC ids are SEMI-JOINED back to the corpus via
+       the partitioned ``hash_semi_join`` (duplicate-key tolerant, so
+       no dedup shuffle) — the shingle explode below only ever sees
+       candidate docs;
+    3. intersection counts come from the same bucketed groupby(shingle)
+       pair expansion as the exact path (uncapped, matching the
+       original verification: candidate docs are a small subset);
+    4. pair partials and candidate pairs are co-grouped on the pair
+       bucket; the per-group combine dedups the candidate side, inner-
+       merges (the candidate restriction), sums commons, and applies
+       the integer threshold IN-STAGE — only true hits reach the driver.
     """
-    import ray
+    from .relational import hash_semi_join
 
-    cand = (
-        docs.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 8))
-        .groupby(["band", "key"])
-        .map_groups(_bucket_candidate_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    if cand.empty:
+    cand = docs.map_batches(
+        MinHashStage, batch_format="pyarrow", concurrency=(1, 8)
+    ).groupby(["band", "key"]).map_groups(_bucket_candidate_pairs, batch_format="pandas")
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False)
+        return b.append_column("_pb", pa.array(_pair_bucket(a, bb)))
+
+    pairs_ds = cand.map_batches(tag_pairs, batch_format="pyarrow").materialize()
+    if pairs_ds.count() == 0:
         return pd.DataFrame(columns=["doc_a", "doc_b", "common", "un"])
-    cand_docs = frozenset(cand["doc_a"]) | frozenset(cand["doc_b"])
-    cand_pairs = frozenset(zip(cand["doc_a"], cand["doc_b"]))
-    docs_ref = ray.put(cand_docs)
-    pairs_ref = ray.put(cand_pairs)
 
-    def explode_candidates(b: pa.Table) -> pa.Table:
-        cd = ray.get(docs_ref)
-        mask = pa.array([d in cd for d in b["doc_id"].to_pylist()])
-        t = explode_shingles(b.filter(mask))
+    # ---- candidate doc ids (batch-local dedup only: the semi-join
+    # tolerates duplicate right keys, so no dedicated dedup shuffle)
+    def pair_ids(b: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [b["doc_a"].combine_chunks() if isinstance(b["doc_a"], pa.ChunkedArray) else b["doc_a"],
+             b["doc_b"].combine_chunks() if isinstance(b["doc_b"], pa.ChunkedArray) else b["doc_b"]]
+        )
+        t = pa.table({"doc_id": ids})
+        return pa.TableGroupBy(t, ["doc_id"]).aggregate([])
+
+    cdocs = pairs_ds.map_batches(pair_ids, batch_format="pyarrow")
+
+    # ---- semi-join: only candidate docs reach the shingle explode
+    filtered = hash_semi_join(docs, cdocs, on="doc_id")
+
+    def explode_with_bucket(b: pa.Table) -> pa.Table:
+        t = explode_shingles(b)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        _uq, inv, cnt = np.unique(ids, return_inverse=True, return_counts=True)
         buckets = (hash64_arr(t["shingle"].to_pylist()) % 64).astype(np.int64)
+        t = t.append_column("n", pa.array(cnt[inv].astype(np.int64)))
         return t.append_column("_bucket", pa.array(buckets))
 
-    sh = docs.map_batches(explode_candidates, batch_format="pyarrow").materialize()
-    sizes = sh.groupby("doc_id").count().to_pandas().rename(columns={"count()": "n"})
-    size_map = dict(zip(sizes["doc_id"], sizes["n"]))
+    sh = filtered.map_batches(explode_with_bucket, batch_format="pyarrow")
 
     def bucket_common(g: pd.DataFrame) -> pd.DataFrame:
-        cp = ray.get(pairs_ref)
+        """Pair partial counts among candidate docs (uncapped — the
+        original verification counted every shared shingle), set sizes
+        riding along (a doc's text is one row, so its distinct-shingle
+        count is batch-local exact)."""
         g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
         sh_v = g["shingle"].to_numpy()
         ids = g["doc_id"].to_numpy()
+        szs = g["n"].to_numpy()
         starts = np.flatnonzero(np.r_[True, sh_v[1:] != sh_v[:-1]])
         ends = np.r_[starts[1:], len(sh_v)]
-        das, dbs = [], []
+        das, dbs, nas, nbs = [], [], [], []
         for s, e in zip(starts, ends):
             n = e - s
             if n < 2:
@@ -343,33 +386,73 @@ def minhash_lsh_pairs(
             ii, jj = np.triu_indices(n, k=1)
             das.append(ids[s + ii])
             dbs.append(ids[s + jj])
+            nas.append(szs[s + ii])
+            nbs.append(szs[s + jj])
         if not das:
-            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0], "common": np.array([], dtype=np.int64)})
-        df = pd.DataFrame({"doc_a": np.concatenate(das), "doc_b": np.concatenate(dbs)})
-        # count only candidate pairs — the rest never reach the driver
-        sel = pd.Series(list(zip(df["doc_a"], df["doc_b"]))).isin(cp).to_numpy()
-        df = df[sel]
-        return df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "common"})
+            z = np.array([], dtype=np.int64)
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0], "common": z, "n_a": z, "n_b": z})
+        df = pd.DataFrame(
+            {
+                "doc_a": np.concatenate(das),
+                "doc_b": np.concatenate(dbs),
+                "n_a": np.concatenate(nas),
+                "n_b": np.concatenate(nbs),
+            }
+        )
+        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            common=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
 
-    partials = (
-        sh.groupby("_bucket")
-        .map_groups(lambda g: bucket_common(g.drop(columns=["_bucket"])), batch_format="pandas")
-        .to_pandas()
+    partials = sh.groupby("_bucket").map_groups(
+        lambda g: bucket_common(g.drop(columns=["_bucket"])), batch_format="pandas"
     )
-    if partials.empty:
+
+    # ---- co-group partials with candidate pairs on the pair bucket;
+    # combine + restrict + threshold in-stage (only hits leave)
+    def tag_partials(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False)
+        t = b.append_column("_pb", pa.array(_pair_bucket(a, bb)))
+        return t.append_column("_src", pa.array(np.ones(len(b), dtype=np.int8)))
+
+    def pad_pairs(b: pa.Table) -> pa.Table:
+        n = len(b)
+        t = b.select(["doc_a", "doc_b", "_pb"])
+        for c in ("common", "n_a", "n_b"):
+            t = t.append_column(c, pa.nulls(n, pa.int64()))
+        t = t.select(["doc_a", "doc_b", "common", "n_a", "n_b", "_pb"])
+        return t.append_column("_src", pa.array(np.zeros(n, dtype=np.int8)))
+
+    both = partials.map_batches(tag_partials, batch_format="pyarrow").union(
+        pairs_ds.map_batches(pad_pairs, batch_format="pyarrow")
+    )
+
+    def combine_and_threshold(g: pd.DataFrame) -> pd.DataFrame:
+        cp = g[g["_src"] == 0][["doc_a", "doc_b"]].drop_duplicates()
+        pp = g[g["_src"] == 1]
+        if cp.empty or pp.empty:
+            z = pd.Series([], dtype="int64")
+            return pd.DataFrame({"doc_a": z, "doc_b": z, "common": z, "un": z})
+        counts = pp.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            common=("common", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        counts = counts.merge(cp, on=["doc_a", "doc_b"], how="inner")
+        counts["common"] = counts["common"].astype("int64")
+        counts["un"] = (counts["n_a"] + counts["n_b"] - counts["common"]).astype("int64")
+        hit = counts[
+            (counts["un"] > 0)
+            & (counts["common"] * threshold_den >= counts["un"] * threshold_num)
+        ]
+        return hit[["doc_a", "doc_b", "common", "un"]]
+
+    hits = (
+        both.groupby("_pb")
+        .map_groups(lambda g: combine_and_threshold(g.drop(columns=["_pb"])), batch_format="pandas")
+        .to_pandas()  # hit-sized: only verified near-dup pairs
+    )
+    if hits.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "common", "un"])
-    counts = partials.groupby(["doc_a", "doc_b"], as_index=False)["common"].sum()
-    counts["un"] = (
-        counts["doc_a"].map(size_map).fillna(0) + counts["doc_b"].map(size_map).fillna(0) - counts["common"]
-    ).astype("int64")
-    hit = counts[
-        (counts["un"] > 0)
-        & (counts["common"] * threshold_den >= counts["un"] * threshold_num)
-    ]
-    return (
-        hit.sort_values(["doc_a", "doc_b"])[["doc_a", "doc_b", "common", "un"]]
-        .reset_index(drop=True)
-    )
+    return hits.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def simhash64(shingles: set[str]) -> int:
@@ -500,7 +583,8 @@ def embedding_dup_pairs(
     tau: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    target_group_bytes: int = 128 << 20,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= tau, i < j),
     EXACT, via a distributed triangular block join.
@@ -515,7 +599,22 @@ def embedding_dup_pairs(
     worker ever holds more than two blocks. (IVF bucketing would scale
     further but drops cross-bucket pairs; an exact threshold join needs
     the full triangle.)
-    """
+
+    ``n_blocks`` SCALES WITH THE CORPUS by default: a group holds two
+    blocks = ``2 * n / B`` rows, so ``B = ceil(2 * n * rowbytes /
+    target_group_bytes)`` (floor 8) bounds per-group memory at
+    ``target_group_bytes`` no matter how large the corpus grows — the
+    same cluster-scaling rule as ``hash_join``'s bucket count
+    (relational.py). A CONSTANT block count would make one map_groups
+    task OOM at 100x corpus."""
+    if n_blocks is None:
+        n = embeddings.count()
+        dim = 1
+        if n:
+            first = embeddings.take(1)[0]
+            dim = max(1, len(first[vec_col]))
+        rowbytes = dim * 8 + 16  # float64 matmul copy + id/index overhead
+        n_blocks = int(max(8, -(-2 * n * rowbytes // target_group_bytes)))
 
     def tag(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -182,6 +182,72 @@ def hash_join(
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def hash_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Both-sides-large SEMI-join: keep left rows whose key appears in
+    ``right`` (right's other columns and duplicate keys are ignored —
+    no row multiplication, unlike an inner ``hash_join`` against a
+    non-deduped right side). One co-partitioned shuffle; the in-group
+    filter is a vectorized ``isin``. Bucket count scales with the
+    cluster like ``hash_join``. Non-integer keys are bucketed via the
+    deterministic string hash."""
+    import pandas as pd
+
+    if n_buckets is None:
+        n_buckets = max(64, _ncpu() * 4)
+
+    lcols = list(left.schema().names)
+
+    def _buckets(keys: np.ndarray) -> np.ndarray:
+        if np.issubdtype(keys.dtype, np.integer):
+            return (keys.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return (
+            pd.util.hash_array(np.asarray(keys, dtype=object), categorize=False)
+            % n_buckets
+        ).astype(np.int64)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        keys = batch[on].to_numpy(zero_copy_only=False)
+        t = batch.append_column("_bucket", pa.array(_buckets(keys)))
+        return t.append_column("_side", pa.array(np.ones(len(batch), dtype=np.int8)))
+
+    ltypes = list(left.schema().types)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = batch[on].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        cols = {on: batch[on]}
+        for c, typ in zip(lcols, ltypes):
+            if c == on:
+                continue
+            # pad integer columns with ZEROS, not nulls: a single null
+            # coerces the whole pandas group block to float64, silently
+            # losing int64 exactness above 2^53 (right rows are dropped
+            # by the filter, so the sentinel never escapes)
+            if pa.types.is_integer(typ):
+                cols[c] = pa.array(np.zeros(n, dtype=np.int64), type=typ)
+            else:
+                cols[c] = pa.nulls(n, typ)
+        t = pa.table(cols).select(lcols)
+        t = t.append_column("_bucket", pa.array(_buckets(keys)))
+        return t.append_column("_side", pa.array(np.zeros(n, dtype=np.int8)))
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 1]
+        seen = g.loc[g["_side"] == 0, on].unique()
+        return lg[lg[on].isin(seen)][lcols]
+
+    return both.groupby("_bucket").map_groups(filter_bucket, batch_format="pandas")
+
+
 def deterministic_sample(
     ds: ray.data.Dataset,
     rate_num: int,

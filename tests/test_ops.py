@@ -356,3 +356,60 @@ def test_pair_ops_empty_result_schemas():
     assert list(ej.columns) == ["doc_a", "doc_b", "common", "un"] and ej.empty
     sh = simhash_pairs(docs, max_hamming=0)
     assert list(sh.columns) == ["doc_a", "doc_b", "hamming"]
+
+
+def test_embedding_dup_blocks_scale_with_corpus():
+    """Default n_blocks derives from corpus size x vector bytes /
+    target_group_bytes (hash_join's cluster-scaling rule): under a
+    forced-small target the block count must rise so no group ever
+    holds more than ~2*ceil(n/B) rows, and the pair set must stay
+    identical to the fixed-block result (exactness is B-independent)."""
+    import numpy as np
+    import pandas.testing as pdt
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rayhist.ops.dedup import embedding_dup_pairs
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"]).materialize()
+    n = ds.count()
+    dim = len(ds.take(1)[0]["embedding"])
+    rowbytes = dim * 8 + 16
+    target = max(1, (2 * n * rowbytes) // 32)  # force B ~ 32
+    got = embedding_dup_pairs(ds, tau=0.4, target_group_bytes=target)
+    ref = embedding_dup_pairs(ds, tau=0.4, n_blocks=4)
+    pdt.assert_frame_equal(got, ref)
+    # the derived B honors the memory bound: 2*n/B rows * rowbytes <= target
+    B = int(max(8, -(-2 * n * rowbytes // target)))
+    assert 2 * -(-n // B) * rowbytes <= target + 2 * rowbytes * B  # ceil slack
+    assert B >= 31  # the forced target actually raised the block count
+
+
+def test_hash_semi_join_filters_without_multiplying():
+    """hash_semi_join keeps exactly the left rows whose key appears in
+    the right side — duplicate right keys must NOT multiply rows, and
+    int64 columns must come back exact (no float64 union-padding
+    coercion, including above 2^53)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayhist.ops.relational import hash_semi_join
+
+    big = (1 << 53) + 1  # would round under a float64 round-trip
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+                "payload": np.array([big, big + 2, 7, 9], dtype=np.int64),
+                "text": ["a", "b", "c", "d"],
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"doc_id": np.array([2, 2, 4, 99], dtype=np.int64)})
+    )
+    out = hash_semi_join(left, right, on="doc_id").to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [2, 4]
+    assert out["payload"].tolist() == [big + 2, 9]  # exact int64 round-trip
+    assert str(out["payload"].dtype) == "int64"
