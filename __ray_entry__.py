@@ -123,7 +123,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "snapshot_count_daily": o.snapshot_count_daily(),
         "snapshot_count_daily_click": o.snapshot_count_daily("visible AND etype = 'click'"),
-        "snapshot_count_key_excluding": o.snapshot_count_daily("visible AND kk NOT IN (0, 2, 5)"),
+        # kk <> -1 encodes KEY PRESENCE (hasTagKeyExcluding = key present
+        # AND value outside the set): the sandbox corpus happens to carry
+        # tag k on every event, but the oracle must mirror the engine
+        # predicate, not a corpus invariant
+        "snapshot_count_key_excluding": o.snapshot_count_daily(
+            "visible AND kk <> -1 AND kk NOT IN (0, 2, 5)"
+        ),
         "snapshot_cells": o.snapshot_cells(),
         "snapshot_latest_state": o.snapshot_latest_state(),
         "contrib_type_counts": o.contrib_type_counts(),

@@ -233,6 +233,15 @@ class MapReducer:
         MapAggregator.java:956-988)."""
         if callable(col):
             fn = col
+            if name in self._agg_cols:
+                # two callable indexers defaulting to the same name would
+                # append a duplicate column and fail much later with a
+                # confusing Arrow duplicate-field error — fail HERE
+                raise ValueError(
+                    f"aggregateBy: key name {name!r} already in use "
+                    f"{tuple(self._agg_cols)}; pass a distinct name= for "
+                    "each callable indexer"
+                )
 
             def add_key(t: pa.Table) -> pa.Table:
                 return t.append_column(name, pa.array(np.asarray(fn(t))))
@@ -242,6 +251,8 @@ class MapReducer:
                 _transforms=self._transforms + (("map", add_key),),
                 _agg_cols=self._agg_cols + (name,),
             )
+        if col in self._agg_cols:
+            raise ValueError(f"aggregateBy: key {col!r} already in use {tuple(self._agg_cols)}")
         return replace(self, _agg_cols=self._agg_cols + (col,))
 
     def aggregateByGeometry(self, regions: dict) -> MapReducer:

@@ -38,6 +38,23 @@ def md5_hex(texts) -> list[str]:
     return [hashlib.md5(t.encode()).hexdigest() for t in texts]
 
 
+def content_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 128-bit content key as two INDEPENDENT 64-bit lanes
+    (uint64 each): FNV-1a over the utf-8 bytes (ops.text.fnv1a_batch)
+    and pandas' keyed siphash. A single 64-bit lane collides at the
+    birthday bound (~4x10^9 docs — real at 10^12-doc scale and it
+    would silently merge distinct texts); two independent lanes push
+    the expected first collision past ~10^18 docs. No per-row Python —
+    both lanes are numpy kernels. NOT cryptographic: adversarially
+    chosen inputs can collide; use the md5 path for hostile corpora."""
+    from .text import fnv1a_batch
+
+    lst = list(texts)
+    h1 = fnv1a_batch(lst)
+    h2 = hash64_arr(np.asarray(lst, dtype=object))
+    return h1, h2
+
+
 def shingle_set(text: str, n: int = SHINGLE_N) -> set[str]:
     """Docs shorter than n words have NO shingles — same as the oracle's
     ``generate_series(1, len(ws)-2)``, which emits nothing for them.
@@ -169,10 +186,11 @@ def exact_jaccard_pairs(
     )
 
     def add_pair_bucket(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pb = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ bb) % np.uint64(64)
-        return b.append_column("_pb", pa.array(pb.astype(np.int64)))
+        # _pair_bucket routes non-integer ids through the string hash
+        # (a bare astype(uint64) would crash on string doc ids)
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False)
+        return b.append_column("_pb", pa.array(_pair_bucket(a, bb)))
 
     def combine_and_threshold(g: pd.DataFrame) -> pd.DataFrame:
         """Sum partial commons per pair (cross-bucket), then apply the
@@ -543,6 +561,7 @@ def exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 64,
+    hash_fn: str = "vector128",
 ) -> ray.data.Dataset:
     """Exact dedup: content-hash -> keep the smallest-id row per hash.
 
@@ -556,20 +575,35 @@ def exact_dedup(
     2. shuffle by a coarse hash BUCKET (``_hb``, ``num_buckets`` of
        them), so the final stage issues O(num_buckets) group calls,
        each one vectorized sort+drop_duplicates over many hashes.
-    """
+
+    ``hash_fn``: ``"vector128"`` (default, the production path) keys on
+    ``content_hash128`` — two vectorized 64-bit lanes, no per-row
+    Python in the hot stage; ``"md5"`` keeps the per-row hashlib path
+    (bit-mirrorable in SQL, collision-proof under hostile inputs).
+    Survivors are identical under either key barring a 128-bit
+    collision (asserted A/B in tests)."""
+    hcols = ["_h"] if hash_fn == "md5" else ["_h1", "_h2"]
 
     def add_hash_and_partial(batch: pa.Table) -> pa.Table:
-        t = batch.append_column("_h", pa.array(md5_hex(batch[text_col].to_pylist())))
+        texts = batch[text_col].to_pylist()
+        if hash_fn == "md5":
+            t = batch.append_column("_h", pa.array(md5_hex(texts)))
+            hb = pd.util.hash_array(
+                np.asarray(t["_h"].to_pylist(), dtype=object)
+            ) % num_buckets
+        else:
+            h1, h2 = content_hash128(texts)
+            t = batch.append_column("_h1", pa.array(h1.view(np.int64)))
+            t = t.append_column("_h2", pa.array(h2.view(np.int64)))
+            hb = h1 % np.uint64(num_buckets)
+        t = t.append_column("_hb", pa.array(hb.astype(np.int64)))
         df = t.to_pandas()
-        df = df.sort_values(id_col, kind="mergesort").drop_duplicates("_h", keep="first")
-        df["_hb"] = (
-            pd.util.hash_array(df["_h"].to_numpy(dtype=object)) % num_buckets
-        ).astype(np.int64)
+        df = df.sort_values(id_col, kind="mergesort").drop_duplicates(hcols, keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").drop_duplicates("_h", keep="first")
-        return g.drop(columns=["_h", "_hb"])
+        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(hcols, keep="first")
+        return g.drop(columns=[*hcols, "_hb"])
 
     return (
         docs.map_batches(add_hash_and_partial, batch_format="pyarrow")

@@ -165,21 +165,29 @@ def hash_join(
         right.map_batches(tag_side("r", [on, *rcols]), batch_format="pyarrow")
     )
 
-    # the union-padded nulls coerce integer columns to float64 in the
-    # pandas group block; restore exact int64 after the merge (money
-    # rule: integer cents, never float sums)
+    # the union-padded nulls would coerce integer columns to float64 in
+    # a default arrow->pandas conversion, silently losing int64
+    # exactness above 2^53 BEFORE any post-merge restore; take the
+    # group as ARROW and map integer columns to pandas nullable Int64
+    # instead (exact at any magnitude; money rule: integer cents)
     int_cols = [n for n, t in all_fields if pa.types.is_integer(t)]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        g = t.to_pandas(
+            types_mapper=lambda typ: pd.Int64Dtype() if pa.types.is_integer(typ) else None
+        )
         lg = g[g["_side"] == "l"][lcols]
         rg = g[g["_side"] == "r"][[on, *rcols]]
         out = lg.merge(rg, on=on, how=how)
         for c in int_cols:
+            # all-non-null columns go back to plain int64; columns with
+            # genuine nulls (outer joins) STAY nullable Int64 — never
+            # float64
             if c in out.columns and out[c].notna().all():
                 out[c] = out[c].astype("int64")
         return out
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def hash_semi_join(

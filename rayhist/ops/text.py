@@ -180,13 +180,27 @@ def explode_windows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "te
     return pa.TableGroupBy(t, [id_col, "window"]).aggregate([]).select([id_col, "window"])
 
 
-def fingerprint_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """md5 content fingerprint (matches SQL md5()) plus a 64-bit FNV-1a
-    rolling hash for windowed dedup (vectorized, fnv1a_batch)."""
-    from .dedup import md5_hex
+def fingerprint_stage(
+    batch: pa.Table, text_col: str = "text", fp_algo: str = "vector128"
+) -> pa.Table:
+    """Content fingerprint (``fp``, 32 hex chars) plus a 64-bit FNV-1a
+    rolling hash (``fp_roll``) for windowed dedup.
+
+    ``fp_algo``: ``"vector128"`` (default, the production path) builds
+    the fingerprint from content_hash128's two vectorized 64-bit lanes
+    — no per-row Python; ``"md5"`` is the oracle-parity twin (the fp
+    VALUE must equal SQL ``md5(text)``, so the oracle-checked query
+    pins it). Equality classes are identical either way (A/B-tested)."""
+    from .dedup import content_hash128, md5_hex
 
     texts = batch[text_col].to_pylist()
-    md5s = md5_hex(texts)  # the one definition of the oracle-parity md5
-    rolls = fnv1a_batch(texts).view(np.int64)
-    batch = batch.append_column("fp", pa.array(md5s))
-    return batch.append_column("fp_roll", pa.array(rolls, type=pa.int64()))
+    if fp_algo == "md5":
+        fps = pa.array(md5_hex(texts))  # the one oracle-parity md5
+        rolls = fnv1a_batch(texts)
+    else:
+        h1, h2 = content_hash128(texts)
+        # same 32-hex-char width as md5: two zero-padded uint64 lanes
+        fps = pa.array([f"{a:016x}{b:016x}" for a, b in zip(h1, h2)])
+        rolls = h1
+    batch = batch.append_column("fp", fps)
+    return batch.append_column("fp_roll", pa.array(rolls.view(np.int64), type=pa.int64()))

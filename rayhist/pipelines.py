@@ -548,12 +548,19 @@ def q_sample_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
-    """md5 content fingerprint per document (matches SQL md5())."""
+    """md5 content fingerprint per document — the ORACLE TWIN pins
+    fp_algo='md5' because the fp VALUE is compared against SQL
+    md5(text); the production default is the vectorized vector128
+    path (same equality classes, A/B-tested in test_ops)."""
     import ray.data
     from .ops.text import fingerprint_stage
 
     ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    df = ds.map_batches(fingerprint_stage, batch_format="pyarrow").select_columns(["doc_id", "fp"]).to_pandas()
+    df = (
+        ds.map_batches(lambda b: fingerprint_stage(b, fp_algo="md5"), batch_format="pyarrow")
+        .select_columns(["doc_id", "fp"])
+        .to_pandas()
+    )
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1327,7 +1334,11 @@ def q_snapshot_count_even_uid(sf_dir: str) -> pd.DataFrame:
 
 def q_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """Exact deduplication as a pipeline result: surviving doc_ids
-    after hash-partitioned keep-first dedup over the documents corpus."""
+    after hash-partitioned keep-first dedup over the documents corpus.
+    Runs the PRODUCTION vector128 content key (survivors are identical
+    to the md5 key barring a 128-bit collision — the oracle validates
+    the production path directly; the md5 twin is A/B-pinned in
+    tests)."""
     import ray.data
 
     from .ops.dedup import exact_dedup

@@ -418,3 +418,25 @@ def test_aggregate_by_callable_indexer_and_estimated_median():
     med = base.estimatedMedian("lat_e7")
     lo, hi = np.quantile(rows["lat_e7"], [0.25, 0.75])
     assert lo <= med <= hi
+
+
+def test_aggregate_by_duplicate_name_raises_at_builder_time():
+    """Two callable indexers without distinct names must fail AT
+    aggregateBy() time (ADVICE: the duplicate column used to surface
+    much later as a confusing Arrow duplicate-field error)."""
+    import pytest
+
+    from rayhist.api import OSMEntitySnapshotView
+
+    v = OSMEntitySnapshotView.on("/root/testdata/sf0.001").timestamps(
+        "2024-01-01", "2024-01-31", "DAILY"
+    )
+    chained = v.aggregateBy(lambda t: t["osm_id"].to_numpy(zero_copy_only=False) % 2)
+    with pytest.raises(ValueError, match="already in use"):
+        chained.aggregateBy(lambda t: t["osm_id"].to_numpy(zero_copy_only=False) % 3)
+    # distinct names chain fine
+    chained.aggregateBy(
+        lambda t: t["osm_id"].to_numpy(zero_copy_only=False) % 3, name="_agg_key2"
+    )
+    with pytest.raises(ValueError, match="already in use"):
+        chained.aggregateBy("_agg_key")

@@ -413,3 +413,87 @@ def test_hash_semi_join_filters_without_multiplying():
     assert out["doc_id"].tolist() == [2, 4]
     assert out["payload"].tolist() == [big + 2, 9]  # exact int64 round-trip
     assert str(out["payload"].dtype) == "int64"
+
+
+def test_exact_dedup_vector128_matches_md5_survivors():
+    """The vectorized 128-bit content key (production default) must
+    keep exactly the same keep-first survivors as the md5 key, and the
+    vector128 fingerprint must induce the same equality classes as
+    md5(text)."""
+    import pandas.testing as pdt
+    import ray.data
+
+    from rayhist.ops.dedup import exact_dedup
+    from rayhist.ops.text import fingerprint_stage
+
+    import pyarrow as pa
+
+    base = ray.data.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    # force real duplicates: a shifted-id copy of the corpus
+    dup = base.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(b["doc_id"].to_numpy(zero_copy_only=False) + 10_000),
+        ),
+        batch_format="pyarrow",
+    )
+    ds = base.union(dup).materialize()
+    a = exact_dedup(ds).to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    b = (
+        exact_dedup(ds, hash_fn="md5")
+        .to_pandas()[["doc_id"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdt.assert_frame_equal(a, b)
+    assert len(a) == ds.count() // 2  # every duplicate collapsed
+    assert a["doc_id"].max() < 10_000  # keep-FIRST: original ids survive
+
+    fp_v = ds.map_batches(fingerprint_stage, batch_format="pyarrow").to_pandas()
+    fp_m = ds.map_batches(
+        lambda t: fingerprint_stage(t, fp_algo="md5"), batch_format="pyarrow"
+    ).to_pandas()
+    fp_v = fp_v.sort_values("doc_id").reset_index(drop=True)
+    fp_m = fp_m.sort_values("doc_id").reset_index(drop=True)
+    # same equality classes: two docs share a vector128 fp iff they
+    # share an md5 fp
+    import pandas as pd
+
+    cls_v = fp_v.groupby("fp")["doc_id"].apply(lambda s: tuple(sorted(s))).sort_values()
+    cls_m = fp_m.groupby("fp")["doc_id"].apply(lambda s: tuple(sorted(s))).sort_values()
+    assert sorted(cls_v.tolist()) == sorted(cls_m.tolist())
+    assert (fp_v["fp"].str.len() == 32).all()  # md5-width hex
+
+
+def test_hash_join_int64_exact_above_2_53():
+    """hash_join must round-trip int64 values above 2^53 exactly (the
+    union-padded nulls must not detour through float64), and genuinely
+    null cells from non-inner joins must stay nullable integers."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayhist.ops.relational import hash_join
+
+    big = (1 << 53) + 1
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": np.array([1, 2, 3], dtype=np.int64),
+                "v": np.array([big, big + 2, big + 4], dtype=np.int64),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": np.array([1, 3], dtype=np.int64), "w": np.array([7, 9], dtype=np.int64)})
+    )
+    inner = hash_join(left, right, on="k").to_pandas().sort_values("k")
+    assert inner["v"].tolist() == [big, big + 4]  # exact above 2^53
+    assert str(inner["v"].dtype) == "int64"
+    outer = hash_join(left, right, on="k", how="left").to_pandas().sort_values("k")
+    assert outer["v"].tolist() == [big, big + 2, big + 4]
+    # the unmatched row's w is a true null on an INTEGER dtype
+    assert outer["w"].isna().sum() == 1
+    assert not str(outer["w"].dtype).startswith("float")
