@@ -1140,6 +1140,27 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
+def q_pbf_snapshot_count_daily(sf_dir: str) -> pd.DataFrame:
+    """snapshot_count_daily INGESTED THROUGH THE BINARY BLOCK CODEC
+    (sources.pbfish): the corpus is encoded once into .rosh block files
+    (the .osh.pbf-shaped format: per-block string table + header/flag
+    varint-delta histories, RxOshPbfReader.java:70-102 /
+    OSHNodeImpl.java:145-275 analog), then the query runs
+    read_binary_files -> map_batches(decode) -> fused snapshot counts —
+    proving the §2.1 blob-decode ingest path end to end under the same
+    value-exact oracle as the cached-parquet route."""
+    from .aggregate import combine_partials
+    from .ingest import sig_keytable
+    from .sources.pbfish import ensure_pbfish, read_pbfish
+    from .views import snapshot_counts
+
+    kt = {s: i for i, s in enumerate(sig_keytable(sf_dir))}
+    docs = read_pbfish(ensure_pbfish(sf_dir), keytable=kt)
+    partials, keys = snapshot_counts(docs, SNAP_DAILY)
+    df = combine_partials(partials, keys, {"n_part": "n_snapshots"})
+    return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
+
+
 def q_snapshot_count_daily_checkpointed(sf_dir: str) -> pd.DataFrame:
     """snapshot_count_daily EXECUTED THROUGH THE CHECKPOINTED SHARD
     RUNNER (state.checkpoint.run_sharded): the span table's parquet
