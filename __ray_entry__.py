@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_cells_salted": p.q_snapshot_cells_salted,
         "snapshot_count_daily_checkpointed": p.q_snapshot_count_daily_checkpointed,
         "pbf_snapshot_count_daily": p.q_pbf_snapshot_count_daily,
+        "snapshot_latest_state_written": p.q_snapshot_latest_state_written,
     }
 
 
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_cells_salted": o.snapshot_cells(),  # same values, salted plan
         "snapshot_count_daily_checkpointed": o.snapshot_count_daily(),  # same values, sharded+resumable plan
         "pbf_snapshot_count_daily": o.snapshot_count_daily(),  # same values, binary-block ingest path
+        "snapshot_latest_state_written": o.snapshot_latest_state(),  # same values, write-terminated path
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features

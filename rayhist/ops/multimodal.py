@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Media payloads ride as ``binary`` columns (or as ``media_ref`` blob
-keys in the span table, rayhist.model). The decode/feature kernels
-need codec libraries that are NOT in this container, so the kernels
-are STUBBED behind ``RAYHIST_FAKE_DECODE`` (deterministic fake) /
-``NotImplementedError`` — but the Ray-side plumbing is real and
-tested: schema, actor signature, batch sizing, output layout.
+keys in the span table, rayhist.model). The codec dependency (PIL) is
+PROBED once per actor in ``__init__``: when importable, the real
+decode/resize kernels run; otherwise a deterministic byte-hash fake
+with the same signature, schema and batch shape (this container has no
+PIL/ffmpeg). ``RAYHIST_FAKE_DECODE=1`` forces the fake even when PIL
+exists (reproducibility pin). The Ray-side plumbing — schema, actor
+signature, batch sizing, output layout — is real and contract-tested
+in whichever mode the environment provides.
 
 Scale notes: media batches are sized by BYTES not rows — a stage
 holding decoded frames must keep ``batch_size`` small (rows) and rely
@@ -58,38 +61,63 @@ def synth_media_table(refs: list[str], kind: str = "image") -> pa.Table:
     )
 
 
+def _probe_pil():
+    """Optional-dependency probe: PIL if importable, else None. Run in
+    each actor's __init__ (once per actor, never per batch)."""
+    try:  # pragma: no cover - container has no PIL; exercised when present
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
 class MediaDecodeStage:
     """Actor-pool stage: decode payload -> fixed-dim feature vector.
 
-    A real deployment loads the codec/model once here (``__init__``);
-    the sandbox has no codec libraries, so with RAYHIST_FAKE_DECODE=1
-    (default in tests) the "decode" is a deterministic byte-hash
-    feature — same signature, same output schema, same batch shape.
+    The codec is probed ONCE per actor in ``__init__``: if PIL is
+    importable (and RAYHIST_FAKE_DECODE doesn't force the fake), the
+    real decode runs — open image, grayscale, resample to a dim-sized
+    grid, normalize; otherwise the deterministic byte-hash fake runs —
+    same signature, same output schema, same batch shape. ``mode``:
+    ``"auto"`` (probe), ``"fake"``, ``"pil"`` (raises if absent). The
+    contract test runs whichever branch the environment provides.
     """
 
-    def __init__(self, feature_dim: int = FEATURE_DIM):
+    def __init__(self, feature_dim: int = FEATURE_DIM, mode: str = "auto"):
         self.dim = feature_dim
-        self.fake = os.environ.get("RAYHIST_FAKE_DECODE", "1") == "1"
-        if not self.fake:  # pragma: no cover
-            raise NotImplementedError(
-                "real media decode needs PIL/ffmpeg which are not in this container; "
-                "set RAYHIST_FAKE_DECODE=1 for the deterministic fake"
-            )
+        if mode == "auto" and os.environ.get("RAYHIST_FAKE_DECODE", "") == "1":
+            mode = "fake"
+        self.pil = _probe_pil() if mode in ("auto", "pil") else None
+        if mode == "pil" and self.pil is None:  # pragma: no cover
+            raise NotImplementedError("mode='pil' requires PIL in the environment")
+        self.mode = "pil" if self.pil is not None else "fake"
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+    def _fake_feature(self, payload: bytes) -> np.ndarray:
         n_blocks = -(-self.dim * 2 // 32)  # sha256 yields 32 bytes; chain
         # counter-suffixed digests for dims > 16 (a bare slice silently
         # TRUNCATED to 16 dims)
-        for payload in batch["payload"].to_pylist():
-            if n_blocks == 1:  # dims <= 16: the original single digest
-                h = hashlib.sha256(payload).digest()
-            else:
-                h = b"".join(
-                    hashlib.sha256(payload + bytes([i])).digest()
-                    for i in range(n_blocks)
-                )
-            feats.append(np.frombuffer(h[: self.dim * 2], dtype=np.uint16).astype(np.float32) / 65535.0)
+        if n_blocks == 1:  # dims <= 16: the original single digest
+            h = hashlib.sha256(payload).digest()
+        else:
+            h = b"".join(
+                hashlib.sha256(payload + bytes([i])).digest() for i in range(n_blocks)
+            )
+        return np.frombuffer(h[: self.dim * 2], dtype=np.uint16).astype(np.float32) / 65535.0
+
+    def _pil_feature(self, payload: bytes) -> np.ndarray:  # pragma: no cover
+        import io
+
+        side = max(1, int(np.ceil(np.sqrt(self.dim))))
+        img = self.pil.open(io.BytesIO(payload)).convert("L").resize((side, side))
+        px = np.asarray(img, dtype=np.float32).ravel()[: self.dim] / 255.0
+        if len(px) < self.dim:
+            px = np.pad(px, (0, self.dim - len(px)))
+        return px
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        decode = self._pil_feature if self.mode == "pil" else self._fake_feature
+        feats = [decode(p) for p in batch["payload"].to_pylist()]
         out = batch.select(["media_ref", "kind", "width", "height"])
         return out.append_column(
             "feature", pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32()))
@@ -114,8 +142,18 @@ class MediaResizeStage:
 
     def __init__(self, max_w: int = 32, max_h: int = 32):
         self.max_w, self.max_h = max_w, max_h
-        if os.environ.get("RAYHIST_FAKE_DECODE", "1") != "1":  # pragma: no cover
-            raise NotImplementedError("real resize needs PIL; set RAYHIST_FAKE_DECODE=1")
+        force_fake = os.environ.get("RAYHIST_FAKE_DECODE", "") == "1"
+        self.pil = None if force_fake else _probe_pil()
+
+    def _resample(self, payload: bytes, w: int, h: int) -> bytes:
+        if self.pil is not None:  # pragma: no cover - real path needs PIL
+            import io
+
+            img = self.pil.open(io.BytesIO(payload)).resize((int(w), int(h)))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        return hashlib.sha256(payload + f":{w}x{h}".encode()).digest() * 4
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -124,7 +162,7 @@ class MediaResizeStage:
         nw = np.maximum((w * scale).astype(np.int32), 1)
         nh = np.maximum((h * scale).astype(np.int32), 1)
         payloads = [
-            hashlib.sha256(p + f":{a}x{b}".encode()).digest() * 4
+            self._resample(p, a, b)
             for p, a, b in zip(batch["payload"].to_pylist(), nw, nh)
         ]
         out = batch.drop_columns(["payload", "width", "height"])
@@ -141,8 +179,10 @@ class FrameSampleStage:
 
     def __init__(self, n_frames: int = 4):
         self.n = n_frames
-        if os.environ.get("RAYHIST_FAKE_DECODE", "1") != "1":  # pragma: no cover
-            raise NotImplementedError("real frame extraction needs ffmpeg; set RAYHIST_FAKE_DECODE=1")
+        # frame extraction needs ffmpeg/imageio (absent here and not
+        # probed — video decode has no PIL-class pure-Python fallback);
+        # the timestamp math + fan-out below run identically either way
+        # and the fake frame is the sha256 of (payload, ts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()

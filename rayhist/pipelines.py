@@ -1140,6 +1140,65 @@ def q_tdigest_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_estimated_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
+def snapshot_latest_state_write(sf_dir: str, out_dir: str) -> dict:
+    """Write-terminated twin of q_snapshot_latest_state — the
+    BIG-RESULT path: the reconstructed state is never collected on the
+    driver; each input shard streams through the snapshot view and
+    lands as partitioned parquet via the checkpointed shard runner
+    (state.checkpoint.run_sharded: atomic rename + manifest line with
+    lineage fingerprints, row counts, content checksum, wall time).
+    A re-run skips completed shards. Returns the manifest dict; the
+    rows live under ``out_dir``/shard_*/*.parquet."""
+    import glob
+    import os
+
+    from .ingest import ensure_documents
+    from .state.checkpoint import run_sharded
+    from .views import snapshot_view
+
+    rep = int(os.environ.get("RAYHIST_REP", "1"))
+    path = ensure_documents(sf_dir, rep)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    n_shards = min(4, len(files))
+    shards = {f"shard_{i:02d}": files[i::n_shards] for i in range(n_shards)}
+
+    def process(inputs: list[str]) -> ray.data.Dataset:
+        snaps = snapshot_view(rio.read_table(inputs), [T_MID])
+        return snaps.map_batches(
+            lambda b: b.select(["doc_id", "osm_id", "v", "lon_e7", "lat_e7", "etype", "uid"]),
+            batch_format="pyarrow",
+        )
+
+    return run_sharded(shards, process, out_dir)
+
+
+def q_snapshot_latest_state_written(sf_dir: str) -> pd.DataFrame:
+    """q_snapshot_latest_state THROUGH THE WRITE-TERMINATED PATH: the
+    state table is written as sharded parquet + manifest (no driver
+    collect inside the pipeline), then read back ONLY for the oracle
+    comparison — proving the at-scale big-result route end to end under
+    the row-returning query's value-exact oracle."""
+    import glob
+    import hashlib as _hl
+    import os
+
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(
+        os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache"),
+        "state_" + _hl.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+        "latest_state",
+    )
+    manifest = snapshot_latest_state_write(sf_dir, out_dir)
+    parts = [
+        pq.read_table(f)
+        for pid in manifest
+        for f in sorted(glob.glob(os.path.join(out_dir, pid, "*.parquet")))
+    ]
+    df = pa.concat_tables(parts).to_pandas()
+    return df.sort_values("osm_id").reset_index(drop=True)
+
+
 def q_pbf_snapshot_count_daily(sf_dir: str) -> pd.DataFrame:
     """snapshot_count_daily INGESTED THROUGH THE BINARY BLOCK CODEC
     (sources.pbfish): the corpus is encoded once into .rosh block files

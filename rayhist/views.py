@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from .functions.deadline import Deadline
 from .model import decode_spans
 from .temporal import TagFilter, contributions, snapshots
 
@@ -42,16 +43,21 @@ def snapshot_view(
     docs: ray.data.Dataset,
     timestamps,
     tag_filter: TagFilter | None = None,
+    deadline: Deadline | None = None,
 ) -> ray.data.Dataset:
     """Dataset of entity snapshots at the given query timestamps.
 
     One output row per (entity, timestamp) where the entity exists,
     is visible, and matches the filter — semantics of
     ``CellIterator.iterateByTimestamps`` (CellIterator.java:181-347).
+    ``deadline`` is checked between batches (the Kernels.java:24-36
+    isActive() analog) and raises RayhistTimeoutError when tripped.
     """
     ts = np.asarray(list(timestamps), dtype=np.int64)
 
     def stage(batch: pa.Table) -> pa.Table:
+        if deadline is not None:
+            deadline.check()
         decoded = decode_spans(batch)
         return snapshots(decoded, ts, _match_mask(decoded, tag_filter))
 
@@ -65,6 +71,7 @@ def contribution_view(
     tag_filter: TagFilter | None = None,
     tags: bool = True,
     geom: bool = True,
+    deadline: Deadline | None = None,
 ) -> ray.data.Dataset:
     """Dataset of classified contributions in [t_from, t_to) —
     semantics of ``CellIterator.iterateByContribution``
@@ -73,6 +80,8 @@ def contribution_view(
     is_tag_change / is_geom_change flags become vacuously false)."""
 
     def stage(batch: pa.Table) -> pa.Table:
+        if deadline is not None:
+            deadline.check()
         decoded = decode_spans(
             batch, tags=tags or tag_filter is not None, geom=geom
         )
@@ -100,6 +109,7 @@ def snapshot_counts(
     tag_filter: TagFilter | None = None,
     cell_zoom: int | None = None,
     keytable: list[str] | None = None,
+    deadline: Deadline | None = None,
 ):
     """Partial snapshot counts per (ts_q[, cell]) per batch.
 
@@ -120,6 +130,8 @@ def snapshot_counts(
     need_geom = cell_zoom is not None
 
     def stage(batch: pa.Table) -> pa.Table:
+        if deadline is not None:
+            deadline.check()
         decoded = decode_spans(batch, tags=need_tags, geom=need_geom)
         m = _ids_mask(decoded, lut) if use_ids else _match_mask(decoded, tag_filter)
         s = snapshots(decoded, ts, m)
@@ -147,6 +159,7 @@ def contribution_stats(
     bins=None,
     flag_cols: list[str] | None = None,
     keytable: list[str] | None = None,
+    deadline: Deadline | None = None,
 ):
     """Partial contribution stats per batch: count + per-type sums,
     optionally keyed by floor-binned timestamp.
@@ -176,6 +189,8 @@ def contribution_stats(
     need_geom = "is_geom_change" in flag_cols
 
     def stage(batch: pa.Table) -> pa.Table:
+        if deadline is not None:
+            deadline.check()
         decoded = decode_spans(batch, tags=need_tags, geom=need_geom)
         m = _ids_mask(decoded, lut) if lut is not None else _match_mask(decoded, tag_filter)
         c = contributions(

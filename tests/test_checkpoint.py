@@ -5,6 +5,7 @@ import json
 import shutil
 from pathlib import Path
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -269,3 +270,39 @@ def test_partitioned_layout_pruned_query(tmp_path):
         return int(m.sum())
 
     assert aoi_count(matching) == aoi_count(all_dirs)  # nothing missed
+
+
+def test_latest_state_write_terminated_matches_oracle():
+    """The write-terminated big-result path (sharded parquet + manifest,
+    no driver collect) must produce exactly the rows of the
+    driver-collected twin, and a second run must skip every shard
+    (resume from checkpoint)."""
+    import glob
+    import shutil
+
+    import pandas.testing as pdt
+    import pyarrow.parquet as pq
+
+    from rayhist import pipelines as p
+
+    sf = "/root/testdata/sf0.001"
+    out = "/tmp/rayhist_test_latest_state_write"
+    shutil.rmtree(out, ignore_errors=True)
+    manifest = p.snapshot_latest_state_write(sf, out)
+    assert manifest and all("checksum" in r for r in manifest.values())
+    written = pd.concat(
+        [
+            pq.read_table(f).to_pandas()
+            for pid in manifest
+            for f in sorted(glob.glob(f"{out}/{pid}/*.parquet"))
+        ],
+        ignore_index=True,
+    ).sort_values("osm_id").reset_index(drop=True)
+    direct = p.q_snapshot_latest_state(sf)
+    pdt.assert_frame_equal(written[direct.columns.tolist()], direct)
+    # resume: second run re-serves every shard from the manifest
+    again = p.snapshot_latest_state_write(sf, out)
+    assert {k: r["checksum"] for k, r in again.items()} == {
+        k: r["checksum"] for k, r in manifest.items()
+    }
+    shutil.rmtree(out, ignore_errors=True)

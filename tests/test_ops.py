@@ -497,3 +497,54 @@ def test_hash_join_int64_exact_above_2_53():
     # the unmatched row's w is a true null on an INTEGER dtype
     assert outer["w"].isna().sum() == 1
     assert not str(outer["w"].dtype).startswith("float")
+
+
+def test_media_decode_codec_probe_contract():
+    """MediaDecodeStage probes PIL once per actor and falls back to the
+    deterministic fake; the contract (schema, dims, determinism) holds
+    in WHICHEVER mode the environment provides, and the real branch is
+    additionally exercised when PIL is importable."""
+    import importlib.util
+
+    import ray.data
+
+    from rayhist.ops.multimodal import FEATURE_DIM, MediaDecodeStage, synth_media_table
+
+    has_pil = importlib.util.find_spec("PIL") is not None
+    stage = MediaDecodeStage()
+    assert stage.mode == ("pil" if has_pil else "fake")
+
+    if has_pil:  # pragma: no cover - sandbox has no PIL
+        import io
+
+        from PIL import Image
+
+        payloads = []
+        for i in range(4):
+            img = Image.new("L", (8, 8), color=i * 10)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            payloads.append(buf.getvalue())
+        t = synth_media_table([f"img://{i}" for i in range(4)])
+        t = t.set_column(t.schema.get_field_index("payload"), "payload",
+                         pa.array(payloads, type=pa.binary()))
+    else:
+        t = synth_media_table([f"img://{i}" for i in range(4)])
+
+    out1 = stage(t)
+    out2 = MediaDecodeStage()(t)
+    assert out1.schema.names == ["media_ref", "kind", "width", "height", "feature"]
+    feats1 = out1["feature"].to_pylist()
+    feats2 = out2["feature"].to_pylist()
+    assert all(len(f) == FEATURE_DIM for f in feats1)
+    assert feats1 == feats2  # deterministic across actor instances
+    # forcing the fake always works, PIL or not
+    import os
+
+    os.environ["RAYHIST_FAKE_DECODE"] = "1"
+    try:
+        forced = MediaDecodeStage()
+        assert forced.mode == "fake"
+        assert len(forced(synth_media_table(["img://x"]))["feature"].to_pylist()[0]) == FEATURE_DIM
+    finally:
+        os.environ.pop("RAYHIST_FAKE_DECODE", None)
