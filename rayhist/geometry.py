@@ -195,6 +195,59 @@ def _shoelace_e7(ring: np.ndarray) -> float:
     return float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum())
 
 
+def _split_crossings(ring: np.ndarray) -> np.ndarray:
+    """Insert a vertex at every PROPER edge crossing of a closed ring
+    (a bowtie traced without a shared node — the self-intersection
+    class the pinch split below cannot see, because no vertex repeats).
+    After insertion both crossing edges pass through the SAME rounded
+    e7 vertex, so the pinch split decomposes the ring exactly like
+    JTS ``buffer(0)`` does (OSHDBGeometryBuilder.java:187-301's repair
+    step). Rounding to integer e7 (~1 cm) is the fixed-point analog of
+    JTS's precision model snap.
+
+    All-pairs vectorized test (one numpy pass over the m^2/2 edge
+    pairs): fine for OSM-scale rings (m is at most a few thousand);
+    rings enter here once, not per repair iteration.
+    """
+    body = ring[:-1].astype(np.float64)
+    m = len(body)
+    if m < 4:
+        return ring
+    a = body
+    b = np.vstack([body[1:], body[:1]])  # edge i: a[i] -> b[i]
+    i_idx, j_idx = np.triu_indices(m, k=2)
+    # adjacent edges share an endpoint by construction; pair (0, m-1)
+    # is adjacent too (the closure)
+    keep = ~((i_idx == 0) & (j_idx == m - 1))
+    i_idx, j_idx = i_idx[keep], j_idx[keep]
+    p, r = a[i_idx], b[i_idx] - a[i_idx]
+    q, s = a[j_idx], b[j_idx] - a[j_idx]
+    denom = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    qp = q - p
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]) / denom
+        u = (qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]) / denom
+    eps = 1e-12
+    cross = (denom != 0) & (t > eps) & (t < 1 - eps) & (u > eps) & (u < 1 - eps)
+    if not cross.any():
+        return ring
+    # e7-rounded crossing point, inserted into BOTH edges (ordered by
+    # the parametric position within each edge so multi-crossing edges
+    # stay sorted)
+    pts = np.rint(p[cross] + t[cross, None] * r[cross]).astype(ring.dtype)
+    inserts: dict[int, list[tuple[float, np.ndarray]]] = {}
+    for e_i, e_j, tt, uu, pt in zip(i_idx[cross], j_idx[cross], t[cross], u[cross], pts):
+        inserts.setdefault(int(e_i), []).append((float(tt), pt))
+        inserts.setdefault(int(e_j), []).append((float(uu), pt))
+    out = []
+    for i in range(m):
+        out.append(ring[i])
+        for _, pt in sorted(inserts.get(i, []), key=lambda x: x[0]):
+            out.append(pt)
+    out.append(ring[0])
+    return np.asarray(out, dtype=ring.dtype)
+
+
 def normalize_ring(ring: np.ndarray, ccw: bool = True) -> list[np.ndarray]:
     """Self-touching-ring repair — the no-JTS analog of the reference's
     buffer(0) ladder (``OSHDBGeometryBuilder.java:187-301``, which runs
@@ -213,7 +266,10 @@ def normalize_ring(ring: np.ndarray, ccw: bool = True) -> list[np.ndarray]:
     previous behavior of keeping the invalid ring as-is.
     """
     out: list[np.ndarray] = []
-    stack = [np.asarray(ring)]
+    # edge-crossing vertices inserted ONCE up front (every crossing of
+    # the original ring gets its vertex here; pinch splitting below can
+    # only separate existing vertices, never create new crossings)
+    stack = [_split_crossings(np.asarray(ring))]
     while stack:
         r = stack.pop()
         if len(r) < 4:  # closed ring needs >= 3 distinct vertices
