@@ -305,18 +305,13 @@ def _knn_positions_flagged(sf_dir: str, mod: int):
         ids = t["osm_id"].to_numpy(zero_copy_only=False)
         return t.append_column("_is_query", pa.array(ids % mod == 0))
 
-    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
-    n = pos.count()
-    # coalesce the decode's many small blocks to the io.read_table
-    # sizing rule (CPU floor, 128MB target): the halo join's sort
-    # shuffle pays per-block overhead on BOTH groupbys, and block
-    # count propagates through them
-    import ray as _ray
-
-    ncpu = int(_ray.cluster_resources().get("CPU", 0)) or 8
-    nb = max(ncpu, int(pos.size_bytes() or 0) // (128 << 20) + 1)
-    if pos.num_blocks() > 2 * nb:
-        pos = pos.repartition(nb).materialize()
+    # LAZY positions: decode fuses with the halo join's scatter stage
+    # into one pass (a materialize here was a full extra execution).
+    # zoom derives from the DOC count (parquet metadata, no scan) —
+    # live positions <= docs, and exactness is zoom-independent, so the
+    # cheap upper bound is the right knob.
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    n = _docs(sf_dir).count()
     zoom = max(1, min(12, int(np.ceil((np.log2(max(n, 1) / 2000.0) + 1) / 2))))
     return pos, n, zoom
 
