@@ -88,6 +88,7 @@ class MapReducer:
     _agg_ts: bool = False
     _agg_cols: tuple[str, ...] = ()
     _regions: tuple = ()  # ((name, (ring, ...)), ...) for aggregateByGeometry
+    _timeout_s: float | None = None  # cooperative deadline (timeout())
 
     # ------------------------------------------------------- settings
     def timestamps(self, *args) -> MapReducer:
@@ -222,6 +223,14 @@ class MapReducer:
         timestamp. Zerofilled over the full grid (snapshot) / all bins
         (contribution), per MapAggregator.java:870-881."""
         return replace(self, _agg_ts=True)
+
+    def timeout(self, seconds: float) -> MapReducer:
+        """Cooperative query timeout (OSHDBDatabase.timeout /
+        OSHDBTimeoutException, MapReducerJdbc.java:43-49): the deadline
+        is armed when a terminal launches the pipeline and every fused
+        batch checks it (Kernels.java:24-36), raising
+        RayhistTimeoutError through Ray when exceeded."""
+        return replace(self, _timeout_s=float(seconds))
 
     def aggregateBy(self, col, name: str = "_agg_key") -> MapReducer:
         """aggregateBy (MapReducer.java:735-766) keyed by a view/mapped
@@ -460,7 +469,21 @@ class MapReducer:
                 out = pa.concat_tables(parts)
             return out
 
-        return stage
+        if self._timeout_s is None:
+            return stage
+        # cooperative deadline, armed when the terminal builds the
+        # pipeline (the reference counts from query launch,
+        # MapReducerJdbc.java:43-49) and checked between batches
+        # (Kernels.java:24-36 isActive())
+        from .functions.deadline import Deadline
+
+        deadline = Deadline(self._timeout_s)
+
+        def timed_stage(batch: pa.Table) -> pa.Table:
+            deadline.check()
+            return stage(batch)
+
+        return timed_stage
 
     def view(self) -> ray.data.Dataset:
         """Escape hatch: the lazy Dataset of view rows (snapshots or
