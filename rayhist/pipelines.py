@@ -305,12 +305,15 @@ def _knn_positions_flagged(sf_dir: str, mod: int):
         ids = t["osm_id"].to_numpy(zero_copy_only=False)
         return t.append_column("_is_query", pa.array(ids % mod == 0))
 
-    # LAZY positions: decode fuses with the halo join's scatter stage
-    # into one pass (a materialize here was a full extra execution).
+    # MATERIALIZE the positions: the halo join's chained sort-groupbys
+    # re-execute a lazy upstream (boundary sampling + shuffle passes),
+    # which re-runs the 6.4M-version decode SEVERAL times — measured
+    # 32s vs 6s at rep=128/8cpus. The materialized table is tiny
+    # (5 int columns, one row per live entity) and also serves the
+    # sparse-neighborhood brute fallback without another decode.
     # zoom derives from the DOC count (parquet metadata, no scan) —
-    # live positions <= docs, and exactness is zoom-independent, so the
-    # cheap upper bound is the right knob.
-    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    # live positions <= docs, and exactness is zoom-independent.
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
     n = _docs(sf_dir).count()
     zoom = max(1, min(12, int(np.ceil((np.log2(max(n, 1) / 2000.0) + 1) / 2))))
     return pos, n, zoom

@@ -913,11 +913,19 @@ def knn_queries(
             }
         )
 
-    res = (
+    partials = (
         points.map_batches(scatter, batch_format="pyarrow")
         .groupby("_tcell")
         .map_groups(lambda g: cell_partials(g.drop(columns=["_tcell"])), batch_format="pandas")
-        .groupby("_qb")
+        # pin the (tiny, <= queries x (k+ties) x halo-cells rows)
+        # partials: the second sort-groupby re-executes a lazy input
+        # for boundary sampling, which would re-run every distance
+        # matrix — and, transitively, the caller's decode if `points`
+        # itself is lazy
+        .materialize()
+    )
+    res = (
+        partials.groupby("_qb")
         .map_groups(lambda g: resolve_bucket(g.drop(columns=["_qb"])), batch_format="pandas")
         .to_pandas()  # output-sized: <= queries x (k + boundary ties) rows
     )
