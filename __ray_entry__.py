@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_cells_salted": p.q_snapshot_cells_salted,
         "snapshot_count_daily_checkpointed": p.q_snapshot_count_daily_checkpointed,
         "pbf_snapshot_count_daily": p.q_pbf_snapshot_count_daily,
+        "osmpbf_snapshot_count_daily": p.q_osmpbf_snapshot_count_daily,
         "snapshot_latest_state_written": p.q_snapshot_latest_state_written,
         # round-3-verified surface
         "snapshot_count_daily": p.q_snapshot_count_daily,
@@ -203,6 +204,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_cells_salted": o.snapshot_cells(),  # same values, salted plan
         "snapshot_count_daily_checkpointed": o.snapshot_count_daily(),  # same values, sharded+resumable plan
         "pbf_snapshot_count_daily": o.snapshot_count_daily(),  # same values, binary-block ingest path
+        # real .osh.pbf wire format: ms-truncated ts (the wire resolution)
+        "osmpbf_snapshot_count_daily": o.snapshot_count_daily_ms(),
         "snapshot_latest_state_written": o.snapshot_latest_state(),  # same values, write-terminated path
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,

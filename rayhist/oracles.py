@@ -56,6 +56,22 @@ WITH v0 AS (
 """
 
 
+# ms-truncated twin of DERIVE: the OSM PBF wire format stores
+# timestamps as whole milliseconds (osmformat.proto date_granularity),
+# so the .osh.pbf ingest path (sources.osmpbf) sees ts floored to ms.
+# The oracle mirrors the truncation EXACTLY — everything else (v
+# ordering, cs/uid/coord derivations) is ts-resolution-independent.
+DERIVE_MS = DERIVE.replace(
+    "epoch_us(ts) AS ts_us", "(epoch_us(ts)//1000)*1000 AS ts_us"
+)
+
+
+def snapshot_count_daily_ms() -> str:
+    """snapshot_count_daily over the ms-truncated derivation — the
+    oracle for the real-wire-format .osh.pbf ingest query."""
+    return snapshot_count_daily().replace(DERIVE, DERIVE_MS, 1)
+
+
 def _ts_list(values) -> str:
     return "(VALUES " + ", ".join(f"({int(v)})" for v in values) + ") tl(ts_q)"
 

@@ -1218,6 +1218,26 @@ def q_pbf_snapshot_count_daily(sf_dir: str) -> pd.DataFrame:
     return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
 
 
+def q_osmpbf_snapshot_count_daily(sf_dir: str) -> pd.DataFrame:
+    """snapshot_count_daily INGESTED THROUGH THE REAL OSM PBF WIRE
+    FORMAT (sources.osmpbf): the corpus is encoded once into genuine
+    .osh.pbf files (protobuf wire encoding, zlib blobs, DenseNodes +
+    DenseInfo delta streams, HistoricalInformation header — the format
+    RxOshPbfReader.java:70-102 reads), then the query runs the full
+    parallel ingest: header-only blob scan -> range-read + protobuf
+    decode fan-out -> id-bucket regroup -> span documents -> fused
+    snapshot counts. Values checked against the ms-truncated oracle
+    (oracles.snapshot_count_daily_ms — PBF timestamps are whole ms)."""
+    from .aggregate import combine_partials
+    from .sources.osmpbf import ensure_osmpbf, osmpbf_documents
+    from .views import snapshot_counts
+
+    docs = osmpbf_documents(ensure_osmpbf(sf_dir))
+    partials, keys = snapshot_counts(docs, SNAP_DAILY)
+    df = combine_partials(partials, keys, {"n_part": "n_snapshots"})
+    return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
+
+
 def q_snapshot_count_daily_checkpointed(sf_dir: str) -> pd.DataFrame:
     """snapshot_count_daily EXECUTED THROUGH THE CHECKPOINTED SHARD
     RUNNER (state.checkpoint.run_sharded): the span table's parquet
