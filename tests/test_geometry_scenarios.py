@@ -1,0 +1,222 @@
+"""osm-testdata 7xx multipolygon scenario classes, ported from
+OSHDBGeometryBuilderTestOsmTestData7xxTest.java (the reference's
+adversarial geometry corpus over osm-testdata/all.osm). Each test
+mirrors one scenario CLASS with synthetic e7 coordinates and asserts
+the reference's observable: valid decomposition (simple rings, correct
+part/hole counts) and exact planar area — never an exception.
+
+Scale note: e7 ints stand in for the fixture's 7.xx/1.xx degree
+coordinates; areas are asserted in shoelace units (planar), matching
+the reference's intersection-area equality style.
+"""
+
+import numpy as np
+import pytest
+
+from rayhist.geometry import _shoelace_e7, build_multipolygon, normalize_ring
+
+from .test_geometry_repair import _ring, ring_is_simple
+
+
+def _area(g):
+    """Planar shoelace area of a built multipolygon: parts minus holes
+    (e7^2 units)."""
+    total = 0.0
+    for i, (px, py) in enumerate(g.parts):
+        r = np.stack([np.rint(px * 1e7), np.rint(py * 1e7)], axis=1).astype(np.int64)
+        total += abs(_shoelace_e7(r)) / 2
+        for hx, hy in g.holes[i]:
+            h = np.stack([np.rint(hx * 1e7), np.rint(hy * 1e7)], axis=1).astype(np.int64)
+            total -= abs(_shoelace_e7(h)) / 2
+    return total
+
+
+def _simple_parts(g):
+    for px, py in g.parts:
+        r = np.stack([np.rint(px * 1e7), np.rint(py * 1e7)], axis=1).astype(np.int64)
+        assert ring_is_simple(r), r
+    return len(g.parts)
+
+
+def test_706_two_outers_touching_in_one_point():
+    """test706: two outer rings touching in one point (provided as a
+    closed way plus a two-way split ring through the touch point) ->
+    a valid 2-part multipolygon."""
+    t = (50, 50)
+    ring1 = _ring([(0, 0), (50, 0), t, (0, 50)])
+    # second ring split into two open ways meeting at t and (100, 100)
+    way2 = np.asarray([t, (100, 50), (100, 100)], dtype=np.int64)
+    way3 = np.asarray([(100, 100), (50, 100), t], dtype=np.int64)
+    g = build_multipolygon([ring1, way2, way3], [])
+    assert _simple_parts(g) == 2
+    assert _area(g) == 50 * 50 + 50 * 50
+
+
+def test_709_three_outers_touching_in_three_points():
+    """test709: three rings pairwise touching in single points stay
+    three separate simple parts."""
+    r1 = _ring([(0, 0), (40, 0), (40, 40), (0, 40)])
+    r2 = _ring([(40, 0), (80, 0), (80, 40)])  # touches r1 at (40,0)
+    r3 = _ring([(40, 40), (80, 80), (0, 80)])  # touches r1 at (40,40)
+    g = build_multipolygon([r1, r2, r3], [])
+    assert _simple_parts(g) == 3
+    assert _area(g) == 40 * 40 + (40 * 40) / 2 + (80 * 40) / 2
+
+
+def test_710_overlapping_outers_do_not_throw():
+    """test710: overlapping outer rings are INVALID input; the
+    reference only requires a non-throwing 2-geometry result."""
+    r1 = _ring([(0, 0), (60, 0), (60, 60), (0, 60)])
+    r2 = _ring([(30, 30), (90, 30), (90, 90), (30, 90)])
+    g = build_multipolygon([r1, r2], [])
+    assert _simple_parts(g) == 2
+
+
+def test_711_duplicate_segment_ways():
+    """test711: two closed ways sharing one segment (a duplicated
+    edge) -> two parts, no exception."""
+    sq = _ring([(0, 0), (40, 0), (40, 40), (0, 40)])
+    tri = _ring([(0, 0), (40, 0), (20, -30)])  # shares edge (0,0)-(40,0)
+    g = build_multipolygon([sq, tri], [])
+    assert _simple_parts(g) == 2
+    assert _area(g) == 40 * 40 + (40 * 30) / 2
+
+
+@pytest.mark.parametrize("outer_cw", [False, True])
+@pytest.mark.parametrize("inner_cw", [False, True])
+def test_720_723_winding_combinations(outer_cw, inner_cw):
+    """test720-723: outer/inner rings in every winding combination
+    produce the same polygon-with-hole (the builder normalizes
+    orientation; roles, not winding, decide outer vs inner)."""
+    outer = _ring([(0, 0), (100, 0), (100, 100), (0, 100)])
+    inner = _ring([(20, 20), (20, 60), (60, 60), (60, 20)])
+    if outer_cw:
+        outer = outer[::-1]
+    if inner_cw:
+        inner = inner[::-1]
+    g = build_multipolygon([outer], [inner])
+    assert _simple_parts(g) == 1
+    assert sum(len(h) for h in g.holes) == 1
+    assert _area(g) == 100 * 100 - 40 * 40
+    # normalized windings: outers CCW, holes CW
+    out_r = np.stack(
+        [np.rint(g.parts[0][0] * 1e7), np.rint(g.parts[0][1] * 1e7)], axis=1
+    ).astype(np.int64)
+    hole_r = np.stack(
+        [np.rint(g.holes[0][0][0] * 1e7), np.rint(g.holes[0][0][1] * 1e7)], axis=1
+    ).astype(np.int64)
+    assert _shoelace_e7(out_r) > 0 and _shoelace_e7(hole_r) < 0
+
+
+def test_724_member_ways_out_of_order_and_reversed():
+    """test724: ring assembly must join member ways given out of order
+    and with mixed directions (OSHDBGeometryBuilder.join's flip
+    search)."""
+    w1 = np.asarray([(0, 0), (50, 0)], dtype=np.int64)
+    w2 = np.asarray([(0, 50), (0, 0)], dtype=np.int64)  # reversed
+    w3 = np.asarray([(50, 0), (50, 50)], dtype=np.int64)
+    w4 = np.asarray([(0, 50), (50, 50)], dtype=np.int64)  # reversed
+    g = build_multipolygon([w4, w1, w2, w3], [])
+    assert _simple_parts(g) == 1
+    assert _area(g) == 50 * 50
+
+
+def test_729_island_outer_inside_inner_ring():
+    """test729: second outer ring nested inside the first outer's
+    inner ring (lake island): 2 parts, the hole on the big outer,
+    island disjoint from the hole's interior."""
+    big = _ring([(0, 0), (100, 0), (100, 100), (0, 100)])
+    lake = _ring([(20, 20), (20, 80), (80, 80), (80, 20)])
+    island = _ring([(40, 40), (60, 40), (60, 60), (40, 60)])
+    g = build_multipolygon([big, island], [lake])
+    assert _simple_parts(g) == 2
+    assert sum(len(h) for h in g.holes) == 1
+    assert _area(g) == 100 * 100 - 60 * 60 + 20 * 20
+
+
+def test_741_line_only_outer_is_empty():
+    """test741: an unclosable line as the only outer -> empty result
+    (Polygonal with zero geometries), no exception."""
+    line = np.asarray([(0, 0), (50, 0), (100, 10)], dtype=np.int64)
+    g = build_multipolygon([line], [])
+    assert g.kind == "empty" or len(g.parts) == 0
+
+
+def test_744_open_outer_dropped_good_ring_survives():
+    """test744: one unclosed outer + one valid ring -> the valid ring
+    survives alone."""
+    good = _ring([(0, 0), (40, 0), (40, 40), (0, 40)])
+    open_way = np.asarray([(200, 200), (260, 200), (260, 260)], dtype=np.int64)
+    g = build_multipolygon([good, open_way], [])
+    assert _simple_parts(g) == 1
+    assert _area(g) == 40 * 40
+
+
+def test_747_duplicate_consecutive_vertices_repaired():
+    """test747/748: a ring carrying the same location twice in
+    succession is repaired (duplicate collapsed), stays one simple
+    part."""
+    dup = np.asarray(
+        [(0, 0), (40, 0), (40, 0), (40, 40), (0, 40), (0, 0)], dtype=np.int64
+    )
+    g = build_multipolygon([dup], [])
+    assert _simple_parts(g) == 1
+    assert _area(g) == 40 * 40
+
+
+def test_750_touching_inner_rings_share_edge():
+    """test750: two inner rings sharing a full edge are both kept as
+    holes; area subtracts each exactly once."""
+    outer = _ring([(0, 0), (120, 0), (120, 120), (0, 120)])
+    in1 = _ring([(20, 20), (60, 20), (60, 60), (20, 60)])
+    in2 = _ring([(60, 20), (100, 20), (100, 60), (60, 60)])  # shares x=60 edge
+    g = build_multipolygon([outer], [in1, in2])
+    assert _simple_parts(g) == 1
+    assert sum(len(h) for h in g.holes) == 2
+    assert _area(g) == 120 * 120 - 2 * (40 * 40)
+
+
+def test_751_touching_inner_rings_share_node():
+    """test751: two inner rings sharing a single node."""
+    outer = _ring([(0, 0), (120, 0), (120, 120), (0, 120)])
+    in1 = _ring([(20, 20), (60, 20), (60, 60), (20, 60)])
+    in2 = _ring([(60, 60), (100, 60), (100, 100)])  # touches at (60,60)
+    g = build_multipolygon([outer], [in1, in2])
+    assert _simple_parts(g) == 1
+    assert sum(len(h) for h in g.holes) == 2
+    assert _area(g) == 120 * 120 - 40 * 40 - (40 * 40) / 2
+
+
+def test_755_inner_touching_outer_in_node():
+    """test755: inner ring touching the outer ring in one node stays a
+    placed hole (probe falls back past boundary vertices)."""
+    outer = _ring([(0, 0), (100, 0), (100, 100), (0, 100)])
+    inner = _ring([(100, 50), (60, 20), (60, 80)])  # vertex on outer edge
+    g = build_multipolygon([outer], [inner])
+    assert _simple_parts(g) == 1
+    assert sum(len(h) for h in g.holes) == 1
+    assert _area(g) == 100 * 100 - (60 * 40) / 2
+
+
+def test_756_inner_touching_outer_in_line():
+    """test756/757: inner ring sharing a boundary LINE with the outer
+    still resolves as a hole."""
+    outer = _ring([(0, 0), (100, 0), (100, 100), (0, 100)])
+    inner = _ring([(100, 20), (100, 80), (50, 50)])  # shares part of x=100
+    g = build_multipolygon([outer], [inner])
+    assert _simple_parts(g) == 1
+    assert sum(len(h) for h in g.holes) == 1
+    assert _area(g) == 100 * 100 - (60 * 50) / 2
+
+
+def test_742_spike_erased():
+    """test742: an out-and-back spike on an otherwise valid ring is
+    erased by the pinch split (buffer(0)'s observable)."""
+    spiky = np.asarray(
+        [(0, 0), (40, 0), (40, 40), (40, 90), (40, 40), (0, 40), (0, 0)],
+        dtype=np.int64,
+    )
+    pieces = normalize_ring(spiky, ccw=True)
+    assert len(pieces) == 1
+    assert ring_is_simple(pieces[0])
+    assert abs(_shoelace_e7(pieces[0])) / 2 == 40 * 40
