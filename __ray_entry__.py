@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_count_daily_checkpointed": p.q_snapshot_count_daily_checkpointed,
         "pbf_snapshot_count_daily": p.q_pbf_snapshot_count_daily,
         "osmpbf_snapshot_count_daily": p.q_osmpbf_snapshot_count_daily,
+        "snapshot_count_by_s2cell": p.q_snapshot_count_by_s2cell,
         "snapshot_latest_state_written": p.q_snapshot_latest_state_written,
         # round-3-verified surface
         "snapshot_count_daily": p.q_snapshot_count_daily,
@@ -206,6 +207,9 @@ def oracle_sql() -> dict[str, str]:
         "pbf_snapshot_count_daily": o.snapshot_count_daily(),  # same values, binary-block ingest path
         # real .osh.pbf wire format: ms-truncated ts (the wire resolution)
         "osmpbf_snapshot_count_daily": o.snapshot_count_daily_ms(),
+        # S2-style spherical cells: SQL mirrors the float layers 1:1;
+        # the Hilbert id layer is a tested bijection of (face,i,j)
+        "snapshot_count_by_s2cell": o.snapshot_count_by_s2cell(),
         "snapshot_latest_state_written": o.snapshot_latest_state(),  # same values, write-terminated path
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,

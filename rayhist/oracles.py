@@ -147,6 +147,57 @@ ORDER BY tl.ts_q
     )
 
 
+def snapshot_count_by_s2cell() -> str:
+    """Literal SQL mirror of spatial/s2.py layers 1-3 (cube-face
+    gnomonic + quadratic ST + floor at level 5). Every float step is a
+    single IEEE op (cos/sin via libm, division, sqrt, one multiply per
+    step) in BOTH engines; the engine's Hilbert id layer is a bijection
+    of (face,i,j), so this check covers it transitively."""
+    from .pipelines import S2_LEVEL
+
+    n = 1 << S2_LEVEL
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, sph AS (
+  SELECT cos(radians(lat_e7/1e7))*cos(radians(lon_e7/1e7)) AS x,
+         cos(radians(lat_e7/1e7))*sin(radians(lon_e7/1e7)) AS y,
+         sin(radians(lat_e7/1e7)) AS z
+  FROM snap
+), fc AS (
+  SELECT *, CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN 0
+                 WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END AS axis
+  FROM sph
+), fc2 AS (
+  SELECT *, axis + CASE WHEN (axis = 0 AND x < 0) OR (axis = 1 AND y < 0)
+                          OR (axis = 2 AND z < 0) THEN 3 ELSE 0 END AS face
+  FROM fc
+), uv AS (
+  SELECT face,
+         CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                   WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+         CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                   WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM fc2
+), stq AS (
+  SELECT face,
+         CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
+         CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t
+  FROM uv
+), ij AS (
+  SELECT face,
+         least(greatest(CAST(floor(s*{n}) AS BIGINT), 0), {n - 1}) AS i,
+         least(greatest(CAST(floor(t*{n}) AS BIGINT), 0), {n - 1}) AS j
+  FROM stq
+)
+SELECT face, i, j, count(*) AS n_snapshots
+FROM ij GROUP BY face, i, j ORDER BY face, i, j
+"""
+    )
+
+
 def snapshot_cells() -> str:
     cte = _snap_cte().replace("TS_LIST", _ts_list(SNAP_WEEKLY))
     nx = 1 << CELL_ZOOM

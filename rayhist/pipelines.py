@@ -128,6 +128,45 @@ def q_snapshot_cells(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["ts_q", "cell"]).reset_index(drop=True)
 
 
+S2_LEVEL = 5  # 6*32*32 = 6144 possible cells -> low-card combine OK
+
+
+def q_snapshot_count_by_s2cell(sf_dir: str) -> pd.DataFrame:
+    """Snapshot count at T_MID grouped by S2-STYLE SPHERICAL CELL
+    (spatial/s2.py: cube-face gnomonic projection + quadratic ST +
+    Hilbert-curve ids — the north-star H3/S2 partition key, vs the
+    equal-degree XYGrid the other cell queries use).
+
+    The engine groups by the PACKED HILBERT ID (the partition key a
+    cluster would shuffle on) and decodes (face, i, j) back from the
+    id for output — so the oracle, which replicates the float layers
+    (cos/sin/div/sqrt/floor are single IEEE ops, mirrored literally in
+    SQL), also value-checks the id layer through the bijection."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.s2 import cell_to_face_ij, face_ij_to_cell, lonlat_to_face_st, st_to_ij
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        lon = s["lon_e7"].to_numpy(zero_copy_only=False)
+        lat = s["lat_e7"].to_numpy(zero_copy_only=False)
+        face, ss, tt = lonlat_to_face_st(lon, lat)
+        cell = face_ij_to_cell(face, st_to_ij(ss, S2_LEVEL), st_to_ij(tt, S2_LEVEL), S2_LEVEL)
+        cid, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(cid), "n_part": pa.array(cnt.astype(np.int64))})
+
+    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = combine_partials(partials, ["cell"], {"n_part": "n_snapshots"})
+    face, i, j, _lvl = cell_to_face_ij(df["cell"].to_numpy(dtype=np.int64))
+    out = pd.DataFrame(
+        {"face": face, "i": i, "j": j, "n_snapshots": df["n_snapshots"].astype("int64")}
+    )
+    return out.sort_values(["face", "i", "j"]).reset_index(drop=True)
+
+
 def q_snapshot_latest_state(sf_dir: str) -> pd.DataFrame:
     """Full reconstructed state of every visible entity at T_MID."""
     snaps = snapshot_view(_docs(sf_dir), [T_MID])
