@@ -2144,6 +2144,44 @@ def q_snapshot_pip_many_regions(sf_dir: str) -> pd.DataFrame:
     return zerofill(df, {"region_id": [r for r, _ in regions]}, {"n": 0})
 
 
+def q_snapshot_pip_many_regions_strtree(sf_dir: str) -> pd.DataFrame:
+    """Same result contract as snapshot_pip_many_regions computed
+    through the STR-PACKED R-TREE backend (spatial/strtree.py — the
+    literal JTS STRtree the reference compiles per worker,
+    GeometrySplitter.java:36-60) instead of the grid-bucketed index:
+    two candidate structures, one value-exact oracle. The tree is
+    actor state (built once per actor from the ray.put handle); the
+    level-synchronous query is vectorized across each batch."""
+    import ray
+
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.strtree import STRtreeJoinStage
+    from .temporal import snapshots as snapshots_fn
+
+    regions = _many_regions()
+    regions_ref = ray.put(regions)
+    ts = np.array([T_MID], dtype=np.int64)
+
+    class Stage(STRtreeJoinStage):
+        def __init__(self):
+            super().__init__(regions_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = snapshots_fn(decode_spans(batch, tags=False), ts)
+            tagged = super().__call__(s.select(["lon_e7", "lat_e7"]))
+            g = pa.TableGroupBy(tagged.select(["region_id"]), ["region_id"]).aggregate(
+                [([], "count_all")]
+            )
+            return g.rename_columns(["region_id", "n_part"])
+
+    partials = _docs(sf_dir).map_batches(
+        Stage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    df = combine_partials(partials, ["region_id"], {"n_part": "n"})
+    return zerofill(df, {"region_id": [r for r, _ in regions]}, {"n": 0})
+
+
 def q_api_snapshot_daily_any_tags(sf_dir: str) -> pd.DataFrame:
     """The osmTag COLLECTION overload (match ANY of a set of exact
     tags, MapReducer.java:595-632) through the facade, on the
