@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "osmpbf_snapshot_count_daily": p.q_osmpbf_snapshot_count_daily,
         "snapshot_count_by_s2cell": p.q_snapshot_count_by_s2cell,
         "snapshot_pip_many_regions_strtree": p.q_snapshot_pip_many_regions_strtree,
+        "osmpbf_way_version_counts": p.q_osmpbf_way_version_counts,
         "snapshot_latest_state_written": p.q_snapshot_latest_state_written,
         # round-3-verified surface
         "snapshot_count_daily": p.q_snapshot_count_daily,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_count_by_s2cell": o.snapshot_count_by_s2cell(),
         # STRtree backend shares the grid-index query's oracle
         "snapshot_pip_many_regions_strtree": o.snapshot_pip_many_regions(),
+        "osmpbf_way_version_counts": o.osmpbf_way_version_counts(),
         "snapshot_latest_state_written": o.snapshot_latest_state(),  # same values, write-terminated path
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,

@@ -198,6 +198,30 @@ FROM ij GROUP BY face, i, j ORDER BY face, i, j
     )
 
 
+def osmpbf_way_version_counts() -> str:
+    """Mirror of the ingest way derivation (rayhist/ingest.py way
+    docstring) aggregated per (v, visible, k-tag), ms-truncated ts —
+    what the .osh.pbf Way wire round-trip must reproduce."""
+    return """
+WITH m AS (
+  SELECT user_id // 5 AS wid, epoch_us(ts) AS us FROM events
+), w AS (
+  SELECT wid, min(us) AS ts1, max(us) + 1 AS ts2 FROM m GROUP BY wid
+), vv AS (
+  SELECT 1 AS v, TRUE AS visible, CAST(wid % 7 AS BIGINT) AS kk,
+         (ts1 // 1000) * 1000 AS ts
+  FROM w
+  UNION ALL
+  SELECT 2, wid % 3 <> 0,
+         CASE WHEN wid % 3 <> 0 THEN wid % 7 + 1 ELSE -1 END,
+         (ts2 // 1000) * 1000
+  FROM w
+)
+SELECT v, visible, kk, count(*) AS n_ways, min(ts) AS min_ts, max(ts) AS max_ts
+FROM vv GROUP BY v, visible, kk ORDER BY v, visible, kk
+"""
+
+
 def snapshot_cells() -> str:
     cte = _snap_cte().replace("TS_LIST", _ts_list(SNAP_WEEKLY))
     nx = 1 << CELL_ZOOM

@@ -1277,6 +1277,52 @@ def q_osmpbf_snapshot_count_daily(sf_dir: str) -> pd.DataFrame:
     return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
 
 
+def q_osmpbf_way_version_counts(sf_dir: str) -> pd.DataFrame:
+    """WAY histories through the real .osh.pbf wire format: the way
+    corpus (ingest's documented way derivation) is encoded as genuine
+    PBF Way messages (Info submessage, stringtable keys/vals, delta
+    refs), then this query decodes them and aggregates per (version,
+    visible, k-tag): count + ms-truncated ts range. Proves the Way/
+    Info/keys-vals decode path under the value-exact oracle (nodes are
+    covered by osmpbf_snapshot_count_daily; relations by the codec
+    round-trip tests)."""
+    from .sources.osmpbf import ensure_osmpbf_ways, read_osmpbf
+
+    rows = read_osmpbf(ensure_osmpbf_ways(sf_dir))
+
+    def stage(b: pa.Table) -> pa.Table:
+        keep = b.filter(pa.compute.equal(b["etype"], "way"))
+        kk = np.full(len(keep), -1, dtype=np.int64)
+        for r, (tk, tv) in enumerate(zip(keep["tag_k"].to_pylist(), keep["tag_v"].to_pylist())):
+            for k, v in zip(tk, tv):
+                if k == "k":
+                    kk[r] = int(v)
+        df = pd.DataFrame(
+            {
+                "v": keep["v"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "visible": keep["visible"].to_numpy(zero_copy_only=False),
+                "kk": kk,
+                "ts": keep["ts"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["v", "visible", "kk"], as_index=False).agg(
+            n_part=("ts", "size"), mn=("ts", "min"), mx=("ts", "max")
+        )
+        return pa.Table.from_pandas(g)
+
+    # per-batch partials -> driver combine (the combine_partials
+    # pattern; done inline because this final needs min/max too and
+    # the key space is <= 2 x 2 x 9 rows)
+    parts = rows.map_batches(stage, batch_format="pyarrow")
+    df = parts.to_pandas()
+    df = df.groupby(["v", "visible", "kk"], as_index=False).agg(
+        n_ways=("n_part", "sum"), min_ts=("mn", "min"), max_ts=("mx", "max")
+    )
+    out = df.astype({"v": "int64", "kk": "int64", "n_ways": "int64",
+                     "min_ts": "int64", "max_ts": "int64"})
+    return out.sort_values(["v", "visible", "kk"]).reset_index(drop=True)
+
+
 def q_snapshot_count_daily_checkpointed(sf_dir: str) -> pd.DataFrame:
     """snapshot_count_daily EXECUTED THROUGH THE CHECKPOINTED SHARD
     RUNNER (state.checkpoint.run_sharded): the span table's parquet

@@ -882,6 +882,69 @@ def osmpbf_documents(
     )
 
 
+def ensure_osmpbf_ways(sf_dir: str, rep: int = 1) -> str:
+    """Materialize (once) a .osh.pbf file of WAY histories derived
+    from the corpus with the ingest derivation (rayhist/ingest.py way
+    docstring: way w = member nodes {5w..5w+4}; v1 at min member event
+    ts, v2 at max+1 with w%3==0 deleted; tags etype=way / k=w%7(+1)).
+    The member (wid, ts) extraction is distributed; the final way-table
+    encode is driver-side — ways are corpus/5 two-version rows, small
+    relative to the member scan (same boundary as ensure_pbfish)."""
+    from ..ingest import WAY_BLOCK, WAY_CS_BASE, ensure_documents
+    from ..model import decode_spans
+
+    src = ensure_documents(sf_dir, rep)
+    key = hashlib.sha256(f"{Path(src).resolve()}:osmpbf_ways:v1".encode()).hexdigest()[:16]
+    out = Path(os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")) / key / "osmpbf_ways"
+    if out.exists():
+        return str(out)
+    from .. import io as rio
+
+    def wid_ts(batch: pa.Table) -> pa.Table:
+        d = decode_spans(batch, tags=False, geom=False)
+        ids = d["osm_id"].to_numpy(zero_copy_only=False)
+        ts = d["ts"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"wid": ids // WAY_BLOCK, "ts": ts, "nid": ids})
+        g = df.groupby("wid").agg(ts1=("ts", "min"), ts2=("ts", "max"))
+        mem = df.drop_duplicates(["wid", "nid"]).groupby("wid")["nid"].agg(["min", "max", "count"])
+        g = g.join(mem.rename(columns={"min": "m0", "max": "m1", "count": "nm"}))
+        return pa.Table.from_pandas(g.reset_index())
+
+    parts = rio.read_table(src).map_batches(wid_ts, batch_format="pyarrow").to_pandas()
+    # combine shard partials (a way's members can straddle shards)
+    w = parts.groupby("wid").agg(
+        ts1=("ts1", "min"), ts2=("ts2", "max"), m0=("m0", "min"), m1=("m1", "max")
+    )
+    w = w.reset_index()
+    rows = []
+    for r in w.itertuples(index=False):
+        wid = int(r.wid)
+        members = list(range(int(r.m0), int(r.m1) + 1))
+        vis2 = wid % 3 != 0
+        base = {
+            "etype": "way", "osm_id": wid, "user": f"u{wid % 37}",
+            "lon_e7": 0, "lat_e7": 0, "refs": members,
+            "member_ids": [], "member_roles": [], "member_types": [],
+        }
+        rows.append({**base, "v": 1, "ts": int(r.ts1), "cs": WAY_CS_BASE + wid * 1000 + 1,
+                     "uid": wid % 37, "visible": True,
+                     "tag_k": ["etype", "k"], "tag_v": ["way", str(wid % 7)]})
+        rows.append({**base, "v": 2, "ts": int(r.ts2) + 1, "cs": WAY_CS_BASE + wid * 1000 + 2,
+                     "uid": (wid + 1) % 37, "visible": vis2,
+                     "tag_k": (["etype", "k"] if vis2 else []),
+                     "tag_v": (["way", str(wid % 7 + 1)] if vis2 else []),
+                     "user": f"u{(wid + 1) % 37}"})
+    tmp = out.parent / f".tmp_pbfw_{os.getpid()}"
+    tmp.mkdir(parents=True, exist_ok=True)
+    write_osmpbf(str(tmp / "ways.osh.pbf"), pd.DataFrame(rows))
+    try:
+        tmp.rename(out)
+    except OSError:
+        if not out.exists():
+            raise
+    return str(out)
+
+
 # --------------------------------------------------------- corpus I/O
 def ensure_osmpbf(sf_dir: str, rep: int = 1) -> str:
     """Materialize (once) the .osh.pbf-encoded corpus of sf_dir's node
