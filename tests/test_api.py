@@ -440,3 +440,43 @@ def test_aggregate_by_duplicate_name_raises_at_builder_time():
     )
     with pytest.raises(ValueError, match="already in use"):
         chained.aggregateBy("_agg_key")
+
+
+def test_aggregate_by_s2_cell_indexer_matches_pipeline():
+    """The S2-style spherical cell id (spatial.s2) used as a facade
+    callable aggregateBy() indexer must reproduce the oracle-checked
+    q_snapshot_count_by_s2cell twin — the north-star "H3/S2 partition
+    key" plugged into the fluent oshdb-api chain (MapReducer.java
+    function-typed aggregateBy overload)."""
+    from rayhist.pipelines import S2_LEVEL, q_snapshot_count_by_s2cell
+    from rayhist.spatial.s2 import (
+        cell_to_face_ij,
+        face_ij_to_cell,
+        lonlat_to_face_st,
+        st_to_ij,
+    )
+
+    def s2_indexer(t: pa.Table) -> np.ndarray:
+        lon = t["lon_e7"].to_numpy(zero_copy_only=False)
+        lat = t["lat_e7"].to_numpy(zero_copy_only=False)
+        face, ss, tt = lonlat_to_face_st(lon, lat)
+        return face_ij_to_cell(
+            face, st_to_ij(ss, S2_LEVEL), st_to_ij(tt, S2_LEVEL), S2_LEVEL
+        )
+
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .aggregateBy(s2_indexer, name="cell")
+        .count(alias="n_snapshots")
+    )
+    face, i, j, _lvl = cell_to_face_ij(got["cell"].to_numpy(dtype=np.int64))
+    got = (
+        pd.DataFrame(
+            {"face": face, "i": i, "j": j, "n_snapshots": got["n_snapshots"].astype("int64")}
+        )
+        .sort_values(["face", "i", "j"])
+        .reset_index(drop=True)
+    )
+    want = q_snapshot_count_by_s2cell(SF)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
