@@ -267,12 +267,17 @@ def deterministic_sample(
     top 32 bits of hash(key) fall under ``rate_num/rate_den`` of the
     hash space (integer threshold — exact in every engine). The sample
     is a pure function of the key, so it is identical across runs,
-    partitionings and parallelism levels, and composable (a 1/4 sample
-    of a 1/2 sample is a 1/8 sample).
+    partitionings and parallelism levels, and NESTED: a lower-rate
+    sample is always a subset of a higher-rate one (re-sampling an
+    existing sample at a lower rate equals sampling the corpus at that
+    lower rate directly — rates nest, they do not multiply).
 
     ``hash_fn``:
     - ``"fnv1a"`` (default, the production path): vectorized 64-bit
-      FNV-1a over the key bytes (ops.text.fnv1a_batch) — no per-row
+      FNV-1a over the key bytes (ops.text.fnv1a_batch) + the murmur
+      fmix64 finalizer — FNV alone under-mixes the top bits of short
+      keys (measured: a nominal 1/2 sample kept 98% of small-int doc
+      ids), and the threshold reads the top 32 bits. No per-row
       Python in the hot filter.
     - ``"md5"``: per-row hashlib, bit-mirrorable in SQL
       (``('0x' || substr(md5(k),1,8))::UBIGINT < thresh``) — used by
@@ -294,10 +299,18 @@ def deterministic_sample(
     else:
 
         def stage(b: pa.Table) -> pa.Table:
-            from .text import fnv1a_batch
+            import pyarrow.compute as pc
 
-            keys = [str(k) for k in b[key_col].to_pylist()]
-            h = fnv1a_batch(keys) >> np.uint64(32)  # top 32 bits
+            from .text import fmix64, fnv1a_batch
+
+            col = b[key_col]
+            if col.null_count:  # str(None) == "None" in the legacy path
+                keys = [str(k) for k in col.to_pylist()]
+            else:
+                # C-kernel cast (int/decimal -> same digits as str());
+                # fnv1a_batch reads the utf-8 buffer directly
+                keys = pc.cast(col, pa.string())
+            h = fmix64(fnv1a_batch(keys)) >> np.uint64(32)  # top 32 bits
             return b.filter(pa.array(h < np.uint64(thresh)))
 
     return ds.map_batches(stage, batch_format="pyarrow")

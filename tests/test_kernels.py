@@ -154,3 +154,25 @@ def test_emit_cos_topk_survives_zero_norm_embedding():
     assert isinstance(out, pd.DataFrame)
     # every finite candidate emitted for both queries (5 ids, no self)
     assert (out.groupby("query_id").size() == 5).all()
+
+
+def test_fnv_sample_rate_honest_on_short_keys():
+    """The PRODUCTION (fnv+fmix64) sample path must hit its nominal
+    rate even on adversarially short keys (small-int doc ids): raw
+    FNV-1a's top 32 bits are biased low for 1-3 byte inputs (a nominal
+    1/2 threshold kept 98% of sf0.01 doc ids before the fmix64
+    finalizer)."""
+    import pyarrow as pa
+
+    from rayhist.ops.text import fmix64, fnv1a_batch
+
+    keys = [str(i) for i in range(5000)]  # 1-4 byte keys
+    h = fmix64(fnv1a_batch(pa.array(keys, type=pa.string()))) >> np.uint64(32)
+    for num, den in ((1, 2), (1, 4), (1, 8)):
+        thresh = np.uint64((num << 32) // den)
+        rate = float((h < thresh).mean())
+        assert abs(rate - num / den) < 0.03, (num, den, rate)
+    # nesting holds on the production path too
+    m4 = h < np.uint64((1 << 32) // 4)
+    m8 = h < np.uint64((1 << 32) // 8)
+    assert (m8 <= m4).all()
