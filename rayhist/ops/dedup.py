@@ -595,7 +595,12 @@ def exact_dedup(
             h1, h2 = content_hash128(texts)
             t = batch.append_column("_h1", pa.array(h1.view(np.int64)))
             t = t.append_column("_h2", pa.array(h2.view(np.int64)))
-            hb = h1 % np.uint64(num_buckets)
+            # bucket on the FINALIZED hash: raw FNV low bits skew on
+            # short texts (ops.text.fmix64 docstring); the bucket only
+            # routes rows — survivors are decided by (_h1,_h2) equality
+            from .text import fmix64
+
+            hb = fmix64(h1) % np.uint64(num_buckets)
         t = t.append_column("_hb", pa.array(hb.astype(np.int64)))
         df = t.to_pandas()
         df = df.sort_values(id_col, kind="mergesort").drop_duplicates(hcols, keep="first")
