@@ -211,6 +211,16 @@ def _encode_dense(st: _StringTable, rows: pd.DataFrame) -> bytes:
     kv: list[int] = []
     for ks, vs in zip(rows["tag_k"], rows["tag_v"]):
         for k, v in zip(ks, vs):
+            if k == "" or v == "":
+                # string-table index 0 ("") IS the keys_vals run
+                # terminator — an empty key/value would corrupt the
+                # stream (the decoder sees a short run + an extra run).
+                # Fail at encode time instead.
+                raise ValueError(
+                    "DenseNodes keys_vals cannot represent empty tag "
+                    f"keys/values (node {int(rows['osm_id'].iloc[0])}+: "
+                    f"{k!r}={v!r}); drop the tag or use dense=False"
+                )
             kv.append(st.add(k))
             kv.append(st.add(v))
         kv.append(0)

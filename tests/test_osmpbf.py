@@ -224,3 +224,28 @@ def test_varint_negative_int_fields_roundtrip():
     assert len(fields) == 1
     fno, wt, a, _ = fields[0]
     assert fno == 19 and np.int64(np.uint64(a)) == -75
+
+
+def test_dense_empty_tag_value_fails_at_encode_time():
+    """String-table index 0 ("") is the keys_vals run TERMINATOR: an
+    empty tag key/value silently corrupts the dense stream (decoder
+    would mis-split runs). The encoder must refuse loudly instead."""
+    import pandas as pd
+    import pytest
+
+    from rayhist.sources import osmpbf as m
+
+    rows = pd.DataFrame(
+        [{
+            "etype": "node", "osm_id": 1, "v": 1, "ts": 1_700_000_000_000_000,
+            "cs": 1, "uid": 1, "user": "u", "visible": True,
+            "lon_e7": 10, "lat_e7": 20, "tag_k": ["amenity"], "tag_v": [""],
+            "refs": [], "member_ids": [], "member_roles": [], "member_types": [],
+        }]
+    )
+    with pytest.raises(ValueError, match="empty tag"):
+        m.encode_primitive_block(rows, dense=True)
+    # the non-dense encoding CAN represent it (separate keys/vals arrays)
+    blk = m.encode_primitive_block(rows, dense=False)
+    out = m.decode_primitive_block(blk).to_pandas()
+    assert out["tag_k"].iloc[0] == ["amenity"] and out["tag_v"].iloc[0] == [""]
