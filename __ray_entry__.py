@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_count_by_s2cell": p.q_snapshot_count_by_s2cell,
         "snapshot_pip_many_regions_strtree": p.q_snapshot_pip_many_regions_strtree,
         "osmpbf_way_version_counts": p.q_osmpbf_way_version_counts,
+        "osmpbf_relation_member_sums": p.q_osmpbf_relation_member_sums,
         "snapshot_latest_state_written": p.q_snapshot_latest_state_written,
         # round-3-verified surface
         "snapshot_count_daily": p.q_snapshot_count_daily,
@@ -215,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         # STRtree backend shares the grid-index query's oracle
         "snapshot_pip_many_regions_strtree": o.snapshot_pip_many_regions(),
         "osmpbf_way_version_counts": o.osmpbf_way_version_counts(),
+        "osmpbf_relation_member_sums": o.osmpbf_relation_member_sums(),
         "snapshot_latest_state_written": o.snapshot_latest_state(),  # same values, write-terminated path
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,

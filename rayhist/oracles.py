@@ -222,6 +222,34 @@ FROM vv GROUP BY v, visible, kk ORDER BY v, visible, kk
 """
 
 
+def osmpbf_relation_member_sums() -> str:
+    """Mirror of the ingest relation derivation (_pack_rel_bucket:
+    relation r = observed member ways {2r, 2r+1}, one v=1 at min
+    member-way ts1, tag k = r%7, way members w/ empty roles) — what
+    the .osh.pbf Relation wire round-trip must reproduce. Member count
+    and member-id SUM value-check the delta-coded memids."""
+    return """
+WITH m AS (
+  SELECT user_id // 5 AS wid, epoch_us(ts) AS us FROM events
+), w AS (
+  SELECT wid, min(us) AS ts1 FROM m GROUP BY wid
+), r AS (
+  SELECT wid // 2 AS rid, min(ts1) AS rts,
+         sum(wid) AS smid, count(*) AS nm
+  FROM w GROUP BY 1
+)
+SELECT CAST(rid % 7 AS BIGINT) AS kk,
+       count(*) AS n_rels,
+       min((rts // 1000) * 1000) AS min_ts,
+       max((rts // 1000) * 1000) AS max_ts,
+       sum(nm) AS n_members,
+       sum(smid) AS sum_member_ids,
+       sum(nm) AS n_way_members,
+       sum(nm) AS n_empty_roles
+FROM r GROUP BY kk ORDER BY kk
+"""
+
+
 def snapshot_cells() -> str:
     cte = _snap_cte().replace("TS_LIST", _ts_list(SNAP_WEEKLY))
     nx = 1 << CELL_ZOOM

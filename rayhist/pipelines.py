@@ -1323,6 +1323,60 @@ def q_osmpbf_way_version_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["v", "visible", "kk"]).reset_index(drop=True)
 
 
+def q_osmpbf_relation_member_sums(sf_dir: str) -> pd.DataFrame:
+    """RELATION histories through the real .osh.pbf wire format: the
+    relation corpus (ingest's _pack_rel_bucket derivation — relation r
+    = observed member ways {2r, 2r+1}) is encoded as genuine PBF
+    Relation messages (delta-coded memids, roles_sid, member-type
+    enum, Info), decoded with read_osmpbf, and aggregated per k-tag:
+    relation count, ms-truncated ts range, member count and MEMBER-ID
+    SUM — the id sum + per-row member count value-check the zigzag
+    delta cumsum of memids; n_way_members checks the type enum; the
+    empty-role count checks roles_sid index 0. Closes the last
+    rows-only gap in the wire-format family (nodes:
+    osmpbf_snapshot_count_daily, ways: osmpbf_way_version_counts)."""
+    from .sources.osmpbf import ensure_osmpbf_relations, read_osmpbf
+
+    rows = read_osmpbf(ensure_osmpbf_relations(sf_dir))
+
+    def stage(b: pa.Table) -> pa.Table:
+        keep = b.filter(pa.compute.equal(b["etype"], "relation"))
+        kk = np.full(len(keep), -1, dtype=np.int64)
+        for r, (tk, tv) in enumerate(zip(keep["tag_k"].to_pylist(), keep["tag_v"].to_pylist())):
+            for k, v in zip(tk, tv):
+                if k == "k":
+                    kk[r] = int(v)
+        mids = keep["member_ids"].to_pylist()
+        mtypes = keep["member_types"].to_pylist()
+        mroles = keep["member_roles"].to_pylist()
+        df = pd.DataFrame(
+            {
+                "kk": kk,
+                "ts": keep["ts"].to_numpy(zero_copy_only=False),
+                "nm": [len(m) for m in mids],
+                "smid": [sum(m) for m in mids],
+                "nway": [sum(t == "way" for t in ts_) for ts_ in mtypes],
+                "nrole0": [sum(x == "" for x in rs) for rs in mroles],
+            }
+        )
+        g = df.groupby("kk", as_index=False).agg(
+            n_part=("ts", "size"), mn=("ts", "min"), mx=("ts", "max"),
+            nm=("nm", "sum"), smid=("smid", "sum"),
+            nway=("nway", "sum"), nrole0=("nrole0", "sum"),
+        )
+        return pa.Table.from_pandas(g)
+
+    # per-batch partials -> driver combine (<= 7 key rows)
+    df = rows.map_batches(stage, batch_format="pyarrow").to_pandas()
+    df = df.groupby("kk", as_index=False).agg(
+        n_rels=("n_part", "sum"), min_ts=("mn", "min"), max_ts=("mx", "max"),
+        n_members=("nm", "sum"), sum_member_ids=("smid", "sum"),
+        n_way_members=("nway", "sum"), n_empty_roles=("nrole0", "sum"),
+    )
+    out = df.astype("int64")
+    return out.sort_values("kk").reset_index(drop=True)
+
+
 def q_snapshot_count_daily_checkpointed(sf_dir: str) -> pd.DataFrame:
     """snapshot_count_daily EXECUTED THROUGH THE CHECKPOINTED SHARD
     RUNNER (state.checkpoint.run_sharded): the span table's parquet

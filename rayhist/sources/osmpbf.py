@@ -955,6 +955,66 @@ def ensure_osmpbf_ways(sf_dir: str, rep: int = 1) -> str:
     return str(out)
 
 
+def ensure_osmpbf_relations(sf_dir: str, rep: int = 1) -> str:
+    """Materialize (once) a .osh.pbf file of RELATION histories derived
+    with the ingest derivation (rayhist/ingest.py _pack_rel_bucket:
+    relation r = member ways {2r, 2r+1} (those observed), one version
+    v=1 at rts = min member-way ts1, cs = REL_CS_BASE + r*1000 + 1,
+    uid = r%37, tags etype=relation / k=r%7, way members with empty
+    roles). Proves the PBF Relation message path — delta-coded memids,
+    roles_sid (index 0 = empty role), member-type enum — under the
+    value-exact oracle (oracles.osmpbf_relation_member_sums). The
+    member (wid, ts) extraction is distributed; the final encode is
+    driver-side over corpus/10 one-version rows (same boundary as
+    ensure_osmpbf_ways)."""
+    from ..ingest import REL_CS_BASE, WAY_BLOCK, ensure_documents
+    from ..model import decode_spans
+
+    src = ensure_documents(sf_dir, rep)
+    key = hashlib.sha256(f"{Path(src).resolve()}:osmpbf_rels:v1".encode()).hexdigest()[:16]
+    out = Path(os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")) / key / "osmpbf_rels"
+    if out.exists():
+        return str(out)
+    from .. import io as rio
+
+    def wid_ts(batch: pa.Table) -> pa.Table:
+        d = decode_spans(batch, tags=False, geom=False)
+        ids = d["osm_id"].to_numpy(zero_copy_only=False)
+        ts = d["ts"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"wid": ids // WAY_BLOCK, "ts": ts})
+        g = df.groupby("wid").agg(ts1=("ts", "min"))
+        return pa.Table.from_pandas(g.reset_index())
+
+    parts = rio.read_table(src).map_batches(wid_ts, batch_format="pyarrow").to_pandas()
+    w = parts.groupby("wid", as_index=False).agg(ts1=("ts1", "min"))
+    w["rid"] = w["wid"] // 2
+    rows = []
+    for rid, g in w.groupby("rid"):
+        members = sorted(int(x) for x in g["wid"])
+        rows.append(
+            {
+                "etype": "relation", "osm_id": int(rid), "v": 1,
+                "ts": int(g["ts1"].min()),
+                "cs": REL_CS_BASE + int(rid) * 1000 + 1,
+                "uid": int(rid) % 37, "user": f"u{int(rid) % 37}",
+                "visible": True, "lon_e7": 0, "lat_e7": 0,
+                "tag_k": ["etype", "k"], "tag_v": ["relation", str(int(rid) % 7)],
+                "refs": [], "member_ids": members,
+                "member_roles": [""] * len(members),
+                "member_types": ["way"] * len(members),
+            }
+        )
+    tmp = out.parent / f".tmp_pbfr_{os.getpid()}"
+    tmp.mkdir(parents=True, exist_ok=True)
+    write_osmpbf(str(tmp / "relations.osh.pbf"), pd.DataFrame(rows))
+    try:
+        tmp.rename(out)
+    except OSError:
+        if not out.exists():
+            raise
+    return str(out)
+
+
 # --------------------------------------------------------- corpus I/O
 def ensure_osmpbf(sf_dir: str, rep: int = 1) -> str:
     """Materialize (once) the .osh.pbf-encoded corpus of sf_dir's node
