@@ -220,3 +220,124 @@ def test_742_spike_erased():
     assert len(pieces) == 1
     assert ring_is_simple(pieces[0])
     assert abs(_shoelace_e7(pieces[0])) / 2 == 40 * 40
+
+
+def test_725_concave_outer():
+    """test725: valid multipolygon with one CONCAVE outer ring and no
+    inner -> one simple part, no holes, exact area."""
+    g = build_multipolygon(
+        [_ring([(20, 0), (30, 0), (10, 20), (30, 40), (20, 40), (0, 20)])], []
+    )
+    assert _simple_parts(g) == 1 and g.holes[0] == []
+    assert _area(g) == 400
+
+
+def test_728_node_member_ignored():
+    """test728: a relation carrying a NODE member next to a valid outer
+    ring — the stray point contributes nothing and must not throw."""
+    g = build_multipolygon(
+        [_ring([(0, 0), (40, 0), (40, 40), (0, 40)]),
+         np.asarray([(100, 100)], dtype=np.int64)],
+        [],
+    )
+    assert _simple_parts(g) == 1
+    assert _area(g) == 1600
+
+
+def test_730_three_inner_rings():
+    """test730: one outer + three inner rings with correct roles."""
+    outer = _ring([(0, 0), (100, 0), (100, 100), (0, 100)])
+    inners = [
+        _ring([(10 + i * 30, 10), (20 + i * 30, 10), (20 + i * 30, 20), (10 + i * 30, 20)])
+        for i in range(3)
+    ]
+    g = build_multipolygon([outer], inners)
+    assert _simple_parts(g) == 1 and len(g.holes[0]) == 3
+    assert _area(g) == 100 * 100 - 3 * 100
+
+
+def test_731_inner_rings_from_several_ways():
+    """test731: complex multipolygon whose INNER rings are each split
+    across several open member ways — inner-side ring assembly."""
+    outer = _ring([(0, 0), (100, 0), (100, 100), (0, 100)])
+    i1a = np.asarray([(10, 10), (30, 10), (30, 30)], dtype=np.int64)
+    i1b = np.asarray([(30, 30), (10, 30), (10, 10)], dtype=np.int64)
+    i2a = np.asarray([(50, 50), (70, 50)], dtype=np.int64)
+    i2b = np.asarray([(70, 50), (70, 70), (50, 70), (50, 50)], dtype=np.int64)
+    g = build_multipolygon([outer], [i1a, i1b, i2a, i2b])
+    assert _simple_parts(g) == 1 and len(g.holes[0]) == 2
+    assert _area(g) == 100 * 100 - 400 - 400
+
+
+def test_732_two_outers_one_inner_duplicate_vertex():
+    """test732: two outer rings, one containing an inner; one ring
+    carries the same node twice in succession (repaired away) — the
+    inner lands in the RIGHT outer."""
+    o1 = np.asarray([(0, 0), (60, 0), (60, 0), (60, 60), (0, 60), (0, 0)], dtype=np.int64)
+    o2 = _ring([(100, 100), (140, 100), (140, 140), (100, 140)])
+    g = build_multipolygon([o1, o2], [_ring([(20, 20), (40, 20), (40, 40), (20, 40)])])
+    assert _simple_parts(g) == 2
+    assert sorted(len(h) for h in g.holes) == [0, 1]
+    assert _area(g) == 60 * 60 + 40 * 40 - 20 * 20
+
+
+def test_740_self_crossing_outer_split():
+    """test740: INVALID input — the outer ring properly crosses itself
+    (bowtie). The repair ladder must split it into simple pieces, never
+    throw (the reference catches and degrades)."""
+    g = build_multipolygon([_ring([(0, 0), (40, 40), (40, 0), (0, 40)])], [])
+    assert _simple_parts(g) == 2
+    assert _area(g) == 800
+
+
+def test_763_four_outers_touching_in_single_point():
+    """test763: valid multipolygon of FOUR outer rings all touching in
+    one shared node."""
+    t = (50, 50)
+    outers = [
+        _ring([(0, 0), (50, 0), t, (0, 50)]),
+        _ring([(100, 0), (100, 50), t, (50, 0)]),
+        _ring([(100, 100), (50, 100), t, (100, 50)]),
+        _ring([(0, 100), (0, 50), t, (50, 100)]),
+    ]
+    g = build_multipolygon(outers, [])
+    assert _simple_parts(g) == 4
+    assert _area(g) == 4 * 50 * 50  # four square quadrants
+
+
+def test_764_four_inners_touching_in_single_point():
+    """test764: one outer + four inner rings touching in a single
+    node — the holes stay separate (no merge)."""
+    t = (50, 50)
+    outer = _ring([(0, 0), (100, 0), (100, 100), (0, 100)])
+    inners = [
+        _ring([(30, 30), (50, 30), t]),
+        _ring([(70, 30), (70, 50), t]),
+        _ring([(70, 70), (50, 70), t]),
+        _ring([(30, 70), (30, 50), t]),
+    ]
+    g = build_multipolygon([outer], inners)
+    assert _simple_parts(g) == 1 and len(g.holes[0]) == 4
+    assert _area(g) == 100 * 100 - 4 * (20 * 20 / 2)
+
+
+def test_772_two_inners_touching_in_node():
+    """test772: two inner rings touching in a single shared node."""
+    outer = _ring([(0, 0), (100, 0), (100, 100), (0, 100)])
+    inners = [
+        _ring([(20, 20), (40, 20), (40, 40), (20, 40)]),
+        _ring([(40, 40), (60, 40), (60, 60), (40, 60)]),
+    ]
+    g = build_multipolygon([outer], inners)
+    assert _simple_parts(g) == 1 and len(g.holes[0]) == 2
+    assert _area(g) == 100 * 100 - 400 - 400
+
+
+def test_774_two_outers_touching_in_two_nodes():
+    """test774 (GIScience/oshdb#124): two outer rings touching in TWO
+    nodes stay two parts."""
+    o1 = _ring([(0, 0), (50, 0), (50, 20), (50, 40), (0, 40)])
+    o2 = _ring([(50, 0), (100, 0), (100, 40), (50, 40), (50, 20)])
+    g = build_multipolygon([o1, o2], [])
+    assert _simple_parts(g) == 2
+    assert _area(g) == 2 * 50 * 40
