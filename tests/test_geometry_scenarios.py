@@ -341,3 +341,45 @@ def test_774_two_outers_touching_in_two_nodes():
     g = build_multipolygon([o1, o2], [])
     assert _simple_parts(g) == 2
     assert _area(g) == 2 * 50 * 40
+
+
+def test_745_746_impossible_from_open_ways_empty():
+    """test745/746: 'impossible multipolygon' out of one/two open ways
+    that never close — empty result, never an exception (the reference
+    catches and degrades; no assertion on its invalid data)."""
+    g = build_multipolygon([np.asarray([(0, 0), (40, 0), (40, 40)], dtype=np.int64)], [])
+    assert g.kind == "empty"
+    g = build_multipolygon(
+        [np.asarray([(0, 0), (40, 0)], dtype=np.int64),
+         np.asarray([(40, 40), (0, 40)], dtype=np.int64)],
+        [],
+    )
+    assert g.kind == "empty"
+
+
+def test_752_754_invalid_touching_no_common_node_no_throw():
+    """test752/754: inners touching each other / the outer along an
+    edge WITHOUT a shared vertex — invalid per OGC, but the builder
+    must emit simple rings and never throw."""
+    outer = _ring([(0, 0), (100, 0), (100, 100), (0, 100)])
+    i1 = _ring([(20, 20), (40, 20), (40, 40), (20, 40)])
+    i2 = _ring([(40, 25), (60, 25), (60, 35), (40, 35)])  # overlaps i1's edge, no shared vertex
+    g = build_multipolygon([outer], [i1, i2])
+    assert _simple_parts(g) == 1 and len(g.holes[0]) == 2
+    g = build_multipolygon([outer], [_ring([(0, 30), (20, 30), (20, 50), (0, 50)])])
+    assert _simple_parts(g) == 1 and len(g.holes[0]) == 1
+
+
+def test_771_773_touch_point_without_common_node_no_throw():
+    """test771/773: outers (resp. inners) touching in a point where
+    only ONE ring has a vertex — invalid data; parts stay simple, no
+    exception."""
+    o1 = _ring([(0, 0), (50, 0), (50, 50), (0, 50)])
+    o2 = _ring([(50, 25), (90, 5), (90, 45)])
+    g = build_multipolygon([o1, o2], [])
+    assert _simple_parts(g) == 2
+    outer = _ring([(0, 0), (100, 0), (100, 100), (0, 100)])
+    i1 = _ring([(20, 20), (40, 20), (40, 40), (20, 40)])
+    i2 = _ring([(40, 30), (60, 20), (60, 40)])
+    g = build_multipolygon([outer], [i1, i2])
+    assert _simple_parts(g) == 1 and len(g.holes[0]) == 2
