@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "osmpbf_way_version_counts": p.q_osmpbf_way_version_counts,
         "osmpbf_relation_member_sums": p.q_osmpbf_relation_member_sums,
         "snapshot_latest_state_written": p.q_snapshot_latest_state_written,
+        "corpus_curation": p.q_corpus_curation,
         # round-3-verified surface
         "snapshot_count_daily": p.q_snapshot_count_daily,
         "snapshot_count_daily_click": p.q_snapshot_count_daily_click,
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_pip_many_regions_strtree": o.snapshot_pip_many_regions(),
         "osmpbf_way_version_counts": o.osmpbf_way_version_counts(),
         "osmpbf_relation_member_sums": o.osmpbf_relation_member_sums(),
+        "corpus_curation": o.corpus_curation(p.CURATION_MIN_TOKENS),
         "snapshot_latest_state_written": o.snapshot_latest_state(),  # same values, write-terminated path
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,

@@ -490,6 +490,35 @@ ORDER BY doc_id
 """
 
 
+def corpus_curation(min_tokens: int) -> str:
+    """Mirror of pipelines.q_corpus_curation: md5 keep-first dedup ->
+    whitespace-token quality floor -> md5-prefix 1/2 threshold sample
+    -> per-source doc + token sums. Stage-for-stage the same integer
+    predicates the engine evaluates."""
+    thresh = (1 << 32) // 2
+    return f"""
+WITH dedup AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+), gated AS (
+  SELECT doc_id, source,
+         CASE WHEN text = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS toks
+  FROM dedup
+  WHERE (CASE WHEN text = '' THEN 0
+         ELSE length(text) - length(replace(text, ' ', '')) + 1 END) >= {min_tokens}
+), sampled AS (
+  SELECT * FROM gated
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < {thresh}
+)
+SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
+FROM sampled GROUP BY source ORDER BY source
+"""
+
+
 def doc_fingerprints() -> str:
     return "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
 

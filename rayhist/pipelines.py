@@ -584,6 +584,46 @@ def q_sample_docs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+CURATION_MIN_TOKENS = 40  # quality gate: drop the short tail (~40% at sandbox SFs)
+
+
+def q_corpus_curation(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END training-data curation chain, ONE streaming pipeline:
+    exact dedup (content keep-first) -> quality gate (whitespace token
+    floor) -> deterministic 1/2 subsample -> per-source token budget.
+    Each stage is an existing oracle-checked operator; this query pins
+    their COMPOSITION value-exactly (operators that are each correct
+    can still disagree after chaining if any stage reorders, drops
+    columns, or double-counts). Dedup runs the production vector128
+    key (survivors == md5 barring a 128-bit collision, A/B-pinned in
+    tests); the sampler uses the md5 twin so the SQL mirror is
+    bit-exact. Nothing corpus-sized lands on the driver: dedup is the
+    bucketed keep-first shuffle, the gate and sample are streaming
+    batch filters, the final is a 20-key groupby."""
+    from .ops.dedup import exact_dedup
+    from .ops.relational import deterministic_sample
+    from .ops.text import add_token_count
+
+    ds = rio.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    ds = exact_dedup(ds)
+
+    def quality_gate(b: pa.Table) -> pa.Table:
+        t = add_token_count(b)
+        return t.filter(pa.compute.greater_equal(t["n_tokens"], CURATION_MIN_TOKENS))
+
+    ds = ds.map_batches(quality_gate, batch_format="pyarrow")
+    ds = deterministic_sample(ds, 1, 2, "doc_id", hash_fn="md5")
+    df = (
+        ds.groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="sum_tokens"))
+        .to_pandas()
+    )
+    df["sum_tokens"] = df["sum_tokens"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     """md5 content fingerprint per document — the ORACLE TWIN pins
     fp_algo='md5' because the fp VALUE is compared against SQL
