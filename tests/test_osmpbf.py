@@ -249,3 +249,65 @@ def test_dense_empty_tag_value_fails_at_encode_time():
     blk = m.encode_primitive_block(rows, dense=False)
     out = m.decode_primitive_block(blk).to_pandas()
     assert out["tag_k"].iloc[0] == ["amenity"] and out["tag_v"].iloc[0] == [""]
+
+
+# ---------------------------------------------- property-based round-trip
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TAG = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters='"'),
+    min_size=1,
+    max_size=8,
+)
+
+
+@st.composite
+def _node_history(draw):
+    """One node's version rows with adversarial values: huge/negative
+    deltas, boundary coordinates, unicode tags/users, tombstones."""
+    osm_id = draw(st.integers(1, 2**48))
+    nv = draw(st.integers(1, 4))
+    rows = []
+    for v in range(1, nv + 1):
+        nt = draw(st.integers(0, 2))
+        rows.append(
+            {
+                "etype": "node",
+                "osm_id": osm_id,
+                "v": v,
+                "ts": draw(st.integers(0, 2**52)) * 1000,  # whole ms (wire res)
+                "cs": draw(st.integers(0, 2**52)),
+                "uid": draw(st.integers(0, 2**31 - 1)),
+                "user": draw(_TAG),
+                "visible": draw(st.booleans()),
+                "lon_e7": draw(st.integers(-1800000000, 1800000000)),
+                "lat_e7": draw(st.integers(-900000000, 900000000)),
+                "tag_k": [draw(_TAG) for _ in range(nt)],
+                "tag_v": [draw(_TAG) for _ in range(nt)],
+                "refs": [],
+                "member_ids": [],
+                "member_roles": [],
+                "member_types": [],
+            }
+        )
+    return rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    histories=st.lists(_node_history(), min_size=1, max_size=4),
+    dense=st.booleans(),
+)
+def test_roundtrip_property_nodes(histories, dense, tmp_path_factory):
+    """encode -> decode == input for random node histories, both the
+    DenseNodes and plain-Node encodings (delta/zigzag/varint paths hit
+    with adversarial magnitudes and unicode strings)."""
+    rows = pd.DataFrame([r for h in histories for r in h])
+    # distinct ids per history (duplicates across draws are fine — they
+    # merge into one longer history; keep (id, v) unique for comparison)
+    rows = rows.drop_duplicates(["osm_id", "v"]).reset_index(drop=True)
+    path = str(tmp_path_factory.mktemp("pbf") / "prop.osh.pbf")
+    m.write_osmpbf(path, rows, block_elems=3, dense=dense)
+    got = _decode_file(path)
+    assert _canon(got) == _canon(rows)
