@@ -490,6 +490,58 @@ ORDER BY doc_id
 """
 
 
+def langid_exact() -> str:
+    """Mirror of pipelines.q_langid_exact: marker-word voting with
+    lexicographically-largest tie-break, zero votes -> en, CJK
+    override 5*cjk > chars; integer word/stopword counts; quality via
+    cross-multiplication. Every column integer/string — hash-exact."""
+    marks = {
+        "de": ["und", "der", "die", "das", "mit"],
+        "en": ["the", "and", "with", "fast", "slow"],
+        "es": ["el", "la", "y", "los", "de"],
+        "fr": ["le", "la", "et", "les", "des"],
+    }
+
+    def score(lang):
+        return " + ".join(
+            f"CASE WHEN list_contains(lw, '{m}') THEN 1 ELSE 0 END"
+            for m in sorted(marks[lang])
+        )
+
+    stopset = "'the','and','of','a','to','in','is','it'"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS ws,
+         string_split(lower(text), ' ') AS lw,
+         length(text) AS nchars
+  FROM documents
+), scored AS (
+  SELECT doc_id, ws, nchars,
+         len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+         ({score("de")}) AS s_de,
+         ({score("en")}) AS s_en,
+         ({score("es")}) AS s_es,
+         ({score("fr")}) AS s_fr
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN 5 * cjk > nchars THEN 'zh'
+            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'en'
+            WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_filter(ws, x -> x IN ({stopset}))) AS BIGINT) AS stop_hits,
+       CAST(CASE WHEN len(ws) >= 5
+                  AND nchars - (len(ws) - 1) >= 2 * greatest(len(ws), 1)
+                  AND nchars - (len(ws) - 1) <= 12 * greatest(len(ws), 1)
+            THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
+FROM scored ORDER BY doc_id
+"""
+
+
 def corpus_curation(min_tokens: int) -> str:
     """Mirror of pipelines.q_corpus_curation: md5 keep-first dedup ->
     whitespace-token quality floor -> md5-prefix 1/2 threshold sample

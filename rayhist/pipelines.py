@@ -587,6 +587,52 @@ def q_sample_docs(sf_dir: str) -> pd.DataFrame:
 CURATION_MIN_TOKENS = 40  # quality gate: drop the short tail (~40% at sandbox SFs)
 
 
+def q_langid_exact(sf_dir: str) -> pd.DataFrame:
+    """Language-ID + quality gate, INTEGER-EXACT twin of q_langid's
+    heuristics: the same marker-word voting (distinct markers present,
+    ties to the lexicographically largest language, zero votes -> en,
+    CJK-share override via the integer cross-multiplication
+    5*cjk > chars), plus integer word/stopword counts and a
+    cross-multiplied quality predicate (no float division, so every
+    column is hash-exact in SQL). q_langid stays the rows-only
+    float-ratio variant."""
+    import pyarrow.compute as pc
+
+    from .ops.text import langid_stage
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        b = langid_stage(b)  # adds lang_pred (integer voting inside)
+        arr = pc.fill_null(pa.array(b["text"].tolist(), type=pa.string()), "")
+        parts = pc.split_pattern(arr, " ")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        nsl = n_chars - (lens - 1)
+        nw = np.maximum(lens, 1)
+        flat = pc.list_flatten(parts)
+        doc_idx = np.repeat(np.arange(len(b)), lens)
+        from .ops.text import STOPWORDS
+
+        hits = pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS))).to_numpy(
+            zero_copy_only=False
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "lang_pred": b["lang_pred"].to_numpy(),
+                "n_words": lens,
+                "stop_hits": np.bincount(doc_idx[hits], minlength=len(b)).astype(np.int64),
+                "quality_ok": (
+                    (lens >= 5) & (nsl >= 2 * nw) & (nsl <= 12 * nw)
+                ).astype(np.int64),
+            }
+        )
+        return out
+
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = ds.map_batches(stage, batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_corpus_curation(sf_dir: str) -> pd.DataFrame:
     """END-TO-END training-data curation chain, ONE streaming pipeline:
     exact dedup (content keep-first) -> quality gate (whitespace token
