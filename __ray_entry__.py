@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_latest_state_written": p.q_snapshot_latest_state_written,
         "corpus_curation": p.q_corpus_curation,
         "langid_exact": p.q_langid_exact,
+        "media_meta_exact": p.q_media_meta_exact,
         # round-3-verified surface
         "snapshot_count_daily": p.q_snapshot_count_daily,
         "snapshot_count_daily_click": p.q_snapshot_count_daily_click,
@@ -221,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "osmpbf_relation_member_sums": o.osmpbf_relation_member_sums(),
         "corpus_curation": o.corpus_curation(p.CURATION_MIN_TOKENS),
         "langid_exact": o.langid_exact(),
+        "media_meta_exact": o.media_meta_exact(),
         "snapshot_latest_state_written": o.snapshot_latest_state(),  # same values, write-terminated path
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,

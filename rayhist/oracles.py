@@ -490,6 +490,23 @@ ORDER BY doc_id
 """
 
 
+def media_meta_exact() -> str:
+    """Mirror of ops.multimodal.synth_media_table's metadata layer:
+    width = 16 + md5_byte0 % 64, height = 16 + md5_byte1 % 64,
+    payload = 16-byte digest x 8 = 128 bytes per media row."""
+    return """
+WITH m AS (
+  SELECT md5('media://' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+)
+SELECT 'image' AS kind,
+       count(*) AS n_media,
+       CAST(sum(16 + CAST(('0x' || substr(h, 1, 2)) AS INT) % 64) AS BIGINT) AS sum_width,
+       CAST(sum(16 + CAST(('0x' || substr(h, 3, 2)) AS INT) % 64) AS BIGINT) AS sum_height,
+       count(*) * 128 AS sum_payload_bytes
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 def langid_exact() -> str:
     """Mirror of pipelines.q_langid_exact: marker-word voting with
     lexicographically-largest tie-break, zero votes -> en, CJK

@@ -587,6 +587,41 @@ def q_sample_docs(sf_dir: str) -> pd.DataFrame:
 CURATION_MIN_TOKENS = 40  # quality gate: drop the short tail (~40% at sandbox SFs)
 
 
+def q_media_meta_exact(sf_dir: str) -> pd.DataFrame:
+    """Multimodal METADATA layer under the value-exact oracle: the
+    media table synthesis (ref -> md5-seeded payload bytes + derived
+    width/height, ops.multimodal.synth_media_table) aggregated per
+    kind — integer sums only, so the schema/plumbing layer is
+    hash-exact in SQL while the codec itself stays the honest stub
+    (media_features remains the rows-only decode query)."""
+    from .ops.multimodal import synth_media_table
+
+    def stage(b: pa.Table) -> pa.Table:
+        refs = [f"media://{d}" for d in b["doc_id"].to_pylist()]
+        m = synth_media_table(refs)
+        nbytes = int(
+            pa.compute.sum(pa.compute.binary_length(m["payload"])).as_py() or 0
+        )
+        return pa.table(
+            {
+                "kind": pa.array(["image"]),
+                "n_media": pa.array([len(m)], type=pa.int64()),
+                "sum_width": pa.array(
+                    [int(m["width"].to_numpy(zero_copy_only=False).sum())], type=pa.int64()
+                ),
+                "sum_height": pa.array(
+                    [int(m["height"].to_numpy(zero_copy_only=False).sum())], type=pa.int64()
+                ),
+                "sum_payload_bytes": pa.array([nbytes], type=pa.int64()),
+            }
+        )
+
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    df = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    out = df.groupby("kind", as_index=False).sum()
+    return out.sort_values("kind").reset_index(drop=True)
+
+
 def q_langid_exact(sf_dir: str) -> pd.DataFrame:
     """Language-ID + quality gate, INTEGER-EXACT twin of q_langid's
     heuristics: the same marker-word voting (distinct markers present,
