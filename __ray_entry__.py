@@ -42,6 +42,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # previously-unsampled + round-4 queries FIRST so the
         # driver's 50-entry correctness window covers them (the
         # round-3 driver sampled the first 50; VERDICT item 10)
+        "asof_attribution": p.q_asof_attribution,
+        "range_error_click_daily": p.q_range_error_click_daily,
+        "window_rolling_spikes": p.q_window_rolling_spikes,
+        "users_click_not_purchase": p.q_users_click_not_purchase,
+        "topk_orders_by_priority": p.q_topk_orders_by_priority,
         "snapshot_count_by_type": p.q_snapshot_count_by_type,
         "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
@@ -135,6 +140,13 @@ def oracle_sql() -> dict[str, str]:
     from rayhist import pipelines as p
 
     return {
+        "asof_attribution": o.asof_attribution(),
+        "range_error_click_daily": o.range_error_click_daily(
+            p.RANGE_WIN_US, p.T0, p.DAY_US
+        ),
+        "window_rolling_spikes": o.window_rolling_spikes(p.SPIKE_WINDOW),
+        "users_click_not_purchase": o.users_click_not_purchase(p.SETOP_CUTOFF_US),
+        "topk_orders_by_priority": o.topk_orders_by_priority(p.TOPK_PRIORITY_K),
         "snapshot_count_daily": o.snapshot_count_daily(),
         "snapshot_count_daily_click": o.snapshot_count_daily("visible AND etype = 'click'"),
         # kk <> -1 encodes KEY PRESENCE (hasTagKeyExcluding = key present

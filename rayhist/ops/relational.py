@@ -95,6 +95,44 @@ def topk(ds: ray.data.Dataset, key: str, k: int, tiebreak: str, descending: bool
     return allc.head(k).reset_index(drop=True)
 
 
+def topk_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key: str,
+    k: int,
+    tiebreak: str,
+    descending: bool = True,
+) -> ray.data.Dataset:
+    """Deterministic top-k PER GROUP (the windowed
+    ``row_number() <= k`` idiom). Two stages, both distributed: a
+    per-batch candidate prune keeps at most k rows per group per batch
+    (so at most blocks x groups x k rows shuffle — never the corpus),
+    then ``groupby(group_col)`` resolves the final k with a 1-based
+    ``rank`` column. Ties on ``key`` break by ``tiebreak`` ascending.
+    Works at any group cardinality: low-card groups cost a small
+    shuffle; high-card groups stay fully distributed."""
+    asc = [not descending, True]
+
+    def cand(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, key, tiebreak]).to_pandas()
+        df = df.sort_values([key, tiebreak], ascending=asc, kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k), preserve_index=False
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, tiebreak], ascending=asc, kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(cand, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def exact_quantiles_int(ds: ray.data.Dataset, col: str, fracs: list[tuple[int, int]]) -> list[int]:
     """Exact discrete quantiles of an integer column: value at sorted
     index ((n-1)*num)//den. Distributed as groupby(value).count() (the

@@ -1,0 +1,352 @@
+"""Ordered / temporal join-and-window operators.
+
+The reference engine is a batch engine with no join or window surface
+(SURVEY.md §2.9/§2.11) — these are the target-only operators a
+large-scale event/training-data pipeline needs on top of it:
+
+- ``asof_join``: keyed as-of join (each left row matched to the
+  latest right row at-or-before / earliest at-or-after its time) —
+  the attribution join. Distributed as a co-partitioned hash bucket
+  shuffle (complete by-keys per bucket), with the in-bucket match a
+  vectorized sorted-merge (``pd.merge_asof``).
+- ``interval_point_join``: non-equi range join of intervals against
+  points (start <= t < end) with NO key equality. Distributed by
+  time-binning: an interval is replicated to every bin it overlaps, a
+  point goes to its own bin, so every qualifying pair meets in
+  exactly one bucket (the point's) — no quadratic blow-up, no
+  all-pairs shuffle; the replication factor is bounded by
+  interval_length / bin_us + 1.
+- ``with_prior_window`` / bucket-final rolling kernels: per-key
+  ordered ROWS-frame window aggregates (sum/count over the previous
+  W rows), vectorized with cumsum + key-boundary resets.
+
+All buckets hold COMPLETE keys by construction, so per-key finals may
+run inside the bucket stage (the ``sessions.py`` pattern) and only
+|keys| small rows reach the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket id for an integer or object key array.
+    Integer keys use plain modulo (balanced for id-like keys; raise
+    n_buckets to salt); others hash through pandas' stable hasher."""
+    if np.issubdtype(keys.dtype, np.integer):
+        return (keys.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+    return (
+        pd.util.hash_array(np.asarray(keys, dtype=object), categorize=False) % n_buckets
+    ).astype(np.int64)
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    n_buckets: int = 256,
+    rsuffix: str = "_r",
+    group_final=None,
+) -> ray.data.Dataset:
+    """Keyed as-of join: for each left row, the single right row with
+    the same ``by`` key and the latest ``on`` <= left.on (backward,
+    inclusive — the SQL ``ASOF JOIN ... ON l.by = r.by AND l.on >=
+    r.on`` contract) or earliest >= (forward). Unmatched left rows
+    keep nulls (LEFT semantics).
+
+    Both sides are bucketed by hash(by) and co-grouped — ONE shuffle
+    per side, complete keys per bucket — and the in-bucket match is a
+    sorted vectorized merge. Right columns colliding with left names
+    (including ``on``) come back suffixed with ``rsuffix``.
+
+    ``group_final``: optional pandas->pandas callable applied to each
+    bucket's joined frame BEFORE it leaves the stage. Because a bucket
+    holds complete ``by`` keys, any per-key aggregate is final there —
+    use it so only |keys| small rows stream out instead of |left|.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    # right columns after rename (by keeps its name: it is the equi key)
+    ren = {c: (c if (c == by or c not in lcols) else c + rsuffix) for c in rschema.names}
+    rcols_out = [ren[c] for c in rschema.names if c != by]
+
+    all_fields = [(n, lschema.types[lschema.names.index(n)]) for n in lcols] + [
+        (ren[c], rschema.types[rschema.names.index(c)])
+        for c in rschema.names
+        if c != by
+    ]
+
+    def tag(side: int, rename: dict | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            if rename:
+                batch = batch.rename_columns([rename[c] for c in batch.schema.names])
+            n = len(batch)
+            own = set(batch.schema.names)
+            cols = {}
+            for name, typ in all_fields:
+                cols[name] = batch[name] if name in own else pa.nulls(n, typ)
+            keys = batch[by].to_numpy(zero_copy_only=False)
+            cols["_bucket"] = pa.array(_bucket_of(keys, n_buckets))
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(tag(1, None), batch_format="pyarrow").union(
+        right.map_batches(tag(0, ren), batch_format="pyarrow")
+    )
+
+    int_cols = [n for n, t in all_fields if pa.types.is_integer(t)]
+    ron = ren.get(on, on)
+
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        # nullable Int64 mapping: union-padding nulls must not coerce
+        # int64 columns to float64 (money rule — see hash_join)
+        g = t.to_pandas(
+            types_mapper=lambda typ: pd.Int64Dtype() if pa.types.is_integer(typ) else None
+        )
+        lg = g.loc[g["_side"] == 1, lcols]
+        rg = g.loc[g["_side"] == 0, [by, *rcols_out]]
+        for frame in (lg, rg):
+            for c in frame.columns:
+                if c in int_cols and frame[c].notna().all():
+                    frame[c] = frame[c].astype("int64")
+        lg = lg.sort_values(on, kind="mergesort")
+        rg = rg.sort_values(ron, kind="mergesort")
+        if ron == on:  # merge_asof needs distinct on-names when both kept
+            rg = rg.rename(columns={ron: on})
+            out = pd.merge_asof(
+                lg, rg, on=on, by=by, direction=direction, suffixes=("", rsuffix)
+            )
+        else:
+            out = pd.merge_asof(
+                lg, rg, left_on=on, right_on=ron, by=by, direction=direction
+            )
+        return group_final(out) if group_final is not None else out
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def interval_point_join(
+    intervals: ray.data.Dataset,
+    points: ray.data.Dataset,
+    start_col: str,
+    end_col: str,
+    t_col: str,
+    bin_us: int,
+    n_buckets: int = 1024,
+    group_final=None,
+) -> ray.data.Dataset:
+    """Non-equi range join: all (interval, point) pairs with
+    ``start <= t < end`` (half-open, the engine's interval contract).
+    Time columns are int64 microseconds.
+
+    Distribution: time is cut into ``bin_us`` bins; an interval row is
+    REPLICATED into every bin it overlaps (replication factor bounded
+    by len/bin_us + 1 — pick bin_us ~ the typical interval length), a
+    point goes only to bin(t), and bins are hash-folded onto
+    ``n_buckets`` shuffle buckets. Each qualifying pair meets in
+    exactly one bin (the point's), so no dedup pass is needed. The
+    in-bucket match is a per-bin sorted ``searchsorted`` range scan —
+    no quadratic work beyond the true output size.
+
+    Returns the pair Dataset (interval columns + point columns).
+    ``group_final`` (pandas->pandas, applied per bucket) turns it into
+    a partial-aggregate stream instead — at corpus scale ALWAYS prefer
+    a partial aggregate over materializing O(pairs) rows.
+    """
+    ischema, pschema = intervals.schema(), points.schema()
+    icols = list(ischema.names)
+    pcols = [c for c in pschema.names if c not in icols]
+    all_fields = [(n, ischema.types[ischema.names.index(n)]) for n in icols] + [
+        (n, pschema.types[pschema.names.index(n)]) for n in pcols
+    ]
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        s = batch[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = s // bin_us
+        b1 = np.maximum(e - 1, s) // bin_us  # end exclusive
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(n), reps)
+        # bin id per replica: running offset within each row's span
+        off = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+        bins = b0[idx] + off
+        cols = {}
+        for name, typ in all_fields:
+            cols[name] = batch[name].take(pa.array(idx)) if name in set(icols) else pa.nulls(len(idx), typ)
+        cols["_bin"] = pa.array(bins)
+        cols["_bucket"] = pa.array((bins % n_buckets).astype(np.int64))
+        cols["_side"] = pa.array(np.full(len(idx), 1, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        t = batch[t_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bins = t // bin_us
+        cols = {}
+        for name, typ in all_fields:
+            cols[name] = batch[name] if name in set(pcols) or name in pschema.names else pa.nulls(n, typ)
+        cols["_bin"] = pa.array(bins)
+        cols["_bucket"] = pa.array((bins % n_buckets).astype(np.int64))
+        cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    both = intervals.map_batches(tag_intervals, batch_format="pyarrow").union(
+        points.map_batches(tag_points, batch_format="pyarrow")
+    )
+
+    int_cols = [n for n, t in all_fields if pa.types.is_integer(t)]
+
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        g = t.to_pandas(
+            types_mapper=lambda typ: pd.Int64Dtype() if pa.types.is_integer(typ) else None
+        )
+        outs = []
+        for _bin, gb in g.groupby("_bin", sort=False):
+            iv = gb[gb["_side"] == 1]
+            pt = gb[gb["_side"] == 0]
+            if iv.empty or pt.empty:
+                continue
+            pt = pt.sort_values(t_col, kind="mergesort")
+            tvals = pt[t_col].to_numpy(dtype=np.int64)
+            s = iv[start_col].to_numpy(dtype=np.int64)
+            e = iv[end_col].to_numpy(dtype=np.int64)
+            lo = np.searchsorted(tvals, s, side="left")
+            hi = np.searchsorted(tvals, e, side="left")
+            cnt = hi - lo
+            if cnt.sum() == 0:
+                continue
+            irep = np.repeat(np.arange(len(iv)), cnt)
+            # concatenated ranges lo[i]..hi[i] without a Python loop
+            prep = np.arange(len(irep)) - np.repeat(np.cumsum(cnt) - cnt, cnt) + lo[irep]
+            pairs = pd.concat(
+                [
+                    iv.iloc[irep][icols].reset_index(drop=True),
+                    pt.iloc[prep][pcols].reset_index(drop=True),
+                ],
+                axis=1,
+            )
+            outs.append(pairs)
+        if not outs:
+            out = pd.DataFrame({n: pd.Series(dtype="int64") for n, _ in all_fields})
+        else:
+            out = pd.concat(outs, ignore_index=True)
+        for c in int_cols:
+            if c in out.columns and out[c].notna().all():
+                out[c] = out[c].astype("int64")
+        return group_final(out) if group_final is not None else out
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def prior_window_sums(
+    sorted_keys: np.ndarray, values: np.ndarray, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ROWS-frame window kernel: for rows already sorted by (key,
+    order), return (prior_sum, prior_n) over the frame ``ROWS BETWEEN
+    window PRECEDING AND 1 PRECEDING`` restarting at key boundaries.
+    Vectorized: cumulative sums with per-key start offsets; integer
+    values stay integer (exact — money rule)."""
+    n = len(values)
+    if n == 0:
+        return values[:0], np.zeros(0, dtype=np.int64)
+    new_key = np.r_[True, sorted_keys[1:] != sorted_keys[:-1]]
+    key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+    pos = np.arange(n) - key_start  # 0-based position within key
+    cum = np.concatenate([[0], np.cumsum(values)])  # cum[i] = sum(values[:i])
+    frame_lo = np.maximum(np.arange(n) - window, key_start)
+    prior_sum = cum[np.arange(n)] - cum[frame_lo]
+    prior_n = np.minimum(pos, window).astype(np.int64)
+    return prior_sum, prior_n
+
+
+def with_prior_window(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    n_buckets: int = 256,
+    group_final=None,
+) -> ray.data.Dataset:
+    """Per-key ordered window aggregate: appends ``prior_sum`` /
+    ``prior_n`` = sum/count of ``value_col`` over the previous
+    ``window`` rows of the same key (rows ordered by ``order_cols``;
+    the frame excludes the current row). Keys are hash-bucketed
+    complete, so ``group_final`` may compute per-key finals in-stage
+    (emit |keys| rows, not |rows|)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("_bucket", pa.array(_bucket_of(k, n_buckets)))
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"]).sort_values(
+            [key_col, *order_cols], kind="mergesort"
+        )
+        ps, pn = prior_window_sums(
+            g[key_col].to_numpy(), g[value_col].to_numpy(), window
+        )
+        g = g.assign(prior_sum=ps, prior_n=pn)
+        return group_final(g) if group_final is not None else g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+    )
+
+
+def distinct_set_op(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    on: str,
+    mode: str,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Distributed DISTINCT set operation on one key column:
+    ``except`` (keys of a not in b), ``intersect``, or ``union``.
+    Each batch is pre-deduped before the shuffle (only unique keys per
+    batch move), keys are hash-bucketed, and the set op runs
+    vectorized per bucket — the SQL EXCEPT/INTERSECT/UNION the
+    reference never exposed (SURVEY.md §2.9)."""
+    if mode not in ("except", "intersect", "union"):
+        raise ValueError(f"unknown set op {mode!r}")
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = np.unique(batch[on].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    on: pa.array(k),
+                    "_bucket": pa.array(_bucket_of(k, n_buckets)),
+                    "_side": pa.array(np.full(len(k), side, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    both = a.map_batches(tag(1), batch_format="pyarrow").union(
+        b.map_batches(tag(0), batch_format="pyarrow")
+    )
+
+    def op_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ka = np.unique(g.loc[g["_side"] == 1, on].to_numpy())
+        kb = np.unique(g.loc[g["_side"] == 0, on].to_numpy())
+        if mode == "except":
+            out = np.setdiff1d(ka, kb, assume_unique=True)
+        elif mode == "intersect":
+            out = np.intersect1d(ka, kb, assume_unique=True)
+        else:
+            out = np.union1d(ka, kb)
+        return pd.DataFrame({on: out})
+
+    return both.groupby("_bucket").map_groups(op_bucket, batch_format="pandas")

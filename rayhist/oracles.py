@@ -1569,3 +1569,84 @@ SELECT CAST(sum(uid * (kk + 40)) AS DOUBLE) / CAST(sum(kk + 40) AS DOUBLE)
 FROM snap
 """
     )
+
+
+# ----------------------------------------- ordered/temporal operators
+
+
+def asof_attribution() -> str:
+    """DuckDB native ASOF JOIN — the independent implementation of the
+    engine's bucketed merge_asof (ops/window.asof_join)."""
+    return """
+SELECT p.user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(c.ts) AS BIGINT) AS n_attrib,
+       CAST(coalesce(sum(epoch_us(p.ts) - epoch_us(c.ts)), 0) AS BIGINT) AS lag_us_total
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def range_error_click_daily(win_us: int, t0: int, day_us: int) -> str:
+    """Plain inequality join — the oracle for the time-binned
+    replication range join (each pair exactly once)."""
+    return f"""
+SELECT (epoch_us(c.ts) - {t0}) // {day_us} AS day,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+  ON epoch_us(c.ts) >= epoch_us(e.ts)
+ AND epoch_us(c.ts) <  epoch_us(e.ts) + {win_us}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_rolling_spikes(window: int) -> str:
+    """SQL ROWS-frame window functions — the oracle for the cumsum
+    prior-window kernel (exact integer cents; spike needs a FULL
+    frame of `window` prior rows)."""
+    return f"""
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), w AS (
+  SELECT user_id, vc,
+         coalesce(sum(vc) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING), 0) AS prior_sum,
+         count(*) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING) AS prior_n
+  FROM v
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prior_n = {window} AND {window} * vc > prior_sum
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def users_click_not_purchase(cutoff_us: int) -> str:
+    return f"""
+SELECT user_id FROM (
+  SELECT DISTINCT user_id FROM events
+   WHERE event_type = 'click' AND epoch_us(ts) < {cutoff_us}
+  EXCEPT
+  SELECT DISTINCT user_id FROM events
+   WHERE event_type = 'purchase' AND epoch_us(ts) < {cutoff_us}
+) ORDER BY user_id
+"""
+
+
+def topk_orders_by_priority(k: int) -> str:
+    return f"""
+SELECT o_orderpriority, rank, o_orderkey, price_cents FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS BIGINT) AS rank
+  FROM orders
+) WHERE rank <= {k} ORDER BY o_orderpriority, rank
+"""

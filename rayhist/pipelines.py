@@ -2434,3 +2434,203 @@ def q_api_snapshot_weighted_avg(sf_dir: str) -> pd.DataFrame:
         .weightedAverage("uid", "w")
     )
     return pd.DataFrame([{"wavg_uid": wavg}])
+
+
+# ----------------------------------------- ordered/temporal operators
+# (ops/window.py: as-of join, range join, rolling windows, set ops —
+# the target-only event-pipeline surface; SURVEY.md §2.9/§2.11)
+
+RANGE_WIN_US = 30 * 60 * 1_000_000  # error window length: 30 minutes
+SPIKE_WINDOW = 3  # rolling ROWS frame: previous 3 events
+SETOP_CUTOFF_US = T0 + 2 * DAY_US  # set-op observation window: first 2 days
+TOPK_PRIORITY_K = 3
+
+
+def _events_typed(sf_dir: str, etype: str, cols: list[str]):
+    """Pushdown-filtered events read with ts converted to int64 us in
+    the scan stage (exact integer time arithmetic end-to-end)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset  # noqa: F401
+
+    ds = rio.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=cols,
+        filter=(pc.field("event_type") == etype),
+    )
+
+    def to_us(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64())
+        return b.drop_columns(["ts"]).append_column("t", t)
+
+    return ds.map_batches(to_us, batch_format="pyarrow")
+
+
+def q_asof_attribution(sf_dir: str) -> pd.DataFrame:
+    """AS-OF JOIN (the attribution join): each purchase matched to the
+    LATEST click by the same user at-or-before its timestamp (>=
+    inclusive — the SQL ASOF JOIN contract), LEFT semantics for
+    never-clicked purchases. Distributed as ONE co-partitioned bucket
+    shuffle with complete users per bucket; the per-user final
+    (purchase count, attributed count, total click->purchase lag)
+    runs INSIDE the bucket stage, so only |users| rows reach the
+    driver. Lag sums are exact int64 microseconds."""
+    from .ops.window import asof_join
+
+    purchases = _events_typed(sf_dir, "purchase", ["user_id", "ts", "event_type"])
+    clicks = _events_typed(sf_dir, "click", ["user_id", "ts", "event_type"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["t_r"].notna()
+        lag = (g["t"] - g["t_r"]).where(m, 0)
+        g = g.assign(_m=m.astype(np.int64), _lag=lag.astype("int64"))
+        return g.groupby("user_id", as_index=False).agg(
+            n_purchases=("t", "size"),
+            n_attrib=("_m", "sum"),
+            lag_us_total=("_lag", "sum"),
+        )
+
+    out = asof_join(
+        purchases.drop_columns(["event_type"]),
+        clicks.drop_columns(["event_type"]),
+        on="t",
+        by="user_id",
+        group_final=final,
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True).astype(
+        {"n_purchases": "int64", "n_attrib": "int64", "lag_us_total": "int64"}
+    )
+
+
+def q_range_error_click_daily(sf_dir: str) -> pd.DataFrame:
+    """RANGE JOIN with no key equality: every (error-window, click)
+    pair where the click falls inside [error_ts, error_ts + 30min),
+    counted per click-day. Distribution is the time-binned replication
+    join (interval replicated to overlapped bins, point to its own bin
+    — each pair meets exactly once); the per-day count is a PARTIAL
+    inside the bucket stage, combined at the driver (30 keys)."""
+    from .aggregate import combine_partials
+    from .ops.window import interval_point_join
+
+    errors = _events_typed(sf_dir, "error", ["ts", "event_type"]).drop_columns(
+        ["event_type"]
+    )
+    clicks = _events_typed(sf_dir, "click", ["ts", "event_type"]).drop_columns(
+        ["event_type"]
+    )
+
+    def mk_interval(b: pa.Table) -> pa.Table:
+        s = b["t"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array(s), "e": pa.array(s + RANGE_WIN_US)})
+
+    intervals = errors.map_batches(mk_interval, batch_format="pyarrow")
+
+    def final(pairs: pd.DataFrame) -> pd.DataFrame:
+        day = (pairs["t"].to_numpy(dtype=np.int64) - T0) // DAY_US
+        vc = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": vc.index.to_numpy(dtype=np.int64), "n_part": vc.to_numpy()})
+
+    partials = interval_point_join(
+        intervals,
+        clicks,
+        start_col="s",
+        end_col="e",
+        t_col="t",
+        bin_us=RANGE_WIN_US,
+        group_final=final,
+    )
+    df = combine_partials(partials, ["day"], {"n_part": "n_pairs"})
+    return df.sort_values("day").reset_index(drop=True)
+
+
+def q_window_rolling_spikes(sf_dir: str) -> pd.DataFrame:
+    """Per-key ordered ROLLING WINDOW (ROWS frame): an event is a
+    "spike" when its value exceeds the mean of the user's previous 3
+    events (exact integer test: window*value_cents > prior_sum_cents,
+    requiring a full frame). Events ordered by (ts, event_id) per
+    user; per-user totals are final inside the bucket stage."""
+    from .ops.relational import round_half_away
+    from .ops.window import with_prior_window
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64())
+        vc = round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": t,
+                "event_id": b["event_id"],
+                "vc": pa.array(vc),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        full = g["prior_n"].to_numpy() == SPIKE_WINDOW
+        spike = full & (
+            SPIKE_WINDOW * g["vc"].to_numpy() > g["prior_sum"].to_numpy()
+        )
+        g = g.assign(_sp=spike.astype(np.int64))
+        return g.groupby("user_id", as_index=False).agg(
+            n_events=("vc", "size"), n_spikes=("_sp", "sum")
+        )
+
+    out = with_prior_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["t", "event_id"],
+        value_col="vc",
+        window=SPIKE_WINDOW,
+        group_final=final,
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True).astype(
+        {"n_events": "int64", "n_spikes": "int64"}
+    )
+
+
+def q_users_click_not_purchase(sf_dir: str) -> pd.DataFrame:
+    """Distributed DISTINCT EXCEPT (set ops the reference never
+    exposed, SURVEY.md §2.9): users who clicked in the first two days
+    but made no purchase in that window. Per-batch pre-dedup, hash
+    buckets, vectorized set difference per bucket."""
+    import pyarrow.compute as pc
+
+    from .ops.window import distinct_set_op
+
+    def side(etype: str):
+        ds = _events_typed(sf_dir, etype, ["user_id", "ts", "event_type"])
+        return ds.map_batches(
+            lambda b: b.filter(pc.less(b["t"], SETOP_CUTOFF_US)).select(["user_id"]),
+            batch_format="pyarrow",
+        )
+
+    out = distinct_set_op(side("click"), side("purchase"), on="user_id", mode="except")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def q_topk_orders_by_priority(sf_dir: str) -> pd.DataFrame:
+    """TOP-K PER GROUP (the windowed row_number() <= k idiom): the 3
+    highest-value orders per order priority, rank 1-based, ties broken
+    by orderkey. Per-batch candidate prune (<= k rows per group per
+    batch shuffle) + distributed per-group final."""
+    from .ops.relational import cents, topk_per_group
+
+    orders = rio.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    ).map_batches(
+        lambda b: cents(b, "o_totalprice", "price_cents").drop_columns(["o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    out = topk_per_group(
+        orders, "o_orderpriority", "price_cents", TOPK_PRIORITY_K, "o_orderkey"
+    ).to_pandas()
+    return (
+        out[["o_orderpriority", "rank", "o_orderkey", "price_cents"]]
+        .sort_values(["o_orderpriority", "rank"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,276 @@
+"""Ordered/temporal operator tests: as-of join, interval-point range
+join, prior-window rolling kernel, distinct set ops, top-k per group.
+Each distributed operator is checked against an independent brute-force
+in-memory oracle on randomized inputs, and at two bucket counts to pin
+partitioning-invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from rayhist.ops.relational import topk_per_group
+from rayhist.ops.window import (
+    asof_join,
+    distinct_set_op,
+    interval_point_join,
+    prior_window_sums,
+    with_prior_window,
+)
+
+
+def _rng():
+    return np.random.default_rng(42)
+
+
+def _events(n=800, n_users=17, tmax=1_000_000):
+    rng = _rng()
+    return pd.DataFrame(
+        {
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "t": rng.integers(0, tmax, n).astype(np.int64),
+            "v": rng.integers(1, 100, n).astype(np.int64),
+            "row_id": np.arange(n, dtype=np.int64),
+        }
+    )
+
+
+# ------------------------------------------------------------- asof
+
+
+def _brute_asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-row scan oracle: latest right.t <= left.t for the same user."""
+    out = []
+    for _, row in left.iterrows():
+        cand = right[(right["user_id"] == row["user_id"]) & (right["t"] <= row["t"])]
+        out.append(cand["t"].max() if len(cand) else np.nan)
+    res = left.copy()
+    res["matched_t"] = out
+    return res
+
+
+@pytest.mark.parametrize("n_buckets", [1, 7])
+def test_asof_join_matches_bruteforce(n_buckets):
+    df = _events()
+    left = df[df["row_id"] % 3 == 0][["user_id", "t", "row_id"]].reset_index(drop=True)
+    right = df[df["row_id"] % 3 != 0][["user_id", "t", "v"]].reset_index(drop=True)
+    got = asof_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="t",
+        by="user_id",
+        n_buckets=n_buckets,
+    ).to_pandas()
+    exp = _brute_asof(left, right)
+    got = got.sort_values("row_id").reset_index(drop=True)
+    exp = exp.sort_values("row_id").reset_index(drop=True)
+    assert len(got) == len(left)  # left join: one row per left row
+    # matched right timestamp equals the brute-force latest-at-or-before
+    gt = got["t_r"].astype("float64").to_numpy()
+    et = exp["matched_t"].to_numpy(dtype=np.float64)
+    assert np.array_equal(np.isnan(gt), np.isnan(et))
+    m = ~np.isnan(gt)
+    assert np.array_equal(gt[m], et[m])
+
+
+def test_asof_join_exact_match_inclusive():
+    left = pd.DataFrame({"user_id": [1, 1], "t": [10, 5], "lid": [0, 1]})
+    right = pd.DataFrame({"user_id": [1], "t": [10], "rid": [7]})
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="t",
+            by="user_id",
+            n_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("lid")
+    )
+    assert got["rid"].tolist()[0] == 7  # t=10 matches t=10 (>= inclusive)
+    assert pd.isna(got["rid"].tolist()[1])  # t=5 has no earlier right row
+
+
+def test_asof_group_final_runs_per_complete_key():
+    df = _events(400)
+    left = df[["user_id", "t", "row_id"]]
+    right = df[["user_id", "t", "v"]].assign(t=lambda d: d["t"] - 1)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).agg(n=("row_id", "size"))
+
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="t",
+            by="user_id",
+            n_buckets=5,
+            group_final=final,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.groupby("user_id", as_index=False)
+        .agg(n=("row_id", "size"))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ------------------------------------------------- interval x point
+
+
+def _brute_pairs(iv: pd.DataFrame, pt: pd.DataFrame) -> set:
+    out = set()
+    for _, r in iv.iterrows():
+        hits = pt[(pt["t"] >= r["s"]) & (pt["t"] < r["e"])]
+        out |= {(int(r["iid"]), int(p)) for p in hits["pid"]}
+    return out
+
+
+@pytest.mark.parametrize("bin_us", [1_000, 50_000])
+def test_interval_point_join_matches_bruteforce(bin_us):
+    rng = _rng()
+    n_iv, n_pt = 120, 900
+    s = rng.integers(0, 900_000, n_iv).astype(np.int64)
+    iv = pd.DataFrame(
+        {"iid": np.arange(n_iv, dtype=np.int64), "s": s,
+         "e": s + rng.integers(1, 40_000, n_iv).astype(np.int64)}
+    )
+    pt = pd.DataFrame(
+        {"pid": np.arange(n_pt, dtype=np.int64),
+         "t": rng.integers(0, 950_000, n_pt).astype(np.int64)}
+    )
+    got = interval_point_join(
+        ray.data.from_pandas(iv),
+        ray.data.from_pandas(pt),
+        start_col="s",
+        end_col="e",
+        t_col="t",
+        bin_us=bin_us,
+        n_buckets=13,
+    ).to_pandas()
+    pairs = set(zip(got["iid"].astype(int), got["pid"].astype(int)))
+    assert len(pairs) == len(got)  # each qualifying pair exactly once
+    assert pairs == _brute_pairs(iv, pt)
+
+
+def test_interval_point_join_group_final_partials():
+    """group_final turns the pair stream into partial aggregates whose
+    total equals the full pair count."""
+    rng = _rng()
+    s = rng.integers(0, 100_000, 50).astype(np.int64)
+    iv = pd.DataFrame({"iid": np.arange(50, dtype=np.int64), "s": s, "e": s + 5_000})
+    pt = pd.DataFrame(
+        {"pid": np.arange(400, dtype=np.int64),
+         "t": rng.integers(0, 100_000, 400).astype(np.int64)}
+    )
+    exp = len(_brute_pairs(iv, pt))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [len(g)]})
+
+    got = interval_point_join(
+        ray.data.from_pandas(iv), ray.data.from_pandas(pt),
+        start_col="s", end_col="e", t_col="t", bin_us=5_000,
+        n_buckets=7, group_final=final,
+    ).to_pandas()
+    assert int(got["n"].sum()) == exp
+
+
+# ------------------------------------------------------ rolling window
+
+
+def test_prior_window_sums_vs_pandas_rolling():
+    df = _events(600, n_users=9)
+    w = 4
+    df = df.sort_values(["user_id", "t", "row_id"], kind="mergesort")
+    ps, pn = prior_window_sums(df["user_id"].to_numpy(), df["v"].to_numpy(), w)
+    # pandas oracle: shifted rolling sum/count per user
+    g = df.groupby("user_id")["v"]
+    exp_sum = g.transform(lambda s: s.rolling(w, min_periods=0).sum().shift(1)).fillna(0)
+    exp_n = g.transform(lambda s: s.rolling(w, min_periods=0).count().shift(1)).fillna(0)
+    assert np.array_equal(ps, exp_sum.to_numpy(dtype=np.int64))
+    assert np.array_equal(pn, exp_n.to_numpy(dtype=np.int64))
+
+
+@pytest.mark.parametrize("n_buckets", [1, 6])
+def test_with_prior_window_distributed(n_buckets):
+    df = _events(500, n_users=11)
+    got = (
+        with_prior_window(
+            ray.data.from_pandas(df),
+            key_col="user_id",
+            order_cols=["t", "row_id"],
+            value_col="v",
+            window=3,
+            n_buckets=n_buckets,
+        )
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    sdf = df.sort_values(["user_id", "t", "row_id"], kind="mergesort")
+    ps, pn = prior_window_sums(sdf["user_id"].to_numpy(), sdf["v"].to_numpy(), 3)
+    exp = sdf.assign(prior_sum=ps, prior_n=pn).sort_values("row_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+
+
+# ----------------------------------------------------------- set ops
+
+
+@pytest.mark.parametrize("mode", ["except", "intersect", "union"])
+def test_distinct_set_op(mode):
+    rng = _rng()
+    a = pd.DataFrame({"k": rng.integers(0, 300, 900).astype(np.int64)})
+    b = pd.DataFrame({"k": rng.integers(150, 450, 900).astype(np.int64)})
+    got = (
+        distinct_set_op(
+            ray.data.from_pandas(a), ray.data.from_pandas(b), on="k", mode=mode,
+            n_buckets=9,
+        )
+        .to_pandas()["k"]
+        .to_numpy()
+    )
+    sa, sb = set(a["k"]), set(b["k"])
+    exp = {"except": sa - sb, "intersect": sa & sb, "union": sa | sb}[mode]
+    assert set(got.tolist()) == exp
+    assert len(got) == len(exp)  # distinct
+
+
+# ----------------------------------------------------- top-k per group
+
+
+def test_topk_per_group_vs_pandas():
+    rng = _rng()
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 7, 2_000).astype(np.int64),
+            "score": rng.integers(0, 50, 2_000).astype(np.int64),  # many ties
+            "id": np.arange(2_000, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = (
+        topk_per_group(ds, "g", "score", 3, "id", descending=True)
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["score", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(3)
+        .sort_values(["g"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp["rank"] = exp.groupby("g").cumcount() + 1
+    exp = exp.sort_values(["g", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "score", "id", "rank"]], exp[["g", "score", "id", "rank"]],
+        check_dtype=False,
+    )
