@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver's 50-entry correctness window covers them (the
         # round-3 driver sampled the first 50; VERDICT item 10)
         "asof_attribution": p.q_asof_attribution,
+        "rollup_events": p.q_rollup_events,
+        "pivot_events_daily": p.q_pivot_events_daily,
         "range_error_click_daily": p.q_range_error_click_daily,
         "window_rolling_spikes": p.q_window_rolling_spikes,
         "users_click_not_purchase": p.q_users_click_not_purchase,
@@ -141,6 +143,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "asof_attribution": o.asof_attribution(),
+        "rollup_events": o.rollup_events(p.T0, p.DAY_US),
+        "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),
         "range_error_click_daily": o.range_error_click_daily(
             p.RANGE_WIN_US, p.T0, p.DAY_US
         ),

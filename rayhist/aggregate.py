@@ -185,3 +185,80 @@ def grouped_estimated_quantiles(
             rec[f"p{int(q * 100)}_est"] = merged[k].quantile(q)
         out.append(rec)
     return pd.DataFrame(out)
+
+
+def rollup_sums(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    count_as: str | None = None,
+    all_marker: str = "ALL",
+) -> pd.DataFrame:
+    """One-pass ROLLUP (grouping-sets prefix ladder): aggregates at
+    every prefix granularity ``keys[:n], keys[:n-1], ..., ()`` in a
+    SINGLE scan — each batch emits a partial for every level (coarser
+    key columns set to ``all_marker``), and one driver combine folds
+    them (the result is |levels| x |key cross product|, tiny by
+    construction). The SQL ``GROUP BY ROLLUP`` with
+    ``coalesce(k, 'ALL')``. Key columns must be strings (the marker
+    must be representable); cast upstream. ``count_as`` adds a row
+    count per cell."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if count_as:
+            df = df.assign(**{count_as: np.ones(len(df), dtype=np.int64)})
+        vals = [*sums.keys(), *([count_as] if count_as else [])]
+        outs = []
+        for lvl in range(len(keys), -1, -1):
+            g = (
+                df.groupby(keys[:lvl], as_index=False)[vals].sum()
+                if lvl
+                else df[vals].sum().to_frame().T
+            )
+            for k in keys[lvl:]:
+                g[k] = all_marker
+            outs.append(g[[*keys, *vals]])
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    outmap = dict(sums)
+    if count_as:
+        outmap[count_as] = count_as
+    return combine_partials(partials, keys, outmap)
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    row_key: str,
+    col_key: str,
+    col_values: Sequence,
+    prefix: str = "n_",
+) -> pd.DataFrame:
+    """Pivot a two-key count into a wide matrix: one row per
+    ``row_key`` value, one int64 column ``{prefix}{v}`` per expected
+    ``col_values`` entry (absent cells zerofilled). The scan stage
+    emits per-batch (row, col, n) partials; the reshape happens on the
+    combined small frame only."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([row_key, col_key]).to_pandas()
+        g = df.groupby([row_key, col_key], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_part"}), preserve_index=False
+        )
+
+    long = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [row_key, col_key],
+        {"n_part": "n"},
+    )
+    wide = long.pivot_table(
+        index=row_key, columns=col_key, values="n", aggfunc="sum", fill_value=0
+    )
+    for v in col_values:
+        if v not in wide.columns:
+            wide[v] = 0
+    wide = wide[list(col_values)].astype("int64")
+    wide.columns = [f"{prefix}{v}" for v in col_values]
+    return wide.reset_index().sort_values(row_key).reset_index(drop=True)

@@ -1650,3 +1650,34 @@ SELECT o_orderpriority, rank, o_orderkey, price_cents FROM (
   FROM orders
 ) WHERE rank <= {k} ORDER BY o_orderpriority, rank
 """
+
+
+def rollup_events(t0: int, day_us: int) -> str:
+    """SQL GROUP BY ROLLUP — the oracle for the one-pass prefix
+    ladder (coalesce maps the super-aggregate NULLs to the engine's
+    'ALL' marker; no genuine NULLs exist in either key)."""
+    return f"""
+WITH v AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) - {t0}) // {day_us} AS VARCHAR) AS day,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, 'ALL') AS day,
+       CAST(sum(vc) AS BIGINT) AS value_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM v GROUP BY ROLLUP(event_type, day) ORDER BY 1, 2
+"""
+
+
+def pivot_events_daily(t0: int, day_us: int, types: list[str]) -> str:
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    return f"""
+SELECT (epoch_us(ts) - {t0}) // {day_us} AS day,
+       {cols}
+FROM events GROUP BY 1 ORDER BY 1
+"""

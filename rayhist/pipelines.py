@@ -2634,3 +2634,69 @@ def q_topk_orders_by_priority(sf_dir: str) -> pd.DataFrame:
         .sort_values(["o_orderpriority", "rank"])
         .reset_index(drop=True)
     )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_rollup_events(sf_dir: str) -> pd.DataFrame:
+    """ONE-PASS ROLLUP (grouping-sets ladder): event counts and exact
+    value-cents sums at three granularities — (event_type, day),
+    (event_type), grand total — from a single scan: each batch emits
+    partials for EVERY level (no per-level re-read, no shuffle; the
+    combined result is levels x keys, tiny). Coarser levels use the
+    'ALL' marker, mirrored by coalesce() over SQL GROUP BY ROLLUP."""
+    from .aggregate import rollup_sums
+    from .ops.relational import round_half_away
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (t - T0) // DAY_US
+        vc = round_half_away(b["value"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pa.array(day.astype("U"), type=pa.string()),
+                "vc": pa.array(vc.astype(np.int64)),
+            }
+        )
+
+    out = rollup_sums(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        sums={"vc": "value_cents"},
+        count_as="n",
+    )
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True).astype(
+        {"value_cents": "int64", "n": "int64"}
+    )
+
+
+def q_pivot_events_daily(sf_dir: str) -> pd.DataFrame:
+    """PIVOT: the (day x event_type) count matrix as wide int64
+    columns, zerofilled against the expected type set. Per-batch
+    (day, type) partial counts; the reshape runs only on the combined
+    small frame."""
+    from .aggregate import pivot_counts
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array((t - T0) // DAY_US),
+                "event_type": b["event_type"],
+            }
+        )
+
+    return pivot_counts(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        row_key="day",
+        col_key="event_type",
+        col_values=EVENT_TYPES,
+    )
