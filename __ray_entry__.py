@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rolling_spikes": p.q_window_rolling_spikes,
         "users_click_not_purchase": p.q_users_click_not_purchase,
         "topk_orders_by_priority": p.q_topk_orders_by_priority,
+        "hll_uniq_uids_daily": p.q_hll_uniq_uids_daily,
         "snapshot_count_by_type": p.q_snapshot_count_by_type,
         "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
@@ -242,5 +243,6 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_latest_state_written": o.snapshot_latest_state(),  # same values, write-terminated path
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
-        # media_features
+        # media_features, hll_uniq_uids_daily (estimators/sketches —
+        # accuracy contracts live in pytest)
     }

@@ -262,3 +262,49 @@ def pivot_counts(
     wide = wide[list(col_values)].astype("int64")
     wide.columns = [f"{prefix}{v}" for v in col_values]
     return wide.reset_index().sort_values(row_key).reset_index(drop=True)
+
+
+def grouped_approx_count_distinct(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    p: int | None = None,
+) -> pd.DataFrame:
+    """Grouped approximate COUNT(DISTINCT col) via per-key HyperLogLog
+    partials (functions/hll.py) — the sketch twin of the exact
+    ``uniq``/``countUniq`` path, exactly as t-digest is the sketch
+    twin of exact quantiles: one fixed-size (2^p B) register array per
+    key per batch, merged per key on the driver. At 10^12 rows the
+    exact distinct must shuffle every distinct value; this moves
+    |keys| x 16 KiB regardless of cardinality. Values are hashed with
+    the fmix64-finalized FNV path (register index and rank read
+    SPECIFIC bit positions, so the hash must be full-avalanche)."""
+    import pyarrow.compute as pc
+
+    from .functions.hll import DEFAULT_P, HLL
+    from .ops.text import fmix64, fnv1a_batch
+
+    if p is None:
+        p = DEFAULT_P
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key_type = batch[key].type
+        col_s = pc.cast(batch[col], pa.string())
+        h = fmix64(fnv1a_batch(col_s))
+        df = pd.DataFrame({key: batch[key].to_pylist(), "_h": h})
+        rows_k, rows_s = [], []
+        for k, g in df.groupby(key, sort=True):
+            rows_k.append(k)
+            rows_s.append(HLL.of(g["_h"].to_numpy(dtype=np.uint64), p).to_bytes())
+        return pa.table(
+            {key: pa.array(rows_k, type=key_type), "hll": pa.array(rows_s, type=pa.binary())}
+        )
+
+    merged: dict[object, object] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+        s = HLL.from_bytes(row["hll"])
+        k = row[key]
+        merged[k] = merged[k].merge(s) if k in merged else s
+    return pd.DataFrame(
+        [{key: k, "n_uniq_est": merged[k].count()} for k in sorted(merged)]
+    )

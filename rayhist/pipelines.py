@@ -2700,3 +2700,28 @@ def q_pivot_events_daily(sf_dir: str) -> pd.DataFrame:
         col_key="event_type",
         col_values=EVENT_TYPES,
     )
+
+
+def q_hll_uniq_uids_daily(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per day via HyperLogLog partials —
+    the sketch path beside the exact contrib_uniq_uids_daily (rows-only
+    by design: an estimator cannot be hash-equal to SQL; its accuracy
+    contract lives in tests/test_hll.py). At sandbox cardinalities the
+    linear-counting regime is engaged; at corpus scale the same
+    pipeline moves only |days| x 16 KiB of registers."""
+    from .aggregate import grouped_approx_count_distinct
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"day": pa.array((t - T0) // DAY_US), "user_id": b["user_id"]}
+        )
+
+    out = grouped_approx_count_distinct(
+        ev.map_batches(prep, batch_format="pyarrow"), key="day", col="user_id"
+    )
+    return out.sort_values("day").reset_index(drop=True).astype(
+        {"day": "int64", "n_uniq_est": "int64"}
+    )
