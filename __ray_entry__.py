@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_click_not_purchase": p.q_users_click_not_purchase,
         "topk_orders_by_priority": p.q_topk_orders_by_priority,
         "hll_uniq_uids_daily": p.q_hll_uniq_uids_daily,
+        "bloom_semi_join_orders": p.q_bloom_semi_join_orders,
         "snapshot_count_by_type": p.q_snapshot_count_by_type,
         "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),
+        "bloom_semi_join_orders": o.bloom_semi_join_orders(p.BLOOM_NATION),
         "range_error_click_daily": o.range_error_click_daily(
             p.RANGE_WIN_US, p.T0, p.DAY_US
         ),

@@ -233,6 +233,7 @@ def hash_semi_join(
     right: ray.data.Dataset,
     on: str,
     n_buckets: int | None = None,
+    bloom=None,
 ) -> ray.data.Dataset:
     """Both-sides-large SEMI-join: keep left rows whose key appears in
     ``right`` (right's other columns and duplicate keys are ignored —
@@ -240,11 +241,21 @@ def hash_semi_join(
     non-deduped right side). One co-partitioned shuffle; the in-group
     filter is a vectorized ``isin``. Bucket count scales with the
     cluster like ``hash_join``. Non-integer keys are bucketed via the
-    deterministic string hash."""
+    deterministic string hash.
+
+    ``bloom``: optional ``functions.bloom.BloomFilter`` of the RIGHT
+    keys (build with ``build_bloom(right, on, expected_distinct)``).
+    When set, left batches are pre-pruned in the SCAN stage before the
+    shuffle — false positives just ride to the exact in-bucket isin
+    (results identical, pinned by test), false negatives are
+    impossible, and at low match rates the shuffle moves a fraction of
+    the left side. Broadcast once via ``ray.put``."""
     import pandas as pd
 
     if n_buckets is None:
         n_buckets = max(64, _ncpu() * 4)
+
+    bloom_ref = ray.put(bloom) if bloom is not None else None
 
     lcols = list(left.schema().names)
 
@@ -257,6 +268,9 @@ def hash_semi_join(
         ).astype(np.int64)
 
     def tag_left(batch: pa.Table) -> pa.Table:
+        if bloom_ref is not None:
+            bf = ray.get(bloom_ref)
+            batch = batch.filter(pa.array(bf.contains(batch[on])))
         keys = batch[on].to_numpy(zero_copy_only=False)
         t = batch.append_column("_bucket", pa.array(_buckets(keys)))
         return t.append_column("_side", pa.array(np.ones(len(batch), dtype=np.int8)))

@@ -1681,3 +1681,16 @@ SELECT (epoch_us(ts) - {t0}) // {day_us} AS day,
        {cols}
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def bloom_semi_join_orders(nation: int) -> str:
+    """Plain IN-subquery semi-join — the Bloom pre-filter is a sound
+    prune, so any false-negative bug shows up as a missing row here."""
+    return f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = {nation})
+GROUP BY 1 ORDER BY 1
+"""

@@ -2725,3 +2725,56 @@ def q_hll_uniq_uids_daily(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("day").reset_index(drop=True).astype(
         {"day": "int64", "n_uniq_est": "int64"}
     )
+
+
+BLOOM_NATION = 5
+
+
+def q_bloom_semi_join_orders(sf_dir: str) -> pd.DataFrame:
+    """Bloom-pruned both-sides-large SEMI-join: orders of customers in
+    one nation, aggregated per order priority. A Bloom filter of the
+    (filtered) customer keys is built from per-batch bitmap partials,
+    broadcast once, and applied in the orders SCAN stage — non-matching
+    orders never enter the shuffle (false positives ride to the exact
+    in-bucket isin, so results are identical to the unpruned join; the
+    equivalence is also pinned by tests/test_bloom.py). Priority sums
+    are exact integer cents."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset  # noqa: F401
+
+    from .aggregate import combine_partials
+    from .functions.bloom import build_bloom
+    from .ops.relational import cents, hash_semi_join
+
+    cust = rio.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=(pc.field("c_nationkey") == BLOOM_NATION),
+    ).map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"]}), batch_format="pyarrow"
+    )
+    n_keys = cust.count()
+    bloom = build_bloom(cust, "o_custkey", expected_n=max(n_keys, 1))
+
+    orders = rio.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    joined = hash_semi_join(orders, cust, on="o_custkey", bloom=bloom)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = cents(b, "o_totalprice", "pc_")
+        df = b.select(["o_orderpriority", "pc_"]).to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_part=("pc_", "size"), s_part=("pc_", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = combine_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {"n_part": "n", "s_part": "price_cents"},
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True).astype(
+        {"n": "int64", "price_cents": "int64"}
+    )
