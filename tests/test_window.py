@@ -274,3 +274,33 @@ def test_topk_per_group_vs_pandas():
         got[["g", "score", "id", "rank"]], exp[["g", "score", "id", "rank"]],
         check_dtype=False,
     )
+
+
+def test_asof_join_forward_direction():
+    """direction='forward': earliest right row at-or-after left.t."""
+    df = _events(300, n_users=5)
+    left = df[df["row_id"] % 2 == 0][["user_id", "t", "row_id"]].reset_index(drop=True)
+    right = df[df["row_id"] % 2 == 1][["user_id", "t", "v"]].reset_index(drop=True)
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="t",
+            by="user_id",
+            direction="forward",
+            n_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    exp = []
+    for _, row in left.iterrows():
+        cand = right[(right["user_id"] == row["user_id"]) & (right["t"] >= row["t"])]
+        exp.append(cand["t"].min() if len(cand) else np.nan)
+    exp = left.sort_values("row_id").assign(matched_t=exp)
+    gt = got["t_r"].astype("float64").to_numpy()
+    et = exp["matched_t"].to_numpy(dtype=np.float64)
+    assert np.array_equal(np.isnan(gt), np.isnan(et))
+    m = ~np.isnan(gt)
+    assert np.array_equal(gt[m], et[m])
