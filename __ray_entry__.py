@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders_by_priority": p.q_topk_orders_by_priority,
         "hll_uniq_uids_daily": p.q_hll_uniq_uids_daily,
         "bloom_semi_join_orders": p.q_bloom_semi_join_orders,
+        "cube_events": p.q_cube_events,
+        "anti_join_orders": p.q_anti_join_orders,
         "snapshot_count_by_type": p.q_snapshot_count_by_type,
         "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
@@ -148,6 +150,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),
         "bloom_semi_join_orders": o.bloom_semi_join_orders(p.BLOOM_NATION),
+        "cube_events": o.cube_events(p.T0, p.DAY_US),
+        "anti_join_orders": o.anti_join_orders(p.ANTI_NATION),
         "range_error_click_daily": o.range_error_click_daily(
             p.RANGE_WIN_US, p.T0, p.DAY_US
         ),

@@ -193,16 +193,23 @@ def rollup_sums(
     sums: dict[str, str],
     count_as: str | None = None,
     all_marker: str = "ALL",
+    levels: list[list[str]] | None = None,
 ) -> pd.DataFrame:
-    """One-pass ROLLUP (grouping-sets prefix ladder): aggregates at
-    every prefix granularity ``keys[:n], keys[:n-1], ..., ()`` in a
-    SINGLE scan — each batch emits a partial for every level (coarser
-    key columns set to ``all_marker``), and one driver combine folds
-    them (the result is |levels| x |key cross product|, tiny by
-    construction). The SQL ``GROUP BY ROLLUP`` with
-    ``coalesce(k, 'ALL')``. Key columns must be strings (the marker
-    must be representable); cast upstream. ``count_as`` adds a row
-    count per cell."""
+    """One-pass GROUPING SETS: aggregates at every requested
+    granularity in a SINGLE scan — each batch emits a partial for
+    every level (absent key columns set to ``all_marker``), and one
+    driver combine folds them (the result is |levels| x |key cross
+    product|, tiny by construction). ``levels`` defaults to the
+    ROLLUP prefix ladder ``keys[:n], ..., ()``; pass every subset for
+    CUBE (``cube_levels(keys)``). The SQL ``GROUP BY
+    ROLLUP/CUBE/GROUPING SETS`` with ``coalesce(k, 'ALL')``. Key
+    columns must be strings (the marker must be representable); cast
+    upstream. ``count_as`` adds a row count per cell."""
+    if levels is None:
+        levels = [keys[:n] for n in range(len(keys), -1, -1)]
+    for lvl in levels:
+        if not set(lvl) <= set(keys):
+            raise ValueError(f"level {lvl} not a subset of keys {keys}")
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -210,14 +217,15 @@ def rollup_sums(
             df = df.assign(**{count_as: np.ones(len(df), dtype=np.int64)})
         vals = [*sums.keys(), *([count_as] if count_as else [])]
         outs = []
-        for lvl in range(len(keys), -1, -1):
+        for lvl in levels:
             g = (
-                df.groupby(keys[:lvl], as_index=False)[vals].sum()
+                df.groupby(lvl, as_index=False)[vals].sum()
                 if lvl
                 else df[vals].sum().to_frame().T
             )
-            for k in keys[lvl:]:
-                g[k] = all_marker
+            for k in keys:
+                if k not in lvl:
+                    g[k] = all_marker
             outs.append(g[[*keys, *vals]])
         return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
 
@@ -308,3 +316,13 @@ def grouped_approx_count_distinct(
     return pd.DataFrame(
         [{key: k, "n_uniq_est": merged[k].count()} for k in sorted(merged)]
     )
+
+
+def cube_levels(keys: list[str]) -> list[list[str]]:
+    """All 2^n key subsets (SQL CUBE), coarsest-last for readability."""
+    from itertools import combinations
+
+    out = []
+    for r in range(len(keys), -1, -1):
+        out.extend([list(c) for c in combinations(keys, r)])
+    return out

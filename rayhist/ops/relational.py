@@ -234,6 +234,7 @@ def hash_semi_join(
     on: str,
     n_buckets: int | None = None,
     bloom=None,
+    anti: bool = False,
 ) -> ray.data.Dataset:
     """Both-sides-large SEMI-join: keep left rows whose key appears in
     ``right`` (right's other columns and duplicate keys are ignored —
@@ -249,9 +250,16 @@ def hash_semi_join(
     shuffle — false positives just ride to the exact in-bucket isin
     (results identical, pinned by test), false negatives are
     impossible, and at low match rates the shuffle moves a fraction of
-    the left side. Broadcast once via ``ray.put``."""
+    the left side. Broadcast once via ``ray.put``.
+
+    ``anti=True`` flips to the ANTI-join (keep left rows whose key
+    does NOT appear in right — SQL ``NOT IN`` with non-null keys).
+    Bloom pruning is REJECTED for anti-joins: the pre-filter drops
+    non-matching rows, which are exactly the anti-join's output."""
     import pandas as pd
 
+    if anti and bloom is not None:
+        raise ValueError("bloom pruning is unsound for anti-joins")
     if n_buckets is None:
         n_buckets = max(64, _ncpu() * 4)
 
@@ -303,7 +311,8 @@ def hash_semi_join(
     def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 1]
         seen = g.loc[g["_side"] == 0, on].unique()
-        return lg[lg[on].isin(seen)][lcols]
+        keep = lg[on].isin(seen)
+        return lg[~keep if anti else keep][lcols]
 
     return both.groupby("_bucket").map_groups(filter_bucket, batch_format="pandas")
 

@@ -1694,3 +1694,30 @@ FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = {nation})
 GROUP BY 1 ORDER BY 1
 """
+
+
+def cube_events(t0: int, day_us: int) -> str:
+    return f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(((epoch_us(ts) - {t0}) // {day_us}) % 2 AS VARCHAR) AS day_parity,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day_parity, 'ALL') AS day_parity,
+       CAST(sum(vc) AS BIGINT) AS value_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM v GROUP BY CUBE(event_type, day_parity) ORDER BY 1, 2
+"""
+
+
+def anti_join_orders(nation: int) -> str:
+    return f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey = {nation})
+GROUP BY 1 ORDER BY 1
+"""

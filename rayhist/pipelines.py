@@ -2778,3 +2778,86 @@ def q_bloom_semi_join_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True).astype(
         {"n": "int64", "price_cents": "int64"}
     )
+
+
+def q_cube_events(sf_dir: str) -> pd.DataFrame:
+    """ONE-PASS CUBE: counts and exact value-cents sums at ALL FOUR
+    granularities of (event_type, day-parity) — both keys, each key
+    alone, grand total — from a single scan via the grouping-sets
+    generalization of rollup_sums (SQL GROUP BY CUBE oracle)."""
+    from .aggregate import cube_levels, rollup_sums
+    from .ops.relational import round_half_away
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        par = ((t - T0) // DAY_US) % 2
+        vc = round_half_away(b["value"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day_parity": pa.array(par.astype("U"), type=pa.string()),
+                "vc": pa.array(vc.astype(np.int64)),
+            }
+        )
+
+    keys = ["event_type", "day_parity"]
+    out = rollup_sums(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        keys=keys,
+        sums={"vc": "value_cents"},
+        count_as="n",
+        levels=cube_levels(keys),
+    )
+    return out.sort_values(keys).reset_index(drop=True).astype(
+        {"value_cents": "int64", "n": "int64"}
+    )
+
+
+ANTI_NATION = 7
+
+
+def q_anti_join_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed ANTI-join (SQL NOT IN with non-null keys): orders
+    whose customer is NOT in one nation, aggregated per priority —
+    the complement of bloom_semi_join_orders on the same co-partitioned
+    shuffle (Bloom pruning is rejected for this mode: the pre-filter
+    would drop exactly the anti rows)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset  # noqa: F401
+
+    from .aggregate import combine_partials
+    from .ops.relational import cents, hash_semi_join
+
+    cust = rio.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=(pc.field("c_nationkey") == ANTI_NATION),
+    ).map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"]}), batch_format="pyarrow"
+    )
+    orders = rio.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    joined = hash_semi_join(orders, cust, on="o_custkey", anti=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = cents(b, "o_totalprice", "pc_")
+        df = b.select(["o_orderpriority", "pc_"]).to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_part=("pc_", "size"), s_part=("pc_", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = combine_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {"n_part": "n", "s_part": "price_cents"},
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True).astype(
+        {"n": "int64", "price_cents": "int64"}
+    )

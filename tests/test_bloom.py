@@ -83,3 +83,24 @@ def test_semi_join_with_bloom_identical_and_pruning():
     # the pre-filter genuinely prunes: most non-members drop in the scan
     kept = bloom.contains(left["key"].tolist()).mean()
     assert kept < 0.15, kept  # ~5% true + ~1% fp on this distribution
+
+
+def test_anti_join_complements_semi_and_rejects_bloom():
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame(
+        {
+            "key": rng.integers(0, 1_000, 2_000).astype(np.int64),
+            "payload": np.arange(2_000, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame({"key": np.arange(0, 300, dtype=np.int64)})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    semi = hash_semi_join(lds, rds, on="key", n_buckets=8).to_pandas()
+    anti = hash_semi_join(lds, rds, on="key", n_buckets=8, anti=True).to_pandas()
+    assert len(semi) + len(anti) == len(left)  # exact partition of left
+    assert set(semi["payload"]).isdisjoint(set(anti["payload"]))
+    assert (anti["key"] >= 300).all()
+    bloom = build_bloom(rds, "key", expected_n=300)
+    with pytest.raises(ValueError):
+        hash_semi_join(lds, rds, on="key", anti=True, bloom=bloom)

@@ -62,3 +62,32 @@ def test_pivot_counts_matches_crosstab_and_zerofills():
         assert row["n_q"] == ct.loc[a].get("q", 0)
         assert row["n_never_seen"] == 0
     assert got[["n_p", "n_q", "n_never_seen"]].dtypes.eq("int64").all()
+
+
+def test_cube_levels_and_grouping_sets():
+    from rayhist.aggregate import cube_levels
+
+    assert cube_levels(["a", "b"]) == [["a", "b"], ["a"], ["b"], []]
+    df = _df(500)
+    import ray.data as rd
+
+    got = rollup_sums(
+        rd.from_pandas(df).repartition(4),
+        ["a", "b"],
+        {"v": "sv"},
+        count_as="n",
+        levels=cube_levels(["a", "b"]),
+    )
+    # the b-only marginal (absent from plain rollup) matches pandas
+    bonly = got[(got["a"] == "ALL") & (got["b"] != "ALL")].set_index("b")
+    exp = df.groupby("b")["v"].sum()
+    for b, row in bonly.iterrows():
+        assert int(row["sv"]) == int(exp[b])
+
+
+def test_rollup_rejects_bad_level():
+    import pytest as _pt
+    import ray.data as rd
+
+    with _pt.raises(ValueError):
+        rollup_sums(rd.from_pandas(_df(10)), ["a"], {"v": "sv"}, levels=[["zzz"]])
