@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_orders": p.q_bloom_semi_join_orders,
         "cube_events": p.q_cube_events,
         "anti_join_orders": p.q_anti_join_orders,
+        "stratified_sample_docs": p.q_stratified_sample_docs,
         "snapshot_count_by_type": p.q_snapshot_count_by_type,
         "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join_orders": o.bloom_semi_join_orders(p.BLOOM_NATION),
         "cube_events": o.cube_events(p.T0, p.DAY_US),
         "anti_join_orders": o.anti_join_orders(p.ANTI_NATION),
+        "stratified_sample_docs": o.stratified_sample_docs(p.STRAT_EVEN, p.STRAT_ODD),
         "range_error_click_daily": o.range_error_click_daily(
             p.RANGE_WIN_US, p.T0, p.DAY_US
         ),

@@ -375,3 +375,59 @@ def deterministic_sample(
             return b.filter(pa.array(h < np.uint64(thresh)))
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    rates: dict,
+    key_col: str,
+    stratum_col: str,
+    hash_fn: str = "fnv1a",
+    default: tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Deterministic STRATIFIED sampling: per-stratum keep rates
+    (``rates[stratum] = (num, den)``), decided by the same hash
+    threshold as ``deterministic_sample`` — resume-stable,
+    partitioning/parallelism-invariant, and NESTED per stratum (a
+    lower rate is a subset of a higher one), so rebalancing a corpus
+    by source never resamples disjoint rows. Strata absent from
+    ``rates`` use ``default`` (None = drop — an explicit whitelist).
+    The threshold lookup is a vectorized map; the hash is computed
+    once per row regardless of stratum count."""
+    thresh = {
+        s: np.uint64((num << 32) // den) for s, (num, den) in rates.items()
+    }
+    dflt = np.uint64((default[0] << 32) // default[1]) if default else np.uint64(0)
+
+    if hash_fn == "md5":
+        import hashlib
+
+        def hashes(keys_col) -> np.ndarray:
+            return np.array(
+                [
+                    int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+                    for k in keys_col.to_pylist()
+                ],
+                dtype=np.uint64,
+            )
+
+    else:
+
+        def hashes(keys_col) -> np.ndarray:
+            import pyarrow.compute as pc
+
+            from .text import fmix64, fnv1a_batch
+
+            if keys_col.null_count:
+                keys = [str(k) for k in keys_col.to_pylist()]
+            else:
+                keys = pc.cast(keys_col, pa.string())
+            return fmix64(fnv1a_batch(keys)) >> np.uint64(32)
+
+    def stage(b: pa.Table) -> pa.Table:
+        h = hashes(b[key_col])
+        strata = pd.Series(b[stratum_col].to_pylist())
+        t = strata.map(lambda s: thresh.get(s, dflt)).to_numpy(dtype=np.uint64)
+        return b.filter(pa.array(h < t))
+
+    return ds.map_batches(stage, batch_format="pyarrow")

@@ -1721,3 +1721,17 @@ FROM orders
 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey = {nation})
 GROUP BY 1 ORDER BY 1
 """
+
+
+def stratified_sample_docs(even: tuple[int, int], odd: tuple[int, int]) -> str:
+    """Bit-exact mirror of ops.relational.stratified_sample's md5
+    path: same per-stratum integer thresholds on the same hash."""
+    te = (even[0] << 32) // even[1]
+    to = (odd[0] << 32) // odd[1]
+    return f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+             THEN {te} ELSE {to} END
+ORDER BY doc_id
+"""

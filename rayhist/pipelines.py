@@ -2861,3 +2861,30 @@ def q_anti_join_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True).astype(
         {"n": "int64", "price_cents": "int64"}
     )
+
+
+STRAT_EVEN = (1, 2)  # even-numbered sources: keep 1/2
+STRAT_ODD = (1, 8)  # odd-numbered sources: keep 1/8
+
+
+def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic STRATIFIED sampling: per-source keep rates (1/2
+    for even-numbered sources, 1/8 for odd) decided by the md5-prefix
+    integer threshold — resume-stable, parallelism-invariant, nested
+    per stratum, bit-mirrorable in SQL. The strata dictionary comes
+    from a one-column distinct scan (sources are low-cardinality); at
+    corpus scale the production twin uses the vectorized fnv path
+    (rate contract in tests), exactly like sample_docs."""
+    from .ops.relational import stratified_sample
+
+    docs = rio.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    sources = docs.unique("source")
+    rates = {
+        s: (STRAT_EVEN if int(s[3:]) % 2 == 0 else STRAT_ODD) for s in sources
+    }
+    out = stratified_sample(
+        docs, rates, key_col="doc_id", stratum_col="source", hash_fn="md5"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -304,3 +304,61 @@ def test_asof_join_forward_direction():
     assert np.array_equal(np.isnan(gt), np.isnan(et))
     m = ~np.isnan(gt)
     assert np.array_equal(gt[m], et[m])
+
+
+# ------------------------------------------------- stratified sample
+
+
+def test_stratified_sample_rates_and_nesting():
+    from rayhist.ops.relational import stratified_sample
+
+    n = 40_000
+    df = pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "s": np.where(np.arange(n) % 2 == 0, "even", "odd"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = stratified_sample(
+        ds, {"even": (1, 2), "odd": (1, 8)}, key_col="k", stratum_col="s"
+    ).to_pandas()
+    n_even = (got["s"] == "even").sum()
+    n_odd = (got["s"] == "odd").sum()
+    # binomial 4-sigma bounds around n/2 * 1/2 and n/2 * 1/8
+    assert abs(n_even - n / 4) < 4 * np.sqrt(n / 2 * 0.25)
+    assert abs(n_odd - n / 16) < 4 * np.sqrt(n / 2 * (1 / 8) * (7 / 8))
+    # nesting: the 1/8 stratum is a subset of what a 1/2 rate keeps
+    half = stratified_sample(
+        ds, {"even": (1, 2), "odd": (1, 2)}, key_col="k", stratum_col="s"
+    ).to_pandas()
+    assert set(got.loc[got["s"] == "odd", "k"]) <= set(half.loc[half["s"] == "odd", "k"])
+    # unknown strata drop by default (explicit whitelist)
+    none_kept = stratified_sample(
+        ds, {"nope": (1, 2)}, key_col="k", stratum_col="s"
+    ).to_pandas()
+    assert len(none_kept) == 0
+
+
+def test_stratified_sample_md5_matches_flat_at_uniform_rate():
+    """With one uniform rate the stratified op equals
+    deterministic_sample (same hash, same threshold)."""
+    from rayhist.ops.relational import deterministic_sample, stratified_sample
+
+    df = pd.DataFrame(
+        {"k": np.arange(3_000, dtype=np.int64), "s": ["a"] * 1_500 + ["b"] * 1_500}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    a = (
+        stratified_sample(ds, {"a": (1, 4), "b": (1, 4)}, "k", "s", hash_fn="md5")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    b = (
+        deterministic_sample(ds, 1, 4, "k", hash_fn="md5")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
