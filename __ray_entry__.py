@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_events": p.q_cube_events,
         "anti_join_orders": p.q_anti_join_orders,
         "stratified_sample_docs": p.q_stratified_sample_docs,
+        "heavy_hitter_sources": p.q_heavy_hitter_sources,
+        "value_quantiles_by_type": p.q_value_quantiles_by_type,
         "snapshot_count_by_type": p.q_snapshot_count_by_type,
         "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
@@ -154,6 +156,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_events": o.cube_events(p.T0, p.DAY_US),
         "anti_join_orders": o.anti_join_orders(p.ANTI_NATION),
         "stratified_sample_docs": o.stratified_sample_docs(p.STRAT_EVEN, p.STRAT_ODD),
+        "heavy_hitter_sources": o.heavy_hitter_sources(p.HH_TOP_N),
+        "value_quantiles_by_type": o.value_quantiles_by_type(),
         "range_error_click_daily": o.range_error_click_daily(
             p.RANGE_WIN_US, p.T0, p.DAY_US
         ),

@@ -326,3 +326,38 @@ def cube_levels(keys: list[str]) -> list[list[str]]:
     for r in range(len(keys), -1, -1):
         out.extend([list(c) for c in combinations(keys, r)])
     return out
+
+
+def approx_heavy_hitters(
+    ds: ray.data.Dataset, col: str, k: int, top_n: int
+) -> pd.DataFrame:
+    """Top-n frequent values via mergeable Misra-Gries partials
+    (functions/heavyhitters.py): one capacity-k summary per batch
+    (at most k (value, count) rows leave each block — never the
+    corpus), merged on the driver. EXACT whenever the true distinct
+    count <= k (the oracle-checked operating point); above that, every
+    item with frequency > n/(k+1) is guaranteed present with bounded
+    count error (pinned in tests)."""
+    from .functions.heavyhitters import MisraGries
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mg = MisraGries.of(np.asarray(batch[col].to_pylist(), dtype=object), k)
+        vs, cs = mg.to_items()
+        return pa.table(
+            {
+                "values": pa.array([vs], type=pa.list_(pa.string())),
+                "counts": pa.array([cs], type=pa.list_(pa.int64())),
+            }
+        )
+
+    merged = MisraGries(k)
+    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+        merged = merged.merge(MisraGries.from_items(k, list(row["values"]), list(row["counts"])))
+    out = merged.top(top_n)
+    return pd.DataFrame(
+        {
+            col: [v for v, _ in out],
+            "n": np.array([c for _, c in out], dtype=np.int64),
+            "rank": np.arange(1, len(out) + 1, dtype=np.int64),
+        }
+    )

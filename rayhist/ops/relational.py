@@ -431,3 +431,38 @@ def stratified_sample(
         return b.filter(pa.array(h < t))
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def grouped_exact_quantiles_int(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    fracs: list[tuple[int, int]],
+    names: list[str],
+) -> pd.DataFrame:
+    """Exact discrete quantiles of an integer column PER GROUP (value
+    at sorted index ((n-1)*num)//den within each key) — no global or
+    per-group row sort: a distributed (key, value) histogram groupby,
+    then a per-key cumsum resolve, also distributed. Driver receives
+    |keys| rows."""
+
+    hist = ds.groupby([key, col]).count()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col)
+        cum = g["count()"].to_numpy().cumsum()
+        vals = g[col].to_numpy()
+        n = int(cum[-1])
+        rec = {key: g[key].iloc[0]}
+        for (num, den), name in zip(fracs, names):
+            idx = ((n - 1) * num) // den
+            rec[name] = int(vals[int(np.searchsorted(cum, idx + 1, side="left"))])
+        return pd.DataFrame([rec])
+
+    return (
+        hist.groupby(key)
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )

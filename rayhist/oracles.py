@@ -1735,3 +1735,28 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
              THEN {te} ELSE {to} END
 ORDER BY doc_id
 """
+
+
+def heavy_hitter_sources(top_n: int) -> str:
+    """Exact GROUP BY + ORDER BY — valid because capacity > distinct
+    sources puts Misra-Gries in its zero-error regime."""
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, source) AS BIGINT) AS rank
+FROM documents GROUP BY source
+ORDER BY n DESC, source LIMIT {top_n}
+"""
+
+
+def value_quantiles_by_type() -> str:
+    return """
+WITH s AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
+o AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM s)
+SELECT event_type,
+       CAST(max(CASE WHEN rn = (n-1)//2 + 1 THEN c END) AS BIGINT) AS p50,
+       CAST(max(CASE WHEN rn = (9*(n-1))//10 + 1 THEN c END) AS BIGINT) AS p90
+FROM o GROUP BY 1 ORDER BY 1
+"""

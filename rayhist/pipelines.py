@@ -2888,3 +2888,38 @@ def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
         docs, rates, key_col="doc_id", stratum_col="source", hash_fn="md5"
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+HH_CAPACITY = 64  # > the 20 distinct sources at every SF -> provably exact
+HH_TOP_N = 10
+
+
+def q_heavy_hitter_sources(sf_dir: str) -> pd.DataFrame:
+    """Top-10 document sources by count via mergeable Misra-Gries
+    partials (capacity 64 > the corpus's 20 distinct sources, so the
+    summary is provably EXACT — the same exact-operating-point oracle
+    pattern as full-probe LSH ANN). The lossy regime's guarantees
+    (presence above n/(k+1), bounded count error) are pinned in
+    tests/test_heavyhitters.py. At most k rows leave each block."""
+    from .aggregate import approx_heavy_hitters
+
+    docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    return approx_heavy_hitters(docs, "source", k=HH_CAPACITY, top_n=HH_TOP_N)
+
+
+def q_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group discrete quantiles (p50/p90 of value cents per
+    event type): distributed (type, value) histogram + distributed
+    per-key cumsum resolve — no global sort, no per-group row sort;
+    |types| rows reach the driver."""
+    from .ops.relational import cents, grouped_exact_quantiles_int
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: cents(b, "value", "vc").select(["event_type", "vc"]),
+        batch_format="pyarrow",
+    )
+    return grouped_exact_quantiles_int(
+        ev, key="event_type", col="vc", fracs=[(1, 2), (9, 10)], names=["p50", "p90"]
+    )
