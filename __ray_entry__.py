@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": p.q_stratified_sample_docs,
         "heavy_hitter_sources": p.q_heavy_hitter_sources,
         "value_quantiles_by_type": p.q_value_quantiles_by_type,
+        "time_window_bursts": p.q_time_window_bursts,
         "snapshot_count_by_type": p.q_snapshot_count_by_type,
         "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": o.stratified_sample_docs(p.STRAT_EVEN, p.STRAT_ODD),
         "heavy_hitter_sources": o.heavy_hitter_sources(p.HH_TOP_N),
         "value_quantiles_by_type": o.value_quantiles_by_type(),
+        "time_window_bursts": o.time_window_bursts(p.BURST_DT_US, p.BURST_K),
         "range_error_click_daily": o.range_error_click_daily(
             p.RANGE_WIN_US, p.T0, p.DAY_US
         ),

@@ -350,3 +350,77 @@ def distinct_set_op(
         return pd.DataFrame({on: out})
 
     return both.groupby("_bucket").map_groups(op_bucket, batch_format="pandas")
+
+
+def prior_time_window_agg(
+    sorted_keys: np.ndarray,
+    sorted_t: np.ndarray,
+    values: np.ndarray,
+    dt: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """RANGE-frame window kernel: for rows sorted by (key, t), return
+    (window_sum, window_n) of ``values`` over the frame
+    ``[t_i - dt, t_i)`` within the same key — the strictly-before time
+    window (SQL ``RANGE BETWEEN dt PRECEDING AND 1 PRECEDING`` on
+    integer time: equal-t peers are EXCLUDED on both sides).
+
+    Fully vectorized: per-key times are embedded on a shared monotone
+    axis (key ordinal x stride + relative t), so ONE ``searchsorted``
+    pair resolves every row's window bounds; an explicit overflow
+    assert guards the embedding."""
+    n = len(sorted_t)
+    if n == 0:
+        return np.zeros(0, dtype=values.dtype), np.zeros(0, dtype=np.int64)
+    new_key = np.r_[True, sorted_keys[1:] != sorted_keys[:-1]]
+    ordinal = np.cumsum(new_key) - 1  # 0-based key index
+    t_rel = sorted_t.astype(np.int64) - int(sorted_t.min())
+    stride = int(t_rel.max()) + int(dt) + 2  # keys never overlap on the axis
+    if (ordinal[-1] + 1) * stride >= np.iinfo(np.int64).max // 2:
+        raise OverflowError(
+            "time-window embedding overflow: too many keys x time span; "
+            "raise n_buckets so each bucket holds fewer keys"
+        )
+    u = ordinal * stride + t_rel
+    lo = np.searchsorted(u, ordinal * stride + (t_rel - dt), side="left")
+    hi = np.searchsorted(u, u, side="left")  # first index of the t-tie run
+    cum = np.concatenate([[0], np.cumsum(values)])
+    return cum[hi] - cum[lo], (hi - lo).astype(np.int64)
+
+
+def with_time_window(
+    ds: ray.data.Dataset,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    dt: int,
+    n_buckets: int = 256,
+    group_final=None,
+) -> ray.data.Dataset:
+    """Per-key time-based sliding window: appends ``win_sum`` /
+    ``win_n`` = sum/count of ``value_col`` over the same key's rows in
+    the strictly-before interval ``[t - dt, t)``. Same bucketed
+    complete-keys distribution as ``with_prior_window`` (ROWS frame);
+    this is the RANGE frame."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("_bucket", pa.array(_bucket_of(k, n_buckets)))
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"]).sort_values(
+            [key_col, t_col], kind="mergesort"
+        )
+        ws, wn = prior_time_window_agg(
+            g[key_col].to_numpy(),
+            g[t_col].to_numpy(),
+            g[value_col].to_numpy(),
+            dt,
+        )
+        g = g.assign(win_sum=ws, win_n=wn)
+        return group_final(g) if group_final is not None else g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+    )

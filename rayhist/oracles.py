@@ -1760,3 +1760,21 @@ SELECT event_type,
        CAST(max(CASE WHEN rn = (9*(n-1))//10 + 1 THEN c END) AS BIGINT) AS p90
 FROM o GROUP BY 1 ORDER BY 1
 """
+
+
+def time_window_bursts(dt_us: int, k: int) -> str:
+    """SQL numeric RANGE frame [t-dt, t-1] — the strictly-before time
+    window of with_time_window (equal-t peers excluded on both
+    sides)."""
+    return f"""
+WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+w AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY t
+                        RANGE BETWEEN {dt_us} PRECEDING AND 1 PRECEDING) AS wn
+  FROM v
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN wn >= {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_rapid
+FROM w GROUP BY 1 ORDER BY 1
+"""

@@ -2923,3 +2923,47 @@ def q_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_exact_quantiles_int(
         ev, key="event_type", col="vc", fracs=[(1, 2), (9, 10)], names=["p50", "p90"]
     )
+
+
+BURST_DT_US = 30 * 60 * 1_000_000  # time window: preceding 30 minutes
+BURST_K = 1  # "rapid" = at least this many same-user events in the window
+
+
+def q_time_window_bursts(sf_dir: str) -> pd.DataFrame:
+    """Per-key TIME-BASED sliding window (the RANGE frame,
+    complementing the ROWS frame of window_rolling_spikes): an event
+    is "rapid" when the same user produced >= 1 event in the strictly
+    preceding 30 minutes. One searchsorted pair resolves every row's
+    window via the monotone key-ordinal embedding; per-user totals are
+    final inside the bucket stage."""
+    from .ops.window import with_time_window
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": b["ts"].cast(pa.int64()),
+                "one": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rapid = (g["win_n"].to_numpy() >= BURST_K).astype(np.int64)
+        g = g.assign(_r=rapid)
+        return g.groupby("user_id", as_index=False).agg(
+            n_events=("t", "size"), n_rapid=("_r", "sum")
+        )
+
+    out = with_time_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        t_col="t",
+        value_col="one",
+        dt=BURST_DT_US,
+        group_final=final,
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True).astype(
+        {"n_events": "int64", "n_rapid": "int64"}
+    )

@@ -362,3 +362,69 @@ def test_stratified_sample_md5_matches_flat_at_uniform_rate():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------ time-based window
+
+
+def test_prior_time_window_agg_vs_bruteforce():
+    from rayhist.ops.window import prior_time_window_agg
+
+    rng = _rng()
+    n = 700
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n).astype(np.int64),
+            "t": rng.integers(0, 100_000, n).astype(np.int64),
+            "v": rng.integers(1, 50, n).astype(np.int64),
+        }
+    ).sort_values(["k", "t"], kind="mergesort")
+    dt = 5_000
+    ws, wn = prior_time_window_agg(
+        df["k"].to_numpy(), df["t"].to_numpy(), df["v"].to_numpy(), dt
+    )
+    k_arr, t_arr, v_arr = df["k"].to_numpy(), df["t"].to_numpy(), df["v"].to_numpy()
+    for i in range(n):
+        m = (k_arr == k_arr[i]) & (t_arr >= t_arr[i] - dt) & (t_arr < t_arr[i])
+        assert wn[i] == m.sum(), i
+        assert ws[i] == v_arr[m].sum(), i
+
+
+def test_prior_time_window_excludes_equal_t_peers():
+    from rayhist.ops.window import prior_time_window_agg
+
+    k = np.array([1, 1, 1], dtype=np.int64)
+    t = np.array([10, 10, 20], dtype=np.int64)
+    v = np.array([5, 7, 1], dtype=np.int64)
+    ws, wn = prior_time_window_agg(k, t, v, dt=100)
+    assert wn.tolist() == [0, 0, 2]  # equal-t peers excluded
+    assert ws.tolist() == [0, 0, 12]
+
+
+@pytest.mark.parametrize("n_buckets", [1, 5])
+def test_with_time_window_distributed(n_buckets):
+    from rayhist.ops.window import prior_time_window_agg, with_time_window
+
+    df = _events(400, n_users=7, tmax=50_000)
+    got = (
+        with_time_window(
+            ray.data.from_pandas(df),
+            key_col="user_id",
+            t_col="t",
+            value_col="v",
+            dt=3_000,
+            n_buckets=n_buckets,
+        )
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    sdf = df.sort_values(["user_id", "t"], kind="mergesort")
+    ws, wn = prior_time_window_agg(
+        sdf["user_id"].to_numpy(), sdf["t"].to_numpy(), sdf["v"].to_numpy(), 3_000
+    )
+    exp = sdf.assign(win_sum=ws, win_n=wn).sort_values("row_id").reset_index(drop=True)
+    # rows with duplicate (user, t) would be order-ambiguous between the
+    # engine sort and this oracle sort; the generator's us-resolution
+    # times make them unique here
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
