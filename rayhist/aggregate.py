@@ -207,9 +207,14 @@ def rollup_sums(
     upstream. ``count_as`` adds a row count per cell."""
     if levels is None:
         levels = [keys[:n] for n in range(len(keys), -1, -1)]
+    seen_lvls = set()
     for lvl in levels:
         if not set(lvl) <= set(keys):
             raise ValueError(f"level {lvl} not a subset of keys {keys}")
+        sig = tuple(sorted(lvl))
+        if sig in seen_lvls:  # a duplicate level would double-count its cells
+            raise ValueError(f"duplicate grouping level {lvl}")
+        seen_lvls.add(sig)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -341,7 +346,15 @@ def approx_heavy_hitters(
     from .functions.heavyhitters import MisraGries
 
     def partial(batch: pa.Table) -> pa.Table:
-        mg = MisraGries.of(np.asarray(batch[col].to_pylist(), dtype=object), k)
+        import pyarrow.compute as pc
+
+        # C-kernel pre-aggregation: the Python dict work is
+        # O(distinct-in-batch), never O(rows)
+        vc = pc.value_counts(batch[col])
+        mg = MisraGries(k)
+        mg.add_weighted_items(
+            vc.field("values").to_pylist(), vc.field("counts").to_numpy()
+        )
         vs, cs = mg.to_items()
         return pa.table(
             {

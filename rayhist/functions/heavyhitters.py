@@ -54,7 +54,12 @@ class MisraGries:
             cnts = np.bincount(inv, minlength=len(vals)).astype(np.int64)
         else:
             cnts = np.bincount(inv, weights=np.asarray(weights, dtype=np.float64)).astype(np.int64)
-        for v, c in zip(vals.tolist(), cnts.tolist()):
+        return self.add_weighted_items(vals.tolist(), cnts.tolist())
+
+    def add_weighted_items(self, values: list, counts) -> "MisraGries":
+        """Fold pre-aggregated (value, count) pairs (e.g. from an
+        Arrow ``value_counts`` kernel) — values need not be unique."""
+        for v, c in zip(values, counts):
             self.counters[v] = self.counters.get(v, 0) + int(c)
         self._shrink()
         return self

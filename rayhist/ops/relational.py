@@ -426,8 +426,13 @@ def stratified_sample(
 
     def stage(b: pa.Table) -> pa.Table:
         h = hashes(b[key_col])
-        strata = pd.Series(b[stratum_col].to_pylist())
-        t = strata.map(lambda s: thresh.get(s, dflt)).to_numpy(dtype=np.uint64)
+        # O(distinct strata) Python, vectorized gather per row — no
+        # per-row lambda in the hot filter
+        cat = pd.Categorical(b[stratum_col].to_pylist())
+        lut = np.array(
+            [thresh.get(s, dflt) for s in cat.categories], dtype=np.uint64
+        )
+        t = lut[cat.codes] if len(lut) else np.zeros(len(b), dtype=np.uint64)
         return b.filter(pa.array(h < t))
 
     return ds.map_batches(stage, batch_format="pyarrow")

@@ -75,6 +75,9 @@ def asof_join(
     # right columns after rename (by keeps its name: it is the equi key)
     ren = {c: (c if (c == by or c not in lcols) else c + rsuffix) for c in rschema.names}
     rcols_out = [ren[c] for c in rschema.names if c != by]
+    clash = set(rcols_out) & set(lcols)
+    if clash:  # a suffixed right name colliding with a left column
+        raise ValueError(f"rsuffix={rsuffix!r} collides with left columns: {sorted(clash)}")
 
     all_fields = [(n, lschema.types[lschema.names.index(n)]) for n in lcols] + [
         (ren[c], rschema.types[rschema.names.index(c)])
@@ -163,6 +166,11 @@ def interval_point_join(
     """
     ischema, pschema = intervals.schema(), points.schema()
     icols = list(ischema.names)
+    shared = set(ischema.names) & set(pschema.names)
+    if shared:
+        # a shared name would silently take the interval slot while
+        # being filled from the points batch — ambiguous; rename upstream
+        raise ValueError(f"interval/point column names must be disjoint: {sorted(shared)}")
     pcols = [c for c in pschema.names if c not in icols]
     all_fields = [(n, ischema.types[ischema.names.index(n)]) for n in icols] + [
         (n, pschema.types[pschema.names.index(n)]) for n in pcols

@@ -91,3 +91,14 @@ def test_rollup_rejects_bad_level():
 
     with _pt.raises(ValueError):
         rollup_sums(rd.from_pandas(_df(10)), ["a"], {"v": "sv"}, levels=[["zzz"]])
+
+
+def test_rollup_rejects_duplicate_level():
+    import pytest as _pt
+    import ray.data as rd
+
+    with _pt.raises(ValueError):
+        rollup_sums(
+            rd.from_pandas(_df(10)), ["a", "b"], {"v": "sv"},
+            levels=[["a", "b"], ["b", "a"]],
+        )

@@ -428,3 +428,71 @@ def test_with_time_window_distributed(n_buckets):
     # engine sort and this oracle sort; the generator's us-resolution
     # times make them unique here
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+
+
+# ------------------------------------------------- degenerate inputs
+
+
+def test_asof_join_empty_right_side():
+    """An empty right side must yield pure-left rows with null matches
+    (merge_asof against an empty frame), not crash."""
+    left = _events(60, n_users=4)[["user_id", "t", "row_id"]]
+    right = pd.DataFrame(
+        {"user_id": pd.Series(dtype="int64"), "t": pd.Series(dtype="int64"),
+         "v": pd.Series(dtype="int64")}
+    )
+    got = asof_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="t",
+        by="user_id",
+        n_buckets=3,
+    ).to_pandas()
+    assert len(got) == len(left)
+    assert got["v"].isna().all()
+
+
+def test_interval_point_join_empty_sides():
+    from rayhist.ops.window import interval_point_join
+
+    iv = pd.DataFrame({"iid": pd.Series(dtype="int64"),
+                       "s": pd.Series(dtype="int64"), "e": pd.Series(dtype="int64")})
+    pt = pd.DataFrame({"pid": np.arange(10, dtype=np.int64),
+                       "t": np.arange(10, dtype=np.int64) * 100})
+    got = interval_point_join(
+        ray.data.from_pandas(iv), ray.data.from_pandas(pt),
+        start_col="s", end_col="e", t_col="t", bin_us=1_000, n_buckets=3,
+    ).to_pandas()
+    assert len(got) == 0
+
+
+def test_distinct_set_op_empty_b_side():
+    a = pd.DataFrame({"k": np.arange(50, dtype=np.int64)})
+    b = pd.DataFrame({"k": pd.Series(dtype="int64")})
+    got = distinct_set_op(
+        ray.data.from_pandas(a), ray.data.from_pandas(b), on="k", mode="except",
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(got["k"].tolist()) == list(range(50))
+
+
+def test_interval_point_join_rejects_shared_names():
+    from rayhist.ops.window import interval_point_join
+
+    iv = pd.DataFrame({"s": [0], "e": [10], "t": [1]})  # 't' clashes
+    pt = pd.DataFrame({"t": [5]})
+    with pytest.raises(ValueError):
+        interval_point_join(
+            ray.data.from_pandas(iv), ray.data.from_pandas(pt),
+            start_col="s", end_col="e", t_col="t", bin_us=10,
+        )
+
+
+def test_asof_join_rejects_suffix_collision():
+    left = pd.DataFrame({"user_id": [1], "t": [1], "t_r": [9]})
+    right = pd.DataFrame({"user_id": [1], "t": [0]})
+    with pytest.raises(ValueError):
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="t", by="user_id",
+        )
