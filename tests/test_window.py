@@ -496,3 +496,31 @@ def test_asof_join_rejects_suffix_collision():
             ray.data.from_pandas(left), ray.data.from_pandas(right),
             on="t", by="user_id",
         )
+
+
+def test_interval_coverage_counts_equals_pair_counts():
+    """Coverage counting == per-point pair-join match counts (the
+    non-expanding twin of interval_point_join)."""
+    from rayhist.ops.window import interval_coverage_counts
+
+    rng = _rng()
+    s = rng.integers(0, 200_000, 80).astype(np.int64)
+    iv = pd.DataFrame({"s": s, "e": s + rng.integers(1, 20_000, 80).astype(np.int64)})
+    pt = pd.DataFrame(
+        {"pid": np.arange(500, dtype=np.int64),
+         "t": rng.integers(0, 220_000, 500).astype(np.int64)}
+    )
+    got = (
+        interval_coverage_counts(
+            ray.data.from_pandas(iv), ray.data.from_pandas(pt),
+            start_col="s", end_col="e", t_col="t", bin_us=10_000, n_buckets=7,
+        )
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pt)  # every point exactly once
+    for _, row in got.iterrows():
+        t = row["t"]
+        exp = int(((iv["s"] <= t) & (t < iv["e"])).sum())
+        assert row["n_cover"] == exp, (row["pid"], row["n_cover"], exp)
