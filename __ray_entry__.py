@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_sources": p.q_heavy_hitter_sources,
         "value_quantiles_by_type": p.q_value_quantiles_by_type,
         "time_window_bursts": p.q_time_window_bursts,
+        "funnel_attribution_daily": p.q_funnel_attribution_daily,
         "snapshot_count_by_type": p.q_snapshot_count_by_type,
         "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
@@ -160,6 +161,9 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_sources": o.heavy_hitter_sources(p.HH_TOP_N),
         "value_quantiles_by_type": o.value_quantiles_by_type(),
         "time_window_bursts": o.time_window_bursts(p.BURST_DT_US, p.BURST_K),
+        "funnel_attribution_daily": o.funnel_attribution_daily(
+            *p.FUNNEL_RATE, p.T0, p.DAY_US
+        ),
         "range_error_click_daily": o.range_error_click_daily(
             p.RANGE_WIN_US, p.T0, p.DAY_US
         ),

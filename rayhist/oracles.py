@@ -1778,3 +1778,23 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN wn >= {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_rapid
 FROM w GROUP BY 1 ORDER BY 1
 """
+
+
+def funnel_attribution_daily(rate_num: int, rate_den: int, t0: int, day_us: int) -> str:
+    """One SQL statement for the composed chain: md5 user-threshold
+    subsample -> ASOF LEFT JOIN -> daily aggregate."""
+    thresh = (rate_num << 32) // rate_den
+    keep = (
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+        f" < {thresh}"
+    )
+    return f"""
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase' AND {keep}),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click' AND {keep})
+SELECT (epoch_us(p.ts) - {t0}) // {day_us} AS day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(c.ts) AS BIGINT) AS n_attrib,
+       CAST(coalesce(sum(epoch_us(p.ts) - epoch_us(c.ts)), 0) AS BIGINT) AS lag_us_total
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY 1 ORDER BY 1
+"""

@@ -2973,3 +2973,56 @@ def q_time_window_bursts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True).astype(
         {"n_events": "int64", "n_rapid": "int64"}
     )
+
+
+FUNNEL_RATE = (1, 2)  # deterministic user subsample for the funnel
+
+
+def q_funnel_attribution_daily(sf_dir: str) -> pd.DataFrame:
+    """COMPOSED event-analytics chain (the corpus_curation pattern for
+    the ordered/temporal family): deterministic md5 user subsample ->
+    keyed as-of attribution (purchase -> latest same-user click) ->
+    per-day rollup of attributed counts and exact lag sums, ONE
+    streaming pipeline with the day partials final inside the join's
+    bucket stage. Locks operator COMPOSITION stage-for-stage against a
+    single SQL statement."""
+    from .aggregate import combine_partials
+    from .ops.relational import deterministic_sample
+    from .ops.window import asof_join
+
+    num, den = FUNNEL_RATE
+    purchases = deterministic_sample(
+        _events_typed(sf_dir, "purchase", ["user_id", "ts", "event_type"]).drop_columns(
+            ["event_type"]
+        ),
+        num, den, "user_id", hash_fn="md5",
+    )
+    clicks = deterministic_sample(
+        _events_typed(sf_dir, "click", ["user_id", "ts", "event_type"]).drop_columns(
+            ["event_type"]
+        ),
+        num, den, "user_id", hash_fn="md5",
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        day = (g["t"].to_numpy(dtype=np.int64) - T0) // DAY_US
+        m = g["t_r"].notna()
+        lag = (g["t"] - g["t_r"]).where(m, 0).astype("int64")
+        f = pd.DataFrame(
+            {"day": day, "one": 1, "att": m.astype(np.int64), "lag": lag}
+        )
+        out = f.groupby("day", as_index=False).agg(
+            p_part=("one", "sum"), a_part=("att", "sum"), l_part=("lag", "sum")
+        )
+        return out
+
+    partials = asof_join(
+        purchases, clicks, on="t", by="user_id", group_final=final
+    )
+    df = combine_partials(
+        partials, ["day"],
+        {"p_part": "n_purchases", "a_part": "n_attrib", "l_part": "lag_us_total"},
+    )
+    return df.sort_values("day").reset_index(drop=True).astype(
+        {"n_purchases": "int64", "n_attrib": "int64", "lag_us_total": "int64"}
+    )
