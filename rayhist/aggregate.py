@@ -218,6 +218,12 @@ def rollup_sums(
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        for k in keys:  # a genuine marker value would silently merge
+            # into the super-aggregate rows — refuse loudly
+            if (df[k] == all_marker).any():
+                raise ValueError(
+                    f"key column {k!r} contains the rollup marker {all_marker!r}"
+                )
         if count_as:
             df = df.assign(**{count_as: np.ones(len(df), dtype=np.int64)})
         vals = [*sums.keys(), *([count_as] if count_as else [])]

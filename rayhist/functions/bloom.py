@@ -46,6 +46,8 @@ def _h12(keys: pa.ChunkedArray | pa.Array | list) -> tuple[np.ndarray, np.ndarra
 def bloom_params(expected_n: int, fp_rate: float = 0.01) -> tuple[int, int]:
     """(m_bits, k_hashes) for a target false-positive rate. m is
     rounded up to a power of two so the position fold is a mask."""
+    if not 0 < fp_rate < 1:
+        raise ValueError(f"fp_rate must be in (0, 1), got {fp_rate}")
     n = max(expected_n, 1)
     m = int(math.ceil(-n * math.log(fp_rate) / (math.log(2) ** 2)))
     m = 1 << max(10, (m - 1).bit_length())

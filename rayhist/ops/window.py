@@ -33,6 +33,23 @@ import pyarrow as pa
 import ray.data
 
 
+def _resolve_buckets(n_buckets: int | None, floor: int = 256) -> int:
+    """Cluster-scaled shuffle-bucket default (the hash_join rule): a
+    CONSTANT caps the stage at that many tasks no matter how wide the
+    cluster is, and lets per-bucket memory grow with the corpus."""
+    if n_buckets is not None:
+        return n_buckets
+    import os
+
+    import ray
+
+    if ray.is_initialized():
+        ncpu = int(ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
+    else:
+        ncpu = os.cpu_count() or 8
+    return max(floor, ncpu * 4)
+
+
 def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
     """Deterministic bucket id for an integer or object key array.
     Integer keys use plain modulo (balanced for id-like keys; raise
@@ -50,7 +67,7 @@ def asof_join(
     on: str,
     by: str,
     direction: str = "backward",
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
     rsuffix: str = "_r",
     group_final=None,
 ) -> ray.data.Dataset:
@@ -70,6 +87,7 @@ def asof_join(
     holds complete ``by`` keys, any per-key aggregate is final there —
     use it so only |keys| small rows stream out instead of |left|.
     """
+    n_buckets = _resolve_buckets(n_buckets)
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
     # right columns after rename (by keeps its name: it is the equi key)
@@ -114,8 +132,10 @@ def asof_join(
         g = t.to_pandas(
             types_mapper=lambda typ: pd.Int64Dtype() if pa.types.is_integer(typ) else None
         )
-        lg = g.loc[g["_side"] == 1, lcols]
-        rg = g.loc[g["_side"] == 0, [by, *rcols_out]]
+        # explicit copies: the astype writes below must never hit a
+        # pandas view-vs-copy landmine
+        lg = g.loc[g["_side"] == 1, lcols].copy()
+        rg = g.loc[g["_side"] == 0, [by, *rcols_out]].copy()
         for frame in (lg, rg):
             for c in frame.columns:
                 if c in int_cols and frame[c].notna().all():
@@ -143,7 +163,7 @@ def interval_point_join(
     end_col: str,
     t_col: str,
     bin_us: int,
-    n_buckets: int = 1024,
+    n_buckets: int | None = None,
     group_final=None,
 ) -> ray.data.Dataset:
     """Non-equi range join: all (interval, point) pairs with
@@ -164,6 +184,7 @@ def interval_point_join(
     a partial-aggregate stream instead — at corpus scale ALWAYS prefer
     a partial aggregate over materializing O(pairs) rows.
     """
+    n_buckets = _resolve_buckets(n_buckets)
     ischema, pschema = intervals.schema(), points.schema()
     icols = list(ischema.names)
     shared = set(ischema.names) & set(pschema.names)
@@ -282,7 +303,7 @@ def with_prior_window(
     order_cols: list[str],
     value_col: str,
     window: int,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
     group_final=None,
 ) -> ray.data.Dataset:
     """Per-key ordered window aggregate: appends ``prior_sum`` /
@@ -291,6 +312,7 @@ def with_prior_window(
     the frame excludes the current row). Keys are hash-bucketed
     complete, so ``group_final`` may compute per-key finals in-stage
     (emit |keys| rows, not |rows|)."""
+    n_buckets = _resolve_buckets(n_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
@@ -318,7 +340,7 @@ def distinct_set_op(
     b: ray.data.Dataset,
     on: str,
     mode: str,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed DISTINCT set operation on one key column:
     ``except`` (keys of a not in b), ``intersect``, or ``union``.
@@ -328,6 +350,7 @@ def distinct_set_op(
     reference never exposed (SURVEY.md §2.9)."""
     if mode not in ("except", "intersect", "union"):
         raise ValueError(f"unknown set op {mode!r}")
+    n_buckets = _resolve_buckets(n_buckets)
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -401,7 +424,7 @@ def with_time_window(
     t_col: str,
     value_col: str,
     dt: int,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
     group_final=None,
 ) -> ray.data.Dataset:
     """Per-key time-based sliding window: appends ``win_sum`` /
@@ -409,6 +432,7 @@ def with_time_window(
     the strictly-before interval ``[t - dt, t)``. Same bucketed
     complete-keys distribution as ``with_prior_window`` (ROWS frame);
     this is the RANGE frame."""
+    n_buckets = _resolve_buckets(n_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
@@ -441,7 +465,7 @@ def interval_coverage_counts(
     end_col: str,
     t_col: str,
     bin_us: int,
-    n_buckets: int = 1024,
+    n_buckets: int | None = None,
     group_final=None,
 ) -> ray.data.Dataset:
     """COUNT-style range join without pair expansion: each point row
@@ -455,6 +479,7 @@ def interval_coverage_counts(
     inherently quadratic (measured: 10M events -> 2.8e9 pairs, 117 s;
     coverage counting answers the same daily-count query in ~3 s).
     ``group_final`` (pandas->pandas per bucket) for in-stage partials."""
+    n_buckets = _resolve_buckets(n_buckets)
     ischema, pschema = intervals.schema(), points.schema()
     shared = set(ischema.names) & set(pschema.names)
     if shared:

@@ -102,3 +102,13 @@ def test_rollup_rejects_duplicate_level():
             rd.from_pandas(_df(10)), ["a", "b"], {"v": "sv"},
             levels=[["a", "b"], ["b", "a"]],
         )
+
+
+def test_rollup_rejects_marker_collision():
+    import pytest as _pt
+    import ray.data as rd
+
+    df = _df(20)
+    df.loc[0, "a"] = "ALL"  # genuine value equal to the marker
+    with _pt.raises(Exception):
+        rollup_sums(rd.from_pandas(df), ["a", "b"], {"v": "sv"})

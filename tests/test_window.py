@@ -524,3 +524,25 @@ def test_interval_coverage_counts_equals_pair_counts():
         t = row["t"]
         exp = int(((iv["s"] <= t) & (t < iv["e"])).sum())
         assert row["n_cover"] == exp, (row["pid"], row["n_cover"], exp)
+
+
+def test_default_bucket_counts_resolve():
+    """Every bucketed op must work with n_buckets unset (the
+    cluster-scaled default) — the unit tests above pass explicit
+    counts, so this pins the default path."""
+    from rayhist.ops.window import (
+        asof_join as _aj,
+        distinct_set_op as _dso,
+        interval_coverage_counts as _icc,
+        with_prior_window as _wpw,
+        with_time_window as _wtw,
+    )
+
+    df = _events(120, n_users=5, tmax=10_000)
+    ds = ray.data.from_pandas(df)
+    assert len(_aj(ds.select_columns(["user_id", "t"]), ds.select_columns(["user_id", "t", "v"]), on="t", by="user_id").to_pandas()) == 120
+    assert len(_wpw(ds, "user_id", ["t", "row_id"], "v", 2).to_pandas()) == 120
+    assert len(_wtw(ds, "user_id", "t", "v", 1_000).to_pandas()) == 120
+    assert len(_dso(ds.select_columns(["user_id"]), ds.select_columns(["user_id"]), on="user_id", mode="union").to_pandas()) == 5
+    iv = pd.DataFrame({"s": [0], "e": [5_000]})
+    assert len(_icc(ray.data.from_pandas(iv), ds.select_columns(["t"]), "s", "e", "t", 1_000).to_pandas()) == 120
