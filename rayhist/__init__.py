@@ -15,8 +15,11 @@ A from-scratch rebuild of the query semantics of OSHDB
   raster<->vector joins;
 - grouped spatio-temporal aggregation with zerofill lives in
   ``rayhist.aggregate``;
-- large-scale training-data operators (dedup, ANN, text analysis)
-  live in ``rayhist.ops``.
+- large-scale training-data operators (dedup, ANN, text analysis,
+  sampling, joins) live in ``rayhist.ops``; the ordered/temporal
+  family (as-of join, range joins, rolling ROWS/RANGE windows, set
+  ops) in ``rayhist.ops.window``; mergeable sketches (t-digest,
+  HyperLogLog, Misra-Gries, Bloom) in ``rayhist.functions``.
 
 Nothing in this package calls ``ray.init()``/``ray.shutdown()`` — the
 session is owned by the caller (driver, bench.py, or the test fixture).
