@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": p.q_value_quantiles_by_type,
         "time_window_bursts": p.q_time_window_bursts,
         "funnel_attribution_daily": p.q_funnel_attribution_daily,
+        "interarrival_median": p.q_interarrival_median,
         "snapshot_count_by_type": p.q_snapshot_count_by_type,
         "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
         "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_attribution_daily": o.funnel_attribution_daily(
             *p.FUNNEL_RATE, p.T0, p.DAY_US
         ),
+        "interarrival_median": o.interarrival_median(),
         "range_error_click_daily": o.range_error_click_daily(
             p.RANGE_WIN_US, p.T0, p.DAY_US
         ),

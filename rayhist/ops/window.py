@@ -552,3 +552,56 @@ def interval_coverage_counts(
         return group_final(res) if group_final is not None else res
 
     return both.groupby("_bucket").map_groups(count_bucket, batch_format="pyarrow")
+
+
+def per_key_interarrival(
+    ds: ray.data.Dataset,
+    key_col: str,
+    t_col: str,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key LAG analytics: inter-arrival gaps (t - lag(t) within
+    the key, time-ordered) reduced to per-key gap count and EXACT
+    discrete median gap (value at sorted index (n-1)//2 — the
+    engine's quantile rule). Complete keys per bucket, so the median
+    is final in-stage; only |keys| rows leave. Keys with fewer than
+    two rows emit no gap row (lag of the first row is NULL in SQL)."""
+    n_buckets = _resolve_buckets(n_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("_bucket", pa.array(_bucket_of(k, n_buckets)))
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"]).sort_values(
+            [key_col, t_col], kind="mergesort"
+        )
+        k = g[key_col].to_numpy()
+        t = g[t_col].to_numpy().astype(np.int64)
+        same = np.r_[False, k[1:] == k[:-1]]  # gap rows: same key as prev
+        gaps = np.r_[0, t[1:] - t[:-1]][same]
+        gkeys = k[same]
+        if len(gaps) == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series(dtype=g[key_col].dtype),
+                 "n_gaps": pd.Series(dtype="int64"),
+                 "med_gap_us": pd.Series(dtype="int64")}
+            )
+        # per-key exact discrete median: sort (key, gap), pick the
+        # (n-1)//2-th gap of each key run — fully vectorized
+        order = np.lexsort((gaps, gkeys))
+        sk, sg = gkeys[order], gaps[order]
+        new = np.r_[True, sk[1:] != sk[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(sk)])
+        med_idx = starts + (counts - 1) // 2
+        return pd.DataFrame(
+            {key_col: sk[starts], "n_gaps": counts.astype(np.int64),
+             "med_gap_us": sg[med_idx].astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+    )

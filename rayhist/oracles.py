@@ -1798,3 +1798,23 @@ SELECT (epoch_us(p.ts) - {t0}) // {day_us} AS day,
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 GROUP BY 1 ORDER BY 1
 """
+
+
+def interarrival_median() -> str:
+    """SQL lag() + rank-picked discrete median — the oracle for the
+    vectorized per-key gap kernel."""
+    return """
+WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+d AS (SELECT user_id,
+             t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+      FROM v),
+g AS (SELECT user_id, gap FROM d WHERE gap IS NOT NULL),
+o AS (SELECT user_id, gap,
+             row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM g)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(max(CASE WHEN rn = (n-1)//2 + 1 THEN gap END) AS BIGINT) AS med_gap_us
+FROM o GROUP BY 1 ORDER BY 1
+"""

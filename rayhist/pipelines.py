@@ -3026,3 +3026,22 @@ def q_funnel_attribution_daily(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("day").reset_index(drop=True).astype(
         {"n_purchases": "int64", "n_attrib": "int64", "lag_us_total": "int64"}
     )
+
+
+def q_interarrival_median(sf_dir: str) -> pd.DataFrame:
+    """Per-user LAG/inter-arrival analytics: gap count and exact
+    discrete median gap ((n-1)//2 rank rule), median final inside the
+    bucket stage — only |users| rows leave."""
+    from .ops.window import per_key_interarrival
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "t": b["ts"].cast(pa.int64())})
+
+    out = per_key_interarrival(
+        ev.map_batches(prep, batch_format="pyarrow"), key_col="user_id", t_col="t"
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True).astype(
+        {"user_id": "int64", "n_gaps": "int64", "med_gap_us": "int64"}
+    )

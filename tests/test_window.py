@@ -546,3 +546,31 @@ def test_default_bucket_counts_resolve():
     assert len(_dso(ds.select_columns(["user_id"]), ds.select_columns(["user_id"]), on="user_id", mode="union").to_pandas()) == 5
     iv = pd.DataFrame({"s": [0], "e": [5_000]})
     assert len(_icc(ray.data.from_pandas(iv), ds.select_columns(["t"]), "s", "e", "t", 1_000).to_pandas()) == 120
+
+
+def test_per_key_interarrival_vs_pandas():
+    from rayhist.ops.window import per_key_interarrival
+
+    df = _events(600, n_users=9, tmax=100_000)
+    got = (
+        per_key_interarrival(ray.data.from_pandas(df), "user_id", "t", n_buckets=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for uid, g in df.groupby("user_id"):
+        gaps = np.sort(np.diff(np.sort(g["t"].to_numpy())))
+        row = got[got["user_id"] == uid].iloc[0]
+        assert row["n_gaps"] == len(gaps)
+        assert row["med_gap_us"] == gaps[(len(gaps) - 1) // 2]
+
+
+def test_per_key_interarrival_single_row_keys_dropped():
+    from rayhist.ops.window import per_key_interarrival
+
+    df = pd.DataFrame({"user_id": [1, 2, 2], "t": [10, 5, 9]})
+    got = per_key_interarrival(
+        ray.data.from_pandas(df), "user_id", "t", n_buckets=2
+    ).to_pandas()
+    assert got["user_id"].tolist() == [2]  # key 1 has no gap (lag NULL)
+    assert got["med_gap_us"].tolist() == [4]
