@@ -51,6 +51,19 @@ from . import io as rio
 from .model import DOCUMENTS_SCHEMA, LAT_MOD, LON_MOD
 
 CACHE_ROOT = os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")
+
+
+def _fp(*extra) -> str:
+    """Cache-key version suffix: fingerprint of THIS module + model (+
+    any extra generating modules) — see io.code_fingerprint. Replaces
+    the hand-bumped ':vN' strings (round-4 stale-cache hazard)."""
+    import sys
+
+    from . import model
+
+    return rio.code_fingerprint(sys.modules[__name__], model, *extra)
+
+
 # span-document cache shard size (docs per parquet file): ~67 versions
 # per doc in the synthetic corpus -> ~3-4 MB shards
 DOC_SHARD_ROWS = 1500
@@ -82,7 +95,7 @@ def sig_keytable(sf_dir: str) -> list[str]:
     memkey = f"{src.resolve()}:{src.stat().st_mtime_ns}"
     if memkey in _SIG_KT_MEM:
         return _SIG_KT_MEM[memkey]
-    key = hashlib.sha256(f"{memkey}:sigkt:v1".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{memkey}:sigkt:{_fp()}".encode()).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / "sig_keytable.parquet"
     if not out.exists():
         import pyarrow.parquet as pq
@@ -896,7 +909,7 @@ def _ensure_compound(sf_dir: str, rep: int, tag: str, builder) -> str:
     as ensure_documents)."""
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:{tag}:v4".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:{tag}:{_fp()}".encode()
     ).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / f"documents_{tag}"
     if out.exists():
@@ -967,7 +980,7 @@ def ensure_documents(sf_dir: str, rep: int = 1) -> str:
     """
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:v8".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:{_fp()}".encode()
     ).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / "documents_spans"
     if out.exists():
@@ -1018,11 +1031,12 @@ def ensure_multizoom_layout(sf_dir: str, rep: int = 1, max_zoom: int = 6) -> str
     sandbox scale 6 keeps directories O(100); production would pair a
     deeper zoom with the sparse-cell coalescing rule of
     state.checkpoint.write_partitioned_by_cell)."""
+    from .spatial import grid
     from .spatial.grid import insert_cell, insert_zoom, pack_cell
 
     src = Path(sf_dir) / "events.parquet"
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:mz{max_zoom}:v1".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:rep{rep}:mz{max_zoom}:{_fp(grid)}".encode()
     ).hexdigest()[:16]
     out = Path(CACHE_ROOT) / key / "documents_mz"
     if out.exists():

@@ -10,7 +10,11 @@ the swap is transparent.
 
 from __future__ import annotations
 
+import functools
+import hashlib
+import inspect
 import os
+from pathlib import Path
 
 import ray
 import ray.data
@@ -21,6 +25,27 @@ try:  # pragma: no cover - lance not present in the sandbox
     HAVE_LANCE = True
 except ImportError:
     HAVE_LANCE = False
+
+
+@functools.lru_cache(maxsize=None)
+def code_fingerprint(*modules) -> str:
+    """12-hex digest of the given modules' SOURCE BYTES — the version
+    suffix of every ``ensure_*`` fixture-cache key.
+
+    A hand-bumped ``:v1`` string only invalidates the cache when a
+    human remembers to bump it; a mid-round edit to the derivation or
+    encoder then silently serves stale bytes to whoever holds the old
+    cache (the round-4 ``osmpbf_relation_member_sums`` hash-mismatch
+    hazard). Hashing the generating module's source makes the key a
+    pure function of the code: any edit — even one that did not need a
+    rebuild — forces a cold rebuild, which is the safe direction.
+    Per-process ``lru_cache``: a source edit mid-process is invisible,
+    matching Python's own already-imported-module semantics.
+    """
+    h = hashlib.sha256()
+    for m in modules:
+        h.update(Path(inspect.getfile(m)).read_bytes())
+    return h.hexdigest()[:12]
 
 
 def _local_parquet_stats(path) -> tuple[int, int] | None:

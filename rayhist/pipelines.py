@@ -1398,6 +1398,40 @@ def q_osmpbf_snapshot_count_daily(sf_dir: str) -> pd.DataFrame:
     return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
 
 
+def _tag_value_int(batch: pa.Table, key: str) -> np.ndarray:
+    """Per-row int value of tag ``key`` from parallel ``tag_k`` /
+    ``tag_v`` list<string> columns, -1 where absent — Arrow list
+    kernels (flatten + parent-index scatter), no per-row Python loop.
+    A duplicated key keeps the LAST occurrence (scatter order), same
+    as the loop it replaces; values must parse as ints where matched."""
+    pc = pa.compute
+    tk = batch["tag_k"].combine_chunks()
+    flat_k = pc.list_flatten(tk)
+    mask = pc.equal(flat_k, key)
+    par = pc.filter(pc.list_parent_indices(tk), mask).to_numpy(zero_copy_only=False)
+    vals = pc.cast(
+        pc.filter(pc.list_flatten(batch["tag_v"].combine_chunks()), mask), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    out = np.full(len(batch), -1, dtype=np.int64)
+    out[par] = vals
+    return out
+
+
+def _list_match_counts(col: pa.ChunkedArray, value: str, n: int) -> np.ndarray:
+    """Per-row count of list elements equal to ``value`` for a
+    list<string> column — flatten + boolean scatter-add by parent
+    index (vectorized analog of ``sum(x == value for x in row)``)."""
+    pc = pa.compute
+    arr = col.combine_chunks()
+    out = np.zeros(n, dtype=np.int64)
+    np.add.at(
+        out,
+        pc.list_parent_indices(arr).to_numpy(zero_copy_only=False),
+        pc.equal(pc.list_flatten(arr), value).to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    return out
+
+
 def q_osmpbf_way_version_counts(sf_dir: str) -> pd.DataFrame:
     """WAY histories through the real .osh.pbf wire format: the way
     corpus (ingest's documented way derivation) is encoded as genuine
@@ -1413,11 +1447,7 @@ def q_osmpbf_way_version_counts(sf_dir: str) -> pd.DataFrame:
 
     def stage(b: pa.Table) -> pa.Table:
         keep = b.filter(pa.compute.equal(b["etype"], "way"))
-        kk = np.full(len(keep), -1, dtype=np.int64)
-        for r, (tk, tv) in enumerate(zip(keep["tag_k"].to_pylist(), keep["tag_v"].to_pylist())):
-            for k, v in zip(tk, tv):
-                if k == "k":
-                    kk[r] = int(v)
+        kk = _tag_value_int(keep, "k")
         df = pd.DataFrame(
             {
                 "v": keep["v"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -1461,23 +1491,25 @@ def q_osmpbf_relation_member_sums(sf_dir: str) -> pd.DataFrame:
     rows = read_osmpbf(ensure_osmpbf_relations(sf_dir))
 
     def stage(b: pa.Table) -> pa.Table:
-        keep = b.filter(pa.compute.equal(b["etype"], "relation"))
-        kk = np.full(len(keep), -1, dtype=np.int64)
-        for r, (tk, tv) in enumerate(zip(keep["tag_k"].to_pylist(), keep["tag_v"].to_pylist())):
-            for k, v in zip(tk, tv):
-                if k == "k":
-                    kk[r] = int(v)
-        mids = keep["member_ids"].to_pylist()
-        mtypes = keep["member_types"].to_pylist()
-        mroles = keep["member_roles"].to_pylist()
+        pc = pa.compute
+        keep = b.filter(pc.equal(b["etype"], "relation"))
+        kk = _tag_value_int(keep, "k")
+        n = len(keep)
+        mids = keep["member_ids"].combine_chunks()
+        smid = np.zeros(n, dtype=np.int64)
+        np.add.at(
+            smid,
+            pc.list_parent_indices(mids).to_numpy(zero_copy_only=False),
+            pc.list_flatten(mids).to_numpy(zero_copy_only=False).astype(np.int64),
+        )
         df = pd.DataFrame(
             {
                 "kk": kk,
                 "ts": keep["ts"].to_numpy(zero_copy_only=False),
-                "nm": [len(m) for m in mids],
-                "smid": [sum(m) for m in mids],
-                "nway": [sum(t == "way" for t in ts_) for ts_ in mtypes],
-                "nrole0": [sum(x == "" for x in rs) for rs in mroles],
+                "nm": pc.list_value_length(mids).to_numpy(zero_copy_only=False).astype(np.int64),
+                "smid": smid,
+                "nway": _list_match_counts(keep["member_types"], "way", n),
+                "nrole0": _list_match_counts(keep["member_roles"], "", n),
             }
         )
         g = df.groupby("kk", as_index=False).agg(

@@ -892,6 +892,20 @@ def osmpbf_documents(
     )
 
 
+def _fp() -> str:
+    """Cache-key version suffix for this module's ensure_* fixtures:
+    fingerprint of the wire codec (this module) + the span decoder —
+    any edit forces a cold rebuild (io.code_fingerprint). Replaces the
+    hand-bumped ':v1' that served round-4's stale-cache hash mismatch
+    (osmpbf_relation_member_sums)."""
+    import sys
+
+    from .. import io as rio
+    from .. import model
+
+    return rio.code_fingerprint(sys.modules[__name__], model)
+
+
 def ensure_osmpbf_ways(sf_dir: str, rep: int = 1) -> str:
     """Materialize (once) a .osh.pbf file of WAY histories derived
     from the corpus with the ingest derivation (rayhist/ingest.py way
@@ -904,7 +918,7 @@ def ensure_osmpbf_ways(sf_dir: str, rep: int = 1) -> str:
     from ..model import decode_spans
 
     src = ensure_documents(sf_dir, rep)
-    key = hashlib.sha256(f"{Path(src).resolve()}:osmpbf_ways:v1".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{Path(src).resolve()}:osmpbf_ways:{_fp()}".encode()).hexdigest()[:16]
     out = Path(os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")) / key / "osmpbf_ways"
     if out.exists():
         return str(out)
@@ -971,7 +985,7 @@ def ensure_osmpbf_relations(sf_dir: str, rep: int = 1) -> str:
     from ..model import decode_spans
 
     src = ensure_documents(sf_dir, rep)
-    key = hashlib.sha256(f"{Path(src).resolve()}:osmpbf_rels:v1".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{Path(src).resolve()}:osmpbf_rels:{_fp()}".encode()).hexdigest()[:16]
     out = Path(os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")) / key / "osmpbf_rels"
     if out.exists():
         return str(out)
@@ -1026,7 +1040,7 @@ def ensure_osmpbf(sf_dir: str, rep: int = 1) -> str:
     from ..model import decode_spans
 
     src = ensure_documents(sf_dir, rep)
-    key = hashlib.sha256(f"{Path(src).resolve()}:osmpbf:v1".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{Path(src).resolve()}:osmpbf:{_fp()}".encode()).hexdigest()[:16]
     out = Path(os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")) / key / "osmpbf"
     if out.exists():
         return str(out)

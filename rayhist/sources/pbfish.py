@@ -455,7 +455,14 @@ def ensure_pbfish(sf_dir: str, rep: int = 1) -> str:
     from ..model import decode_spans
 
     src = ensure_documents(sf_dir, rep)
-    key = hashlib.sha256(f"{Path(src).resolve()}:pbfish:v1".encode()).hexdigest()[:16]
+    import sys
+
+    from .. import io as rio
+
+    # code-fingerprinted version suffix (io.code_fingerprint): any edit
+    # to this codec or the span decoder forces a cold rebuild
+    fp = rio.code_fingerprint(sys.modules[__name__], sys.modules[decode_spans.__module__])
+    key = hashlib.sha256(f"{Path(src).resolve()}:pbfish:{fp}".encode()).hexdigest()[:16]
     out = Path(os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")) / key / "rosh_blocks"
     if out.exists():
         return str(out)

@@ -29,6 +29,16 @@ import ray.data
 from .. import io as rio
 
 
+def _fp() -> str:
+    """Cache-key version suffix for the IVF/LSH layout fixtures:
+    fingerprint of this module's source (io.code_fingerprint) — any
+    edit to the index builders forces a cold layout rebuild instead of
+    serving stale partitions (round-4 stale-cache hazard class)."""
+    import sys
+
+    return rio.code_fingerprint(sys.modules[__name__])
+
+
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
     """Row-wise L2 normalization, zero-norm safe: an all-zero embedding
     stays zero (cosine 0 vs everything) instead of NaN — a single NaN
@@ -474,7 +484,7 @@ def ensure_ivf_layout(
     src = Path(parquet_path)
     cache_root = os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:ivf{nlist}:{id_col}:{vec_col}:v1".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:ivf{nlist}:{id_col}:{vec_col}:{_fp()}".encode()
     ).hexdigest()[:16]
     out = Path(cache_root) / key / "ivf_layout"
     cents_file = "_centroids.npy"
@@ -622,7 +632,7 @@ def ensure_lsh_layout(
     src = Path(parquet_path)
     cache_root = os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")
     key = hashlib.sha256(
-        f"{src.resolve()}:{src.stat().st_mtime_ns}:lsh{n_bits}:{id_col}:{vec_col}:v1".encode()
+        f"{src.resolve()}:{src.stat().st_mtime_ns}:lsh{n_bits}:{id_col}:{vec_col}:{_fp()}".encode()
     ).hexdigest()[:16]
     out = Path(cache_root) / key / "lsh_layout"
     planes_file = "_planes.npy"

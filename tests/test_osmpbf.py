@@ -311,3 +311,42 @@ def test_roundtrip_property_nodes(histories, dense, tmp_path_factory):
     m.write_osmpbf(path, rows, block_elems=3, dense=dense)
     got = _decode_file(path)
     assert _canon(got) == _canon(rows)
+
+
+# ------------------------------------------- cache-key fingerprinting
+def test_code_fingerprint_tracks_source(tmp_path):
+    """The ensure_* cache-key version suffix is a pure function of the
+    generating module's SOURCE BYTES: stable across calls for the same
+    bytes, different after any edit (the round-4 stale-cache fix — a
+    hand-bumped ':v1' only invalidates when a human remembers)."""
+    import importlib.util
+
+    from rayhist.io import code_fingerprint
+
+    p = tmp_path / "fpmod_demo.py"
+    p.write_text("X = 1\n")
+    spec = importlib.util.spec_from_file_location("fpmod_demo", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    f1 = code_fingerprint(mod)
+    code_fingerprint.cache_clear()
+    assert code_fingerprint(mod) == f1, "same bytes -> same key"
+    p.write_text("X = 2\n")
+    code_fingerprint.cache_clear()
+    f2 = code_fingerprint(mod)
+    code_fingerprint.cache_clear()
+    assert f2 != f1, "source edit -> new cache key (cold rebuild)"
+
+
+def test_relation_fixture_cold_cache_rebuild(ray_session, monkeypatch, tmp_path):
+    """A cold rebuild of the relation .osh.pbf fixture (fresh
+    RAYHIST_CACHE) reproduces the warm-cache query values exactly —
+    the regression test for round-4's osmpbf_relation_member_sums
+    hash mismatch (stale fixture served under an unbumped key)."""
+    from rayhist.pipelines import q_osmpbf_relation_member_sums
+
+    sf = "/root/testdata/sf0.001"
+    warm = q_osmpbf_relation_member_sums(sf)
+    monkeypatch.setenv("RAYHIST_CACHE", str(tmp_path / "cold"))
+    cold = q_osmpbf_relation_member_sums(sf)
+    pd.testing.assert_frame_equal(warm, cold)
