@@ -57,6 +57,40 @@ def _topk_reduce(cands: pd.DataFrame, k: int, by: str, ascending: bool) -> pd.Da
     return out
 
 
+def _resolve_topk_distributed(
+    cands: ray.data.Dataset, k: int, by: str, ascending: bool, nqb: int = 64
+) -> pd.DataFrame:
+    """DISTRIBUTED per-query top-k resolve for ANN candidate streams —
+    the ``knn_queries`` resolve pattern applied to the cosine family.
+
+    Each scan block emits its own per-query top-k partials, so the
+    global answer is a pure per-query reduce; grouping the partial
+    stream by a query-id hash bucket (``nqb`` groups) and reducing
+    each bucket in a worker keeps the driver transfer at the FINAL
+    nq x k rows. The driver-side ``concat``-then-reduce this replaces
+    was nq x k x #blocks rows — fine at sandbox block counts, a
+    corpus-proportional driver materialization at 10^6 blocks.
+    """
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_qb"] = df["query_id"].to_numpy(dtype=np.int64) % nqb
+        return df
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        return _topk_reduce(g.drop(columns=["_qb"]), k, by=by, ascending=ascending)
+
+    out = (
+        cands.map_batches(bucketize, batch_format="pandas")
+        .groupby("_qb")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out["rank"] = pd.Series([], dtype="int64")
+        return out
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def knn_points(
     points: ray.data.Dataset,
     queries: list[tuple],  # (query_id:int, lon_e7:int, lat_e7:int)
@@ -166,8 +200,8 @@ def ann_cosine_topk(
         sims = qmat @ mat.T  # (nq, nb)
         return _emit_cos_topk(sims, qids, ids, k)
 
-    cands = embeddings.map_batches(stage, batch_format="pyarrow").to_pandas()
-    return _topk_reduce(cands, k, by="cos_sim", ascending=False)
+    cands = embeddings.map_batches(stage, batch_format="pyarrow")
+    return _resolve_topk_distributed(cands, k, by="cos_sim", ascending=False)
 
 
 _EMPTY_COS = pd.DataFrame(
@@ -460,8 +494,8 @@ def ann_cosine_ivf(
         sims[~probed[:, bucket]] = -np.inf
         return _emit_cos_topk(sims, qids, ids, k)
 
-    cands = embeddings.map_batches(stage, batch_format="pyarrow").to_pandas()
-    return _topk_reduce(cands, k, by="cos_sim", ascending=False)
+    cands = embeddings.map_batches(stage, batch_format="pyarrow")
+    return _resolve_topk_distributed(cands, k, by="cos_sim", ascending=False)
 
 
 # ------------------------------------------------- IVF layout pruning
@@ -584,8 +618,8 @@ def ann_cosine_ivf_pruned(
         return _emit_cos_topk(sims, qids, ids, k)
 
     rows_scanned = scan.count()
-    cands = scan.map_batches(stage, batch_format="pyarrow").to_pandas()
-    out = _topk_reduce(cands, k, by="cos_sim", ascending=False)
+    cands = scan.map_batches(stage, batch_format="pyarrow")
+    out = _resolve_topk_distributed(cands, k, by="cos_sim", ascending=False)
     out.attrs["rows_scanned"] = int(rows_scanned)
     return out
 
@@ -733,8 +767,8 @@ def ann_cosine_lsh_pruned(
         return _emit_cos_topk(sims, qids, ids, k)
 
     rows_scanned = scan.count()
-    cands = scan.map_batches(stage, batch_format="pyarrow").to_pandas()
-    out = _topk_reduce(cands, k, by="cos_sim", ascending=False)
+    cands = scan.map_batches(stage, batch_format="pyarrow")
+    out = _resolve_topk_distributed(cands, k, by="cos_sim", ascending=False)
     out.attrs["rows_scanned"] = int(rows_scanned)
     return out
 

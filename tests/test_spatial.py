@@ -704,3 +704,39 @@ def test_knn_queries_empty_neighborhood_sentinel():
     got = knn_queries(ds, k=2, zoom=6)
     assert got["query_id"].tolist() == [1, 1]
     assert sorted(got["neighbor_id"].tolist()) == [50, 51]
+
+
+def test_ann_resolve_never_concatenates_on_driver(monkeypatch):
+    """The ANN cosine candidate stream reduces IN WORKERS
+    (knn._resolve_topk_distributed, the knn_queries resolve pattern):
+    the only driver-side Dataset materializations are the nq-row query
+    lookup and the final <= nq x k (+ties) result — never the
+    nq x k x #blocks partial stream, which grows with the corpus
+    (~10^6 blocks at 10^12 docs)."""
+    import ray.data
+    from ray.data import Dataset
+
+    from rayhist.spatial.knn import ann_cosine_topk
+
+    nblocks = 16
+    ds = (
+        ray.data.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .repartition(nblocks)
+        .materialize()
+    )
+    qids = [int(i) for i in range(0, 500, 50)]  # nq = 10
+    sizes = []
+    orig = Dataset.to_pandas
+
+    def spy(self, *a, **kw):
+        df = orig(self, *a, **kw)
+        sizes.append(len(df))
+        return df
+
+    monkeypatch.setattr(Dataset, "to_pandas", spy)
+    out = ann_cosine_topk(ds, qids, k=5)
+    assert len(out) == 10 * 5
+    assert max(sizes) <= 10 * 5 + 10, sizes  # final top-k + query lookup only
+    assert max(sizes) < 10 * 5 * nblocks // 2  # NOT the per-block partial stream
