@@ -39,60 +39,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rayhist import pipelines as p
 
     return {
-        # previously-unsampled + round-4 queries FIRST so the
-        # driver's 50-entry correctness window covers them (the
-        # round-3 driver sampled the first 50; VERDICT item 10)
-        "asof_attribution": p.q_asof_attribution,
-        "rollup_events": p.q_rollup_events,
-        "pivot_events_daily": p.q_pivot_events_daily,
-        "range_error_click_daily": p.q_range_error_click_daily,
-        "window_rolling_spikes": p.q_window_rolling_spikes,
-        "users_click_not_purchase": p.q_users_click_not_purchase,
-        "topk_orders_by_priority": p.q_topk_orders_by_priority,
-        "hll_uniq_uids_daily": p.q_hll_uniq_uids_daily,
-        "bloom_semi_join_orders": p.q_bloom_semi_join_orders,
-        "cube_events": p.q_cube_events,
-        "anti_join_orders": p.q_anti_join_orders,
-        "stratified_sample_docs": p.q_stratified_sample_docs,
-        "heavy_hitter_sources": p.q_heavy_hitter_sources,
-        "value_quantiles_by_type": p.q_value_quantiles_by_type,
-        "time_window_bursts": p.q_time_window_bursts,
-        "funnel_attribution_daily": p.q_funnel_attribution_daily,
-        "interarrival_median": p.q_interarrival_median,
-        "snapshot_count_by_type": p.q_snapshot_count_by_type,
-        "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
-        "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
-        "clipped_way_lengths": p.q_clipped_way_lengths,
-        "clipped_way_lengths_poly": p.q_clipped_way_lengths_poly,
-        "clipped_way_lengths_daily": p.q_clipped_way_lengths_daily,
-        "snapshot_old_style": p.q_snapshot_old_style,
-        "snapshot_pip_poly": p.q_snapshot_pip_poly,
-        "contrib_type_counts_ways_k3": p.q_contrib_type_counts_ways_k3,
-        "snapshot_count_even_uid": p.q_snapshot_count_even_uid,
-        "dedup_docs": p.q_dedup_docs,
-        "contrib_type_counts_poly": p.q_contrib_type_counts_poly,
-        "hopping_window_counts": p.q_hopping_window_counts,
-        "knn_all": p.q_knn_all,
-        "shared_windows": p.q_shared_windows,
-        "snapshot_cells_salted": p.q_snapshot_cells_salted,
-        "snapshot_count_daily_checkpointed": p.q_snapshot_count_daily_checkpointed,
-        "pbf_snapshot_count_daily": p.q_pbf_snapshot_count_daily,
-        "osmpbf_snapshot_count_daily": p.q_osmpbf_snapshot_count_daily,
-        "snapshot_count_by_s2cell": p.q_snapshot_count_by_s2cell,
-        "snapshot_pip_many_regions_strtree": p.q_snapshot_pip_many_regions_strtree,
-        "osmpbf_way_version_counts": p.q_osmpbf_way_version_counts,
+        # ORDER = driver correctness-window rotation (the driver
+        # samples the FIRST 50): round-4's one red row first, then the
+        # new round-5 queries, then the 44 queries last driver-checked
+        # on round-3 code; the round-4-green block closes the dict so
+        # the union of r4+r5 windows covers the full surface.
         "osmpbf_relation_member_sums": p.q_osmpbf_relation_member_sums,
-        "snapshot_latest_state_written": p.q_snapshot_latest_state_written,
-        "corpus_curation": p.q_corpus_curation,
-        "langid_exact": p.q_langid_exact,
-        "media_meta_exact": p.q_media_meta_exact,
-        # round-3-verified surface
-        "snapshot_count_daily": p.q_snapshot_count_daily,
-        "snapshot_count_daily_click": p.q_snapshot_count_daily_click,
-        "snapshot_count_key_excluding": p.q_snapshot_count_key_excluding,
-        "snapshot_cells": p.q_snapshot_cells,
-        "snapshot_latest_state": p.q_snapshot_latest_state,
-        "contrib_type_counts": p.q_contrib_type_counts,
+        # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
         "contrib_uniq_uids_daily": p.q_contrib_uniq_uids_daily,
@@ -137,6 +90,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_cells_fine": p.q_snapshot_cells_fine,
         "contrib_type_counts_ways": p.q_contrib_type_counts_ways,
         "snapshot_way_geoms": p.q_snapshot_way_geoms,
+        # --- round-4-green surface (driver-checked in CORRECTNESS_r04) ---
+        "asof_attribution": p.q_asof_attribution,
+        "rollup_events": p.q_rollup_events,
+        "pivot_events_daily": p.q_pivot_events_daily,
+        "range_error_click_daily": p.q_range_error_click_daily,
+        "window_rolling_spikes": p.q_window_rolling_spikes,
+        "users_click_not_purchase": p.q_users_click_not_purchase,
+        "topk_orders_by_priority": p.q_topk_orders_by_priority,
+        "hll_uniq_uids_daily": p.q_hll_uniq_uids_daily,
+        "bloom_semi_join_orders": p.q_bloom_semi_join_orders,
+        "cube_events": p.q_cube_events,
+        "anti_join_orders": p.q_anti_join_orders,
+        "stratified_sample_docs": p.q_stratified_sample_docs,
+        "heavy_hitter_sources": p.q_heavy_hitter_sources,
+        "value_quantiles_by_type": p.q_value_quantiles_by_type,
+        "time_window_bursts": p.q_time_window_bursts,
+        "funnel_attribution_daily": p.q_funnel_attribution_daily,
+        "interarrival_median": p.q_interarrival_median,
+        "snapshot_count_by_type": p.q_snapshot_count_by_type,
+        "contrib_type_counts_relations": p.q_contrib_type_counts_relations,
+        "snapshot_relation_geoms": p.q_snapshot_relation_geoms,
+        "clipped_way_lengths": p.q_clipped_way_lengths,
+        "clipped_way_lengths_poly": p.q_clipped_way_lengths_poly,
+        "clipped_way_lengths_daily": p.q_clipped_way_lengths_daily,
+        "snapshot_old_style": p.q_snapshot_old_style,
+        "snapshot_pip_poly": p.q_snapshot_pip_poly,
+        "contrib_type_counts_ways_k3": p.q_contrib_type_counts_ways_k3,
+        "snapshot_count_even_uid": p.q_snapshot_count_even_uid,
+        "dedup_docs": p.q_dedup_docs,
+        "contrib_type_counts_poly": p.q_contrib_type_counts_poly,
+        "hopping_window_counts": p.q_hopping_window_counts,
+        "knn_all": p.q_knn_all,
+        "shared_windows": p.q_shared_windows,
+        "snapshot_cells_salted": p.q_snapshot_cells_salted,
+        "snapshot_count_daily_checkpointed": p.q_snapshot_count_daily_checkpointed,
+        "pbf_snapshot_count_daily": p.q_pbf_snapshot_count_daily,
+        "osmpbf_snapshot_count_daily": p.q_osmpbf_snapshot_count_daily,
+        "snapshot_count_by_s2cell": p.q_snapshot_count_by_s2cell,
+        "snapshot_pip_many_regions_strtree": p.q_snapshot_pip_many_regions_strtree,
+        "osmpbf_way_version_counts": p.q_osmpbf_way_version_counts,
+        "snapshot_latest_state_written": p.q_snapshot_latest_state_written,
+        "corpus_curation": p.q_corpus_curation,
+        "langid_exact": p.q_langid_exact,
+        "media_meta_exact": p.q_media_meta_exact,
+        "snapshot_count_daily": p.q_snapshot_count_daily,
+        "snapshot_count_daily_click": p.q_snapshot_count_daily_click,
+        "snapshot_count_key_excluding": p.q_snapshot_count_key_excluding,
+        "snapshot_cells": p.q_snapshot_cells,
+        "snapshot_latest_state": p.q_snapshot_latest_state,
+        "contrib_type_counts": p.q_contrib_type_counts,
     }
 
 
