@@ -432,7 +432,13 @@ def stratified_sample(
         lut = np.array(
             [thresh.get(s, dflt) for s in cat.categories], dtype=np.uint64
         )
-        t = lut[cat.codes] if len(lut) else np.zeros(len(b), dtype=np.uint64)
+        # null stratum -> code -1, which would wrap to the LAST
+        # category's threshold; route it to the default rate instead
+        if len(lut):
+            codes = np.asarray(cat.codes)
+            t = np.where(codes >= 0, lut[np.maximum(codes, 0)], dflt)
+        else:
+            t = np.zeros(len(b), dtype=np.uint64)
         return b.filter(pa.array(h < t))
 
     return ds.map_batches(stage, batch_format="pyarrow")

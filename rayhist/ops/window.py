@@ -89,6 +89,8 @@ def asof_join(
     """
     n_buckets = _resolve_buckets(n_buckets)
     lschema, rschema = left.schema(), right.schema()
+    if on not in rschema.names:
+        raise ValueError(f"asof_join: right side lacks the on-column {on!r}")
     lcols = list(lschema.names)
     # right columns after rename (by keeps its name: it is the equi key)
     ren = {c: (c if (c == by or c not in lcols) else c + rsuffix) for c in rschema.names}
@@ -141,16 +143,12 @@ def asof_join(
                 if c in int_cols and frame[c].notna().all():
                     frame[c] = frame[c].astype("int64")
         lg = lg.sort_values(on, kind="mergesort")
+        # ron != on always: right carries `on` (validated above) and
+        # `on` is a left column, so the rename suffixed it
         rg = rg.sort_values(ron, kind="mergesort")
-        if ron == on:  # merge_asof needs distinct on-names when both kept
-            rg = rg.rename(columns={ron: on})
-            out = pd.merge_asof(
-                lg, rg, on=on, by=by, direction=direction, suffixes=("", rsuffix)
-            )
-        else:
-            out = pd.merge_asof(
-                lg, rg, left_on=on, right_on=ron, by=by, direction=direction
-            )
+        out = pd.merge_asof(
+            lg, rg, left_on=on, right_on=ron, by=by, direction=direction
+        )
         return group_final(out) if group_final is not None else out
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
@@ -406,7 +404,9 @@ def prior_time_window_agg(
     ordinal = np.cumsum(new_key) - 1  # 0-based key index
     t_rel = sorted_t.astype(np.int64) - int(sorted_t.min())
     stride = int(t_rel.max()) + int(dt) + 2  # keys never overlap on the axis
-    if (ordinal[-1] + 1) * stride >= np.iinfo(np.int64).max // 2:
+    # guard computed in PYTHON ints: the np.int64 product could itself
+    # wrap negative and sail past the very check it implements
+    if int(ordinal[-1] + 1) * stride >= np.iinfo(np.int64).max // 2:
         raise OverflowError(
             "time-window embedding overflow: too many keys x time span; "
             "raise n_buckets so each bucket holds fewer keys"

@@ -339,8 +339,8 @@ def encode_primitive_block(
     if len(rels):
         groups += _ld(2, _encode_relations(st, rels))
     block = st.encode() + groups
-    if granularity != 100:
-        block += _fv(17, granularity)
+    # granularity != 100 raises NotImplementedError above, so field 17
+    # (non-default granularity) is never emitted; readers default to 100
     block += _fv(18, date_granularity)
     return block
 

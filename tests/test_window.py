@@ -340,6 +340,31 @@ def test_stratified_sample_rates_and_nesting():
     assert len(none_kept) == 0
 
 
+def test_stratified_sample_null_stratum_gets_default_rate():
+    """A null stratum value must take the default rate (drop when no
+    default), NOT wrap pd.Categorical code -1 to the last category's
+    threshold."""
+    from rayhist.ops.relational import stratified_sample
+
+    n = 8_000
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64)})
+    # half the rows have a null stratum; the named stratum keeps all
+    df["s"] = pd.array(
+        np.where(np.arange(n) % 2 == 0, "keep", None), dtype="string"
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    # no default -> null-stratum rows all drop (would all SURVIVE under
+    # the wraparound bug, since "keep"'s threshold is the max uint64 rate)
+    got = stratified_sample(ds, {"keep": (1, 1)}, "k", "s").to_pandas()
+    assert (got["s"] == "keep").all() and len(got) == n // 2
+    # with a default, null rows sample at that rate (binomial 4-sigma)
+    got2 = stratified_sample(
+        ds, {"keep": (1, 1)}, "k", "s", default=(1, 4)
+    ).to_pandas()
+    n_null = got2["s"].isna().sum()
+    assert abs(n_null - n / 8) < 4 * np.sqrt(n / 2 * 0.25 * 0.75)
+
+
 def test_stratified_sample_md5_matches_flat_at_uniform_rate():
     """With one uniform rate the stratified op equals
     deterministic_sample (same hash, same threshold)."""
