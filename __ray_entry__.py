@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # on round-3 code; the round-4-green block closes the dict so
         # the union of r4+r5 windows covers the full surface.
         "osmpbf_relation_member_sums": p.q_osmpbf_relation_member_sums,
+        # --- new round-5 queries (reserved window slots) ---
+        "way_areas": p.q_way_areas,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -208,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "keytable_freqs": o.keytable_freqs(),
         "contrib_daily_by_etype": o.contrib_daily_by_etype(),
         "way_lengths": o.way_lengths(),
+        "way_areas": o.way_areas(),
         "lineitem_means": o.lineitem_means(),
         "knn_grid": o.knn(),
         "ann_cosine_ivf": o.ann_cosine(),

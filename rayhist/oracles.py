@@ -714,6 +714,33 @@ ORDER BY way_id
     )
 
 
+def way_areas() -> str:
+    """Spherical-excess triangle area (Geo.areaOf / Geo.ringArea,
+    Geo.java:95-101,147-180): same term order ((t0+t1)+t2) and scale
+    order ((s*R)*R)/2 as functions.geo.ring_area, floor m^2."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+, pos AS (SELECT osm_id, lon_e7, lat_e7 FROM snap)
+SELECT a.osm_id AS way_id,
+       CAST(floor(abs((
+           (radians(c.lon_e7/10000000.0) - radians(a.lon_e7/10000000.0))
+             * sin(radians(b.lat_e7/10000000.0))
+         + (radians(a.lon_e7/10000000.0) - radians(b.lon_e7/10000000.0))
+             * sin(radians(c.lat_e7/10000000.0))
+         + (radians(b.lon_e7/10000000.0) - radians(c.lon_e7/10000000.0))
+             * sin(radians(a.lat_e7/10000000.0))
+       ) * 6371000.0 * 6371000.0 / 2)) AS BIGINT) AS area_m2
+FROM pos a
+JOIN pos b ON b.osm_id = a.osm_id + 1
+JOIN pos c ON c.osm_id = a.osm_id + 2
+ORDER BY way_id
+"""
+    )
+
+
 def lineitem_means() -> str:
     return """
 WITH s AS (

@@ -946,6 +946,69 @@ def q_way_lengths(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("way_id").reset_index(drop=True)
 
 
+def q_way_areas(sf_dir: str) -> pd.DataFrame:
+    """Geo.areaOf under the oracle: synthetic triangles node/u ->
+    node/(u+1) -> node/(u+2) at T_MID; reports the reference's
+    spherical-excess polygon area (Geo.areaOf / Geo.ringArea,
+    Geo.java:95-101,147-180) as floor(m^2) so rows are integer-exact.
+
+    The 3-term excess sum is evaluated in ring_area's exact sequential
+    order ``((t0 + t1) + t2)`` and the scale product in its exact
+    left-assoc order ``((s * R) * R) / 2`` so duckdb and numpy share
+    libm bit-for-bit (parity with functions.geo.area_of_polygon is
+    pinned bit-exact in tests/test_spatial.py::
+    test_way_areas_kernel_matches_area_of_polygon)."""
+    from .functions.geo import EARTH_RADIUS
+    from .model import decode_spans
+    from .ops.relational import hash_join
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+
+    def corner(i: int):
+        def stage(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "join_k": pa.compute.subtract(batch["osm_id"], i),
+                    f"lon{i}": batch["lon_e7"],
+                    f"lat{i}": batch["lat_e7"],
+                }
+            )
+
+        return stage
+
+    c0 = pos.map_batches(corner(0), batch_format="pyarrow")
+    c1 = pos.map_batches(corner(1), batch_format="pyarrow")
+    c2 = pos.map_batches(corner(2), batch_format="pyarrow")
+    joined = hash_join(hash_join(c0, c1, on="join_k"), c2, on="join_k")
+
+    def areas(batch: pa.Table) -> pa.Table:
+        lo, la = [], []
+        for i in range(3):
+            lo.append(np.radians(batch[f"lon{i}"].to_numpy(zero_copy_only=False) / 1e7))
+            la.append(np.radians(batch[f"lat{i}"].to_numpy(zero_copy_only=False) / 1e7))
+        # ring_area terms i=0..2 with p1=lo[i], p3=lo[i+2], mid=la[i+1]
+        t0 = (lo[2] - lo[0]) * np.sin(la[1])
+        t1 = (lo[0] - lo[1]) * np.sin(la[2])
+        t2 = (lo[1] - lo[2]) * np.sin(la[0])
+        s = (t0 + t1) + t2
+        a = np.abs(s * EARTH_RADIUS * EARTH_RADIUS / 2)
+        return pa.table(
+            {
+                "way_id": batch["join_k"],
+                "area_m2": pa.array(np.floor(a).astype(np.int64)),
+            }
+        )
+
+    df = joined.map_batches(areas, batch_format="pyarrow").to_pandas()
+    return df.sort_values("way_id").reset_index(drop=True)
+
+
 def q_lineitem_means(sf_dir: str) -> pd.DataFrame:
     """average / weightedAverage reducers (MapReducer.java:1179-1214):
     integer-exact partial sums, one IEEE float division at the end —

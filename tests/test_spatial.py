@@ -119,6 +119,30 @@ def test_ring_area_orientation_sign():
     assert abs(ccw) == pytest.approx((6_371_000 * np.pi / 180) ** 2, rel=1e-3)
 
 
+def test_way_areas_kernel_matches_area_of_polygon():
+    """The vectorized triangle-excess kernel in q_way_areas must equal
+    Geo.areaOf (functions.geo.area_of_polygon) EXACTLY — same term
+    order ((t0+t1)+t2), same scale order ((s*R)*R)/2 — on random
+    non-degenerate triangles (bit-for-bit, no tolerance)."""
+    from rayhist.functions.geo import EARTH_RADIUS, area_of_polygon
+
+    rng = np.random.default_rng(7)
+    n = 500
+    lon = rng.integers(-1_700_000_000, 1_700_000_000, size=(n, 3))
+    lat = rng.integers(-850_000_000, 850_000_000, size=(n, 3))
+    lo = np.radians(lon / 1e7)
+    la = np.radians(lat / 1e7)
+    t0 = (lo[:, 2] - lo[:, 0]) * np.sin(la[:, 1])
+    t1 = (lo[:, 0] - lo[:, 1]) * np.sin(la[:, 2])
+    t2 = (lo[:, 1] - lo[:, 2]) * np.sin(la[:, 0])
+    s = (t0 + t1) + t2
+    vec = np.abs(s * EARTH_RADIUS * EARTH_RADIUS / 2)
+    ref = np.array(
+        [area_of_polygon((lon[i] / 1e7, lat[i] / 1e7)) for i in range(n)]
+    )
+    assert np.array_equal(vec, ref)
+
+
 def test_grid_knn_matches_brute_force():
     """The exact grid-accelerated kNN must equal brute force, including
     deterministic tie-breaks."""
