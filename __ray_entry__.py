@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "osmpbf_relation_member_sums": p.q_osmpbf_relation_member_sums,
         # --- new round-5 queries (reserved window slots) ---
         "way_areas": p.q_way_areas,
+        "snapshot_count_three_types": p.q_snapshot_count_three_types,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "contrib_daily_by_etype": o.contrib_daily_by_etype(),
         "way_lengths": o.way_lengths(),
         "way_areas": o.way_areas(),
+        "snapshot_count_three_types": o.snapshot_count_three_types(p.WAY_SNAPS),
         "lineitem_means": o.lineitem_means(),
         "knn_grid": o.knn(),
         "ann_cosine_ivf": o.ann_cosine(),

@@ -136,22 +136,17 @@ class MapReducer:
         ``osm_type IN (...)`` row filter AND re-checked on the decoded
         versions (so Dataset sources are filtered too).
 
-        The default sf_dir source is the NODE span table; way/relation
-        histories are compound documents with member-recursion
-        semantics the fused chain cannot interpolate (rayhist.members /
-        members_vec; see pipelines.q_snapshot_count_by_type for the
-        mixed-corpus union) — asking for them here raises loudly
-        instead of returning a silent 0."""
+        An sf_dir source fans out per type, as the reference's single
+        UNION-ALL cell fetch (backend/MapReducerJdbc.java:53-59): nodes
+        stream through the fused span chain; way/relation histories go
+        through the compound member-recursion tables (rayhist.members /
+        members_vec). The compound legs support the snapshot
+        ``count()`` terminal (with aggregateByTimestamp /
+        aggregateBy('osm_type')); richer chains over way/relation
+        raise loudly at the terminal instead of returning a silent 0."""
         ok = {"node", "way", "relation"}
         if not set(types) <= ok:
             raise ValueError(f"osmType must be among {ok}")
-        if isinstance(self._source, str) and set(types) - {"node"}:
-            raise NotImplementedError(
-                "the fluent chain runs over the node span table; way/"
-                "relation histories need the compound member-recursion "
-                "engine (rayhist.members_vec, e.g. pipelines."
-                "q_snapshot_count_by_type / q_contrib_type_counts_ways)"
-            )
         return replace(self, _types=tuple(sorted(set(types))))
 
     def osmTag(
@@ -316,6 +311,25 @@ class MapReducer:
             tflt = pc.field("osm_type").isin(list(self._types))
             flt = tflt if flt is None else (flt & tflt)
         return flt
+
+    def _compound_types(self) -> tuple[str, ...]:
+        """way/relation legs requested over an sf_dir source — these
+        stream through the compound member-recursion tables, not the
+        fused node-span chain."""
+        if not isinstance(self._source, str):
+            return ()
+        return tuple(t for t in self._types if t != "node")
+
+    def _require_node_only(self, feature: str) -> None:
+        if self._compound_types():
+            raise NotImplementedError(
+                f"{feature} over way/relation types needs the compound "
+                "member-recursion engine (rayhist.members_vec); the "
+                "fluent three-type union supports count() with "
+                "aggregateByTimestamp()/aggregateBy('osm_type') — for "
+                "richer way/relation chains see pipelines."
+                "q_contrib_type_counts_ways / q_snapshot_way_geoms"
+            )
 
     def _docs(self) -> ray.data.Dataset:
         if not isinstance(self._source, str):
@@ -492,6 +506,7 @@ class MapReducer:
         are user-visible, so no column may be constant-filled (pruning
         belongs to the aggregation terminals, which know what they
         read)."""
+        self._require_node_only("view()")
         stage = self._view_stage(need_tags=True, need_geom=True)
         return self._docs().map_batches(stage, batch_format="pyarrow")
 
@@ -510,6 +525,7 @@ class MapReducer:
     def _grouped_numeric(self, sums: dict[str, str], count_alias: str | None):
         """Shared count/sum engine: per-batch partial aggregation inside
         the fused stage, driver combine of the tiny partials, zerofill."""
+        self._require_node_only("this terminal")
         from .aggregate import combine_partials, floor_bin, zerofill
 
         keys = self._keys()
@@ -600,6 +616,7 @@ class MapReducer:
     def _keyed_rows(self, cols: list[str]) -> ray.data.Dataset:
         """Dataset of (group keys..., cols...) view rows — ts binning
         applied, used by the distributed distinct/sketch terminals."""
+        self._require_node_only("this terminal")
         from .aggregate import floor_bin
 
         need_full = self._needs_full_decode()
@@ -643,8 +660,105 @@ class MapReducer:
     def count(self, alias: str = "count"):
         """count (MapReducer.java:1122-1132): scalar, or a frame keyed
         by the aggregation index."""
+        if self._compound_types():
+            return self._count_compound(alias)
         res = self._grouped_numeric({}, alias)
         return res if self._keys() else int(res[alias].iloc[0])
+
+    def _count_compound(self, alias: str):
+        """Three-type union count: the reference's single UNION-ALL
+        fetch across node/way/relation cell tables
+        (backend/MapReducerJdbc.java:53-59) as ONE fused plan — the
+        node leg is the usual pruned span chain, the way/relation legs
+        are per-batch member-recursion snapshot counts over their
+        compound document tables; all three emit (keys, n_part)
+        partials into one combine. Supports the snapshot view with
+        aggregateByTimestamp()/aggregateBy('osm_type'); anything the
+        compound legs cannot express raises loudly."""
+        from .aggregate import combine_partials, zerofill
+        from .ingest import read_relation_documents, read_way_documents
+        from .members import COMPOUND_BATCH
+        from .members import snapshot_geoms_batch as snap_rel_batch
+        from .members_vec import snapshot_geoms_batch_vec
+        from .model import decode_spans
+        from .temporal import snapshots as snap_fn
+
+        if self._view != "snapshot":
+            raise NotImplementedError(
+                "the three-type union chain supports the snapshot view; "
+                "way/relation contributions: pipelines."
+                "q_contrib_type_counts_ways / _relations"
+            )
+        if (
+            self._tag_filters or self._entity_filters or self._transforms
+            or self._rings or self._bbox is not None or self._regions
+            or set(self._agg_cols) - {"osm_type"}
+        ):
+            self._require_node_only("this filter/transform/key combination")
+        if not self._ts:
+            raise ValueError("snapshot view needs timestamps()")
+        ts_list = [int(t) for t in self._ts]
+        ts = np.asarray(ts_list, dtype=np.int64)
+        keys = self._keys()
+        by_ts, by_type = self._agg_ts, "osm_type" in self._agg_cols
+        types = self._types
+
+        def partial(tsq: np.ndarray, otype: str) -> pa.Table:
+            cols: dict[str, pa.Array] = {}
+            if by_ts:
+                u, n = np.unique(tsq, return_counts=True)
+            else:
+                u, n = np.array([0]), np.array([len(tsq)])
+            if by_ts:
+                cols["ts_q"] = pa.array(u, type=pa.int64())
+            if by_type:
+                cols["osm_type"] = pa.array([otype] * len(n), type=pa.string())
+            cols["n_part"] = pa.array(n, type=pa.int64())
+            return pa.table(cols)
+
+        legs = []
+        if "node" in types:
+
+            def node_stage(batch: pa.Table) -> pa.Table:
+                s = snap_fn(decode_spans(batch, tags=False, geom=False), ts)
+                return partial(s["ts_q"].to_numpy(zero_copy_only=False), "node")
+
+            legs.append(self._docs().map_batches(node_stage, batch_format="pyarrow"))
+        if "way" in types:
+
+            def way_stage(batch: pa.Table) -> pa.Table:
+                s = snapshot_geoms_batch_vec(batch, ts_list)
+                return partial(s["ts_q"].to_numpy(zero_copy_only=False), "way")
+
+            legs.append(
+                read_way_documents(self._source).map_batches(
+                    way_stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH
+                )
+            )
+        if "relation" in types:
+
+            def rel_stage(batch: pa.Table) -> pa.Table:
+                s = snap_rel_batch(batch, ts_list, id_name="rel_id")
+                return partial(s["ts_q"].to_numpy(zero_copy_only=False), "relation")
+
+            legs.append(
+                read_relation_documents(self._source).map_batches(
+                    rel_stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH
+                )
+            )
+        union = legs[0]
+        for leg in legs[1:]:
+            union = union.union(leg)
+        df = combine_partials(union, keys, {"n_part": alias})
+        if not keys:
+            return int(df[alias].iloc[0])
+        expected: dict[str, Sequence] = {}
+        if by_ts:
+            expected["ts_q"] = ts_list
+        if by_type:
+            expected["osm_type"] = sorted(types)
+        df = zerofill(df, expected, {alias: 0})
+        return df.sort_values(keys, kind="mergesort").reset_index(drop=True)
 
     def sum(self, col: str, alias: str | None = None):
         """sum (MapReducer.java:1097-1120) over a view/mapped column

@@ -1513,6 +1513,41 @@ SELECT * FROM (
     )
 
 
+def snapshot_count_three_types(timestamps) -> str:
+    """Single-chain three-type union (MapReducerJdbc.java:53-59): node
+    leg = interpolated span snapshots; way leg = parent version at ts
+    visible (ts1 <= ts, v2 from ts2, wid%3==0 deleted at v2); relation
+    leg = relation exists from rts. Zerofilled ts x type grid."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list(timestamps))
+    return (
+        DERIVE
+        + cte
+        + _WAY_CTE
+        + _REL_CTE
+        + f"""
+SELECT g.ts_q, g.osm_type, CAST(coalesce(s.n, 0) AS BIGINT) AS n_snapshots
+FROM (SELECT tl.ts_q, ty.osm_type
+      FROM {_ts_list(timestamps)}
+      CROSS JOIN (VALUES ('node'), ('way'), ('relation')) ty(osm_type)) g
+LEFT JOIN (
+  SELECT ts_q, 'node' AS osm_type, count(*) AS n FROM snap GROUP BY 1
+  UNION ALL
+  SELECT tl.ts_q, 'way', count(*)
+  FROM {_ts_list(timestamps)}
+  JOIN ways w ON w.ts1 <= tl.ts_q
+  JOIN wv p ON p.wid = w.wid
+           AND p.pv = CASE WHEN tl.ts_q >= w.ts2 THEN 2 ELSE 1 END
+  WHERE p.visible GROUP BY 1
+  UNION ALL
+  SELECT tl.ts_q, 'relation', count(*)
+  FROM {_ts_list(timestamps)}
+  JOIN rels r ON r.rts <= tl.ts_q GROUP BY 1
+) s ON s.ts_q = g.ts_q AND s.osm_type = g.osm_type
+ORDER BY g.ts_q, g.osm_type
+"""
+    )
+
+
 def snapshot_cells_fine() -> str:
     cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
     nx = 1 << 10

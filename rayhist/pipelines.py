@@ -2351,6 +2351,26 @@ def q_snapshot_count_by_type(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("osm_type").reset_index(drop=True)
 
 
+def q_snapshot_count_three_types(sf_dir: str) -> pd.DataFrame:
+    """The reference's single-query three-type union
+    (backend/MapReducerJdbc.java:53-59 UNION ALL over node/way/relation
+    cell tables) through the fluent facade: ONE chain
+    ``osmType('node','way','relation')`` fanning out to the fused node
+    span leg + the compound way/relation member-recursion legs, all
+    partials merging in one combine (api.MapReducer._count_compound).
+    Keyed by (ts_q, osm_type), zerofilled over the full grid."""
+    from .api import OSMEntitySnapshotView
+
+    return (
+        OSMEntitySnapshotView.on(sf_dir)
+        .timestamps(WAY_SNAPS)
+        .osmType("node", "way", "relation")
+        .aggregateByTimestamp()
+        .aggregateBy("osm_type")
+        .count(alias="n_snapshots")
+    )
+
+
 def q_snapshot_cells_fine(sf_dir: str) -> pd.DataFrame:
     """Snapshot counts per FINE grid cell (zoom 10, ~0.35deg tiles):
     the high-cardinality final where the partial-combine stays a

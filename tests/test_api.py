@@ -253,11 +253,61 @@ def test_timestamps_overloads_and_errors():
 
 
 def test_osm_type_way_raises_instead_of_silent_zero():
+    # the count() union path is served; everything richer over
+    # way/relation raises loudly at the terminal
+    mr = OSMEntitySnapshotView.on(SF).osmType("way").timestamps([T_MID])
     with pytest.raises(NotImplementedError):
-        OSMEntitySnapshotView.on(SF).osmType("way")
+        mr.sum("lon_e7")
+    with pytest.raises(NotImplementedError):
+        mr.view()
+    with pytest.raises(NotImplementedError):
+        mr.osmTag("k").count()
+    with pytest.raises(NotImplementedError):
+        OSMContributionView.on(SF).osmType("way").timestamps(
+            [T_MID, T_MID + 1]
+        ).count()
     # node is served (the span table IS the node table)
     n = OSMEntitySnapshotView.on(SF).osmType("node").timestamps([T_MID]).count()
     assert n == OSMEntitySnapshotView.on(SF).timestamps([T_MID]).count()
+
+
+def test_three_type_union_chain_matches_direct_pipelines():
+    """osmType('node','way','relation') in ONE chain: the compound
+    union count must equal counts assembled from the independently
+    oracle-checked per-type pipelines (node span counts; way/relation
+    member-recursion geoms row counts)."""
+    from rayhist.pipelines import (
+        WAY_SNAPS,
+        q_snapshot_count_three_types,
+        q_snapshot_relation_geoms,
+        q_snapshot_way_geoms,
+    )
+
+    got = q_snapshot_count_three_types(SF)
+    assert list(got.columns) == ["ts_q", "osm_type", "n_snapshots"]
+    assert len(got) == len(WAY_SNAPS) * 3
+
+    node = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps(WAY_SNAPS)
+        .aggregateByTimestamp()
+        .count(alias="n")
+    )
+    ways = q_snapshot_way_geoms(SF).groupby("ts_q").size()
+    rels = q_snapshot_relation_geoms(SF).groupby("ts_q").size()
+    for t in WAY_SNAPS:
+        sub = got[got["ts_q"] == t].set_index("osm_type")["n_snapshots"]
+        assert sub["node"] == int(node.loc[node["ts_q"] == t, "n"].iloc[0])
+        assert sub["way"] == int(ways.get(t, 0))
+        assert sub["relation"] == int(rels.get(t, 0))
+    # scalar form: ungrouped count over all three types
+    total = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps(WAY_SNAPS)
+        .osmType("node", "way", "relation")
+        .count()
+    )
+    assert total == int(got["n_snapshots"].sum())
 
 
 def test_osm_type_filters_dataset_source():
