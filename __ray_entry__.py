@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new round-5 queries (reserved window slots) ---
         "way_areas": p.q_way_areas,
         "snapshot_count_three_types": p.q_snapshot_count_three_types,
+        "snapshot_count_daily_unsorted": p.q_snapshot_count_daily_unsorted,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -213,6 +214,9 @@ def oracle_sql() -> dict[str, str]:
         "way_lengths": o.way_lengths(),
         "way_areas": o.way_areas(),
         "snapshot_count_three_types": o.snapshot_count_three_types(p.WAY_SNAPS),
+        "snapshot_count_daily_unsorted": o.snapshot_count_daily(
+            "visible AND etype = 'click'"
+        ),
         "lineitem_means": o.lineitem_means(),
         "knn_grid": o.knn(),
         "ann_cosine_ivf": o.ann_cosine(),

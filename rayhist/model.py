@@ -295,3 +295,43 @@ def decode_spans(batch: pa.Table, tags: bool | str = True, geom: bool = True) ->
         },
         schema=VERSIONS_SCHEMA,
     )
+
+
+def reverse_version_runs(batch: pa.Table) -> pa.Table:
+    """Dirty-history fixture transform: reverse the VERSION-RUN order
+    inside every document's span list (a run = one 'version' span plus
+    its trailing tag/geom spans) and the per-version ``tag_ids`` list
+    to match — producing the unsorted histories the reference tolerates
+    via HEADER_TIMESTAMPS_NOT_IN_ORDER (impl/osh/OSHNodeImpl.java:30,
+    OSHDB.sortOrder). The temporal interpolators realign per doc, so
+    every downstream result must be INVARIANT under this transform
+    (pinned by the snapshot_count_daily_unsorted oracle query and
+    tests/test_temporal.py)."""
+    spans = batch["spans"].combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.chunk(0)
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    is_ver = pc.equal(flat.field("kind"), "version").to_numpy(zero_copy_only=False)
+    gid = np.cumsum(is_ver) - 1  # global version-run id per span
+    idx = np.arange(len(parent), dtype=np.int64)
+    # primary: doc; then runs in REVERSED order; spans within a run
+    # keep their relative order (version span stays first)
+    order = np.lexsort((idx, -gid, parent))
+    offsets = pa.array(np.r_[0, np.cumsum(lengths)], type=pa.int32())
+    new_spans = pa.ListArray.from_arrays(offsets, flat.take(pa.array(order)))
+    cols = {c: batch[c] for c in batch.column_names}
+    cols["spans"] = new_spans
+    if "tag_ids" in batch.column_names:
+        tids = batch["tag_ids"].combine_chunks()
+        if isinstance(tids, pa.ChunkedArray):
+            tids = tids.chunk(0)
+        tflat = pc.list_flatten(tids)
+        tparent = pc.list_parent_indices(tids).to_numpy(zero_copy_only=False)
+        tidx = np.arange(len(tparent), dtype=np.int64)
+        torder = np.lexsort((-tidx, tparent))  # reverse within each doc
+        tlen = pc.list_value_length(tids).to_numpy(zero_copy_only=False)
+        toffsets = pa.array(np.r_[0, np.cumsum(tlen)], type=pa.int32())
+        cols["tag_ids"] = pa.ListArray.from_arrays(toffsets, tflat.take(pa.array(torder)))
+    return pa.table(cols)

@@ -96,6 +96,29 @@ def q_snapshot_count_daily_click(sf_dir: str) -> pd.DataFrame:
     return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
 
 
+def q_snapshot_count_daily_unsorted(sf_dir: str) -> pd.DataFrame:
+    """Out-of-order version runs (the reference's
+    HEADER_TIMESTAMPS_NOT_IN_ORDER tolerance, OSHNodeImpl.java:30):
+    the same corpus and oracle as snapshot_count_daily_click, but every
+    document's version runs — and its per-version tag_ids — are
+    REVERSED (model.reverse_version_runs) before the fused stage. The
+    interpolators realign per doc, so the result must be identical to
+    the sorted corpus; the oracle (order-free SQL) pins that."""
+    from .ingest import sig_keytable
+    from .model import reverse_version_runs
+    from .views import snapshot_counts
+
+    from .aggregate import combine_partials
+
+    dirty = _docs(sf_dir).map_batches(reverse_version_runs, batch_format="pyarrow")
+    partials, keys = snapshot_counts(
+        dirty, SNAP_DAILY, TagFilter("etype", "click"),
+        keytable=sig_keytable(sf_dir),
+    )
+    df = combine_partials(partials, keys, {"n_part": "n_snapshots"})
+    return zerofill(df, {"ts_q": SNAP_DAILY}, {"n_snapshots": 0})
+
+
 def q_snapshot_count_key_excluding(sf_dir: str) -> pd.DataFrame:
     """hasTagKeyExcluding exact semantics (OSMEntity.java:123-137): key
     PRESENT with value NOT in the excluded set — a different predicate

@@ -198,6 +198,49 @@ def test_match_mask_realigned_after_sort():
     assert got == {("node/60", int(t), 2) for t in YEARLY if t >= YEAR_US[2010]}
 
 
+def test_reverse_version_runs_invariant_end_to_end():
+    """Dirty-history fixture (model.reverse_version_runs): decoding a
+    document whose version runs were reversed must yield IDENTICAL
+    snapshots — including geometry and the int-keytable tag_id path —
+    after the interpolators' per-doc realignment (the reference's
+    HEADER_TIMESTAMPS_NOT_IN_ORDER tolerance, OSHNodeImpl.java:30)."""
+    import pandas as pd
+
+    from rayhist.ingest import read_documents
+    from rayhist.model import reverse_version_runs
+    from rayhist.temporal import snapshots as snap_fn
+
+    batch = read_documents("/root/testdata/sf0.001").take_batch(
+        10_000, batch_format="pyarrow"
+    )
+    dirty = reverse_version_runs(batch)
+    # the span multiset per doc is preserved, the order is not
+    assert batch["spans"].to_pylist() != dirty["spans"].to_pylist()
+    tsq = np.array(
+        [int(np.datetime64("2024-01-15", "us").astype(np.int64))], dtype=np.int64
+    )
+
+    def snap_frame(b):
+        d = decode_spans(b, tags="ids", geom=True)
+        s = snap_fn(d, tsq)
+        return (
+            s.select(["osm_id", "ts_q", "lon_e7", "lat_e7"])
+            .to_pandas()
+            .sort_values(["osm_id", "ts_q"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(snap_frame(batch), snap_frame(dirty))
+    # tag_id alignment: the decoded (osm_id, v) -> tag_id map must match
+    key = ["osm_id", "v"]
+    a = decode_spans(batch, tags="ids", geom=False).to_pandas()
+    b = decode_spans(dirty, tags="ids", geom=False).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_property_random_histories_match_oracle():
     """Property test (hypothesis): arbitrary small histories — the
     vectorized core matches the loop oracle for both views under
