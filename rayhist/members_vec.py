@@ -220,14 +220,17 @@ class ParsedBatch:
             if ex.null_count:
                 raise ValueError("unparseable member span in compound document")
             mem_ent = pc.struct_field(ex, "ent").to_numpy(zero_copy_only=False)
+            mem_role = pc.struct_field(ex, "role").to_numpy(zero_copy_only=False)
             mem_vidx = ver_ptr[mem_pos]
             okm = (mem_vidx >= 0) & (
                 ver_doc[np.maximum(mem_vidx, 0)] == doc_of[mem_pos]
             )
             mem_ent, mem_vidx = mem_ent[okm], mem_vidx[okm]
+            self.mem_role = mem_role[okm]
         else:
             mem_ent = np.empty(0, dtype=object)
             mem_vidx = np.empty(0, dtype=np.int64)
+            self.mem_role = np.empty(0, dtype=object)
 
         # ---- child codes (batch-global factorization of id strings)
         child_mask = np.asarray([c is not None for c in child_str], dtype=bool)
@@ -250,6 +253,10 @@ class ParsedBatch:
         tag_pos = np.flatnonzero(is_tag)
         sig = np.full(nver, "", dtype=object)
         self.match = np.ones(nver, bool)
+        # per-version old-style-multipolygon TAG side (BaseTagInterpreter
+        # .isOldStyleMultipolygon:111-136): every tag is a relation-area
+        # tag or uninteresting; tagless versions pass vacuously
+        oldstyle = np.ones(nver, bool)
         if len(tag_pos):
             ttext = text.filter(pa.array(is_tag))
             ex = pc.extract_regex(ttext, _TAG_RE)
@@ -270,6 +277,18 @@ class ParsedBatch:
                 ["vidx", "k"], kind="mergesort"
             )
             kv = tdf["k"].to_numpy(dtype=object) + "=" + tdf["v"].to_numpy(dtype=object)
+            from .members import RELATION_AREA_TAGS, UNINTERESTING_TAG_KEYS
+
+            areaset = {f"{k}={v}" for k, v in RELATION_AREA_TAGS}
+            bad = ~(
+                pd.Series(kv).isin(areaset).to_numpy()
+                | tdf["k"].isin(UNINTERESTING_TAG_KEYS).to_numpy()
+            )
+            if bad.any():
+                badv = np.bincount(
+                    tdf["vidx"].to_numpy()[bad], minlength=nver
+                ) > 0
+                oldstyle = ~badv
             # join with \x1f (unit separator): tag VALUES may contain
             # ';'/'=' and a ';' join would collide distinct tag dicts
             # ({'a':'1;b=2'} vs {'a':'1','b':'2'}) — keys cannot contain
@@ -304,6 +323,7 @@ class ParsedBatch:
         self.lat2 = lat[order2]
         self.sig2 = sig_codes[order2]
         self.match2 = self.match[order2]
+        self.oldstyle2 = oldstyle[order2]
         self.mem_start2 = self.mem_start[order2]
         self.mem_end2 = self.mem_end[order2]
         eov_sorted = ent_of_ver[order2]
@@ -439,9 +459,16 @@ def _resolve_coords_rows(P: ParsedBatch, cmap: dict, row_ts, gk):
     ch = P.mem_child[gidx]
     prefix = np.cumsum(counts1) - counts1
     pos1 = np.arange(len(rows), dtype=np.int64) - np.repeat(prefix, counts1)
+    return _resolve_frontier(P, cmap, nrows, (rows, tcol, ch, [pos1]))
 
+
+def _resolve_frontier(P: ParsedBatch, cmap: dict, nrows: int, frontier):
+    """Shared member-recursion resolver: expands an initial frontier of
+    (row, ts, child code, position keys) through the child histories
+    until leaf coordinates, returning (counts per row, lon_flat,
+    lat_flat) in members.resolve_coords order — the engine behind
+    _resolve_coords_rows and the old-style inner-ring resolver."""
     out_rows, out_keys, out_lon, out_lat = [], [], [], []
-    frontier = (rows, tcol, ch, [pos1])  # (row, ts, child code, pos keys)
     depth = 0
     while len(frontier[0]) and depth < 8:
         frows, fts, fch, fkeys = frontier
@@ -715,5 +742,137 @@ def snapshot_geoms_batch_vec(batch, timestamps, match_kv=None, id_name="way_id")
             "n_nodes": pa.array(cat(n_out)),
             "sum_lon": pa.array(cat(slon_out)),
             "sum_lat": pa.array(cat(slat_out)),
+        }
+    )
+
+
+def snapshots_old_style_batch_vec(batch, timestamps, match_kv=None):
+    """Vectorized twin of members.snapshots_old_style
+    (CellIterator.java:260-318, BaseTagInterpreter
+    .isOldStyleMultipolygon:111-136): per (doc, ts) where the relation
+    version at ts is visible, old-style on the tag side, has EXACTLY
+    one 'outer' member whose resolved way at ts is visible and matches
+    ``match_kv``, emit the inner-hole metrics — ring count (rings with
+    no resolved points are skipped, as resolve_member_rings) and the
+    integer sums of hole-ring point coordinates. Rings start one level
+    DOWN from the relation (inner member version first, then ITS
+    members), so a memberless inner member contributes nothing — the
+    reference's version_at + resolve_coords shape. Output: one row per
+    qualifying (doc, ts) with columns ts_q, n_holes, sum_lon, sum_lat;
+    A/B parity vs the per-document reference path is pinned in
+    tests/test_members_vec.py."""
+    P = ParsedBatch(batch, match_kv=match_kv)
+    tsq = np.asarray([int(x) for x in timestamps], dtype=np.int64)
+    ts_out, nh_out, sl_out, sa_out = [], [], [], []
+    for d in range(P.ndocs):
+        pe = P.parent_ent(d)
+        if pe is None:
+            continue
+        cmap = P.child_ents(d)
+        s, t = P.ent_start[pe], P.ent_start[pe + 1]
+        si = np.searchsorted(P.ts2[s:t], tsq, side="right") - 1
+        ok = si >= 0
+        gk = s + np.maximum(si, 0)
+        ok &= P.vis2[gk]
+        if cmap:  # doc has children: skip states without members
+            ok &= (P.mem_end2[gk] - P.mem_start2[gk]) > 0
+        ok &= P.oldstyle2[gk]
+        rows = np.flatnonzero(ok)
+        if not len(rows):
+            continue
+        gkr, tr = gk[rows], tsq[rows]
+        m = P.mem_end2[gkr] - P.mem_start2[gkr]
+        gidx = _range_gather_idx(P.mem_start2[gkr], m)
+        rowrep = np.repeat(np.arange(len(rows), dtype=np.int64), m)
+        roles = P.mem_role[gidx]
+        ch = P.mem_child[gidx]
+        om = roles == "outer"
+        keep = np.bincount(rowrep[om], minlength=len(rows)) == 1
+        # the single outer member's way at ts: visible + filter match
+        och = np.full(len(rows), -1, np.int64)
+        och[rowrep[om]] = ch[om]
+        for i in np.flatnonzero(keep):  # <= |timestamps| rows per doc
+            ce = cmap.get(int(och[i]))
+            if ce is None:
+                keep[i] = False
+                continue
+            cs_, ct_ = P.ent_start[ce], P.ent_start[ce + 1]
+            k = int(np.searchsorted(P.ts2[cs_:ct_], tr[i], side="right")) - 1
+            if k < 0 or not P.vis2[cs_ + k] or not P.match2[cs_ + k]:
+                keep[i] = False
+        rowkeep = np.flatnonzero(keep)
+        if not len(rowkeep):
+            continue
+        # inner rings: one resolver ROW per inner member of a kept row
+        im = (roles == "inner") & keep[rowrep]
+        ring_row = rowrep[im]
+        ring_ch = ch[im]
+        ring_ts = tr[ring_row]
+        nring = len(ring_ch)
+        rk = np.full(nring, -1, np.int64)  # ring's own version at ts
+        o = np.argsort(ring_ch, kind="stable")
+        chs = ring_ch[o]
+        bounds = _group_bounds(chs)
+        for bi in range(len(bounds) - 1):
+            a, b = bounds[bi], bounds[bi + 1]
+            ce = cmap.get(int(chs[a]))
+            if ce is None:
+                continue
+            cs_, ct_ = P.ent_start[ce], P.ent_start[ce + 1]
+            sel = o[a:b]
+            k = np.searchsorted(P.ts2[cs_:ct_], ring_ts[sel], side="right") - 1
+            okr = k >= 0
+            kk = cs_ + np.maximum(k, 0)
+            okr &= P.vis2[kk]
+            rk[sel[okr]] = kk[okr]
+        counts = np.zeros(nring, np.int64)
+        slon = np.zeros(nring, np.int64)
+        slat = np.zeros(nring, np.int64)
+        live = np.flatnonzero(rk >= 0)
+        if len(live):
+            lk = rk[live]
+            nm = P.mem_end2[lk] - P.mem_start2[lk]
+            g2 = _range_gather_idx(P.mem_start2[lk], nm)
+            pre = np.cumsum(nm) - nm
+            pos = np.arange(len(g2), dtype=np.int64) - np.repeat(pre, nm)
+            c, lon_f, lat_f = _resolve_frontier(
+                P, cmap, nring,
+                (
+                    np.repeat(live, nm),
+                    np.repeat(ring_ts[live], nm),
+                    P.mem_child[g2],
+                    [pos],
+                ),
+            )
+            counts = c
+            offs = np.r_[0, np.cumsum(counts)][:-1]
+            lon_p = np.r_[lon_f, np.int64(0)]
+            lat_p = np.r_[lat_f, np.int64(0)]
+            if len(offs):
+                slon = np.where(counts == 0, 0, np.add.reduceat(lon_p, offs))
+                slat = np.where(counts == 0, 0, np.add.reduceat(lat_p, offs))
+        n_holes = np.bincount(
+            ring_row[counts > 0], minlength=len(rows)
+        ).astype(np.int64)
+        sum_lon = np.zeros(len(rows), np.int64)
+        sum_lat = np.zeros(len(rows), np.int64)
+        np.add.at(sum_lon, ring_row, slon)
+        np.add.at(sum_lat, ring_row, slat)
+        ts_out.append(tr[rowkeep])
+        nh_out.append(n_holes[rowkeep])
+        sl_out.append(sum_lon[rowkeep])
+        sa_out.append(sum_lat[rowkeep])
+
+    cat = (
+        lambda parts: np.concatenate(parts)
+        if parts
+        else np.empty(0, np.int64)
+    )
+    return pa.table(
+        {
+            "ts_q": pa.array(cat(ts_out)),
+            "n_holes": pa.array(cat(nh_out)),
+            "sum_lon": pa.array(cat(sl_out)),
+            "sum_lat": pa.array(cat(sa_out)),
         }
     )

@@ -2292,32 +2292,20 @@ def q_snapshot_old_style(sf_dir: str) -> pd.DataFrame:
     closed-ring repeat of the first inner node)."""
     from .aggregate import combine_partials
     from .ingest import read_oldstyle_documents
-    from .members import COMPOUND_BATCH, parse_doc, snapshots_old_style
-
-    def match(st):
-        return st.tags.get("k") == "3"
+    from .members import COMPOUND_BATCH
+    from .members_vec import snapshots_old_style_batch_vec
 
     def stage(batch: pa.Table) -> pa.Table:
-        agg: dict[int, list[int]] = {}
-        for spans in batch["spans"].to_pylist():
-            doc = parse_doc(spans)
-            for t, _st, holes in snapshots_old_style(doc, WAY_SNAPS, match=match):
-                a = agg.setdefault(t, [0, 0, 0, 0])
-                a[0] += 1
-                a[1] += len(holes)
-                for ring in holes:
-                    a[2] += int(ring[:, 0].sum())
-                    a[3] += int(ring[:, 1].sum())
-        keys = sorted(agg)
-        return pa.table(
-            {
-                "ts_q": pa.array([int(k) for k in keys], type=pa.int64()),
-                "rel_part": pa.array([agg[k][0] for k in keys], type=pa.int64()),
-                "hole_part": pa.array([agg[k][1] for k in keys], type=pa.int64()),
-                "lon_part": pa.array([agg[k][2] for k in keys], type=pa.int64()),
-                "lat_part": pa.array([agg[k][3] for k in keys], type=pa.int64()),
-            }
+        # vectorized engine (A/B-pinned to members.snapshots_old_style
+        # in tests/test_members_vec.py) + per-batch partial agg
+        rows = snapshots_old_style_batch_vec(batch, WAY_SNAPS, match_kv=("k", "3"))
+        t = rows.append_column(
+            "_one", pa.array(np.ones(len(rows), dtype=np.int64))
         )
+        g = pa.TableGroupBy(t, ["ts_q"]).aggregate(
+            [("_one", "sum"), ("n_holes", "sum"), ("sum_lon", "sum"), ("sum_lat", "sum")]
+        )
+        return g.rename_columns(["ts_q", "rel_part", "hole_part", "lon_part", "lat_part"])
 
     partials = read_oldstyle_documents(sf_dir).map_batches(
         stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH

@@ -237,3 +237,156 @@ def test_separator_adversarial_tag_values_and_roles_ab():
     _assert_contrib_ab(tbl, None, None)
     new = contribution_stats_batch_vec(tbl, 0, 1 << 61, match_kv=None)
     assert new.to_pydict()["tag_part"][0] == 1  # the change IS detected
+
+
+# ---------------------------------------------------- old-style A/B
+
+
+@pytest.fixture(scope="module")
+def oldstyle_tbl():
+    from rayhist.ingest import ensure_oldstyle_documents
+
+    return _load(ensure_oldstyle_documents(SF))
+
+
+def _oldstyle_ref_rows(tbl, match_py):
+    """Per-(doc, ts) old-style metrics via the per-document reference
+    path, in the vec output's column shape."""
+    rows = []
+    for spans in tbl["spans"].to_pylist():
+        doc = members.parse_doc(spans)
+        for t, _st, holes in members.snapshots_old_style(doc, TS, match=match_py):
+            rows.append(
+                (
+                    int(t),
+                    len(holes),
+                    int(sum(int(r[:, 0].sum()) for r in holes)),
+                    int(sum(int(r[:, 1].sum()) for r in holes)),
+                )
+            )
+    return sorted(rows)
+
+
+def _assert_oldstyle_ab(tbl, match_py, match_kv):
+    from rayhist.members_vec import snapshots_old_style_batch_vec
+
+    new = snapshots_old_style_batch_vec(tbl, TS, match_kv=match_kv)
+    got = sorted(
+        zip(
+            new["ts_q"].to_pylist(),
+            new["n_holes"].to_pylist(),
+            new["sum_lon"].to_pylist(),
+            new["sum_lat"].to_pylist(),
+        )
+    )
+    assert got == _oldstyle_ref_rows(tbl, match_py)
+
+
+def test_oldstyle_corpus_ab(oldstyle_tbl):
+    _assert_oldstyle_ab(oldstyle_tbl, None, None)
+
+
+def test_oldstyle_corpus_filtered_ab(oldstyle_tbl):
+    _assert_oldstyle_ab(
+        oldstyle_tbl, lambda v: v.tags.get("k") == "3", ("k", "3")
+    )
+
+
+def test_oldstyle_adversarial_ab():
+    """Edge shapes: multiple outers (disqualify), interesting relation
+    tag (disqualify), missing outer child, node as inner member (no
+    points), invisible inner way, and a plain qualifying relation."""
+    T1, T2 = TS[1], TS[3]
+
+    def ver(off, **kw):
+        d = dict(v=1, ts=T1 - 1, cs=1, uid=1, vis=1)
+        d.update(kw)
+        return {
+            "kind": "version",
+            "text": (
+                f"child={d['child']};" if "child" in d else ""
+            )
+            + f"v={d['v']};ts={d['ts']};cs={d['cs']};uid={d['uid']};vis={d['vis']}",
+            "offset": off,
+        }
+
+    def tag(off, k, v):
+        return {"kind": "tag", "text": f"{k}={v}", "offset": off}
+
+    def mem(off, ent, role):
+        return {"kind": "member", "text": f"{ent}@role={role}", "offset": off}
+
+    def geom(off, lon, lat):
+        return {
+            "kind": "geom",
+            "text": "",
+            "media_ref": f"geom:v=1;lon={lon};lat={lat}",
+            "offset": off,
+        }
+
+    def node(cid, off, lon, lat, vis=1):
+        return [ver(off, child=cid, vis=vis), geom(off + 1, lon, lat)]
+
+    def way(cid, off, nodes, vis=1):
+        spans = [ver(off, child=cid, vis=vis)]
+        spans += [mem(off + 1 + i, n, "node") for i, n in enumerate(nodes)]
+        return spans
+
+    def rel(off, tags, membs):
+        spans = [ver(off)]
+        spans += [tag(off + 1 + i, k, v) for i, (k, v) in enumerate(tags)]
+        spans += [
+            mem(off + 10 + i, e, r) for i, (e, r) in enumerate(membs)
+        ]
+        return spans
+
+    docs = []
+    # qualifying: one outer way (k=3), one inner way with 2 nodes
+    docs.append(
+        rel(0, [("type", "multipolygon")], [("w1", "outer"), ("w2", "inner")])
+        + way("w1", 20, ["n1"])
+        + [tag(22, "k", "3")]  # hmm: tag attaches to most recent version (w1)
+        + way("w2", 30, ["n2", "n3"])
+        + node("n1", 40, 1, 2)
+        + node("n2", 50, 10, 20)
+        + node("n3", 60, 30, 40)
+    )
+    # multiple outers: disqualified
+    docs.append(
+        rel(0, [("type", "multipolygon")], [("w1", "outer"), ("w2", "outer")])
+        + way("w1", 20, ["n1"])
+        + way("w2", 30, ["n2"])
+        + node("n1", 40, 1, 2)
+        + node("n2", 50, 3, 4)
+    )
+    # interesting relation tag: disqualified
+    docs.append(
+        rel(0, [("type", "multipolygon"), ("building", "yes")], [("w1", "outer")])
+        + way("w1", 20, ["n1"])
+        + node("n1", 40, 1, 2)
+    )
+    # outer child missing from doc: skipped
+    docs.append(
+        rel(0, [("type", "multipolygon")], [("ghost", "outer"), ("w2", "inner")])
+        + way("w2", 30, ["n2"])
+        + node("n2", 50, 3, 4)
+    )
+    # node as inner member: ring resolves one level down -> no points
+    docs.append(
+        rel(0, [("type", "boundary")], [("w1", "outer"), ("n9", "inner")])
+        + way("w1", 20, ["n1"])
+        + node("n1", 40, 1, 2)
+        + node("n9", 50, 7, 8)
+    )
+    # invisible inner way at T2: ring dropped from T2 on
+    docs.append(
+        rel(0, [("type", "multipolygon")], [("w1", "outer"), ("w2", "inner")])
+        + way("w1", 20, ["n1"])
+        + way("w2", 30, ["n2"])
+        + [ver(33, child="w2", v=2, ts=T2, vis=0)]
+        + node("n1", 40, 1, 2)
+        + node("n2", 50, 5, 6)
+    )
+    tbl = _batch_of(docs)
+    _assert_oldstyle_ab(tbl, None, None)
+    _assert_oldstyle_ab(tbl, lambda v: v.tags.get("k") == "3", ("k", "3"))
