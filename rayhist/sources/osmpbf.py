@@ -906,14 +906,57 @@ def _fp() -> str:
     return rio.code_fingerprint(sys.modules[__name__], model)
 
 
+def _encode_bucketed(partials, key_col: str, build_rows, out: Path, stem: str) -> str:
+    """Distributed fixture encode: per-key partials route to
+    fmix64-hash buckets (all partials of one key co-locate, so
+    cross-shard combines happen inside the bucket task), each bucket
+    builds its rows and writes ONE self-contained .osh.pbf inside the
+    group task — no corpus-cardinality driver materialization. Bucket
+    count scales with the cluster (per-bucket memory stays bounded as
+    the corpus grows); the cache dir is assumed posix-shared across
+    workers, the same assumption as the span cache (rayhist.io)."""
+    import ray
+
+    from ..ops.text import fmix64
+
+    n_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    tmp = out.parent / f".tmp_{stem}_{os.getpid()}"
+    tmp.mkdir(parents=True, exist_ok=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (fmix64(k) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def write_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["_bucket"].iloc[0])
+        rows = build_rows(df.drop(columns=["_bucket"]))
+        write_osmpbf(str(tmp / f"part-{b:05d}.osh.pbf"), rows)
+        return pd.DataFrame({"bucket": [b], "n": [len(rows)]})
+
+    (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .materialize()
+    )
+    try:
+        tmp.rename(out)
+    except OSError:
+        if not out.exists():
+            raise
+    return str(out)
+
+
 def ensure_osmpbf_ways(sf_dir: str, rep: int = 1) -> str:
     """Materialize (once) a .osh.pbf file of WAY histories derived
     from the corpus with the ingest derivation (rayhist/ingest.py way
     docstring: way w = member nodes {5w..5w+4}; v1 at min member event
     ts, v2 at max+1 with w%3==0 deleted; tags etype=way / k=w%7(+1)).
-    The member (wid, ts) extraction is distributed; the final way-table
-    encode is driver-side — ways are corpus/5 two-version rows, small
-    relative to the member scan (same boundary as ensure_pbfish)."""
+    Fully distributed: the member (wid, ts) extraction is a per-batch
+    partial, cross-shard combine + message build + encode happen per
+    fmix64(wid) bucket (_encode_bucketed) — nothing corpus-cardinality
+    reaches the driver."""
     from ..ingest import WAY_BLOCK, WAY_CS_BASE, ensure_documents
     from ..model import decode_spans
 
@@ -934,39 +977,34 @@ def ensure_osmpbf_ways(sf_dir: str, rep: int = 1) -> str:
         g = g.join(mem.rename(columns={"min": "m0", "max": "m1", "count": "nm"}))
         return pa.Table.from_pandas(g.reset_index())
 
-    parts = rio.read_table(src).map_batches(wid_ts, batch_format="pyarrow").to_pandas()
-    # combine shard partials (a way's members can straddle shards)
-    w = parts.groupby("wid").agg(
-        ts1=("ts1", "min"), ts2=("ts2", "max"), m0=("m0", "min"), m1=("m1", "max")
-    )
-    w = w.reset_index()
-    rows = []
-    for r in w.itertuples(index=False):
-        wid = int(r.wid)
-        members = list(range(int(r.m0), int(r.m1) + 1))
-        vis2 = wid % 3 != 0
-        base = {
-            "etype": "way", "osm_id": wid, "user": f"u{wid % 37}",
-            "lon_e7": 0, "lat_e7": 0, "refs": members,
-            "member_ids": [], "member_roles": [], "member_types": [],
-        }
-        rows.append({**base, "v": 1, "ts": int(r.ts1), "cs": WAY_CS_BASE + wid * 1000 + 1,
-                     "uid": wid % 37, "visible": True,
-                     "tag_k": ["etype", "k"], "tag_v": ["way", str(wid % 7)]})
-        rows.append({**base, "v": 2, "ts": int(r.ts2) + 1, "cs": WAY_CS_BASE + wid * 1000 + 2,
-                     "uid": (wid + 1) % 37, "visible": vis2,
-                     "tag_k": (["etype", "k"] if vis2 else []),
-                     "tag_v": (["way", str(wid % 7 + 1)] if vis2 else []),
-                     "user": f"u{(wid + 1) % 37}"})
-    tmp = out.parent / f".tmp_pbfw_{os.getpid()}"
-    tmp.mkdir(parents=True, exist_ok=True)
-    write_osmpbf(str(tmp / "ways.osh.pbf"), pd.DataFrame(rows))
-    try:
-        tmp.rename(out)
-    except OSError:
-        if not out.exists():
-            raise
-    return str(out)
+    parts = rio.read_table(src).map_batches(wid_ts, batch_format="pyarrow")
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        # combine shard partials (a way's members can straddle shards)
+        w = df.groupby("wid").agg(
+            ts1=("ts1", "min"), ts2=("ts2", "max"), m0=("m0", "min"), m1=("m1", "max")
+        ).reset_index()
+        rows = []
+        for r in w.itertuples(index=False):
+            wid = int(r.wid)
+            members = list(range(int(r.m0), int(r.m1) + 1))
+            vis2 = wid % 3 != 0
+            base = {
+                "etype": "way", "osm_id": wid, "user": f"u{wid % 37}",
+                "lon_e7": 0, "lat_e7": 0, "refs": members,
+                "member_ids": [], "member_roles": [], "member_types": [],
+            }
+            rows.append({**base, "v": 1, "ts": int(r.ts1), "cs": WAY_CS_BASE + wid * 1000 + 1,
+                         "uid": wid % 37, "visible": True,
+                         "tag_k": ["etype", "k"], "tag_v": ["way", str(wid % 7)]})
+            rows.append({**base, "v": 2, "ts": int(r.ts2) + 1, "cs": WAY_CS_BASE + wid * 1000 + 2,
+                         "uid": (wid + 1) % 37, "visible": vis2,
+                         "tag_k": (["etype", "k"] if vis2 else []),
+                         "tag_v": (["way", str(wid % 7 + 1)] if vis2 else []),
+                         "user": f"u{(wid + 1) % 37}"})
+        return pd.DataFrame(rows)
+
+    return _encode_bucketed(parts, "wid", build, out, "pbfw")
 
 
 def ensure_osmpbf_relations(sf_dir: str, rep: int = 1) -> str:
@@ -977,10 +1015,10 @@ def ensure_osmpbf_relations(sf_dir: str, rep: int = 1) -> str:
     uid = r%37, tags etype=relation / k=r%7, way members with empty
     roles). Proves the PBF Relation message path — delta-coded memids,
     roles_sid (index 0 = empty role), member-type enum — under the
-    value-exact oracle (oracles.osmpbf_relation_member_sums). The
-    member (wid, ts) extraction is distributed; the final encode is
-    driver-side over corpus/10 one-version rows (same boundary as
-    ensure_osmpbf_ways)."""
+    value-exact oracle (oracles.osmpbf_relation_member_sums). Fully
+    distributed like ensure_osmpbf_ways: per-batch (wid, ts1) partials
+    route to fmix64(rid) buckets, combine + message build + encode per
+    bucket (_encode_bucketed)."""
     from ..ingest import REL_CS_BASE, WAY_BLOCK, ensure_documents
     from ..model import decode_spans
 
@@ -996,37 +1034,35 @@ def ensure_osmpbf_relations(sf_dir: str, rep: int = 1) -> str:
         ids = d["osm_id"].to_numpy(zero_copy_only=False)
         ts = d["ts"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"wid": ids // WAY_BLOCK, "ts": ts})
-        g = df.groupby("wid").agg(ts1=("ts", "min"))
-        return pa.Table.from_pandas(g.reset_index())
+        g = df.groupby("wid").agg(ts1=("ts", "min")).reset_index()
+        g["rid"] = g["wid"] // 2  # the bucket key: a relation's ways co-locate
+        return pa.Table.from_pandas(g)
 
-    parts = rio.read_table(src).map_batches(wid_ts, batch_format="pyarrow").to_pandas()
-    w = parts.groupby("wid", as_index=False).agg(ts1=("ts1", "min"))
-    w["rid"] = w["wid"] // 2
-    rows = []
-    for rid, g in w.groupby("rid"):
-        members = sorted(int(x) for x in g["wid"])
-        rows.append(
-            {
-                "etype": "relation", "osm_id": int(rid), "v": 1,
-                "ts": int(g["ts1"].min()),
-                "cs": REL_CS_BASE + int(rid) * 1000 + 1,
-                "uid": int(rid) % 37, "user": f"u{int(rid) % 37}",
-                "visible": True, "lon_e7": 0, "lat_e7": 0,
-                "tag_k": ["etype", "k"], "tag_v": ["relation", str(int(rid) % 7)],
-                "refs": [], "member_ids": members,
-                "member_roles": [""] * len(members),
-                "member_types": ["way"] * len(members),
-            }
+    parts = rio.read_table(src).map_batches(wid_ts, batch_format="pyarrow")
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.groupby("wid", as_index=False).agg(
+            rid=("rid", "first"), ts1=("ts1", "min")
         )
-    tmp = out.parent / f".tmp_pbfr_{os.getpid()}"
-    tmp.mkdir(parents=True, exist_ok=True)
-    write_osmpbf(str(tmp / "relations.osh.pbf"), pd.DataFrame(rows))
-    try:
-        tmp.rename(out)
-    except OSError:
-        if not out.exists():
-            raise
-    return str(out)
+        rows = []
+        for rid, g in w.groupby("rid"):
+            members = sorted(int(x) for x in g["wid"])
+            rows.append(
+                {
+                    "etype": "relation", "osm_id": int(rid), "v": 1,
+                    "ts": int(g["ts1"].min()),
+                    "cs": REL_CS_BASE + int(rid) * 1000 + 1,
+                    "uid": int(rid) % 37, "user": f"u{int(rid) % 37}",
+                    "visible": True, "lon_e7": 0, "lat_e7": 0,
+                    "tag_k": ["etype", "k"], "tag_v": ["relation", str(int(rid) % 7)],
+                    "refs": [], "member_ids": members,
+                    "member_roles": [""] * len(members),
+                    "member_types": ["way"] * len(members),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return _encode_bucketed(parts, "rid", build, out, "pbfr")
 
 
 # --------------------------------------------------------- corpus I/O
