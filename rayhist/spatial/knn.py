@@ -781,6 +781,7 @@ def knn_queries(
     query_col: str = "_is_query",
     zoom: int = 6,
     halo: int = 1,
+    driver_gate: int | None = None,
 ) -> pd.DataFrame:
     """EXACT kNN for a FLAGGED SUBSET of the points, fully distributed —
     the scale path when the query set itself grows with the corpus (the
@@ -957,22 +958,62 @@ def knn_queries(
             }
         )
 
-    partials = (
-        points.map_batches(scatter, batch_format="pyarrow")
-        .groupby("_tcell")
-        .map_groups(lambda g: cell_partials(g.drop(columns=["_tcell"])), batch_format="pandas")
-        # pin the (tiny, <= queries x (k+ties) x halo-cells rows)
-        # partials: the second sort-groupby re-executes a lazy input
-        # for boundary sampling, which would re-run every distance
-        # matrix — and, transitively, the caller's decode if `points`
-        # itself is lazy
-        .materialize()
-    )
-    res = (
-        partials.groupby("_qb")
-        .map_groups(lambda g: resolve_bucket(g.drop(columns=["_qb"])), batch_format="pandas")
-        .to_pandas()  # output-sized: <= queries x (k + boundary ties) rows
-    )
+    # adaptive operating point (the combine_partials philosophy: the
+    # distributed machinery is for data that NEEDS it). For an input
+    # already materialized with a known small row count, both shuffles
+    # are pure scheduling overhead (~1 s at sandbox scale for a few
+    # thousand rows); run the SAME scatter/cell/resolve kernels in one
+    # driver pass instead. The gate is a documented constant — driver
+    # memory is bounded by it, never by the corpus — and the
+    # distributed path is forced in tests via driver_gate=0
+    # (tests/test_spatial.py knn_queries A/Bs run both paths).
+    if driver_gate is None:
+        driver_gate = 64 * 1024
+    from ray.data.dataset import MaterializedDataset
+
+    small = isinstance(points, MaterializedDataset) and points.count() <= driver_gate
+    if small:
+        scat = scatter(
+            pa.Table.from_pandas(points.to_pandas(), preserve_index=False)
+        ).to_pandas()
+        frames = [
+            cell_partials(g.drop(columns=["_tcell"]))
+            for _, g in scat.groupby("_tcell", sort=False)
+        ]
+        pdf = pd.concat(frames, ignore_index=True) if frames else _EMPTY_PART
+        res = (
+            resolve_bucket(pdf.drop(columns=["_qb"])) if len(pdf) else pd.DataFrame()
+        )
+    else:
+        partials = (
+            points.map_batches(scatter, batch_format="pyarrow")
+            .groupby("_tcell")
+            .map_groups(lambda g: cell_partials(g.drop(columns=["_tcell"])), batch_format="pandas")
+            # pin the (tiny, <= queries x (k+ties) x halo-cells rows)
+            # partials: the second sort-groupby re-executes a lazy input
+            # for boundary sampling, which would re-run every distance
+            # matrix — and, transitively, the caller's decode if `points`
+            # itself is lazy
+            .materialize()
+        )
+        # second gate: resolve_bucket groups by query_id internally, so
+        # it is bucket-layout-independent; partials are materialized, so
+        # their size is known — below the gate one pandas pass skips the
+        # second shuffle's fixed cost, above it the groupby(_qb)
+        # distributed resolve runs.
+        if partials.count() <= driver_gate:
+            pdf = partials.to_pandas()
+            res = (
+                resolve_bucket(pdf.drop(columns=["_qb"]))
+                if len(pdf)
+                else pd.DataFrame()
+            )
+        else:
+            res = (
+                partials.groupby("_qb")
+                .map_groups(lambda g: resolve_bucket(g.drop(columns=["_qb"])), batch_format="pandas")
+                .to_pandas()  # output-sized: <= queries x (k + boundary ties) rows
+            )
     if res.empty:
         return pd.DataFrame(
             {"query_id": pd.Series([], dtype="int64"),

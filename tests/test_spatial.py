@@ -700,10 +700,13 @@ def test_knn_queries_matches_brute_across_partitionings():
     brute = knn_points(ds, queries, k=3)
     cols = ["query_id", "neighbor_id", "rank", "dist2"]
     for zoom, halo in ((2, 1), (6, 1), (3, 2)):
-        got = knn_queries(ds, k=3, zoom=zoom, halo=halo)
-        pdt.assert_frame_equal(
-            got[cols].reset_index(drop=True), brute[cols].reset_index(drop=True)
-        )
+        # gate=0 forces the fully distributed shuffles; the default
+        # gate takes the small-input driver pass — both must be exact
+        for gate in (0, None):
+            got = knn_queries(ds, k=3, zoom=zoom, halo=halo, driver_gate=gate)
+            pdt.assert_frame_equal(
+                got[cols].reset_index(drop=True), brute[cols].reset_index(drop=True)
+            )
 
 
 def test_knn_queries_empty_neighborhood_sentinel():
