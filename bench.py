@@ -100,13 +100,15 @@ def run_bench() -> dict:
         floors.append(time.perf_counter() - t0)
     pipeline_floor = round(min(floors), 3)
 
-    # RAYHIST_BENCH_PASSES > 1: per-query min over P passes in the SAME
-    # process, applied identically at every parallelism level. On this
-    # co-tenanted VM noise only ever ADDS time, so min-of-P is closer
-    # to the machine's true capability at BOTH levels and the scaling
-    # ratio is unbiased; the headline protocol stays at 1 pass for
-    # round-over-round comparability.
-    passes = int(os.environ.get("RAYHIST_BENCH_PASSES", "1"))
+    # Per-query min over P passes in the SAME process, applied
+    # identically at every parallelism level. On this co-tenanted VM
+    # noise only ever ADDS time (same code measured 7.4-12.7 s across
+    # single passes in one afternoon; see BASELINE.md round-5 notes),
+    # so min-of-P is closer to the machine's true capability at BOTH
+    # levels and the scaling ratio is unbiased. Headline default is 3
+    # as of round 5; the JSON reports the pass count so every recorded
+    # number is self-describing (earlier BENCH_r{1..4} were passes=1).
+    passes = int(os.environ.get("RAYHIST_BENCH_PASSES", "3"))
     times: dict[str, float] = {}
     for name, fn in headline:
         best = float("inf")
