@@ -702,6 +702,19 @@ class MapReducer:
         keys = self._keys()
         by_ts, by_type = self._agg_ts, "osm_type" in self._agg_cols
         types = self._types
+        # all three corpora must describe the SAME amplification level:
+        # the node leg's _docs() reads rep from RAYHIST_REP, so the
+        # compound tables must too (a mixed-rep union would sum counts
+        # over different corpora in one result frame)
+        rep = int(os.environ.get("RAYHIST_REP", "1"))
+        # cooperative deadline, same contract as the node-only chain
+        # (_view_stage): armed when the terminal builds the plan,
+        # checked between batches in EVERY leg
+        deadline = None
+        if self._timeout_s is not None:
+            from .functions.deadline import Deadline
+
+            deadline = Deadline(self._timeout_s)
 
         def partial(tsq: np.ndarray, otype: str) -> pa.Table:
             cols: dict[str, pa.Array] = {}
@@ -720,6 +733,8 @@ class MapReducer:
         if "node" in types:
 
             def node_stage(batch: pa.Table) -> pa.Table:
+                if deadline is not None:
+                    deadline.check()
                 s = snap_fn(decode_spans(batch, tags=False, geom=False), ts)
                 return partial(s["ts_q"].to_numpy(zero_copy_only=False), "node")
 
@@ -727,22 +742,26 @@ class MapReducer:
         if "way" in types:
 
             def way_stage(batch: pa.Table) -> pa.Table:
+                if deadline is not None:
+                    deadline.check()
                 s = snapshot_geoms_batch_vec(batch, ts_list)
                 return partial(s["ts_q"].to_numpy(zero_copy_only=False), "way")
 
             legs.append(
-                read_way_documents(self._source).map_batches(
+                read_way_documents(self._source, rep=rep).map_batches(
                     way_stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH
                 )
             )
         if "relation" in types:
 
             def rel_stage(batch: pa.Table) -> pa.Table:
+                if deadline is not None:
+                    deadline.check()
                 s = snap_rel_batch(batch, ts_list, id_name="rel_id")
                 return partial(s["ts_q"].to_numpy(zero_copy_only=False), "relation")
 
             legs.append(
-                read_relation_documents(self._source).map_batches(
+                read_relation_documents(self._source, rep=rep).map_batches(
                     rel_stage, batch_format="pyarrow", batch_size=COMPOUND_BATCH
                 )
             )

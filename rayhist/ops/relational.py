@@ -433,12 +433,16 @@ def stratified_sample(
             [thresh.get(s, dflt) for s in cat.categories], dtype=np.uint64
         )
         # null stratum -> code -1, which would wrap to the LAST
-        # category's threshold; route it to the default rate instead
+        # category's threshold; route it to the default rate instead.
+        # An ALL-null block has no categories at all — every row is a
+        # null stratum and must take the same default rate (a zero
+        # threshold here would make sampling depend on which rows
+        # co-reside in a block, breaking partitioning invariance)
         if len(lut):
             codes = np.asarray(cat.codes)
             t = np.where(codes >= 0, lut[np.maximum(codes, 0)], dflt)
         else:
-            t = np.zeros(len(b), dtype=np.uint64)
+            t = np.full(len(b), dflt, dtype=np.uint64)
         return b.filter(pa.array(h < t))
 
     return ds.map_batches(stage, batch_format="pyarrow")

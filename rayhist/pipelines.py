@@ -928,7 +928,12 @@ def q_way_lengths(sf_dir: str) -> pd.DataFrame:
     def positions(batch: pa.Table) -> pa.Table:
         return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
 
-    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    # MATERIALIZE: multiple join legs consume `pos`; a lazy upstream
+    # re-runs the full decode+interpolate chain once PER LEG (the
+    # multi-consumer hazard documented at _knn_positions_flagged). The
+    # materialized table is small (int columns, one row per live
+    # entity) and lives in the distributed object store, not the driver.
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
 
     def as_left(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -991,7 +996,12 @@ def q_way_areas(sf_dir: str) -> pd.DataFrame:
     def positions(batch: pa.Table) -> pa.Table:
         return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
 
-    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    # MATERIALIZE: multiple join legs consume `pos`; a lazy upstream
+    # re-runs the full decode+interpolate chain once PER LEG (the
+    # multi-consumer hazard documented at _knn_positions_flagged). The
+    # materialized table is small (int columns, one row per live
+    # entity) and lives in the distributed object store, not the driver.
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
 
     def corner(i: int):
         def stage(batch: pa.Table) -> pa.Table:
@@ -1898,7 +1908,12 @@ def q_clipped_way_lengths(sf_dir: str) -> pd.DataFrame:
     def positions(batch: pa.Table) -> pa.Table:
         return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
 
-    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    # MATERIALIZE: multiple join legs consume `pos`; a lazy upstream
+    # re-runs the full decode+interpolate chain once PER LEG (the
+    # multi-consumer hazard documented at _knn_positions_flagged). The
+    # materialized table is small (int columns, one row per live
+    # entity) and lives in the distributed object store, not the driver.
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
     left = pos.map_batches(
         lambda b: pa.table({"join_k": b["osm_id"], "lon1": b["lon_e7"], "lat1": b["lat_e7"]}),
         batch_format="pyarrow",
@@ -1968,7 +1983,12 @@ def q_clipped_way_lengths_daily(sf_dir: str) -> pd.DataFrame:
             ["osm_id", "lon_e7", "lat_e7", "ts_q"]
         )
 
-    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    # MATERIALIZE: multiple join legs consume `pos`; a lazy upstream
+    # re-runs the full decode+interpolate chain once PER LEG (the
+    # multi-consumer hazard documented at _knn_positions_flagged). The
+    # materialized table is small (int columns, one row per live
+    # entity) and lives in the distributed object store, not the driver.
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
 
     # composite (osm_id, ts) equi-join key: way u at timestamp index i
     # joins node u with node u+1 AT THE SAME timestamp
@@ -2083,7 +2103,12 @@ def q_clipped_way_lengths_poly(sf_dir: str) -> pd.DataFrame:
     def positions(batch: pa.Table) -> pa.Table:
         return snapshots_fn(decode_spans(batch, tags=False), ts).select(["osm_id", "lon_e7", "lat_e7"])
 
-    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    # MATERIALIZE: multiple join legs consume `pos`; a lazy upstream
+    # re-runs the full decode+interpolate chain once PER LEG (the
+    # multi-consumer hazard documented at _knn_positions_flagged). The
+    # materialized table is small (int columns, one row per live
+    # entity) and lives in the distributed object store, not the driver.
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
     left = pos.map_batches(
         lambda b: pa.table({"join_k": b["osm_id"], "lon1": b["lon_e7"], "lat1": b["lat_e7"]}),
         batch_format="pyarrow",

@@ -310,6 +310,61 @@ def test_three_type_union_chain_matches_direct_pipelines():
     assert total == int(got["n_snapshots"].sum())
 
 
+def test_three_type_union_honors_timeout():
+    """timeout() must cover the compound union legs too — the
+    cooperative deadline is checked between batches in EVERY leg, same
+    contract as the node-only chain (MapReducerJdbc.java:43-49)."""
+    import pytest
+    import ray
+
+    from rayhist.functions.deadline import RayhistTimeoutError
+    from rayhist.pipelines import WAY_SNAPS
+
+    # a worker-raised deadline surfaces wrapped in RayTaskError (the
+    # established assertion pattern, tests/test_deadline.py)
+    with pytest.raises((RayhistTimeoutError, ray.exceptions.RayTaskError)) as ei:
+        (
+            OSMEntitySnapshotView.on(SF)
+            .timestamps(WAY_SNAPS)
+            .osmType("node", "way", "relation")
+            .timeout(1e-9)
+            .count()
+        )
+    assert "deadline exceeded" in str(ei.value)
+
+
+def test_three_type_union_plumbs_rep_to_compound_tables(monkeypatch):
+    """All three union legs must describe the SAME RAYHIST_REP
+    amplification level: the node leg reads rep from the env, so the
+    way/relation table reads must receive the same rep."""
+    import rayhist.ingest as ingest
+    from rayhist.pipelines import WAY_SNAPS
+
+    seen: list[int] = []
+    real_way, real_rel = ingest.read_way_documents, ingest.read_relation_documents
+
+    def spy_way(sf_dir, columns=None, rep=1):
+        seen.append(rep)
+        return real_way(sf_dir, columns=columns, rep=1)
+
+    def spy_rel(sf_dir, columns=None, rep=1):
+        seen.append(rep)
+        return real_rel(sf_dir, columns=columns, rep=1)
+
+    monkeypatch.setattr(ingest, "read_way_documents", spy_way)
+    monkeypatch.setattr(ingest, "read_relation_documents", spy_rel)
+    # a non-default rep must reach the compound reads (the spies serve
+    # the rep=1 table so no amplified compound cache gets built)
+    monkeypatch.setenv("RAYHIST_REP", "2")
+    (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([WAY_SNAPS[0]])
+        .osmType("node", "way", "relation")
+        .count()
+    )
+    assert seen == [2, 2]
+
+
 def test_osm_type_filters_dataset_source():
     """With a Dataset source the scan prefilter is unavailable — the
     decoded-version mask must still enforce the type filter."""

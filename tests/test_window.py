@@ -365,6 +365,40 @@ def test_stratified_sample_null_stratum_gets_default_rate():
     assert abs(n_null - n / 8) < 4 * np.sqrt(n / 2 * 0.25 * 0.75)
 
 
+def test_stratified_sample_all_null_block_gets_default_rate():
+    """A block containing ONLY null-stratum rows has no pd.Categorical
+    categories at all (empty lut) — its rows must still take the
+    default rate, not a zero threshold. A zero threshold would make
+    sampling depend on which rows co-reside in a block, breaking the
+    documented partitioning invariance."""
+    from rayhist.ops.relational import stratified_sample
+
+    n = 4_000
+    df_null = pd.DataFrame({"k": np.arange(n, dtype=np.int64)})
+    df_null["s"] = pd.array([None] * n, dtype="string")
+    df_named = pd.DataFrame({"k": np.arange(n, 2 * n, dtype=np.int64)})
+    df_named["s"] = pd.array(["keep"] * n, dtype="string")
+    # two blocks: one entirely null-stratum, one entirely named
+    ds = ray.data.from_pandas([df_null, df_named])
+    got = stratified_sample(
+        ds, {"keep": (1, 1)}, "k", "s", default=(1, 2)
+    ).to_pandas()
+    n_null = got["s"].isna().sum()
+    assert (got["s"] == "keep").sum() == n
+    # the all-null block samples at the default rate (binomial 4-sigma;
+    # under the zero-threshold bug n_null == 0)
+    assert abs(n_null - n / 2) < 4 * np.sqrt(n * 0.25)
+    # partitioning invariance: same rows kept when the nulls are
+    # interleaved with named rows instead of isolated in one block
+    mixed = ray.data.from_pandas(
+        pd.concat([df_null, df_named]).sample(frac=1, random_state=7)
+    ).repartition(4)
+    got_mixed = stratified_sample(
+        mixed, {"keep": (1, 1)}, "k", "s", default=(1, 2)
+    ).to_pandas()
+    assert set(got_mixed["k"]) == set(got["k"])
+
+
 def test_stratified_sample_md5_matches_flat_at_uniform_rate():
     """With one uniform rate the stratified op equals
     deterministic_sample (same hash, same threshold)."""
