@@ -61,6 +61,56 @@ def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+def _arrow_fields(schema) -> list[tuple[str, pa.DataType]]:
+    """(name, Arrow type) pairs from a Ray Dataset schema. Parquet /
+    Arrow-block sources already carry pa.DataType entries; a pandas-
+    block source (``from_pandas`` with object columns) reports NUMPY
+    dtypes, which ``pa.nulls`` rejects — normalize those (object maps
+    to string, the pandas text convention)."""
+    out = []
+    for n, t in zip(schema.names, schema.types):
+        if not isinstance(t, pa.DataType):
+            t = pa.string() if t is object or str(t) == "object" else pa.from_numpy_dtype(t)
+        out.append((n, t))
+    return out
+
+
+def _replicate_to_bins(
+    s: np.ndarray, e: np.ndarray, bin_us: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Interval -> overlapped-bin replication used by BOTH range-join
+    kernels (pair-expanding and coverage-counting): one (row index,
+    bin id) pair per bin the half-open interval [s, e) overlaps. The
+    two operators must agree bin-for-bin so a count query answered by
+    either gives the same result — keep this the single copy.
+    Malformed intervals (e < s) are rejected loudly: downstream they
+    would crash np.repeat in the pair kernel but SILENTLY subtract
+    from coverage counts."""
+    if (e < s).any():
+        bad = int((e < s).sum())
+        raise ValueError(f"interval end < start on {bad} row(s)")
+    b0 = s // bin_us
+    b1 = np.maximum(e - 1, s) // bin_us  # end exclusive; empty -> own bin
+    reps = (b1 - b0 + 1).astype(np.int64)
+    idx = np.repeat(np.arange(len(s)), reps)
+    # bin id per replica: running offset within each row's span
+    off = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+    return idx, b0[idx] + off
+
+
+def _empty_frame(fields: list[tuple[str, pa.DataType]]) -> pd.DataFrame:
+    """Zero-row frame whose dtypes mirror what a NON-empty bucket
+    emits for the same fields (ints int64, other types via the Arrow
+    default), so an empty bucket's block never carries a conflicting
+    Arrow schema (an all-int64 placeholder against a string column
+    fails Ray's block-schema unification)."""
+    df = pa.table({n: pa.nulls(0, t) for n, t in fields}).to_pandas()
+    for n, t in fields:
+        if pa.types.is_integer(t):
+            df[n] = df[n].astype("int64")
+    return df
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -91,6 +141,10 @@ def asof_join(
     lschema, rschema = left.schema(), right.schema()
     if on not in rschema.names:
         raise ValueError(f"asof_join: right side lacks the on-column {on!r}")
+    if on not in lschema.names:
+        raise ValueError(f"asof_join: left side lacks the on-column {on!r}")
+    if on == by:
+        raise ValueError("asof_join: on and by must be distinct columns")
     lcols = list(lschema.names)
     # right columns after rename (by keeps its name: it is the equi key)
     ren = {c: (c if (c == by or c not in lcols) else c + rsuffix) for c in rschema.names}
@@ -98,11 +152,14 @@ def asof_join(
     clash = set(rcols_out) & set(lcols)
     if clash:  # a suffixed right name colliding with a left column
         raise ValueError(f"rsuffix={rsuffix!r} collides with left columns: {sorted(clash)}")
+    if len(set(rcols_out)) != len(rcols_out):  # e.g. right has both v and v_r
+        dup = sorted({c for c in rcols_out if rcols_out.count(c) > 1})
+        raise ValueError(f"rsuffix={rsuffix!r} makes right columns collide: {dup}")
 
-    all_fields = [(n, lschema.types[lschema.names.index(n)]) for n in lcols] + [
-        (ren[c], rschema.types[rschema.names.index(c)])
-        for c in rschema.names
-        if c != by
+    lfields = dict(_arrow_fields(lschema))
+    rfields = dict(_arrow_fields(rschema))
+    all_fields = [(n, lfields[n]) for n in lcols] + [
+        (ren[c], rfields[c]) for c in rschema.names if c != by
     ]
 
     def tag(side: int, rename: dict | None):
@@ -138,9 +195,13 @@ def asof_join(
         # pandas view-vs-copy landmine
         lg = g.loc[g["_side"] == 1, lcols].copy()
         rg = g.loc[g["_side"] == 0, [by, *rcols_out]].copy()
+        # downcast ONLY the merge keys to numpy int64 (merge_asof
+        # rejects masked on-keys); VALUE columns stay nullable Int64 so
+        # an unmatched left row pads pd.NA instead of coercing the
+        # whole column to float64 (money rule — exactness above 2^53)
         for frame in (lg, rg):
             for c in frame.columns:
-                if c in int_cols and frame[c].notna().all():
+                if c in (on, ron, by) and c in int_cols and frame[c].notna().all():
                     frame[c] = frame[c].astype("int64")
         lg = lg.sort_values(on, kind="mergesort")
         # ron != on always: right carries `on` (validated above) and
@@ -149,6 +210,12 @@ def asof_join(
         out = pd.merge_asof(
             lg, rg, left_on=on, right_on=ron, by=by, direction=direction
         )
+        # the right on-key went through merge_asof as numpy int64, so
+        # unmatched-row NaN padding upcast it to float64 — restore the
+        # nullable-int dtype (int64 microseconds fit float64 exactly,
+        # so the round-trip is lossless for the time contract)
+        if ron in out.columns and ron in int_cols:
+            out[ron] = out[ron].astype("Int64")
         return group_final(out) if group_final is not None else out
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
@@ -191,24 +258,18 @@ def interval_point_join(
         # being filled from the points batch — ambiguous; rename upstream
         raise ValueError(f"interval/point column names must be disjoint: {sorted(shared)}")
     pcols = [c for c in pschema.names if c not in icols]
-    all_fields = [(n, ischema.types[ischema.names.index(n)]) for n in icols] + [
-        (n, pschema.types[pschema.names.index(n)]) for n in pcols
-    ]
+    iset, pset = frozenset(icols), frozenset(pcols)
+    all_fields = [*((n, t) for n, t in _arrow_fields(ischema)), *(
+        (n, t) for n, t in _arrow_fields(pschema) if n in pset
+    )]
 
     def tag_intervals(batch: pa.Table) -> pa.Table:
-        n = len(batch)
         s = batch[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
         e = batch[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        b0 = s // bin_us
-        b1 = np.maximum(e - 1, s) // bin_us  # end exclusive
-        reps = (b1 - b0 + 1).astype(np.int64)
-        idx = np.repeat(np.arange(n), reps)
-        # bin id per replica: running offset within each row's span
-        off = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
-        bins = b0[idx] + off
+        idx, bins = _replicate_to_bins(s, e, bin_us)
         cols = {}
         for name, typ in all_fields:
-            cols[name] = batch[name].take(pa.array(idx)) if name in set(icols) else pa.nulls(len(idx), typ)
+            cols[name] = batch[name].take(pa.array(idx)) if name in iset else pa.nulls(len(idx), typ)
         cols["_bin"] = pa.array(bins)
         cols["_bucket"] = pa.array((bins % n_buckets).astype(np.int64))
         cols["_side"] = pa.array(np.full(len(idx), 1, dtype=np.int8))
@@ -220,7 +281,7 @@ def interval_point_join(
         bins = t // bin_us
         cols = {}
         for name, typ in all_fields:
-            cols[name] = batch[name] if name in set(pcols) or name in pschema.names else pa.nulls(n, typ)
+            cols[name] = batch[name] if name in pset else pa.nulls(n, typ)
         cols["_bin"] = pa.array(bins)
         cols["_bucket"] = pa.array((bins % n_buckets).astype(np.int64))
         cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
@@ -263,7 +324,7 @@ def interval_point_join(
             )
             outs.append(pairs)
         if not outs:
-            out = pd.DataFrame({n: pd.Series(dtype="int64") for n, _ in all_fields})
+            out = _empty_frame(all_fields)
         else:
             out = pd.concat(outs, ignore_index=True)
         for c in int_cols:
@@ -352,6 +413,14 @@ def distinct_set_op(
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
+            # null keys have no SQL DISTINCT set semantics here and
+            # would crash np.unique's sort (None vs str) or silently
+            # ride NaN float semantics — reject loudly
+            if batch[on].null_count:
+                raise ValueError(
+                    f"distinct_set_op: null keys in {on!r} "
+                    f"({batch[on].null_count} in one batch); filter them upstream"
+                )
             k = np.unique(batch[on].to_numpy(zero_copy_only=False))
             return pa.table(
                 {
@@ -485,20 +554,15 @@ def interval_coverage_counts(
     if shared:
         raise ValueError(f"interval/point column names must be disjoint: {sorted(shared)}")
     pcols = list(pschema.names)
+    pfields = _arrow_fields(pschema)
 
     def tag_intervals(batch: pa.Table) -> pa.Table:
-        n = len(batch)
         s = batch[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
         e = batch[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        b0 = s // bin_us
-        b1 = np.maximum(e - 1, s) // bin_us
-        reps = (b1 - b0 + 1).astype(np.int64)
-        idx = np.repeat(np.arange(n), reps)
-        off = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
-        bins = b0[idx] + off
+        idx, bins = _replicate_to_bins(s, e, bin_us)
         cols = {"_s": pa.array(s[idx]), "_e": pa.array(e[idx])}
-        for c in pcols:
-            cols[c] = pa.nulls(len(idx), pschema.types[pschema.names.index(c)])
+        for c, typ in pfields:
+            cols[c] = pa.nulls(len(idx), typ)
         cols["_bin"] = pa.array(bins)
         cols["_bucket"] = pa.array((bins % n_buckets).astype(np.int64))
         cols["_side"] = pa.array(np.full(len(idx), 1, dtype=np.int8))
@@ -543,7 +607,7 @@ def interval_coverage_counts(
             out = pt[pcols].reset_index(drop=True).assign(n_cover=n_cover)
             outs.append(out)
         if not outs:
-            res = pd.DataFrame({c: pd.Series(dtype="int64") for c in [*pcols, "n_cover"]})
+            res = _empty_frame([*pfields, ("n_cover", pa.int64())])
         else:
             res = pd.concat(outs, ignore_index=True)
             for c in pcols:

@@ -13,6 +13,7 @@ from rayhist.ops.relational import topk_per_group
 from rayhist.ops.window import (
     asof_join,
     distinct_set_op,
+    interval_coverage_counts,
     interval_point_join,
     prior_window_sums,
     with_prior_window,
@@ -633,3 +634,94 @@ def test_per_key_interarrival_single_row_keys_dropped():
     ).to_pandas()
     assert got["user_id"].tolist() == [2]  # key 1 has no gap (lag NULL)
     assert got["med_gap_us"].tolist() == [4]
+
+
+# ------------------------------------- review-fix regressions (round 5)
+
+
+def test_asof_join_value_columns_stay_exact_int():
+    """Unmatched left rows must NOT coerce right int VALUE columns to
+    float64 (money rule): a cents value above 2^53 survives bit-exact
+    and the unmatched row pads NA, not NaN."""
+    big = 2**55 + 3  # not representable in float64
+    left = pd.DataFrame({"u": [1, 2], "t": [10, 10], "lid": [0, 1]})
+    right = pd.DataFrame({"u": [1], "t": [5], "cents": [big]})
+    got = (
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="t", by="u", n_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert str(got["cents"].dtype) == "Int64"
+    assert got["cents"].iloc[0] == big  # exact — float64 would round
+    assert pd.isna(got["cents"].iloc[1])
+    # the right on-key keeps an integer dtype too (restored post-merge)
+    assert str(got["t_r"].dtype) == "Int64"
+
+
+def test_asof_join_validates_on_and_by():
+    import pytest
+
+    l = ray.data.from_pandas(pd.DataFrame({"u": [1], "x": [2]}))
+    r = ray.data.from_pandas(pd.DataFrame({"u": [1], "t": [5]}))
+    with pytest.raises(ValueError, match="left side lacks"):
+        asof_join(l, r, on="t", by="u")
+    with pytest.raises(ValueError, match="distinct"):
+        asof_join(r, r, on="u", by="u")
+    # right carrying both v and v_r collides after suffixing
+    l2 = ray.data.from_pandas(pd.DataFrame({"u": [1], "t": [1], "v": [0]}))
+    r2 = ray.data.from_pandas(pd.DataFrame({"u": [1], "t": [1], "v": [2], "v_r": [3]}))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l2, r2, on="t", by="u")
+
+
+def test_interval_ops_empty_bucket_schema_with_string_columns():
+    """A bucket that yields zero output rows must emit a frame whose
+    dtypes match populated buckets — an all-int64 placeholder against
+    a string point column fails Ray's block-schema unification. Also
+    covers pandas-block (from_pandas) sources, whose schema reports
+    numpy dtypes."""
+    iv = pd.DataFrame({"s": [0, 10], "e": [20, 30]})
+    pt = pd.DataFrame({"t": [5, 5000], "tag": ["a", "b"]})  # bin 50: no intervals
+    out = interval_point_join(
+        ray.data.from_pandas(iv), ray.data.from_pandas(pt),
+        "s", "e", "t", bin_us=100, n_buckets=8,
+    ).to_pandas()
+    assert len(out) == 1 and out["tag"].tolist() == ["a"]
+    cov = interval_coverage_counts(
+        ray.data.from_pandas(iv), ray.data.from_pandas(pt),
+        "s", "e", "t", bin_us=100, n_buckets=8,
+    ).to_pandas()
+    assert sorted(map(tuple, cov[["t", "n_cover"]].to_numpy())) == [(5, 1), (5000, 0)]
+
+
+def test_interval_ops_reject_malformed_intervals():
+    """end < start must raise loudly in the shared replication tag —
+    downstream it would crash np.repeat in the pair kernel but
+    SILENTLY subtract from coverage counts."""
+    import pytest
+    import ray.exceptions
+
+    iv = ray.data.from_pandas(pd.DataFrame({"s": [10], "e": [5]}))
+    pt = ray.data.from_pandas(pd.DataFrame({"t": [7]}))
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)) as ei:
+        interval_coverage_counts(iv, pt, "s", "e", "t", bin_us=100).to_pandas()
+    assert "end < start" in str(ei.value)
+
+
+def test_distinct_set_op_rejects_null_keys():
+    import pytest
+    import ray.exceptions
+
+    from rayhist.ops.window import distinct_set_op
+
+    a = pd.DataFrame({"k": pd.array(["x", None], dtype="string")})
+    b = pd.DataFrame({"k": pd.array(["x"], dtype="string")})
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)) as ei:
+        distinct_set_op(
+            ray.data.from_pandas(a), ray.data.from_pandas(b), on="k", mode="except"
+        ).to_pandas()
+    assert "null keys" in str(ei.value)
