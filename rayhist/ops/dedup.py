@@ -34,8 +34,27 @@ LSH_BANDS = 16  # x 8 rows = 128
 SIMHASH_BITS = 64
 
 
+def _shingle_buckets() -> int:
+    """Cluster-scaled shuffle-bucket count for the exploded shingle
+    table (both Jaccard paths): a hardcoded constant caps the combine
+    at that many reducer tasks AND makes each map_groups group
+    O(total_shingles / constant) — unbounded per-worker memory as the
+    corpus grows. Same rule as window._resolve_buckets / hash_join."""
+    import os
+
+    import ray
+
+    if ray.is_initialized():
+        ncpu = int(ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
+    else:
+        ncpu = os.cpu_count() or 8
+    return max(64, ncpu * 4)
+
+
 def md5_hex(texts) -> list[str]:
-    return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    # nulls behave as empty strings — the module-wide contract every
+    # text consumer honors (tests: *_survive_null_text)
+    return [hashlib.md5(("" if t is None else t).encode()).hexdigest() for t in texts]
 
 
 def content_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
@@ -46,10 +65,23 @@ def content_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
     would silently merge distinct texts); two independent lanes push
     the expected first collision past ~10^18 docs. No per-row Python —
     both lanes are numpy kernels. NOT cryptographic: adversarially
-    chosen inputs can collide; use the md5 path for hostile corpora."""
+    chosen inputs can collide; use the md5 path for hostile corpora.
+
+    Accepts a Python list OR a pyarrow string Array/ChunkedArray —
+    the Arrow path feeds fnv1a_batch zero-copy (nulls as empty) and
+    materializes Python objects once, for the siphash lane only."""
+    import pyarrow.compute as pc
+
     from .text import fnv1a_batch
 
-    lst = list(texts)
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = pc.fill_null(texts, "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        h1 = fnv1a_batch(arr)
+        h2 = hash64_arr(arr.to_numpy(zero_copy_only=False))
+        return h1, h2
+    lst = ["" if t is None else t for t in texts]
     h1 = fnv1a_batch(lst)
     h2 = hash64_arr(np.asarray(lst, dtype=object))
     return h1, h2
@@ -134,11 +166,13 @@ def exact_jaccard_pairs(
     ``df_cap=None`` to disable (the oracle twin is uncapped; the
     sandbox corpus has no shingle near the default cap, proven by
     pytest capped == uncapped)."""
+    nb = _shingle_buckets()
+
     def explode_with_bucket(b: pa.Table) -> pa.Table:
         t = explode_shingles(b, id_col, text_col)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         _uq, inv, cnt = np.unique(ids, return_inverse=True, return_counts=True)
-        buckets = (hash64_arr(t["shingle"].to_pylist()) % 64).astype(np.int64)
+        buckets = (hash64_arr(t["shingle"].to_pylist()) % nb).astype(np.int64)
         t = t.append_column("n", pa.array(cnt[inv].astype(np.int64)))
         return t.append_column("_bucket", pa.array(buckets))
 
@@ -311,18 +345,43 @@ def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Deterministic bucket of an id pair (same mix as the exact path);
     non-integer ids are routed through the vectorized string hash
     first (ADVICE: the raw astype(uint64) admits only numeric ids)."""
+    from .text import fmix64
+
     if not np.issubdtype(np.asarray(a).dtype, np.integer):
         a = hash64_arr(a)
         b = hash64_arr(b)
-    au = a.astype(np.uint64)
-    bu = b.astype(np.uint64)
+    # finalize both lanes (fmix64 rule): the raw xor-multiply's low
+    # bits depend only on a mod 64 / b mod 64 for integer ids, so
+    # strided id spaces skew the 64 pair buckets badly
+    au = fmix64(np.asarray(a).astype(np.uint64))
+    bu = fmix64(np.asarray(b).astype(np.uint64))
     return (((au * _PAIR_MIX) ^ bu) % np.uint64(_N_PAIR_BUCKETS)).astype(np.int64)
+
+
+def lsh_bands_for_threshold(
+    threshold_num: int, threshold_den: int, n_perm: int = N_PERM
+) -> int:
+    """Band count whose S-curve midpoint sits at or below the
+    verification threshold. The candidate probability of a pair at
+    Jaccard J under (bands b, rows r=n_perm/b) is 1-(1-J^r)^b, with
+    midpoint (1/b)^(1/r); a geometry whose midpoint EXCEEDS the
+    threshold silently misses most pairs just above it (16x8's
+    midpoint is 0.71 — at J=0.5 only ~6% of true pairs ever become
+    candidates). Pick the fewest bands (cheapest: fewer band rows and
+    buckets) whose midpoint <= threshold."""
+    thr = threshold_num / threshold_den
+    for b in (4, 8, 16, 32, 64):
+        r = n_perm // b
+        if (1.0 / b) ** (1.0 / r) <= thr:
+            return b
+    return 64
 
 
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    bands: int | None = None,
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> minhash -> band ->
     groupby(band, key) candidate pairs -> DISTRIBUTED exact-Jaccard
@@ -347,8 +406,17 @@ def minhash_lsh_pairs(
     """
     from .relational import hash_semi_join
 
+    # LSH geometry FOLLOWS the verification threshold (the S-curve
+    # rule, lsh_bands_for_threshold): the default 1/2 threshold gets
+    # 32 bands x 4 rows (midpoint ~0.42), not the historical 16x8
+    # (midpoint ~0.71, which finds almost nothing at J ~ 0.5)
+    if bands is None:
+        bands = lsh_bands_for_threshold(threshold_num, threshold_den)
     cand = docs.map_batches(
-        MinHashStage, batch_format="pyarrow", concurrency=(1, 8)
+        MinHashStage,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"bands": bands},
     ).groupby(["band", "key"]).map_groups(_bucket_candidate_pairs, batch_format="pandas")
 
     def tag_pairs(b: pa.Table) -> pa.Table:
@@ -375,11 +443,13 @@ def minhash_lsh_pairs(
     # ---- semi-join: only candidate docs reach the shingle explode
     filtered = hash_semi_join(docs, cdocs, on="doc_id")
 
+    nb = _shingle_buckets()
+
     def explode_with_bucket(b: pa.Table) -> pa.Table:
         t = explode_shingles(b)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         _uq, inv, cnt = np.unique(ids, return_inverse=True, return_counts=True)
-        buckets = (hash64_arr(t["shingle"].to_pylist()) % 64).astype(np.int64)
+        buckets = (hash64_arr(t["shingle"].to_pylist()) % nb).astype(np.int64)
         t = t.append_column("n", pa.array(cnt[inv].astype(np.int64)))
         return t.append_column("_bucket", pa.array(buckets))
 
@@ -449,8 +519,14 @@ def minhash_lsh_pairs(
         cp = g[g["_src"] == 0][["doc_a", "doc_b"]].drop_duplicates()
         pp = g[g["_src"] == 1]
         if cp.empty or pp.empty:
+            # preserve the REAL doc-id dtype (string ids are supported)
+            # — an int64 placeholder here conflicts with hit groups'
+            # block schema at unification
             z = pd.Series([], dtype="int64")
-            return pd.DataFrame({"doc_a": z, "doc_b": z, "common": z, "un": z})
+            return pd.DataFrame(
+                {"doc_a": g["doc_a"].iloc[:0], "doc_b": g["doc_b"].iloc[:0],
+                 "common": z, "un": z}
+            )
         counts = pp.groupby(["doc_a", "doc_b"], as_index=False).agg(
             common=("common", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
         )
@@ -490,13 +566,29 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFrame:
     chunks by pigeonhole), verified by exact hamming distance. Both the
     fingerprint stage and the per-group verification are vectorized
     (reduceat bit votes; unpackbits popcount)."""
+    if max_hamming > 3:
+        # 4 chunks guarantee recall only up to hamming 3 (pigeonhole:
+        # 4 differing bits can land in 4 distinct chunks and share no
+        # bucket) — silently missing pairs is worse than refusing
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4x16-bit chunk "
+            "blocking's recall guarantee (hamming <= 3)"
+        )
 
     def stage(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = len(batch)
-        ids_all = batch["doc_id"].to_pylist()
+        ids_col = batch["doc_id"]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids_all = ids_col.to_pylist()
         ex = explode_shingles(batch)
-        pos = {d: i for i, d in enumerate(ids_all)}
-        doc_idx = np.fromiter((pos[d] for d in ex["doc_id"].to_pylist()), dtype=np.int64, count=len(ex))
+        # id -> batch position as one C kernel (the MinHashStage
+        # pattern), not a per-row Python dict scan
+        doc_idx = pc.index_in(ex["doc_id"], value_set=ids_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         order = np.argsort(doc_idx, kind="stable")
         doc_idx = doc_idx[order]
         h = hash64_arr(np.asarray(ex["shingle"].to_pylist(), dtype=object))[order]
@@ -585,14 +677,16 @@ def exact_dedup(
     hcols = ["_h"] if hash_fn == "md5" else ["_h1", "_h2"]
 
     def add_hash_and_partial(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
         if hash_fn == "md5":
-            t = batch.append_column("_h", pa.array(md5_hex(texts)))
+            digests = md5_hex(batch[text_col].to_pylist())
+            t = batch.append_column("_h", pa.array(digests))
             hb = pd.util.hash_array(
-                np.asarray(t["_h"].to_pylist(), dtype=object)
+                np.asarray(digests, dtype=object)
             ) % num_buckets
         else:
-            h1, h2 = content_hash128(texts)
+            # Arrow column straight through: fnv1a_batch reads the
+            # utf-8 data buffer zero-copy (no per-row Python rebuild)
+            h1, h2 = content_hash128(batch[text_col])
             t = batch.append_column("_h1", pa.array(h1.view(np.int64)))
             t = t.append_column("_h2", pa.array(h2.view(np.int64)))
             # bucket on the FINALIZED hash: raw FNV low bits skew on
@@ -656,8 +750,14 @@ def embedding_dup_pairs(
         n_blocks = int(max(8, -(-2 * n * rowbytes // target_group_bytes)))
 
     def tag(batch: pa.Table) -> pa.Table:
+        from .text import fmix64
+
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        blk = ids % n_blocks
+        # finalize before bucketing (the fmix64 rule): raw `ids %
+        # n_blocks` collapses strided id spaces (ids all multiples of
+        # a factor of n_blocks) into few blocks — one group then holds
+        # the whole corpus and the per-group memory bound is gone
+        blk = (fmix64(ids.astype(np.uint64)) % np.uint64(n_blocks)).astype(np.int64)
         n = len(ids)
         # each row joins every block pair it participates in
         reps = np.repeat(np.arange(n), n_blocks)
@@ -701,4 +801,10 @@ def embedding_dup_pairs(
         .map_groups(pair_group, batch_format="pandas")
         .to_pandas()
     )
+    if out.empty:  # zero surviving pairs can come back schema-less
+        out = pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"),
+             "vec_b": pd.Series([], dtype="int64"),
+             "cos_sim": pd.Series([], dtype="float64")}
+        )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -548,3 +548,93 @@ def test_media_decode_codec_probe_contract():
         assert len(forced(synth_media_table(["img://x"]))["feature"].to_pylist()[0]) == FEATURE_DIM
     finally:
         os.environ.pop("RAYHIST_FAKE_DECODE", None)
+
+
+# ------------------------------------- review-fix regressions (round 5)
+
+
+def test_embedding_dup_pairs_empty_and_strided_ids():
+    """(a) Zero surviving pairs return the documented typed columns,
+    not a schema-less KeyError; (b) strided vec_ids (all multiples of
+    a factor of n_blocks) must still produce the exact dense pair set
+    — the fmix64-finalized block assignment keeps blocks balanced
+    where a raw `ids % n_blocks` would put the whole corpus in one."""
+    import ray.data
+
+    from rayhist.ops.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(24, 8))
+    ids = np.arange(24, dtype=np.int64) * 64  # all ids ≡ 0 (mod 64)
+    rows = [{"vec_id": int(i), "embedding": v.tolist()} for i, v in zip(ids, vecs)]
+    ds = ray.data.from_items(rows)
+    # (a) tau above any achievable cosine -> empty, typed
+    empty = embedding_dup_pairs(ds, tau=1.0 + 1e-9, n_blocks=4)
+    assert list(empty.columns) == ["vec_a", "vec_b", "cos_sim"] and empty.empty
+    # (b) strided ids: blocked equals dense
+    got = embedding_dup_pairs(ds, tau=0.2, n_blocks=8)
+    mat = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ii, jj = np.nonzero(sims >= 0.2)
+    keep = ids[ii] < ids[jj]
+    exp = set(zip(ids[ii[keep]], ids[jj[keep]]))
+    assert set(zip(got["vec_a"], got["vec_b"])) == exp
+
+
+def test_exact_dedup_md5_survives_null_text():
+    """The md5 path honors the nulls-behave-as-empty contract (it
+    crashed on the first null row before)."""
+    import ray.data
+
+    from rayhist.ops.dedup import exact_dedup
+
+    t = pa.table(
+        {"doc_id": [3, 1, 2, 4], "text": ["x y z", None, "x y z", None]}
+    )
+    out = (
+        exact_dedup(ray.data.from_arrow(t), hash_fn="md5")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # null == "" content: the two nulls dedup together (keep doc 1)
+    assert out["doc_id"].tolist() == [1, 2]
+
+
+def test_simhash_rejects_unguaranteed_hamming():
+    import ray.data
+
+    from rayhist.ops.dedup import simhash_pairs
+
+    docs = ray.data.from_items([{"doc_id": 0, "text": "a b c d"}])
+    with pytest.raises(ValueError, match="hamming"):
+        simhash_pairs(docs, max_hamming=4)
+
+
+def test_minhash_string_doc_ids_schema_safe():
+    """String doc ids through the full LSH chain: empty pair-bucket
+    groups must emit string-typed doc columns (an int64 placeholder
+    fails block-schema unification against hit groups)."""
+    import ray.data
+
+    from rayhist.ops.dedup import minhash_lsh_pairs
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = ray.data.from_items(
+        [{"doc_id": f"doc-{i:03d}", "text": txt} for i in range(4)]
+        + [{"doc_id": f"uniq-{i}", "text": f"u{i} v{i} w{i} x{i} y{i}"} for i in range(4)]
+    )
+    got = minhash_lsh_pairs(docs, 1, 2)
+    # the 4 identical docs form all 6 pairs; ids stay strings
+    assert len(got) == 6 and got["doc_a"].map(type).eq(str).all()
+
+
+def test_lsh_bands_follow_threshold():
+    """Band count derives from the verification threshold via the
+    S-curve midpoint rule (midpoint <= threshold)."""
+    from rayhist.ops.dedup import lsh_bands_for_threshold
+
+    assert lsh_bands_for_threshold(1, 2) == 32   # midpoint 0.42
+    assert lsh_bands_for_threshold(9, 10) == 8   # 4's midpoint 0.957 > 0.9
+    assert lsh_bands_for_threshold(7, 10) == 32  # 16's midpoint 0.7071 > 0.7
+    assert lsh_bands_for_threshold(71, 100) == 16  # 0.7071 <= 0.71
+    assert lsh_bands_for_threshold(1, 10) == 64  # no midpoint <= 0.1 -> floor
