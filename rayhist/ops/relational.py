@@ -47,7 +47,14 @@ def round_half_away(x: np.ndarray) -> np.ndarray:
 
 def cents(batch: pa.Table, col: str, out: str) -> pa.Table:
     """round(x*100) as int64 — the exact-sum money representation
-    (half-away rounding, matching SQL round())."""
+    (half-away rounding, matching SQL round()). Null money values are
+    rejected loudly: NaN -> int64 is undefined (INT64_MIN on x86) and
+    one null row would silently corrupt every downstream cents sum."""
+    if batch[col].null_count:
+        raise ValueError(
+            f"cents: {batch[col].null_count} null value(s) in {col!r} — "
+            "money columns must be non-null (filter or fill upstream)"
+        )
     v = batch[col].to_numpy(zero_copy_only=False)
     return batch.append_column(out, pa.array(round_half_away(v * 100).astype(np.int64)))
 
@@ -63,7 +70,14 @@ def broadcast_join(
     the Ray analog of the reference's denormalize-instead-of-join
     strategy (data-model.md:20-22). ONLY for fixed-size dimension
     tables (nation/region-class); a side that grows with the corpus
-    belongs in hash_join."""
+    belongs in hash_join. Only ``inner``/``left`` are sound per batch:
+    a per-batch ``right``/``outer`` merge would re-emit the small
+    side's unmatched rows once PER BATCH."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"broadcast_join: how={how!r} unsupported — per-batch merges "
+            "duplicate unmatched small-side rows; use hash_join"
+        )
     ref = ray.put(small)
 
     class JoinStage:
@@ -116,8 +130,12 @@ def topk_per_group(
     def cand(batch: pa.Table) -> pa.Table:
         df = batch.select([group_col, key, tiebreak]).to_pandas()
         df = df.sort_values([key, tiebreak], ascending=asc, kind="mergesort")
+        # dropna=False: SQL's PARTITION BY puts NULL groups together
+        # and emits up to k of them too — pandas' default silently
+        # drops every null-group row at the candidate stage
         return pa.Table.from_pandas(
-            df.groupby(group_col, sort=False).head(k), preserve_index=False
+            df.groupby(group_col, sort=False, dropna=False).head(k),
+            preserve_index=False,
         )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -138,7 +156,10 @@ def exact_quantiles_int(ds: ray.data.Dataset, col: str, fracs: list[tuple[int, i
     index ((n-1)*num)//den. Distributed as groupby(value).count() (the
     value-histogram is small relative to the data) + driver cumsum —
     no global sort."""
-    hist = ds.groupby(col).count().to_pandas().sort_values(col)
+    hist = ds.groupby(col).count().to_pandas()
+    hist = hist[hist[col].notna()].sort_values(col)  # SQL quantiles ignore NULLs
+    if hist.empty:
+        raise ValueError(f"exact_quantiles_int: no non-null values in {col!r}")
     counts = hist["count()"].to_numpy()
     values = hist[col].to_numpy()
     cum = np.cumsum(counts)
@@ -172,8 +193,8 @@ def hash_join(
     because its partitioning is deterministic (resume-stable) and the
     bucket count is an explicit, documented knob.
     """
-    import pandas as pd
-
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join: how={how!r} unsupported (inner/left)")
     if n_buckets is None:
         n_buckets = max(64, _ncpu() * 4)
 
@@ -182,14 +203,30 @@ def hash_join(
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
     rcols = [c for c in rschema.names if c != on]
+    overlap = (set(lcols) - {on}) & set(rcols)
+    if overlap:
+        # a shared non-key name would collapse in the union-schema dict
+        # and come back _x/_y-suffixed from the merge — rename upstream
+        raise ValueError(f"hash_join: non-key columns on both sides: {sorted(overlap)}")
     all_fields = [(n, lschema.types[lschema.names.index(n)]) for n in lcols] + [
         (n, rschema.types[rschema.names.index(n)]) for n in rcols
     ]
 
     def tag_side(side: str, own: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
+            # SQL join semantics: a NULL key matches nothing. Pandas'
+            # merge would match NA==NA, so drop null-key rows here —
+            # right side always; left side too unless a LEFT join must
+            # keep them (they emit with null right columns, and since
+            # the right side holds no nulls they cannot match)
+            import pyarrow.compute as pc
+
+            if side == "r" or how == "inner":
+                batch = batch.filter(pc.is_valid(batch[on]))
             n = len(batch)
             keys = batch[on].to_numpy(zero_copy_only=False)
+            if np.issubdtype(keys.dtype, np.floating):  # left-kept nulls
+                keys = np.nan_to_num(keys, nan=0.0)
             cols = {}
             for name, typ in all_fields:
                 cols[name] = batch[name] if name in own else pa.nulls(n, typ)
@@ -256,8 +293,6 @@ def hash_semi_join(
     does NOT appear in right — SQL ``NOT IN`` with non-null keys).
     Bloom pruning is REJECTED for anti-joins: the pre-filter drops
     non-matching rows, which are exactly the anti-join's output."""
-    import pandas as pd
-
     if anti and bloom is not None:
         raise ValueError("bloom pruning is unsound for anti-joins")
     if n_buckets is None:
@@ -276,6 +311,12 @@ def hash_semi_join(
         ).astype(np.int64)
 
     def tag_left(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # SQL `k IN (...)` / `k NOT IN (...)` evaluates to unknown for
+        # a NULL k -> the row is dropped in BOTH modes (pandas' isin
+        # would instead match NaN==NaN and keep it)
+        batch = batch.filter(pc.is_valid(batch[on]))
         if bloom_ref is not None:
             bf = ray.get(bloom_ref)
             batch = batch.filter(pa.array(bf.contains(batch[on])))
@@ -286,6 +327,12 @@ def hash_semi_join(
     ltypes = list(left.schema().types)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null right keys never match any left key in SQL — drop them
+        # (the anti docstring's non-null contract covers the NOT IN
+        # any-null-empties-the-result corner)
+        batch = batch.filter(pc.is_valid(batch[on]))
         keys = batch[on].to_numpy(zero_copy_only=False)
         n = len(batch)
         cols = {on: batch[on]}
@@ -365,12 +412,16 @@ def deterministic_sample(
             from .text import fmix64, fnv1a_batch
 
             col = b[key_col]
-            if col.null_count:  # str(None) == "None" in the legacy path
-                keys = [str(k) for k in col.to_pylist()]
-            else:
-                # C-kernel cast (int/decimal -> same digits as str());
-                # fnv1a_batch reads the utf-8 buffer directly
-                keys = pc.cast(col, pa.string())
+            # C-kernel cast (int/decimal -> same digits as str());
+            # fnv1a_batch reads the utf-8 buffer directly. Nulls map
+            # to "None" (the legacy str() name) via fill_null so a
+            # key's hash NEVER depends on whether a null co-resides in
+            # its block (an all-str() fallback formatted bool/timestamp
+            # keys differently in null-bearing blocks, breaking the
+            # partitioning-invariance contract)
+            keys = pc.cast(col, pa.string())
+            if col.null_count:
+                keys = pc.fill_null(keys, "None")
             h = fmix64(fnv1a_batch(keys)) >> np.uint64(32)  # top 32 bits
             return b.filter(pa.array(h < np.uint64(thresh)))
 
@@ -418,19 +469,28 @@ def stratified_sample(
 
             from .text import fmix64, fnv1a_batch
 
+            # same block-layout-invariant formatting rule as
+            # deterministic_sample: cast for values, "None" for nulls
+            keys = pc.cast(keys_col, pa.string())
             if keys_col.null_count:
-                keys = [str(k) for k in keys_col.to_pylist()]
-            else:
-                keys = pc.cast(keys_col, pa.string())
+                keys = pc.fill_null(keys, "None")
             return fmix64(fnv1a_batch(keys)) >> np.uint64(32)
 
     def stage(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         h = hashes(b[key_col])
-        # O(distinct strata) Python, vectorized gather per row — no
-        # per-row lambda in the hot filter
-        cat = pd.Categorical(b[stratum_col].to_pylist())
+        # O(distinct strata) Python, vectorized gather per row — the
+        # factorization is Arrow's dictionary_encode (no per-row
+        # Python object materialization in the hot filter)
+        col = b[stratum_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col.dictionary_encode()
+        codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        categories = enc.dictionary.to_pylist()
         lut = np.array(
-            [thresh.get(s, dflt) for s in cat.categories], dtype=np.uint64
+            [thresh.get(s, dflt) for s in categories], dtype=np.uint64
         )
         # null stratum -> code -1, which would wrap to the LAST
         # category's threshold; route it to the default rate instead.
@@ -439,7 +499,6 @@ def stratified_sample(
         # threshold here would make sampling depend on which rows
         # co-reside in a block, breaking partitioning invariance)
         if len(lut):
-            codes = np.asarray(cat.codes)
             t = np.where(codes >= 0, lut[np.maximum(codes, 0)], dflt)
         else:
             t = np.full(len(b), dflt, dtype=np.uint64)
@@ -464,6 +523,13 @@ def grouped_exact_quantiles_int(
     hist = ds.groupby([key, col]).count()
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        empty = g.iloc[:0]
+        g = g[g[col].notna()]  # SQL quantiles ignore NULL values
+        if g.empty:  # all-null group: emit nothing, dtype-preserving
+            return pd.DataFrame(
+                {key: empty[key],
+                 **{nm: pd.Series([], dtype="int64") for nm in names}}
+            )
         g = g.sort_values(col)
         cum = g["count()"].to_numpy().cumsum()
         vals = g[col].to_numpy()

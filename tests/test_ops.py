@@ -638,3 +638,103 @@ def test_lsh_bands_follow_threshold():
     assert lsh_bands_for_threshold(7, 10) == 32  # 16's midpoint 0.7071 > 0.7
     assert lsh_bands_for_threshold(71, 100) == 16  # 0.7071 <= 0.71
     assert lsh_bands_for_threshold(1, 10) == 64  # no midpoint <= 0.1 -> floor
+
+
+def test_joins_follow_sql_null_key_semantics():
+    """SQL joins never match NULL keys: inner hash_join drops null-key
+    rows on both sides; LEFT keeps left nulls unmatched; semi/anti
+    drop null-key left rows (IN/NOT IN evaluate unknown)."""
+    import ray.data
+
+    from rayhist.ops.relational import hash_join, hash_semi_join
+
+    left = pa.table({"k": pa.array([1, None, 3], type=pa.int64()),
+                     "lv": [10, 20, 30]})
+    right = pa.table({"k": pa.array([1, None], type=pa.int64()),
+                      "rv": [100, 200]})
+    inner = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k", n_buckets=4
+    ).to_pandas()
+    # pandas merge alone would emit a (None, None) match row
+    assert inner["k"].tolist() == [1] and inner["rv"].tolist() == [100]
+    lj = (
+        hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  on="k", n_buckets=4, how="left")
+        .to_pandas().sort_values("lv")
+    )
+    assert lj["lv"].tolist() == [10, 20, 30]
+    assert lj["rv"].tolist()[0] == 100 and pd.isna(lj["rv"].tolist()[1])
+    semi = hash_semi_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k", n_buckets=4
+    ).to_pandas()
+    assert semi["lv"].tolist() == [10]  # the null-key left row drops
+    anti = hash_semi_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k",
+        n_buckets=4, anti=True,
+    ).to_pandas()
+    assert anti["lv"].tolist() == [30]
+
+
+def test_join_guards_raise_loudly():
+    import ray.data
+
+    from rayhist.ops.relational import broadcast_join, hash_join
+
+    l = ray.data.from_arrow(pa.table({"k": [1], "v": [2]}))
+    r = ray.data.from_arrow(pa.table({"k": [1], "v": [3]}))
+    with pytest.raises(ValueError, match="non-key columns"):
+        hash_join(l, r, on="k")
+    with pytest.raises(ValueError, match="unsupported"):
+        hash_join(l, ray.data.from_arrow(pa.table({"k": [1], "w": [3]})),
+                  on="k", how="outer")
+    with pytest.raises(ValueError, match="unsupported"):
+        broadcast_join(l, pd.DataFrame({"k": [1], "w": [2]}), on="k", how="outer")
+
+
+def test_cents_rejects_null_money():
+    from rayhist.ops.relational import cents
+
+    t = pa.table({"p": pa.array([1.5, None], type=pa.float64())})
+    with pytest.raises(ValueError, match="null"):
+        cents(t, "p", "c")
+
+
+def test_topk_per_group_keeps_null_groups():
+    """row_number() over (partition by g ...) partitions NULLs together
+    and emits up to k of them."""
+    import ray.data
+
+    from rayhist.ops.relational import topk_per_group
+
+    df = pd.DataFrame(
+        {"g": pd.array(["a", "a", None, None, None], dtype="string"),
+         "v": [5, 3, 9, 8, 7], "id": [0, 1, 2, 3, 4]}
+    )
+    got = (
+        topk_per_group(ray.data.from_pandas(df), "g", "v", k=2, tiebreak="id")
+        .to_pandas()
+    )
+    null_rows = got[got["g"].isna()]
+    assert sorted(null_rows["v"].tolist()) == [8, 9]
+
+
+def test_deterministic_sample_hash_is_block_layout_invariant():
+    """A key's keep/drop decision must not depend on whether a null
+    co-resides in its block (bool/timestamp keys format differently
+    under str() vs the arrow cast)."""
+    import ray.data
+
+    from rayhist.ops.relational import deterministic_sample
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"] * 40)
+    clean = pd.DataFrame({"k": ts})
+    dirty = pd.DataFrame({"k": pd.Series(list(ts) + [pd.NaT])})
+    kept_clean = set(
+        deterministic_sample(ray.data.from_pandas(clean), 1, 2, "k")
+        .to_pandas()["k"].astype(str)
+    )
+    kept_dirty = set(
+        deterministic_sample(ray.data.from_pandas(dirty), 1, 2, "k")
+        .to_pandas()["k"].dropna().astype(str)
+    )
+    assert kept_clean == kept_dirty
