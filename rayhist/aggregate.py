@@ -40,7 +40,10 @@ def floor_bin(ts: np.ndarray, timestamps: np.ndarray) -> np.ndarray:
     contribution view, MapReducer.java:774-822). ts < timestamps[0]
     maps to -1 (caller drops those — they are outside the interval)."""
     timestamps = np.asarray(timestamps, dtype=np.int64)
-    idx = np.searchsorted(timestamps, np.asarray(ts, dtype=np.int64), side="right") - 1
+    ts = np.asarray(ts, dtype=np.int64)
+    if len(timestamps) == 0:  # degenerate interval: everything outside
+        return np.full(len(ts), -1, dtype=np.int64)
+    idx = np.searchsorted(timestamps, ts, side="right") - 1
     return np.where(idx >= 0, timestamps[np.clip(idx, 0, None)], -1)
 
 
@@ -103,7 +106,10 @@ def uniq(ds: ray.data.Dataset, col: str) -> list:
 
         return pa.table({col: pc.unique(batch[col])})
 
-    return sorted(ds.map_batches(batch_distinct, batch_format="pyarrow").unique(col))
+    vals = ds.map_batches(batch_distinct, batch_format="pyarrow").unique(col)
+    # a null among the distinct values crashes the bare sort (None vs
+    # str); SQL DISTINCT keeps NULL as a value — sort it last
+    return sorted(vals, key=lambda v: (v is None, v))
 
 
 def combine_partials(
@@ -141,7 +147,12 @@ def combine_partials(
             if pd.api.types.is_integer_dtype(df[src].dtype):
                 row[out] = row[out].astype("int64")
         return row
-    g = df.groupby(keys, as_index=False).agg(**{out: (src, "sum") for src, out in sums.items()})
+    # dropna=False: the Arrow per-batch partials KEEP null-key groups
+    # (pa.TableGroupBy semantics, same as SQL GROUP BY) — pandas'
+    # default would silently drop them here at the final combine
+    g = df.groupby(keys, as_index=False, dropna=False).agg(
+        **{out: (src, "sum") for src, out in sums.items()}
+    )
     return g
 
 
@@ -178,13 +189,18 @@ def grouped_estimated_quantiles(
         d = TDigest.from_bytes(row["digest"], compression)
         k = row[key]
         merged[k] = merged[k].merge(d) if k in merged else d
+    # int(q*100) truncates float error (0.29*100 -> 28) and collides
+    # (0.99 and 0.999 both -> p99); round and refuse collisions
+    names = [f"p{round(q * 100)}_est" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantile column names collide: {names} for qs={list(qs)}")
     out = []
     for k in sorted(merged):
         rec = {key: k}
-        for q in qs:
-            rec[f"p{int(q * 100)}_est"] = merged[k].quantile(q)
+        for q, nm in zip(qs, names):
+            rec[nm] = merged[k].quantile(q)
         out.append(rec)
-    return pd.DataFrame(out)
+    return pd.DataFrame(out, columns=[key, *names])  # typed-empty safe
 
 
 def rollup_sums(
@@ -219,7 +235,13 @@ def rollup_sums(
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         for k in keys:  # a genuine marker value would silently merge
-            # into the super-aggregate rows — refuse loudly
+            # into the super-aggregate rows — refuse loudly; a NULL
+            # key is just as unrepresentable (pandas drops it from
+            # fine levels while the grand total includes it, and the
+            # coalesce-marker SQL mirror folds it into the marker)
+            if df[k].isna().any():
+                raise ValueError(f"key column {k!r} contains nulls — "
+                                 "fill or filter before rollup/cube")
             if (df[k] == all_marker).any():
                 raise ValueError(
                     f"key column {k!r} contains the rollup marker {all_marker!r}"
@@ -258,7 +280,10 @@ def pivot_counts(
     ``row_key`` value, one int64 column ``{prefix}{v}`` per expected
     ``col_values`` entry (absent cells zerofilled). The scan stage
     emits per-batch (row, col, n) partials; the reshape happens on the
-    combined small frame only."""
+    combined small frame only. Observed ``col_key`` values OUTSIDE
+    ``col_values`` are discarded — the SQL ``PIVOT ... IN (list)``
+    contract (the IN-list is an explicit projection, not a filter
+    error); pass the full domain to keep every count."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([row_key, col_key]).to_pandas()
@@ -308,6 +333,11 @@ def grouped_approx_count_distinct(
 
     def partial(batch: pa.Table) -> pa.Table:
         key_type = batch[key].type
+        # COUNT(DISTINCT col) ignores NULL values (a key whose values
+        # are ALL null is omitted, like an inner aggregate over the
+        # non-null rows); fnv1a_batch would otherwise abort on the
+        # first null
+        batch = batch.filter(pc.is_valid(batch[col]))
         col_s = pc.cast(batch[col], pa.string())
         h = fmix64(fnv1a_batch(col_s))
         df = pd.DataFrame({key: batch[key].to_pylist(), "_h": h})
@@ -325,7 +355,8 @@ def grouped_approx_count_distinct(
         k = row[key]
         merged[k] = merged[k].merge(s) if k in merged else s
     return pd.DataFrame(
-        [{key: k, "n_uniq_est": merged[k].count()} for k in sorted(merged)]
+        [{key: k, "n_uniq_est": merged[k].count()} for k in sorted(merged)],
+        columns=[key, "n_uniq_est"],  # typed-empty safe (callers sort on key)
     )
 
 
@@ -351,12 +382,17 @@ def approx_heavy_hitters(
     count error (pinned in tests)."""
     from .functions.heavyhitters import MisraGries
 
+    val_type = None  # preserved from the input schema (not string-only)
+
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # NULL is not a countable value (SQL COUNT/freq semantics),
+        # and a None in the Misra-Gries counters crashes its sorted()
+        col_v = batch[col].drop_null()
         # C-kernel pre-aggregation: the Python dict work is
         # O(distinct-in-batch), never O(rows)
-        vc = pc.value_counts(batch[col])
+        vc = pc.value_counts(col_v)
         mg = MisraGries(k)
         mg.add_weighted_items(
             vc.field("values").to_pylist(), vc.field("counts").to_numpy()
@@ -364,7 +400,7 @@ def approx_heavy_hitters(
         vs, cs = mg.to_items()
         return pa.table(
             {
-                "values": pa.array([vs], type=pa.list_(pa.string())),
+                "values": pa.array([vs], type=pa.list_(batch[col].type)),
                 "counts": pa.array([cs], type=pa.list_(pa.int64())),
             }
         )

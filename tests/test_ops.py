@@ -738,3 +738,53 @@ def test_deterministic_sample_hash_is_block_layout_invariant():
         .to_pandas()["k"].dropna().astype(str)
     )
     assert kept_clean == kept_dirty
+
+
+def test_aggregate_null_and_naming_semantics():
+    """aggregate.py null/naming fixes: combine_partials keeps null-key
+    groups (SQL GROUP BY), uniq tolerates a null distinct value,
+    heavy hitters preserve the value type and ignore nulls, quantile
+    column names round and refuse collisions, floor_bin handles an
+    empty grid, rollup rejects null keys loudly."""
+    import ray.data
+
+    from rayhist.aggregate import (
+        approx_heavy_hitters,
+        combine_partials,
+        floor_bin,
+        grouped_estimated_quantiles,
+        rollup_sums,
+        uniq,
+    )
+
+    parts = ray.data.from_arrow(
+        pa.table({"k": pa.array(["a", None, "a"]), "n_part": [1, 2, 3]})
+    )
+    got = combine_partials(parts, ["k"], {"n_part": "n"})
+    as_map = {(-1 if pd.isna(k) else k): n for k, n in zip(got["k"], got["n"])}
+    assert as_map == {"a": 4, -1: 2}  # the null group survives
+
+    u = uniq(ray.data.from_arrow(pa.table({"v": pa.array(["b", None, "a"])})), "v")
+    assert u == ["a", "b", None]  # nulls sort last, no crash
+
+    hh = approx_heavy_hitters(
+        ray.data.from_arrow(
+            pa.table({"x": pa.array([7, 7, 7, 3, None], type=pa.int64())})
+        ),
+        "x", k=4, top_n=2,
+    )
+    assert hh["x"].tolist() == [7, 3] and hh["n"].tolist() == [3, 1]
+
+    ds = ray.data.from_arrow(pa.table({"g": ["a"] * 10, "v": list(range(10))}))
+    q = grouped_estimated_quantiles(ds, "g", "v", [0.29])
+    assert "p29_est" in q.columns  # int() would truncate to p28
+    with pytest.raises(ValueError, match="collide"):
+        grouped_estimated_quantiles(ds, "g", "v", [0.99, 0.994])  # both p99
+
+    assert floor_bin(np.array([5, 10]), np.array([], dtype=np.int64)).tolist() == [-1, -1]
+
+    with pytest.raises(Exception, match="nulls"):
+        rollup_sums(
+            ray.data.from_arrow(pa.table({"k": pa.array(["a", None]), "v": [1, 2]})),
+            ["k"], {"v": "sv"},
+        )
