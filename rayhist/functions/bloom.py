@@ -32,12 +32,16 @@ from ..ops.text import fmix64, fnv1a_batch
 
 
 def _h12(keys: pa.ChunkedArray | pa.Array | list) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hash lanes over string-cast keys."""
+    """Two independent 64-bit hash lanes over string-cast keys. Null
+    keys hash as "" — sound for a Bloom pre-prune (a null can only add
+    a false-positive pattern, and the exact in-bucket filter drops
+    null keys per SQL semantics anyway); fnv1a_batch itself would
+    refuse a null-bearing arrow array."""
     import pyarrow.compute as pc
 
     if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
         keys = pa.array(keys)
-    keys = pc.cast(keys, pa.string())
+    keys = pc.fill_null(pc.cast(keys, pa.string()), "")
     h1 = fmix64(fnv1a_batch(keys))
     h2 = fmix64(h1 ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)  # odd: full cycle
     return h1, h2

@@ -61,7 +61,9 @@ def quality_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     set-intersection per row."""
     texts = batch[text_col]
     n = len(texts)
-    arr = pc.fill_null(pa.array(texts.tolist(), type=pa.string()), "")
+    # from_pandas=True: NaN (pandas' missing marker) converts to null
+    # like None does — tolist() would hand pa.array a float and crash
+    arr = pc.fill_null(pa.array(texts, type=pa.string(), from_pandas=True), "")
     parts = pc.split_pattern(arr, " ")
     lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(parts)
@@ -76,8 +78,13 @@ def quality_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     batch["stop_ratio"] = np.round(stop_counts / nw, 4)
     punct = texts.fillna("").str.count(r"[^\w\s]").to_numpy()
     batch["punct_ratio"] = np.round(punct / np.maximum(n_chars, 1), 4)
-    mwl = batch["mean_word_len"].to_numpy()
-    batch["quality_ok"] = (lens >= 5) & (mwl >= 2) & (mwl <= 12)
+    # the quality predicate thresholds on the EXACT integers (the
+    # q_langid_exact / oracle definition: nsl >= 2*nw and <= 12*nw) —
+    # thresholding the 4-dp ROUNDED ratio flipped boundary docs
+    # (true ratio 1.99998 rounds to 2.0000 and passed)
+    batch["quality_ok"] = (
+        (lens >= 5) & (no_space_len >= 2 * nw) & (no_space_len <= 12 * nw)
+    )
     return batch
 
 
@@ -96,19 +103,35 @@ def langid_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     cjk = safe.str.count(r"[一-鿿]").to_numpy()
     is_zh = cjk > safe.str.len().to_numpy() * 0.2
 
-    low = pc.utf8_lower(pc.fill_null(pa.array(texts.tolist(), type=pa.string()), ""))
+    low = pc.utf8_lower(
+        pc.fill_null(pa.array(texts, type=pa.string(), from_pandas=True), "")
+    )
     parts = pc.split_pattern(low, " ")
     lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(parts)
     doc_idx = np.repeat(np.arange(n), lens)
-    scores = np.zeros((n, len(_LANGS_SORTED)), dtype=np.int64)
+    # score = number of DISTINCT marker words present per language (set
+    # intersection size). ONE index_in pass over the flattened words +
+    # one (doc, marker) presence bincount, folded marker->language —
+    # the per-marker pc.equal form scanned the whole word array once
+    # per marker (~20 full passes per batch)
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    nm = len(all_markers)
+    fold = np.zeros((nm, len(_LANGS_SORTED)), dtype=np.int64)
     for j, lang in enumerate(_LANGS_SORTED):
-        # score = number of DISTINCT marker words present (set
-        # intersection size): one vectorized equality scan per marker
-        for marker in sorted(LANG_MARKERS[lang]):
-            hit = pc.equal(flat, marker).to_numpy(zero_copy_only=False)
-            present = np.bincount(doc_idx[hit], minlength=n) > 0
-            scores[:, j] += present
+        for m in LANG_MARKERS[lang]:
+            fold[all_markers.index(m), j] = 1
+    midx = (
+        pc.index_in(flat, value_set=pa.array(all_markers, type=pa.string()))
+        .fill_null(-1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    hit = midx >= 0
+    present = np.bincount(
+        doc_idx[hit] * nm + midx[hit], minlength=n * nm
+    ).reshape(n, nm) > 0
+    scores = present.astype(np.int64) @ fold
     # last argmax = lexicographically largest language on ties
     rev_best = np.argmax(scores[:, ::-1], axis=1)
     best = len(_LANGS_SORTED) - 1 - rev_best
@@ -148,13 +171,42 @@ def fnv1a_batch(texts) -> np.ndarray:
     ]
     starts, ends = offsets[:-1].astype(np.int64), offsets[1:].astype(np.int64)
     lengths = ends - starts
-    h = np.full(len(arr), FNV_OFFSET, dtype=np.uint64)
-    max_len = int(lengths.max()) if len(lengths) else 0
+    n = len(arr)
+    max_len = int(lengths.max()) if n else 0
+    # rows SORTED BY LENGTH so the active set at byte position p is a
+    # shrinking suffix slice — per-position cost is O(active rows),
+    # total O(total_bytes + max_len·log n). The unsorted form paid an
+    # O(n) mask + fancy-index at EVERY position, i.e. O(n × max_len):
+    # one long doc in a batch of short ones stalled the whole batch.
+    # Per-doc byte order is unchanged, so hash values are identical.
+    order = np.argsort(lengths, kind="stable")
+    sl = lengths[order]
+    ss = starts[order]
+    hs = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    lo = 0
+    mv = None
     for p in range(max_len):
-        active = lengths > p
-        idx = starts[active] + p
-        b = buf[idx].astype(np.uint64)
-        h[active] = (h[active] ^ b) * FNV_PRIME
+        lo += int(np.searchsorted(sl[lo:], p, side="right"))
+        if n - lo <= 16:
+            # tail fallback: with only a few long docs left, the
+            # per-position numpy call overhead (~µs) dominates —
+            # finish each straggler with a per-byte scalar loop
+            # (~MB/s·doc vs ~0.2 MB/s through 1-row numpy steps)
+            if mv is None:
+                mv = bytes(buf)
+            M64 = (1 << 64) - 1
+            prime = int(FNV_PRIME)
+            for r in range(lo, n):
+                hh = int(hs[r])
+                s0 = int(ss[r])
+                for byte in mv[s0 + p : s0 + int(sl[r])]:
+                    hh = ((hh ^ byte) * prime) & M64
+                hs[r] = hh
+            break
+        b = buf[ss[lo:] + p].astype(np.uint64)
+        hs[lo:] = (hs[lo:] ^ b) * FNV_PRIME
+    h = np.empty(n, dtype=np.uint64)
+    h[order] = hs
     return h
 
 
@@ -186,18 +238,31 @@ def explode_windows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "te
     kernel), not a per-doc loop."""
     texts = batch[text_col].to_pandas()
     ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
     # null texts have no windows but must not poison the batch (a NaN
     # length would void max())
     lens = texts.str.len().fillna(0).astype(np.int64).to_numpy()
+    # rows SORTED BY LENGTH: the docs still holding windows at offset
+    # `start` form a SUFFIX, so each stride iteration slices only the
+    # active docs (zero-copy for the id column) instead of rebuilding
+    # an O(batch) mask + filtered frame per offset — one long doc no
+    # longer makes every iteration pay full-batch cost. The final
+    # distinct groupby makes row order irrelevant.
+    order = np.argsort(lens, kind="stable")
+    sl = lens[order]
+    texts_s = texts.iloc[order].reset_index(drop=True)
+    ids_s = ids.take(pa.array(order))
     out_ids, out_win = [], []
-    max_i = int((lens.max() - WINDOW_LEN) // WINDOW_STRIDE) if len(lens) and lens.max() >= WINDOW_LEN else -1
+    max_i = int((sl[-1] - WINDOW_LEN) // WINDOW_STRIDE) if len(sl) and sl[-1] >= WINDOW_LEN else -1
+    lo = 0
     for i in range(max_i + 1):
         start = i * WINDOW_STRIDE
-        ok = lens >= start + WINDOW_LEN
-        if not ok.any():
+        lo += int(np.searchsorted(sl[lo:], start + WINDOW_LEN, side="left"))
+        if lo >= len(sl):
             break
-        win = texts[ok].str.slice(start, start + WINDOW_LEN)
-        out_ids.append(ids.take(pa.array(np.flatnonzero(ok))))
+        win = texts_s.iloc[lo:].str.slice(start, start + WINDOW_LEN)
+        out_ids.append(ids_s.slice(lo))
         out_win.append(pa.array(win.to_numpy(), type=pa.string()))
     if not out_ids:
         return pa.table({id_col: batch[id_col].slice(0, 0), "window": pa.array([], type=pa.string())})
@@ -223,12 +288,14 @@ def fingerprint_stage(
     pins it). Equality classes are identical either way (A/B-tested)."""
     from .dedup import content_hash128, md5_hex
 
-    texts = batch[text_col].to_pylist()
     if fp_algo == "md5":
+        texts = batch[text_col].to_pylist()
         fps = pa.array(md5_hex(texts))  # the one oracle-parity md5
-        rolls = fnv1a_batch(texts)
+        rolls = fnv1a_batch(["" if t is None else t for t in texts])
     else:
-        h1, h2 = content_hash128(texts)
+        # Arrow column straight through: content_hash128's arrow path
+        # feeds fnv1a_batch zero-copy (pylist only for the md5 branch)
+        h1, h2 = content_hash128(batch[text_col])
         # same 32-hex-char width as md5: two zero-padded uint64 lanes
         fps = pa.array([f"{a:016x}{b:016x}" for a, b in zip(h1, h2)])
         rolls = h1

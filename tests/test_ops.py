@@ -788,3 +788,75 @@ def test_aggregate_null_and_naming_semantics():
             ray.data.from_arrow(pa.table({"k": pa.array(["a", None]), "v": [1, 2]})),
             ["k"], {"v": "sv"},
         )
+
+
+def test_text_stages_survive_nan_and_exact_quality_boundary():
+    """(a) pandas NaN (not just None) is a legal missing-text marker
+    for quality/langid stages; (b) quality_ok thresholds on the EXACT
+    integers, not the 4-dp rounded ratio (a doc with true mean word
+    length 1.99998 must FAIL the >=2 gate even though it rounds to
+    2.0)."""
+    from rayhist.ops.text import langid_stage, quality_stage
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["the quick brown fox", np.nan]})
+    q = quality_stage(df.copy())
+    assert q["n_chars_m"].iloc[1] == 0 and not q["quality_ok"].iloc[1]
+    lid = langid_stage(df.copy())
+    assert lid["lang_pred"].iloc[1] == "en"
+
+    # 50k words of 2 chars minus one 1-char word: nsl = 2*nw - 1
+    words = ["ab"] * 49_999 + ["a"]
+    boundary = pd.DataFrame({"text": [" ".join(words)]})
+    qb = quality_stage(boundary.copy())
+    assert round(float(qb["mean_word_len"].iloc[0]), 4) == 2.0  # rounds UP to the gate
+    assert not qb["quality_ok"].iloc[0]  # exact integers say 99999 < 2*50000
+
+
+def test_fnv1a_batch_skewed_lengths_exact_and_fast():
+    """Length-sorted active-prefix + scalar tail: hash values stay
+    bit-identical to the scalar definition in every regime, including
+    one huge doc among many short ones (previously O(n x max_len))."""
+    import time
+
+    from rayhist.ops.text import fnv1a_batch
+
+    def scalar(s):
+        h = 14695981039346656037
+        for b in s.encode():
+            h = ((h ^ b) * 1099511628211) % (1 << 64)
+        return h
+
+    skew = ["short doc here"] * 5000 + ["x" * 300_000]
+    t0 = time.perf_counter()
+    h = fnv1a_batch(skew)
+    assert time.perf_counter() - t0 < 2.0  # was ~seconds per MB before
+    assert h[0] == scalar("short doc here") and h[-1] == scalar("x" * 300_000)
+
+
+def test_explode_windows_skewed_lengths():
+    """Sorted-suffix window explode: same distinct (doc, window) set
+    as the definition, with one long doc among short ones."""
+    from rayhist.ops.text import WINDOW_LEN, WINDOW_STRIDE, explode_windows
+
+    long = "abcdefgh" * 40  # 320 chars
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["tiny", long, "abcdefgh" * 5]})
+    out = explode_windows(t)
+    got = set(zip(out["doc_id"].to_pylist(), out["window"].to_pylist()))
+    exp = set()
+    for did, txt in [(1, "tiny"), (2, long), (3, "abcdefgh" * 5)]:
+        i = 0
+        while i * WINDOW_STRIDE + WINDOW_LEN <= len(txt):
+            s = i * WINDOW_STRIDE
+            exp.add((did, txt[s : s + WINDOW_LEN]))
+            i += 1
+    assert got == exp
+
+
+def test_bloom_tolerates_null_keys():
+    from rayhist.functions.bloom import BloomFilter, bloom_params
+
+    m, k = bloom_params(100)
+    bf = BloomFilter(m, k).add(pa.array([1, 2, None], type=pa.int64()))
+    mask = bf.contains(pa.array([1, 99, None], type=pa.int64()))
+    assert mask[0]  # present
+    assert mask[2]  # null hashed as "" -> conservative True is fine
