@@ -7,8 +7,8 @@ span-document table, or cell-id key ranges). Each shard's output is a
 separate directory written ATOMICALLY (temp dir + rename), and a
 manifest line (JSON) records:
 
-    partition id, input lineage (paths + fingerprints), row counts
-    in/out, output checksum, wall time, engine version
+    partition id, input lineage (paths + fingerprints), output row
+    count, output checksum, wall time, engine version
 
 On resume, shards whose manifest line exists AND whose output
 directory is present are skipped — a re-submitted job re-does only
@@ -59,13 +59,50 @@ def _table_checksum(tbl: pa.Table) -> str:
     cols = sorted(tbl.schema.names)
     row_hashes = None
     for c in cols:
-        vals = tbl[c].cast(pa.string()).to_numpy(zero_copy_only=False)
+        try:
+            vals = tbl[c].cast(pa.string()).to_numpy(zero_copy_only=False)
+        except pa.lib.ArrowNotImplementedError:
+            # nested columns (list/struct/map) have no utf8 cast —
+            # fall back to their Python repr (slow, nested-only) so a
+            # checkpointed pipeline keeping e.g. a tags list does not
+            # crash AFTER its distributed work finished
+            vals = np.array([repr(v) for v in tbl[c].to_pylist()], dtype=object)
         h = pd.util.hash_pandas_object(
             pd.Series(vals, dtype=object), index=False, hash_key=c.ljust(16, "_")[:16]
         ).to_numpy()
         row_hashes = h if row_hashes is None else row_hashes * np.uint64(31) + h
     total = int(row_hashes.sum()) if row_hashes is not None and len(row_hashes) else 0
     return f"{total & ((1 << 64) - 1):016x}"
+
+
+def _files_stats(paths: list[str]) -> tuple[int, str]:
+    """(rows, checksum) over a shard's parquet files WITHOUT
+    concatenating them into driver memory: the checksum is a sum of
+    per-row hashes, which is additive across files, so it accumulates
+    file-by-file (bounded by the largest single file, not the shard)."""
+    rows, total = 0, 0
+    for f in paths:
+        tbl = pq.read_table(f)
+        rows += tbl.num_rows
+        if tbl.num_rows:
+            total = (total + int(_table_checksum(tbl), 16)) & ((1 << 64) - 1)
+    return rows, (f"{total:016x}" if rows else "0" * 16)
+
+
+def _read_manifest(manifest_path: Path) -> dict[str, dict]:
+    """Last-line-wins manifest parse, tolerating a torn trailing line
+    (SIGKILL / ENOSPC mid-append): an unparseable line is skipped and
+    its shard simply gets redone — the resumable log must never be the
+    thing that prevents resuming."""
+    prior: dict[str, dict] = {}
+    if manifest_path.exists():
+        for line in manifest_path.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            prior[rec["partition"]] = rec
+    return prior
 
 
 def run_sharded(
@@ -85,14 +122,25 @@ def run_sharded(
     partition name. Partial outputs (temp dirs) from a killed run are
     ignored and redone.
     """
+    import shutil
+
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest_path = out / "manifest.jsonl"
-    prior: dict[str, dict] = {}
-    if manifest_path.exists():
-        for line in manifest_path.read_text().splitlines():
-            rec = json.loads(line)
-            prior[rec["partition"]] = rec  # last line wins (append-only)
+    prior = _read_manifest(manifest_path)
+
+    def _lost_race(pid: str, tmp: Path, rec: dict) -> dict:
+        """A concurrent run published this shard first. Our tmp is
+        discarded; describe the SURVIVING content (the winner's
+        manifest line if landed, else a re-checksum — a racing run on
+        a different engine version may differ from our rec)."""
+        shutil.rmtree(tmp, ignore_errors=True)
+        winner = _read_manifest(manifest_path).get(pid)
+        if winner is None:
+            surv = sorted(str(f) for f in (out / pid).glob("*.parquet"))
+            rows, csum = _files_stats(surv)
+            winner = {**rec, "rows_out": rows, "checksum": csum}
+        return {**winner, "lost_race": True}
 
     done: dict[str, dict] = {}
     for pid, inputs in sorted(shards.items()):
@@ -102,9 +150,22 @@ def run_sharded(
         except FileNotFoundError:
             # an input vanished (e.g. cache GC) after the shard
             # completed: the output + manifest are the only record —
-            # keep them rather than crash; without a completed output
-            # the shard is unservable either way, so re-raise.
-            if rec is not None and (out / pid).exists():
+            # serve them ONLY if the recorded lineage covers exactly
+            # the CURRENT input set and every still-existing input's
+            # fingerprint matches (a remapped shard under the same id
+            # must NOT be served from the old output). Without a
+            # matching completed output the shard is unservable, so
+            # re-raise.
+            if (
+                rec is not None
+                and (out / pid).exists()
+                and set(rec.get("lineage", {})) == set(inputs)
+                and all(
+                    rec["lineage"][p] == _fingerprint(p)
+                    for p in inputs
+                    if os.path.exists(p)
+                )
+            ):
                 done[pid] = rec
                 continue
             raise
@@ -112,54 +173,38 @@ def run_sharded(
             done[pid] = rec
             continue
         if (out / pid).exists():  # stale output (lineage changed): redo
-            import shutil
-
             shutil.rmtree(out / pid)
         t0 = time.perf_counter()
         ds = process(inputs)
         tmp = out / f".tmp_{pid}_{os.getpid()}"
+        # a stale tmp dir (same-pid retry, or pid reuse after a kill)
+        # would MERGE leftover partial files into this run's output —
+        # write_parquet appends uniquely-named files, it does not clear
+        shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(str(tmp))
         parts = sorted(str(f) for f in tmp.glob("*.parquet"))
-        tbl = pa.concat_tables([pq.read_table(f) for f in parts]) if parts else pa.table({})
+        rows_out, csum = _files_stats(parts)  # file-by-file: no driver concat
         rec = {
             "partition": pid,
             "lineage": lineage,
-            "rows_out": tbl.num_rows,
-            "checksum": _table_checksum(tbl) if tbl.num_rows else "0" * 16,
+            "rows_out": rows_out,
+            "checksum": csum,
             "wall_s": round(time.perf_counter() - t0, 3),
             "engine": ENGINE_VERSION,
         }
         final = out / pid
         if final.exists():  # lost the rename race to a concurrent run
-            import shutil
-
-            # The surviving directory is the other run's output; our tmp
-            # is discarded. Describe the SURVIVING content, not ours:
-            # take the winner's manifest line if it has landed, else
-            # re-checksum the surviving directory (a racing run on a
-            # different engine version may differ from our rec).
-            shutil.rmtree(tmp)
-            winner = None
-            if manifest_path.exists():
-                for line in manifest_path.read_text().splitlines():
-                    r = json.loads(line)
-                    if r["partition"] == pid:
-                        winner = r  # last line wins (append-only log)
-            if winner is None:
-                surv = sorted(str(f) for f in final.glob("*.parquet"))
-                stbl = (
-                    pa.concat_tables([pq.read_table(f) for f in surv])
-                    if surv
-                    else pa.table({})
-                )
-                winner = {
-                    **rec,
-                    "rows_out": stbl.num_rows,
-                    "checksum": _table_checksum(stbl) if stbl.num_rows else "0" * 16,
-                }
-            done[pid] = {**winner, "lost_race": True}
+            done[pid] = _lost_race(pid, tmp, rec)
             continue
-        tmp.rename(final)
+        try:
+            tmp.rename(final)
+        except OSError:
+            # TOCTOU: the winner renamed between our exists() check
+            # and ours — same lost-race path, not a crash
+            if not final.exists():
+                raise
+            done[pid] = _lost_race(pid, tmp, rec)
+            continue
         with open(manifest_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         done[pid] = rec
@@ -225,10 +270,8 @@ def write_partitioned_by_cell(
     level_counts: dict[int, dict[int, int]] = {zoom: dict(small)}
     for z in range(zoom - 1, -1, -1):
         agg: dict[int, int] = {}
-        nx_hi = 1 << (z + 1)
         for c, n in level_counts[z + 1].items():
-            y, x = divmod(c, nx_hi)
-            parent = (y // 2) * (1 << z) + (x // 2)
+            parent = _ancestor_cell(c, z + 1, z)
             agg[parent] = agg.get(parent, 0) + n
         level_counts[z] = agg
 
@@ -236,24 +279,42 @@ def write_partitioned_by_cell(
     for c in small:
         z, cc = zoom, c
         while level_counts[z][cc] < min_rows_per_cell and z > 0:
+            cc = _ancestor_cell(cc, z, z - 1)
             z -= 1
-            nx_hi = 1 << (z + 1)
-            y, x = divmod(cc, nx_hi)
-            cc = (y // 2) * (1 << z) + (x // 2)
         final_level[c] = (z, cc)
 
+    # vectorized per-batch mapping: sorted key array + searchsorted
+    # fancy-index (every batch cell is in final_level by construction
+    # — it came from the groupby over the same dataset); a per-row
+    # Python dict lookup here would be the hot Load stage's bottleneck
+    keys_arr = np.array(sorted(final_level), dtype=np.int64)
+    z_map = np.array([final_level[int(k)][0] for k in keys_arr], dtype=np.int64)
+    c_map = np.array([final_level[int(k)][1] for k in keys_arr], dtype=np.int64)
+
     def assign(batch: pa.Table) -> pa.Table:
-        cells = batch["cell"].to_numpy(zero_copy_only=False)
-        zs = np.array([final_level[int(c)][0] for c in cells], dtype=np.int64)
-        fcs = np.array([final_level[int(c)][1] for c in cells], dtype=np.int64)
-        batch = batch.append_column("part_zoom", pa.array(zs))
-        return batch.append_column("part_cell", pa.array(fcs))
+        cells = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys_arr, cells)
+        batch = batch.append_column("part_zoom", pa.array(z_map[pos]))
+        return batch.append_column("part_cell", pa.array(c_map[pos]))
+
+    import shutil
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
-    tmp = Path(out_dir) / "_staging"
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    # atomic REPLACE (temp + rename, the run_sharded discipline): a
+    # re-run must never append a second copy of every row into
+    # surviving partition dirs, and a reader killed mid-write must
+    # never see a half-written layout
+    tmp = out / f".tmp_cells_{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
     assigned.write_parquet(str(tmp), partition_cols=["part_zoom", "part_cell"])
     manifest = {"zoom": zoom, "partitions": sorted(str(p.relative_to(tmp)) for p in tmp.glob("*/*"))}
-    with open(Path(out_dir) / "layout.json", "w") as f:
+    final = out / "cells"
+    if final.exists():
+        shutil.rmtree(final)
+    tmp.rename(final)
+    with open(out / "layout.json", "w") as f:
         json.dump(manifest, f)
     return manifest
 

@@ -138,9 +138,15 @@ def test_write_partitioned_by_cell_coalesces(tmp_path):
     # row conservation
     import pyarrow.parquet as pq
 
-    files = list((tmp_path / "out" / "_staging").rglob("*.parquet"))
+    files = list((tmp_path / "out" / "cells").rglob("*.parquet"))
     total = sum(pq.read_metadata(f).num_rows for f in files)
     assert total == len(cells)
+    # a RE-RUN replaces the layout — it must not append a second copy
+    # of every row into the surviving partition dirs
+    ds2 = ray.data.from_arrow(pa.table({"cell": cells.astype(np.int64), "x": np.arange(len(cells))}))
+    write_partitioned_by_cell(ds2, str(tmp_path / "out"), zoom=4, min_rows_per_cell=100)
+    files2 = list((tmp_path / "out" / "cells").rglob("*.parquet"))
+    assert sum(pq.read_metadata(f).num_rows for f in files2) == len(cells)
 
 
 def test_ancestor_cell_math():
@@ -255,7 +261,7 @@ def test_partitioned_layout_pruned_query(tmp_path):
 
     aoi = (-400_000_000, -200_000_000, 400_000_000, 200_000_000)
     aoi_cells = set(int(c) for c in bbox_cells(ZOOM, *aoi))
-    staging = out / "_staging"
+    staging = out / "cells"
     all_dirs = sorted(staging.glob("part_zoom=*/part_cell=*"))
     matching = [d for d in all_dirs if int(d.name.split("=")[1]) in aoi_cells]
     assert 0 < len(matching) < len(all_dirs)  # pruning skips directories
@@ -306,3 +312,58 @@ def test_latest_state_write_terminated_matches_oracle():
         k: r["checksum"] for k, r in manifest.items()
     }
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_run_sharded_survives_stale_tmp_and_torn_manifest(tmp_path):
+    """(a) A leftover tmp dir from a killed same-pid attempt must not
+    merge its partial files into the new output; (b) a torn trailing
+    manifest line (SIGKILL mid-append) must not prevent resuming."""
+    import os
+
+    import ray.data
+
+    from rayhist.state.checkpoint import run_sharded
+
+    src = tmp_path / "in.parquet"
+    pa.parquet.write_table(pa.table({"x": list(range(10))}), src)
+    out = tmp_path / "out"
+    out.mkdir()
+    # (a) plant a stale tmp dir with junk for this very pid
+    stale = out / f".tmp_s0_{os.getpid()}"
+    stale.mkdir(parents=True)
+    pa.parquet.write_table(pa.table({"x": [999, 998]}), stale / "junk.parquet")
+
+    def process(paths):
+        return ray.data.read_parquet(paths)
+
+    rec = run_sharded({"s0": [str(src)]}, process, str(out))
+    assert rec["s0"]["rows_out"] == 10  # junk rows NOT merged in
+
+    # (b) torn manifest line: resume still serves the completed shard
+    with open(out / "manifest.jsonl", "a") as f:
+        f.write('{"partition": "s1", "lineage"')  # truncated
+    rec2 = run_sharded({"s0": [str(src)]}, process, str(out))
+    assert rec2["s0"]["rows_out"] == 10
+
+
+def test_run_sharded_nested_column_checksum(tmp_path):
+    """A checkpointed pipeline keeping a nested (list) column must not
+    crash the checksum after the distributed work completed."""
+    import ray.data
+
+    from rayhist.state.checkpoint import run_sharded
+
+    src = tmp_path / "in.parquet"
+    pa.parquet.write_table(pa.table({"x": [1, 2]}), src)
+
+    def process(paths):
+        def add_list(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "tags",
+                pa.array([[i, i + 1] for i in range(len(b))], type=pa.list_(pa.int64())),
+            )
+
+        return ray.data.read_parquet(paths).map_batches(add_list, batch_format="pyarrow")
+
+    rec = run_sharded({"s0": [str(src)]}, process, str(tmp_path / "out"))
+    assert rec["s0"]["rows_out"] == 2 and len(rec["s0"]["checksum"]) == 16
