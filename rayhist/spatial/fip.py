@@ -47,16 +47,23 @@ class Polygon:
     _band_h: float = 1.0
 
     def __post_init__(self):
+        if not self.rings:
+            raise ValueError("Polygon: needs at least one ring")
         segs = []
-        for ring in self.rings:
+        for i, ring in enumerate(self.rings):
             r = np.asarray(ring, dtype=np.float64)
+            if r.ndim != 2 or r.shape[-1] != 2 or len(r) < 3:
+                raise ValueError(
+                    f"Polygon: ring {i} must be an (n>=3, 2) coordinate "
+                    f"array, got shape {r.shape}"
+                )
             if not np.array_equal(r[0], r[-1]):
                 r = np.vstack([r, r[:1]])
             a, b = r[:-1], r[1:]
             segs.append(np.hstack([a, b]))
         self._edges = np.vstack(segs)  # (m, 4): x1 y1 x2 y2
         ys = np.sort(self._edges[:, [1, 3]], axis=1)
-        self._band_lo = float(min(ys[:, 0].min(), ys[:, 1].min()))
+        self._band_lo = float(ys[:, 0].min())  # rows sorted: col 0 is the low end
         hi = float(ys[:, 1].max())
         self._band_h = max((hi - self._band_lo) / self.n_bands, 1e-12)
         self._bands = []
@@ -84,18 +91,27 @@ class Polygon:
         py = np.asarray(py, dtype=np.float64)
         inside = np.zeros(len(px), dtype=bool)
         band = np.clip(((py - self._band_lo) / self._band_h).astype(np.int64), 0, self.n_bands - 1)
+        # cap the (points x band-edges) temporaries: a whole Ray block
+        # against a detailed boundary (thousands of edges per band)
+        # would otherwise allocate multi-hundred-MB float64 matrices —
+        # memory traffic is the scaling wall (CLAUDE.md). Identical
+        # results; peak memory bounded at ~3 x 8 B x _CHUNK_CELLS.
+        _CHUNK_CELLS = 4_000_000
         for b in range(self.n_bands):
             pts = np.flatnonzero(band == b)
             if len(pts) == 0 or len(self._bands[b]) == 0:
                 continue
             e = self._edges[self._bands[b]]
             x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
-            bx, by = px[pts][:, None], py[pts][:, None]
-            cond = (y1[None, :] > by) != (y2[None, :] > by)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                xint = x1 + (by - y1) * (x2 - x1) / (y2 - y1)
-            cross = cond & (bx < xint)
-            inside[pts] = cross.sum(axis=1) % 2 == 1
+            step = max(1, _CHUNK_CELLS // max(len(e), 1))
+            for s in range(0, len(pts), step):
+                sub = pts[s : s + step]
+                bx, by = px[sub][:, None], py[sub][:, None]
+                cond = (y1[None, :] > by) != (y2[None, :] > by)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = x1 + (by - y1) * (x2 - x1) / (y2 - y1)
+                cross = cond & (bx < xint)
+                inside[sub] = cross.sum(axis=1) % 2 == 1
         return inside
 
 
@@ -108,6 +124,17 @@ def contains_convex(ring: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndar
     r = np.asarray(ring, dtype=np.float64)
     if np.array_equal(r[0], r[-1]):
         r = r[:-1]
+    # a CLOCKWISE ring silently returns all-False under this sign
+    # convention — and the byte-identical SQL mirror replicates the
+    # mistake, so the oracle gate cannot catch it; refuse loudly
+    area2 = float(
+        np.sum(r[:, 0] * np.roll(r[:, 1], -1) - np.roll(r[:, 0], -1) * r[:, 1])
+    )
+    if area2 <= 0:
+        raise ValueError(
+            "contains_convex: ring must be counter-clockwise "
+            f"(signed area {area2 / 2:g} <= 0)"
+        )
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     ok = np.ones(len(px), dtype=bool)
@@ -117,6 +144,33 @@ def contains_convex(ring: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndar
         x2, y2 = r[(i + 1) % n]
         ok &= (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0.0
     return ok
+
+
+def _segments_intersect_rect(e: np.ndarray, min_x, min_y, max_x, max_y) -> np.ndarray:
+    """Per-edge EXACT segment-rectangle intersection (vectorized
+    Liang-Barsky clip against the closed rect): True where any part of
+    the segment lies in the rect. The previous conservative edge-AABB
+    overlap test classified almost every cell near a long DIAGONAL
+    edge as 'boundary', defeating the RegionIndex fully-inside fast
+    path for any non-axis-aligned polygon."""
+    x1, y1 = e[:, 0], e[:, 1]
+    dx, dy = e[:, 2] - x1, e[:, 3] - y1
+    n = len(e)
+    t0 = np.zeros(n)
+    t1 = np.ones(n)
+    ok = np.ones(n, dtype=bool)
+    for p, q in (
+        (-dx, x1 - min_x),
+        (dx, max_x - x1),
+        (-dy, y1 - min_y),
+        (dy, max_y - y1),
+    ):
+        ok &= ~((p == 0) & (q < 0))  # parallel and fully outside this side
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        t0 = np.where(p < 0, np.maximum(t0, r), t0)
+        t1 = np.where(p > 0, np.minimum(t1, r), t1)
+    return ok & (t0 <= t1)
 
 
 def bbox_outside(poly: Polygon, min_x, min_y, max_x, max_y) -> bool:
@@ -133,13 +187,8 @@ def bbox_outside(poly: Polygon, min_x, min_y, max_x, max_y) -> bool:
     vx, vy = e[:, 0], e[:, 1]
     if ((vx >= min_x) & (vx <= max_x) & (vy >= min_y) & (vy <= max_y)).any():
         return False
-    # any edge crossing the bbox boundary? conservative segment-overlap test
-    ex0 = np.minimum(e[:, 0], e[:, 2])
-    ex1 = np.maximum(e[:, 0], e[:, 2])
-    ey0 = np.minimum(e[:, 1], e[:, 3])
-    ey1 = np.maximum(e[:, 1], e[:, 3])
-    overlap = (ex1 >= min_x) & (ex0 <= max_x) & (ey1 >= min_y) & (ey0 <= max_y)
-    return not overlap.any()
+    # any edge crossing the bbox? exact segment-rect intersection
+    return not _segments_intersect_rect(e, min_x, min_y, max_x, max_y).any()
 
 
 def bbox_inside(poly: Polygon, min_x, min_y, max_x, max_y) -> bool:
@@ -154,15 +203,10 @@ def bbox_inside(poly: Polygon, min_x, min_y, max_x, max_y) -> bool:
     if ((vx > min_x) & (vx < max_x) & (vy > min_y) & (vy < max_y)).any():
         return False
     # a polygon EDGE may still cross the bbox with neither endpoint
-    # inside (a thin slit / hole notch through the box): conservative
-    # edge-bbox overlap test, mirroring bbox_outside — overlap means
-    # "cannot prove inside", fall through to the exact per-point test
-    ex0 = np.minimum(e[:, 0], e[:, 2])
-    ex1 = np.maximum(e[:, 0], e[:, 2])
-    ey0 = np.minimum(e[:, 1], e[:, 3])
-    ey1 = np.maximum(e[:, 1], e[:, 3])
-    overlap = (ex1 >= min_x) & (ex0 <= max_x) & (ey1 >= min_y) & (ey0 <= max_y)
-    return not overlap.any()
+    # inside (a thin slit / hole notch through the box): exact
+    # segment-rect intersection — any crossing means "cannot prove
+    # inside", fall through to the exact per-point test
+    return not _segments_intersect_rect(e, min_x, min_y, max_x, max_y).any()
 
 
 class PointInPolygonStage:

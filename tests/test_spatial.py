@@ -767,3 +767,49 @@ def test_ann_resolve_never_concatenates_on_driver(monkeypatch):
     assert len(out) == 10 * 5
     assert max(sizes) <= 10 * 5 + 10, sizes  # final top-k + query lookup only
     assert max(sizes) < 10 * 5 * nblocks // 2  # NOT the per-block partial stream
+
+
+# ------------------------------------- review-fix regressions (round 5)
+
+
+def test_segment_rect_intersection_exact_vs_aabb():
+    """Exact Liang-Barsky segment-rect test: a box deep inside a
+    triangle must classify fully-inside even though the diagonal
+    edges' AABBs cover it (the conservative overlap test defeated the
+    RegionIndex fast path for every non-axis-aligned polygon)."""
+    import numpy as np
+
+    from rayhist.spatial.fip import (
+        Polygon,
+        _segments_intersect_rect,
+        bbox_inside,
+        bbox_outside,
+    )
+
+    tri = Polygon([np.array([[0.0, 0.0], [100.0, 0.0], [50.0, 100.0]])])
+    assert bbox_inside(tri, 45, 30, 55, 40)      # deep interior
+    assert not bbox_inside(tri, -5, -5, 5, 5)    # spans the corner
+    assert bbox_outside(tri, 200, 200, 300, 300)
+    assert not bbox_outside(tri, 45, 30, 55, 40)
+    # a segment passing THROUGH a rect with both endpoints outside
+    seg = np.array([[-10.0, 35.0, 110.0, 35.0]])
+    assert _segments_intersect_rect(seg, 45, 30, 55, 40).all()
+    # a diagonal segment whose AABB overlaps the rect but which misses it
+    seg2 = np.array([[0.0, 0.0, 100.0, 100.0]])
+    assert not _segments_intersect_rect(seg2, 60.0, 0.0, 80.0, 10.0).any()
+
+
+def test_polygon_validation_and_convex_orientation():
+    import numpy as np
+    import pytest
+
+    from rayhist.spatial.fip import Polygon, contains_convex
+
+    with pytest.raises(ValueError, match="ring"):
+        Polygon([])
+    with pytest.raises(ValueError, match="ring 0"):
+        Polygon([np.array([[1.0, 2.0]])])
+    sq = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    assert contains_convex(sq, np.array([5.0]), np.array([5.0])).all()
+    with pytest.raises(ValueError, match="counter-clockwise"):
+        contains_convex(sq[::-1], np.array([5.0]), np.array([5.0]))
