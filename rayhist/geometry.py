@@ -79,9 +79,15 @@ class TagInterpreter:
         if tags.get("area") == "no":
             return False
         for k, v in tags.items():
-            if k in self.all_keys:
+            # "all" wraps an InvertedHashSet CONTAINING "no"
+            # (DefaultTagInterpreter.java:88-93): every value counts
+            # EXCEPT "no" — building=no is a linestring
+            if k in self.all_keys and v != "no":
                 return True
-            if k in self.white and v in self.white[k]:
+            # "whitelist" ADDS "no" to the accepted set
+            # (DefaultTagInterpreter.java:94-104) — a reference quirk,
+            # mirrored verbatim for parity
+            if k in self.white and (v in self.white[k] or v == "no"):
                 return True
             if k in self.black and v not in self.black[k]:
                 return True
@@ -160,38 +166,53 @@ def build_way(
 
 def _join_rings(ways: list[np.ndarray]) -> list[np.ndarray]:
     """Join way segments endpoint-to-endpoint into closed rings
-    (OSHDBGeometryBuilder.join, :304-362). Unclosable chains dropped."""
+    (OSHDBGeometryBuilder.join, :304-362). An unjoinable chain (an
+    incomplete relation) falls out of the pool implicitly: it is
+    popped, matches nothing, and is never re-queued.
+
+    Known divergence: endpoints match by rounded e7 COORDINATE, while
+    the reference joins by node identity — distinct stacked nodes at
+    the same e7 position would fuse here. The span model carries
+    coordinates only at this layer; dirty stacked-node relations are
+    out of the synthetic corpus's scope."""
     open_chains = [w.copy() for w in ways if len(w) >= 2]
     rings: list[np.ndarray] = []
-    progress = True
     while open_chains:
         chain = open_chains.pop(0)
         if np.array_equal(chain[0], chain[-1]) and len(chain) >= 4:
             rings.append(chain)
             continue
-        progress = False
+        joined = False
         for i, other in enumerate(open_chains):
             for flip in (False, True):
                 o = other[::-1] if flip else other
                 if np.array_equal(chain[-1], o[0]):
                     open_chains[i] = np.vstack([chain, o[1:]])
-                    progress = True
+                    joined = True
                     break
                 if np.array_equal(o[-1], chain[0]):
                     open_chains[i] = np.vstack([o, chain[1:]])
-                    progress = True
+                    joined = True
                     break
-            if progress:
+            if joined:
                 break
-        if not progress:
-            continue  # drop unjoinable chain (incomplete relation)
     return rings
 
 
 def _shoelace_e7(ring: np.ndarray) -> float:
-    """Planar signed area x2 of a closed e7 ring; positive = CCW."""
+    """Planar signed area x2 of a closed e7 ring; positive = CCW.
+
+    Coordinates are TRANSLATED to the ring's min corner before the
+    cross products: full-magnitude e7 values (up to 1.8e9) make the
+    products exceed float64's 2^53 exact-integer range, so a truly
+    collinear sliver at a high longitude could sum to a nonzero value
+    and survive the exact ``== 0`` sliver test; after translation the
+    products are exact for any ring under ~0.3 degrees of extent and
+    the signed area is translation-invariant."""
     x = ring[:-1, 0].astype(np.float64)
     y = ring[:-1, 1].astype(np.float64)
+    x = x - x.min()
+    y = y - y.min()
     return float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum())
 
 
@@ -205,9 +226,11 @@ def _split_crossings(ring: np.ndarray) -> np.ndarray:
     step). Rounding to integer e7 (~1 cm) is the fixed-point analog of
     JTS's precision model snap.
 
-    All-pairs vectorized test (one numpy pass over the m^2/2 edge
-    pairs): fine for OSM-scale rings (m is at most a few thousand);
-    rings enter here once, not per repair iteration.
+    Pairwise test CHUNKED over the first edge index with an edge-AABB
+    prefilter per chunk, so peak memory is O(chunk x m) booleans plus
+    the surviving candidate pairs — never the m^2/2 int64 index
+    arrays of the naive all-pairs form (a joined 100k-vertex
+    admin-boundary ring would have needed ~80 GB of indexes alone).
     """
     body = ring[:-1].astype(np.float64)
     m = len(body)
@@ -215,11 +238,33 @@ def _split_crossings(ring: np.ndarray) -> np.ndarray:
         return ring
     a = body
     b = np.vstack([body[1:], body[:1]])  # edge i: a[i] -> b[i]
-    i_idx, j_idx = np.triu_indices(m, k=2)
-    # adjacent edges share an endpoint by construction; pair (0, m-1)
-    # is adjacent too (the closure)
+    ex0 = np.minimum(a[:, 0], b[:, 0])
+    ex1 = np.maximum(a[:, 0], b[:, 0])
+    ey0 = np.minimum(a[:, 1], b[:, 1])
+    ey1 = np.maximum(a[:, 1], b[:, 1])
+    chunk = max(1, 4_000_000 // m)
+    ci, cj = [], []
+    for s0 in range(0, m, chunk):
+        s1 = min(s0 + chunk, m)
+        ii = np.arange(s0, s1)
+        # j > i + 1 (adjacent edges share an endpoint by construction)
+        cand = (
+            (ex1[ii][:, None] >= ex0[None, :])
+            & (ex0[ii][:, None] <= ex1[None, :])
+            & (ey1[ii][:, None] >= ey0[None, :])
+            & (ey0[ii][:, None] <= ey1[None, :])
+            & (np.arange(m)[None, :] > ii[:, None] + 1)
+        )
+        ci_, cj_ = np.nonzero(cand)
+        ci.append(ii[ci_])
+        cj.append(cj_)
+    i_idx = np.concatenate(ci) if ci else np.array([], dtype=np.int64)
+    j_idx = np.concatenate(cj) if cj else np.array([], dtype=np.int64)
+    # pair (0, m-1) is adjacent too (the closure)
     keep = ~((i_idx == 0) & (j_idx == m - 1))
     i_idx, j_idx = i_idx[keep], j_idx[keep]
+    if len(i_idx) == 0:
+        return ring
     p, r = a[i_idx], b[i_idx] - a[i_idx]
     q, s = a[j_idx], b[j_idx] - a[j_idx]
     denom = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
@@ -314,6 +359,17 @@ def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
     return int((cond & (px < xint)).sum()) % 2 == 1
 
 
+def _points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd crossing test for MANY points against one
+    ring (same convention as _point_in_ring)."""
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cond = (y[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x[None, :] + (py[:, None] - y[None, :]) * (x2 - x)[None, :] / (y2 - y)[None, :]
+    return (cond & (px[:, None] < xint)).sum(axis=1) % 2 == 1
+
+
 def build_multipolygon(
     outer_ways: list[np.ndarray], inner_ways: list[np.ndarray]
 ) -> Geom:
@@ -329,23 +385,47 @@ def build_multipolygon(
     for o in outers:
         parts.append((o[:, 0] / 1e7, o[:, 1] / 1e7))
         holes.append([])
+    if len(outers) == 1:
+        # the reference attaches ALL inners unconditionally to a
+        # single outer (OSHDBGeometryBuilder.java:253-257,
+        # createPolygon(outer, allInners)) — even a dirty inner poking
+        # outside it keeps its hole
+        holes[0] = [(inner[:, 0] / 1e7, inner[:, 1] / 1e7) for inner in inners]
+        return Geom("multipolygon", parts, holes)
     for inner in inners:
-        # candidate probe points: the vertex mean (fast, usually
-        # interior), then actual ring vertices — a NON-CONVEX inner
-        # ring's mean can fall outside every outer (e.g. a crescent in
-        # a horseshoe's arm), which would silently drop the hole
-        probes = [(inner[:-1, 0].mean(), inner[:-1, 1].mean())] + [
-            (float(x), float(y)) for x, y in inner[:-1]
-        ]
-        placed = False
-        for cx, cy in probes:
-            for i, o in enumerate(outers):
-                if _point_in_ring(cx, cy, o):
-                    holes[i].append((inner[:, 0] / 1e7, inner[:, 1] / 1e7))
-                    placed = True
+        # multiple outers: the reference attaches the inner to EVERY
+        # outer whose polygon contains it (constructMultipolygonPart,
+        # OSHDBGeometryBuilder.java:289-301 outerPolygon::contains —
+        # nested outers each get the hole); containment approximated
+        # as every inner vertex strictly inside the outer ring.
+        pts = inner[:-1]
+        attached = False
+        for i, o in enumerate(outers):
+            if _points_in_ring(pts[:, 0], pts[:, 1], o).all():
+                holes[i].append((inner[:, 0] / 1e7, inner[:, 1] / 1e7))
+                attached = True
+        if not attached:
+            # TOUCHING/dirty inner (vertices on an outer's boundary get
+            # arbitrary even-odd results): probe fallback, first match
+            # wins. The vertex MEAN is used only when it lies inside
+            # the inner itself — a non-convex inner's mean can fall in
+            # a DIFFERENT outer (horseshoe-mouth case) and would punch
+            # the hole into the wrong polygon.
+            cx, cy = float(pts[:, 0].mean()), float(pts[:, 1].mean())
+            probes = (
+                [(cx, cy)] if _point_in_ring(cx, cy, inner) else []
+            ) + [(float(x), float(y)) for x, y in pts]
+            placed = False
+            for px_, py_ in probes:
+                for i, o in enumerate(outers):
+                    if _point_in_ring(px_, py_, o):
+                        holes[i].append((inner[:, 0] / 1e7, inner[:, 1] / 1e7))
+                        placed = True
+                        break
+                if placed:
                     break
-            if placed:
-                break
+            # still unmatched: drop, as in the reference (its own
+            # 'todo: what to do with unmatched inner rings??', :278)
     return Geom("multipolygon", parts, holes)
 
 
@@ -365,7 +445,7 @@ def clip_segments_convex(
     t-interval intersection.
 
     The arithmetic (num/den per edge, max/min of ratios) is mirrored
-    LITERALLY by the SQL oracle (rayhist.oracles._cyrus_beck_sql), so
+    LITERALLY by the SQL oracle (rayhist.oracles._cyrus_beck_region), so
     clipped lengths are bit-identical to DuckDB.
     """
     poly = np.asarray(poly_e7, dtype=np.float64)
@@ -495,32 +575,42 @@ def clip_segments_even_odd(
     px, py, qx, qy = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
     dx, dy = bx - ax, by - ay
     ex, ey = qx - px, qy - py
-    # a + t*d == p + u*e  ->  t = cross(p-a, e)/cross(d, e),
-    #                         u = cross(p-a, d)/cross(d, e)
-    den = dx[:, None] * ey[None, :] - dy[:, None] * ex[None, :]
-    wx = px[None, :] - ax[:, None]
-    wy = py[None, :] - ay[:, None]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (wx * ey[None, :] - wy * ex[None, :]) / den
-        u = (wx * dy[:, None] - wy * dx[:, None]) / den
-    valid = (den != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
-    tmat = np.where(valid, t, np.inf)
-    tmat = np.concatenate(
-        [np.zeros((S, 1)), np.ones((S, 1)), tmat], axis=1
-    )
-    tmat.sort(axis=1)  # invalid (inf) entries collect at the end
-    ncut = 2 + valid.sum(axis=1)  # per-row count of finite t values
-    # explode rows into their (ncut-1) consecutive intervals
-    ncols = tmat.shape[1]
-    has = np.arange(ncols - 1)[None, :] < (ncut - 1)[:, None]
-    lo = tmat[:, :-1][has]
-    hi = tmat[:, 1:][has]
-    seg = np.broadcast_to(np.arange(S)[:, None], has.shape)[has]
-    tm = (lo + hi) / 2.0
-    mx = ax[seg] + tm * dx[seg]
-    my = ay[seg] + tm * dy[seg]
-    inside = points_even_odd(mx, my, rings)
-    return seg[inside], lo[inside], hi[inside]
+    # CHUNKED over segments: the (segments x edges) float64 parameter
+    # matrices are bounded at ~4M cells regardless of block size (the
+    # fip.Polygon.contains discipline) — identical results, since
+    # chunking only partitions rows
+    step = max(1, 4_000_000 // max(len(E), 1))
+    out_seg, out_lo, out_hi = [], [], []
+    for s0 in range(0, S, step):
+        sl = slice(s0, min(s0 + step, S))
+        n_s = sl.stop - sl.start
+        # a + t*d == p + u*e  ->  t = cross(p-a, e)/cross(d, e),
+        #                         u = cross(p-a, d)/cross(d, e)
+        den = dx[sl][:, None] * ey[None, :] - dy[sl][:, None] * ex[None, :]
+        wx = px[None, :] - ax[sl][:, None]
+        wy = py[None, :] - ay[sl][:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (wx * ey[None, :] - wy * ex[None, :]) / den
+            u = (wx * dy[sl][:, None] - wy * dx[sl][:, None]) / den
+        valid = (den != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+        tmat = np.where(valid, t, np.inf)
+        tmat = np.concatenate([np.zeros((n_s, 1)), np.ones((n_s, 1)), tmat], axis=1)
+        tmat.sort(axis=1)  # invalid (inf) entries collect at the end
+        ncut = 2 + valid.sum(axis=1)  # per-row count of finite t values
+        # explode rows into their (ncut-1) consecutive intervals
+        ncols = tmat.shape[1]
+        has = np.arange(ncols - 1)[None, :] < (ncut - 1)[:, None]
+        lo = tmat[:, :-1][has]
+        hi = tmat[:, 1:][has]
+        seg = np.broadcast_to(np.arange(sl.start, sl.stop)[:, None], has.shape)[has]
+        tm = (lo + hi) / 2.0
+        mx = ax[seg] + tm * dx[seg]
+        my = ay[seg] + tm * dy[seg]
+        inside = points_even_odd(mx, my, rings)
+        out_seg.append(seg[inside])
+        out_lo.append(lo[inside])
+        out_hi.append(hi[inside])
+    return np.concatenate(out_seg), np.concatenate(out_lo), np.concatenate(out_hi)
 
 
 def clip_segments_to_bbox(

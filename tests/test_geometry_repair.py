@@ -132,3 +132,71 @@ def test_multi_crossing_ring_terminates_and_simplifies():
     assert len(pieces) >= 2
     for p in pieces:
         assert ring_is_simple(p)
+
+
+# ------------------------------------- review-fix regressions (round 5)
+
+
+def test_single_outer_attaches_all_inners():
+    """One outer: the reference attaches ALL inners unconditionally
+    (createPolygon(outer, allInners)) — a dirty inner poking outside
+    the outer keeps its hole instead of being dropped."""
+    outer = _ring([(0, 0), (100_000, 0), (100_000, 100_000), (0, 100_000)])
+    dirty_inner = _ring([(80_000, 40_000), (120_000, 40_000),
+                         (120_000, 60_000), (80_000, 60_000)])  # pokes outside
+    g = build_multipolygon([outer], [dirty_inner])
+    assert g.kind == "multipolygon"
+    assert sum(len(h) for h in g.holes) == 1
+
+
+def test_multi_outer_hole_placement():
+    """Multiple outers: an inner attaches to EVERY containing outer;
+    a crescent inner in a horseshoe's arm must not punch its hole into
+    the small outer sitting in the horseshoe's mouth (the old
+    vertex-mean probe landed there)."""
+    import numpy as np
+
+    # horseshoe outer B: a U shape (0..300k x 0..300k, mouth at top middle)
+    B = _ring([(0, 0), (300_000, 0), (300_000, 300_000), (200_000, 300_000),
+               (200_000, 100_000), (100_000, 100_000), (100_000, 300_000),
+               (0, 300_000)])
+    # small outer A in the mouth
+    A = _ring([(130_000, 200_000), (170_000, 200_000),
+               (170_000, 240_000), (130_000, 240_000)])
+    # U-shaped inner inside B's arms + bottom (its vertex mean lands in
+    # the mouth area near A)
+    U = _ring([(20_000, 20_000), (280_000, 20_000), (280_000, 280_000),
+               (240_000, 280_000), (240_000, 60_000), (60_000, 60_000),
+               (60_000, 280_000), (20_000, 280_000)])
+    mean = U[:-1].mean(axis=0)
+    # sanity: the failure precondition holds — U's vertex mean is NOT
+    # inside U itself (it is in the mouth, near/inside A's area)
+    from rayhist.geometry import _point_in_ring
+
+    assert not _point_in_ring(float(mean[0]), float(mean[1]), U)
+    g = build_multipolygon([A, B], [U])
+    assert g.kind == "multipolygon"
+    # the hole belongs to B (the horseshoe), not A
+    n_holes = [len(h) for h in g.holes]
+    outer_sizes = [len(p[0]) for p in g.parts]
+    b_idx = outer_sizes.index(max(outer_sizes))  # B has more vertices
+    assert n_holes[b_idx] == 1 and sum(n_holes) == 1
+
+
+def test_shoelace_exact_at_high_longitude():
+    """A collinear sliver ring at longitude ~160 degrees must measure
+    EXACTLY zero signed area (full-magnitude e7 products exceed 2^53
+    and used to leave a nonzero residue, keeping the sliver alive)."""
+    import numpy as np
+
+    from rayhist.geometry import _shoelace_e7, normalize_ring
+
+    base = 1_600_000_001
+    sliver = np.array([
+        [base, 500_000_003],
+        [base + 2_000_001, 500_000_003 + 1_000_003],
+        [base + 4_000_002, 500_000_003 + 2_000_006],  # collinear
+        [base, 500_000_003],
+    ], dtype=np.int64)
+    assert _shoelace_e7(sliver) == 0.0
+    assert normalize_ring(sliver) == []  # sliver dropped

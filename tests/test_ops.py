@@ -319,6 +319,13 @@ def test_tag_interpreter_modes():
     assert not ti.is_area({"name": "x"})
     # default interpreter == historical AREA_TAGS behavior
     assert is_area({"building": "yes"}) and not is_area({"name": "x"})
+    # reference "no" semantics (DefaultTagInterpreter.java:88-104):
+    # "all" wraps an inverted set CONTAINING "no" -> building=no is a
+    # line; "whitelist" ADDS "no" to the accepted set (a reference
+    # quirk mirrored verbatim) -> highway=no is an area
+    assert not ti.is_area({"building": "no"})
+    assert ti.is_area({"highway": "no"})
+    assert ti.is_area({"natural": "no"})  # blacklist: not listed -> area
 
 
 def test_dedup_and_text_stages_survive_null_text():
