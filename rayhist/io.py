@@ -14,6 +14,7 @@ import functools
 import hashlib
 import inspect
 import os
+import time
 from pathlib import Path
 
 import ray
@@ -25,6 +26,9 @@ try:  # pragma: no cover - lance not present in the sandbox
     HAVE_LANCE = True
 except ImportError:
     HAVE_LANCE = False
+
+
+_IMPORT_TIME_NS = time.time_ns()
 
 
 @functools.lru_cache(maxsize=None)
@@ -41,10 +45,24 @@ def code_fingerprint(*modules) -> str:
     rebuild — forces a cold rebuild, which is the safe direction.
     Per-process ``lru_cache``: a source edit mid-process is invisible,
     matching Python's own already-imported-module semantics.
+
+    LOUD-FAIL GUARD: the hash reads the file from DISK, but the
+    process executes what it IMPORTED. A file edited after import but
+    before this first call would key OLD-code output under the
+    NEW-code fingerprint — the exact stale-serve direction the
+    mechanism exists to kill — so a source file younger than this
+    process's rayhist import raises instead of poisoning the cache.
     """
     h = hashlib.sha256()
     for m in modules:
-        h.update(Path(inspect.getfile(m)).read_bytes())
+        src = Path(inspect.getfile(m))
+        if src.stat().st_mtime_ns > _IMPORT_TIME_NS:
+            raise RuntimeError(
+                f"code_fingerprint: {src} was modified after this process "
+                "imported rayhist — the in-memory module may not match the "
+                "on-disk source; restart the process before building fixtures"
+            )
+        h.update(src.read_bytes())
     return h.hexdigest()[:12]
 
 
@@ -83,16 +101,33 @@ def auto_num_blocks(path) -> int | None:
     200-block floor.
     """
     stats = _local_parquet_stats(path)
-    if stats is None or not ray.is_initialized():
+    if stats is None:
         return None
     _n_files, total = stats
-    ncpu = int(ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
-    target = ray.data.DataContext.get_current().target_max_block_size or (128 << 20)
+    if ray.is_initialized():
+        ncpu = int(ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
+        target = ray.data.DataContext.get_current().target_max_block_size or (128 << 20)
+    else:
+        # read_parquet would auto-init right after this returns, so
+        # bailing out here hands the FIRST read of an un-initialized
+        # process to Ray's 200-block floor (the documented, silent
+        # 3-5x regression); auto-init uses all cores, so cpu_count is
+        # the correct sizing either way
+        ncpu = os.cpu_count() or 8
+        target = 128 << 20
     return max(ncpu, -(-total // target))
 
 
+def _is_lance(path) -> bool:
+    """True when EVERY given path names a Lance table (str or Path, a
+    single path or a list — the same shapes read_table accepts for
+    parquet)."""
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    return bool(paths) and all(str(p).endswith(".lance") for p in paths)
+
+
 def read_table(path, **kwargs) -> ray.data.Dataset:
-    if HAVE_LANCE and str(path).endswith(".lance"):  # pragma: no cover
+    if HAVE_LANCE and _is_lance(path):  # pragma: no cover
         return ray.data.read_lance(path, **kwargs)
     if "override_num_blocks" not in kwargs:
         blocks = auto_num_blocks(path)
@@ -101,8 +136,8 @@ def read_table(path, **kwargs) -> ray.data.Dataset:
     return ray.data.read_parquet(path, **kwargs)
 
 
-def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
-    if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
-        ds.write_lance(path, **kwargs)
+def write_table(ds: ray.data.Dataset, path, **kwargs) -> None:
+    if HAVE_LANCE and _is_lance(path):  # pragma: no cover
+        ds.write_lance(str(path), **kwargs)
         return
-    ds.write_parquet(path, **kwargs)
+    ds.write_parquet(str(path), **kwargs)

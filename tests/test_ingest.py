@@ -135,3 +135,63 @@ def test_int_keytable_matches_string_path():
         got = lut[tid]  # -1 wraps to the trailing empty-sig slot
         want = f.mask(flat_str)
         assert np.array_equal(got, want), f
+
+
+def test_auto_num_blocks_policy(tmp_path):
+    """Read-task sizing (the mechanism behind the headline 3-5x and a
+    CLAUDE.md hard rule): one task per target-size chunk, floored at
+    the cluster CPU count — never Ray's 200-block minimum."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayhist.io import _local_parquet_stats, auto_num_blocks
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    for i in range(6):
+        pq.write_table(pa.table({"x": np.arange(1000)}), d / f"f{i}.parquet")
+    n_files, total = _local_parquet_stats(str(d))
+    assert n_files == 6 and total > 0
+    blocks = auto_num_blocks(str(d))
+    ncpu = int(ray.cluster_resources().get("CPU", 0))
+    # tiny table: the CPU floor wins; and never the 200-block heuristic
+    assert blocks == max(ncpu, 1) and blocks < 200
+    # remote/missing paths defer to Ray's heuristic
+    assert auto_num_blocks("s3://nope/x") is None
+    assert auto_num_blocks(str(tmp_path / "missing")) is None
+
+
+def test_is_lance_path_shapes():
+    from pathlib import Path
+
+    from rayhist.io import _is_lance
+
+    assert _is_lance("t.lance") and _is_lance(Path("t.lance"))
+    assert _is_lance(["a.lance", "b.lance"])
+    assert not _is_lance("t.parquet")
+    assert not _is_lance(["a.lance", "b.parquet"])  # mixed: parquet path
+    assert not _is_lance([])
+
+
+def test_code_fingerprint_rejects_post_import_edit(tmp_path, monkeypatch):
+    """A source file younger than the process's rayhist import must
+    raise instead of keying old-code output under a new fingerprint
+    (the stale-serve direction the mechanism exists to kill)."""
+    import types
+
+    import pytest
+
+    import rayhist.io as rio
+
+    mod_file = tmp_path / "fake_mod.py"
+    mod_file.write_text("X = 1\n")
+    mod = types.ModuleType("fake_mod")
+    mod.__file__ = str(mod_file)
+    # the file is NEWER than the recorded import time -> loud error
+    monkeypatch.setattr(rio, "_IMPORT_TIME_NS", 0)
+    rio.code_fingerprint.cache_clear()
+    with pytest.raises(RuntimeError, match="modified after"):
+        rio.code_fingerprint(mod)
+    rio.code_fingerprint.cache_clear()

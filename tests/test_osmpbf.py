@@ -323,8 +323,15 @@ def test_code_fingerprint_tracks_source(tmp_path):
 
     from rayhist.io import code_fingerprint
 
+    import os
+
     p = tmp_path / "fpmod_demo.py"
     p.write_text("X = 1\n")
+    # backdate the mtime: the edited-after-import loud-fail guard
+    # (io._IMPORT_TIME_NS) must not fire for this synthetic module —
+    # the guard itself is pinned by
+    # test_code_fingerprint_rejects_post_import_edit
+    os.utime(p, (0, 0))
     spec = importlib.util.spec_from_file_location("fpmod_demo", p)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -332,6 +339,7 @@ def test_code_fingerprint_tracks_source(tmp_path):
     code_fingerprint.cache_clear()
     assert code_fingerprint(mod) == f1, "same bytes -> same key"
     p.write_text("X = 2\n")
+    os.utime(p, (0, 0))
     code_fingerprint.cache_clear()
     f2 = code_fingerprint(mod)
     code_fingerprint.cache_clear()
