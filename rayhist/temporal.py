@@ -80,6 +80,14 @@ class TagFilter:
                                the exact hasTagKeyExcluding predicate
                                (OSMEntity.java:123-137), a different
                                predicate from key-absent
+
+    ENCODING LIMIT: the signature joins ``k=v`` pairs with '|' and no
+    escaping (model/fixtures build it; the SQL oracles mirror it), so
+    tag VALUES containing '|' or '=' are ambiguous at this string
+    layer. The int-keytable path (``sig_lut`` over dictionary ids)
+    inherits the same signature vocabulary. A corpus with such values
+    needs an escaped signature encoding end to end (engine + oracle
+    together, per the CLAUDE.md mirror rule).
     """
 
     key: str
@@ -89,6 +97,22 @@ class TagFilter:
     exclude: bool = False
     exclude_values: tuple[str, ...] | None = None
 
+    def __post_init__(self):
+        if self.exclude and (
+            self.value is not None
+            or self.values is not None
+            or self.value_regex is not None
+            or self.exclude_values is not None
+        ):
+            # exclude=True inverts the computed mask AFTER the value
+            # predicate, which composes into meaningless predicates
+            # (e.g. 'key absent OR value in the excluded set') — the
+            # reference has no such combinations either
+            raise ValueError(
+                "TagFilter: exclude=True takes no value/values/"
+                "value_regex/exclude_values (it is NOT hasTagKey only)"
+            )
+
     def pattern(self) -> str:
         import re
 
@@ -97,12 +121,35 @@ class TagFilter:
         if self.values is not None:
             alts = "|".join(re.escape(v) for v in self.values)
             return rf"(^|\|){re.escape(self.key)}=({alts})(\||$)"
-        if self.value_regex is not None:
-            return rf"(^|\|){re.escape(self.key)}=({self.value_regex})(\||$)"
         return rf"(^|\|){re.escape(self.key)}="
 
     def _match_sigs(self, sigs: pa.Array) -> np.ndarray:
         """Predicate over an array of (unique) tag signatures."""
+        if self.value_regex is not None:
+            # the reference applies the user pattern to the VALUE
+            # ALONE with a FULL match (valuePattern.matcher(value)
+            # .matches(), MapReducer.java:559-585). Embedding the raw
+            # pattern into the signature regex leaked metacharacters
+            # across tag boundaries ('.*' consumed the '|' separator)
+            # and silently broke user anchors ('^cli.*$' matched
+            # nothing). Per-UNIQUE-sig Python is fine: this runs over
+            # the dictionary/keytable only, never per version.
+            import re
+
+            pat = re.compile(self.value_regex)
+            kp = self.key + "="
+            m = np.array(
+                [
+                    s is not None
+                    and any(
+                        part.startswith(kp) and pat.fullmatch(part[len(kp):])
+                        for part in s.split("|")
+                    )
+                    for s in sigs.to_pylist()
+                ],
+                dtype=bool,
+            )
+            return m
         m = pc.match_substring_regex(sigs, self.pattern()).to_numpy(zero_copy_only=False)
         if self.exclude_values is not None:
             # hasTagKeyExcluding: key present AND value not in the set
@@ -162,6 +209,11 @@ class AnyTagFilter:
         return rf"(^|\|)({alts})(\||$)"
 
     def _match_sigs(self, sigs: pa.Array) -> np.ndarray:
+        if not self.pairs:
+            # 'ANY of zero tags' selects NOTHING — the empty
+            # alternation '()' would instead match the empty string,
+            # silently selecting every TAGLESS version
+            return np.zeros(len(sigs), dtype=bool)
         return pc.match_substring_regex(sigs, self.pattern()).to_numpy(
             zero_copy_only=False
         )
@@ -237,11 +289,12 @@ def snapshots(
 
     picked_rows: list[np.ndarray] = []
     picked_ts: list[np.ndarray] = []
+    shifted_codes = all_codes << shift  # loop-invariant
     for t_q in timestamps:
         t_rel = int(t_q) - ts_min
         if t_rel < 0:
             continue
-        qkey = (all_codes << shift) | t_rel
+        qkey = shifted_codes | t_rel
         idx = np.searchsorted(key, qkey, side="right") - 1
         valid = idx >= 0
         valid[valid] &= (key[idx[valid]] >> shift) == all_codes[valid]
@@ -319,7 +372,7 @@ def contributions(
     present = p_all[f]
     prev_present = np.where(has_prev, p_all[pf], False)
 
-    emit = present | (~present & prev_present)
+    emit = present | prev_present  # emit iff either state is present
     in_interval = (ts[f] >= t_from) & (ts[f] < t_to)
     emit &= in_interval
     if not emit.any():

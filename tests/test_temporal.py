@@ -329,3 +329,52 @@ def test_timestamp_grid_month_end_clamp_from_origin():
 
     with pytest.raises(ValueError):
         timestamps("2024-01-01", "2024-01-02", "P0D")
+
+
+# ------------------------------------- review-fix regressions (round 5)
+
+
+def test_tag_filter_regex_reference_semantics():
+    """value_regex applies to the VALUE ALONE with a FULL match
+    (valuePattern.matcher(value).matches(), MapReducer.java:559-585):
+    metacharacters must not leak across the '|' tag separator, and
+    user anchors must work."""
+    import pyarrow as pa
+
+    from rayhist.temporal import TagFilter
+
+    sigs = pa.array(["a=x|b=y", "a=xzy", "etype=click", "a=x", ""])
+    # '.*' must NOT consume the '|' separator: only a=xzy and a=x have
+    # a-values fully matching x.*y / x
+    assert TagFilter("a", value_regex="x.*y")._match_sigs(sigs).tolist() == [
+        False, True, False, False, False,
+    ]
+    # anchors are the user's business and must behave like fullmatch
+    assert TagFilter("etype", value_regex="^cli.*$")._match_sigs(sigs).tolist() == [
+        False, False, True, False, False,
+    ]
+    # full match, not search: 'lic' is inside 'click' but not all of it
+    assert TagFilter("etype", value_regex="lic")._match_sigs(sigs).tolist() == [
+        False, False, False, False, False,
+    ]
+
+
+def test_any_tag_filter_empty_matches_nothing():
+    import pyarrow as pa
+
+    from rayhist.temporal import AnyTagFilter
+
+    sigs = pa.array(["", "a=1"])
+    assert AnyTagFilter(())._match_sigs(sigs).tolist() == [False, False]
+
+
+def test_tag_filter_rejects_exclude_combinations():
+    import pytest
+
+    from rayhist.temporal import TagFilter
+
+    with pytest.raises(ValueError, match="exclude"):
+        TagFilter("k", exclude=True, exclude_values=("5",))
+    with pytest.raises(ValueError, match="exclude"):
+        TagFilter("k", value="x", exclude=True)
+    TagFilter("k", exclude=True)  # plain key-absent still fine
