@@ -59,8 +59,10 @@ from .temporal import TagFilter
 _TAG_COLS = {"tag_sig", "tag_id", "etype", "kk", "is_tag_change"}
 _GEOM_COLS = {"lon_e7", "lat_e7", "is_geom_change", "prev_lon_e7", "prev_lat_e7"}
 # aggregation keys whose cardinality scales with the corpus: finals on
-# these stay distributed (never combine_partials on the driver)
-_HIGH_CARD_KEYS = {"osm_id", "doc_id"}
+# these stay distributed (never combine_partials on the driver).
+# Per CLAUDE.md: entity ids, distinct users, changesets and the tag
+# vocabulary all grow with the corpus
+_HIGH_CARD_KEYS = {"osm_id", "doc_id", "uid", "cs", "tag_sig", "tag_id"}
 
 
 def _to_us(t) -> int:
@@ -143,7 +145,18 @@ class MapReducer:
         members_vec). The compound legs support the snapshot
         ``count()`` terminal (with aggregateByTimestamp /
         aggregateBy('osm_type')); richer chains over way/relation
-        raise loudly at the terminal instead of returning a silent 0."""
+        raise loudly at the terminal instead of returning a silent 0.
+
+        DEFAULT SCOPE: with NO osmType() call the facade reads the
+        NODE span table only (every oracle-pinned chain relies on
+        this), whereas the reference's unrestricted MapReducer
+        processes all types present in its database — opt into the
+        way/relation legs explicitly with
+        ``osmType('node', 'way', 'relation')``."""
+        if not types:
+            # the zero-argument form used to silently CLEAR the
+            # restriction back to node-only — reject it instead
+            raise ValueError("osmType() needs at least one of node/way/relation")
         ok = {"node", "way", "relation"}
         if not set(types) <= ok:
             raise ValueError(f"osmType must be among {ok}")
@@ -512,7 +525,27 @@ class MapReducer:
 
     # -------------------------------------------------------- terminals
     def _keys(self) -> list[str]:
-        return (["ts_q"] if self._agg_ts else []) + list(self._agg_cols)
+        keys = (["ts_q"] if self._agg_ts else []) + list(self._agg_cols)
+        if len(set(keys)) != len(keys):
+            # e.g. aggregateByGeometry twice, or aggregateByTimestamp()
+            # + aggregateBy('ts_q'): duplicate key columns would reach
+            # the combine as duplicate labels and fail far downstream
+            raise ValueError(
+                f"duplicate aggregation keys {keys}: chain each "
+                "aggregateBy*/aggregateByGeometry at most once"
+            )
+        return keys
+
+    @staticmethod
+    def _observed_levels(s) -> list:
+        """Zerofill levels for one observed key column — SQL GROUP BY
+        keeps the NULL group, so a null level joins the cross product
+        when present (dropna would silently delete the whole group at
+        the reindex)."""
+        lv = sorted(s.dropna().unique())
+        if s.isna().any():
+            lv.append(np.nan)
+        return lv
 
     def _bins(self) -> np.ndarray:
         # contribution aggregateByTimestamp bins = all but the last
@@ -605,7 +638,7 @@ class MapReducer:
             for c in self._agg_cols:  # observed levels (completeZerofill),
                 # except region_id which zerofills over ALL regions
                 expected[c] = (
-                    region_names if c == "region_id" else sorted(df[c].dropna().unique())
+                    region_names if c == "region_id" else self._observed_levels(df[c])
                 )
             if all(len(v) for v in expected.values()):
                 df = zerofill(df, expected, {v: 0 for v in outmap.values()})
@@ -783,7 +816,10 @@ class MapReducer:
         """sum (MapReducer.java:1097-1120) over a view/mapped column
         (booleans count ``True`` rows, as the reference's map-to-int)."""
         res = self._grouped_numeric({col: alias or f"sum_{col}"}, None)
-        return res if self._keys() else res[alias or f"sum_{col}"].iloc[0]
+        if self._keys():
+            return res
+        v = res[alias or f"sum_{col}"].iloc[0]
+        return v.item() if hasattr(v, "item") else v  # Python scalar contract
 
     def average(self, col: str, alias: str | None = None):
         """average (MapReducer.java:1180-1205): exact integer partials,
@@ -835,7 +871,9 @@ class MapReducer:
         per-key count is a per-batch partial + tiny driver combine."""
         keys = self._keys()
         if not keys:
-            return len(self.uniq(col))
+            # count of the globally-distinct Dataset — never the
+            # O(#distinct) driver value pull that len(uniq()) would be
+            return int(self._distinct_pairs(col).count())
         from .aggregate import combine_partials, zerofill
 
         out = alias or f"uniq_{col}"
@@ -866,7 +904,7 @@ class MapReducer:
             region_names = [n for n, _ in self._regions]
             for c in self._agg_cols:
                 expected[c] = (
-                    region_names if c == "region_id" else sorted(df[c].dropna().unique())
+                    region_names if c == "region_id" else self._observed_levels(df[c])
                 )
             if all(len(v) for v in expected.values()):
                 df = zerofill(df, expected, {out: 0})
@@ -893,6 +931,15 @@ class MapReducer:
             return estimated_quantiles(self._keyed_rows([col]), col, qs)
         if len(keys) > 1:
             raise NotImplementedError("grouped quantiles support one aggregation key")
+        if keys[0] in _HIGH_CARD_KEYS:
+            # one driver-side digest PER KEY: corpus-cardinality keys
+            # would OOM the driver (the combine_partials contract) —
+            # use the distributed exact path instead
+            raise NotImplementedError(
+                f"estimatedQuantiles by {keys[0]!r} holds one digest per "
+                "key on the driver; use "
+                "ops.relational.grouped_exact_quantiles_int (distributed)"
+            )
         from .aggregate import grouped_estimated_quantiles
 
         return grouped_estimated_quantiles(self._keyed_rows([col]), keys[0], col, qs)

@@ -234,7 +234,11 @@ def decode_spans(batch: pa.Table, tags: bool | str = True, geom: bool = True) ->
     etype = np.full(n_ver, "", dtype=object)
     kk = np.full(n_ver, -1, dtype=np.int64)
     tag_id = np.full(n_ver, -1, dtype=np.int32)
-    if tags == "ids" and "tag_ids" in batch.column_names:
+    # the FULL decode exposes tag_id too (the flatten is cheap int
+    # work next to the string decode): an arbitrary entity filter
+    # reading decoded['tag_id'] under tags=True previously saw the
+    # constant -1 and silently matched nothing
+    if tags in ("ids", True) and "tag_ids" in batch.column_names:
         tid_col = batch["tag_ids"].combine_chunks()
         if isinstance(tid_col, pa.ChunkedArray):
             tid_col = tid_col.chunk(0)

@@ -125,6 +125,10 @@ class TagFilter:
 
     def _match_sigs(self, sigs: pa.Array) -> np.ndarray:
         """Predicate over an array of (unique) tag signatures."""
+        if self.values is not None and not self.values:
+            # 'value in EMPTY set' selects nothing — the empty regex
+            # alternation would instead match empty-VALUED tags
+            return np.zeros(len(sigs), dtype=bool)
         if self.value_regex is not None:
             # the reference applies the user pattern to the VALUE
             # ALONE with a FULL match (valuePattern.matcher(value)
@@ -151,7 +155,8 @@ class TagFilter:
             )
             return m
         m = pc.match_substring_regex(sigs, self.pattern()).to_numpy(zero_copy_only=False)
-        if self.exclude_values is not None:
+        if self.exclude_values:  # empty set excludes NOTHING (the empty
+            # alternation regex would mis-exclude empty-valued tags)
             # hasTagKeyExcluding: key present AND value not in the set
             import re
 

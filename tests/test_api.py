@@ -585,3 +585,74 @@ def test_aggregate_by_s2_cell_indexer_matches_pipeline():
     )
     want = q_snapshot_count_by_s2cell(SF)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------- review-fix regressions (round 5)
+
+
+def test_null_key_group_survives_timestamp_zerofill():
+    """An aggregateBy indexer emitting nulls keeps its NULL group when
+    aggregateByTimestamp()'s zerofill reindex runs (SQL GROUP BY keeps
+    NULL groups; the dropna'd expected levels used to delete them)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def parity_or_null(t: pa.Table) -> pa.Table:
+        uid = t["uid"].to_numpy(zero_copy_only=False)
+        lab = np.where(uid % 3 == 0, None, np.where(uid % 2 == 0, "even", "odd"))
+        return t.append_column("par", pa.array(lab.tolist(), type=pa.string()))
+
+    base = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .map(parity_or_null)
+        .aggregateBy("par")
+    )
+    no_ts = base.count(alias="n")
+    with_ts = base.aggregateByTimestamp().count(alias="n")
+    n_null_no_ts = int(no_ts.loc[no_ts["par"].isna(), "n"].sum())
+    n_null_with_ts = int(with_ts.loc[with_ts["par"].isna(), "n"].sum())
+    assert n_null_no_ts > 0  # precondition: nulls exist in the corpus
+    assert n_null_with_ts == n_null_no_ts
+    # totals agree too
+    assert int(no_ts["n"].sum()) == int(with_ts["n"].sum())
+
+
+def test_empty_value_sets_select_or_exclude_nothing():
+    from rayhist.temporal import TagFilter
+
+    import pyarrow as pa
+
+    sigs = pa.array(["etype=|k=5", "etype=click", ""])
+    # value in EMPTY set -> nothing (the empty alternation used to
+    # match the empty-valued tag)
+    assert TagFilter("etype", values=())._match_sigs(sigs).tolist() == [
+        False, False, False,
+    ]
+    # excluding the EMPTY set excludes nothing: plain key presence
+    assert TagFilter("etype", exclude_values=())._match_sigs(sigs).tolist() == [
+        True, True, False,
+    ]
+
+
+def test_facade_guards_raise_loudly():
+    mr = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
+    with pytest.raises(ValueError, match="osmType"):
+        mr.osmType()
+    with pytest.raises(ValueError, match="duplicate"):
+        mr.aggregateByTimestamp().aggregateBy("ts_q").count()
+    with pytest.raises(NotImplementedError, match="digest"):
+        mr.aggregateBy("osm_id").estimatedMedian("lon_e7")
+
+
+def test_sum_returns_python_scalar():
+    import json
+
+    v = OSMEntitySnapshotView.on(SF).timestamps([T_MID]).sum("v")
+    assert isinstance(v, int) and not hasattr(type(v), "dtype")
+    json.dumps(v)  # must be JSON-serializable
+
+
+def test_ungrouped_countuniq_matches_uniq():
+    mr = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
+    assert mr.countUniq("uid") == len(mr.uniq("uid"))
