@@ -90,6 +90,10 @@ class MisraGries:
     @classmethod
     def from_items(cls, k: int, values: list, counts: list[int]) -> "MisraGries":
         mg = cls(k)
-        mg.counters = dict(zip(values, (int(c) for c in counts)))
+        # SUM duplicated values (dict(zip) would keep only the last
+        # count, silently breaking the est <= true lower bound) — same
+        # contract as add_weighted_items ('values need not be unique')
+        for v, c in zip(values, counts):
+            mg.counters[v] = mg.counters.get(v, 0) + int(c)
         mg._shrink()
         return mg

@@ -40,6 +40,14 @@ class TDigest:
         return d
 
     def merge(self, other: "TDigest") -> "TDigest":
+        if self.compression != other.compression:
+            # silent mixed-compression merges degrade accuracy
+            # asymmetrically (a.merge(b) != b.merge(a)); the sibling
+            # sketches (HLL, Misra-Gries) raise on parameter mismatch
+            raise ValueError(
+                f"t-digest compression mismatch: {self.compression} vs "
+                f"{other.compression}"
+            )
         out = TDigest(self.compression)
         out.means = np.concatenate([self.means, other.means])
         out.weights = np.concatenate([self.weights, other.weights])
@@ -87,13 +95,25 @@ class TDigest:
 
     # -- serialization (partial-aggregate transport) -------------------
     def to_bytes(self) -> bytes:
-        return np.concatenate([self.means, self.weights]).astype("<f8").tobytes()
+        # compression travels WITH the partial: a non-default digest
+        # restored without it would silently re-compress at the
+        # default on the next merge (and now trip the mismatch guard)
+        return np.concatenate(
+            [[self.compression], self.means, self.weights]
+        ).astype("<f8").tobytes()
 
     @classmethod
-    def from_bytes(cls, b: bytes, compression: float = DEFAULT_COMPRESSION) -> "TDigest":
+    def from_bytes(cls, b: bytes, compression: float | None = None) -> "TDigest":
         arr = np.frombuffer(b, dtype="<f8")
-        d = cls(compression)
-        n = len(arr) // 2
-        d.means = arr[:n].copy()
-        d.weights = arr[n:].copy()
+        stored = float(arr[0])
+        if compression is not None and compression != stored:
+            raise ValueError(
+                f"t-digest compression mismatch: stored {stored}, "
+                f"requested {compression}"
+            )
+        d = cls(stored)
+        body = arr[1:]
+        n = len(body) // 2
+        d.means = body[:n].copy()
+        d.weights = body[n:].copy()
         return d

@@ -21,6 +21,18 @@ UNITS = {
 }
 
 
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_US_TD = timedelta(microseconds=1)
+
+
+def _to_us(dt: datetime) -> int:
+    """datetime -> EXACT unix microseconds. ``int(dt.timestamp()*1e6)``
+    rounds through float64 and truncates one microsecond low for ~1%
+    of fractional-second instants (measured); integer timedelta
+    division is exact for any representable datetime."""
+    return (dt - _EPOCH) // _US_TD
+
+
 def parse_iso(ts: str) -> int:
     """ISO-8601 date or datetime -> unix microseconds (UTC-naive, as
     in the reference's normalization; 'Z' suffix accepted)."""
@@ -28,7 +40,7 @@ def parse_iso(ts: str) -> int:
     for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M", "%Y-%m-%d", "%Y-%m", "%Y"):
         try:
             dt = datetime.strptime(ts, fmt).replace(tzinfo=timezone.utc)
-            return int(dt.timestamp() * US)
+            return _to_us(dt)
         except ValueError:
             continue
     raise ValueError(f"unparseable ISO timestamp: {ts!r}")
@@ -75,6 +87,11 @@ def timestamps(start: str, end: str, period: str) -> list[int]:
         body = p[1:]
         if body.startswith("T") and body.endswith("H"):
             delta = timedelta(hours=int(body[1:-1]))
+        elif "T" in body:
+            # any other time part (PT1M, PT30S, P1DT12H) would fall
+            # into the date-suffix branches and die with a raw
+            # int-parse error — reject loudly instead
+            raise ValueError(f"unsupported period: {period!r} (only PTnH time parts)")
         elif body.endswith("Y"):
             months = 12 * int(body[:-1])
         elif body.endswith("M"):
@@ -86,7 +103,9 @@ def timestamps(start: str, end: str, period: str) -> list[int]:
     else:
         raise ValueError(f"unsupported period: {period!r}")
 
-    if not months and (delta is None or delta.total_seconds() <= 0):
+    if months < 0 or (not months and (delta is None or delta.total_seconds() <= 0)):
+        # negative month/year periods would march the grid backward
+        # for thousands of iterations before a misleading 'year 0'
         raise ValueError(f"period must be positive: {period!r}")
     # each grid point is start + i*period FROM THE ORIGIN (the
     # reference multiplies the period, OSHDBTimestamps.java:185:
@@ -99,6 +118,6 @@ def timestamps(start: str, end: str, period: str) -> list[int]:
         cur = _add_months(t0, months * i) if months else t0 + delta * i
         if cur > t1:
             break
-        out.append(int(cur.timestamp() * US))
+        out.append(_to_us(cur))
         i += 1
     return out

@@ -81,3 +81,12 @@ def test_approx_heavy_hitters_exact_regime_matches_groupby():
     assert got["c"].tolist() == exact["c"].tolist()
     assert got["n"].tolist() == exact["n"].tolist()
     assert got["rank"].tolist() == list(range(1, 11))
+
+
+def test_from_items_sums_duplicates():
+    """Transported partials with repeated values must SUM, not keep
+    the last count (the est <= true lower-bound guarantee)."""
+    from rayhist.functions.heavyhitters import MisraGries
+
+    mg = MisraGries.from_items(4, ["a", "a", "b"], [5, 7, 2])
+    assert mg.counters["a"] == 12 and mg.counters["b"] == 2

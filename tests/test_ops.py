@@ -867,3 +867,24 @@ def test_bloom_tolerates_null_keys():
     mask = bf.contains(pa.array([1, 99, None], type=pa.int64()))
     assert mask[0]  # present
     assert mask[2]  # null hashed as "" -> conservative True is fine
+
+
+def test_tdigest_compression_travels_and_mismatch_raises():
+    d = TDigest.of(np.arange(100.0), compression=100)
+    r = TDigest.from_bytes(d.to_bytes())
+    assert r.compression == 100  # carried in the serialization
+    with pytest.raises(ValueError, match="compression"):
+        d.merge(TDigest.of(np.arange(100.0), compression=1000))
+    with pytest.raises(ValueError, match="compression"):
+        TDigest.from_bytes(d.to_bytes(), compression=1000)
+
+
+def test_timeutil_exactness_and_period_validation():
+    from rayhist.functions.timeutil import parse_iso, timestamps
+
+    # fractional-second instants are EXACT int64 microseconds (the
+    # float64 truncation path was 1us low for ~1% of inputs)
+    assert parse_iso("2005-03-28T19:42:50.536110") == 1112038970536110
+    for bad in ("P-1M", "P-1Y", "PT1M", "P1DT12H", "PT0H"):
+        with pytest.raises(ValueError):
+            timestamps("2024-01-01", "2024-02-01", bad)
