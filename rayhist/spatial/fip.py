@@ -59,6 +59,11 @@ class Polygon:
                 )
             if not np.array_equal(r[0], r[-1]):
                 r = np.vstack([r, r[:1]])
+            if len(r) < 4:  # CLOSED form needs >= 3 distinct vertices
+                raise ValueError(
+                    f"Polygon: ring {i} has fewer than 3 distinct "
+                    "vertices (a closed line segment, not a ring)"
+                )
             a, b = r[:-1], r[1:]
             segs.append(np.hstack([a, b]))
         self._edges = np.vstack(segs)  # (m, 4): x1 y1 x2 y2

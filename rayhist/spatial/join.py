@@ -17,9 +17,7 @@ tests for boundary points only.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import ray.data
 
 from ..model import LAT_MOD, LON_MOD
 from .fip import Polygon, bbox_inside, bbox_outside

@@ -86,8 +86,15 @@ def _resolve_topk_distributed(
         .to_pandas()
     )
     if out.empty:
-        out["rank"] = pd.Series([], dtype="int64")
-        return out
+        # zero groups reach map_groups -> a schema-less frame; restore
+        # the FULL typed column set (query_id/neighbor_id/<metric>/
+        # rank), not just rank — callers select these by name
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             by: pd.Series([], dtype="float64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -549,6 +556,11 @@ def ensure_ivf_layout(
     except OSError:
         if not out.exists():
             raise
+        # lost the rename race: drop OUR copy (a full duplicate of the
+        # bucket-partitioned corpus would otherwise sit in the cache)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return str(out), cents
 
 
@@ -696,6 +708,9 @@ def ensure_lsh_layout(
     except OSError:
         if not out.exists():
             raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # lost race: drop our copy
     return str(out), planes
 
 
@@ -1117,7 +1132,10 @@ def knn_all(
         dx = lon[ci][:, None] - lon[None, :]
         dy = lat[ci][:, None] - lat[None, :]
         d2 = dx * dx + dy * dy
-        d2[np.arange(len(ci)), ci] = np.inf  # self
+        # exclude by ID equality, not position: knn_points and the
+        # sparse-cell brute fallback both id-exclude, so a duplicate-id
+        # input must not give path-dependent results
+        d2[ids[ci][:, None] == ids[None, :]] = np.inf
         take = min(k, d2.shape[1] - 1)
         # flat accumulation: one DataFrame per GROUP, not per point
         q_parts, n_parts, d_parts, res_flags, n_rows = [], [], [], [], []

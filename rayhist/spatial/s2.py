@@ -142,7 +142,6 @@ def cell_to_face_ij(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarra
     face_ij_to_cell (bijection test pins it)."""
     cell = np.asarray(cell, dtype=np.int64)
     lsb = cell & -cell
-    shift = np.int64(63) - np.floor(np.log2(lsb.astype(np.float64))).astype(np.int64)
     # lsb = 1 << (POS_BITS - 2*level - 1)
     lsb_pow = np.round(np.log2(lsb.astype(np.float64))).astype(np.int64)
     level = (np.int64(_POS_BITS) - 1 - lsb_pow) // 2
@@ -159,7 +158,6 @@ def cell_to_face_ij(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarra
         i = np.where(active, (i << 1) | (ij2 >> 1), i)
         j = np.where(active, (j << 1) | (ij2 & 1), j)
         r = np.where(active, r ^ _POS_TO_ORIENT[p], r)
-    _ = shift
     return face, i, j, level
 
 

@@ -25,7 +25,6 @@ batch in ``__call__``.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .fip import Polygon

@@ -813,3 +813,48 @@ def test_polygon_validation_and_convex_orientation():
     assert contains_convex(sq, np.array([5.0]), np.array([5.0])).all()
     with pytest.raises(ValueError, match="counter-clockwise"):
         contains_convex(sq[::-1], np.array([5.0]), np.array([5.0]))
+
+
+def test_knn_all_id_exclusion_consistent_and_empty_ann_schema():
+    """(a) knn_all excludes neighbors by ID equality (like knn_points
+    and the brute fallback), so duplicate-id inputs are not
+    path-dependent; (b) an empty ANN candidate stream returns the
+    typed columns, not a schema-less frame."""
+    import pandas as pd
+    import ray.data
+
+    from rayhist.spatial.knn import knn_all, knn_points
+
+    # duplicate id 7 at two distinct positions
+    df = pd.DataFrame(
+        {"osm_id": [1, 2, 3, 7, 7], "lon_e7": [0, 100, 200, 50, 60],
+         "lat_e7": [0, 0, 0, 0, 0]}
+    )
+    ds = ray.data.from_pandas(df)
+    got = knn_all(ds, k=2, id_col="osm_id", zoom=1)
+    # no row may list its own id as a neighbor
+    assert not (got["query_id"] == got["neighbor_id"]).any()
+    # cross-check vs knn_points for one query id
+    brute = knn_points(ds, [(99, 50, 0)], k=2, id_col="osm_id")
+    assert not (brute["neighbor_id"] == 99).any()
+
+    from rayhist.spatial.knn import _resolve_topk_distributed
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                      "neighbor_id": pd.Series([], dtype="int64"),
+                      "cos_sim": pd.Series([], dtype="float64")})
+    )
+    out = _resolve_topk_distributed(empty, k=3, by="cos_sim", ascending=False)
+    assert list(out.columns) == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    assert out.empty
+
+
+def test_polygon_rejects_closed_line_segment():
+    import numpy as np
+    import pytest
+
+    from rayhist.spatial.fip import Polygon
+
+    with pytest.raises(ValueError, match="distinct"):
+        Polygon([np.array([[0.0, 0.0], [1.0, 1.0], [0.0, 0.0]])])
