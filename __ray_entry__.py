@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_areas": p.q_way_areas,
         "snapshot_count_three_types": p.q_snapshot_count_three_types,
         "snapshot_count_daily_unsorted": p.q_snapshot_count_daily_unsorted,
+        "user_event_ranks": p.q_user_event_ranks,
+        "outer_join_user_day": p.q_outer_join_user_day,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -177,6 +179,10 @@ def oracle_sql() -> dict[str, str]:
             p.RANGE_WIN_US, p.T0, p.DAY_US
         ),
         "window_rolling_spikes": o.window_rolling_spikes(p.SPIKE_WINDOW),
+        "user_event_ranks": o.user_event_ranks(),
+        "outer_join_user_day": o.outer_join_user_day(
+            p.OUTER_DAY_STRIDE, p.T0, p.DAY_US
+        ),
         "users_click_not_purchase": o.users_click_not_purchase(p.SETOP_CUTOFF_US),
         "topk_orders_by_priority": o.topk_orders_by_priority(p.TOPK_PRIORITY_K),
         "snapshot_count_daily": o.snapshot_count_daily(),

@@ -179,7 +179,8 @@ def hash_join(
     n_buckets: int | None = None,
     how: str = "inner",
 ) -> ray.data.Dataset:
-    """Both-sides-large equi-join: explicit partitioned hash join.
+    """Both-sides-large equi-join: explicit partitioned hash join
+    (``how``: inner / left / outer — outer is SQL FULL OUTER).
 
     Each side gets a deterministic ``bucket = key % n_buckets`` column;
     the two datasets are unioned with a side marker and co-grouped by
@@ -193,8 +194,8 @@ def hash_join(
     because its partitioning is deterministic (resume-stable) and the
     bucket count is an explicit, documented knob.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"hash_join: how={how!r} unsupported (inner/left)")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"hash_join: how={how!r} unsupported (inner/left/outer)")
     if n_buckets is None:
         n_buckets = max(64, _ncpu() * 4)
 
@@ -215,13 +216,14 @@ def hash_join(
     def tag_side(side: str, own: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
             # SQL join semantics: a NULL key matches nothing. Pandas'
-            # merge would match NA==NA, so drop null-key rows here —
-            # right side always; left side too unless a LEFT join must
-            # keep them (they emit with null right columns, and since
-            # the right side holds no nulls they cannot match)
+            # merge would match NA==NA, so drop null-key rows at the
+            # scan unless the join KEEPS unmatched rows from this side
+            # (LEFT keeps left nulls, FULL OUTER keeps both); kept
+            # null-key rows are routed around the in-bucket merge
             import pyarrow.compute as pc
 
-            if side == "r" or how == "inner":
+            keeps_nulls = how == "outer" or (how == "left" and side == "l")
+            if not keeps_nulls:
                 batch = batch.filter(pc.is_valid(batch[on]))
             n = len(batch)
             keys = batch[on].to_numpy(zero_copy_only=False)
@@ -251,9 +253,20 @@ def hash_join(
         g = t.to_pandas(
             types_mapper=lambda typ: pd.Int64Dtype() if pa.types.is_integer(typ) else None
         )
+        unmatched = None
+        if how == "outer":
+            # null keys survive a FULL OUTER join unmatched, but pandas
+            # merge would pair NaN==NaN across sides — route them around
+            # the merge (they are already padded to the union schema)
+            nullk = g[on].isna()
+            if nullk.any():
+                unmatched = g[nullk]
+                g = g[~nullk]
         lg = g[g["_side"] == "l"][lcols]
         rg = g[g["_side"] == "r"][[on, *rcols]]
         out = lg.merge(rg, on=on, how=how)
+        if unmatched is not None:
+            out = pd.concat([out, unmatched[list(out.columns)]], ignore_index=True)
         for c in int_cols:
             # all-non-null columns go back to plain int64; columns with
             # genuine nulls (outer joins) STAY nullable Int64 — never

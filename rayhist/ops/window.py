@@ -394,6 +394,79 @@ def with_prior_window(
     )
 
 
+def with_ranked_window(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    n_buckets: int | None = None,
+    group_final=None,
+) -> ray.data.Dataset:
+    """Per-key ordered RANKED-WINDOW stage: the classic SQL window
+    functions the frame-aggregate ops don't cover. Appends, per key
+    (rows ordered by ``order_cols``):
+
+    - ``row_number``: 1-based position within the key (ROW_NUMBER()),
+    - ``dense_rank``: DENSE_RANK() of ``value_col`` within the key
+      (ordered by value; ties share a rank, no gaps),
+    - ``prior_val``: LAG(value, 1) — the previous row's value, null
+      on each key's first row,
+    - ``prior_max``: MAX(value) OVER (ROWS BETWEEN UNBOUNDED
+      PRECEDING AND 1 PRECEDING) — the running max of strictly-prior
+      values, null on each key's first row.
+
+    Keys are hash-bucketed complete (the ``with_prior_window``
+    contract), so ``group_final`` may compute per-key finals in-stage
+    and emit |keys| rows. The lag/max columns are pandas nullable
+    Int64 — exact at any int64 magnitude (money rule: a shift that
+    coerces cents to float64 silently loses exactness above 2^53).
+    ``value_col`` must be integer and non-null; null keys or values
+    raise loudly (a groupby would silently drop null-key rows)."""
+    n_buckets = _resolve_buckets(n_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch[key_col].null_count or batch[value_col].null_count:
+            raise ValueError(
+                f"with_ranked_window: null {key_col!r}/{value_col!r} rows "
+                "(pandas groupby would drop them silently); filter upstream"
+            )
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("_bucket", pa.array(_bucket_of(k, n_buckets)))
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"]).sort_values(
+            [key_col, *order_cols], kind="mergesort"
+        )
+        # positional frame: groupby kernels (cumcount/shift/cummax/rank)
+        # are Cython-vectorized; Int64 keeps lag/max exact under nulls
+        t = pd.DataFrame(
+            {
+                "k": g[key_col].to_numpy(),
+                "v": pd.array(g[value_col].to_numpy(), dtype="Int64"),
+            }
+        )
+        gb = t.groupby("k", sort=False)["v"]
+        prior_val = gb.shift(1)
+        prior_max = (
+            pd.DataFrame({"k": t["k"], "c": gb.cummax()})
+            .groupby("k", sort=False)["c"]
+            .shift(1)
+        )
+        g = g.assign(
+            row_number=(t.groupby("k", sort=False).cumcount() + 1).to_numpy(),
+            dense_rank=gb.rank(method="dense").to_numpy().astype(np.int64),
+            prior_val=prior_val.array,
+            prior_max=prior_max.array,
+        )
+        return group_final(g) if group_final is not None else g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+    )
+
+
 def distinct_set_op(
     a: ray.data.Dataset,
     b: ray.data.Dataset,

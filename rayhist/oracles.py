@@ -1690,6 +1690,56 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def user_event_ranks() -> str:
+    """SQL ranked window functions — LAG / running-MAX-over-prior /
+    DENSE_RANK per user, the independent mirror of
+    ops/window.with_ranked_window (exact integer cents)."""
+    return """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), w AS (
+  SELECT user_id, vc,
+         max(vc) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max,
+         lag(vc) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prior_vc,
+         dense_rank() OVER (PARTITION BY user_id ORDER BY vc) AS dr
+  FROM v
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prior_max IS NULL OR vc > prior_max
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+       CAST(sum(CASE WHEN prior_vc IS NOT NULL AND vc > prior_vc
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_increases,
+       CAST(max(dr) AS BIGINT) AS n_distinct_vals
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def outer_join_user_day(stride: int, t0: int, day_us: int) -> str:
+    """SQL FULL OUTER JOIN on the composite (user, day) key — the
+    independent mirror of ops/relational.hash_join(how='outer')."""
+    return f"""
+WITH e AS (
+  SELECT user_id * {stride} + (epoch_us(ts) - {t0}) // {day_us} AS uk,
+         count(*) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), p AS (
+  SELECT user_id * {stride} + (epoch_us(ts) - {t0}) // {day_us} AS uk,
+         count(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(coalesce(e.uk, p.uk) // {stride} AS BIGINT) AS user_id,
+       CAST(coalesce(e.uk, p.uk) % {stride} AS BIGINT) AS day,
+       CAST(coalesce(e.n, 0) AS BIGINT) AS n_errors,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_purchases
+FROM e FULL OUTER JOIN p ON e.uk = p.uk
+ORDER BY 1, 2
+"""
+
+
 def users_click_not_purchase(cutoff_us: int) -> str:
     return f"""
 SELECT user_id FROM (

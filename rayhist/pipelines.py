@@ -2749,6 +2749,118 @@ def q_window_rolling_spikes(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_user_event_ranks(sf_dir: str) -> pd.DataFrame:
+    """RANKED WINDOW FUNCTIONS (LAG / running MAX / DENSE_RANK — the
+    value-rank family `topk_orders_by_priority`'s ROW_NUMBER idiom
+    doesn't cover): per user, events ordered by (ts, event_id);
+    count record-setting events (value_cents strictly exceeds every
+    PRIOR value — MAX OVER UNBOUNDED PRECEDING..1 PRECEDING),
+    increases over the immediately previous event (LAG), and distinct
+    value levels (max DENSE_RANK). One co-partitioned bucket shuffle
+    with complete users per bucket; per-user finals in-stage, so only
+    |users| rows reach the driver. Exact integer cents end-to-end
+    (nullable Int64 lag/max — never float)."""
+    from .ops.relational import round_half_away
+    from .ops.window import with_ranked_window
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64())
+        vc = round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": t,
+                "event_id": b["event_id"],
+                "vc": pa.array(vc),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["vc"]
+        rec = (vc > g["prior_max"]).fillna(False) | g["prior_max"].isna()
+        inc = (vc > g["prior_val"]).fillna(False)
+        g = g.assign(_rec=rec.astype("int64"), _inc=inc.astype("int64"))
+        return g.groupby("user_id", as_index=False).agg(
+            n_events=("vc", "size"),
+            n_records=("_rec", "sum"),
+            n_increases=("_inc", "sum"),
+            n_distinct_vals=("dense_rank", "max"),
+        )
+
+    out = with_ranked_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["t", "event_id"],
+        value_col="vc",
+        group_final=final,
+    ).to_pandas()
+    return (
+        out.sort_values("user_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "n_events": "int64",
+                "n_records": "int64",
+                "n_increases": "int64",
+                "n_distinct_vals": "int64",
+            }
+        )
+    )
+
+
+OUTER_DAY_STRIDE = 64  # composite (user_id, day) key: uk = user_id*64 + day
+
+
+def q_outer_join_user_day(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN (partitioned hash join, how='outer'): per-user
+    per-day error counts joined with purchase counts; (user, day)
+    cells active on only one side survive with the other side's count
+    zero-coalesced. Sides are pre-aggregated per batch (partial
+    counts) and finalized on a Dataset groupby (corpus-cardinality
+    key per the CLAUDE.md rule), then joined on the composite int key
+    user_id*64 + day — one bucket shuffle, unmatched rows emitted
+    in-bucket, never a driver-side merge."""
+    from .ops.relational import hash_join
+
+    def side_counts(etype: str, out_col: str) -> ray.data.Dataset:
+        ds = _events_typed(sf_dir, etype, ["user_id", "ts", "event_type"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            day = (b["t"].to_numpy() - T0) // DAY_US
+            uk = b["user_id"].to_numpy() * OUTER_DAY_STRIDE + day
+            u, c = np.unique(uk, return_counts=True)
+            return pa.table({"uk": pa.array(u), out_col: pa.array(c.astype(np.int64))})
+
+        agg = ds.map_batches(partial, batch_format="pyarrow").groupby("uk").sum(out_col)
+        return agg.map_batches(
+            lambda b: b.rename_columns(["uk", out_col]), batch_format="pyarrow"
+        )
+
+    joined = hash_join(
+        side_counts("error", "n_errors"),
+        side_counts("purchase", "n_purchases"),
+        on="uk",
+        how="outer",
+    )
+    df = joined.to_pandas()
+    uk = df["uk"].astype("int64")
+    out = pd.DataFrame(
+        {
+            "user_id": uk // OUTER_DAY_STRIDE,
+            "day": uk % OUTER_DAY_STRIDE,
+            "n_errors": df["n_errors"].fillna(0).astype("int64"),
+            "n_purchases": df["n_purchases"].fillna(0).astype("int64"),
+        }
+    )
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
 def q_users_click_not_purchase(sf_dir: str) -> pd.DataFrame:
     """Distributed DISTINCT EXCEPT (set ops the reference never
     exposed, SURVEY.md §2.9): users who clicked in the first two days

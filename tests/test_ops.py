@@ -682,6 +682,104 @@ def test_joins_follow_sql_null_key_semantics():
     assert anti["lv"].tolist() == [30]
 
 
+def test_hash_join_full_outer():
+    """FULL OUTER: unmatched rows from BOTH sides survive with the
+    other side's columns null; null keys match nothing but still
+    survive unmatched (SQL semantics — pandas merge alone would pair
+    NaN==NaN across sides); int values above 2^53 stay exact in
+    unmatched rows (nullable Int64, never float64)."""
+    import ray.data
+
+    from rayhist.ops.relational import hash_join
+
+    big = 2**55 + 3
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, None], type=pa.int64()),
+            "lv": pa.array([10, big, 30], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([2, 4, None], type=pa.int64()),
+            "rv": pa.array([200, big, 600], type=pa.int64()),
+        }
+    )
+    out = (
+        hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", n_buckets=4, how="outer",
+        )
+        .to_pandas()
+        .sort_values(["lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # 1 match (k=2) + left-only k=1 + right-only k=4 + one null-key
+    # row per side, unmatched
+    assert len(out) == 5
+    m = out[out["k"] == 2]
+    assert m["lv"].tolist() == [big] and m["rv"].tolist() == [200]
+    lonly = out[out["k"] == 1]
+    assert lonly["lv"].tolist() == [10] and lonly["rv"].isna().all()
+    ronly = out[out["k"] == 4]
+    assert int(ronly["rv"].iloc[0]) == big and ronly["lv"].isna().all()
+    nullk = out[out["k"].isna()]
+    assert len(nullk) == 2  # never merged with each other
+    assert sorted(
+        int(x) for x in pd.concat([nullk["lv"], nullk["rv"]]).dropna()
+    ) == [30, 600]
+    # exactness: the big values survived the padded union + merge
+    assert str(out["lv"].dtype) == "Int64" or out["lv"].dtype == np.int64
+
+
+def test_hash_join_outer_matches_duckdb_randomized():
+    """Randomized differential: hash_join(how='outer') over overlapping
+    key sets equals DuckDB FULL OUTER JOIN (match cardinality includes
+    duplicate keys on both sides)."""
+    import duckdb
+    import ray.data
+
+    from rayhist.ops.relational import hash_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, 300).astype(np.int64),
+            "lv": rng.integers(0, 10**6, 300).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(20, 60, 250).astype(np.int64),
+            "rv": rng.integers(0, 10**6, 250).astype(np.int64),
+        }
+    )
+    got = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(4),
+            on="k", n_buckets=8, how="outer",
+        )
+        .to_pandas()
+        .astype({"k": "float64", "lv": "float64", "rv": "float64"})
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = (
+        con.execute(
+            "SELECT coalesce(l.k, r.k) AS k, lv, rv FROM l FULL OUTER JOIN r ON l.k = r.k"
+        )
+        .df()
+        .astype({"k": "float64", "lv": "float64", "rv": "float64"})
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want)
+
+
 def test_join_guards_raise_loudly():
     import ray.data
 
@@ -693,7 +791,7 @@ def test_join_guards_raise_loudly():
         hash_join(l, r, on="k")
     with pytest.raises(ValueError, match="unsupported"):
         hash_join(l, ray.data.from_arrow(pa.table({"k": [1], "w": [3]})),
-                  on="k", how="outer")
+                  on="k", how="right")
     with pytest.raises(ValueError, match="unsupported"):
         broadcast_join(l, pd.DataFrame({"k": [1], "w": [2]}), on="k", how="outer")
 

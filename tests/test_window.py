@@ -725,3 +725,111 @@ def test_distinct_set_op_rejects_null_keys():
             ray.data.from_pandas(a), ray.data.from_pandas(b), on="k", mode="except"
         ).to_pandas()
     assert "null keys" in str(ei.value)
+
+
+# ----------------------------------------------------- ranked window
+
+
+@pytest.mark.parametrize("n_buckets", [2, 16])
+def test_with_ranked_window_matches_duckdb(n_buckets):
+    """Randomized differential: the appended row_number / dense_rank /
+    prior_val (LAG) / prior_max (running max over strictly-prior rows)
+    columns equal DuckDB's window functions, at two bucket counts
+    (partitioning invariance)."""
+    import duckdb
+
+    from rayhist.ops.window import with_ranked_window
+
+    df = _events(n=600, n_users=13)
+    got = (
+        with_ranked_window(
+            ray.data.from_pandas(df).repartition(5),
+            key_col="user_id",
+            order_cols=["t", "row_id"],
+            value_col="v",
+            n_buckets=n_buckets,
+        )
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("df", df)
+    want = (
+        con.execute(
+            """
+            SELECT row_id,
+              CAST(row_number() OVER w AS BIGINT) AS row_number,
+              CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY v) AS BIGINT)
+                AS dense_rank,
+              lag(v) OVER w AS prior_val,
+              max(v) OVER (PARTITION BY user_id ORDER BY t, row_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS prior_max
+            FROM df WINDOW w AS (PARTITION BY user_id ORDER BY t, row_id)
+            """
+        )
+        .df()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    assert got["row_number"].tolist() == want["row_number"].tolist()
+    assert got["dense_rank"].tolist() == want["dense_rank"].tolist()
+    for col in ("prior_val", "prior_max"):
+        g = got[col].astype("float64").to_numpy()
+        w = want[col].astype("float64").to_numpy()
+        assert np.array_equal(g, w, equal_nan=True), col
+
+
+def test_with_ranked_window_int64_exact_above_2_53():
+    """The lag/max columns must stay nullable Int64 — a float64 shift
+    would silently corrupt cents above 2^53."""
+    from rayhist.ops.window import with_ranked_window
+
+    big = 2**55
+    df = pd.DataFrame(
+        {
+            "user_id": np.zeros(3, dtype=np.int64),
+            "t": np.arange(3, dtype=np.int64),
+            "row_id": np.arange(3, dtype=np.int64),
+            "v": np.array([big + 3, big + 1, big + 7], dtype=np.int64),
+        }
+    )
+    out = (
+        with_ranked_window(
+            ray.data.from_pandas(df),
+            key_col="user_id",
+            order_cols=["t", "row_id"],
+            value_col="v",
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("row_id")
+    )
+    assert out["prior_val"].tolist()[1:] == [big + 3, big + 1]
+    assert out["prior_max"].tolist()[1:] == [big + 3, big + 3]
+    assert pd.isna(out["prior_val"].iloc[0]) and pd.isna(out["prior_max"].iloc[0])
+
+
+def test_with_ranked_window_rejects_nulls():
+    import pytest
+    import ray.exceptions
+
+    from rayhist.ops.window import with_ranked_window
+
+    df = pd.DataFrame(
+        {
+            "user_id": pd.array([1, None], dtype="Int64"),
+            "t": [1, 2],
+            "row_id": [0, 1],
+            "v": [5, 6],
+        }
+    )
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)) as ei:
+        with_ranked_window(
+            ray.data.from_pandas(df),
+            key_col="user_id",
+            order_cols=["t", "row_id"],
+            value_col="v",
+        ).to_pandas()
+    assert "null" in str(ei.value)
