@@ -175,14 +175,19 @@ def exact_quantiles_int(ds: ray.data.Dataset, col: str, fracs: list[tuple[int, i
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
-    on: str,
+    on: str | list[str],
     n_buckets: int | None = None,
     how: str = "inner",
 ) -> ray.data.Dataset:
     """Both-sides-large equi-join: explicit partitioned hash join
-    (``how``: inner / left / outer — outer is SQL FULL OUTER).
+    (``how``: inner / left / outer — outer is SQL FULL OUTER;
+    ``on``: one key column or a composite key as a list — a row with
+    ANY null key component matches nothing, per SQL).
 
-    Each side gets a deterministic ``bucket = key % n_buckets`` column;
+    Each side gets a deterministic ``bucket = key % n_buckets`` column
+    (composite keys mix per-column hashes; a single integer key stays
+    plain modulo — balanced for id-like keys, salt by raising
+    n_buckets);
     the two datasets are unioned with a side marker and co-grouped by
     bucket, and matching buckets are joined pairwise inside
     ``map_groups`` — one shuffle per side, no broadcast. The default
@@ -198,19 +203,30 @@ def hash_join(
         raise ValueError(f"hash_join: how={how!r} unsupported (inner/left/outer)")
     if n_buckets is None:
         n_buckets = max(64, _ncpu() * 4)
+    ons = [on] if isinstance(on, str) else list(on)
 
     # pad both sides to the union schema so the bucket groupby sees
     # one consistent block type
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
-    rcols = [c for c in rschema.names if c != on]
-    overlap = (set(lcols) - {on}) & set(rcols)
+    missing = [c for c in ons if c not in lcols or c not in rschema.names]
+    if missing:
+        raise ValueError(f"hash_join: key columns missing on a side: {missing}")
+    rcols = [c for c in rschema.names if c not in ons]
+    overlap = (set(lcols) - set(ons)) & set(rcols)
     if overlap:
         # a shared non-key name would collapse in the union-schema dict
         # and come back _x/_y-suffixed from the merge — rename upstream
         raise ValueError(f"hash_join: non-key columns on both sides: {sorted(overlap)}")
-    all_fields = [(n, lschema.types[lschema.names.index(n)]) for n in lcols] + [
-        (n, rschema.types[rschema.names.index(n)]) for n in rcols
+    def _pa_type(t):
+        # pandas-block sources report NUMPY dtypes (object for text),
+        # which pa.nulls / pa.types.is_integer reject — normalize
+        if isinstance(t, pa.DataType):
+            return t
+        return pa.string() if t is object or str(t) == "object" else pa.from_numpy_dtype(t)
+
+    all_fields = [(n, _pa_type(lschema.types[lschema.names.index(n)])) for n in lcols] + [
+        (n, _pa_type(rschema.types[rschema.names.index(n)])) for n in rcols
     ]
 
     def tag_side(side: str, own: list[str]):
@@ -224,22 +240,37 @@ def hash_join(
 
             keeps_nulls = how == "outer" or (how == "left" and side == "l")
             if not keeps_nulls:
-                batch = batch.filter(pc.is_valid(batch[on]))
+                valid = pc.is_valid(batch[ons[0]])
+                for c in ons[1:]:
+                    valid = pc.and_(valid, pc.is_valid(batch[c]))
+                batch = batch.filter(valid)
             n = len(batch)
-            keys = batch[on].to_numpy(zero_copy_only=False)
-            if np.issubdtype(keys.dtype, np.floating):  # left-kept nulls
-                keys = np.nan_to_num(keys, nan=0.0)
+            # composite bucket: mix per-column hashes (h*phi + col);
+            # a single integer key degenerates to plain modulo (0*phi
+            # + k == k), preserving the documented id-balanced layout
+            h = np.zeros(n, dtype=np.uint64)
+            for c in ons:
+                keys = batch[c].to_numpy(zero_copy_only=False)
+                if np.issubdtype(keys.dtype, np.integer):
+                    ch = keys.astype(np.uint64)
+                elif np.issubdtype(keys.dtype, np.floating):  # kept nulls
+                    ch = np.nan_to_num(keys, nan=0.0).astype(np.int64).astype(np.uint64)
+                else:
+                    ch = pd.util.hash_array(
+                        np.asarray(keys, dtype=object), categorize=False
+                    ).astype(np.uint64)
+                h = h * np.uint64(0x9E3779B97F4A7C15) + ch
             cols = {}
             for name, typ in all_fields:
                 cols[name] = batch[name] if name in own else pa.nulls(n, typ)
-            cols["_bucket"] = pa.array((keys % n_buckets).astype(np.int64))
+            cols["_bucket"] = pa.array((h % np.uint64(n_buckets)).astype(np.int64))
             cols["_side"] = pa.array(np.full(n, side, dtype=object), type=pa.string())
             return pa.table(cols)
 
         return fn
 
     both = left.map_batches(tag_side("l", lcols), batch_format="pyarrow").union(
-        right.map_batches(tag_side("r", [on, *rcols]), batch_format="pyarrow")
+        right.map_batches(tag_side("r", [*ons, *rcols]), batch_format="pyarrow")
     )
 
     # the union-padded nulls would coerce integer columns to float64 in
@@ -258,13 +289,13 @@ def hash_join(
             # null keys survive a FULL OUTER join unmatched, but pandas
             # merge would pair NaN==NaN across sides — route them around
             # the merge (they are already padded to the union schema)
-            nullk = g[on].isna()
+            nullk = g[ons].isna().any(axis=1)
             if nullk.any():
                 unmatched = g[nullk]
                 g = g[~nullk]
         lg = g[g["_side"] == "l"][lcols]
-        rg = g[g["_side"] == "r"][[on, *rcols]]
-        out = lg.merge(rg, on=on, how=how)
+        rg = g[g["_side"] == "r"][[*ons, *rcols]]
+        out = lg.merge(rg, on=ons, how=how)
         if unmatched is not None:
             out = pd.concat([out, unmatched[list(out.columns)]], ignore_index=True)
         for c in int_cols:

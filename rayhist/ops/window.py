@@ -401,6 +401,7 @@ def with_ranked_window(
     value_col: str,
     n_buckets: int | None = None,
     group_final=None,
+    ntile: int | None = None,
 ) -> ray.data.Dataset:
     """Per-key ordered RANKED-WINDOW stage: the classic SQL window
     functions the frame-aggregate ops don't cover. Appends, per key
@@ -413,7 +414,10 @@ def with_ranked_window(
       on each key's first row,
     - ``prior_max``: MAX(value) OVER (ROWS BETWEEN UNBOUNDED
       PRECEDING AND 1 PRECEDING) — the running max of strictly-prior
-      values, null on each key's first row.
+      values, null on each key's first row,
+    - ``tile`` (only when ``ntile`` is given): NTILE(ntile) over the
+      key's order — equal-frequency buckets with the SQL remainder
+      rule (the first n mod k tiles get one extra row).
 
     Keys are hash-bucketed complete (the ``with_prior_window``
     contract), so ``group_final`` may compute per-key finals in-stage
@@ -422,6 +426,8 @@ def with_ranked_window(
     coerces cents to float64 silently loses exactness above 2^53).
     ``value_col`` must be integer and non-null; null keys or values
     raise loudly (a groupby would silently drop null-key rows)."""
+    if ntile is not None and ntile < 1:
+        raise ValueError(f"with_ranked_window: ntile must be >= 1, got {ntile}")
     n_buckets = _resolve_buckets(n_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -452,12 +458,27 @@ def with_ranked_window(
             .groupby("k", sort=False)["c"]
             .shift(1)
         )
+        pos = t.groupby("k", sort=False).cumcount().to_numpy()
         g = g.assign(
-            row_number=(t.groupby("k", sort=False).cumcount() + 1).to_numpy(),
+            row_number=pos + 1,
             dense_rank=gb.rank(method="dense").to_numpy().astype(np.int64),
             prior_val=prior_val.array,
             prior_max=prior_max.array,
         )
+        if ntile is not None:
+            # SQL NTILE remainder rule: n = key size, big = n // k,
+            # r = n % k; the first r tiles hold big+1 rows. big == 0
+            # (n < k) degenerates to tile = pos + 1 via the first
+            # branch (r == n, every pos < r * 1).
+            n = gb.transform("size").to_numpy().astype(np.int64)
+            big, r = n // ntile, n % ntile
+            head = r * (big + 1)
+            tile = np.where(
+                pos < head,
+                pos // (big + 1),
+                r + (pos - head) // np.maximum(big, 1),
+            )
+            g = g.assign(tile=(tile + 1).astype(np.int64))
         return group_final(g) if group_final is not None else g
 
     return (

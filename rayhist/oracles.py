@@ -1740,6 +1740,28 @@ ORDER BY 1, 2
 """
 
 
+def order_price_ntiles(k: int) -> str:
+    """SQL NTILE — the independent mirror of with_ranked_window's
+    equal-frequency tiling (remainder rule) on a deterministic total
+    order (price_cents, orderkey)."""
+    return f"""
+WITH v AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS vc
+  FROM orders
+), w AS (
+  SELECT o_orderpriority, vc,
+         CAST(ntile({k}) OVER (PARTITION BY o_orderpriority
+              ORDER BY vc, o_orderkey) AS BIGINT) AS tile
+  FROM v
+)
+SELECT o_orderpriority, tile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(vc) AS BIGINT) AS sum_price_cents
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def users_click_not_purchase(cutoff_us: int) -> str:
     return f"""
 SELECT user_id FROM (

@@ -2905,6 +2905,48 @@ def q_topk_orders_by_priority(sf_dir: str) -> pd.DataFrame:
     )
 
 
+ORDER_NTILES = 4  # equal-frequency price quartiles per priority
+
+
+def q_order_price_ntiles(sf_dir: str) -> pd.DataFrame:
+    """SQL NTILE (equal-frequency bucketing — the eval-split /
+    quantile-bin idiom): orders per priority split into 4 price
+    quartiles (ordered by price_cents, orderkey; the SQL remainder
+    rule sizes the tiles), then per-(priority, tile) count and exact
+    integer price sum. Same complete-key bucket shuffle as the other
+    ranked-window queries; finals in-stage."""
+    from .ops.relational import cents
+    from .ops.window import with_ranked_window
+
+    orders = rio.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    ).map_batches(
+        lambda b: cents(b, "o_totalprice", "price_cents").drop_columns(["o_totalprice"]),
+        batch_format="pyarrow",
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["o_orderpriority", "tile"], as_index=False).agg(
+            n_orders=("price_cents", "size"),
+            sum_price_cents=("price_cents", "sum"),
+        )
+
+    out = with_ranked_window(
+        orders,
+        key_col="o_orderpriority",
+        order_cols=["price_cents", "o_orderkey"],
+        value_col="price_cents",
+        ntile=ORDER_NTILES,
+        group_final=final,
+    ).to_pandas()
+    return (
+        out.sort_values(["o_orderpriority", "tile"])
+        .reset_index(drop=True)
+        .astype({"tile": "int64", "n_orders": "int64", "sum_price_cents": "int64"})
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

@@ -986,3 +986,97 @@ def test_timeutil_exactness_and_period_validation():
     for bad in ("P-1M", "P-1Y", "PT1M", "P1DT12H", "PT0H"):
         with pytest.raises(ValueError):
             timestamps("2024-01-01", "2024-02-01", bad)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+def test_hash_join_multikey_matches_duckdb(how):
+    """Composite-key join (on=[k1,k2]) vs DuckDB at every supported
+    how; mixed int+string key columns exercise the mixed bucket hash."""
+    import duckdb
+    import ray.data
+
+    from rayhist.ops.relational import hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 12, 200).astype(np.int64),
+            "k2": np.array(["a", "b", "c"])[rng.integers(0, 3, 200)],
+            "lv": rng.integers(0, 10**6, 200).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k1": rng.integers(6, 18, 160).astype(np.int64),
+            "k2": np.array(["b", "c", "d"])[rng.integers(0, 3, 160)],
+            "rv": rng.integers(0, 10**6, 160).astype(np.int64),
+        }
+    )
+    got = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(3),
+            on=["k1", "k2"], n_buckets=8, how=how,
+        )
+        .to_pandas()
+        .astype({"k1": "float64", "lv": "float64", "rv": "float64"})
+    )
+    got = got.sort_values(["k1", "k2", "lv", "rv"], na_position="last").reset_index(
+        drop=True
+    )
+    sqlhow = {"inner": "JOIN", "left": "LEFT JOIN", "outer": "FULL OUTER JOIN"}[how]
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = (
+        con.execute(
+            f"""SELECT coalesce(l.k1, r.k1) AS k1, coalesce(l.k2, r.k2) AS k2,
+                       lv, rv
+                FROM l {sqlhow} r ON l.k1 = r.k1 AND l.k2 = r.k2"""
+        )
+        .df()
+        .astype({"k1": "float64", "lv": "float64", "rv": "float64"})
+        .sort_values(["k1", "k2", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k1", "k2", "lv", "rv"]], want)
+
+
+def test_hash_join_multikey_null_component_matches_nothing():
+    """A row with ANY null key component never matches (SQL); under
+    outer it survives unmatched exactly once."""
+    import ray.data
+
+    from rayhist.ops.relational import hash_join
+
+    left = pa.table(
+        {
+            "k1": pa.array([1, 1], type=pa.int64()),
+            "k2": pa.array([None, 7], type=pa.int64()),
+            "lv": pa.array([10, 20], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k1": pa.array([1, 1], type=pa.int64()),
+            "k2": pa.array([None, 7], type=pa.int64()),
+            "rv": pa.array([100, 200], type=pa.int64()),
+        }
+    )
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on=["k1", "k2"], n_buckets=4, how="outer",
+    ).to_pandas()
+    # (1,7) matches; each (1,NULL) row survives alone
+    assert len(out) == 3
+    matched = out[out["k2"].notna()]
+    assert matched["lv"].tolist() == [20] and matched["rv"].tolist() == [200]
+    nullrows = out[out["k2"].isna()]
+    assert sorted(
+        int(x) for x in pd.concat([nullrows["lv"], nullrows["rv"]]).dropna()
+    ) == [10, 100]
+    with pytest.raises(ValueError, match="missing"):
+        hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on=["k1", "nope"],
+        )

@@ -833,3 +833,54 @@ def test_with_ranked_window_rejects_nulls():
             value_col="v",
         ).to_pandas()
     assert "null" in str(ei.value)
+
+
+@pytest.mark.parametrize("k", [1, 3, 7, 50])
+def test_with_ranked_window_ntile_matches_duckdb(k):
+    """NTILE remainder rule vs DuckDB, incl. k=1 (one tile) and
+    k > group size (every row its own tile)."""
+    import duckdb
+
+    from rayhist.ops.window import with_ranked_window
+
+    df = _events(n=220, n_users=9)
+    got = (
+        with_ranked_window(
+            ray.data.from_pandas(df).repartition(4),
+            key_col="user_id",
+            order_cols=["t", "row_id"],
+            value_col="v",
+            n_buckets=8,
+            ntile=k,
+        )
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("df", df)
+    want = (
+        con.execute(
+            f"""SELECT row_id, CAST(ntile({k}) OVER (PARTITION BY user_id
+                ORDER BY t, row_id) AS BIGINT) AS tile FROM df"""
+        )
+        .df()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    assert got["tile"].tolist() == want["tile"].tolist()
+
+
+def test_with_ranked_window_ntile_validates():
+    import pytest
+
+    from rayhist.ops.window import with_ranked_window
+
+    with pytest.raises(ValueError, match="ntile"):
+        with_ranked_window(
+            ray.data.from_pandas(_events(n=10)),
+            key_col="user_id",
+            order_cols=["t", "row_id"],
+            value_col="v",
+            ntile=0,
+        )
