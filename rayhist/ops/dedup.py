@@ -312,12 +312,29 @@ class MinHashStage:
         order = np.argsort(doc_idx, kind="stable")
         doc_idx = doc_idx[order]
         h = hash64_arr(np.asarray(ex["shingle"].to_pylist(), dtype=object))[order]
-        prod = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(MERSENNE)
         sigs = np.full((n, self.n_perm), MERSENNE, dtype=np.uint64)
         has_shingles = np.zeros(n, dtype=bool)
         if len(doc_idx):
             starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
-            mins = np.minimum.reduceat(prod, starts, axis=0)
+            # affine transform over UNIQUE shingle hashes only (docs
+            # share shingles — ~10x fewer rows on the sandbox corpus),
+            # with the Mersenne mod as shift-add folding: 2^61 === 1
+            # (mod 2^61-1), so x % M == fold(x) for every uint64 —
+            # value-identical to the % in signature() (pinned by the
+            # batch-vs-reference pytest and a full-range fold test)
+            # but no per-element division. Perm-chunked so the gather
+            # + reduceat intermediates stay cache-sized. Measured
+            # 8.3 s -> 0.4 s on the sf0.1 corpus (260k shingle rows).
+            hu, inv = np.unique(h, return_inverse=True)
+            M = np.uint64(MERSENNE)
+            mins = np.empty((len(starts), self.n_perm), dtype=np.uint64)
+            for c0 in range(0, self.n_perm, 32):
+                c1 = min(c0 + 32, self.n_perm)
+                p = hu[:, None] * self.a[None, c0:c1]
+                p += self.b[None, c0:c1]
+                q = (p >> np.uint64(61)) + (p & M)
+                np.subtract(q, M, out=q, where=q >= M)
+                mins[:, c0:c1] = np.minimum.reduceat(q[inv], starts, axis=0)
             sigs[doc_idx[starts]] = mins
             has_shingles[doc_idx[starts]] = True
         # docs with NO shingles (fewer than SHINGLE_N words) emit no
@@ -377,11 +394,141 @@ def lsh_bands_for_threshold(
     return 64
 
 
+def _explode_with_sizes(b: pa.Table, nb: int | None) -> pa.Table:
+    """Distinct (doc, shingle) rows with the doc's distinct-shingle
+    count riding along as ``n`` (a doc's text is one row, so the count
+    is batch-local exact); ``nb`` adds the shingle-hash ``_bucket``
+    column for the distributed pair-count shuffle."""
+    t = explode_shingles(b)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    _uq, inv, cnt = np.unique(ids, return_inverse=True, return_counts=True)
+    t = t.append_column("n", pa.array(cnt[inv].astype(np.int64)))
+    if nb is not None:
+        buckets = (hash64_arr(t["shingle"].to_pylist()) % nb).astype(np.int64)
+        t = t.append_column("_bucket", pa.array(buckets))
+    return t
+
+
+def _pair_common_partials(g: pd.DataFrame) -> pd.DataFrame:
+    """Pair partial counts among candidate docs (uncapped — the
+    original verification counted every shared shingle), set sizes
+    riding along. Triangular expansion per shingle run; identical
+    kernel for the distributed per-bucket stage and the gated driver
+    pass (one 'bucket' = the whole frame)."""
+    g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
+    sh_v = g["shingle"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    szs = g["n"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, sh_v[1:] != sh_v[:-1]])
+    ends = np.r_[starts[1:], len(sh_v)]
+    das, dbs, nas, nbs = [], [], [], []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2:
+            continue
+        ii, jj = np.triu_indices(n, k=1)
+        das.append(ids[s + ii])
+        dbs.append(ids[s + jj])
+        nas.append(szs[s + ii])
+        nbs.append(szs[s + jj])
+    if not das:
+        z = np.array([], dtype=np.int64)
+        return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0], "common": z, "n_a": z, "n_b": z})
+    df = pd.DataFrame(
+        {
+            "doc_a": np.concatenate(das),
+            "doc_b": np.concatenate(dbs),
+            "n_a": np.concatenate(nas),
+            "n_b": np.concatenate(nbs),
+        }
+    )
+    return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+        common=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
+    )
+
+
+def _threshold_hits(
+    counts: pd.DataFrame, cp: pd.DataFrame, threshold_num: int, threshold_den: int
+) -> pd.DataFrame:
+    """Candidate restriction + integer Jaccard threshold: inner-merge
+    the summed pair counts with the (deduped) candidate pairs, compute
+    the union size, keep common/union >= num/den."""
+    counts = counts.merge(cp, on=["doc_a", "doc_b"], how="inner")
+    counts["common"] = counts["common"].astype("int64")
+    counts["un"] = (counts["n_a"] + counts["n_b"] - counts["common"]).astype("int64")
+    hit = counts[
+        (counts["un"] > 0)
+        & (counts["common"] * threshold_den >= counts["un"] * threshold_num)
+    ]
+    return hit[["doc_a", "doc_b", "common", "un"]]
+
+
+def _segment_candidate_pairs(
+    ids: np.ndarray, band: np.ndarray, key: np.ndarray
+) -> pd.DataFrame:
+    """All unordered id pairs within each (band, key) group — the
+    vectorized twin of `_bucket_candidate_pairs` for the gated driver
+    pass: one lexsort, then one triangular gather per DISTINCT group
+    size (LSH buckets are tiny, so a handful of sizes), instead of a
+    pandas frame per group (2.4 s -> ~0.05 s at 6.7k groups)."""
+    order = np.lexsort((ids, key, band))
+    ids, band, key = ids[order], band[order], key[order]
+    new = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.r_[starts, len(ids)])
+    das, dbs = [], []
+    for s in np.unique(counts):
+        if s < 2:
+            continue
+        sel = starts[counts == s]
+        mat = ids[sel[:, None] + np.arange(s)[None, :]]  # rows id-sorted
+        ii, jj = np.triu_indices(s, k=1)
+        das.append(mat[:, ii].ravel())
+        dbs.append(mat[:, jj].ravel())
+    if not das:
+        return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(das), "doc_b": np.concatenate(dbs)}
+    )
+
+
+def _minhash_lsh_pairs_local(
+    tbl: pa.Table, threshold_num: int, threshold_den: int, bands: int
+) -> pd.DataFrame:
+    """Gated driver pass: the SAME signature / band / pair / verify
+    kernels as the distributed path, run over one in-memory table
+    (one bucket per stage). Byte-identical results by construction —
+    every distributed decomposition is an associative regroup of
+    these kernels (A/B-pinned in tests)."""
+    stage = MinHashStage(bands=bands)
+    bt = stage(tbl).to_pandas()
+    bt = bt[bt.duplicated(["band", "key"], keep=False)]
+    empty = pd.DataFrame(columns=["doc_a", "doc_b", "common", "un"])
+    cp = _segment_candidate_pairs(
+        bt["doc_id"].to_numpy(), bt["band"].to_numpy(), bt["key"].to_numpy()
+    ).drop_duplicates()
+    if cp.empty:
+        return empty
+    import pyarrow.compute as pc
+
+    ids = pd.unique(pd.concat([cp["doc_a"], cp["doc_b"]], ignore_index=True))
+    sub = tbl.filter(
+        pc.is_in(tbl["doc_id"], value_set=pa.array(ids, type=tbl["doc_id"].type))
+    )
+    ex = _explode_with_sizes(sub, nb=None).to_pandas()
+    counts = _pair_common_partials(ex)
+    hits = _threshold_hits(counts, cp, threshold_num, threshold_den)
+    if hits.empty:
+        return empty
+    return hits.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     threshold_num: int = 1,
     threshold_den: int = 2,
     bands: int | None = None,
+    driver_gate: int | None = None,
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> minhash -> band ->
     groupby(band, key) candidate pairs -> DISTRIBUTED exact-Jaccard
@@ -412,6 +559,29 @@ def minhash_lsh_pairs(
     # (midpoint ~0.71, which finds almost nothing at J ~ 0.5)
     if bands is None:
         bands = lsh_bands_for_threshold(threshold_num, threshold_den)
+
+    # adaptive operating point (the knn_queries precedent, BASELINE.md
+    # round-5 notes): the pipeline below is five shuffle stages, pure
+    # scheduling overhead at few-thousand-doc scale (~8 s for 500 docs
+    # at 32 cpus). For an input already MATERIALIZED with a known
+    # small row count, run the SAME kernels in one driver pass.
+    # Driver memory is bounded by the documented gate, never by the
+    # corpus; the distributed path is forced in tests (driver_gate=0)
+    # and A/B-pinned byte-identical against this one.
+    if driver_gate is None:
+        driver_gate = 64 * 1024
+    from ray.data.dataset import MaterializedDataset
+
+    if (
+        driver_gate
+        and isinstance(docs, MaterializedDataset)
+        and docs.count() <= driver_gate
+    ):
+        tbl = pa.concat_tables(
+            [ray.get(r) for r in docs.to_arrow_refs()], promote_options="default"
+        )
+        return _minhash_lsh_pairs_local(tbl, threshold_num, threshold_den, bands)
+
     cand = docs.map_batches(
         MinHashStage,
         batch_format="pyarrow",
@@ -444,55 +614,13 @@ def minhash_lsh_pairs(
     filtered = hash_semi_join(docs, cdocs, on="doc_id")
 
     nb = _shingle_buckets()
-
-    def explode_with_bucket(b: pa.Table) -> pa.Table:
-        t = explode_shingles(b)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        _uq, inv, cnt = np.unique(ids, return_inverse=True, return_counts=True)
-        buckets = (hash64_arr(t["shingle"].to_pylist()) % nb).astype(np.int64)
-        t = t.append_column("n", pa.array(cnt[inv].astype(np.int64)))
-        return t.append_column("_bucket", pa.array(buckets))
-
-    sh = filtered.map_batches(explode_with_bucket, batch_format="pyarrow")
-
-    def bucket_common(g: pd.DataFrame) -> pd.DataFrame:
-        """Pair partial counts among candidate docs (uncapped — the
-        original verification counted every shared shingle), set sizes
-        riding along (a doc's text is one row, so its distinct-shingle
-        count is batch-local exact)."""
-        g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
-        sh_v = g["shingle"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        szs = g["n"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, sh_v[1:] != sh_v[:-1]])
-        ends = np.r_[starts[1:], len(sh_v)]
-        das, dbs, nas, nbs = [], [], [], []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
-                continue
-            ii, jj = np.triu_indices(n, k=1)
-            das.append(ids[s + ii])
-            dbs.append(ids[s + jj])
-            nas.append(szs[s + ii])
-            nbs.append(szs[s + jj])
-        if not das:
-            z = np.array([], dtype=np.int64)
-            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0], "common": z, "n_a": z, "n_b": z})
-        df = pd.DataFrame(
-            {
-                "doc_a": np.concatenate(das),
-                "doc_b": np.concatenate(dbs),
-                "n_a": np.concatenate(nas),
-                "n_b": np.concatenate(nbs),
-            }
-        )
-        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            common=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
-        )
+    sh = filtered.map_batches(
+        lambda b: _explode_with_sizes(b, nb), batch_format="pyarrow"
+    )
 
     partials = sh.groupby("_bucket").map_groups(
-        lambda g: bucket_common(g.drop(columns=["_bucket"])), batch_format="pandas"
+        lambda g: _pair_common_partials(g.drop(columns=["_bucket"])),
+        batch_format="pandas",
     )
 
     # ---- co-group partials with candidate pairs on the pair bucket;
@@ -530,14 +658,7 @@ def minhash_lsh_pairs(
         counts = pp.groupby(["doc_a", "doc_b"], as_index=False).agg(
             common=("common", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
         )
-        counts = counts.merge(cp, on=["doc_a", "doc_b"], how="inner")
-        counts["common"] = counts["common"].astype("int64")
-        counts["un"] = (counts["n_a"] + counts["n_b"] - counts["common"]).astype("int64")
-        hit = counts[
-            (counts["un"] > 0)
-            & (counts["common"] * threshold_den >= counts["un"] * threshold_num)
-        ]
-        return hit[["doc_a", "doc_b", "common", "un"]]
+        return _threshold_hits(counts, cp, threshold_num, threshold_den)
 
     hits = (
         both.groupby("_pb")

@@ -760,8 +760,13 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     import ray.data
     from .ops.dedup import minhash_lsh_pairs
 
+    # materializing the (bounded) sandbox corpus engages the op's
+    # documented small-input driver gate — the same kernels in one
+    # pass instead of five shuffle stages of scheduling overhead; a
+    # corpus-scale caller passes the lazy Dataset and gets the fully
+    # distributed path
     ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, 1, 2)
+    return minhash_lsh_pairs(ds.materialize(), 1, 2)
 
 
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:

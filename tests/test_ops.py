@@ -1080,3 +1080,68 @@ def test_hash_join_multikey_null_component_matches_nothing():
             ray.data.from_arrow(left), ray.data.from_arrow(right),
             on=["k1", "nope"],
         )
+
+
+def test_minhash_driver_gate_paths_identical():
+    """The gated driver pass and the forced distributed path
+    (driver_gate=0) produce byte-identical pairs on a randomized
+    corpus with planted near-dups."""
+    import ray.data
+
+    from rayhist.ops.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i}" for i in range(60)])
+    texts = [" ".join(vocab[rng.integers(0, 60, 30)]) for _ in range(70)]
+    for i in range(0, 20, 2):  # planted near-dups: one-word edits
+        words = texts[i].split()
+        words[5] = "zz"
+        texts[i + 1] = " ".join(words)
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ds = ray.data.from_arrow(tbl)  # MaterializedDataset -> gate engages
+    local = minhash_lsh_pairs(ds, 1, 2)
+    dist = minhash_lsh_pairs(ds, 1, 2, driver_gate=0)
+    assert len(local) > 0  # the planted dups must be found
+    pd.testing.assert_frame_equal(
+        local.reset_index(drop=True),
+        dist.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype(local.dtypes.to_dict()),
+    )
+
+
+def test_minhash_fold_mod_is_exact_mod():
+    """The shift-add Mersenne fold in MinHashStage.__call__ equals %
+    over the full uint64 range (2^61 === 1 mod 2^61-1), including the
+    wrap edges."""
+    from rayhist.ops.dedup import MERSENNE
+
+    M = np.uint64(MERSENNE)
+    rng = np.random.default_rng(2)
+    x = np.r_[
+        rng.integers(0, 2**64, 100_000, dtype=np.uint64),
+        np.array([0, 1, MERSENNE - 1, MERSENNE, MERSENNE + 1, 2**64 - 1],
+                 dtype=np.uint64),
+    ]
+    q = (x >> np.uint64(61)) + (x & M)
+    np.subtract(q, M, out=q, where=q >= M)
+    assert np.array_equal(q, x % M)
+
+
+def test_minhash_batch_matches_reference_signature():
+    """The chunked unique+fold batch path equals the per-doc %-based
+    reference signature() on varied texts."""
+    from rayhist.ops.dedup import MinHashStage, shingle_set
+
+    texts = [
+        "a b c d e f g h i j",
+        "a b c d e f g h i x",
+        "one two three four five six",
+        "a b c a b c a b c a b c",
+    ]
+    stage = MinHashStage(bands=32)
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = stage(tbl)
+    # recompute band keys from the reference signatures
+    ref_sigs = np.stack([stage.signature(shingle_set(t)) for t in texts])
+    ref_keys = stage._band_keys(ref_sigs)
+    got = out.to_pandas().sort_values(["doc_id", "band"])
+    assert got["key"].to_numpy().reshape(len(texts), 32).tolist() == ref_keys.tolist()
