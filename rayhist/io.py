@@ -86,6 +86,29 @@ def _local_parquet_stats(path) -> tuple[int, int] | None:
     return (n_files, total) if n_files else None
 
 
+def shuffle_buckets(*paths) -> int | None:
+    """Bytes-aware shuffle-bucket count for a join/groupby whose
+    inputs are local files the caller can stat: one bucket per ~MB of
+    input, floored at 8, capped at the cluster-scaled default
+    (cores x 4). The operators' own default (``max(64, cores x 4)``)
+    is the right blind choice — per-bucket memory must not grow with
+    the corpus — but when the input is measurably tiny, 128 shuffle
+    groups for a few thousand rows is pure task-scheduling overhead
+    (measured ~2x on the sf0.01 join queries). Returns None for
+    remote/missing paths (caller keeps the operator default)."""
+    total = 0
+    for p in paths:
+        st = _local_parquet_stats(p)
+        if st is None:
+            return None
+        total += st[1]
+    if ray.is_initialized():
+        ncpu = int(ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
+    else:
+        ncpu = os.cpu_count() or 8
+    return max(8, min(4 * ncpu, -(-total // (1 << 20))))
+
+
 def auto_num_blocks(path) -> int | None:
     """Read-task count: one per target-size chunk of input, never fewer
     than the cluster's CPUs.

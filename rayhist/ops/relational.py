@@ -59,6 +59,24 @@ def cents(batch: pa.Table, col: str, out: str) -> pa.Table:
     return batch.append_column(out, pa.array(round_half_away(v * 100).astype(np.int64)))
 
 
+_BCAST_CACHE: dict[bytes, pd.DataFrame] = {}
+
+
+def _broadcast_get(ref) -> pd.DataFrame:
+    """Per-worker-process memo of a broadcast ObjectRef: one ray.get /
+    unpickle per process, then shared by every task the process runs.
+    Capped (FIFO) so long sessions with many distinct dimension tables
+    don't accumulate frames in every worker."""
+    key = ref.binary()
+    val = _BCAST_CACHE.get(key)
+    if val is None:
+        val = ray.get(ref)
+        while len(_BCAST_CACHE) >= 8:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        _BCAST_CACHE[key] = val
+    return val
+
+
 def broadcast_join(
     ds: ray.data.Dataset,
     small: pd.DataFrame,
@@ -80,18 +98,17 @@ def broadcast_join(
         )
     ref = ray.put(small)
 
-    class JoinStage:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(_broadcast_get(ref), on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
-
-    # actor pool sized to the cluster — a fixed cap would bottleneck
-    # the stage at that many cores no matter how wide the scan fans out
-    return ds.map_batches(
-        JoinStage, batch_format="pandas", concurrency=(1, max(8, _ncpu()))
-    )
+    # TASK pool, not an actor pool: the deserialized small side is
+    # memoized per worker PROCESS (_broadcast_get), so the ray.get +
+    # unpickle is amortized exactly like an actor's __init__ — without
+    # paying actor-pool startup on every execution of the plan
+    # (hash_join's schema probe + union executes a side twice; an
+    # actor pool re-spun each time cost ~1-2 s per query at sandbox
+    # scale). Parallelism follows the scan fan-out, uncapped.
+    return ds.map_batches(join, batch_format="pandas")
 
 
 def topk(ds: ray.data.Dataset, key: str, k: int, tiebreak: str, descending: bool = True) -> pd.DataFrame:

@@ -443,6 +443,7 @@ def q_orders_by_nation(sf_dir: str) -> pd.DataFrame:
     shuffled payload narrow)."""
     import pyarrow.parquet as pq
     import ray.data
+    from .aggregate import combine_partials
     from .ops.relational import broadcast_join, cents, hash_join
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()[
@@ -466,11 +467,29 @@ def q_orders_by_nation(sf_dir: str) -> pd.DataFrame:
     orders = rio.read_table(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(lambda b: cents(b, "o_totalprice", "price_c"), batch_format="pyarrow")
-    joined = hash_join(orders, cust, on="o_custkey")
-    df = (
-        joined.groupby("n_name")
-        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="sum_price_cents"))
-        .to_pandas()
+    joined = hash_join(
+        orders,
+        cust,
+        on="o_custkey",
+        n_buckets=rio.shuffle_buckets(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+        ),
+    )
+
+    # nation-name final is 25 keys — per-batch partials + driver
+    # combine (the CLAUDE.md low-cardinality rule), not a third
+    # Dataset shuffle
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("n_name", as_index=False).agg(
+            n_part=("price_c", "size"), sum_part=("price_c", "sum")
+        )
+        g["sum_part"] = g["sum_part"].astype("int64")
+        return g
+
+    df = combine_partials(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["n_name"],
+        {"n_part": "n_orders", "sum_part": "sum_price_cents"},
     )
     return df.sort_values("n_name").reset_index(drop=True)
 

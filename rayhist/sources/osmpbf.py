@@ -777,10 +777,9 @@ def decode_primitive_block(payload: bytes) -> pa.Table:
 
 
 # ----------------------------------------------------------- pipeline
-def read_osmpbf(paths: str | list[str]) -> ray.data.Dataset:
-    """Parallel .osm.pbf read: header-only blob scan on the driver,
-    then from_items(blob index) -> map_batches(range-read + decode).
-    Accepts a file, a list of files, or a directory of .pbf files."""
+def _blob_index(paths: str | list[str]) -> list[dict]:
+    """Driver-side header-only blob scan: validates every OSMHeader,
+    returns the OSMData blob descriptors (path/offset/size)."""
     if isinstance(paths, str):
         p = Path(paths)
         paths = sorted(str(x) for x in p.iterdir()) if p.is_dir() else [paths]
@@ -795,6 +794,28 @@ def read_osmpbf(paths: str | list[str]) -> ray.data.Dataset:
             elif bl["type"] == "OSMData":
                 index.append(bl)
             # unknown blob types are skipped per spec
+    return index
+
+
+def _decode_blocks(index: list[dict]) -> ray.data.Dataset:
+    """from_items(blob index) -> map_batches(range-read + decode),
+    with the io.auto_num_blocks sizing philosophy applied to BLOBS:
+    one decode task per ~64 MB of compressed input, a cpu-count fan
+    -out only when there is >= 1 MB of work per task, and never more
+    tasks than blobs. Ray's from_items default would otherwise make
+    one block per blob — hundreds of sub-ms tasks on a small fixture
+    set (measured 6 s -> sub-second for 150 x 1.7 KB files)."""
+    if not index:
+        return ray.data.from_arrow(_empty_rows())
+    total = sum(bl["size"] for bl in index)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
+    except Exception:
+        ncpu = os.cpu_count() or 8
+    nb = min(
+        len(index),
+        max(min(ncpu, -(-total // (1 << 20))), -(-total // (64 << 20))),
+    )
 
     def decode(batch: pa.Table) -> pa.Table:
         tables = []
@@ -807,9 +828,16 @@ def read_osmpbf(paths: str | list[str]) -> ray.data.Dataset:
             tables.append(decode_primitive_block(_blob_payload(raw)))
         return pa.concat_tables(tables) if tables else _empty_rows()
 
-    if not index:
-        return ray.data.from_arrow(_empty_rows())
-    return ray.data.from_items(index).map_batches(decode, batch_format="pyarrow")
+    return ray.data.from_items(index, override_num_blocks=max(1, nb)).map_batches(
+        decode, batch_format="pyarrow"
+    )
+
+
+def read_osmpbf(paths: str | list[str]) -> ray.data.Dataset:
+    """Parallel .osm.pbf read: header-only blob scan on the driver,
+    then byte-sized decode fan-out (_decode_blocks). Accepts a file,
+    a list of files, or a directory of .pbf files."""
+    return _decode_blocks(_blob_index(paths))
 
 
 def _pack_node_group(g: pd.DataFrame, keytable: dict[str, int] | None) -> pa.Table:
@@ -867,14 +895,18 @@ def osmpbf_documents(
     DOCUMENTS_SCHEMA span documents. The id-bucket groupby merges
     histories split across block boundaries (the OshMerger.java:31-68
     concern) and is the only shuffle; bucket count scales with the
-    cluster like relational.hash_join's."""
-    rows = read_osmpbf(paths)
+    cluster like relational.hash_join's, floored DOWN to 8 when the
+    compressed input is tiny (one shuffle group per ~MB — 128 groups
+    for 500 rows is pure scheduling)."""
+    index = _blob_index(paths)
+    rows = _decode_blocks(index)
     if buckets is None:
         try:
             cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
         except Exception:
             cpus = 8
-        buckets = 4 * cpus
+        total = sum(bl["size"] for bl in index)
+        buckets = max(8, min(4 * cpus, -(-total // (1 << 20))))
 
     def bucketize(b: pa.Table) -> pa.Table:
         keep = b.filter(pa.compute.equal(b["etype"], "node"))
