@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_ranks": p.q_user_event_ranks,
         "outer_join_user_day": p.q_outer_join_user_day,
         "order_price_ntiles": p.q_order_price_ntiles,
+        "user_first_events": p.q_user_first_events,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "window_rolling_spikes": o.window_rolling_spikes(p.SPIKE_WINDOW),
         "user_event_ranks": o.user_event_ranks(),
         "order_price_ntiles": o.order_price_ntiles(p.ORDER_NTILES),
+        "user_first_events": o.user_first_events(p.FIRST_EVENTS_K),
         "outer_join_user_day": o.outer_join_user_day(
             p.OUTER_DAY_STRIDE, p.T0, p.DAY_US
         ),

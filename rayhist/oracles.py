@@ -1718,6 +1718,23 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def user_first_events(k: int) -> str:
+    """SQL ordered string_agg over a ROW_NUMBER prefix — the collect
+    terminal's independent mirror (total order => deterministic)."""
+    return f"""
+WITH v AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY rn) AS first_types,
+       CAST(count(*) AS BIGINT) AS n_first
+FROM v WHERE rn <= {k} GROUP BY 1 ORDER BY 1
+"""
+
+
 def outer_join_user_day(stride: int, t0: int, day_us: int) -> str:
     """SQL FULL OUTER JOIN on the composite (user, day) key — the
     independent mirror of ops/relational.hash_join(how='outer')."""

@@ -2838,6 +2838,55 @@ def q_user_event_ranks(sf_dir: str) -> pd.DataFrame:
     )
 
 
+FIRST_EVENTS_K = 3  # ordered-collect prefix length per user
+
+
+def q_user_first_events(sf_dir: str) -> pd.DataFrame:
+    """ORDERED COLLECT / string_agg (the §2.7 collect terminal under a
+    value-exact oracle): each user's first 3 event types in (ts,
+    event_id) order, joined ',' — ROW_NUMBER from the ranked-window
+    stage, the prefix filter and the per-user string build in-stage
+    (|users| rows out). The collected value is deterministic because
+    the order is a total order."""
+    from .ops.window import with_ranked_window
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "etype": b["event_type"],
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["row_number"] <= FIRST_EVENTS_K].sort_values(
+            ["user_id", "row_number"], kind="mergesort"
+        )
+        return g.groupby("user_id", as_index=False).agg(
+            first_types=("etype", ",".join), n_first=("etype", "size")
+        )
+
+    out = with_ranked_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["t", "event_id"],
+        value_col="event_id",
+        group_final=final,
+    ).to_pandas()
+    return (
+        out.sort_values("user_id")
+        .reset_index(drop=True)
+        .astype({"n_first": "int64"})
+    )
+
+
 OUTER_DAY_STRIDE = 64  # composite (user_id, day) key: uk = user_id*64 + day
 
 
