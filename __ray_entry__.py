@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join_user_day": p.q_outer_join_user_day,
         "order_price_ntiles": p.q_order_price_ntiles,
         "user_first_events": p.q_user_first_events,
+        "user_value_dist": p.q_user_value_dist,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_ranks": o.user_event_ranks(),
         "order_price_ntiles": o.order_price_ntiles(p.ORDER_NTILES),
         "user_first_events": o.user_first_events(p.FIRST_EVENTS_K),
+        "user_value_dist": o.user_value_dist(),
         "outer_join_user_day": o.outer_join_user_day(
             p.OUTER_DAY_STRIDE, p.T0, p.DAY_US
         ),

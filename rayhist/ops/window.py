@@ -402,6 +402,7 @@ def with_ranked_window(
     n_buckets: int | None = None,
     group_final=None,
     ntile: int | None = None,
+    extras: frozenset | set | tuple = (),
 ) -> ray.data.Dataset:
     """Per-key ordered RANKED-WINDOW stage: the classic SQL window
     functions the frame-aggregate ops don't cover. Appends, per key
@@ -419,6 +420,20 @@ def with_ranked_window(
       key's order — equal-frequency buckets with the SQL remainder
       rule (the first n mod k tiles get one extra row).
 
+    ``extras`` opts into the remaining SQL window functions (kept off
+    the default path so existing callers' schemas are untouched):
+
+    - ``'lead'`` -> ``next_val``: LEAD(value, 1) in the key's order,
+      null on each key's last row (nullable Int64 — exact cents),
+    - ``'first'`` -> ``first_val``: FIRST_VALUE(value) in the key's
+      order (the ROWS UNBOUNDED PRECEDING frame's first row),
+    - ``'dist'`` -> ``pct_rank`` / ``cume_dist``: PERCENT_RANK() and
+      CUME_DIST() OVER (PARTITION BY key ORDER BY value) — each a
+      SINGLE IEEE float64 division of exact int64 ranks/counts
+      ((rank-1)/(n-1) with the SQL n==1 -> 0.0 rule, and rank_max/n),
+      so the values are bit-identical to any engine computing the
+      same two-integer division (the money-rule float exemption).
+
     Keys are hash-bucketed complete (the ``with_prior_window``
     contract), so ``group_final`` may compute per-key finals in-stage
     and emit |keys| rows. The lag/max columns are pandas nullable
@@ -428,6 +443,11 @@ def with_ranked_window(
     raise loudly (a groupby would silently drop null-key rows)."""
     if ntile is not None and ntile < 1:
         raise ValueError(f"with_ranked_window: ntile must be >= 1, got {ntile}")
+    extras = frozenset(extras)
+    if not extras <= {"lead", "first", "dist"}:
+        raise ValueError(
+            f"with_ranked_window: unknown extras {sorted(extras - {'lead', 'first', 'dist'})}"
+        )
     n_buckets = _resolve_buckets(n_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -465,6 +485,21 @@ def with_ranked_window(
             prior_val=prior_val.array,
             prior_max=prior_max.array,
         )
+        if "lead" in extras:
+            g = g.assign(next_val=gb.shift(-1).array)
+        if "first" in extras:
+            g = g.assign(first_val=gb.transform("first").to_numpy().astype(np.int64))
+        if "dist" in extras:
+            n = t.groupby("k", sort=False)["v"].transform("size").to_numpy()
+            n = n.astype(np.int64)
+            r_min = gb.rank(method="min").to_numpy().astype(np.int64)
+            r_max = gb.rank(method="max").to_numpy().astype(np.int64)
+            # one float64 division of exact int64s each (money rule);
+            # SQL defines PERCENT_RANK() = 0 for single-row partitions
+            g = g.assign(
+                pct_rank=np.where(n > 1, (r_min - 1) / np.maximum(n - 1, 1), 0.0),
+                cume_dist=r_max / n,
+            )
         if ntile is not None:
             # SQL NTILE remainder rule: n = key size, big = n // k,
             # r = n % k; the first r tiles hold big+1 rows. big == 0

@@ -1718,6 +1718,37 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def user_value_dist() -> str:
+    """SQL LEAD / FIRST_VALUE / PERCENT_RANK / CUME_DIST — the
+    independent mirror of with_ranked_window's ``extras`` surface.
+    The rank-tail comparisons (cd >= 0.9, pr <= 0.25) are safe float
+    compares: both engines compute the identical two-integer IEEE
+    division before comparing."""
+    return """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), w AS (
+  SELECT user_id, vc,
+         lead(vc) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nxt,
+         first_value(vc) OVER (PARTITION BY user_id ORDER BY t, event_id) AS fv,
+         percent_rank() OVER (PARTITION BY user_id ORDER BY vc) AS pr,
+         cume_dist() OVER (PARTITION BY user_id ORDER BY vc) AS cd,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM v
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN nxt IS NOT NULL AND nxt < vc THEN 1 ELSE 0 END) AS BIGINT) AS n_drops,
+       CAST(sum(CASE WHEN rn = n THEN vc - fv ELSE 0 END) AS BIGINT) AS net_gain_cents,
+       CAST(sum(CASE WHEN cd >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_decile,
+       CAST(sum(CASE WHEN pr <= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quartile
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 def user_first_events(k: int) -> str:
     """SQL ordered string_agg over a ROW_NUMBER prefix — the collect
     terminal's independent mirror (total order => deterministic)."""

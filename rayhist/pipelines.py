@@ -2887,6 +2887,79 @@ def q_user_first_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_user_value_dist(sf_dir: str) -> pd.DataFrame:
+    """The remaining SQL window functions under the value-exact
+    oracle — LEAD, FIRST_VALUE, PERCENT_RANK, CUME_DIST (the
+    ``extras`` surface of ops/window.with_ranked_window). Per user:
+    event count, drops (LEAD strictly below the current value), net
+    gain (last value minus FIRST_VALUE, exact cents), and the
+    distribution-rank tail counts (CUME_DIST >= 0.9, PERCENT_RANK
+    <= 0.25 — each side of the comparison is the identical
+    two-integer IEEE division, so the float compare is
+    engine-independent). One complete-key bucket shuffle, per-user
+    finals in-stage."""
+    from .ops.relational import round_half_away
+    from .ops.window import with_ranked_window
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        vc = round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "vc": pa.array(vc),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["vc"]
+        drop = (g["next_val"] < vc).fillna(False)  # null LEAD = last row
+        g = g.assign(
+            _drop=drop.astype("int64"),
+            _net=(vc - g["first_val"]).astype("int64"),
+            _top=(g["cume_dist"] >= 0.9).astype("int64"),
+            _low=(g["pct_rank"] <= 0.25).astype("int64"),
+        )
+        # rows arrive sorted by (user_id, t, event_id), so 'last' is
+        # each user's final event and _net there is last-minus-first
+        return g.groupby("user_id", as_index=False).agg(
+            n_events=("vc", "size"),
+            n_drops=("_drop", "sum"),
+            net_gain_cents=("_net", "last"),
+            n_top_decile=("_top", "sum"),
+            n_low_quartile=("_low", "sum"),
+        )
+
+    out = with_ranked_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["t", "event_id"],
+        value_col="vc",
+        group_final=final,
+        extras={"lead", "first", "dist"},
+    ).to_pandas()
+    return (
+        out.sort_values("user_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "n_events": "int64",
+                "n_drops": "int64",
+                "net_gain_cents": "int64",
+                "n_top_decile": "int64",
+                "n_low_quartile": "int64",
+            }
+        )
+    )
+
+
 OUTER_DAY_STRIDE = 64  # composite (user_id, day) key: uk = user_id*64 + day
 
 

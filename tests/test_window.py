@@ -781,6 +781,69 @@ def test_with_ranked_window_matches_duckdb(n_buckets):
         assert np.array_equal(g, w, equal_nan=True), col
 
 
+@pytest.mark.parametrize("n_buckets", [2, 16])
+def test_with_ranked_window_extras_match_duckdb(n_buckets):
+    """Randomized differential for the extras surface: next_val
+    (LEAD), first_val (FIRST_VALUE), pct_rank (PERCENT_RANK) and
+    cume_dist (CUME_DIST) equal DuckDB's window functions BIT-exactly
+    — the rank divisions are the identical two-integer IEEE op in
+    both engines, so == (not allclose) is the right comparison."""
+    import duckdb
+
+    from rayhist.ops.window import with_ranked_window
+
+    df = _events(n=600, n_users=13)
+    got = (
+        with_ranked_window(
+            ray.data.from_pandas(df).repartition(5),
+            key_col="user_id",
+            order_cols=["t", "row_id"],
+            value_col="v",
+            n_buckets=n_buckets,
+            extras={"lead", "first", "dist"},
+        )
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("df", df)
+    want = (
+        con.execute(
+            """
+            SELECT row_id,
+              lead(v) OVER w AS next_val,
+              first_value(v) OVER w AS first_val,
+              percent_rank() OVER (PARTITION BY user_id ORDER BY v) AS pct_rank,
+              cume_dist() OVER (PARTITION BY user_id ORDER BY v) AS cume_dist
+            FROM df WINDOW w AS (PARTITION BY user_id ORDER BY t, row_id)
+            """
+        )
+        .df()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    g_next = got["next_val"].astype("float64").to_numpy()
+    assert np.array_equal(
+        g_next, want["next_val"].astype("float64").to_numpy(), equal_nan=True
+    )
+    assert got["first_val"].tolist() == want["first_val"].tolist()
+    # bit-exact float equality, deliberately not allclose
+    assert got["pct_rank"].tolist() == want["pct_rank"].tolist()
+    assert got["cume_dist"].tolist() == want["cume_dist"].tolist()
+
+
+def test_with_ranked_window_rejects_unknown_extras():
+    from rayhist.ops.window import with_ranked_window
+
+    ds = ray.data.from_pandas(_events(n=10))
+    with pytest.raises(ValueError, match="unknown extras"):
+        with_ranked_window(
+            ds, key_col="user_id", order_cols=["t"], value_col="v",
+            extras={"lead", "median"},
+        )
+
+
 def test_with_ranked_window_int64_exact_above_2_53():
     """The lag/max columns must stay nullable Int64 — a float64 shift
     would silently corrupt cents above 2^53."""
