@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_ntiles": p.q_order_price_ntiles,
         "user_first_events": p.q_user_first_events,
         "user_value_dist": p.q_user_value_dist,
+        "lineitem_measures_unpivot": p.q_lineitem_measures_unpivot,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "order_price_ntiles": o.order_price_ntiles(p.ORDER_NTILES),
         "user_first_events": o.user_first_events(p.FIRST_EVENTS_K),
         "user_value_dist": o.user_value_dist(),
+        "lineitem_measures_unpivot": o.lineitem_measures_unpivot(p.UNPIVOT_MEASURES),
         "outer_join_user_day": o.outer_join_user_day(
             p.OUTER_DAY_STRIDE, p.T0, p.DAY_US
         ),

@@ -59,6 +59,48 @@ def cents(batch: pa.Table, col: str, out: str) -> pa.Table:
     return batch.append_column(out, pa.array(round_half_away(v * 100).astype(np.int64)))
 
 
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "name",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """SQL UNPIVOT (wide -> long), the inverse of the PIVOT reshape:
+    each input row becomes len(value_cols) rows carrying the id
+    columns, the source column's name under ``var_name`` and its
+    value under ``value_name``. Pure per-batch Arrow kernel — one
+    zero-copy column slice plus a dictionary-encoded constant name
+    column per measure, concatenated; no shuffle, no row loop, output
+    streams at len(value_cols) x the input row count. Value columns
+    must share one Arrow type (SQL UNPIVOT's same-type rule) so the
+    long column is well-typed; mixed types raise loudly rather than
+    silently promoting ints to float."""
+    if not value_cols:
+        raise ValueError("unpivot: value_cols must be non-empty")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        types = {str(batch.schema.field(c).type) for c in value_cols}
+        if len(types) > 1:
+            raise ValueError(
+                f"unpivot: value columns must share one type, got {sorted(types)}"
+            )
+        ids = [batch[c] for c in id_cols]
+        parts = []
+        for c in value_cols:
+            name = pa.DictionaryArray.from_arrays(
+                np.zeros(len(batch), dtype=np.int32), pa.array([c])
+            )
+            parts.append(
+                pa.table(
+                    {**dict(zip(id_cols, ids)), var_name: name, value_name: batch[c]}
+                )
+            )
+        return pa.concat_tables(parts).unify_dictionaries()
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 _BCAST_CACHE: dict[bytes, pd.DataFrame] = {}
 
 

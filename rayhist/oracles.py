@@ -1865,6 +1865,27 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def lineitem_measures_unpivot(measures: list[str]) -> str:
+    """SQL UNPIVOT — the independent mirror of ops/relational.unpivot
+    (wide money measures -> one long (measure, value) stream)."""
+    in_list = ", ".join(measures)
+    return f"""
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_cents,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_cents
+  FROM lineitem
+)
+SELECT l_returnflag, measure,
+       CAST(sum(vc) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT * FROM v UNPIVOT (vc FOR measure IN ({in_list})))
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def bloom_semi_join_orders(nation: int) -> str:
     """Plain IN-subquery semi-join — the Bloom pre-filter is a sound
     prune, so any false-negative bug shows up as a missing row here."""

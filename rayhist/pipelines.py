@@ -3159,6 +3159,59 @@ def q_pivot_events_daily(sf_dir: str) -> pd.DataFrame:
     )
 
 
+UNPIVOT_MEASURES = ["qty_cents", "price_cents", "disc_cents", "tax_cents"]
+
+
+def q_lineitem_measures_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (wide -> long, the inverse of the PIVOT reshape) over
+    corpus-cardinality data: the four lineitem money measures become
+    a (measure, value) long stream — ops/relational.unpivot, a pure
+    per-batch Arrow kernel, 4x rows out, no shuffle — then per-batch
+    partial sums per (returnflag, measure) combine on the driver
+    (12-key final, the combine_partials regime). Exact integer cents
+    throughout."""
+    from .aggregate import combine_partials
+    from .ops.relational import cents, unpivot
+
+    li = rio.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        for src, out in zip(
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], UNPIVOT_MEASURES
+        ):
+            b = cents(b, src, out)
+        return b.select(["l_returnflag", *UNPIVOT_MEASURES])
+
+    long = unpivot(
+        li.map_batches(prep, batch_format="pyarrow"),
+        id_cols=["l_returnflag"],
+        value_cols=UNPIVOT_MEASURES,
+        var_name="measure",
+        value_name="vc",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby(["l_returnflag", "measure"], as_index=False, observed=True).agg(
+            s_part=("vc", "sum"), n_part=("vc", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = combine_partials(
+        long.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "measure"],
+        {"s_part": "sum_cents", "n_part": "n"},
+    )
+    return (
+        out.astype({"measure": "str", "sum_cents": "int64", "n": "int64"})
+        .sort_values(["l_returnflag", "measure"])
+        .reset_index(drop=True)
+    )
+
+
 def q_hll_uniq_uids_daily(sf_dir: str) -> pd.DataFrame:
     """Approximate distinct users per day via HyperLogLog partials —
     the sketch path beside the exact contrib_uniq_uids_daily (rows-only

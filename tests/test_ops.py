@@ -1145,3 +1145,59 @@ def test_minhash_batch_matches_reference_signature():
     ref_keys = stage._band_keys(ref_sigs)
     got = out.to_pandas().sort_values(["doc_id", "band"])
     assert got["key"].to_numpy().reshape(len(texts), 32).tolist() == ref_keys.tolist()
+
+
+# ----------------------------------------------------------- unpivot
+
+
+def test_unpivot_matches_pandas_melt():
+    """Randomized differential: unpivot == pandas.melt (row set
+    equality — the operator is order-free by contract)."""
+    import ray
+
+    from rayhist.ops.relational import unpivot
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(50, dtype=np.int64),
+            "g": rng.integers(0, 3, 50).astype(np.int64),
+            "a": rng.integers(-5, 5, 50).astype(np.int64),
+            "b": rng.integers(0, 100, 50).astype(np.int64),
+            "c": rng.integers(10, 20, 50).astype(np.int64),
+        }
+    )
+    got = (
+        unpivot(
+            ray.data.from_pandas(df).repartition(4),
+            id_cols=["id", "g"],
+            value_cols=["a", "b", "c"],
+            var_name="m",
+            value_name="v",
+        )
+        .to_pandas()
+        .astype({"m": "str"})
+        .sort_values(["id", "m"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.melt(id_vars=["id", "g"], value_vars=["a", "b", "c"],
+                var_name="m", value_name="v")
+        .sort_values(["id", "m"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["id", "g", "m", "v"]], want[["id", "g", "m", "v"]])
+
+
+def test_unpivot_rejects_mixed_types_and_empty():
+    import ray
+
+    from rayhist.ops.relational import unpivot
+
+    df = pd.DataFrame({"id": [1], "a": [1], "b": [1.5]})
+    with pytest.raises(Exception, match="share one type"):
+        unpivot(
+            ray.data.from_pandas(df), id_cols=["id"], value_cols=["a", "b"]
+        ).to_pandas()
+    with pytest.raises(ValueError, match="non-empty"):
+        unpivot(ray.data.from_pandas(df), id_cols=["id"], value_cols=[])
