@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_events": p.q_user_first_events,
         "user_value_dist": p.q_user_value_dist,
         "lineitem_measures_unpivot": p.q_lineitem_measures_unpivot,
+        "doc_token_packing": p.q_doc_token_packing,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "user_first_events": o.user_first_events(p.FIRST_EVENTS_K),
         "user_value_dist": o.user_value_dist(),
         "lineitem_measures_unpivot": o.lineitem_measures_unpivot(p.UNPIVOT_MEASURES),
+        "doc_token_packing": o.doc_token_packing(p.PACK_BUDGET_TOKENS),
         "outer_join_user_day": o.outer_join_user_day(
             p.OUTER_DAY_STRIDE, p.T0, p.DAY_US
         ),

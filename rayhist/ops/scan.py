@@ -1,0 +1,130 @@
+"""Global ordered prefix sums over Ray Datasets.
+
+A running total in a single global order is the one aggregation shape
+neither ``map_batches`` (no cross-block state) nor ``groupby`` (no
+order) can express, yet it is the backbone of sequence packing for
+LLM training data (concatenate the corpus, chunk every N tokens —
+each document's pack is a pure function of the EXCLUSIVE prefix sum
+of token counts before it) and of percentile/cdf materialization.
+
+The distributed shape is the classic two-phase scan:
+
+1. ``Dataset.sort(order_cols)`` range-partitions into globally
+   ordered blocks (Ray Data's sample-based shuffle — scale-correct).
+2. Phase 1: one small Ray task per block returns (sum, first-key,
+   last-key) — three scalars; the driver sees O(#blocks) values, not
+   rows, and exclusive-scans the block sums in block order (Python
+   ints — no int64 overflow before the guard fires).
+3. Phase 2: one task per block adds its offset to the block-local
+   cumulative sum and yields the block back into a Dataset
+   (``from_arrow_refs`` — blocks never touch the driver).
+
+This is one of the documented drops to raw Ray tasks (the Dataset
+API genuinely cannot express a scan); the driver-side state is
+O(#blocks), the per-block work is a numpy cumsum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+_I64_MAX = (1 << 63) - 1
+
+
+@ray.remote(num_returns=1)
+def _block_stats(t: pa.Table, value_col: str, order_cols: list[str]):
+    """Phase-1 scalars: block value sum + the block's first/last order
+    key tuple (None for empty blocks). The sum is EXACT even past
+    int64 (int64 kernels wrap silently): when count x max could
+    exceed int64 the block falls back to Python-int summation, so the
+    driver's overflow guard sees the true total."""
+    if t.num_rows == 0:
+        return 0, None, None
+    if t[value_col].null_count:
+        raise ValueError(f"ordered_prefix_sum: null values in {value_col!r}")
+    v = t[value_col].to_numpy(zero_copy_only=False)
+    if int(v.min()) < 0:
+        raise ValueError(
+            f"ordered_prefix_sum: negative values in {value_col!r} "
+            "(the scan contract is non-negative counts/sizes)"
+        )
+    if int(v.max()) * len(v) <= _I64_MAX:
+        s = int(v.sum())
+    else:  # rare: exact arbitrary-precision path
+        s = sum(int(x) for x in v)
+    first = tuple(t[c][0].as_py() for c in order_cols)
+    last = tuple(t[c][t.num_rows - 1].as_py() for c in order_cols)
+    return s, first, last
+
+
+@ray.remote(num_returns=1)
+def _block_scan(t: pa.Table, value_col: str, out_col: str, offset: int) -> pa.Table:
+    """Phase-2: out_col[i] = offset + sum(value[0..i-1]) — the
+    EXCLUSIVE running total (each row sees the mass strictly before
+    it in the global order)."""
+    v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.empty(len(v), dtype=np.int64)
+    if len(v):
+        cum[0] = 0
+        np.cumsum(v[:-1], out=cum[1:])
+    return t.append_column(out_col, pa.array(cum + offset))
+
+
+def ordered_prefix_sum(
+    ds: ray.data.Dataset,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix_sum",
+) -> ray.data.Dataset:
+    """Append the EXCLUSIVE global prefix sum of ``value_col`` in the
+    total order given by ``order_cols`` (which must be a total order —
+    ties across blocks would make the scan nondeterministic; the
+    block-boundary monotonicity assert below catches violations).
+    Values must be non-negative int64 (token counts, byte sizes); the
+    running total is guarded against int64 overflow in Python ints."""
+    sorted_ds = ds.sort(order_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    stats = ray.get(
+        [_block_stats.remote(r, value_col, list(order_cols)) for r in refs]
+    )
+
+    prev_last = None
+    offsets, total = [], 0
+    for s, first, last in stats:
+        offsets.append(total)
+        if first is not None:
+            if prev_last is not None and first < prev_last:
+                raise ValueError(
+                    f"ordered_prefix_sum: block boundary out of order "
+                    f"({first} after {prev_last}) — order_cols must be a "
+                    "total order"
+                )
+            prev_last = last
+        total += s
+        if total > _I64_MAX:
+            raise OverflowError(
+                f"ordered_prefix_sum: running total exceeds int64 ({total})"
+            )
+
+    # empty blocks can arrive schema-less (Ray drops their columns);
+    # skip them — they carry no rows and no offset mass
+    out_refs = [
+        _block_scan.remote(r, value_col, out_col, off)
+        for (r, off), (_, first, _l) in zip(zip(refs, offsets), stats)
+        if first is not None
+    ]
+    if not out_refs:
+        # an all-empty sorted dataset may be schema-less; fall back to
+        # the input's schema, then to the bare out_col
+        sch = sorted_ds.schema() or ds.schema()
+        cols = {}
+        if sch is not None:
+            for name, typ in zip(sch.names, sch.types):
+                t = typ if isinstance(typ, pa.DataType) else pa.int64()
+                cols[name] = pa.array([], type=t)
+        cols[out_col] = pa.array([], type=pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
+    return ray.data.from_arrow_refs(out_refs)

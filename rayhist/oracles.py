@@ -479,6 +479,32 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def doc_token_packing(budget: int) -> str:
+    """SQL window-cumsum mirror of the distributed prefix-sum packing:
+    the exclusive running BPE-token total in doc_id order assigns each
+    document its pack; DuckDB and Arrow both run RE2, so the token
+    counts are identical engine-for-engine."""
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+".replace("'", "''")
+    return f"""
+WITH v AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{pat}')) AS n_tok
+  FROM documents
+), w AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM v
+)
+SELECT CAST(cumb // {budget} AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(CASE WHEN n_tok > 0
+                      AND (cumb + n_tok - 1) // {budget} > cumb // {budget}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 def sample_docs() -> str:
     """Mirror of ops.relational.deterministic_sample at rate 1/4:
     same md5-prefix integer threshold, bit-exact in both engines."""

@@ -609,6 +609,71 @@ def q_doc_tokens(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
+PACK_BUDGET_TOKENS = 2048  # sequence-packing context budget
+
+
+def q_doc_token_packing(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing (concat-and-chunk): concatenate the corpus in
+    doc_id order and cut a pack every PACK_BUDGET_TOKENS BPE tokens —
+    each document's pack is a pure function of the EXCLUSIVE global
+    prefix sum of token counts before it (ops/scan.ordered_prefix_sum:
+    sorted blocks, O(#blocks) driver scalars, per-block numpy cumsum).
+    Output per pack: documents starting in it, their token mass, and
+    how many straddle into the next pack — the packing-efficiency
+    report a training-data pipeline reads before tokenizing 100 TB.
+    Pack ids are corpus-cardinality, so the final stays on a Dataset
+    groupby (the CLAUDE.md high-cardinality rule)."""
+    import ray.data
+
+    from .ops.scan import ordered_prefix_sum
+    from .ops.text import add_bpe_token_count
+
+    B = PACK_BUDGET_TOKENS
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    toks = ds.map_batches(add_bpe_token_count, batch_format="pyarrow").drop_columns(
+        ["text"]
+    )
+    scanned = ordered_prefix_sum(
+        toks, order_cols=["doc_id"], value_col="n_bpe_tokens", out_col="cum_before"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cumb = b["cum_before"].to_numpy(zero_copy_only=False)
+        n_tok = b["n_bpe_tokens"].to_numpy(zero_copy_only=False)
+        pack = cumb // B
+        straddle = (n_tok > 0) & ((cumb + n_tok - 1) // B > pack)
+        df = pd.DataFrame(
+            {"pack_id": pack, "n_tok": n_tok, "straddle": straddle.astype(np.int64)}
+        )
+        g = df.groupby("pack_id", as_index=False).agg(
+            n_docs=("n_tok", "size"), sum_tokens=("n_tok", "sum"),
+            n_straddlers=("straddle", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        scanned.map_batches(partial, batch_format="pyarrow")
+        .groupby("pack_id")
+        .sum(["n_docs", "sum_tokens", "n_straddlers"])
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(n_docs)": "n_docs",
+                "sum(sum_tokens)": "sum_tokens",
+                "sum(n_straddlers)": "n_straddlers",
+            }
+        )
+    )
+    return (
+        out.astype(
+            {"pack_id": "int64", "n_docs": "int64",
+             "sum_tokens": "int64", "n_straddlers": "int64"}
+        )
+        .sort_values("pack_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Deterministic 1/4 hash sample of the documents corpus
     (ops.relational.deterministic_sample): resume-stable,

@@ -1,0 +1,72 @@
+"""ops/scan.ordered_prefix_sum — the global exclusive scan."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+import ray.data
+
+from rayhist.ops.scan import ordered_prefix_sum
+
+
+@pytest.mark.parametrize("n_parts", [1, 4, 9])
+def test_prefix_sum_matches_numpy(n_parts):
+    """Randomized differential: the exclusive global prefix sum in key
+    order equals numpy's, at several partition counts (the offsets
+    must stitch blocks seamlessly)."""
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    out = (
+        ordered_prefix_sum(
+            ray.data.from_pandas(df).repartition(n_parts),
+            order_cols=["k"],
+            value_col="v",
+            out_col="cum",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("k").reset_index(drop=True)
+    exclusive = np.concatenate([[0], np.cumsum(want["v"].to_numpy())[:-1]])
+    assert out["cum"].to_numpy().tolist() == exclusive.tolist()
+    assert out["v"].tolist() == want["v"].tolist()
+
+
+def test_prefix_sum_empty_and_single_row():
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "v": pd.Series([], dtype="int64")})
+    out = ordered_prefix_sum(
+        ray.data.from_pandas(empty), ["k"], "v", "cum"
+    ).to_pandas()
+    assert len(out) == 0
+    one = pd.DataFrame({"k": [7], "v": [42]})
+    out = ordered_prefix_sum(
+        ray.data.from_pandas(one), ["k"], "v", "cum"
+    ).to_pandas()
+    assert out["cum"].tolist() == [0]
+
+
+def test_prefix_sum_overflow_guard():
+    big = (1 << 62) + 1
+    df = pd.DataFrame({"k": [1, 2, 3], "v": [big, big, big]})
+    with pytest.raises(OverflowError, match="int64"):
+        ordered_prefix_sum(ray.data.from_pandas(df), ["k"], "v")
+
+
+def test_prefix_sum_boundary_monotonicity_guard(monkeypatch):
+    """The block-boundary assert catches a broken global order: stub
+    out the sort so out-of-order blocks reach phase 1, and the real
+    guard must fire."""
+    monkeypatch.setattr(ray.data.Dataset, "sort", lambda self, cols: self)
+    b1 = pd.DataFrame({"k": [5, 6], "v": [1, 1]})
+    b2 = pd.DataFrame({"k": [2, 9], "v": [1, 1]})  # 2 < 6: out of order
+    ds = ray.data.from_pandas([b1, b2])
+    with pytest.raises(ValueError, match="total order"):
+        ordered_prefix_sum(ds, ["k"], "v")
