@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_dist": p.q_user_value_dist,
         "lineitem_measures_unpivot": p.q_lineitem_measures_unpivot,
         "doc_token_packing": p.q_doc_token_packing,
+        "events_dow_hour": p.q_events_dow_hour,
+        "doc_normalized_stats": p.q_doc_normalized_stats,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -190,6 +192,10 @@ def oracle_sql() -> dict[str, str]:
         "user_value_dist": o.user_value_dist(),
         "lineitem_measures_unpivot": o.lineitem_measures_unpivot(p.UNPIVOT_MEASURES),
         "doc_token_packing": o.doc_token_packing(p.PACK_BUDGET_TOKENS),
+        "events_dow_hour": o.events_dow_hour(),
+        "doc_normalized_stats": o.doc_normalized_stats(
+            p.NORM_STRIP_RE, p.NORM_TOKEN_RE
+        ),
         "outer_join_user_day": o.outer_join_user_day(
             p.OUTER_DAY_STRIDE, p.T0, p.DAY_US
         ),

@@ -479,6 +479,33 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def events_dow_hour() -> str:
+    """SQL date-part mirror: DuckDB's dayofweek (Sunday=0) and hour
+    equal the integer epoch arithmetic on the Ray side."""
+    return """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def doc_normalized_stats(strip_re: str, token_re: str) -> str:
+    """SQL string-function mirror — lower / regexp_replace global /
+    length / regexp_extract_all count, all RE2 like Arrow's kernels."""
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(regexp_replace(lower(text), '{strip_re}', '', 'g'))) AS BIGINT)
+         AS sum_norm_chars,
+       CAST(sum(len(regexp_extract_all(
+             regexp_replace(lower(text), '{strip_re}', '', 'g'), '{token_re}')))
+            AS BIGINT) AS sum_norm_tokens
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def doc_token_packing(budget: int) -> str:
     """SQL window-cumsum mirror of the distributed prefix-sum packing:
     the exclusive running BPE-token total in doc_id order assigns each

@@ -609,6 +609,101 @@ def q_doc_tokens(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
+HOUR_US = 3_600_000_000
+
+
+def q_events_dow_hour(sf_dir: str) -> pd.DataFrame:
+    """Date-part extraction (§2.10 scalar date functions) under the
+    oracle: the (day-of-week x hour) activity heatmap. Parts come
+    from pure integer arithmetic on epoch-us — dow = (days + 4) % 7
+    (1970-01-01 was a Thursday; Sunday = 0 matching DuckDB's
+    dayofweek), hour = (t // 1h) % 24 — so the grouping is exact and
+    engine-independent. 168-key final on combine_partials."""
+    from .aggregate import combine_partials
+    from .ops.relational import round_half_away
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vc = round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"dow": (t // DAY_US + 4) % 7, "hour": (t // HOUR_US) % 24, "vc": vc}
+        )
+        g = df.groupby(["dow", "hour"], as_index=False).agg(
+            n_part=("vc", "size"), s_part=("vc", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["dow", "hour"],
+        {"n_part": "n", "s_part": "sum_cents"},
+    )
+    return (
+        out.astype({"dow": "int64", "hour": "int64", "n": "int64", "sum_cents": "int64"})
+        .sort_values(["dow", "hour"])
+        .reset_index(drop=True)
+    )
+
+
+NORM_STRIP_RE = "[^a-z0-9 ]+"  # normalization: lowercase, strip non-alnum
+NORM_TOKEN_RE = "[a-z0-9]+"
+
+
+def q_doc_normalized_stats(sf_dir: str) -> pd.DataFrame:
+    """String-function surface (§2.10: lower / regexp_replace /
+    length / regexp token count) under the oracle: normalize each
+    document (lowercase, strip everything but [a-z0-9 ]) and report
+    per-source character and token budgets. Arrow's utf8_lower /
+    replace_substring_regex / utf8_length / count_substring_regex and
+    DuckDB's lower / regexp_replace(...,'g') / length /
+    regexp_extract_all are both RE2 over UTF-8 code points, so the
+    counts are identical engine-for-engine. Vectorized per batch; a
+    |sources|-key combine_partials final."""
+    import pyarrow.compute as pc
+
+    from .aggregate import combine_partials
+
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(b["text"]), NORM_STRIP_RE, ""
+        )
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_pandas(),
+                "nchars": pc.utf8_length(norm).to_numpy(zero_copy_only=False),
+                "ntok": pc.count_substring_regex(norm, NORM_TOKEN_RE).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_part=("nchars", "size"),
+            c_part=("nchars", "sum"),
+            t_part=("ntok", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        {"n_part": "n_docs", "c_part": "sum_norm_chars", "t_part": "sum_norm_tokens"},
+    )
+    return (
+        out.astype(
+            {"source": "str", "n_docs": "int64",
+             "sum_norm_chars": "int64", "sum_norm_tokens": "int64"}
+        )
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
 PACK_BUDGET_TOKENS = 2048  # sequence-packing context budget
 
 
