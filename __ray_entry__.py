@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_packing": p.q_doc_token_packing,
         "events_dow_hour": p.q_events_dow_hour,
         "doc_normalized_stats": p.q_doc_normalized_stats,
+        "dup_clusters": p.q_dup_clusters,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -229,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": o.doc_tokens(),
         "sample_docs": o.sample_docs(),
         "near_dup_pairs": o.near_dup_pairs(),
+        "dup_clusters": o.dup_clusters(),
         "ann_cosine": o.ann_cosine(),
         "contrib_per_entity": o.contrib_per_entity(),
         "keytable_freqs": o.keytable_freqs(),

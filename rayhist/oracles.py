@@ -672,6 +672,43 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dup_clusters() -> str:
+    """Connected components of the near-dup pair graph as a
+    recursive-CTE reachable-min fixpoint: a node's component is the
+    minimum doc_id reachable through threshold-passing pairs — the
+    same fixpoint rayhist.ops.cc's min-label propagation converges to.
+    The pair set (toks..hits) is textually the near_dup_pairs oracle."""
+    return """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM idx
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), hits AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 2 >= (sa.n + sb.n - common) * 1
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM hits
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM hits
+), reach AS (
+  SELECT u AS node, u AS lab FROM edges
+  UNION
+  SELECT e.u AS node, r.lab FROM edges e JOIN reach r ON r.node = e.v
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS component
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 def ann_cosine() -> str:
     """Brute-force cosine top-5; DuckDB list_cosine_similarity vs the
     engine's numpy matmul — ranking must agree (asserted empirically;

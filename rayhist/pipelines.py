@@ -933,6 +933,34 @@ def q_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return exact_jaccard_pairs(ds, 1, 2)
 
 
+def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate CLUSTERS: connected components of the exact
+    3-shingle Jaccard >= 0.5 similarity graph, each document labeled
+    with the MINIMUM doc_id reachable from it (the canonical cluster
+    representative a keep-one dedup would retain). Pairs come from the
+    thresholded distributed pair stage (only actual near-dups exist as
+    edges — O(dups), not O(corpus)); components run as iterated bucket
+    shuffles in ops/cc.py. The oracle is a recursive-CTE reachable-min
+    over the identical pair set."""
+    import ray.data
+
+    from .ops.cc import connected_components
+    from .ops.dedup import exact_jaccard_pairs
+
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, 1, 2)
+    if not len(pairs):
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "component": pd.Series(dtype="int64")}
+        )
+    edges = ray.data.from_pandas(
+        pairs[["doc_a", "doc_b"]].rename(columns={"doc_a": "src", "doc_b": "dst"})
+    )
+    df = connected_components(edges).to_pandas()
+    df = df.rename(columns={"node": "doc_id"}).astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH candidates verified to Jaccard >= 0.5 (rows-only;
     recall vs the exact operator asserted in tests)."""

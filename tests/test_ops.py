@@ -1201,3 +1201,93 @@ def test_unpivot_rejects_mixed_types_and_empty():
         ).to_pandas()
     with pytest.raises(ValueError, match="non-empty"):
         unpivot(ray.data.from_pandas(df), id_cols=["id"], value_cols=[])
+
+
+# --- connected components (ops/cc.py) ---
+
+
+def _cc_brute(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: node -> min reachable id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_basic():
+    import ray
+
+    from rayhist.ops.cc import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 20)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    )
+    got = (
+        connected_components(ds, n_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = _cc_brute(edges)
+    assert dict(zip(got["node"], got["component"])) == want
+    assert list(got.columns) == ["node", "component"]
+
+
+def test_connected_components_long_chain_needs_rounds():
+    """A descending-id path graph: the min label must walk the whole
+    chain, exercising the multi-round fixpoint (and the max_rounds
+    guard when starved)."""
+    import ray
+
+    from rayhist.ops.cc import connected_components
+
+    ids = list(range(12, 0, -1))  # path 12-11-...-1
+    edges = list(zip(ids, ids[1:]))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    )
+    got = connected_components(ds, n_buckets=4).to_pandas()
+    assert set(got["component"]) == {1}
+    assert len(got) == 12
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(ds, n_buckets=4, max_rounds=2)
+
+
+def test_connected_components_random_vs_union_find():
+    import ray
+
+    from rayhist.ops.cc import connected_components
+
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 300, 400)
+    v = rng.integers(0, 300, 400)
+    edges = list(zip(u.tolist(), v.tolist()))
+    ds = ray.data.from_pandas(pd.DataFrame({"src": u, "dst": v}))
+    got = connected_components(ds, n_buckets=8).to_pandas()
+    want = _cc_brute(edges)
+    assert dict(zip(got["node"], got["component"])) == want
+
+
+def test_connected_components_rejects_null_ids():
+    import ray
+
+    from rayhist.ops.cc import connected_components
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": pd.array([1, None], dtype="Int64"), "dst": [2, 3]})
+    )
+    with pytest.raises(Exception, match="null node ids"):
+        connected_components(ds, n_buckets=2).to_pandas()
