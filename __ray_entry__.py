@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_hour": p.q_events_dow_hour,
         "doc_normalized_stats": p.q_doc_normalized_stats,
         "dup_clusters": p.q_dup_clusters,
+        "cluster_dedup_summary": p.q_cluster_dedup_summary,
+        "value_moments_by_type": p.q_value_moments_by_type,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -231,6 +233,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": o.sample_docs(),
         "near_dup_pairs": o.near_dup_pairs(),
         "dup_clusters": o.dup_clusters(),
+        "cluster_dedup_summary": o.cluster_dedup_summary(),
+        "value_moments_by_type": o.value_moments_by_type(),
         "ann_cosine": o.ann_cosine(),
         "contrib_per_entity": o.contrib_per_entity(),
         "keytable_freqs": o.keytable_freqs(),

@@ -709,6 +709,72 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def cluster_dedup_summary() -> str:
+    """Keep-one-per-cluster dedup summary: drop every node of the
+    near-dup component fixpoint whose reachable-min is a different
+    doc_id, then exact per-source counts over the kept corpus. The
+    component CTE is textually dup_clusters()."""
+    return """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM idx
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), hits AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 2 >= (sa.n + sb.n - common) * 1
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM hits
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM hits
+), reach AS (
+  SELECT u AS node, u AS lab FROM edges
+  UNION
+  SELECT e.u AS node, r.lab FROM edges e JOIN reach r ON r.node = e.v
+), drops AS (
+  SELECT node FROM reach GROUP BY node HAVING min(lab) <> node
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM drops)
+GROUP BY source ORDER BY source
+"""
+
+
+def value_moments_by_type() -> str:
+    """Exact second-moment numerators per event type. DuckDB's
+    sum(BIGINT) is HUGEINT, so n*sx2 - sx*sx is exact 128-bit before
+    the (guarded, in-range) BIGINT cast; the engine's Python-int final
+    combine computes the identical exact values. mean_cents is the one
+    sanctioned float: a single IEEE division of two exactly-
+    representable ints."""
+    return """
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(extract(hour FROM ts) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x*x) AS sx2,
+         sum(y) AS sy, sum(x*y) AS sxy
+  FROM v GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sum_vc,
+       CAST(sx AS DOUBLE) / n AS mean_cents,
+       CAST(n*sx2 - sx*sx AS BIGINT) AS var_num,
+       CAST(n*sxy - sx*sy AS BIGINT) AS covh_num
+FROM s ORDER BY event_type
+"""
+
+
 def ann_cosine() -> str:
     """Brute-force cosine top-5; DuckDB list_cosine_similarity vs the
     engine's numpy matmul — ranking must agree (asserted empirically;

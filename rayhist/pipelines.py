@@ -961,6 +961,143 @@ def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cluster_dedup_summary(sf_dir: str) -> pd.DataFrame:
+    """Keep-one-per-cluster dedup, summarized per source: drop every
+    document whose near-dup component representative is a DIFFERENT
+    (smaller) doc_id, keep the rest, and report exact per-source doc
+    and char counts. The drop set is O(near-dups) by construction
+    (only cluster non-representatives), so it broadcasts into the
+    filter stage instead of shuffling the corpus — the keep-first
+    semantics of ops/dedup.exact_dedup lifted from exact-content
+    equality to similarity clusters."""
+    import ray
+
+    from .aggregate import combine_partials
+
+    clusters = q_dup_clusters(sf_dir)
+    drop = set(
+        clusters.loc[clusters["component"] != clusters["doc_id"], "doc_id"].tolist()
+    )
+    drop_ref = ray.put(drop)
+
+    ds = rio.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def keep_and_count(b: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, np.fromiter(d, dtype=np.int64, count=len(d)))
+        kept = b.filter(pa.array(mask))
+        df = pd.DataFrame(
+            {
+                "source": kept["source"].to_numpy(zero_copy_only=False),
+                "n_docs_p": np.int64(1),
+                "sum_chars_p": kept["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(keep_and_count, batch_format="pyarrow")
+    df = combine_partials(
+        partials, ["source"], {"n_docs_p": "n_docs", "sum_chars_p": "sum_chars"}
+    )
+    df = df.astype({"n_docs": "int64", "sum_chars": "int64"})
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def q_value_moments_by_type(sf_dir: str) -> pd.DataFrame:
+    """Second-moment aggregates (variance / covariance) as EXACT
+    INTEGER numerators: per event_type, n, sum of value cents, the
+    population-variance numerator n*Sx2 - Sx^2, and the covariance
+    numerator n*Sxy - Sx*Sy against y = UTC hour-of-day (an exact
+    int). Floats never enter the aggregation — per-batch partials are
+    int64 sums, the final combine runs in Python arbitrary-precision
+    ints (overflow-guarded before the int64 cast), and the only float
+    output is the single IEEE division sum/n. Extends the reference's
+    exact-payload average/weightedAverage design
+    (MapAggregator.java:760-815) to second moments."""
+    from .aggregate import combine_partials
+    from .ops.relational import round_half_away
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        y = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 3_600_000_000) % 24
+        # numpy int64 wraps SILENTLY: bound the batch's sum of squares
+        # (float estimate) before forming x*x, with enough headroom
+        # that the cross-batch int64 partial combine stays exact for
+        # thousands of batches; an out-of-range corpus fails loudly
+        # instead of corrupting sums
+        if x.size and float(np.sum(x.astype(np.float64) ** 2)) > 1e15:
+            raise OverflowError(
+                "value_moments_by_type: batch sum of squared cents exceeds "
+                "the int64 safety bound — values too large for exact moments"
+            )
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "n_p": np.int64(1),
+                "sx_p": x,
+                "sx2_p": x * x,
+                "sy_p": y,
+                "sxy_p": x * y,
+            }
+        )
+        g = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    df = combine_partials(
+        partials,
+        ["event_type"],
+        {"n_p": "n", "sx_p": "sx", "sx2_p": "sx2", "sy_p": "sy", "sxy_p": "sxy"},
+    )
+    rows = []
+    for r in df.itertuples(index=False):  # |event types| rows — tiny final
+        n, sx, sx2, sy, sxy = int(r.n), int(r.sx), int(r.sx2), int(r.sy), int(r.sxy)
+        var_num = n * sx2 - sx * sx
+        covh_num = n * sxy - sx * sy
+        for v in (var_num, covh_num):
+            if not -(2**63) <= v < 2**63:
+                raise OverflowError(
+                    "value_moments_by_type: moment numerator exceeds int64 — "
+                    "narrow the group (e.g. add a day key) so n*Sx2 fits"
+                )
+        rows.append(
+            {
+                "event_type": r.event_type,
+                "n": n,
+                "sum_vc": sx,
+                "mean_cents": float(sx) / float(n),
+                "var_num": var_num,
+                "covh_num": covh_num,
+            }
+        )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "sum_vc": pd.Series(dtype="int64"),
+                "mean_cents": pd.Series(dtype="float64"),
+                "var_num": pd.Series(dtype="int64"),
+                "covh_num": pd.Series(dtype="int64"),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"n": "int64", "sum_vc": "int64", "var_num": "int64", "covh_num": "int64"}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH candidates verified to Jaccard >= 0.5 (rows-only;
     recall vs the exact operator asserted in tests)."""

@@ -1291,3 +1291,43 @@ def test_connected_components_rejects_null_ids():
     )
     with pytest.raises(Exception, match="null node ids"):
         connected_components(ds, n_buckets=2).to_pandas()
+
+
+def test_value_moments_overflow_guard(tmp_path):
+    """Out-of-range cents must fail LOUDLY before int64 squares wrap."""
+    import pyarrow.parquet as pq
+
+    from rayhist.pipelines import q_value_moments_by_type
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1704067200000000, 1704067201000000]).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": ["click", "click"],
+            "value": [1e9, 1e9],  # 10^11 cents -> x*x would wrap int64
+            "props": ["{}", "{}"],
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    with pytest.raises(Exception, match="safety bound"):
+        q_value_moments_by_type(str(tmp_path))
+
+
+def test_value_moments_match_brute_force():
+    from rayhist.pipelines import q_value_moments_by_type
+
+    got = q_value_moments_by_type("/root/testdata/sf0.001")
+    df = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    x = np.round(df["value"].to_numpy() * 100).astype(object)  # python ints
+    y = (df["ts"].astype("int64").to_numpy() // 3_600_000_000 % 24).astype(object)
+    for _, r in got.iterrows():
+        m = (df["event_type"] == r["event_type"]).to_numpy()
+        n, sx, sx2 = int(m.sum()), sum(x[m]), sum(x[m] * x[m])
+        sy, sxy = sum(y[m]), sum(x[m] * y[m])
+        assert r["n"] == n and r["sum_vc"] == sx
+        assert r["var_num"] == n * sx2 - sx * sx
+        assert r["covh_num"] == n * sxy - sx * sy
+        assert r["mean_cents"] == float(sx) / float(n)
