@@ -775,6 +775,24 @@ FROM s ORDER BY event_type
 """
 
 
+def modal_value_by_type() -> str:
+    """Grouped MODE with the deterministic min-value tie-break the
+    engine implements (DuckDB's mode() leaves ties unspecified, so the
+    oracle spells the qualify-then-min rule out)."""
+    return """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, vc, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, vc) AS rn
+  FROM c
+)
+SELECT event_type, CAST(vc AS BIGINT) AS modal_vc, CAST(cnt AS BIGINT) AS n_modal
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
 def ann_cosine() -> str:
     """Brute-force cosine top-5; DuckDB list_cosine_similarity vs the
     engine's numpy matmul — ranking must agree (asserted empirically;

@@ -1098,6 +1098,30 @@ def q_value_moments_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_modal_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped MODE: the most frequent value-cents per event
+    type, ties broken to the smallest value (deterministic, engine-
+    independent). Exercises aggregate.grouped_mode's pair-complete
+    hash shuffle + associative argmax partials."""
+    from .aggregate import grouped_mode
+    from .ops.relational import round_half_away
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        vc = round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"event_type": b["event_type"], "vc": vc})
+
+    df = grouped_mode(ev.map_batches(to_cents, batch_format="pyarrow"),
+                      "event_type", "vc")
+    df = df.rename(columns={"modal_v": "modal_vc"}).astype(
+        {"modal_vc": "int64", "n_modal": "int64"}
+    )
+    return df[["event_type", "modal_vc", "n_modal"]]
+
+
 def q_minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH candidates verified to Jaccard >= 0.5 (rows-only;
     recall vs the exact operator asserted in tests)."""

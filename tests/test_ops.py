@@ -1331,3 +1331,44 @@ def test_value_moments_match_brute_force():
         assert r["var_num"] == n * sx2 - sx * sx
         assert r["covh_num"] == n * sxy - sx * sy
         assert r["mean_cents"] == float(sx) / float(n)
+
+
+def test_grouped_mode_vs_pandas_with_ties_and_nulls():
+    import ray.data
+
+    from rayhist.aggregate import grouped_mode
+
+    rng = np.random.default_rng(3)
+    k = rng.choice(["a", "b", "c"], 2000)
+    v = rng.integers(0, 25, 2000).astype(float)
+    v[::97] = np.nan  # null values are not countable
+    df = pd.DataFrame({"k": k, "v": v})
+    ds = ray.data.from_pandas(df)
+    for nb in (4, 16):
+        got = grouped_mode(ds, "k", "v", n_buckets=nb)
+        want = (
+            df.dropna(subset=["v"])
+            .groupby(["k", "v"], as_index=False)
+            .size()
+            .sort_values(["k", "size", "v"], ascending=[True, False, True])
+            .groupby("k", as_index=False)
+            .first()
+        )
+        assert list(got["k"]) == list(want["k"])
+        assert list(got["modal_v"]) == list(want["v"])
+        assert list(got["n_modal"]) == list(want["size"])
+
+
+def test_grouped_mode_tie_breaks_to_smallest_value():
+    import ray.data
+
+    from rayhist.aggregate import grouped_mode
+
+    df = pd.DataFrame({"k": ["x"] * 4, "v": [9, 9, 2, 2]})
+    got = grouped_mode(ray.data.from_pandas(df), "k", "v", n_buckets=8)
+    assert got.iloc[0]["modal_v"] == 2 and got.iloc[0]["n_modal"] == 2
+
+    empty = grouped_mode(
+        ray.data.from_pandas(pd.DataFrame({"k": [], "v": []})), "k", "v", n_buckets=2
+    )
+    assert len(empty) == 0 and list(empty.columns) == ["k", "modal_v", "n_modal"]
