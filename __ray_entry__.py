@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_dedup_summary": p.q_cluster_dedup_summary,
         "value_moments_by_type": p.q_value_moments_by_type,
         "modal_value_by_type": p.q_modal_value_by_type,
+        "etype_dwell_time": p.q_etype_dwell_time,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_dedup_summary": o.cluster_dedup_summary(),
         "value_moments_by_type": o.value_moments_by_type(),
         "modal_value_by_type": o.modal_value_by_type(),
+        "etype_dwell_time": o.etype_dwell_time(p.T0, p.DWELL_END),
         "ann_cosine": o.ann_cosine(),
         "contrib_per_entity": o.contrib_per_entity(),
         "keytable_freqs": o.keytable_freqs(),

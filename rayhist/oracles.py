@@ -775,6 +775,29 @@ FROM s ORDER BY event_type
 """
 
 
+def etype_dwell_time(t0: int, t_end: int) -> str:
+    """Time-integrated visible state per etype: half-open validity
+    interval per version via lead() over the DERIVE rows (partition
+    osm_id, order ts_us then v — the same realignment order the
+    engine's _sorted_versions applies), last version clipped at the
+    window close. Exact BIGINT microseconds."""
+    return (
+        DERIVE
+        + f"""
+, iv AS (
+  SELECT etype, visible, ts_us,
+         lead(ts_us, 1, {int(t_end)}) OVER (
+           PARTITION BY osm_id ORDER BY ts_us, v) AS ts_next
+  FROM d
+)
+SELECT etype,
+       CAST(sum(greatest(0, least(ts_next, {int(t_end)})
+                            - greatest(ts_us, {int(t0)}))) AS BIGINT) AS dwell_us
+FROM iv WHERE visible GROUP BY etype ORDER BY etype
+"""
+    )
+
+
 def modal_value_by_type() -> str:
     """Grouped MODE with the deterministic min-value tie-break the
     engine implements (DuckDB's mode() leaves ties unspecified, so the

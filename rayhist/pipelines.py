@@ -197,6 +197,56 @@ def q_snapshot_latest_state(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("osm_id").reset_index(drop=True)
 
 
+DWELL_END = T0 + 31 * DAY_US  # 2024-02-01: dwell-time window close
+
+
+def _dwell_stage(b: pa.Table) -> pa.Table:
+    """Fused dwell-time partial: decode (geom pruned) -> per-doc
+    version realign (_sorted_versions, the HEADER_TIMESTAMPS_NOT_IN_
+    ORDER tolerance) -> half-open [ts_i, ts_{i+1}) intervals, last
+    version clipped at DWELL_END -> per-etype partial sums. Module-
+    level so the unsorted-fixture invariance test can drive it on a
+    reversed corpus."""
+    from .model import decode_spans
+    from .temporal import _sorted_versions
+
+    tbl, codes, ts, v, _ = _sorted_versions(decode_spans(b, geom=False))
+    if not len(ts):
+        return pa.table(
+            {"etype": pa.array([], pa.string()),
+             "dwell_p": pa.array([], pa.int64())}
+        )
+    last_of_doc = np.r_[codes[1:] != codes[:-1], True]
+    nxt = np.where(last_of_doc, DWELL_END, np.r_[ts[1:], DWELL_END])
+    dur = np.clip(np.minimum(nxt, DWELL_END) - np.maximum(ts, T0), 0, None)
+    vis = tbl["visible"].to_numpy(zero_copy_only=False)
+    et = tbl["etype"].to_numpy(zero_copy_only=False)
+    df = pd.DataFrame({"etype": et[vis], "dwell_p": dur[vis]})
+    g = df.groupby("etype", as_index=False)["dwell_p"].sum()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_etype_dwell_time(sf_dir: str) -> pd.DataFrame:
+    """Time-INTEGRATED state: total visible validity microseconds per
+    etype inside [T0, DWELL_END) — 'how long did each tag state exist',
+    the temporal-integral semantics underneath the reference's
+    snapshot sampling (a snapshot count is this integral sampled on a
+    grid; OSHDBTimestamps vs validTo in
+    oshdb-api/.../OSMEntitySnapshot.java). One fused map_batches:
+    decode (geom pruned) -> per-doc version sort (the
+    HEADER_TIMESTAMPS_NOT_IN_ORDER realignment, shared with the
+    interpolators) -> half-open interval [ts_i, ts_{i+1}) per version,
+    last version clipped at the window close -> per-batch partial
+    sums; |etype| rows per block to the driver. Exact int64
+    microseconds end to end."""
+    from .aggregate import combine_partials
+
+    partials = _docs(sf_dir).map_batches(_dwell_stage, batch_format="pyarrow")
+    df = combine_partials(partials, ["etype"], {"dwell_p": "dwell_us"})
+    df["dwell_us"] = df["dwell_us"].astype("int64")
+    return df.sort_values("etype").reset_index(drop=True)
+
+
 # ------------------------------------------------------------ contributions
 def _contrib_flags_to_int(batch: pa.Table) -> pa.Table:
     out = batch

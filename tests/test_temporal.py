@@ -378,3 +378,25 @@ def test_tag_filter_rejects_exclude_combinations():
     with pytest.raises(ValueError, match="exclude"):
         TagFilter("k", value="x", exclude=True)
     TagFilter("k", exclude=True)  # plain key-absent still fine
+
+
+def test_dwell_time_invariant_under_unsorted_runs():
+    """Dwell-time integrals must survive out-of-order version runs:
+    _dwell_stage realigns per doc (_sorted_versions), so a corpus with
+    every document's version runs reversed yields IDENTICAL totals."""
+    from rayhist.aggregate import combine_partials
+    from rayhist.model import reverse_version_runs
+    from rayhist.pipelines import _docs, _dwell_stage
+
+    docs = _docs("/root/testdata/sf0.001")
+    clean = combine_partials(
+        docs.map_batches(_dwell_stage, batch_format="pyarrow"),
+        ["etype"], {"dwell_p": "dwell_us"},
+    ).sort_values("etype").reset_index(drop=True)
+    dirty = combine_partials(
+        docs.map_batches(reverse_version_runs, batch_format="pyarrow")
+        .map_batches(_dwell_stage, batch_format="pyarrow"),
+        ["etype"], {"dwell_p": "dwell_us"},
+    ).sort_values("etype").reset_index(drop=True)
+    assert clean.equals(dirty)
+    assert (clean["dwell_us"] > 0).all() and len(clean) == 4
