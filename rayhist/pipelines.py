@@ -1411,7 +1411,6 @@ def q_way_areas(sf_dir: str) -> pd.DataFrame:
     test_way_areas_kernel_matches_area_of_polygon)."""
     from .functions.geo import EARTH_RADIUS
     from .model import decode_spans
-    from .ops.relational import hash_join
     from .temporal import snapshots as snapshots_fn
 
     ts = np.array([T_MID], dtype=np.int64)
@@ -1426,42 +1425,64 @@ def q_way_areas(sf_dir: str) -> pd.DataFrame:
     # entity) and lives in the distributed object store, not the driver.
     pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
 
-    def corner(i: int):
-        def stage(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "join_k": pa.compute.subtract(batch["osm_id"], i),
-                    f"lon{i}": batch["lon_e7"],
-                    f"lat{i}": batch["lat_e7"],
-                }
+    # ONE shuffle, not two chained self-joins: every node position fans
+    # out to the (at most 3) triangles it can close, routed by the
+    # triangle's way_id bucket; a triangle's three corners then sit in
+    # one group and assemble + evaluate in-stage — the same 3x row
+    # fan-out a first join leg would ship, but the join OUTPUT never
+    # re-shuffles.
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        osm = batch["osm_id"].to_numpy(zero_copy_only=False)
+        lon = batch["lon_e7"].to_numpy(zero_copy_only=False)
+        lat = batch["lat_e7"].to_numpy(zero_copy_only=False)
+        way = np.concatenate([osm - i for i in range(3)])
+        corner = np.repeat(np.arange(3, dtype=np.int64), len(osm))
+        return pa.table(
+            {
+                "way_id": way,
+                "corner": corner,
+                "lon_e7": np.tile(lon, 3),
+                "lat_e7": np.tile(lat, 3),
+                "_bucket": _bucket_of(way, nb),
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["way_id", "corner"], kind="mergesort")
+        counts = g.groupby("way_id", sort=False)["corner"].transform("size")
+        g = g[counts == 3]  # only complete triangles
+        if g.empty:
+            return pd.DataFrame(
+                {"way_id": pd.Series(dtype="int64"),
+                 "area_m2": pd.Series(dtype="int64")}
             )
-
-        return stage
-
-    c0 = pos.map_batches(corner(0), batch_format="pyarrow")
-    c1 = pos.map_batches(corner(1), batch_format="pyarrow")
-    c2 = pos.map_batches(corner(2), batch_format="pyarrow")
-    joined = hash_join(hash_join(c0, c1, on="join_k"), c2, on="join_k")
-
-    def areas(batch: pa.Table) -> pa.Table:
-        lo, la = [], []
-        for i in range(3):
-            lo.append(np.radians(batch[f"lon{i}"].to_numpy(zero_copy_only=False) / 1e7))
-            la.append(np.radians(batch[f"lat{i}"].to_numpy(zero_copy_only=False) / 1e7))
+        lon = g["lon_e7"].to_numpy().reshape(-1, 3)
+        lat = g["lat_e7"].to_numpy().reshape(-1, 3)
+        lo = [np.radians(lon[:, i] / 1e7) for i in range(3)]
+        la = [np.radians(lat[:, i] / 1e7) for i in range(3)]
         # ring_area terms i=0..2 with p1=lo[i], p3=lo[i+2], mid=la[i+1]
         t0 = (lo[2] - lo[0]) * np.sin(la[1])
         t1 = (lo[0] - lo[1]) * np.sin(la[2])
         t2 = (lo[1] - lo[2]) * np.sin(la[0])
         s = (t0 + t1) + t2
         a = np.abs(s * EARTH_RADIUS * EARTH_RADIUS / 2)
-        return pa.table(
+        return pd.DataFrame(
             {
-                "way_id": batch["join_k"],
-                "area_m2": pa.array(np.floor(a).astype(np.int64)),
+                "way_id": g["way_id"].to_numpy()[::3],
+                "area_m2": np.floor(a).astype(np.int64),
             }
         )
 
-    df = joined.map_batches(areas, batch_format="pyarrow").to_pandas()
+    df = (
+        pos.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(assemble, batch_format="pandas")
+        .to_pandas()
+    )
     return df.sort_values("way_id").reset_index(drop=True)
 
 
