@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_moments_by_type": p.q_value_moments_by_type,
         "modal_value_by_type": p.q_modal_value_by_type,
         "etype_dwell_time": p.q_etype_dwell_time,
+        "user_streaks": p.q_user_streaks,
+        "cohort_retention": p.q_cohort_retention,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -242,6 +244,8 @@ def oracle_sql() -> dict[str, str]:
         "value_moments_by_type": o.value_moments_by_type(),
         "modal_value_by_type": o.modal_value_by_type(),
         "etype_dwell_time": o.etype_dwell_time(p.T0, p.DWELL_END),
+        "user_streaks": o.user_streaks(p.T0, p.DAY_US),
+        "cohort_retention": o.cohort_retention(p.T0, p.DAY_US),
         "ann_cosine": o.ann_cosine(),
         "contrib_per_entity": o.contrib_per_entity(),
         "keytable_freqs": o.keytable_freqs(),

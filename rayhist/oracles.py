@@ -798,6 +798,46 @@ FROM iv WHERE visible GROUP BY etype ORDER BY etype
     )
 
 
+def user_streaks(t0: int, day_us: int) -> str:
+    """Gaps-and-islands via the day - row_number() constant-group
+    trick over distinct active days."""
+    return f"""
+WITH days AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day
+  FROM events
+), s AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), runs AS (
+  SELECT user_id, grp, count(*) AS len FROM s GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
+def cohort_retention(t0: int, day_us: int) -> str:
+    """First-active-day cohorts x day offsets, distinct active users
+    per cell; (user, day) rows are distinct so count(*) is the
+    distinct-user count."""
+    return f"""
+WITH days AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day
+  FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1
+)
+SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+       CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM days d JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def modal_value_by_type() -> str:
     """Grouped MODE with the deterministic min-value tie-break the
     engine implements (DuckDB's mode() leaves ties unspecified, so the

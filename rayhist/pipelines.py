@@ -1587,6 +1587,108 @@ def q_sessions(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_user_streaks(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands: per user, the count of DISTINCT active days,
+    the number of maximal consecutive-day runs, and the longest run.
+    Per-batch (user, day) pre-dedup bounds shuffle rows at distinct
+    pairs per block; one complete-user hash-bucket shuffle; runs and
+    their lengths resolve vectorized in-stage (boundary mask -> cumsum
+    run ids -> bincount), so only |users| final rows leave the stage.
+    The SQL mirror is the classic day - row_number() constant-group
+    trick."""
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prededup(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        d = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0) // DAY_US
+        df = pd.DataFrame({"user_id": u, "day": d}).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "day": df["day"].to_numpy(),
+                "_bucket": _bucket_of(df["user_id"].to_numpy(), nb),
+            }
+        )
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"])
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        new = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        sid = np.cumsum(new) - 1
+        lens = np.bincount(sid)
+        runs = pd.DataFrame({"user_id": u[new], "len": lens})
+        out = runs.groupby("user_id", as_index=False).agg(
+            n_active_days=("len", "sum"),
+            n_streaks=("len", "size"),
+            longest_streak=("len", "max"),
+        )
+        return out
+
+    df = (
+        ev.map_batches(prededup, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(streaks, batch_format="pandas")
+        .to_pandas()
+    )
+    df = df.astype(
+        {"n_active_days": "int64", "n_streaks": "int64", "longest_streak": "int64"}
+    )
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users cohorted by FIRST active day;
+    for each (cohort_day, day_offset), the count of distinct users
+    active that day. Same complete-user bucket shuffle as streaks —
+    a user's first day and all its active days co-reside, so cohort
+    assignment and the distinct-count partials both resolve in-stage;
+    the driver combines |cohorts x offsets| rows (bounded by the
+    window span squared, never the corpus)."""
+    from .aggregate import combine_partials
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prededup(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        d = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0) // DAY_US
+        df = pd.DataFrame({"user_id": u, "day": d}).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "day": df["day"].to_numpy(),
+                "_bucket": _bucket_of(df["user_id"].to_numpy(), nb),
+            }
+        )
+
+    def cohortize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        first = g.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {"cohort_day": first, "day_offset": g["day"].to_numpy() - first}
+        )
+        # (user, day) rows are globally distinct, so a row count IS a
+        # distinct-user count per (cohort, offset)
+        p = out.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return p.rename(columns={"size": "n_users_p"})
+
+    partials = (
+        ev.map_batches(prededup, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(cohortize, batch_format="pandas")
+    )
+    df = combine_partials(
+        partials, ["cohort_day", "day_offset"], {"n_users_p": "n_users"}
+    )
+    df = df.astype({"cohort_day": "int64", "day_offset": "int64", "n_users": "int64"})
+    return df.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------- AOI pruned read
 AOI_BBOX = (-9e8, -4.5e8, 9e8, 4.5e8)  # (min_lon, min_lat, max_lon, max_lat) e7
 

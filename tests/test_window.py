@@ -947,3 +947,47 @@ def test_with_ranked_window_ntile_validates():
             value_col="v",
             ntile=0,
         )
+
+
+def test_user_streaks_brute_force():
+    """Gaps-and-islands pipeline vs a pandas reference on a corpus with
+    known multi-run users (shared events parquet at sf0.001)."""
+    from rayhist.pipelines import DAY_US, T0, q_user_streaks
+
+    got = q_user_streaks("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "ts"])
+    ev["day"] = (ev["ts"].astype("int64") - T0) // DAY_US
+    days = ev[["user_id", "day"]].drop_duplicates().sort_values(["user_id", "day"])
+    rows = []
+    for uid, g in days.groupby("user_id"):
+        d = g["day"].to_numpy()
+        runs = np.split(d, np.flatnonzero(np.diff(d) != 1) + 1)
+        rows.append(
+            {
+                "user_id": uid,
+                "n_active_days": len(d),
+                "n_streaks": len(runs),
+                "longest_streak": max(len(r) for r in runs),
+            }
+        )
+    want = pd.DataFrame(rows).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    assert (want["n_streaks"] > 1).any()  # corpus exercises real gaps
+
+
+def test_cohort_retention_conservation():
+    """Every (cohort, offset=0) cell equals the cohort's size, and the
+    sum over the matrix equals total distinct (user, day) pairs."""
+    from rayhist.pipelines import DAY_US, T0, q_cohort_retention
+
+    got = q_cohort_retention("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "ts"])
+    ev["day"] = (ev["ts"].astype("int64") - T0) // DAY_US
+    days = ev[["user_id", "day"]].drop_duplicates()
+    first = days.groupby("user_id")["day"].min()
+    z = got[got["day_offset"] == 0].set_index("cohort_day")["n_users"]
+    want_z = first.value_counts().sort_index()
+    assert dict(z) == dict(want_z)
+    assert got["n_users"].sum() == len(days)
