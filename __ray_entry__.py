@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "etype_dwell_time": p.q_etype_dwell_time,
         "user_streaks": p.q_user_streaks,
         "cohort_retention": p.q_cohort_retention,
+        "etype_transitions": p.q_etype_transitions,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -88,7 +89,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_means": p.q_lineitem_means,
         "knn_grid": p.q_knn_grid,
         "ann_cosine_ivf": p.q_ann_cosine_ivf,
-        "ann_cosine_lsh": p.q_ann_cosine_lsh,
         "sessions": p.q_sessions,
         "snapshot_count_bbox": p.q_snapshot_count_bbox,
         "snapshot_pip_many_regions": p.q_snapshot_pip_many_regions,
@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_way_geoms": p.q_snapshot_way_geoms,
         "topk_orders": p.q_topk_orders,
         "price_quantiles": p.q_price_quantiles,
+        "ann_cosine_lsh": p.q_ann_cosine_lsh,
         # --- below this line falls OUTSIDE the driver's 50-query r5
         # window: rows-only checks (weaker by design) and queries whose
         # value-exact twin or facade pin is in-window / r4-covered ---
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "etype_dwell_time": o.etype_dwell_time(p.T0, p.DWELL_END),
         "user_streaks": o.user_streaks(p.T0, p.DAY_US),
         "cohort_retention": o.cohort_retention(p.T0, p.DAY_US),
+        "etype_transitions": o.etype_transitions(),
         "ann_cosine": o.ann_cosine(),
         "contrib_per_entity": o.contrib_per_entity(),
         "keytable_freqs": o.keytable_freqs(),

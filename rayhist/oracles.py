@@ -838,6 +838,21 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def etype_transitions() -> str:
+    """Per-user ordered bigram transition counts via lag()."""
+    return """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_etype
+  FROM events
+)
+SELECT prev_etype, event_type AS etype, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_etype IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def modal_value_by_type() -> str:
     """Grouped MODE with the deterministic min-value tie-break the
     engine implements (DuckDB's mode() leaves ties unspecified, so the

@@ -1689,6 +1689,56 @@ def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
 
 
+def q_etype_transitions(sf_dir: str) -> pd.DataFrame:
+    """Ordered sequence bigrams: counts of (previous event type ->
+    event type) transitions within each user's (ts, event_id)-ordered
+    stream — the n-gram transition-matrix primitive under sequence
+    models. One complete-user bucket shuffle; the lag and the
+    |etypes|^2 count partials resolve vectorized in-stage, so blocks
+    emit at most the transition-matrix size. SQL mirror: lag() window
+    + group-by."""
+    from .aggregate import combine_partials
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "_bucket": _bucket_of(u, nb),
+            }
+        )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.r_[False, u[1:] == u[:-1]]  # row has an in-user predecessor
+        prev = np.empty_like(et)
+        prev[1:] = et[:-1]
+        prev[0] = ""
+        p = pd.DataFrame({"prev_etype": prev[same], "etype": et[same]})
+        out = p.groupby(["prev_etype", "etype"], as_index=False).size()
+        return out.rename(columns={"size": "n_p"})
+
+    partials = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(transitions, batch_format="pandas")
+    )
+    df = combine_partials(partials, ["prev_etype", "etype"], {"n_p": "n"})
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["prev_etype", "etype"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------- AOI pruned read
 AOI_BBOX = (-9e8, -4.5e8, 9e8, 4.5e8)  # (min_lon, min_lat, max_lon, max_lat) e7
 

@@ -991,3 +991,26 @@ def test_cohort_retention_conservation():
     want_z = first.value_counts().sort_index()
     assert dict(z) == dict(want_z)
     assert got["n_users"].sum() == len(days)
+
+
+def test_etype_transitions_brute_force():
+    from rayhist.pipelines import q_etype_transitions
+
+    got = q_etype_transitions("/root/testdata/sf0.001")
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    ev["prev_etype"] = ev.groupby("user_id")["event_type"].shift()
+    want = (
+        ev.dropna(subset=["prev_etype"])
+        .groupby(["prev_etype", "event_type"], as_index=False)
+        .size()
+        .rename(columns={"event_type": "etype", "size": "n"})
+        .sort_values(["prev_etype", "etype"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n": "int64"}), check_dtype=False
+    )
+    assert got["n"].sum() == len(ev) - ev["user_id"].nunique()
