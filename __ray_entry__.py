@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the union of r4+r5 windows covers the full surface.
         "osmpbf_relation_member_sums": p.q_osmpbf_relation_member_sums,
         # --- new round-5 queries (reserved window slots) ---
+        "top_words": p.q_top_words,
+        "revenue_by_nation_month": p.q_revenue_by_nation_month,
+        "mad_value_by_type": p.q_mad_value_by_type,
         "way_areas": p.q_way_areas,
         "snapshot_count_three_types": p.q_snapshot_count_three_types,
         "snapshot_count_daily_unsorted": p.q_snapshot_count_daily_unsorted,
@@ -248,6 +251,9 @@ def oracle_sql() -> dict[str, str]:
         "user_streaks": o.user_streaks(p.T0, p.DAY_US),
         "cohort_retention": o.cohort_retention(p.T0, p.DAY_US),
         "etype_transitions": o.etype_transitions(),
+        "top_words": o.top_words(),
+        "revenue_by_nation_month": o.revenue_by_nation_month(),
+        "mad_value_by_type": o.mad_value_by_type(),
         "ann_cosine": o.ann_cosine(),
         "contrib_per_entity": o.contrib_per_entity(),
         "keytable_freqs": o.keytable_freqs(),

@@ -650,3 +650,54 @@ def grouped_exact_quantiles_int(
         .sort_values(key)
         .reset_index(drop=True)
     )
+
+
+def grouped_median_mad_int(
+    ds: ray.data.Dataset, key: str, col: str
+) -> pd.DataFrame:
+    """Exact discrete median AND median-absolute-deviation per group
+    from ONE distributed (key, value) histogram: each key's complete
+    histogram lands in one map_groups task, where the median resolves
+    by cumsum rank and the deviation histogram |v - med| (re-binned by
+    summing the counts of v = med-d and med+d) resolves the MAD the
+    same way — no second scan of the corpus, no broadcast round-trip.
+    Rank rule is the discrete (n-1)//2 selection on both passes.
+    Null values are dropped BEFORE the shuffle (SQL semantics, and
+    Ray's groupby cannot hash pandas NA keys)."""
+
+    def drop_null_vals(b: pa.Table) -> pa.Table:
+        return b.filter(pa.compute.is_valid(b[col]))
+
+    hist = (
+        ds.map_batches(drop_null_vals, batch_format="pyarrow")
+        .groupby([key, col])
+        .count()
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[col].notna()]
+        if g.empty:
+            return pd.DataFrame(
+                {key: pd.Series([], dtype=object),
+                 "med": pd.Series([], dtype="int64"),
+                 "mad": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(col)
+        vals = g[col].to_numpy(dtype=np.int64)
+        cnts = g["count()"].to_numpy(dtype=np.int64)
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        med = int(vals[int(np.searchsorted(cum, (n - 1) // 2 + 1, side="left"))])
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dcum = cnts[order].cumsum()
+        mad = int(dev[order][int(np.searchsorted(dcum, (n - 1) // 2 + 1, side="left"))])
+        return pd.DataFrame([{key: g[key].iloc[0], "med": med, "mad": mad}])
+
+    return (
+        hist.groupby(key)
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )

@@ -2273,3 +2273,64 @@ SELECT user_id,
        CAST(max(CASE WHEN rn = (n-1)//2 + 1 THEN gap END) AS BIGINT) AS med_gap_us
 FROM o GROUP BY 1 ORDER BY 1
 """
+
+
+def top_words() -> str:
+    """Wordcount top-k mirror: string_split_regex is RE2 like Arrow's
+    split_pattern_regex; ties break ascending on the word."""
+    from .pipelines import TOP_WORDS_K, WORD_SPLIT_RE
+
+    return f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(text), '{WORD_SPLIT_RE}')) AS word
+  FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE word <> ''
+GROUP BY 1 ORDER BY n DESC, word LIMIT {TOP_WORDS_K}
+"""
+
+
+def revenue_by_nation_month() -> str:
+    """Star-join mirror; revenue as exact integer cent-basis-points
+    (round(price*100) * (100 - round(discount*100)))."""
+    return """
+SELECT n_name,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_cbp
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def mad_value_by_type() -> str:
+    """Median absolute deviation mirror — the (n-1)//2 discrete rank
+    rule spelled out twice (DuckDB's median() interpolates on even
+    counts; the engine's selection is discrete)."""
+    return """
+WITH s AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
+o AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM s),
+m AS (SELECT event_type, max(CASE WHEN rn = (n-1)//2 + 1 THEN c END) AS med
+      FROM o GROUP BY 1),
+a AS (SELECT s.event_type, abs(s.c - m.med) AS d
+      FROM s JOIN m USING (event_type)),
+o2 AS (SELECT event_type, d,
+              row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM a)
+SELECT o2.event_type,
+       CAST(any_value(m.med) AS BIGINT) AS med_vc,
+       CAST(max(CASE WHEN rn = (n-1)//2 + 1 THEN d END) AS BIGINT) AS mad_vc
+FROM o2 JOIN m ON o2.event_type = m.event_type
+GROUP BY 1 ORDER BY 1
+"""

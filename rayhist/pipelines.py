@@ -4121,3 +4121,173 @@ def q_interarrival_median(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True).astype(
         {"user_id": "int64", "n_gaps": "int64", "med_gap_us": "int64"}
     )
+
+
+TOP_WORDS_K = 20
+WORD_SPLIT_RE = "[^a-z]+"  # wordcount tokenizer: lowercase alpha runs
+
+
+def q_top_words(sf_dir: str) -> pd.DataFrame:
+    """Distributed wordcount with a global top-k (the canonical
+    map-reduce shape): per-batch Arrow explode (utf8_lower ->
+    split_pattern_regex -> list_flatten) and in-batch pre-count, a
+    VOCABULARY-cardinality Dataset.groupby completes each word's count
+    (words are corpus-scaled — per the high-card rule they never ride
+    combine_partials), then the candidate top-k reduce moves only k
+    rows per block. Ties break ascending on the word. Arrow and DuckDB
+    both run RE2 over UTF-8, so the token split is engine-identical."""
+    import pyarrow.compute as pc
+
+    from .ops.relational import topk
+
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode_count(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+        )
+        words = words.filter(pc.not_equal(words, ""))
+        t = pa.table({"word": words})
+        g = pa.TableGroupBy(t, ["word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n_p"])
+
+    counts = (
+        ds.map_batches(explode_count, batch_format="pyarrow")
+        .groupby("word")
+        .sum("n_p")
+    )
+    df = topk(counts, key="sum(n_p)", k=TOP_WORDS_K, tiebreak="word", descending=True)
+    df = df.rename(columns={"sum(n_p)": "n"}).astype({"n": "int64"})
+    return df[["word", "n"]].reset_index(drop=True)
+
+
+def q_revenue_by_nation_month(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3/Q10-shaped STAR JOIN CHAIN on two different keys:
+    lineitem |x| orders (orderkey) |x| customer (custkey) |x| nation
+    (25 rows, broadcast pre-merge), revenue grouped by (nation, year,
+    month). The two corpus-scaled joins are chained partitioned hash
+    joins — each re-shuffles on ITS key; the dimension legs stay
+    narrow (nation name replaces the key before the wide shuffle).
+    Revenue is exact integer cent-basis-points:
+    round(price*100) * (100 - round(discount*100)) — no float sums.
+    Group final is |nations x months| keys -> combine_partials.
+    Arrow's year/month kernels and DuckDB's year()/month() are both
+    proleptic-Gregorian on microsecond timestamps."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .aggregate import combine_partials
+    from .ops.relational import broadcast_join, cents, hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()[
+        ["n_nationkey", "n_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey"})
+    cust = rio.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def slim_cust(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pa.array(b["c_custkey"].to_numpy(), type=pa.int64()),
+                "n_name": pa.array(b["n_name"].astype(str), type=pa.string()),
+            }
+        )
+
+    cust = broadcast_join(cust, nat, on="c_nationkey").map_batches(
+        slim_cust, batch_format="pandas"
+    )
+
+    def slim_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "o_year": pc.year(b["o_orderdate"]).cast(pa.int64()),
+                "o_month": pc.month(b["o_orderdate"]).cast(pa.int64()),
+            }
+        )
+
+    orders = rio.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(slim_orders, batch_format="pyarrow")
+    ordn = hash_join(
+        orders,
+        cust,
+        on="o_custkey",
+        n_buckets=rio.shuffle_buckets(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+        ),
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "o_year", "o_month", "n_name"]),
+        batch_format="pyarrow",
+    )
+
+    def slim_line(b: pa.Table) -> pa.Table:
+        b = cents(b, "l_extendedprice", "price_c")
+        b = cents(b, "l_discount", "disc_c")
+        price = b["price_c"].to_numpy(zero_copy_only=False)
+        disc = b["disc_c"].to_numpy(zero_copy_only=False)
+        # numpy int64 multiply wraps silently — assert the headroom
+        # (price_c x 100 must stay far below 2^63)
+        if len(price) and int(np.abs(price).max()) > (1 << 55):
+            raise OverflowError("revenue_by_nation_month: price_c exceeds guard")
+        return pa.table(
+            {
+                "o_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "rev_cbp": pa.array(price * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    line = rio.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(slim_line, batch_format="pyarrow")
+    joined = hash_join(
+        line,
+        ordn,
+        on="o_orderkey",
+        n_buckets=rio.shuffle_buckets(
+            f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+        ),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["n_name", "o_year", "o_month"], as_index=False).agg(
+            n_part=("rev_cbp", "size"), rev_part=("rev_cbp", "sum")
+        )
+        g["rev_part"] = g["rev_part"].astype("int64")
+        return g
+
+    df = combine_partials(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["n_name", "o_year", "o_month"],
+        {"n_part": "n_items", "rev_part": "revenue_cbp"},
+    )
+    return df.sort_values(["n_name", "o_year", "o_month"]).reset_index(drop=True)
+
+
+def q_mad_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped MEDIAN ABSOLUTE DEVIATION — robust-statistics
+    selection, exact and integer throughout. ONE distributed
+    (type, value-cents) histogram shuffle; each type's complete
+    histogram resolves the median AND the deviation median |v - med|
+    in the same map_groups task (the deviation histogram is a
+    re-binning of the value histogram, so no second corpus scan and
+    no broadcast round-trip). The (n-1)//2 discrete rank rule matches
+    the SQL mirror exactly."""
+    from .ops.relational import cents, grouped_median_mad_int
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: cents(b, "value", "vc").select(["event_type", "vc"]),
+        batch_format="pyarrow",
+    )
+    out = grouped_median_mad_int(ev, key="event_type", col="vc").rename(
+        columns={"med": "med_vc", "mad": "mad_vc"}
+    )
+    return out.sort_values("event_type").reset_index(drop=True).astype(
+        {"med_vc": "int64", "mad_vc": "int64"}
+    )
+

@@ -1372,3 +1372,77 @@ def test_grouped_mode_tie_breaks_to_smallest_value():
         ray.data.from_pandas(pd.DataFrame({"k": [], "v": []})), "k", "v", n_buckets=2
     )
     assert len(empty) == 0 and list(empty.columns) == ["k", "modal_v", "n_modal"]
+
+
+def test_grouped_median_mad_vs_numpy():
+    import ray.data
+
+    from rayhist.ops.relational import grouped_median_mad_int
+
+    rng = np.random.default_rng(11)
+    k = rng.choice(["a", "b", "c"], 3000)
+    v = rng.integers(-500, 500, 3000)
+    df = pd.DataFrame({"k": k, "v": v})
+    got = grouped_median_mad_int(ray.data.from_pandas(df), "k", "v")
+
+    def disc_median(x: np.ndarray) -> int:
+        s = np.sort(x)
+        return int(s[(len(s) - 1) // 2])
+
+    for _, r in got.iterrows():
+        x = df.loc[df["k"] == r["k"], "v"].to_numpy()
+        med = disc_median(x)
+        assert r["med"] == med
+        assert r["mad"] == disc_median(np.abs(x - med))
+
+
+def test_grouped_median_mad_null_and_empty():
+    import ray.data
+
+    from rayhist.ops.relational import grouped_median_mad_int
+
+    df = pd.DataFrame({"k": ["a"] * 3, "v": pd.array([1, None, 5], dtype="Int64")})
+    got = grouped_median_mad_int(ray.data.from_pandas(df), "k", "v")
+    # nulls are ignored like SQL: values {1,5}, median = 1 (rank (2-1)//2)
+    assert got.iloc[0]["med"] == 1 and got.iloc[0]["mad"] == 0
+
+
+def test_top_words_matches_duckdb_wordcount():
+    import duckdb
+
+    from rayhist.pipelines import TOP_WORDS_K, q_top_words
+
+    sf = "/root/testdata/sf0.001"
+    got = q_top_words(sf)
+    want = duckdb.sql(
+        f"""WITH w AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+                       FROM '{sf}/documents.parquet')
+            SELECT word, CAST(count(*) AS BIGINT) AS n FROM w WHERE word <> ''
+            GROUP BY 1 ORDER BY n DESC, word LIMIT {TOP_WORDS_K}"""
+    ).df()
+    assert list(got["word"]) == list(want["word"])
+    assert list(got["n"]) == list(want["n"])
+
+
+def test_revenue_star_join_matches_duckdb():
+    import duckdb
+
+    from rayhist.pipelines import q_revenue_by_nation_month
+
+    sf = "/root/testdata/sf0.001"
+    got = q_revenue_by_nation_month(sf)
+    want = duckdb.sql(
+        f"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cbp
+            FROM '{sf}/lineitem.parquet'
+            JOIN '{sf}/orders.parquet' ON l_orderkey = o_orderkey
+            JOIN '{sf}/customer.parquet' ON o_custkey = c_custkey
+            JOIN '{sf}/nation.parquet' ON c_nationkey = n_nationkey
+            GROUP BY 1,2,3 ORDER BY 1,2,3"""
+    ).df()
+    assert len(got) == len(want)
+    for c in ["n_name", "o_year", "o_month", "n_items", "revenue_cbp"]:
+        assert list(got[c]) == list(want[c]), c
