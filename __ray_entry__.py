@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": p.q_user_streaks,
         "cohort_retention": p.q_cohort_retention,
         "etype_transitions": p.q_etype_transitions,
+        "peak_concurrency": p.q_peak_concurrency,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -251,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "user_streaks": o.user_streaks(p.T0, p.DAY_US),
         "cohort_retention": o.cohort_retention(p.T0, p.DAY_US),
         "etype_transitions": o.etype_transitions(),
+        "peak_concurrency": o.peak_concurrency(p.SESSION_GAP_US, p.T0, p.DAY_US),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

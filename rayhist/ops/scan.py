@@ -35,7 +35,7 @@ _I64_MAX = (1 << 63) - 1
 
 
 @ray.remote(num_returns=1)
-def _block_stats(t: pa.Table, value_col: str, order_cols: list[str]):
+def _block_stats(t: pa.Table, value_col: str, order_cols: list[str], signed: bool):
     """Phase-1 scalars: block value sum + the block's first/last order
     key tuple (None for empty blocks). The sum is EXACT even past
     int64 (int64 kernels wrap silently): when count x max could
@@ -46,12 +46,13 @@ def _block_stats(t: pa.Table, value_col: str, order_cols: list[str]):
     if t[value_col].null_count:
         raise ValueError(f"ordered_prefix_sum: null values in {value_col!r}")
     v = t[value_col].to_numpy(zero_copy_only=False)
-    if int(v.min()) < 0:
+    if not signed and int(v.min()) < 0:
         raise ValueError(
             f"ordered_prefix_sum: negative values in {value_col!r} "
-            "(the scan contract is non-negative counts/sizes)"
+            "(the scan contract is non-negative counts/sizes; pass "
+            "signed=True for deltas)"
         )
-    if int(v.max()) * len(v) <= _I64_MAX:
+    if int(np.abs(v).max()) * len(v) <= _I64_MAX:
         s = int(v.sum())
     else:  # rare: exact arbitrary-precision path
         s = sum(int(x) for x in v)
@@ -78,17 +79,20 @@ def ordered_prefix_sum(
     order_cols: list[str],
     value_col: str,
     out_col: str = "prefix_sum",
+    signed: bool = False,
 ) -> ray.data.Dataset:
     """Append the EXCLUSIVE global prefix sum of ``value_col`` in the
     total order given by ``order_cols`` (which must be a total order —
     ties across blocks would make the scan nondeterministic; the
     block-boundary monotonicity assert below catches violations).
-    Values must be non-negative int64 (token counts, byte sizes); the
-    running total is guarded against int64 overflow in Python ints."""
+    Values must be non-negative int64 (token counts, byte sizes)
+    unless ``signed=True`` (sweep-line deltas: concurrency counters,
+    balance ledgers); the running total is guarded against int64
+    overflow in Python ints in both directions."""
     sorted_ds = ds.sort(order_cols).materialize()
     refs = sorted_ds.to_arrow_refs()
     stats = ray.get(
-        [_block_stats.remote(r, value_col, list(order_cols)) for r in refs]
+        [_block_stats.remote(r, value_col, list(order_cols), signed) for r in refs]
     )
 
     prev_last = None
@@ -104,7 +108,7 @@ def ordered_prefix_sum(
                 )
             prev_last = last
         total += s
-        if total > _I64_MAX:
+        if not (-_I64_MAX - 1 <= total <= _I64_MAX):
             raise OverflowError(
                 f"ordered_prefix_sum: running total exceeds int64 ({total})"
             )

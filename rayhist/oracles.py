@@ -2334,3 +2334,41 @@ SELECT o2.event_type,
 FROM o2 JOIN m ON o2.event_type = m.event_type
 GROUP BY 1 ORDER BY 1
 """
+
+
+def peak_concurrency(gap_us: int, t0: int, day_us: int) -> str:
+    """Sweep-line mirror: sessionize (same gap rule as sessions()),
+    boundary deltas grouped per distinct timestamp, window cumsum;
+    peak at t = concurrency before t + starts at t."""
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) >= {int(gap_us)}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), agg AS (
+  SELECT user_id, sid, min(t) AS lo, max(t) AS hi FROM s GROUP BY 1, 2
+), b AS (
+  SELECT lo AS t, 1 AS d FROM agg
+  UNION ALL
+  SELECT hi AS t, -1 AS d FROM agg
+), g AS (
+  SELECT t, sum(d) AS net,
+         sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS pos
+  FROM b GROUP BY t
+), r AS (
+  SELECT t,
+         sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - net + pos AS peak
+  FROM g
+)
+SELECT CAST((t - {int(t0)}) // {int(day_us)} AS BIGINT) AS day,
+       CAST(max(peak) AS BIGINT) AS peak_concurrency
+FROM r GROUP BY 1 ORDER BY 1
+"""

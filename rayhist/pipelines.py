@@ -4291,3 +4291,60 @@ def q_mad_value_by_type(sf_dir: str) -> pd.DataFrame:
         {"med_vc": "int64", "mad_vc": "int64"}
     )
 
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_peak_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Peak CONCURRENT sessions per day — the sweep-line counter over
+    the sessionized log, composed from the engine's own primitives:
+    sessionize (complete-user bucket shuffle) -> boundary fan-out
+    (+1 at start, -1 at end) -> a DISTINCT-timestamp groupby collapses
+    ties so the timeline is a total order -> the signed global
+    ordered_prefix_sum (the two-phase scan; O(#blocks) driver scalars)
+    gives the concurrency entering each instant -> per-day max, with
+    starts applied before ends at equal t (a session pair that abuts
+    at the same microsecond overlaps there). The peak inside a tie
+    group is prefix + n_starts regardless of intra-tie order, so the
+    day-max is deterministic even though tied rows are interchangeable."""
+    from .ops.scan import ordered_prefix_sum
+    from .ops.sessions import sessionize
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    sess = sessionize(ev, gap_us=SESSION_GAP_US)
+
+    def boundaries(b: pd.DataFrame) -> pa.Table:
+        lo = b["start_us"].to_numpy(dtype=np.int64)
+        hi = b["end_us"].to_numpy(dtype=np.int64)
+        t = np.concatenate([lo, hi])
+        d = np.concatenate(
+            [np.ones(len(lo), dtype=np.int64), -np.ones(len(hi), dtype=np.int64)]
+        )
+        tt = pa.table({"t": t, "d": d, "is_start": (d > 0).astype(np.int64)})
+        g = pa.TableGroupBy(tt, ["t"]).aggregate([("d", "sum"), ("is_start", "sum")])
+        return g.rename_columns(["t", "d", "is_start"])
+
+    per_t = (
+        sess.map_batches(boundaries, batch_format="pandas")
+        .groupby("t")
+        .sum(["d", "is_start"])
+    )
+    scanned = ordered_prefix_sum(
+        per_t, order_cols=["t"], value_col="sum(d)", out_col="before", signed=True
+    )
+
+    def day_max(b: pa.Table) -> pa.Table:
+        t = b["t"].to_numpy(zero_copy_only=False)
+        peak = b["before"].to_numpy(zero_copy_only=False) + b["sum(is_start)"].to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame({"day": (t - T0) // DAY_US, "peak": peak})
+        g = df.groupby("day", as_index=False)["peak"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = scanned.map_batches(day_max, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("day", as_index=False)["peak"].max()
+    out = out.rename(columns={"peak": "peak_concurrency"}).astype(
+        {"day": "int64", "peak_concurrency": "int64"}
+    )
+    return out.sort_values("day").reset_index(drop=True)

@@ -70,3 +70,39 @@ def test_prefix_sum_boundary_monotonicity_guard(monkeypatch):
     ds = ray.data.from_pandas([b1, b2])
     with pytest.raises(ValueError, match="total order"):
         ordered_prefix_sum(ds, ["k"], "v")
+
+def test_prefix_sum_signed_deltas():
+    """signed=True admits negative deltas (sweep-line counters) and the
+    exclusive scan still matches numpy; signed=False keeps rejecting."""
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    out = (
+        ordered_prefix_sum(
+            ray.data.from_pandas(df).repartition(5),
+            order_cols=["k"],
+            value_col="v",
+            out_col="cum",
+            signed=True,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("k").reset_index(drop=True)
+    exclusive = np.concatenate([[0], np.cumsum(want["v"].to_numpy())[:-1]])
+    assert out["cum"].to_numpy().tolist() == exclusive.tolist()
+    with pytest.raises(ValueError, match="non-negative"):
+        ordered_prefix_sum(ray.data.from_pandas(df), ["k"], "v")
+
+
+def test_prefix_sum_signed_underflow_guard():
+    big = (1 << 62) + 1
+    df = pd.DataFrame({"k": [1, 2, 3], "v": [-big, -big, -big]})
+    with pytest.raises(OverflowError, match="int64"):
+        ordered_prefix_sum(ray.data.from_pandas(df), ["k"], "v", signed=True)

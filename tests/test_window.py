@@ -1014,3 +1014,40 @@ def test_etype_transitions_brute_force():
         got, want.astype({"n": "int64"}), check_dtype=False
     )
     assert got["n"].sum() == len(ev) - ev["user_id"].nunique()
+
+
+def test_peak_concurrency_brute_force():
+    """Sweep-line pipeline vs a pandas reference: sessionize (30-min
+    gap), boundary deltas, exclusive scan + starts-before-ends peak,
+    per-day max."""
+    from rayhist.pipelines import DAY_US, SESSION_GAP_US, T0, q_peak_concurrency
+
+    got = q_peak_concurrency("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "ts"])
+    ev["t"] = ev["ts"].astype("int64")
+    ev = ev.sort_values(["user_id", "t"])
+    new = (ev["user_id"].diff() != 0) | (ev.groupby("user_id")["t"].diff()
+                                         >= SESSION_GAP_US)
+    ev["sid"] = new.cumsum()
+    sess = ev.groupby("sid")["t"].agg(["min", "max"])
+    b = pd.concat(
+        [
+            pd.DataFrame({"t": sess["min"], "d": 1}),
+            pd.DataFrame({"t": sess["max"], "d": -1}),
+        ]
+    )
+    g = b.groupby("t").agg(net=("d", "sum"), pos=("d", lambda s: int((s > 0).sum())))
+    g = g.sort_index()
+    before = np.concatenate([[0], np.cumsum(g["net"].to_numpy())[:-1]])
+    peak = before + g["pos"].to_numpy()
+    want = (
+        pd.DataFrame({"day": (g.index.to_numpy() - T0) // DAY_US, "peak": peak})
+        .groupby("day", as_index=False)["peak"]
+        .max()
+        .rename(columns={"peak": "peak_concurrency"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    assert (want["peak_concurrency"] > 1).any()  # real overlap in the corpus
