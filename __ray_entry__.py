@@ -70,6 +70,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": p.q_cohort_retention,
         "etype_transitions": p.q_etype_transitions,
         "peak_concurrency": p.q_peak_concurrency,
+        "tfidf_top_terms": p.q_tfidf_top_terms,
+        "pareto_orders": p.q_pareto_orders,
+        "above_user_mean": p.q_above_user_mean,
+        "weighted_median_price": p.q_weighted_median_price,
+        "props_key_dist": p.q_props_key_dist,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -253,6 +258,11 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": o.cohort_retention(p.T0, p.DAY_US),
         "etype_transitions": o.etype_transitions(),
         "peak_concurrency": o.peak_concurrency(p.SESSION_GAP_US, p.T0, p.DAY_US),
+        "tfidf_top_terms": o.tfidf_top_terms(),
+        "pareto_orders": o.pareto_orders(),
+        "above_user_mean": o.above_user_mean(),
+        "weighted_median_price": o.weighted_median_price(),
+        "props_key_dist": o.props_key_dist(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

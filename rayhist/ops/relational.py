@@ -701,3 +701,107 @@ def grouped_median_mad_int(
         .sort_values(key)
         .reset_index(drop=True)
     )
+
+
+def _skyline_mask_2d(maxv: np.ndarray, minv: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2D Pareto frontier under STRICT
+    dominance: row A is dominated iff some row B has maxv >= / minv <=
+    with at least one strict — duplicate points all survive. Sorted
+    sweep: a row survives iff its minv equals its maxv-level's minimum
+    AND beats the running minimum of every strictly-higher maxv level."""
+    order = np.lexsort((minv, -maxv))
+    p, d = maxv[order], minv[order]
+    new_level = np.r_[True, p[1:] != p[:-1]]
+    lvl_idx = np.cumsum(new_level) - 1
+    lvl_min = d[new_level]  # minv asc within a level: first row is the level min
+    higher_min = np.concatenate(
+        [[np.iinfo(np.int64).max], np.minimum.accumulate(lvl_min)[:-1]]
+    )
+    keep_sorted = (d == lvl_min[lvl_idx]) & (d < higher_min[lvl_idx])
+    keep = np.zeros(len(maxv), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def pareto_front_2d(
+    ds: ray.data.Dataset,
+    group_col: str,
+    max_col: str,
+    min_col: str,
+) -> ray.data.Dataset:
+    """Per-group 2D Pareto frontier (skyline): the rows not strictly
+    dominated within their group (``max_col`` maximized, ``min_col``
+    minimized; both int64 — exact compares). Distributed as a
+    block-local frontier prefilter (sound combiner: a row dominated
+    inside its own block is dominated in the union, so
+    frontier(∪blocks) ⊆ ∪ block-frontiers) followed by one
+    groupby(group) final — only block-frontier rows shuffle, never the
+    corpus. The SQL mirror is the classic NOT EXISTS anti-self-join."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keep = np.zeros(len(df), dtype=bool)
+        for _, idx in df.groupby(group_col, sort=False).indices.items():
+            sub = df.iloc[idx]
+            keep[idx] = _skyline_mask_2d(
+                sub[max_col].to_numpy(dtype=np.int64),
+                sub[min_col].to_numpy(dtype=np.int64),
+            )
+        return pa.Table.from_pandas(df[keep], preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        keep = _skyline_mask_2d(
+            g[max_col].to_numpy(dtype=np.int64), g[min_col].to_numpy(dtype=np.int64)
+        )
+        return g[keep]
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def grouped_weighted_median_int(
+    ds: ray.data.Dataset, keys: list[str], col: str, weight: str
+) -> pd.DataFrame:
+    """Exact LOWER weighted median per group of an int64 ``col``
+    weighted by int64 ``weight``: the smallest value whose cumulative
+    weight reaches half the group total (2*cw >= tw — the SQL
+    cumulative-weight window idiom). Distributed as a per-batch
+    (keys, value) weight pre-aggregation (bounds the shuffle at
+    distinct values per block, never raw rows) -> one
+    groupby(keys, value).sum -> per-group sorted cumsum in map_groups;
+    only |groups| rows reach the driver. Zero and negative weights are
+    rejected loudly (a zero-weight value could otherwise BE the median
+    while contributing nothing)."""
+
+    def prag(b: pa.Table) -> pa.Table:
+        w = b[weight].to_numpy(zero_copy_only=False)
+        if len(w) and int(w.min()) <= 0:
+            raise ValueError(
+                f"grouped_weighted_median_int: non-positive weights in {weight!r}"
+            )
+        t = b.select([*keys, col, weight])
+        g = pa.TableGroupBy(t, [*keys, col]).aggregate([(weight, "sum")])
+        return g.rename_columns([*keys, col, "w_p"])
+
+    hist = ds.map_batches(prag, batch_format="pyarrow").groupby([*keys, col]).sum("w_p")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col)
+        w = g["sum(w_p)"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        pos = int(np.searchsorted(2 * cum, tot, side="left"))
+        return pd.DataFrame(
+            [
+                {
+                    **{k: g[k].iloc[0] for k in keys},
+                    "wmedian": int(g[col].to_numpy(dtype=np.int64)[pos]),
+                }
+            ]
+        )
+
+    out = hist.groupby(keys).map_groups(final, batch_format="pandas").to_pandas()
+    return out.astype({"wmedian": "int64"})

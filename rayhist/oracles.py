@@ -2372,3 +2372,114 @@ SELECT CAST((t - {int(t0)}) // {int(day_us)} AS BIGINT) AS day,
        CAST(max(peak) AS BIGINT) AS peak_concurrency
 FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+def tfidf_top_terms() -> str:
+    """tf-idf mirror: same RE2 tokenizer as the engine; score is the
+    identical IEEE op sequence (int division -> libm ln -> one
+    multiply), so the float column compares bit-exact."""
+    from .pipelines import TFIDF_K, WORD_SPLIT_RE
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '{WORD_SPLIT_RE}')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM w WHERE word <> '' GROUP BY 1, 2
+), df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), s AS (
+  SELECT doc_id, tf.word AS word,
+         CAST(tf AS DOUBLE)
+           * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                / CAST(df AS DOUBLE)) AS score
+  FROM tf JOIN df USING (word)
+), r AS (
+  SELECT doc_id, word, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+  FROM s
+)
+SELECT doc_id, rank, word, score
+FROM r WHERE rank <= {TFIDF_K} ORDER BY doc_id, rank
+"""
+
+
+def pareto_orders() -> str:
+    """Skyline mirror: NOT EXISTS anti-self-join under strict
+    dominance (maximize price cents, minimize order date)."""
+    return """
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, price_c, odate_us
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.o_orderpriority = a.o_orderpriority
+    AND b.price_c >= a.price_c AND b.odate_us <= a.odate_us
+    AND (b.price_c > a.price_c OR b.odate_us < a.odate_us))
+ORDER BY 1, 2
+"""
+
+
+def above_user_mean() -> str:
+    """Decorrelated scalar subquery mirror; the above-mean compare is
+    the same exact-integer cross-multiplication (v * n > s)."""
+    return """
+WITH e AS (
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT event_type, v,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(v)   OVER (PARTITION BY user_id) AS s
+  FROM e
+)
+SELECT event_type,
+       CAST(coalesce(sum(CASE WHEN v * n > s THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_above,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def weighted_median_price() -> str:
+    """Lower weighted median via the cumulative-weight window idiom:
+    smallest price whose cumulative weight reaches half the total."""
+    return """
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag, l_linestatus, price_c, sum(qty) AS w
+  FROM l GROUP BY 1, 2, 3
+), cum AS (
+  SELECT *,
+         sum(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                      ORDER BY price_c ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tw
+  FROM c
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(min(price_c) FILTER (WHERE 2 * cw >= tw) AS BIGINT) AS wmedian_price_c
+FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def props_key_dist() -> str:
+    """Semi-structured extraction mirror: the same RE2 capture group
+    over the JSON props string; non-matches dropped on both sides."""
+    return r"""
+SELECT event_type,
+       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS kk,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE regexp_matches(props, '"k": (\d+)')
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

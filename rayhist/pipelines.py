@@ -4348,3 +4348,201 @@ def q_peak_concurrency(sf_dir: str) -> pd.DataFrame:
         {"day": "int64", "peak_concurrency": "int64"}
     )
     return out.sort_values("day").reset_index(drop=True)
+
+
+TFIDF_K = 3
+
+
+def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-k terms by tf-idf — the canonical corpus
+    statistic behind retrieval/quality scoring. tf is final IN-BATCH
+    (one row = one whole document, so the (doc, word) count never
+    shuffles raw tokens); document frequency is a VOCABULARY-cardinality
+    Dataset.groupby (high-card rule); tf |x| df is the partitioned hash
+    join on the word; the per-doc top-k resolves via the distributed
+    candidate-prune topk_per_group. The score tf * ln(N/df) is
+    engine-independent float: ln over a LUT of DISTINCT df values via
+    math.log (glibc libm — bit-identical to DuckDB's ln, unlike
+    numpy's vectorized log), multiplied once per row (single IEEE ops
+    on exact ints per the money/float rule). Ties break ascending on
+    the word."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from .ops.relational import hash_join, topk_per_group
+
+    docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tf_stage(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        ids = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), n_per)
+        t = pa.table({"doc_id": ids, "word": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pa.TableGroupBy(t, ["doc_id", "word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "word", "tf"])
+
+    tf = docs.map_batches(tf_stage, batch_format="pyarrow")
+    dfreq = tf.groupby("word").count().map_batches(
+        lambda b: b.rename_columns(["word", "df"]), batch_format="pyarrow"
+    )
+
+    joined = hash_join(tf, dfreq, on="word")
+
+    def score_stage(b: pa.Table) -> pa.Table:
+        tfv = b["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = b["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(dfv, return_inverse=True)
+        lut = np.array([math.log(n_docs / int(d)) for d in uniq], dtype=np.float64)
+        return b.append_column("score", pa.array(tfv.astype(np.float64) * lut[inv]))
+
+    scored = joined.map_batches(score_stage, batch_format="pyarrow")
+    out = topk_per_group(
+        scored, group_col="doc_id", key="score", k=TFIDF_K, tiebreak="word"
+    ).to_pandas()
+    out = out[["doc_id", "rank", "word", "score"]].astype(
+        {"doc_id": "int64", "rank": "int64"}
+    )
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def q_pareto_orders(sf_dir: str) -> pd.DataFrame:
+    """Per-priority 2D Pareto frontier (skyline) of orders: maximize
+    price (exact cents), minimize order date — the orders no other
+    same-priority order strictly dominates. Block-local frontier
+    prefilter (a sound combiner) means only block-frontier rows ever
+    shuffle; the per-priority final resolves in one map_groups. The
+    oracle is the NOT EXISTS anti-self-join."""
+    from .ops.relational import cents, pareto_front_2d
+
+    ods = rio.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = cents(b, "o_totalprice", "price_c")
+        odate = b["o_orderdate"].cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "o_orderkey": b["o_orderkey"],
+                "price_c": b["price_c"],
+                "odate_us": odate,
+            }
+        )
+
+    front = pareto_front_2d(
+        ods.map_batches(prep, batch_format="pyarrow"),
+        group_col="o_orderpriority",
+        max_col="price_c",
+        min_col="odate_us",
+    ).to_pandas()
+    front = front.astype({"o_orderkey": "int64", "price_c": "int64", "odate_us": "int64"})
+    return front.sort_values(["o_orderpriority", "o_orderkey"]).reset_index(drop=True)
+
+
+def q_above_user_mean(sf_dir: str) -> pd.DataFrame:
+    """Events strictly above their user's mean value, counted per
+    event type — the decorrelated scalar-subquery shape. The mean
+    compare is EXACT integers (value_c * n_user > sum_user: both sides
+    int64, no float mean); one complete-user bucket shuffle computes
+    the per-user stats and the per-etype partials IN-STAGE, so only
+    |buckets x etypes| partial rows reach the small final combine."""
+    from .aggregate import combine_partials
+    from .ops.relational import cents
+    from .ops.sessions import _bucketed
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("user_id")["value_c"]
+        n = grp.transform("size").to_numpy(dtype=np.int64)
+        s = grp.transform("sum").to_numpy(dtype=np.int64)
+        above = g["value_c"].to_numpy(dtype=np.int64) * n > s
+        part = pd.DataFrame({"event_type": g["event_type"], "above": above})
+        out = part.groupby("event_type", as_index=False).agg(
+            n_above_p=("above", "sum"), n_p=("above", "size")
+        )
+        return out
+
+    parts = _bucketed(ev, "user_id", 256, per_bucket)
+    df = combine_partials(
+        parts, keys=["event_type"], sums={"n_above_p": "n_above", "n_p": "n_events"}
+    )
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
+    """Exact weighted median of extendedprice cents per (returnflag,
+    linestatus), weighted by integral quantity — the lower weighted
+    median (smallest price whose cumulative weight reaches half the
+    total; SQL's 2*cw >= tw cumulative-weight window idiom). Per-batch
+    (group, price) weight pre-aggregation bounds the shuffle at
+    distinct prices per block; the group count is 6, but each group's
+    payload is |distinct prices|, not rows."""
+    from .ops.relational import cents, grouped_weighted_median_int
+
+    import pyarrow.compute as _pc
+
+    li = rio.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = cents(b, "l_extendedprice", "price_c")
+        qty = _pc.cast(_pc.round(b["l_quantity"]), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "price_c": b["price_c"],
+                "qty": qty,
+            }
+        )
+
+    out = grouped_weighted_median_int(
+        li.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        col="price_c",
+        weight="qty",
+    )
+    out = out.rename(columns={"wmedian": "wmedian_price_c"})
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_props_key_dist(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    JSON ``props`` string with an RE2 capture group (Arrow
+    extract_regex and DuckDB regexp_extract run the same RE2 over
+    UTF-8), then count per (event_type, k). Non-matching rows are
+    dropped explicitly on BOTH sides. Per-batch pre-count + small
+    combine (|etypes x k-values| keys)."""
+    import pyarrow.compute as pc
+
+    from .aggregate import combine_partials
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def extract_count(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], '"k": (?P<k>\\d+)')
+        kk = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"event_type": b["event_type"], "kk": kk}).filter(
+            pc.is_valid(kk)
+        )
+        g = pa.TableGroupBy(t, ["event_type", "kk"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "kk", "n_p"])
+
+    parts = ev.map_batches(extract_count, batch_format="pyarrow")
+    df = combine_partials(parts, keys=["event_type", "kk"], sums={"n_p": "n"})
+    df = df.astype({"kk": "int64", "n": "int64"})
+    return df.sort_values(["event_type", "kk"]).reset_index(drop=True)

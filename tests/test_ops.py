@@ -1446,3 +1446,83 @@ def test_revenue_star_join_matches_duckdb():
     assert len(got) == len(want)
     for c in ["n_name", "o_year", "o_month", "n_items", "revenue_cbp"]:
         assert list(got[c]) == list(want[c]), c
+
+
+@pytest.mark.parametrize("n_parts", [1, 5])
+def test_pareto_front_2d_brute_force(n_parts):
+    """Distributed skyline vs the O(n^2) strict-dominance reference,
+    including duplicate points (which must all survive) and several
+    partition counts (the block-local prefilter must be a sound
+    combiner)."""
+    import ray.data
+
+    from rayhist.ops.relational import pareto_front_2d
+
+    rng = np.random.default_rng(3)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, n),
+            "hi": rng.integers(0, 40, n).astype(np.int64),
+            "lo": rng.integers(0, 40, n).astype(np.int64),
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    got = (
+        pareto_front_2d(
+            ray.data.from_pandas(df).repartition(n_parts), "g", "hi", "lo"
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    keep = []
+    for _, r in df.iterrows():
+        grp = df[df["g"] == r["g"]]
+        dom = (
+            (grp["hi"] >= r["hi"])
+            & (grp["lo"] <= r["lo"])
+            & ((grp["hi"] > r["hi"]) | (grp["lo"] < r["lo"]))
+        )
+        if not dom.any():
+            keep.append(r["rid"])
+    assert got["rid"].tolist() == sorted(keep)
+    # the 40x40 grid with 200 points/group guarantees duplicates exist
+    assert df.duplicated(["g", "hi", "lo"]).any()
+
+
+def test_grouped_weighted_median_brute_force():
+    """Lower weighted median vs an explicit expansion: repeating each
+    value `weight` times and taking the (n-1)//2-free lower median of
+    the cumulative rule 2*cw >= tw."""
+    import ray.data
+
+    from rayhist.ops.relational import grouped_weighted_median_int
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, n),
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+            "w": rng.integers(1, 9, n).astype(np.int64),
+        }
+    )
+    got = grouped_weighted_median_int(
+        ray.data.from_pandas(df).repartition(4), ["g"], "v", "w"
+    ).sort_values("g")
+    for _, r in got.iterrows():
+        grp = df[df["g"] == r["g"]].sort_values("v")
+        cw = grp["w"].cumsum().to_numpy()
+        want = int(grp["v"].to_numpy()[np.searchsorted(2 * cw, cw[-1], side="left")])
+        assert int(r["wmedian"]) == want
+
+
+def test_grouped_weighted_median_rejects_nonpositive_weight():
+    import ray.data
+
+    from rayhist.ops.relational import grouped_weighted_median_int
+
+    df = pd.DataFrame({"g": [1, 1], "v": [5, 6], "w": [0, 2]})
+    with pytest.raises(Exception, match="non-positive"):
+        grouped_weighted_median_int(ray.data.from_pandas(df), ["g"], "v", "w")
