@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_user_mean": p.q_above_user_mean,
         "weighted_median_price": p.q_weighted_median_price,
         "props_key_dist": p.q_props_key_dist,
+        "value_histogram": p.q_value_histogram,
+        "etype_audience_overlap": p.q_etype_audience_overlap,
+        "value_trend_by_type": p.q_value_trend_by_type,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -263,6 +266,9 @@ def oracle_sql() -> dict[str, str]:
         "above_user_mean": o.above_user_mean(),
         "weighted_median_price": o.weighted_median_price(),
         "props_key_dist": o.props_key_dist(),
+        "value_histogram": o.value_histogram(p.HIST_BIN_W_C, p.HIST_NBINS),
+        "etype_audience_overlap": o.etype_audience_overlap(),
+        "value_trend_by_type": o.value_trend_by_type(p.T0, p.DAY_US),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

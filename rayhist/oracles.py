@@ -2483,3 +2483,61 @@ FROM events
 WHERE regexp_matches(props, '"k": (\d+)')
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def value_histogram(bin_w_c: int, nbins: int) -> str:
+    """Equi-width histogram mirror with the full etype x bin zerofill
+    grid (cross join of observed etypes with range(nbins))."""
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         LEAST(CAST(round(value * 100) AS BIGINT) // {int(bin_w_c)},
+               {int(nbins) - 1}) AS bin
+  FROM events
+), c AS (
+  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, CAST(r.range AS BIGINT) AS bin
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN range({int(nbins)}) r
+)
+SELECT grid.event_type, grid.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM grid LEFT JOIN c USING (event_type, bin)
+ORDER BY 1, 2
+"""
+
+
+def etype_audience_overlap() -> str:
+    """Co-occurrence mirror: distinct (user, etype) self-join, ordered
+    pair half."""
+    return """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+       CAST(count(*) AS BIGINT) AS n_shared_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def value_trend_by_type(t0: int, day_us: int) -> str:
+    """Grouped OLS slope mirror: HUGEINT-exact sufficient statistics,
+    closed-form integer terms cast to BIGINT (loud on overflow, same
+    as the engine guard), slope as the identical single division."""
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) - {int(t0)}) // {int(day_us)} AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM e GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+         / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE) AS slope
+FROM s ORDER BY 1
+"""

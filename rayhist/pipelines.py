@@ -4546,3 +4546,146 @@ def q_props_key_dist(sf_dir: str) -> pd.DataFrame:
     df = combine_partials(parts, keys=["event_type", "kk"], sums={"n_p": "n"})
     df = df.astype({"kk": "int64", "n": "int64"})
     return df.sort_values(["event_type", "kk"]).reset_index(drop=True)
+
+
+HIST_BIN_W_C = 5_000  # $50-wide value bins
+HIST_NBINS = 10  # covers the corpus value domain [0, $500); top bin clamps
+
+
+def q_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Equi-width histogram of event value (exact cents) per event
+    type, ZEROFILLED over the full etype x bin grid (absent cells are
+    0, the aggregateBy-zerofill contract). Per-batch bincount partials
+    (|etypes x bins| rows per block) -> small combine; the bin rule
+    LEAST(value_c // W, nbins-1) clamps the top bin identically in
+    both engines."""
+    from .aggregate import combine_partials
+    from .ops.relational import cents
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+
+    def bin_count(b: pa.Table) -> pa.Table:
+        v = b["value_c"].to_numpy(zero_copy_only=False)
+        bins = np.minimum(v // HIST_BIN_W_C, HIST_NBINS - 1)
+        t = pa.table({"event_type": b["event_type"], "bin": bins})
+        g = pa.TableGroupBy(t, ["event_type", "bin"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "bin", "n_p"])
+
+    parts = ev.map_batches(bin_count, batch_format="pyarrow")
+    df = combine_partials(parts, keys=["event_type", "bin"], sums={"n_p": "n"})
+    from .aggregate import zerofill
+
+    df = zerofill(
+        df,
+        expected={
+            "event_type": sorted(df["event_type"].unique()),
+            "bin": range(HIST_NBINS),
+        },
+        fill={"n": 0},
+    )
+    return df.astype({"bin": "int64", "n": "int64"}).reset_index(drop=True)
+
+
+def q_etype_audience_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise audience overlap: for every unordered event-type pair,
+    the number of users active in BOTH — the co-occurrence join. One
+    complete-user bucket shuffle; each user's distinct-etype set (<=
+    |etypes|) expands to its C(m,2) ordered pairs IN-STAGE, and the
+    per-bucket pair counts are the partials — the corpus never joins
+    itself. Mirror is the distinct self-join with etype_a < etype_b."""
+    from .aggregate import combine_partials
+    from .ops.sessions import _bucketed
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        # vectorized within-user pair expansion: self-merge on the user
+        # (bounded at |etypes|^2 intermediate rows per user), keep the
+        # ordered half. No per-user Python loop.
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"etype_a": pd.Series([], dtype=object),
+                 "etype_b": pd.Series([], dtype=object),
+                 "n_p": pd.Series([], dtype="int64")}
+            )
+        part = m.rename(
+            columns={"event_type_a": "etype_a", "event_type_b": "etype_b"}
+        )
+        return part.groupby(["etype_a", "etype_b"], as_index=False).agg(
+            n_p=("etype_a", "size")
+        )
+
+    parts = _bucketed(ev, "user_id", 256, per_bucket)
+    df = combine_partials(
+        parts, keys=["etype_a", "etype_b"], sums={"n_p": "n_shared_users"}
+    )
+    return df.sort_values(["etype_a", "etype_b"]).reset_index(drop=True)
+
+
+def q_value_trend_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped least-squares slope of event value (cents) over the day
+    offset — trend detection per event type. The sufficient statistics
+    (n, sum x, sum y, sum xy, sum x^2) are EXACT integer per-batch
+    partials; the driver combines them in Python ints (no silent
+    wrap), guards the closed-form products against int64 overflow
+    loudly, and the published slope is ONE float division of the two
+    exact integer terms — DuckDB mirrors with HUGEINT sums and the
+    identical cast/divide."""
+    from .aggregate import combine_partials
+    from .ops.relational import cents
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0) // DAY_US
+        y = b["value_c"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "n_p": np.ones(len(x), dtype=np.int64),
+                "sx_p": x,
+                "sy_p": y,
+                "sxy_p": x * y,
+                "sxx_p": x * x,
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [(c, "sum") for c in ("n_p", "sx_p", "sy_p", "sxy_p", "sxx_p")]
+        )
+        return g.rename_columns(["event_type", "n_p", "sx_p", "sy_p", "sxy_p", "sxx_p"])
+
+    parts = ev.map_batches(partials, batch_format="pyarrow")
+    s = combine_partials(
+        parts,
+        keys=["event_type"],
+        sums={"n_p": "n", "sx_p": "sx", "sy_p": "sy", "sxy_p": "sxy", "sxx_p": "sxx"},
+    )
+    i64 = (1 << 63) - 1
+    num, den, slope = [], [], []
+    for _, r in s.iterrows():
+        nv, sx, sy, sxy, sxx = (int(r[c]) for c in ("n", "sx", "sy", "sxy", "sxx"))
+        nu, de = nv * sxy - sx * sy, nv * sxx - sx * sx
+        if abs(nu) > i64 or abs(de) > i64:
+            raise OverflowError("value_trend_by_type: slope terms exceed int64")
+        if de == 0:
+            raise ValueError("value_trend_by_type: degenerate x variance")
+        num.append(nu)
+        den.append(de)
+        slope.append(float(nu) / float(de))
+    out = pd.DataFrame(
+        {
+            "event_type": s["event_type"],
+            "n": s["n"].astype("int64"),
+            "slope_num": pd.Series(num, dtype="int64"),
+            "slope_den": pd.Series(den, dtype="int64"),
+            "slope": pd.Series(slope, dtype="float64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
