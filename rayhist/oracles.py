@@ -2541,3 +2541,45 @@ SELECT event_type, n,
          / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE) AS slope
 FROM s ORDER BY 1
 """
+
+
+def snapshot_hotspot_clusters(minpts: int) -> str:
+    """Grid-density hotspot mirror: zoom-4 cell counts from the snap
+    CTE, density filter, non-equi 8-adjacency self-join (NON-WRAPPING
+    at the antimeridian, per the engine contract), recursive-CTE
+    reachable-min components, isolated dense cells as singletons."""
+    from .pipelines import CELL_ZOOM
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    nx = 1 << CELL_ZOOM
+    ny = 1 << (CELL_ZOOM - 1)
+    return (
+        "WITH RECURSIVE "
+        + DERIVE.lstrip().removeprefix("WITH")
+        + cte
+        + f"""
+, cells AS (
+  SELECT least((lat_e7 + 900000000) * {ny} // 1800000000, {ny - 1}) * {nx}
+         + ((lon_e7 + 1800000000) % 3600000000) * {nx} // 3600000000 AS cell,
+         count(*) AS n
+  FROM snap GROUP BY 1
+), dense AS (
+  SELECT cell, n, cell % {nx} AS x, cell // {nx} AS y
+  FROM cells WHERE n >= {int(minpts)}
+), edges AS (
+  SELECT a.cell AS u, b.cell AS v FROM dense a JOIN dense b
+  ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 AND a.cell <> b.cell
+), reach AS (
+  SELECT u AS node, u AS lab FROM edges
+  UNION
+  SELECT e.u AS node, r.lab FROM edges e JOIN reach r ON r.node = e.v
+), comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+)
+SELECT CAST(coalesce(c.component, d.cell) AS BIGINT) AS component,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(d.n) AS BIGINT) AS n_points
+FROM dense d LEFT JOIN comp c ON c.node = d.cell
+GROUP BY 1 ORDER BY 1
+"""
+    )

@@ -4689,3 +4689,139 @@ def q_value_trend_by_type(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+HOTSPOT_MINPTS = 2  # grid-density threshold (cells with >= 2 snapshots)
+# size gate for the driver-side cluster resolve: below this many dense
+# cells the adjacency+union-find runs on the driver (bounded ~16 B/row
+# -> a few MB); above it the distributed fan-out + cc path runs. The
+# knn_queries adaptive-operating-point precedent (BASELINE.md).
+HOTSPOT_DRIVER_MAX = 200_000
+
+
+def q_snapshot_hotspot_clusters(sf_dir: str) -> pd.DataFrame:
+    """Grid-density hotspot clustering at the mid snapshot — the
+    DBSCAN-on-cells shape: fused snapshot counts per zoom-4 cell,
+    density filter (n >= MINPTS), 8-adjacency, connected components;
+    cluster id is the component's minimum cell id, so output is
+    deterministic. SIZE-GATED like knn_queries: when the dense set is
+    provably small (<= HOTSPOT_DRIVER_MAX rows of (cell, n)), the
+    adjacency + union-find resolve on the driver — a dozen shuffle
+    rounds for 30 cells is pure scheduling overhead; past the gate the
+    distributed path runs: bounded 8-key neighbor fan-out semi-joined
+    against the dense set (the corpus never self-joins) + min-label
+    cc + left-join singleton recovery (pinned equal to the driver path
+    in tests/test_window.py). The oracle replays adjacency as a
+    non-equi self-join and the components as the recursive-CTE
+    reachable-min. Non-wrapping adjacency by design: antimeridian
+    neighbors are NOT adjacent (documented engine+oracle contract)."""
+    return _hotspot_clusters(sf_dir)
+
+
+def _hotspot_clusters(sf_dir: str, force_distributed: bool = False) -> pd.DataFrame:
+    from .ops.cc import connected_components
+    from .ops.relational import hash_join
+    from .views import snapshot_counts
+
+    nx, ny = 1 << CELL_ZOOM, 1 << (CELL_ZOOM - 1)
+    partials, keys = snapshot_counts(_docs(sf_dir), [T_MID], cell_zoom=CELL_ZOOM)
+    cells = partials.groupby(keys).aggregate(Sum("n_part", alias_name="n"))
+
+    def dense_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.greater_equal(b["n"], HOTSPOT_MINPTS))
+        return b.select(["cell", "n"])
+
+    dense = cells.map_batches(dense_only, batch_format="pyarrow").materialize()
+
+    if not force_distributed and dense.count() <= HOTSPOT_DRIVER_MAX:
+        df = dense.to_pandas().astype({"cell": "int64", "n": "int64"})
+        c = np.sort(df["cell"].to_numpy())
+        x, y = c % nx, c // nx
+        parent = np.arange(len(c), dtype=np.int64)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for dx, dy in ((1, -1), (1, 0), (1, 1), (0, 1)):  # half-plane offsets
+            xx, yy = x + dx, y + dy
+            ok = (xx >= 0) & (xx < nx) & (yy >= 0) & (yy < ny)
+            nbr = yy[ok] * nx + xx[ok]
+            pos = np.searchsorted(c, nbr)
+            hit = (pos < len(c)) & (c[np.minimum(pos, len(c) - 1)] == nbr)
+            for i, j in zip(np.flatnonzero(ok)[hit], pos[hit]):
+                ri, rj = find(int(i)), find(int(j))
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+        root = np.array([find(int(i)) for i in range(len(c))], dtype=np.int64)
+        lab = pd.DataFrame(
+            {"component": c[root], "cell": c, "n": df.set_index("cell").loc[c, "n"].to_numpy()}
+        )
+        out = lab.groupby("component", as_index=False).agg(
+            n_cells=("cell", "size"), n_points=("n", "sum")
+        )
+        out = out.astype({"component": "int64", "n_cells": "int64", "n_points": "int64"})
+        return out.sort_values("component").reset_index(drop=True)
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        c = b["cell"].to_numpy(zero_copy_only=False)
+        x, y = c % nx, c // nx
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+        srcs, nbrs = [], []
+        for dx, dy in offs:  # 8 fixed offsets, each step fully vectorized
+            xx, yy = x + dx, y + dy
+            ok = (xx >= 0) & (xx < nx) & (yy >= 0) & (yy < ny)
+            srcs.append(c[ok])
+            nbrs.append(yy[ok] * nx + xx[ok])
+        return pa.table(
+            {"cell": np.concatenate(srcs), "nbr": np.concatenate(nbrs)}
+        )
+
+    import pyarrow.compute as _pc
+
+    neighbors = dense.map_batches(fan_out, batch_format="pyarrow")
+    dense_keys = dense.map_batches(
+        lambda b: pa.table({"nbr": b["cell"]}), batch_format="pyarrow"
+    )
+    edges = (
+        hash_join(neighbors, dense_keys, on="nbr")
+        .map_batches(
+            lambda b: b.filter(_pc.less(b["cell"], b["nbr"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    if edges.count() == 0:  # every dense cell isolated: all singletons
+        labeled = dense.map_batches(
+            lambda b: b.append_column("component", b["cell"]),
+            batch_format="pyarrow",
+        )
+    else:
+        comp = connected_components(edges, src="cell", dst="nbr").map_batches(
+            lambda b: b.rename_columns(["cell", "component"]),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(dense, comp, on="cell", how="left")
+
+        def fill_isolated(b: pa.Table) -> pa.Table:
+            filled = _pc.coalesce(
+                b["component"].combine_chunks().cast(pa.int64()), b["cell"]
+            )
+            return b.set_column(
+                b.schema.get_field_index("component"), "component", filled
+            )
+
+        labeled = joined.map_batches(fill_isolated, batch_format="pyarrow")
+
+    out = (
+        labeled.groupby("component")
+        .aggregate(Count(alias_name="n_cells"), Sum("n", alias_name="n_points"))
+        .to_pandas()
+    )
+    out = out.astype({"component": "int64", "n_cells": "int64", "n_points": "int64"})
+    return out.sort_values("component").reset_index(drop=True)

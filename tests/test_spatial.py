@@ -858,3 +858,19 @@ def test_polygon_rejects_closed_line_segment():
 
     with pytest.raises(ValueError, match="distinct"):
         Polygon([np.array([[0.0, 0.0], [1.0, 1.0], [0.0, 0.0]])])
+
+
+def test_hotspot_clusters_distributed_path_matches_driver_path():
+    """The size-gated driver union-find and the distributed
+    fan-out + cc path must produce identical clusters — pinned at
+    sf0.01 (real multi-cell clusters) and sf0.001 (a single isolated
+    dense cell, exercising the zero-edge singleton branch)."""
+    import pandas as pd
+
+    from rayhist.pipelines import _hotspot_clusters
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        fast = _hotspot_clusters(sf_dir)
+        dist = _hotspot_clusters(sf_dir, force_distributed=True)
+        pd.testing.assert_frame_equal(fast, dist)
+    assert (fast["n_cells"] > 1).any()  # sf0.01 has genuine multi-cell clusters
