@@ -2583,3 +2583,28 @@ FROM dense d LEFT JOIN comp c ON c.node = d.cell
 GROUP BY 1 ORDER BY 1
 """
     )
+
+
+def oov_rate_by_source() -> str:
+    """OOV mirror: same RE2 tokenizer, same deterministic vocab cut
+    (count desc, word asc, LIMIT K)."""
+    from .pipelines import VOCAB_K, WORD_SPLIT_RE
+
+    return f"""
+WITH t AS (
+  SELECT source, w AS word FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '{WORD_SPLIT_RE}')) AS w
+    FROM documents
+  ) WHERE w <> ''
+), vocab AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS n FROM t GROUP BY 1
+    ORDER BY n DESC, word LIMIT {VOCAB_K}
+  )
+)
+SELECT source,
+       CAST(sum(CASE WHEN word NOT IN (SELECT word FROM vocab)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1 ORDER BY 1
+"""

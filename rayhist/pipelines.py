@@ -4825,3 +4825,61 @@ def _hotspot_clusters(sf_dir: str, force_distributed: bool = False) -> pd.DataFr
     )
     out = out.astype({"component": "int64", "n_cells": "int64", "n_points": "int64"})
     return out.sort_values("component").reset_index(drop=True)
+
+
+VOCAB_K = 100  # global vocabulary size for the OOV-rate query
+
+
+def q_oov_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Out-of-vocabulary token rate per document source — the
+    tokenizer-coverage check a training pipeline runs before BPE
+    fitting. Two chained stages sharing one tokenizer: (1) the
+    distributed wordcount top-K (candidate-prune topk, K rows to the
+    driver) defines the global vocabulary; (2) the vocabulary is
+    BROADCAST ONCE via ray.put and every per-batch stage reads the
+    shared object-store copy (never re-shipped per batch) to count
+    member/non-member tokens per source as partials -> |sources| final
+    rows. The vocab boundary is deterministic (count desc, word asc),
+    so both engines cut the same K words."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .aggregate import combine_partials
+    from .ops.relational import topk
+
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def explode_count(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+        )
+        words = words.filter(pc.not_equal(words, ""))
+        t = pa.table({"word": words})
+        g = pa.TableGroupBy(t, ["word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n_p"])
+
+    counts = ds.map_batches(explode_count, batch_format="pyarrow").groupby("word").sum("n_p")
+    vocab = topk(counts, key="sum(n_p)", k=VOCAB_K, tiebreak="word", descending=True)
+    vocab_ref = ray.put(pd.Index(vocab["word"]))
+
+    def oov_stage(b: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)  # zero-copy object-store read per task
+        words = pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        src = np.repeat(b["source"].to_numpy(zero_copy_only=False), n_per)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat_np = flat.to_numpy(zero_copy_only=False)[keep]
+        src = src[keep]
+        oov = (~pd.Series(flat_np).isin(v)).to_numpy()
+        part = pd.DataFrame({"source": src, "oov": oov})
+        g = part.groupby("source", as_index=False).agg(
+            n_oov_p=("oov", "sum"), n_p=("oov", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(oov_stage, batch_format="pyarrow")
+    df = combine_partials(
+        parts, keys=["source"], sums={"n_oov_p": "n_oov", "n_p": "n_tokens"}
+    )
+    return df.sort_values("source").reset_index(drop=True)
