@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trend_by_type": p.q_value_trend_by_type,
         "snapshot_hotspot_clusters": p.q_snapshot_hotspot_clusters,
         "oov_rate_by_source": p.q_oov_rate_by_source,
+        "supplier_fuzzy_pairs": p.q_supplier_fuzzy_pairs,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "value_trend_by_type": o.value_trend_by_type(p.T0, p.DAY_US),
         "snapshot_hotspot_clusters": o.snapshot_hotspot_clusters(p.HOTSPOT_MINPTS),
         "oov_rate_by_source": o.oov_rate_by_source(),
+        "supplier_fuzzy_pairs": o.supplier_fuzzy_pairs(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

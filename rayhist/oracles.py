@@ -2608,3 +2608,14 @@ SELECT source,
        CAST(count(*) AS BIGINT) AS n_tokens
 FROM t GROUP BY 1 ORDER BY 1
 """
+
+
+def supplier_fuzzy_pairs() -> str:
+    """Fuzzy-join mirror: naive levenshtein self-join (affordable at
+    oracle scale; the engine's PassJoin candidates must equal it)."""
+    return """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+FROM supplier a JOIN supplier b
+ON a.s_suppkey < b.s_suppkey AND levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY 1, 2
+"""

@@ -4883,3 +4883,20 @@ def q_oov_rate_by_source(sf_dir: str) -> pd.DataFrame:
         parts, keys=["source"], sums={"n_oov_p": "n_oov", "n_p": "n_tokens"}
     )
     return df.sort_values("source").reset_index(drop=True)
+
+
+def q_supplier_fuzzy_pairs(sf_dir: str) -> pd.DataFrame:
+    """String similarity join: all supplier pairs whose names are
+    within ONE edit (PassJoin d=1 partition scheme — see
+    rayhist/ops/fuzzy.py). Candidates come from the segment equi-join,
+    never an all-pairs product; the exact vectorized verify and the
+    global pair dedupe are both distributed. The oracle is the naive
+    levenshtein self-join DuckDB can afford at oracle scale."""
+    from .ops.fuzzy import edit1_pairs
+
+    sup = rio.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    pairs = edit1_pairs(sup, id_col="s_suppkey", s_col="s_name").to_pandas()
+    pairs = pairs.astype({"id_a": "int64", "id_b": "int64"})
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1526,3 +1526,66 @@ def test_grouped_weighted_median_rejects_nonpositive_weight():
     df = pd.DataFrame({"g": [1, 1], "v": [5, 6], "w": [0, 2]})
     with pytest.raises(Exception, match="non-positive"):
         grouped_weighted_median_int(ray.data.from_pandas(df), ["g"], "v", "w")
+
+
+def test_edit1_pairs_brute_force():
+    """PassJoin d=1 fuzzy join vs the O(n^2) brute-force edit<=1
+    reference over a randomly mutated corpus (substitutions,
+    insertions, deletions, exact dups, and far strings)."""
+    import ray.data
+
+    from rayhist.ops.fuzzy import edit1_pairs
+
+    def ref_edit1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        s, t = (a, b) if la < lb else (b, a)
+        i = 0
+        while i < len(s) and s[i] == t[i]:
+            i += 1
+        return s[i:] == t[i + 1:]
+
+    rng = np.random.default_rng(17)
+    alpha = list("abcd")
+    strs = []
+    for _ in range(60):
+        base = "".join(rng.choice(alpha, size=rng.integers(1, 9)))
+        strs.append(base)
+        kind = rng.integers(0, 4)
+        m = list(base)
+        p = int(rng.integers(0, len(m)))
+        if kind == 0:
+            m[p] = str(rng.choice(alpha))  # substitution
+        elif kind == 1:
+            m.insert(p, str(rng.choice(alpha)))  # insertion
+        elif kind == 2 and len(m) > 1:
+            del m[p]  # deletion
+        strs.append("".join(m))  # kind==3: exact duplicate
+    df = pd.DataFrame({"id": np.arange(len(strs), dtype=np.int64), "s": strs})
+    got = (
+        edit1_pairs(ray.data.from_pandas(df).repartition(4), "id", "s")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = sorted(
+        (i, j)
+        for i in range(len(strs))
+        for j in range(i + 1, len(strs))
+        if ref_edit1(strs[i], strs[j])
+    )
+    assert list(map(tuple, got[["id_a", "id_b"]].to_numpy())) == want
+    assert len(want) >= 60  # mutations guarantee plenty of true pairs
+
+
+def test_edit1_pairs_rejects_empty_strings():
+    import ray.data
+
+    from rayhist.ops.fuzzy import edit1_pairs
+
+    df = pd.DataFrame({"id": [1, 2], "s": ["", "a"]})
+    with pytest.raises(Exception, match="empty strings"):
+        edit1_pairs(ray.data.from_pandas(df), "id", "s").to_pandas()
