@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_hotspot_clusters": p.q_snapshot_hotspot_clusters,
         "oov_rate_by_source": p.q_oov_rate_by_source,
         "supplier_fuzzy_pairs": p.q_supplier_fuzzy_pairs,
+        "ohlc_daily": p.q_ohlc_daily,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_hotspot_clusters": o.snapshot_hotspot_clusters(p.HOTSPOT_MINPTS),
         "oov_rate_by_source": o.oov_rate_by_source(),
         "supplier_fuzzy_pairs": o.supplier_fuzzy_pairs(),
+        "ohlc_daily": o.ohlc_daily(p.T0, p.DAY_US),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

@@ -2619,3 +2619,31 @@ FROM supplier a JOIN supplier b
 ON a.s_suppkey < b.s_suppkey AND levenshtein(a.s_name, b.s_name) <= 1
 ORDER BY 1, 2
 """
+
+
+def ohlc_daily(t0: int, day_us: int) -> str:
+    """OHLC mirror: the row_number window pair with the same
+    deterministic (ts, event_id) order."""
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) - {int(t0)}) // {int(day_us)} AS BIGINT) AS day,
+         epoch_us(ts) AS t, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY t, event_id) AS rf,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY t DESC, event_id DESC) AS rl
+  FROM e
+)
+SELECT event_type, day,
+       CAST(max(CASE WHEN rf = 1 THEN v END) AS BIGINT) AS open,
+       CAST(max(v) AS BIGINT) AS high,
+       CAST(min(v) AS BIGINT) AS low,
+       CAST(max(CASE WHEN rl = 1 THEN v END) AS BIGINT) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -4900,3 +4900,53 @@ def q_supplier_fuzzy_pairs(sf_dir: str) -> pd.DataFrame:
     pairs = edit1_pairs(sup, id_col="s_suppkey", s_col="s_name").to_pandas()
     pairs = pairs.astype({"id_a": "int64", "id_b": "int64"})
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_ohlc_daily(sf_dir: str) -> pd.DataFrame:
+    """Candlestick aggregate per (day, event type): OPEN (value of the
+    first event), HIGH, LOW, CLOSE (value of the last event), count —
+    FIRST/LAST_VALUE computed as COMBINABLE PARTIALS, not windows: each
+    batch keeps one (ts, event_id, value) witness per key per side
+    (first = min (ts, event_id) lexicographic, deterministic under ts
+    ties) plus min/max/count, and the driver combine replays the same
+    rule over |keys x blocks| witness rows. Exact integer cents
+    throughout; the mirror is the row_number window pair."""
+    from .ops.relational import cents
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "day": (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0)
+                // DAY_US,
+                "ts": b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "event_id": b["event_id"].to_numpy(zero_copy_only=False),
+                "value_c": b["value_c"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["event_type", "day", "ts", "event_id"], kind="mergesort")
+        g = df.groupby(["event_type", "day"], as_index=False)
+        out = g.agg(
+            o_ts=("ts", "first"), o_id=("event_id", "first"), open=("value_c", "first"),
+            c_ts=("ts", "last"), c_id=("event_id", "last"), close=("value_c", "last"),
+            high=("value_c", "max"), low=("value_c", "min"), n_p=("value_c", "size"),
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ev.map_batches(partials, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["event_type", "day", "o_ts", "o_id"], kind="mergesort")
+    first = parts.groupby(["event_type", "day"], as_index=False).agg(open=("open", "first"))
+    parts2 = parts.sort_values(["event_type", "day", "c_ts", "c_id"], kind="mergesort")
+    last = parts2.groupby(["event_type", "day"], as_index=False).agg(close=("close", "last"))
+    rest = parts.groupby(["event_type", "day"], as_index=False).agg(
+        high=("high", "max"), low=("low", "min"), n=("n_p", "sum")
+    )
+    out = rest.merge(first, on=["event_type", "day"]).merge(last, on=["event_type", "day"])
+    out = out[["event_type", "day", "open", "high", "low", "close", "n"]].astype(
+        {"day": "int64", "open": "int64", "high": "int64",
+         "low": "int64", "close": "int64", "n": "int64"}
+    )
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
