@@ -1,0 +1,248 @@
+"""Distributed exact triangle counting over an edge Dataset.
+
+The classic compact-forward / degree-orientation algorithm expressed
+as bucket shuffles (Latapy 2008; the MapReduce formulation is Suri &
+Vassilvitskii 2011, "Counting Triangles and the Curse of the Last
+Reducer"):
+
+- canonicalize + dedupe the undirected edge set (one pair-hash bucket
+  shuffle — duplicates would inflate counts);
+- compute degrees (one node-bucket shuffle) and ORIENT every edge from
+  its lower endpoint to its higher endpoint under the total order
+  ``ord(x) = (deg(x), x)`` — two attach shuffles;
+- generate wedges per oriented source (one source-bucket shuffle; the
+  orientation bounds out-degree by O(sqrt(m)), which is exactly what
+  defeats the "curse of the last reducer" on hot vertices);
+- close wedges against the oriented edge set (one pair-bucket co-group)
+  and sum matches.
+
+Every triangle {x,y,z} with ord(x) < ord(y) < ord(z) is generated
+exactly once — as the wedge (y,z) emitted by source x and closed by
+the oriented edge y->z. Total: six bounded complete-key bucket
+shuffles; nothing corpus-sized ever reaches the driver (the result is
+one int64). Per-bucket memory is O(bucket's edges + wedges); wedge
+volume is Sum_v C(outdeg(v), 2) <= O(m^1.5) globally, spread across
+buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .window import _bucket_of, _resolve_buckets
+
+
+def _pair_key(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Collision-free int64 pair key for bucket routing ONLY (bucket
+    routing tolerates collisions; the in-bucket compares use the real
+    (u, v) columns). fmix-style mix of the two halves."""
+    h = u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + v.astype(np.uint64)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h.astype(np.int64)
+
+
+def dedupe_edges(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Canonical distinct undirected edge set: (u, v) with u < v,
+    self-loops dropped, exactly one row per unordered pair. One
+    pair-hash bucket shuffle; per-bucket distinct."""
+    n_buckets = _resolve_buckets(n_buckets, floor=64)
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, c)
+        v = np.maximum(a, c)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table(
+            {"u": u, "v": v, "_bucket": _bucket_of(_pair_key(u, v), n_buckets)}
+        )
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["u", "v"]].drop_duplicates()
+
+    return (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(uniq, batch_format="pandas")
+    )
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int | None = None,
+) -> tuple[int, int]:
+    """Exact (n_edges, n_triangles) of the undirected graph ``edges``
+    (int64 endpoints; duplicates and self-loops tolerated — the edge
+    set is canonicalized and deduped first)."""
+    n_buckets = _resolve_buckets(n_buckets, floor=64)
+    e = dedupe_edges(edges, src, dst, n_buckets).materialize()
+    n_edges = e.count()
+    if n_edges == 0:
+        return 0, 0
+
+    # degrees: explode endpoints, node-bucket shuffle, per-bucket count
+    def explode(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        n = np.concatenate([u, v])
+        return pa.table({"node": n, "_bucket": _bucket_of(n, n_buckets)})
+
+    def count_deg(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["node"].value_counts()
+        return pd.DataFrame(
+            {"node": vc.index.to_numpy(dtype=np.int64), "deg": vc.to_numpy(dtype=np.int64)}
+        )
+
+    degs = (
+        e.map_batches(explode, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(count_deg, batch_format="pandas")
+        .materialize()
+    )
+
+    # attach deg to each endpoint: co-group edge rows with degree rows
+    # by the endpoint's node bucket (edge rows carry a null deg, degree
+    # rows a null peer — the cc.py union-one-schema pattern)
+    def attach(ds: ray.data.Dataset, node_col: str, out: str) -> ray.data.Dataset:
+        other = "v" if node_col == "u" else "u"
+
+        def tag_edge(b: pa.Table) -> pa.Table:
+            n = b[node_col].to_numpy(zero_copy_only=False)
+            cols = {
+                "node": b[node_col],
+                "peer": b[other],
+                "deg": pa.nulls(len(b), type=pa.int64()),
+                "_bucket": pa.array(_bucket_of(n, n_buckets)),
+            }
+            if "deg_u" in ds.schema().names:  # second attach keeps the first
+                cols["deg_u"] = b["deg_u"]
+            return pa.table(cols)
+
+        def tag_deg(b: pa.Table) -> pa.Table:
+            n = b["node"].to_numpy(zero_copy_only=False)
+            cols = {
+                "node": b["node"],
+                "peer": pa.nulls(len(b), type=pa.int64()),
+                "deg": b["deg"],
+                "_bucket": pa.array(_bucket_of(n, n_buckets)),
+            }
+            if "deg_u" in ds.schema().names:
+                cols["deg_u"] = pa.nulls(len(b), type=pa.int64())
+            return pa.table(cols)
+
+        carry = ["deg_u"] if "deg_u" in ds.schema().names else []
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            dg = g[g["peer"].isna()]
+            eg = g[g["peer"].notna()]
+            lut = pd.Series(
+                dg["deg"].to_numpy(dtype=np.int64),
+                index=dg["node"].to_numpy(dtype=np.int64),
+            )
+            out_df = pd.DataFrame(
+                {
+                    node_col: eg["node"].to_numpy(dtype=np.int64),
+                    other: eg["peer"].to_numpy(dtype=np.int64),
+                    out: lut[eg["node"].to_numpy(dtype=np.int64)].to_numpy(),
+                }
+            )
+            for c in carry:
+                out_df[c] = eg[c].to_numpy(dtype=np.int64)
+            return out_df
+
+        both = ds.map_batches(tag_edge, batch_format="pyarrow").union(
+            degs.map_batches(tag_deg, batch_format="pyarrow")
+        )
+        return both.groupby("_bucket").map_groups(join, batch_format="pandas")
+
+    e2 = attach(attach(e, "u", "deg_u"), "v", "deg_v").materialize()
+
+    # orient low ord -> high ord under ord(x) = (deg(x), x), then group
+    # wedges by source (complete-by-source bucket)
+    def orient(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        du = b["deg_u"].to_numpy(zero_copy_only=False)
+        dv = b["deg_v"].to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        s = np.where(u_first, u, v)
+        t = np.where(u_first, v, u)
+        st = np.where(u_first, dv, du)  # ord of the TARGET, for wedge ordering
+        return pa.table(
+            {"s": s, "t": t, "dt": st, "_bucket": _bucket_of(s, n_buckets)}
+        )
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # per source, targets sorted by ord = (deg, id); emit ordered
+        # pairs (a, b) with ord(a) < ord(b) — vectorized via a bounded
+        # in-source self-merge (out-degree is O(sqrt(m)) by orientation)
+        g = g.sort_values(["s", "dt", "t"], kind="mergesort")
+        g = g.assign(_r=g.groupby("s", sort=False).cumcount())
+        m = g.merge(g, on="s", suffixes=("_a", "_b"))
+        m = m[m["_r_a"] < m["_r_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"a": m["t_a"].to_numpy(dtype=np.int64), "b": m["t_b"].to_numpy(dtype=np.int64)}
+        )
+
+    w = oriented.groupby("_bucket").map_groups(wedges, batch_format="pandas")
+
+    # close: a wedge (a, b) with ord(a) < ord(b) is a triangle iff the
+    # oriented edge a->b exists; co-group by pair bucket and count
+    def tag_wedge(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        c = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": a,
+                "b": c,
+                "_is_edge": np.zeros(len(a), dtype=np.int64),
+                "_bucket": _bucket_of(_pair_key(a, c), n_buckets),
+            }
+        )
+
+    def tag_closing(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        t = b["t"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": s,
+                "b": t,
+                "_is_edge": np.ones(len(s), dtype=np.int64),
+                "_bucket": _bucket_of(_pair_key(s, t), n_buckets),
+            }
+        )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        eg = g[g["_is_edge"] == 1]
+        wg = g[g["_is_edge"] == 0]
+        if eg.empty or wg.empty:
+            return pd.DataFrame({"n": pd.Series(dtype="int64")})
+        m = wg.merge(eg[["a", "b"]], on=["a", "b"], how="inner")
+        return pd.DataFrame({"n": [np.int64(len(m))]})
+
+    both = w.map_batches(tag_wedge, batch_format="pyarrow").union(
+        oriented.map_batches(tag_closing, batch_format="pyarrow")
+    )
+    closed = both.groupby("_bucket").map_groups(close, batch_format="pandas")
+    n_tri = closed.sum("n")
+    return int(n_edges), int(n_tri or 0)

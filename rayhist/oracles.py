@@ -2647,3 +2647,19 @@ SELECT event_type, day,
        CAST(count(*) AS BIGINT) AS n
 FROM r GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def copurchase_triangles() -> str:
+    """Triangle mirror: distinct co-purchase pairs, then the ordered
+    three-way self-join (pa < pb < pc with all three edges present)."""
+    return """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+          JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+"""

@@ -4950,3 +4950,51 @@ def q_ohlc_daily(sf_dir: str) -> pd.DataFrame:
          "low": "int64", "close": "int64", "n": "int64"}
     )
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count of the co-purchase graph (parts are
+    adjacent iff some order contains both). Edge generation is a
+    complete-by-order bucket fan-out (order sizes are bounded, so the
+    per-order pair explosion is O(items^2) <= ~170 rows); counting is
+    the degree-oriented wedge join in ops/triangles.py — six bounded
+    bucket shuffles, one int64 to the driver. The oracle is the
+    three-way self-join over the identical distinct edge set."""
+    import ray.data
+
+    from .ops.triangles import triangle_count
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    li = rio.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ok": ok,
+                "pk": b["l_partkey"].cast(pa.int64()),
+                "_bucket": _bucket_of(ok, nb),
+            }
+        )
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["ok", "pk"]].drop_duplicates()
+        m = g.merge(g, on="ok", suffixes=("_a", "_b"))
+        m = m[m["pk_a"] < m["pk_b"]]
+        return pd.DataFrame(
+            {
+                "src": m["pk_a"].to_numpy(dtype=np.int64),
+                "dst": m["pk_b"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    edges = (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(order_pairs, batch_format="pandas")
+    )
+    n_edges, n_tri = triangle_count(edges, n_buckets=nb)
+    return pd.DataFrame({"n_edges": [n_edges], "n_triangles": [n_tri]}).astype("int64")

@@ -1589,3 +1589,48 @@ def test_edit1_pairs_rejects_empty_strings():
     df = pd.DataFrame({"id": [1, 2], "s": ["", "a"]})
     with pytest.raises(Exception, match="empty strings"):
         edit1_pairs(ray.data.from_pandas(df), "id", "s").to_pandas()
+
+
+def _tri_brute(edges: list[tuple[int, int]]) -> tuple[int, int]:
+    E = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    adj: dict[int, set] = {}
+    for u, v in E:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # count each triangle once: for edge (u,v) u<v, third vertex w > v
+    tri = sum(1 for (u, v) in E for w in (adj[u] & adj[v]) if w > v)
+    return len(E), tri
+
+
+def test_triangle_count_brute_force():
+    """Randomized differential: degree-oriented wedge join vs the
+    O(E * V) adjacency-intersection brute force, including duplicate
+    and self-loop inputs."""
+    import ray
+
+    from rayhist.ops.triangles import triangle_count
+
+    rng = np.random.RandomState(7)
+    for n, m in [(8, 20), (20, 80), (40, 300)]:
+        u = rng.randint(0, n, size=m)
+        v = rng.randint(0, n, size=m)
+        edges = list(zip(u.tolist(), v.tolist()))
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"src": u.astype(np.int64), "dst": v.astype(np.int64)})
+        )
+        got = triangle_count(ds, n_buckets=4)
+        assert got == _tri_brute(edges), (n, m)
+
+
+def test_triangle_count_empty_and_triangle():
+    import ray
+
+    from rayhist.ops.triangles import triangle_count
+
+    only_loops = ray.data.from_pandas(pd.DataFrame({"src": [3, 4], "dst": [3, 4]}))
+    assert triangle_count(only_loops, n_buckets=2) == (0, 0)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": [e[0] for e in k4], "dst": [e[1] for e in k4]})
+    )
+    assert triangle_count(ds, n_buckets=2) == (6, 4)
