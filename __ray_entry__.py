@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_fuzzy_pairs": p.q_supplier_fuzzy_pairs,
         "ohlc_daily": p.q_ohlc_daily,
         "copurchase_triangles": p.q_copurchase_triangles,
+        "snapshot_colocation_pairs": p.q_snapshot_colocation_pairs,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -279,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_fuzzy_pairs": o.supplier_fuzzy_pairs(),
         "ohlc_daily": o.ohlc_daily(p.T0, p.DAY_US),
         "copurchase_triangles": o.copurchase_triangles(),
+        "snapshot_colocation_pairs": o.snapshot_colocation_pairs(p.COLOC_RADIUS_E7),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

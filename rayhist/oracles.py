@@ -2663,3 +2663,26 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
 FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
           JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
 """
+
+
+def snapshot_colocation_pairs(radius: int) -> str:
+    """Radius self-join mirror: |delta| prefilter keeps the squares in
+    int64 range on both sides (same rule as spatial/radius.py)."""
+    r = int(radius)
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+SELECT a.osm_id AS id_a, b.osm_id AS id_b,
+       CAST((a.lon_e7 - b.lon_e7) * (a.lon_e7 - b.lon_e7)
+          + (a.lat_e7 - b.lat_e7) * (a.lat_e7 - b.lat_e7) AS BIGINT) AS d2
+FROM snap a JOIN snap b
+  ON a.osm_id < b.osm_id
+ AND abs(a.lon_e7 - b.lon_e7) <= {r}
+ AND abs(a.lat_e7 - b.lat_e7) <= {r}
+WHERE (a.lon_e7 - b.lon_e7) * (a.lon_e7 - b.lon_e7)
+    + (a.lat_e7 - b.lat_e7) * (a.lat_e7 - b.lat_e7) <= {r}::BIGINT * {r}::BIGINT
+ORDER BY 1, 2
+"""
+    )

@@ -4998,3 +4998,33 @@ def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     )
     n_edges, n_tri = triangle_count(edges, n_buckets=nb)
     return pd.DataFrame({"n_edges": [n_edges], "n_triangles": [n_tri]}).astype("int64")
+
+
+COLOC_RADIUS_E7 = 400_000_000  # 40 degrees in e7 units
+
+
+def q_snapshot_colocation_pairs(sf_dir: str) -> pd.DataFrame:
+    """Co-location pairs: every pair of visible entities whose
+    snapshot positions at T_MID lie within COLOC_RADIUS_E7 planar
+    units, with the exact int64 squared distance. The snapshot stage
+    is the usual fused decode+interpolate map_batches; the pair stage
+    is the grid-partitioned radius self-join (spatial/radius.py —
+    9-cell ghost replication, resident<other tie-break, one bucket
+    shuffle, nothing quadratic in the corpus). The oracle is the
+    prefiltered self-join over the identical snapshot CTE."""
+    from .model import decode_spans
+    from .spatial.radius import radius_self_join
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        return pa.table(
+            {"id": s["osm_id"], "x": s["lon_e7"], "y": s["lat_e7"]}
+        )
+
+    pts = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = radius_self_join(pts, COLOC_RADIUS_E7).to_pandas()
+    df = df.astype({"id_a": "int64", "id_b": "int64", "d2": "int64"})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)

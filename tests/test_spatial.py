@@ -874,3 +874,58 @@ def test_hotspot_clusters_distributed_path_matches_driver_path():
         dist = _hotspot_clusters(sf_dir, force_distributed=True)
         pd.testing.assert_frame_equal(fast, dist)
     assert (fast["n_cells"] > 1).any()  # sf0.01 has genuine multi-cell clusters
+
+
+def test_radius_self_join_brute_force():
+    import pandas as pd
+    """Dense random cloud across many cells vs the O(n^2) brute force:
+    pair set AND exact d2 values match, no pair is emitted twice, and
+    boundary pairs at d2 == r^2 exactly are included."""
+    import ray
+
+    from rayhist.spatial.radius import radius_self_join
+
+    rng = np.random.RandomState(11)
+    n, r = 600, 1000
+    pts = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "x": rng.randint(-20000, 20000, n).astype(np.int64),
+            "y": rng.randint(-10000, 10000, n).astype(np.int64),
+        }
+    )
+    # pin one exact-boundary pair: (r, 0) apart
+    pts.loc[0, ["x", "y"]] = (0, 0)
+    pts.loc[1, ["x", "y"]] = (r, 0)
+    ds = ray.data.from_pandas(pts)
+    got = (
+        radius_self_join(ds, r, n_buckets=16)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert not got.duplicated(["id_a", "id_b"]).any()
+
+    x = pts["x"].to_numpy()[:, None] - pts["x"].to_numpy()[None, :]
+    y = pts["y"].to_numpy()[:, None] - pts["y"].to_numpy()[None, :]
+    d2 = x * x + y * y
+    ia, ib = np.nonzero((d2 <= r * r) & (np.arange(n)[:, None] < np.arange(n)[None, :]))
+    want = pd.DataFrame(
+        {"id_a": ia.astype(np.int64), "id_b": ib.astype(np.int64), "d2": d2[ia, ib]}
+    ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    assert ((got["id_a"] == 0) & (got["id_b"] == 1)).any()  # the boundary pair
+
+
+def test_radius_self_join_rejects_bad_radius():
+    import pandas as pd
+    import pytest
+    import ray
+
+    from rayhist.spatial.radius import radius_self_join
+
+    ds = ray.data.from_pandas(pd.DataFrame({"id": [1], "x": [0], "y": [0]}))
+    with pytest.raises(ValueError):
+        radius_self_join(ds, 0)
+    with pytest.raises(ValueError):
+        radius_self_join(ds, 3_000_000_000)
