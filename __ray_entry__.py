@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_daily": p.q_ohlc_daily,
         "copurchase_triangles": p.q_copurchase_triangles,
         "snapshot_colocation_pairs": p.q_snapshot_colocation_pairs,
+        "way_boundary_crossings": p.q_way_boundary_crossings,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_daily": o.ohlc_daily(p.T0, p.DAY_US),
         "copurchase_triangles": o.copurchase_triangles(),
         "snapshot_colocation_pairs": o.snapshot_colocation_pairs(p.COLOC_RADIUS_E7),
+        "way_boundary_crossings": o.way_boundary_crossings(p.BOUNDARY_E7),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

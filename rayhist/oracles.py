@@ -2686,3 +2686,31 @@ WHERE (a.lon_e7 - b.lon_e7) * (a.lon_e7 - b.lon_e7)
 ORDER BY 1, 2
 """
     )
+
+
+def way_boundary_crossings(boundary) -> str:
+    """Proper-crossing mirror: the same orientation-sign formula as
+    spatial/predicates.orient_sign, exact via HUGEINT casts."""
+    vals = ", ".join(
+        f"({ax}, {ay}, {bx}, {by})"
+        for (ax, ay), (bx, by) in zip(boundary, boundary[1:])
+    )
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, pos AS (SELECT osm_id, lon_e7, lat_e7 FROM snap)
+, seg AS (SELECT a.osm_id AS way_id, a.lon_e7 AS cx, a.lat_e7 AS cy,
+                 b.lon_e7 AS dx, b.lat_e7 AS dy
+          FROM pos a JOIN pos b ON b.osm_id = a.osm_id + 1)
+, bnd AS (SELECT * FROM (VALUES {vals}) t(ax, ay, bx, by))
+SELECT way_id, CAST(count(*) AS BIGINT) AS n_crossings
+FROM seg JOIN bnd ON
+    sign(CAST(bx-ax AS HUGEINT)*(cy-ay) - CAST(by-ay AS HUGEINT)*(cx-ax))
+  * sign(CAST(bx-ax AS HUGEINT)*(dy-ay) - CAST(by-ay AS HUGEINT)*(dx-ax)) < 0
+AND sign(CAST(dx-cx AS HUGEINT)*(ay-cy) - CAST(dy-cy AS HUGEINT)*(ax-cx))
+  * sign(CAST(dx-cx AS HUGEINT)*(by-cy) - CAST(dy-cy AS HUGEINT)*(bx-cx)) < 0
+GROUP BY 1 ORDER BY 1
+"""
+    )

@@ -5028,3 +5028,80 @@ def q_snapshot_colocation_pairs(sf_dir: str) -> pd.DataFrame:
     df = radius_self_join(pts, COLOC_RADIUS_E7).to_pandas()
     df = df.astype({"id_a": "int64", "id_b": "int64", "d2": "int64"})
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# boundary polyline for the segment-crossing query (e7 lon/lat)
+BOUNDARY_E7 = [
+    (-1_500_000_000, -800_000_000),
+    (-500_000_000, 600_000_000),
+    (500_000_000, -600_000_000),
+    (1_500_000_000, 800_000_000),
+]
+
+
+def q_way_boundary_crossings(sf_dir: str) -> pd.DataFrame:
+    """Ways whose T_MID segment PROPERLY crosses the fixed boundary
+    polyline, with the crossing count — exact integer orientation
+    signs throughout (spatial/predicates.py: the products stay in
+    int64 because lon deltas fit 32 bits and lat deltas 31; the
+    difference's sign is recovered without the overflowing subtract).
+    Segments are the synthetic ways node/u -> node/(u+1) (the
+    way_lengths join); the boundary is a broadcast constant, so the
+    crossing test is one vectorized kernel per batch — no extra
+    shuffle beyond the endpoint join. The oracle mirrors the
+    orientation formula through HUGEINT casts."""
+    from .model import decode_spans
+    from .ops.relational import hash_join
+    from .spatial.predicates import segments_cross
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(
+            ["osm_id", "lon_e7", "lat_e7"]
+        )
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
+
+    def as_left(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"join_k": batch["osm_id"], "cx": batch["lon_e7"], "cy": batch["lat_e7"]}
+        )
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "join_k": pa.compute.subtract(batch["osm_id"], 1),
+                "dx": batch["lon_e7"],
+                "dy": batch["lat_e7"],
+            }
+        )
+
+    joined = hash_join(
+        pos.map_batches(as_left, batch_format="pyarrow"),
+        pos.map_batches(as_right, batch_format="pyarrow"),
+        on="join_k",
+    )
+
+    def crossings(batch: pa.Table) -> pa.Table:
+        cx = batch["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = batch["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = batch["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dy = batch["dy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.zeros(len(cx), dtype=np.int64)
+        for (ax, ay), (bx, by) in zip(BOUNDARY_E7, BOUNDARY_E7[1:]):
+            n += segments_cross(
+                np.int64(ax), np.int64(ay), np.int64(bx), np.int64(by), cx, cy, dx, dy
+            )
+        keep = n > 0
+        return pa.table(
+            {
+                "way_id": batch["join_k"].to_numpy(zero_copy_only=False)[keep],
+                "n_crossings": n[keep],
+            }
+        )
+
+    df = joined.map_batches(crossings, batch_format="pyarrow").to_pandas()
+    df = df.astype({"way_id": "int64", "n_crossings": "int64"})
+    return df.sort_values("way_id").reset_index(drop=True)

@@ -929,3 +929,59 @@ def test_radius_self_join_rejects_bad_radius():
         radius_self_join(ds, 0)
     with pytest.raises(ValueError):
         radius_self_join(ds, 3_000_000_000)
+
+
+def test_orient_sign_exact_in_overflow_regime():
+    """Differential vs Python big-int cross products at coordinate
+    extremes where the naive int64 difference WOULD wrap (products
+    near +-6.5e18 of opposite sign), plus collinear zeros."""
+    from rayhist.spatial.predicates import orient_sign
+
+    rng = np.random.RandomState(3)
+    # corner-heavy sampling: extremes of the e7 lattice
+    choices = np.array(
+        [-1_799_999_999, -900_000_000, -1, 0, 1, 899_999_999, 1_799_999_999],
+        dtype=np.int64,
+    )
+    ax = rng.choice(choices, 4000); ay = rng.choice(choices, 4000) // 2
+    bx = rng.choice(choices, 4000); by = rng.choice(choices, 4000) // 2
+    cx = rng.choice(choices, 4000); cy = rng.choice(choices, 4000) // 2
+    got = orient_sign(ax, ay, bx, by, cx, cy)
+    want = np.array(
+        [
+            (int(b1 - a1) * int(c2 - a2) - int(b2 - a2) * int(c1 - a1) > 0)
+            - (int(b1 - a1) * int(c2 - a2) - int(b2 - a2) * int(c1 - a1) < 0)
+            for a1, a2, b1, b2, c1, c2 in zip(ax, ay, bx, by, cx, cy)
+        ],
+        dtype=np.int8,
+    )
+    assert np.array_equal(got, want)
+    # envelope guard: a delta beyond 2^32 raises instead of wrapping
+    with pytest.raises(ValueError):
+        orient_sign(
+            np.array([-3_000_000_000]), np.array([0]),
+            np.array([3_000_000_000]), np.array([0]),
+            np.array([0]), np.array([1]),
+        )
+
+
+def test_segments_cross_semantics():
+    """Proper crossing only: X-crossing True; endpoint touch,
+    collinear overlap, T-junction and disjoint all False."""
+    from rayhist.spatial.predicates import segments_cross
+
+    def one(a, b, c, d):
+        return bool(
+            segments_cross(
+                np.array([a[0]]), np.array([a[1]]),
+                np.array([b[0]]), np.array([b[1]]),
+                np.array([c[0]]), np.array([c[1]]),
+                np.array([d[0]]), np.array([d[1]]),
+            )[0]
+        )
+
+    assert one((-10, -10), (10, 10), (-10, 10), (10, -10))  # X
+    assert not one((0, 0), (10, 0), (10, 0), (20, 5))       # endpoint touch
+    assert not one((0, 0), (10, 0), (5, 0), (15, 0))        # collinear overlap
+    assert not one((0, 0), (10, 0), (5, 0), (5, 10))        # T-junction
+    assert not one((0, 0), (10, 0), (0, 5), (10, 5))        # parallel disjoint
