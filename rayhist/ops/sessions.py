@@ -99,3 +99,47 @@ def user_session_stats(
         )
 
     return _bucketed(events, key_col, n_buckets, bucket_user_stats)
+
+
+def interval_union_length(
+    intervals: ray.data.Dataset,
+    key_col: str,
+    s_col: str,
+    e_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key UNION length of half-open intervals [s, e): overlapping
+    and touching intervals merge (coverage counted once), and the
+    merged-span count comes along for free. The stabbing-coverage
+    complement of sessionize's gap rule: one complete-keys bucket
+    shuffle, in-bucket vectorized sweep (sort by (key, s, e); an
+    interval opens a new span iff its start exceeds the running max
+    end of everything before it in its key). Returns one row per key:
+    (key, covered, n_spans). Malformed intervals (e < s) raise."""
+
+    def bucket_union(g: pd.DataFrame) -> pd.DataFrame:
+        if (g[e_col].to_numpy() < g[s_col].to_numpy()).any():
+            raise ValueError("interval_union_length: interval end < start")
+        g = g.sort_values([key_col, s_col, e_col], kind="mergesort")
+        # fill_value keeps the shift in int64 — a NaN fill would coerce
+        # microsecond timestamps to float64 and lose low bits
+        pmax = (
+            g.groupby(key_col, sort=False)[e_col]
+            .cummax()
+            .shift(1, fill_value=np.iinfo(np.int64).min)
+        )
+        first = ~g[key_col].duplicated()
+        new_span = first | (g[s_col] > pmax)
+        isl = new_span.cumsum()
+        spans = g.assign(_isl=isl).groupby([key_col, "_isl"], sort=False).agg(
+            _s=(s_col, "min"), _e=(e_col, "max")
+        )
+        spans["_len"] = spans["_e"] - spans["_s"]
+        out = spans.groupby(level=0, sort=False).agg(
+            covered=("_len", "sum"), n_spans=("_len", "size")
+        )
+        return out.reset_index().astype(
+            {key_col: "int64", "covered": "int64", "n_spans": "int64"}
+        )
+
+    return _bucketed(intervals, key_col, n_buckets, bucket_union)

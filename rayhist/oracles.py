@@ -2714,3 +2714,33 @@ AND sign(CAST(dx-cx AS HUGEINT)*(ay-cy) - CAST(dy-cy AS HUGEINT)*(ax-cx))
 GROUP BY 1 ORDER BY 1
 """
     )
+
+
+def user_active_coverage() -> str:
+    """Interval-union mirror: running-max-end island detection with
+    the identical (s, e) tie order."""
+    return """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + (CAST(round(value*100) AS BIGINT) % 3600 + 1) * 1000000 AS e
+  FROM events
+), m AS (
+  SELECT *,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+), g AS (
+  SELECT *,
+         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM m
+), spans AS (
+  SELECT user_id, isl, max(e) - min(s) AS len FROM g GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS covered_us,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM spans GROUP BY 1 ORDER BY 1
+"""

@@ -5105,3 +5105,32 @@ def q_way_boundary_crossings(sf_dir: str) -> pd.DataFrame:
     df = joined.map_batches(crossings, batch_format="pyarrow").to_pandas()
     df = df.astype({"way_id": "int64", "n_crossings": "int64"})
     return df.sort_values("way_id").reset_index(drop=True)
+
+
+def q_user_active_coverage(sf_dir: str) -> pd.DataFrame:
+    """Per-user UNION of activity intervals: each event opens a
+    service window [ts, ts + (cents % 3600 + 1) seconds); overlapping
+    windows merge, and the query reports the exact covered
+    microseconds and merged-span count per user (coverage, not sum —
+    the interval_union_length sweep in ops/sessions.py: one
+    complete-keys bucket shuffle). The mirror is the classic
+    gaps-and-islands window pair."""
+    from .ops.relational import cents
+    from .ops.sessions import interval_union_length
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+
+    def iv(b: pa.Table) -> pa.Table:
+        s = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = (b["value_c"].to_numpy(zero_copy_only=False) % 3600 + 1) * 1_000_000
+        return pa.table(
+            {"user_id": b["user_id"].cast(pa.int64()), "s": s, "e": s + dur}
+        )
+
+    out = interval_union_length(
+        ev.map_batches(iv, batch_format="pyarrow"), "user_id", "s", "e"
+    ).to_pandas()
+    out = out.rename(columns={"covered": "covered_us"})
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -1051,3 +1051,49 @@ def test_peak_concurrency_brute_force():
     )
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
     assert (want["peak_concurrency"] > 1).any()  # real overlap in the corpus
+
+
+def test_interval_union_length_brute_force():
+    """Random interval sets vs a per-key Python sweep: covered length
+    and span count match; touching half-open intervals ([1,3)+[3,5))
+    merge into one span; zero-length intervals add no coverage."""
+    from rayhist.ops.sessions import interval_union_length
+
+    rng = np.random.RandomState(5)
+    n = 400
+    k = rng.randint(0, 12, n).astype(np.int64)
+    s = rng.randint(0, 1000, n).astype(np.int64)
+    e = s + rng.randint(0, 50, n).astype(np.int64)  # includes zero-length
+    # pin the touching case on its own key
+    k[:2], s[0], e[0], s[1], e[1] = 99, 1, 3, 3, 5
+    ds = ray.data.from_pandas(pd.DataFrame({"k": k, "s": s, "e": e}))
+    got = (
+        interval_union_length(ds, "k", "s", "e", n_buckets=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    want_rows = []
+    for key in sorted(set(k.tolist())):
+        ivs = sorted((int(a), int(b)) for a, b, kk in zip(s, e, k) if kk == key)
+        spans = []
+        for a, b in ivs:
+            if spans and a <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], b)
+            else:
+                spans.append([a, b])
+        want_rows.append(
+            {"k": key, "covered": sum(b - a for a, b in spans), "n_spans": len(spans)}
+        )
+    want = pd.DataFrame(want_rows).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+    assert int(got.loc[got["k"] == 99, "n_spans"].iloc[0]) == 1  # touching merged
+
+
+def test_interval_union_length_rejects_negative():
+    from rayhist.ops.sessions import interval_union_length
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1], "s": [10], "e": [5]}))
+    with pytest.raises(Exception):
+        interval_union_length(ds, "k", "s", "e", n_buckets=2).to_pandas()
