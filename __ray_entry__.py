@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_colocation_pairs": p.q_snapshot_colocation_pairs,
         "way_boundary_crossings": p.q_way_boundary_crossings,
         "user_active_coverage": p.q_user_active_coverage,
+        "gapfill_daily": p.q_gapfill_daily,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -285,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_colocation_pairs": o.snapshot_colocation_pairs(p.COLOC_RADIUS_E7),
         "way_boundary_crossings": o.way_boundary_crossings(p.BOUNDARY_E7),
         "user_active_coverage": o.user_active_coverage(),
+        "gapfill_daily": o.gapfill_daily(p.T0, p.DAY_US),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

@@ -2744,3 +2744,44 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_spans
 FROM spans GROUP BY 1 ORDER BY 1
 """
+
+
+def gapfill_daily(t0: int, day_us: int) -> str:
+    """Gap-fill mirror: IGNORE-NULLS window pair over a per-etype
+    generate_series spine; the interpolated value is the identical
+    exact-int numerator over ONE double division."""
+    return f"""
+WITH base AS (
+  SELECT event_type AS etype,
+         CAST((epoch_us(ts) - {int(t0)}) // {int(day_us)} AS BIGINT) AS day,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE CAST(round(value*100) AS BIGINT) % 97 = 0
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT etype, min(day) AS mn, max(day) AS mx FROM base GROUP BY 1
+), spine AS (
+  SELECT etype, unnest(generate_series(mn, mx)) AS day FROM bounds
+), j AS (
+  SELECT s.etype, s.day, b.v FROM spine s LEFT JOIN base b USING (etype, day)
+), w AS (
+  SELECT *,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY etype ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+    last_value(day - CASE WHEN v IS NULL THEN NULL ELSE 0 END IGNORE NULLS)
+      OVER (PARTITION BY etype ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d0,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY etype ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+    first_value(day - CASE WHEN v IS NULL THEN NULL ELSE 0 END IGNORE NULLS)
+      OVER (PARTITION BY etype ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d1
+  FROM j
+)
+SELECT etype, day,
+  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+       ELSE CAST(v0*(d1-day) + v1*(day-d0) AS DOUBLE) / CAST(d1-d0 AS DOUBLE) END
+    AS value_filled,
+  CAST(v IS NULL AS BIGINT) AS is_interp
+FROM w ORDER BY 1, 2
+"""

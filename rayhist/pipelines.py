@@ -5134,3 +5134,78 @@ def q_user_active_coverage(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out = out.rename(columns={"covered": "covered_us"})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_gapfill_daily(sf_dir: str) -> pd.DataFrame:
+    """Sparse daily series with LINEAR GAP-FILL: daily cent sums of
+    the ~1% slice value_c % 97 == 0 leave most (etype, day) slots
+    empty; interior gaps are filled by exact-rational linear
+    interpolation — the numerator v0*(d1-t) + v1*(t-d0) stays int64
+    and the published value is ONE IEEE division by (d1-d0), so the
+    DuckDB mirror (IGNORE-NULLS window pair over a generate_series
+    spine) is bit-identical. Daily sums are per-batch partials +
+    low-card combine; the fill runs on the |etypes x days| final —
+    scale-bounded by the time range, not the corpus."""
+    from .aggregate import combine_partials
+    from .ops.relational import cents
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = b["value_c"].to_numpy(zero_copy_only=False)
+        keep = v % 97 == 0
+        if not keep.any():
+            return pa.table(
+                {
+                    "etype": pa.array([], type=pa.string()),
+                    "day": pa.array([], type=pa.int64()),
+                    "v_p": pa.array([], type=pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "etype": b["event_type"].to_numpy(zero_copy_only=False)[keep],
+                "day": (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep] - T0)
+                // DAY_US,
+                "v_p": v[keep],
+            }
+        )
+        out = df.groupby(["etype", "day"], as_index=False)["v_p"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["etype", "day"], {"v_p": "v"}
+    )
+
+    rows = []
+    for etype, g in base.groupby("etype"):
+        g = g.sort_values("day")
+        days = g["day"].to_numpy(dtype=np.int64)
+        vals = g["v"].to_numpy(dtype=np.int64)
+        spine = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+        idx = np.searchsorted(days, spine, side="right") - 1  # prev present
+        present = days[idx] == spine
+        d0, v0 = days[idx], vals[idx]
+        nxt = np.minimum(idx + 1, len(days) - 1)
+        d1, v1 = days[nxt], vals[nxt]
+        num = v0 * (d1 - spine) + v1 * (spine - d0)  # exact int64
+        # clamp: present lanes (d1 == d0 possible) are discarded by the
+        # where, but np.where evaluates both branches — keep them finite
+        den = np.maximum(d1 - d0, 1)
+        filled = np.where(
+            present, vals[idx].astype(np.float64), num.astype(np.float64) / den
+        )
+        rows.append(
+            pd.DataFrame(
+                {
+                    "etype": etype,
+                    "day": spine,
+                    "value_filled": filled,
+                    "is_interp": (~present).astype(np.int64),
+                }
+            )
+        )
+    out = pd.concat(rows, ignore_index=True)
+    return out.sort_values(["etype", "day"]).reset_index(drop=True)
