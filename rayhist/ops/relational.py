@@ -805,3 +805,45 @@ def grouped_weighted_median_int(
 
     out = hist.groupby(keys).map_groups(final, batch_format="pandas").to_pandas()
     return out.astype({"wmedian": "int64"})
+
+
+def ordered_string_agg(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    order_cols: list[str],
+    sep: str = "",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """SQL ``string_agg(val, sep ORDER BY order_cols)`` per key — the
+    ordered-collect operator (DISTRIBUTED BY key, ORDERED WITHIN key).
+    One complete-keys bucket shuffle; the in-bucket final sorts by
+    (key, order_cols) and joins per group. Output is one row per key
+    (key, agg, n) — per-key string size is the caller's density
+    contract, exactly like SQL's. Order columns must make the order
+    total (ties would make the result nondeterministic); callers pass
+    a unique tiebreaker last."""
+    from .window import _bucket_of, _resolve_buckets
+
+    n_buckets = _resolve_buckets(n_buckets, floor=64)
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        return b.select([key_col, val_col, *order_cols]).append_column(
+            "_bucket", pa.array(_bucket_of(k, n_buckets))
+        )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        gb = g.groupby(key_col, sort=False)[val_col]
+        out = gb.agg(lambda s: sep.join(s.astype(str)))
+        n = gb.size()
+        return pd.DataFrame(
+            {key_col: out.index, "agg": out.to_numpy(), "n": n.to_numpy(dtype=np.int64)}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(agg, batch_format="pandas")
+    )

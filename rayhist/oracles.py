@@ -2785,3 +2785,15 @@ SELECT etype, day,
   CAST(v IS NULL AS BIGINT) AS is_interp
 FROM w ORDER BY 1, 2
 """
+
+
+def user_journeys() -> str:
+    """Ordered string_agg mirror with the identical (ts, event_id)
+    total order."""
+    return """
+SELECT user_id,
+       string_agg(substr(event_type, 1, 1), ''
+                  ORDER BY epoch_us(ts), event_id) AS journey,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""

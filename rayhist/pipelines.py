@@ -5209,3 +5209,39 @@ def q_gapfill_daily(sf_dir: str) -> pd.DataFrame:
         )
     out = pd.concat(rows, ignore_index=True)
     return out.sort_values(["etype", "day"]).reset_index(drop=True)
+
+
+def q_user_journeys(sf_dir: str) -> pd.DataFrame:
+    """Per-user JOURNEY STRING: the first letter of every event type,
+    concatenated in exact (ts, event_id) order — SQL's ordered
+    string_agg as a distributed operator (ops/relational.
+    ordered_string_agg: one complete-keys bucket shuffle, in-bucket
+    sort + join; one row per user)."""
+    from .ops.relational import ordered_string_agg
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ch": pc.utf8_slice_codeunits(b["event_type"], 0, 1),
+                "t": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+            }
+        )
+
+    out = ordered_string_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        "ch",
+        ["t", "event_id"],
+    ).to_pandas()
+    out = out.rename(columns={"agg": "journey", "n": "n_events"}).astype(
+        {"user_id": "int64", "n_events": "int64"}
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

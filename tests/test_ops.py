@@ -1634,3 +1634,34 @@ def test_triangle_count_empty_and_triangle():
         pd.DataFrame({"src": [e[0] for e in k4], "dst": [e[1] for e in k4]})
     )
     assert triangle_count(ds, n_buckets=2) == (6, 4)
+
+
+def test_ordered_string_agg_brute_force():
+    import ray
+
+    from rayhist.ops.relational import ordered_string_agg
+
+    rng = np.random.RandomState(9)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 7, n).astype(np.int64),
+            "v": rng.choice(list("abcdef"), n),
+            "o1": rng.randint(0, 10, n).astype(np.int64),  # deliberate ties
+            "o2": np.arange(n, dtype=np.int64),  # unique tiebreaker
+        }
+    )
+    got = (
+        ordered_string_agg(ray.data.from_pandas(df), "k", "v", ["o1", "o2"], sep="-", n_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "o1", "o2"])
+        .groupby("k")
+        .agg(agg=("v", "-".join), n=("v", "size"))
+        .reset_index()
+        .astype({"k": "int64", "n": "int64"})
+    )
+    pd.testing.assert_frame_equal(got.astype({"k": "int64", "n": "int64"}), want)
