@@ -23,6 +23,11 @@ shuffles; nothing corpus-sized ever reaches the driver (the result is
 one int64). Per-bucket memory is O(bucket's edges + wedges); wedge
 volume is Sum_v C(outdeg(v), 2) <= O(m^1.5) globally, spread across
 buckets.
+
+Graphs whose deduped edge set fits ``broadcast_gate`` take the
+broadcast fast path instead (two shuffles, in-stage closing test) —
+see triangle_count's docstring; the two paths are pinned equal in
+tests.
 """
 
 from __future__ import annotations
@@ -84,15 +89,29 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     n_buckets: int | None = None,
+    broadcast_gate: int = 2_000_000,
 ) -> tuple[int, int]:
     """Exact (n_edges, n_triangles) of the undirected graph ``edges``
     (int64 endpoints; duplicates and self-loops tolerated — the edge
-    set is canonicalized and deduped first)."""
+    set is canonicalized and deduped first).
+
+    Size gate (the knn_queries/hotspot convention): a graph whose
+    DEDUPED edge set fits ``broadcast_gate`` rows runs the broadcast
+    fast path — degrees from per-batch partials combined at the
+    driver, nodes RELABELED by their (deg, id) rank so orientation and
+    wedge order become plain integer compares, and the closing test an
+    in-stage searchsorted against the ray.put edge-key set (|E| int64
+    keys, ~16 MB at the gate) — two shuffles total, no wedge
+    materialization. Above the gate the fully distributed wedge join
+    below runs (six shuffles, nothing driver-sized); the two paths are
+    pinned equal in tests (gate=0 forces distributed)."""
     n_buckets = _resolve_buckets(n_buckets, floor=64)
     e = dedupe_edges(edges, src, dst, n_buckets).materialize()
     n_edges = e.count()
     if n_edges == 0:
         return 0, 0
+    if n_edges <= broadcast_gate:
+        return n_edges, _triangles_broadcast(e, n_buckets)
 
     # degrees: explode endpoints, node-bucket shuffle, per-bucket count
     def explode(b: pa.Table) -> pa.Table:
@@ -246,3 +265,66 @@ def triangle_count(
     closed = both.groupby("_bucket").map_groups(close, batch_format="pandas")
     n_tri = closed.sum("n")
     return int(n_edges), int(n_tri or 0)
+
+
+def _triangles_broadcast(e: ray.data.Dataset, n_buckets: int) -> int:
+    """Gated fast path: see triangle_count's docstring. ``e`` is the
+    materialized deduped canonical edge Dataset (u < v)."""
+    import ray as _ray
+
+    # degrees via per-batch partials + driver combine (|V| <= 2|E|,
+    # driver-sized under the gate)
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, cnt = np.unique(n, return_counts=True)
+        return pa.table({"node": nodes, "d_p": cnt.astype(np.int64)})
+
+    parts = e.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    degs = parts.groupby("node", as_index=False)["d_p"].sum()
+    nodes = degs["node"].to_numpy(dtype=np.int64)  # ascending (groupby sorts)
+    dvals = degs["d_p"].to_numpy(dtype=np.int64)
+    nv = len(nodes)
+    # rank under ord(x) = (deg(x), x): relabeling makes orientation and
+    # wedge order plain < on ranks
+    rank = np.empty(nv, dtype=np.int64)
+    rank[np.lexsort((nodes, dvals))] = np.arange(nv, dtype=np.int64)
+    nodes_ref = _ray.put(nodes)
+    rank_ref = _ray.put(rank)
+
+    def orient(b: pa.Table) -> pa.Table:
+        nd, rk = _ray.get(nodes_ref), _ray.get(rank_ref)
+        ru = rk[np.searchsorted(nd, b["u"].to_numpy(zero_copy_only=False))]
+        rv = rk[np.searchsorted(nd, b["v"].to_numpy(zero_copy_only=False))]
+        s = np.minimum(ru, rv)
+        t = np.maximum(ru, rv)
+        return pa.table({"s": s, "t": t, "_bucket": _bucket_of(s, n_buckets)})
+
+    oriented = e.map_batches(orient, batch_format="pyarrow").materialize()
+    # closing-edge key set: ranks are < |V| so s*|V| + t is exact and
+    # collision-free in int64 for |V| < 3e9
+    opd = oriented.to_pandas()  # |E| rows, driver-sized under the gate
+    keys = np.sort(
+        opd["s"].to_numpy(dtype=np.int64) * nv + opd["t"].to_numpy(dtype=np.int64)
+    )
+    keys_ref = _ray.put(keys)
+
+    def wedges_close(g: pd.DataFrame) -> pd.DataFrame:
+        k = _ray.get(keys_ref)
+        g = g.sort_values(["s", "t"], kind="mergesort")
+        g = g.assign(_r=g.groupby("s", sort=False).cumcount())
+        m = g.merge(g, on="s", suffixes=("_a", "_b"))
+        m = m[m["_r_a"] < m["_r_b"]]
+        if m.empty:
+            return pd.DataFrame({"n": pd.Series(dtype="int64")})
+        key = m["t_a"].to_numpy(dtype=np.int64) * nv + m["t_b"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(k, key)
+        found = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == key)
+        return pd.DataFrame({"n": [np.int64(found.sum())]})
+
+    closed = oriented.groupby("_bucket").map_groups(wedges_close, batch_format="pandas")
+    return int(closed.sum("n") or 0)

@@ -1618,8 +1618,10 @@ def test_triangle_count_brute_force():
         ds = ray.data.from_pandas(
             pd.DataFrame({"src": u.astype(np.int64), "dst": v.astype(np.int64)})
         )
-        got = triangle_count(ds, n_buckets=4)
+        got = triangle_count(ds, n_buckets=4)  # broadcast fast path
         assert got == _tri_brute(edges), (n, m)
+        # distributed wedge-join path pinned equal (gate=0 forces it)
+        assert triangle_count(ds, n_buckets=4, broadcast_gate=0) == got, (n, m)
 
 
 def test_triangle_count_empty_and_triangle():
