@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_coverage": p.q_user_active_coverage,
         "gapfill_daily": p.q_gapfill_daily,
         "user_journeys": p.q_user_journeys,
+        "snapshot_hull_by_type": p.q_snapshot_hull_by_type,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "user_active_coverage": o.user_active_coverage(),
         "gapfill_daily": o.gapfill_daily(p.T0, p.DAY_US),
         "user_journeys": o.user_journeys(),
+        "snapshot_hull_by_type": o.snapshot_hull_by_type(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

@@ -2797,3 +2797,40 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def snapshot_hull_by_type() -> str:
+    """Strict-hull-vertex mirror: NOT EXISTS a containing triangle of
+    three other same-group points, orientation signs via HUGEINT, bbox
+    guard against fully-degenerate triangles."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+
+    def s(a, b):  # sign of cross((b - a) x (p - a))
+        return (
+            f"sign(CAST({b}.x - {a}.x AS HUGEINT) * (p.y - {a}.y)"
+            f" - CAST({b}.y - {a}.y AS HUGEINT) * (p.x - {a}.x))"
+        )
+
+    s1, s2, s3 = s("a", "b"), s("b", "c"), s("c", "a")
+    return (
+        DERIVE
+        + cte
+        + f"""
+, pts AS (
+  SELECT etype, osm_id, lon_e7 AS x, lat_e7 AS y FROM snap WHERE osm_id % 5 = 0
+)
+SELECT p.etype, p.osm_id, p.x AS lon_e7, p.y AS lat_e7
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts a, pts b, pts c
+  WHERE a.etype = p.etype AND b.etype = p.etype AND c.etype = p.etype
+    AND a.osm_id < b.osm_id AND b.osm_id < c.osm_id
+    AND a.osm_id <> p.osm_id AND b.osm_id <> p.osm_id AND c.osm_id <> p.osm_id
+    AND least(a.x, b.x, c.x) <= p.x AND p.x <= greatest(a.x, b.x, c.x)
+    AND least(a.y, b.y, c.y) <= p.y AND p.y <= greatest(a.y, b.y, c.y)
+    AND (({s1} >= 0 AND {s2} >= 0 AND {s3} >= 0)
+      OR ({s1} <= 0 AND {s2} <= 0 AND {s3} <= 0))
+)
+ORDER BY 1, 2
+"""
+    )

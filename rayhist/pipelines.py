@@ -5245,3 +5245,41 @@ def q_user_journeys(sf_dir: str) -> pd.DataFrame:
         {"user_id": "int64", "n_events": "int64"}
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_snapshot_hull_by_type(sf_dir: str) -> pd.DataFrame:
+    """STRICT convex hull vertices of the T_MID snapshot positions per
+    event type (osm_id % 5 == 0 subset): the combiner-shaped geometric
+    aggregate — per-batch local hulls (exact integer orientation, no
+    float epsilons) reduce the stream, and the |groups x hull| final
+    re-runs the same monotone chain (spatial/hull.py). The oracle is
+    the quantifier form of strict hull membership: a point is a vertex
+    iff NO triangle of three other same-group points contains it
+    (boundary included, with a bbox guard so degenerate collinear
+    triangles exclude only genuinely-between points)."""
+    from .model import decode_spans
+    from .spatial.hull import grouped_convex_hull
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=True), ts)
+        ids = s["osm_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 5 == 0
+        return pa.table(
+            {
+                "etype": pa.array(
+                    s["etype"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "osm_id": ids[keep],
+                "lon_e7": s["lon_e7"].to_numpy(zero_copy_only=False)[keep],
+                "lat_e7": s["lat_e7"].to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    pts = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    out = grouped_convex_hull(pts, "etype", "osm_id", "lon_e7", "lat_e7")
+    return out.astype(
+        {"osm_id": "int64", "lon_e7": "int64", "lat_e7": "int64"}
+    ).reset_index(drop=True)

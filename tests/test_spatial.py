@@ -985,3 +985,62 @@ def test_segments_cross_semantics():
     assert not one((0, 0), (10, 0), (5, 0), (15, 0))        # collinear overlap
     assert not one((0, 0), (10, 0), (5, 0), (5, 10))        # T-junction
     assert not one((0, 0), (10, 0), (0, 5), (10, 5))        # parallel disjoint
+
+
+def test_hull_vertices_properties():
+    """Property check (non-circular): every reported vertex is an
+    input point; the polygon is convex with strict turns; every input
+    point lies inside or on the hull; collinear mid-edge points are
+    excluded; duplicates keep the smallest id."""
+    from rayhist.spatial.hull import hull_vertices
+    from rayhist.spatial.predicates import orient_sign
+
+    rng = np.random.RandomState(13)
+    for trial in range(6):
+        n = rng.randint(5, 60)
+        x = rng.randint(-1000, 1000, n).astype(np.int64)
+        y = rng.randint(-1000, 1000, n).astype(np.int64)
+        ids = np.arange(n, dtype=np.int64)
+        idx = hull_vertices(ids, x, y)
+        hx, hy = x[idx], y[idx]
+        k = len(idx)
+        assert k >= 1
+        if k >= 3:
+            # strict convexity: every consecutive turn is a strict left
+            for i in range(k):
+                a, b, c = i, (i + 1) % k, (i + 2) % k
+                s = orient_sign(
+                    np.array([hx[a]]), np.array([hy[a]]),
+                    np.array([hx[b]]), np.array([hy[b]]),
+                    np.array([hx[c]]), np.array([hy[c]]),
+                )[0]
+                assert s > 0, (trial, i)
+            # containment: all points on or left of every directed edge
+            for i in range(k):
+                a, b = i, (i + 1) % k
+                s = orient_sign(
+                    np.full(n, hx[a]), np.full(n, hy[a]),
+                    np.full(n, hx[b]), np.full(n, hy[b]),
+                    x, y,
+                )
+                assert (s >= 0).all(), (trial, i)
+
+
+def test_hull_vertices_degenerate_and_collinear():
+    from rayhist.spatial.hull import hull_vertices
+
+    # all collinear: exactly the two endpoints survive
+    x = np.array([0, 10, 20, 30], dtype=np.int64)
+    y = np.array([0, 10, 20, 30], dtype=np.int64)
+    idx = hull_vertices(np.arange(4, dtype=np.int64), x, y)
+    assert sorted(x[idx].tolist()) == [0, 30]
+    # square with a mid-edge collinear point and an interior point
+    x = np.array([0, 10, 10, 0, 5, 5], dtype=np.int64)
+    y = np.array([0, 0, 10, 10, 0, 5], dtype=np.int64)
+    idx = hull_vertices(np.arange(6, dtype=np.int64), x, y)
+    assert sorted(idx.tolist()) == [0, 1, 2, 3]
+    # duplicate coordinate keeps the smallest id
+    x = np.array([0, 0, 10], dtype=np.int64)
+    y = np.array([0, 0, 10], dtype=np.int64)
+    idx = hull_vertices(np.array([7, 3, 9], dtype=np.int64), x, y)
+    assert 1 in idx.tolist() and 0 not in idx.tolist()
