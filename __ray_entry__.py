@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_daily": p.q_gapfill_daily,
         "user_journeys": p.q_user_journeys,
         "snapshot_hull_by_type": p.q_snapshot_hull_by_type,
+        "value_bitops_by_type": p.q_value_bitops_by_type,
+        "extreme_events_by_type": p.q_extreme_events_by_type,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -291,6 +293,8 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_daily": o.gapfill_daily(p.T0, p.DAY_US),
         "user_journeys": o.user_journeys(),
         "snapshot_hull_by_type": o.snapshot_hull_by_type(),
+        "value_bitops_by_type": o.value_bitops_by_type(),
+        "extreme_events_by_type": o.extreme_events_by_type(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

@@ -2834,3 +2834,39 @@ WHERE NOT EXISTS (
 ORDER BY 1, 2
 """
     )
+
+
+def value_bitops_by_type() -> str:
+    return """
+WITH e AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events
+)
+SELECT event_type,
+       CAST(bit_and(v) AS BIGINT) AS band,
+       CAST(bit_or(v) AS BIGINT) AS bor,
+       CAST(bit_xor(v) AS BIGINT) AS bxor,
+       CAST(bool_and(v % 2 = 0) AS BIGINT) AS alleven,
+       CAST(bool_or(v % 2 = 0) AS BIGINT) AS anyeven
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+def extreme_events_by_type() -> str:
+    """Argmin/argmax mirror with the pinned (value, event_id) tie
+    order — row_number, never DuckDB's unspecified arg_min tie."""
+    return """
+WITH e AS (
+  SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS v FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rlo,
+         row_number() OVER (PARTITION BY event_type ORDER BY v DESC, event_id) AS rhi
+  FROM e
+)
+SELECT event_type,
+       CAST(max(CASE WHEN rlo = 1 THEN v END) AS BIGINT) AS min_value_c,
+       CAST(max(CASE WHEN rlo = 1 THEN event_id END) AS BIGINT) AS min_event_id,
+       CAST(max(CASE WHEN rhi = 1 THEN v END) AS BIGINT) AS max_value_c,
+       CAST(max(CASE WHEN rhi = 1 THEN event_id END) AS BIGINT) AS max_event_id
+FROM r GROUP BY 1 ORDER BY 1
+"""

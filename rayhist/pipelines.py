@@ -5283,3 +5283,109 @@ def q_snapshot_hull_by_type(sf_dir: str) -> pd.DataFrame:
     return out.astype(
         {"osm_id": "int64", "lon_e7": "int64", "lat_e7": "int64"}
     ).reset_index(drop=True)
+
+
+def q_value_bitops_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped BITWISE / BOOLEAN aggregates (bit_and / bit_or /
+    bit_xor of cent values; bool_and / bool_or of evenness) — all five
+    are associative+commutative, so each is a per-batch partial plus
+    the driver combine replaying the same reduction over
+    |keys x blocks| rows. Exact int64 throughout."""
+
+    from .ops.relational import cents
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+                "v": b["value_c"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("etype")["v"]
+        out = pd.DataFrame(
+            {
+                "band": g.agg(lambda s: np.bitwise_and.reduce(s.to_numpy())),
+                "bor": g.agg(lambda s: np.bitwise_or.reduce(s.to_numpy())),
+                "bxor": g.agg(lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+                "alleven": g.agg(lambda s: bool((s.to_numpy() % 2 == 0).all())),
+                "anyeven": g.agg(lambda s: bool((s.to_numpy() % 2 == 0).any())),
+            }
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ev.map_batches(partials, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("etype")
+    out = pd.DataFrame(
+        {
+            "band": g["band"].agg(lambda s: np.bitwise_and.reduce(s.to_numpy())),
+            "bor": g["bor"].agg(lambda s: np.bitwise_or.reduce(s.to_numpy())),
+            "bxor": g["bxor"].agg(lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+            "alleven": g["alleven"].agg("all").astype(np.int64),
+            "anyeven": g["anyeven"].agg("any").astype(np.int64),
+        }
+    ).reset_index().rename(columns={"etype": "event_type"})
+    out = out.astype({"band": "int64", "bor": "int64", "bxor": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_extreme_events_by_type(sf_dir: str) -> pd.DataFrame:
+    """Deterministic ARGMIN/ARGMAX per group: the event_id holding the
+    minimum and the maximum cent value per event type, ties broken by
+    smallest event_id — associative witness partials (each batch keeps
+    one (v, event_id) witness per key per side), the modal-value
+    argmax pattern applied to extremes. The mirror pins the same tie
+    order through row_number windows (DuckDB's arg_min/arg_max tie
+    choice is unspecified, so the oracle never uses them)."""
+    from .ops.relational import cents
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+                "eid": b["event_id"].to_numpy(zero_copy_only=False),
+                "v": b["value_c"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["etype", "v", "eid"], kind="mergesort")
+        g = df.groupby("etype", as_index=False)
+        lo = g.first().rename(columns={"eid": "min_event_id", "v": "min_value_c"})
+        hi = (
+            df.sort_values(["etype", "v", "eid"], ascending=[True, False, True], kind="mergesort")
+            .groupby("etype", as_index=False)
+            .first()
+            .rename(columns={"eid": "max_event_id", "v": "max_value_c"})
+        )
+        return pa.Table.from_pandas(lo.merge(hi, on="etype"), preserve_index=False)
+
+    parts = ev.map_batches(partials, batch_format="pyarrow").to_pandas()
+    lo = (
+        parts.sort_values(["etype", "min_value_c", "min_event_id"], kind="mergesort")
+        .groupby("etype", as_index=False)
+        .first()[["etype", "min_value_c", "min_event_id"]]
+    )
+    hi = (
+        parts.sort_values(
+            ["etype", "max_value_c", "max_event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .groupby("etype", as_index=False)
+        .first()[["etype", "max_value_c", "max_event_id"]]
+    )
+    out = lo.merge(hi, on="etype").rename(columns={"etype": "event_type"})
+    out = out.astype(
+        {
+            "min_value_c": "int64",
+            "min_event_id": "int64",
+            "max_value_c": "int64",
+            "max_event_id": "int64",
+        }
+    )[["event_type", "min_value_c", "min_event_id", "max_value_c", "max_event_id"]]
+    return out.sort_values("event_type").reset_index(drop=True)
