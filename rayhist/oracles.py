@@ -2870,3 +2870,39 @@ SELECT event_type,
        CAST(max(CASE WHEN rhi = 1 THEN event_id END) AS BIGINT) AS max_event_id
 FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+def copurchase_pagerank(scale: int, iters: int) -> str:
+    """Integer-PageRank mirror: the identical fixed-point iterations
+    unrolled as join-aggregate CTEs (// is floor division on the
+    all-positive operands both engines see)."""
+    base = (int(scale) * 15) // 100
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), dir AS (
+  SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e
+), deg AS (
+  SELECT u AS node, count(*) AS d FROM dir GROUP BY 1
+), pr0 AS (
+  SELECT node, CAST({int(scale)} AS BIGINT) AS pr FROM deg
+)"""
+    steps = []
+    for i in range(1, int(iters) + 1):
+        steps.append(
+            f""", pr{i} AS (
+  SELECT dir.v AS node,
+         {base} + sum((p.pr * 85) // (100 * g.d)) AS pr
+  FROM dir JOIN pr{i-1} p ON p.node = dir.u JOIN deg g ON g.node = dir.u
+  GROUP BY 1
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT node AS part_id, CAST(pr AS BIGINT) AS pr FROM pr{int(iters)} ORDER BY 1
+"""
+    )

@@ -4952,20 +4952,14 @@ def q_ohlc_daily(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
-def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
-    """Exact triangle count of the co-purchase graph (parts are
-    adjacent iff some order contains both). Edge generation is a
-    complete-by-order bucket fan-out (order sizes are bounded, so the
-    per-order pair explosion is O(items^2) <= ~170 rows); counting is
-    the degree-oriented wedge join in ops/triangles.py — six bounded
-    bucket shuffles, one int64 to the driver. The oracle is the
-    three-way self-join over the identical distinct edge set."""
-    import ray.data
+def _copurchase_edges(sf_dir: str, nb: int):
+    """Raw co-purchase pair stream (parts adjacent iff some order
+    contains both): complete-by-order bucket fan-out; order sizes are
+    bounded so the per-order pair explosion is O(items^2) <= ~170
+    rows. May contain duplicates across orders — consumers dedupe
+    (ops.triangles.dedupe_edges)."""
+    from .ops.window import _bucket_of
 
-    from .ops.triangles import triangle_count
-    from .ops.window import _bucket_of, _resolve_buckets
-
-    nb = _resolve_buckets(None, floor=64)
     li = rio.read_table(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
@@ -4991,11 +4985,24 @@ def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    edges = (
+    return (
         li.map_batches(tag, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(order_pairs, batch_format="pandas")
     )
+
+
+def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count of the co-purchase graph: the
+    degree-oriented wedge join in ops/triangles.py (size-gated
+    broadcast fast path; the distributed path is six bounded bucket
+    shuffles), one int64 to the driver. The oracle is the three-way
+    self-join over the identical distinct edge set."""
+    from .ops.triangles import triangle_count
+    from .ops.window import _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    edges = _copurchase_edges(sf_dir, nb)
     n_edges, n_tri = triangle_count(edges, n_buckets=nb)
     return pd.DataFrame({"n_edges": [n_edges], "n_triangles": [n_tri]}).astype("int64")
 
@@ -5389,3 +5396,27 @@ def q_extreme_events_by_type(sf_dir: str) -> pd.DataFrame:
         }
     )[["event_type", "min_value_c", "min_event_id", "max_value_c", "max_event_id"]]
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+
+
+def q_copurchase_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Deterministic INTEGER PageRank (3 exact fixed-point power
+    iterations, damping 85/100, micro-unit scale) over the distinct
+    co-purchase graph — ops/pagerank.py: every share is a floor
+    division and every reduction an int sum, so the ranks are
+    bit-identical at any parallelism and the oracle is the same three
+    iterations unrolled as join-aggregate CTEs."""
+    from .ops.pagerank import pagerank_int
+    from .ops.triangles import dedupe_edges
+    from .ops.window import _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    edges = dedupe_edges(_copurchase_edges(sf_dir, nb), "src", "dst", nb).map_batches(
+        lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow"
+    )
+    df = pagerank_int(edges, iters=PR_ITERS, scale=PR_SCALE, n_buckets=nb).to_pandas()
+    df = df.rename(columns={"node": "part_id"}).astype({"part_id": "int64", "pr": "int64"})
+    return df.sort_values("part_id").reset_index(drop=True)

@@ -1667,3 +1667,48 @@ def test_ordered_string_agg_brute_force():
         .astype({"k": "int64", "n": "int64"})
     )
     pd.testing.assert_frame_equal(got.astype({"k": "int64", "n": "int64"}), want)
+
+
+def test_pagerank_int_reference_and_bucket_invariance():
+    """Random graphs vs a Python big-int reference of the identical
+    fixed-point recurrence; results must be invariant to n_buckets
+    (the determinism claim — integer sums have no order sensitivity)."""
+    import ray
+
+    from rayhist.ops.pagerank import pagerank_int
+    from rayhist.ops.triangles import dedupe_edges
+
+    rng = np.random.RandomState(21)
+    for n, m in [(10, 25), (30, 120)]:
+        u = rng.randint(0, n, m)
+        v = rng.randint(0, n, m)
+        raw = ray.data.from_pandas(
+            pd.DataFrame({"src": u.astype(np.int64), "dst": v.astype(np.int64)})
+        )
+        edges = dedupe_edges(raw, n_buckets=4).map_batches(
+            lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow"
+        ).materialize()
+        epd = edges.to_pandas()
+        E = list(zip(epd["src"].tolist(), epd["dst"].tolist()))
+        if not E:
+            continue
+        adj: dict[int, list] = {}
+        for a, b in E:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        pr = {x: 1_000_000 for x in adj}
+        for _ in range(3):
+            nxt = {x: 150_000 for x in adj}
+            for x, nbrs in adj.items():
+                share = (pr[x] * 85) // (100 * len(nbrs))
+                for y in nbrs:
+                    nxt[y] += share
+            pr = nxt
+        for nb in (2, 16):
+            got = (
+                pagerank_int(edges, iters=3, n_buckets=nb)
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+            )
+            assert dict(zip(got["node"], got["pr"])) == pr, (n, m, nb)
