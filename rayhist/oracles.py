@@ -2906,3 +2906,16 @@ WITH e AS (
 SELECT node AS part_id, CAST(pr AS BIGINT) AS pr FROM pr{int(iters)} ORDER BY 1
 """
     )
+
+
+def jsonl_events_by_type() -> str:
+    """JSONL wire-path mirror: the parquet side of the same
+    derivations — a pass certifies the JSONL write+read round-trip."""
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS ts_min_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS ts_max_us
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -5420,3 +5420,51 @@ def q_copurchase_pagerank(sf_dir: str) -> pd.DataFrame:
     df = pagerank_int(edges, iters=PR_ITERS, scale=PR_SCALE, n_buckets=nb).to_pandas()
     df = df.rename(columns={"node": "part_id"}).astype({"part_id": "int64", "pr": "int64"})
     return df.sort_values("part_id").reset_index(drop=True)
+
+
+def q_jsonl_events_by_type(sf_dir: str) -> pd.DataFrame:
+    """Second text source format end-to-end: the code-fingerprinted
+    JSONL twin of events.parquet (sources/jsonl.py — integer-clean
+    columns, exact round-trip) read back through the Arrow JSON
+    reader with read_table's task sizing, then the standard per-batch
+    partial aggregate. The oracle reads the PARQUET with the same
+    derivations, so a pass certifies the whole JSONL write+read wire
+    path, not just the aggregate."""
+    from .aggregate import combine_partials
+    from .sources.jsonl import ensure_jsonl_events, read_jsonl
+
+    ds = read_jsonl(ensure_jsonl_events(sf_dir))
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "v": b["value_c"].to_numpy(zero_copy_only=False),
+                "t": b["ts_us"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("event_type")
+        out = pd.DataFrame(
+            {
+                "n_p": g["v"].size(),
+                "sum_p": g["v"].sum(),
+                "tmin_p": g["t"].min(),
+                "tmax_p": g["t"].max(),
+            }
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("event_type")
+    out = pd.DataFrame(
+        {
+            "n": g["n_p"].sum(),
+            "sum_value_c": g["sum_p"].sum(),
+            "ts_min_us": g["tmin_p"].min(),
+            "ts_max_us": g["tmax_p"].max(),
+        }
+    ).reset_index()
+    out = out.astype(
+        {"n": "int64", "sum_value_c": "int64", "ts_min_us": "int64", "ts_max_us": "int64"}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)

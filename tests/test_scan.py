@@ -106,3 +106,26 @@ def test_prefix_sum_signed_underflow_guard():
     df = pd.DataFrame({"k": [1, 2, 3], "v": [-big, -big, -big]})
     with pytest.raises(OverflowError, match="int64"):
         ordered_prefix_sum(ray.data.from_pandas(df), ["k"], "v", signed=True)
+
+
+def test_jsonl_fixture_cold_cache_rebuild(ray_session, monkeypatch, tmp_path):
+    """A cold rebuild of the JSONL events fixture (fresh
+    RAYHIST_CACHE) reproduces the warm-cache aggregate exactly, and
+    the JSONL row count matches the parquet source — the wire-path
+    regression guard (same convention as the osmpbf fixture test)."""
+    import pandas as pd
+
+    from rayhist.pipelines import q_jsonl_events_by_type
+    from rayhist.sources.jsonl import ensure_jsonl_events, read_jsonl
+
+    sf = "/root/testdata/sf0.001"
+    warm = q_jsonl_events_by_type(sf)
+    monkeypatch.setenv("RAYHIST_CACHE", str(tmp_path / "cold"))
+    cold = q_jsonl_events_by_type(sf)
+    pd.testing.assert_frame_equal(warm, cold)
+    import duckdb
+
+    n_parquet = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert read_jsonl(ensure_jsonl_events(sf)).count() == n_parquet
