@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extreme_events_by_type": p.q_extreme_events_by_type,
         "copurchase_pagerank": p.q_copurchase_pagerank,
         "jsonl_events_by_type": p.q_jsonl_events_by_type,
+        "train_val_test_split": p.q_train_val_test_split,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "extreme_events_by_type": o.extreme_events_by_type(),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
+        "train_val_test_split": o.train_val_test_split(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

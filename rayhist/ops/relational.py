@@ -847,3 +847,59 @@ def ordered_string_agg(
         .groupby("_bucket")
         .map_groups(agg, batch_format="pandas")
     )
+
+
+def deterministic_split(
+    ds: ray.data.Dataset,
+    key_col: str,
+    cuts: list[tuple[str, int, int]],
+    last: str,
+    hash_fn: str = "fnv1a",
+) -> ray.data.Dataset:
+    """Deterministic TRAIN/VAL/TEST-style dataset splitting: appends a
+    ``split`` label chosen by where hash(key) falls among the
+    CUMULATIVE integer thresholds ``cuts`` ((name, num, den): rows
+    with h < num/den of the hash space and above every earlier cut),
+    remainder labeled ``last``. Same hash machinery and guarantees as
+    deterministic_sample — pure function of the key, identical at any
+    parallelism/partitioning, and CONSISTENT with it: a
+    deterministic_sample at rate r equals the union of the splits
+    under r (samples and splits nest, so ablations stay aligned with
+    the split a model trained on)."""
+    fracs = [(name, (num << 32) // den) for name, num, den in cuts]
+    for (na, ta), (nb, tb) in zip(fracs, fracs[1:]):
+        if tb <= ta:
+            raise ValueError(f"deterministic_split: cuts must be increasing ({na}>={nb})")
+
+    if hash_fn == "md5":
+        import hashlib
+
+        def hashes(col) -> np.ndarray:
+            return np.array(
+                [int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) for k in col.to_pylist()],
+                dtype=np.uint64,
+            )
+
+    else:
+
+        def hashes(col) -> np.ndarray:
+            import pyarrow.compute as pc
+
+            from .text import fmix64, fnv1a_batch
+
+            keys = pc.cast(col, pa.string())
+            if col.null_count:
+                keys = pc.fill_null(keys, "None")
+            return fmix64(fnv1a_batch(keys)) >> np.uint64(32)
+
+    def stage(b: pa.Table) -> pa.Table:
+        h = hashes(b[key_col])
+        label = np.full(len(h), last, dtype=object)
+        assigned = np.zeros(len(h), dtype=bool)
+        for name, t in fracs:
+            sel = (~assigned) & (h < np.uint64(t))
+            label[sel] = name
+            assigned |= sel
+        return b.append_column("split", pa.array(label, type=pa.string()))
+
+    return ds.map_batches(stage, batch_format="pyarrow")

@@ -2919,3 +2919,22 @@ SELECT event_type,
        CAST(max(epoch_us(ts)) AS BIGINT) AS ts_max_us
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def train_val_test_split() -> str:
+    """Split mirror: the same cumulative md5-prefix thresholds."""
+    t80 = (8 << 32) // 10
+    t90 = (9 << 32) // 10
+    return f"""
+WITH s AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+  FROM documents
+)
+SELECT source,
+       CASE WHEN h < {t80} THEN 'train'
+            WHEN h < {t90} THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""

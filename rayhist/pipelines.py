@@ -5468,3 +5468,40 @@ def q_jsonl_events_by_type(sf_dir: str) -> pd.DataFrame:
         {"n": "int64", "sum_value_c": "int64", "ts_min_us": "int64", "ts_max_us": "int64"}
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_train_val_test_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 corpus split summarized per source:
+    hash-threshold assignment (ops.relational.deterministic_split —
+    resume-stable, partitioning-invariant, NESTED with the sampling
+    family) + per-batch partial counts. md5 here because the split
+    VALUES are oracle-compared; production uses the vectorized fnv1a
+    path (same guarantees, A/B-tested in test_ops)."""
+    from .aggregate import combine_partials
+    from .ops.relational import deterministic_split
+
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    split = deterministic_split(
+        ds, "doc_id", [("train", 8, 10), ("val", 9, 10)], "test", hash_fn="md5"
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(zero_copy_only=False),
+                "split": b["split"].to_numpy(zero_copy_only=False),
+                "c": b["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["source", "split"], as_index=False).agg(
+            n_p=("c", "size"), c_p=("c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = combine_partials(
+        split.map_batches(partials, batch_format="pyarrow"),
+        ["source", "split"],
+        {"n_p": "n_docs", "c_p": "n_chars"},
+    )
+    out = out.astype({"n_docs": "int64", "n_chars": "int64"})
+    return out.sort_values(["source", "split"]).reset_index(drop=True)

@@ -1712,3 +1712,57 @@ def test_pagerank_int_reference_and_bucket_invariance():
                 .reset_index(drop=True)
             )
             assert dict(zip(got["node"], got["pr"])) == pr, (n, m, nb)
+
+
+def test_deterministic_split_nests_with_sample():
+    """Split invariants on both hash paths: labels cover the corpus,
+    are a pure function of the key (repartition-invariant), the split
+    proportions respect the cuts, and deterministic_sample at the
+    first cut's rate equals the first split (samples and splits
+    nest)."""
+    import ray
+
+    from rayhist.ops.relational import deterministic_sample, deterministic_split
+
+    df = pd.DataFrame({"k": np.arange(5000, dtype=np.int64)})
+    for hash_fn in ("fnv1a", "md5"):
+        ds = ray.data.from_pandas(df)
+        out = (
+            deterministic_split(ds, "k", [("train", 8, 10), ("val", 9, 10)], "test", hash_fn)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(df)
+        frac = out["split"].value_counts(normalize=True)
+        assert 0.75 < frac["train"] < 0.85, hash_fn
+        # nesting: sample at 8/10 == the train split
+        samp = (
+            deterministic_sample(ray.data.from_pandas(df), 8, 10, "k", hash_fn)
+            .to_pandas()["k"]
+            .sort_values()
+            .to_numpy()
+        )
+        train = out.loc[out["split"] == "train", "k"].to_numpy()
+        assert np.array_equal(samp, train), hash_fn
+        # partitioning invariance
+        out2 = (
+            deterministic_split(
+                ray.data.from_pandas(df).repartition(7),
+                "k", [("train", 8, 10), ("val", 9, 10)], "test", hash_fn,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
+
+
+def test_deterministic_split_rejects_nonincreasing_cuts():
+    import ray
+
+    from rayhist.ops.relational import deterministic_split
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
+    with pytest.raises(ValueError):
+        deterministic_split(ds, "k", [("a", 9, 10), ("b", 8, 10)], "c")
