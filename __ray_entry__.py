@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pagerank": p.q_copurchase_pagerank,
         "jsonl_events_by_type": p.q_jsonl_events_by_type,
         "train_val_test_split": p.q_train_val_test_split,
+        "snapshot_diff": p.q_snapshot_diff,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -301,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),
+        "snapshot_diff": o.snapshot_diff(p.T_MID, p.T_DIFF_B),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

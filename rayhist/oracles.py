@@ -2938,3 +2938,27 @@ SELECT source,
        CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def snapshot_diff(t_a: int, t_b: int) -> str:
+    """CDC mirror: FULL OUTER JOIN of the two snapshot states with the
+    same add/remove/move/static classification."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list([t_a, t_b]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, a AS (SELECT osm_id, etype, lon_e7, lat_e7 FROM snap WHERE ts_q = {int(t_a)})
+, b AS (SELECT osm_id, etype, lon_e7, lat_e7 FROM snap WHERE ts_q = {int(t_b)})
+, m AS (
+  SELECT coalesce(b.etype, a.etype) AS etype,
+         CASE WHEN a.osm_id IS NULL THEN 'added'
+              WHEN b.osm_id IS NULL THEN 'removed'
+              WHEN a.lon_e7 = b.lon_e7 AND a.lat_e7 = b.lat_e7 THEN 'static'
+              ELSE 'moved' END AS change
+  FROM a FULL OUTER JOIN b USING (osm_id)
+)
+SELECT etype, change, CAST(count(*) AS BIGINT) AS n
+FROM m GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )

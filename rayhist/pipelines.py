@@ -5505,3 +5505,68 @@ def q_train_val_test_split(sf_dir: str) -> pd.DataFrame:
     )
     out = out.astype({"n_docs": "int64", "n_chars": "int64"})
     return out.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+T_DIFF_B = T0 + 21 * DAY_US  # 2024-01-22: the diff's second snapshot
+
+
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Change-data-capture between two snapshots (T_MID -> T_DIFF_B):
+    per event type, how many entities were ADDED (visible only after),
+    REMOVED (only before), MOVED (both, coordinates changed) or STATIC
+    (both, coordinates equal). ZERO-shuffle: snapshots_fn evaluates
+    both timestamps over the same span-document batch, so the per-doc
+    before/after rows meet in-batch and only |etype x 4| partial
+    counts leave the stage. The mirror is a FULL OUTER JOIN of the two
+    snap CTEs."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID, T_DIFF_B], dtype=np.int64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=True), ts)
+        df = pd.DataFrame(
+            {
+                "ts_q": s["ts_q"].to_numpy(zero_copy_only=False),
+                "osm_id": s["osm_id"].to_numpy(zero_copy_only=False),
+                "etype": s["etype"].to_numpy(zero_copy_only=False),
+                "lon": s["lon_e7"].to_numpy(zero_copy_only=False),
+                "lat": s["lat_e7"].to_numpy(zero_copy_only=False),
+            }
+        )
+        a = df[df["ts_q"] == T_MID]
+        b = df[df["ts_q"] == T_DIFF_B]
+        m = a.merge(b, on="osm_id", how="outer", suffixes=("_a", "_b"))
+        in_a = m["etype_a"].notna()
+        in_b = m["etype_b"].notna()
+        cls = np.where(
+            ~in_a,
+            "added",
+            np.where(
+                ~in_b,
+                "removed",
+                np.where(
+                    (m["lon_a"] == m["lon_b"]) & (m["lat_a"] == m["lat_b"]),
+                    "static",
+                    "moved",
+                ),
+            ),
+        )
+        etype = m["etype_b"].where(in_b, m["etype_a"])
+        out = (
+            pd.DataFrame({"etype": etype, "change": cls})
+            .groupby(["etype", "change"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_p"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = combine_partials(
+        _docs(sf_dir).map_batches(partials, batch_format="pyarrow"),
+        ["etype", "change"],
+        {"n_p": "n"},
+    )
+    out = out.astype({"n": "int64"})
+    return out.sort_values(["etype", "change"]).reset_index(drop=True)
