@@ -2962,3 +2962,13 @@ SELECT etype, change, CAST(count(*) AS BIGINT) AS n
 FROM m GROUP BY 1, 2 ORDER BY 1, 2
 """
     )
+
+
+def csv_events_daily(t0: int, day_us: int) -> str:
+    """CSV wire-path mirror (parquet side of the same derivations)."""
+    return f"""
+SELECT CAST((epoch_us(ts) - {int(t0)}) // {int(day_us)} AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1 ORDER BY 1
+"""

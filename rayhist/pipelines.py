@@ -5570,3 +5570,32 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     )
     out = out.astype({"n": "int64"})
     return out.sort_values(["etype", "change"]).reset_index(drop=True)
+
+
+def q_csv_events_daily(sf_dir: str) -> pd.DataFrame:
+    """Third text source format end-to-end (CSV twin of
+    events.parquet, sources/csvlog.py): daily counts + exact cent sums
+    read through the CSV wire path; the oracle reads the parquet with
+    the same derivations, certifying the CSV write+read round-trip."""
+    from .aggregate import combine_partials
+    from .sources.csvlog import ensure_csv_events, read_csv_log
+
+    ds = read_csv_log(ensure_csv_events(sf_dir))
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "day": (b["ts_us"].to_numpy(zero_copy_only=False) - T0) // DAY_US,
+                "v": b["value_c"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("day", as_index=False).agg(n_p=("v", "size"), s_p=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = combine_partials(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["day"],
+        {"n_p": "n", "s_p": "sum_value_c"},
+    )
+    out = out.astype({"day": "int64", "n": "int64", "sum_value_c": "int64"})
+    return out.sort_values("day").reset_index(drop=True)

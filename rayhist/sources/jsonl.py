@@ -45,10 +45,12 @@ def ensure_jsonl_events(sf_dir: str) -> str:
         f"{src.resolve()}:{st.st_mtime_ns}:{st.st_size}:jsonl:{_fp()}".encode()
     ).hexdigest()[:16]
     out = Path(os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")) / key / "jsonl_events"
+    shards = out / "shards"  # marker lives OUTSIDE the data dir: the
+    # readers must never see _DONE as a data file
     done = out / "_DONE"
     if done.exists():
-        return str(out)
-    out.mkdir(parents=True, exist_ok=True)
+        return str(shards)
+    shards.mkdir(parents=True, exist_ok=True)
 
     def to_log(b: pa.Table) -> pa.Table:
         from ..ops.relational import cents
@@ -65,9 +67,9 @@ def ensure_jsonl_events(sf_dir: str) -> str:
         )
 
     ds = rio.read_table(str(src), columns=["event_id", "user_id", "ts", "event_type", "value"])
-    ds.map_batches(to_log, batch_format="pyarrow").write_json(str(out), force_ascii=False)
+    ds.map_batches(to_log, batch_format="pyarrow").write_json(str(shards), force_ascii=False)
     done.touch()
-    return str(out)
+    return str(shards)
 
 
 def read_jsonl(path: str, **kwargs) -> ray.data.Dataset:

@@ -129,3 +129,24 @@ def test_jsonl_fixture_cold_cache_rebuild(ray_session, monkeypatch, tmp_path):
         f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')"
     ).fetchone()[0]
     assert read_jsonl(ensure_jsonl_events(sf)).count() == n_parquet
+
+
+def test_csv_fixture_cold_cache_rebuild(ray_session, monkeypatch, tmp_path):
+    """CSV twin of the JSONL cold-cache guard: fresh-cache rebuild
+    reproduces the warm aggregate; row count matches the parquet."""
+    import pandas as pd
+
+    from rayhist.pipelines import q_csv_events_daily
+    from rayhist.sources.csvlog import ensure_csv_events, read_csv_log
+
+    sf = "/root/testdata/sf0.001"
+    warm = q_csv_events_daily(sf)
+    monkeypatch.setenv("RAYHIST_CACHE", str(tmp_path / "cold"))
+    cold = q_csv_events_daily(sf)
+    pd.testing.assert_frame_equal(warm, cold)
+    import duckdb
+
+    n_parquet = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert read_csv_log(ensure_csv_events(sf)).count() == n_parquet
