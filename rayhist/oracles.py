@@ -2972,3 +2972,33 @@ SELECT CAST((epoch_us(ts) - {int(t0)}) // {int(day_us)} AS BIGINT) AS day,
        CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def way_bearing_rose() -> str:
+    """Exact-integer octant mirror: the identical sign and |dx|-vs-|dy|
+    comparisons (no atan2 — numpy's SIMD atan2 is not bit-identical
+    to libm's)."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+, pos AS (SELECT osm_id, lon_e7, lat_e7 FROM snap)
+, seg AS (
+  SELECT b.lon_e7 - a.lon_e7 AS dx, b.lat_e7 - a.lat_e7 AS dy
+  FROM pos a JOIN pos b ON b.osm_id = a.osm_id + 1
+  WHERE b.lon_e7 <> a.lon_e7 OR b.lat_e7 <> a.lat_e7
+)
+SELECT CASE
+  WHEN dx >= 0 AND dy > 0 AND dx < dy THEN 0
+  WHEN dx > 0 AND dy > 0 AND dx >= dy THEN 1
+  WHEN dx > 0 AND dy <= 0 AND -dy < dx THEN 2
+  WHEN dx > 0 AND dy < 0 AND -dy >= dx THEN 3
+  WHEN dx <= 0 AND dy < 0 AND -dx < -dy THEN 4
+  WHEN dx < 0 AND dy < 0 AND -dx >= -dy THEN 5
+  WHEN dx < 0 AND dy >= 0 AND dy < -dx THEN 6
+  ELSE 7 END AS octant,
+  CAST(count(*) AS BIGINT) AS n
+FROM seg GROUP BY 1 ORDER BY 1
+"""
+    )

@@ -5599,3 +5599,73 @@ def q_csv_events_daily(sf_dir: str) -> pd.DataFrame:
     )
     out = out.astype({"day": "int64", "n": "int64", "sum_value_c": "int64"})
     return out.sort_values("day").reset_index(drop=True)
+
+
+def q_way_bearing_rose(sf_dir: str) -> pd.DataFrame:
+    """Compass rose of way segments (node/u -> node/(u+1) at T_MID):
+    counts per 45-degree bearing sector, computed WITHOUT floats —
+    sector boundaries at multiples of 45 degrees reduce to sign tests
+    and |dx| vs |dy| comparisons on exact e7 integers (numpy's SIMD
+    atan2 is NOT bit-identical to DuckDB's libm atan2, so the exact
+    formulation is also the only oracle-stable one). Zero-length
+    segments are excluded."""
+    from .model import decode_spans
+    from .ops.relational import hash_join
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(
+            ["osm_id", "lon_e7", "lat_e7"]
+        )
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
+    left = pos.map_batches(
+        lambda b: pa.table(
+            {"join_k": b["osm_id"], "x1": b["lon_e7"], "y1": b["lat_e7"]}
+        ),
+        batch_format="pyarrow",
+    )
+    right = pos.map_batches(
+        lambda b: pa.table(
+            {
+                "join_k": pa.compute.subtract(b["osm_id"], 1),
+                "x2": b["lon_e7"],
+                "y2": b["lat_e7"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def octants(b: pa.Table) -> pa.Table:
+        dx = b["x2"].to_numpy(zero_copy_only=False) - b["x1"].to_numpy(zero_copy_only=False)
+        dy = b["y2"].to_numpy(zero_copy_only=False) - b["y1"].to_numpy(zero_copy_only=False)
+        live = (dx != 0) | (dy != 0)
+        dx, dy = dx[live], dy[live]
+        oct_ = np.select(
+            [
+                (dx >= 0) & (dy > 0) & (dx < dy),
+                (dx > 0) & (dy > 0) & (dx >= dy),
+                (dx > 0) & (dy <= 0) & (-dy < dx),
+                (dx > 0) & (dy < 0) & (-dy >= dx),
+                (dx <= 0) & (dy < 0) & (-dx < -dy),
+                (dx < 0) & (dy < 0) & (-dx >= -dy),
+                (dx < 0) & (dy >= 0) & (dy < -dx),
+                (dx < 0) & (dy > 0) & (dy >= -dx),
+            ],
+            np.arange(8, dtype=np.int64),
+            default=np.int64(-1),
+        )
+        o, n = np.unique(oct_, return_counts=True)
+        return pa.table({"octant": o, "n_p": n.astype(np.int64)})
+
+    from .aggregate import combine_partials
+
+    out = combine_partials(
+        hash_join(left, right, on="join_k").map_batches(octants, batch_format="pyarrow"),
+        ["octant"],
+        {"n_p": "n"},
+    )
+    out = out.astype({"octant": "int64", "n": "int64"})
+    return out.sort_values("octant").reset_index(drop=True)
