@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": p.q_snapshot_diff,
         "csv_events_daily": p.q_csv_events_daily,
         "way_bearing_rose": p.q_way_bearing_rose,
+        "profile_orders": p.q_profile_orders,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": o.snapshot_diff(p.T_MID, p.T_DIFF_B),
         "csv_events_daily": o.csv_events_daily(p.T0, p.DAY_US),
         "way_bearing_rose": o.way_bearing_rose(),
+        "profile_orders": o.profile_orders(p.PROFILE_COLS),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

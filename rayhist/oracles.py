@@ -3002,3 +3002,16 @@ SELECT CASE
 FROM seg GROUP BY 1 ORDER BY 1
 """
     )
+
+
+def profile_orders(cols: list[str]) -> str:
+    """Profile mirror: one UNION ALL leg per column."""
+    legs = [
+        f"""SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(legs) + '\nORDER BY "column"'

@@ -5669,3 +5669,17 @@ def q_way_bearing_rose(sf_dir: str) -> pd.DataFrame:
     )
     out = out.astype({"octant": "int64", "n": "int64"})
     return out.sort_values("octant").reset_index(drop=True)
+
+
+PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def q_profile_orders(sf_dir: str) -> pd.DataFrame:
+    """Data-quality PROFILE of the orders table: per column, row
+    count, null count and EXACT distinct count in one pass (ops/
+    profile.py — per-batch np.unique pre-aggregation, one bucket
+    shuffle over O(distincts) pairs, |columns| rows out)."""
+    from .ops.profile import profile_columns
+
+    ds = rio.read_table(f"{sf_dir}/orders.parquet", columns=PROFILE_COLS)
+    return profile_columns(ds, PROFILE_COLS)

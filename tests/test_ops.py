@@ -1766,3 +1766,43 @@ def test_deterministic_split_rejects_nonincreasing_cuts():
     ds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
     with pytest.raises(ValueError):
         deterministic_split(ds, "k", [("a", 9, 10), ("b", 8, 10)], "c")
+
+
+def test_profile_columns_nulls_floats_duckdb():
+    """Profile op vs DuckDB on a frame WITH nulls and near-identical
+    floats (shortest-repr injectivity) across repartitionings."""
+    import duckdb
+    import ray
+
+    from rayhist.ops.profile import profile_columns
+
+    rng = np.random.RandomState(31)
+    n = 2000
+    f = rng.choice([0.1, 0.1 + 2**-52, 1.5, -0.0], n)
+    df = pd.DataFrame(
+        {
+            "a": rng.randint(0, 50, n).astype(np.int64),
+            "b": pd.array(
+                [None if i % 7 == 0 else int(i % 13) for i in range(n)], dtype="Int64"
+            ),
+            "c": f,
+            "d": rng.choice(["x", "y", "zz"], n),
+        }
+    )
+    want = duckdb.sql(
+        """SELECT 'a' AS "column", count(*) AS n,
+                  sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS n_null,
+                  count(DISTINCT a) AS n_distinct FROM df
+           UNION ALL SELECT 'b', count(*),
+                  sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END), count(DISTINCT b) FROM df
+           UNION ALL SELECT 'c', count(*),
+                  sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END), count(DISTINCT c) FROM df
+           UNION ALL SELECT 'd', count(*),
+                  sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END), count(DISTINCT d) FROM df
+           ORDER BY 1"""
+    ).df().astype({"n": "int64", "n_null": "int64", "n_distinct": "int64"})
+    for parts in (1, 9):
+        got = profile_columns(
+            ray.data.from_pandas(df).repartition(parts), ["a", "b", "c", "d"], n_buckets=8
+        )
+        pd.testing.assert_frame_equal(got, want)
