@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_events_daily": p.q_csv_events_daily,
         "way_bearing_rose": p.q_way_bearing_rose,
         "profile_orders": p.q_profile_orders,
+        "etype_purity_by_day": p.q_etype_purity_by_day,
+        "value_leading_digits": p.q_value_leading_digits,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -309,6 +311,8 @@ def oracle_sql() -> dict[str, str]:
         "csv_events_daily": o.csv_events_daily(p.T0, p.DAY_US),
         "way_bearing_rose": o.way_bearing_rose(),
         "profile_orders": o.profile_orders(p.PROFILE_COLS),
+        "etype_purity_by_day": o.etype_purity_by_day(p.T0, p.DAY_US),
+        "value_leading_digits": o.value_leading_digits(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

@@ -3015,3 +3015,35 @@ FROM orders"""
         for c in cols
     ]
     return "\nUNION ALL\n".join(legs) + '\nORDER BY "column"'
+
+
+def etype_purity_by_day(t0: int, day_us: int) -> str:
+    """Gini mirror: same exact-int rational, one double division."""
+    return f"""
+WITH c AS (
+  SELECT CAST((epoch_us(ts) - {int(t0)}) // {int(day_us)} AS BIGINT) AS day,
+         event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT day, sum(c) AS n, sum(c*c) AS ss FROM c GROUP BY 1
+)
+SELECT day,
+       CAST(n*n - ss AS BIGINT) AS gini_num,
+       CAST(n*n AS BIGINT) AS gini_den,
+       CAST(n*n - ss AS DOUBLE) / CAST(n*n AS DOUBLE) AS gini
+FROM s ORDER BY day
+"""
+
+
+def value_leading_digits() -> str:
+    """Leading-digit mirror: lexical extraction from the VARCHAR cast
+    (agrees exactly with the arithmetic derivation on positive ints)."""
+    return """
+WITH v AS (
+  SELECT CAST(round(value*100) AS BIGINT) AS v FROM events
+  WHERE CAST(round(value*100) AS BIGINT) > 0
+)
+SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM v GROUP BY 1 ORDER BY 1
+"""

@@ -5683,3 +5683,71 @@ def q_profile_orders(sf_dir: str) -> pd.DataFrame:
 
     ds = rio.read_table(f"{sf_dir}/orders.parquet", columns=PROFILE_COLS)
     return profile_columns(ds, PROFILE_COLS)
+
+
+def q_etype_purity_by_day(sf_dir: str) -> pd.DataFrame:
+    """Gini impurity of the event-type mix per day, as EXACT INTEGERS:
+    impurity = 1 - sum((c_i/n)^2) is published as the exact rational
+    (gini_num, gini_den) = (n^2 - sum c_i^2, n^2) plus ONE IEEE
+    division — the distribution-impurity aggregate with no float
+    summation anywhere. Per-batch (day, etype) count partials; |days x
+    etypes| combine."""
+    from .aggregate import combine_partials
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "day": (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0)
+                // DAY_US,
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["day", "etype"], as_index=False).size().rename(columns={"size": "c_p"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["day", "etype"], {"c_p": "c"}
+    )
+    g = base.groupby("day")["c"]
+    n = g.sum().astype(np.int64)
+    ss = g.apply(lambda s: int((s.to_numpy(dtype=np.int64) ** 2).sum()))
+    out = pd.DataFrame(
+        {
+            "day": n.index.to_numpy(dtype=np.int64),
+            "gini_num": (n.to_numpy() ** 2 - ss.to_numpy()).astype(np.int64),
+            "gini_den": (n.to_numpy() ** 2).astype(np.int64),
+        }
+    )
+    out["gini"] = out["gini_num"].astype(np.float64) / out["gini_den"].astype(np.float64)
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q_value_leading_digits(sf_dir: str) -> pd.DataFrame:
+    """Benford-style leading-digit profile of the positive cent
+    values: the first significant digit extracted ARITHMETICALLY
+    (repeated integer division — no float log10), counted per digit.
+    The mirror extracts it lexically from the VARCHAR cast; the two
+    derivations agree exactly on positive integers."""
+    from .aggregate import combine_partials
+    from .ops.relational import cents
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["value"]).map_batches(
+        lambda b: cents(b, "value", "value_c"), batch_format="pyarrow"
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = b["value_c"].to_numpy(zero_copy_only=False)
+        v = v[v > 0].copy()
+        while (v >= 10).any():
+            big = v >= 10
+            v[big] //= 10
+        d, n = np.unique(v, return_counts=True)
+        return pa.table({"digit": d, "n_p": n.astype(np.int64)})
+
+    out = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["digit"], {"n_p": "n"}
+    )
+    out = out.astype({"digit": "int64", "n": "int64"})
+    return out.sort_values("digit").reset_index(drop=True)
