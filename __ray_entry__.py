@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": p.q_profile_orders,
         "etype_purity_by_day": p.q_etype_purity_by_day,
         "value_leading_digits": p.q_value_leading_digits,
+        "price_percentiles_cont": p.q_price_percentiles_cont,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders": o.profile_orders(p.PROFILE_COLS),
         "etype_purity_by_day": o.etype_purity_by_day(p.T0, p.DAY_US),
         "value_leading_digits": o.value_leading_digits(),
+        "price_percentiles_cont": o.price_percentiles_cont(p.PCTL_FRACS),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

@@ -903,3 +903,35 @@ def deterministic_split(
         return b.append_column("split", pa.array(label, type=pa.string()))
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def percentile_cont_int(
+    ds: ray.data.Dataset, col: str, fracs: list[tuple[int, int]]
+) -> list[tuple[int, int, int]]:
+    """SQL PERCENTILE_CONT as an EXACT RATIONAL over an integer
+    column: for p = num/den the continuous percentile interpolates the
+    order statistics at floor/ceil of (n-1)*p, and
+    ``v_lo*(den - r) + v_hi*r`` over ``den`` (r = (n-1)*num mod den)
+    is that value with no float until the caller's ONE division.
+    Returns (numerator, denominator, n) per frac. Same distributed
+    shape as exact_quantiles_int: groupby(value).count() + driver
+    cumsum over the |distinct values| histogram — no global sort."""
+    hist = ds.groupby(col).count().to_pandas()
+    hist = hist[hist[col].notna()].sort_values(col)
+    if hist.empty:
+        raise ValueError(f"percentile_cont_int: no non-null values in {col!r}")
+    counts = hist["count()"].to_numpy()
+    values = hist[col].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+
+    def at(idx: int) -> int:
+        return int(values[int(np.searchsorted(cum, idx + 1, side="left"))])
+
+    out = []
+    for num, den in fracs:
+        k, r = divmod((n - 1) * num, den)
+        lo = at(k)
+        hi = at(k + 1) if r else lo
+        out.append((lo * (den - r) + hi * r, den, n))
+    return out

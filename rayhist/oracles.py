@@ -3047,3 +3047,27 @@ SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
        CAST(count(*) AS BIGINT) AS n
 FROM v GROUP BY 1 ORDER BY 1
 """
+
+
+def price_percentiles_cont(fracs: list[tuple[int, int]]) -> str:
+    """PERCENTILE_CONT mirror via explicit order statistics and the
+    identical exact rational — one double division, no engine-internal
+    float interpolation."""
+    legs = []
+    for num, den in fracs:
+        legs.append(
+            f"""SELECT {num} AS pct_num, {den} AS pct_den,
+       CAST(lo * ({den} - r) + hi * r AS BIGINT) AS value_num,
+       CAST({den} AS BIGINT) AS value_den,
+       CAST(lo * ({den} - r) + hi * r AS DOUBLE) / {den}.0 AS value
+FROM (
+  SELECT max(CASE WHEN rn = 1 + ((n-1)*{num})//{den} THEN v END) AS lo,
+         max(CASE WHEN rn = 1 + ((n-1)*{num})//{den} + (CASE WHEN ((n-1)*{num})%{den} > 0 THEN 1 ELSE 0 END) THEN v END) AS hi,
+         max(((n-1)*{num})%{den}) AS r
+  FROM (
+    SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+    FROM (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v FROM orders)
+  )
+)"""
+        )
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY pct_den, pct_num"

@@ -5751,3 +5751,38 @@ def q_value_leading_digits(sf_dir: str) -> pd.DataFrame:
     )
     out = out.astype({"digit": "int64", "n": "int64"})
     return out.sort_values("digit").reset_index(drop=True)
+
+
+PCTL_FRACS = [(1, 4), (1, 2), (3, 4), (9, 10)]
+
+
+def q_price_percentiles_cont(sf_dir: str) -> pd.DataFrame:
+    """SQL PERCENTILE_CONT over order prices (cents) as EXACT
+    RATIONALS: each percentile is the integer numerator
+    v_lo*(den-r) + v_hi*r over den, published with ONE IEEE division
+    (ops.relational.percentile_cont_int — distributed value-histogram,
+    no global sort, no float interpolation). The mirror computes the
+    identical order statistics through a row_number CTE and the same
+    rational — never DuckDB's internal quantile_cont float path."""
+    from .ops.relational import cents, percentile_cont_int
+
+    ds = rio.read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"]).map_batches(
+        lambda b: cents(b, "o_totalprice", "price_c"), batch_format="pyarrow"
+    )
+    rows = []
+    for (num, den), (pnum, pden, n) in zip(
+        PCTL_FRACS, percentile_cont_int(ds, "price_c", PCTL_FRACS)
+    ):
+        rows.append(
+            {
+                "pct_num": num,
+                "pct_den": den,
+                "value_num": pnum,
+                "value_den": pden,
+                "value": np.float64(pnum) / np.float64(pden),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"pct_num": "int64", "pct_den": "int64", "value_num": "int64", "value_den": "int64"}
+    )
+    return out.sort_values(["pct_den", "pct_num"]).reset_index(drop=True)

@@ -1806,3 +1806,31 @@ def test_profile_columns_nulls_floats_duckdb():
             ray.data.from_pandas(df).repartition(parts), ["a", "b", "c", "d"], n_buckets=8
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_percentile_cont_int_matches_numpy():
+    """percentile_cont rational vs numpy's linear interpolation on
+    random int data (numpy's float result must equal num/den to 1 ulp
+    -- we assert exact equality of the rational against a Fraction
+    reference instead, plus the r==0 exact-index case)."""
+    from fractions import Fraction
+
+    import ray
+
+    from rayhist.ops.relational import percentile_cont_int
+
+    rng = np.random.RandomState(17)
+    v = rng.randint(0, 10_000, 501).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": v}))
+    fracs = [(1, 4), (1, 2), (3, 4), (1, 3)]
+    got = percentile_cont_int(ds, "x", fracs)
+    sv = np.sort(v)
+    n = len(sv)
+    for (num, den), (pnum, pden, gn) in zip(fracs, got):
+        assert gn == n
+        k, r = divmod((n - 1) * num, den)
+        want = Fraction(int(sv[k]) * (den - r) + int(sv[k + 1] if r else sv[k]) * r, den)
+        assert Fraction(pnum, pden) == want, (num, den)
+    # exact index: p=1/2 over odd count hits a single order stat
+    (pnum, pden, _), = percentile_cont_int(ds, "x", [(1, 2)])
+    assert pnum % pden == 0 and pnum // pden == int(sv[(n - 1) // 2])
