@@ -3071,3 +3071,26 @@ FROM (
 )"""
         )
     return "\nUNION ALL\n".join(legs) + "\nORDER BY pct_den, pct_num"
+
+
+def value_equidepth_bins() -> str:
+    """Equi-depth mirror: the same discrete value-at-index boundary
+    rule (((n-1)*num)//den over the ordered values) and strict-above
+    bin assignment."""
+    return """
+WITH v AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events
+), r AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM v
+), q AS (
+  SELECT max(CASE WHEN rn = 1 + ((n-1)*1)//4 THEN v END) AS q1,
+         max(CASE WHEN rn = 1 + ((n-1)*2)//4 THEN v END) AS q2,
+         max(CASE WHEN rn = 1 + ((n-1)*3)//4 THEN v END) AS q3
+  FROM r
+)
+SELECT event_type,
+       CAST((v.v > q.q1) AS BIGINT) + CAST((v.v > q.q2) AS BIGINT)
+         + CAST((v.v > q.q3) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM v, q GROUP BY 1, 2 ORDER BY 1, 2
+"""

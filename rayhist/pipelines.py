@@ -5786,3 +5786,37 @@ def q_price_percentiles_cont(sf_dir: str) -> pd.DataFrame:
         {"pct_num": "int64", "pct_den": "int64", "value_num": "int64", "value_den": "int64"}
     )
     return out.sort_values(["pct_den", "pct_num"]).reset_index(drop=True)
+
+
+def q_value_equidepth_bins(sf_dir: str) -> pd.DataFrame:
+    """EQUI-DEPTH histogram: global exact quartile boundaries of the
+    cent values (exact_quantiles_int — distributed value-histogram, no
+    sort), then per (event type, bin) counts with bin = #boundaries
+    strictly below the value. Two passes over a pruned 2-column read;
+    the boundaries broadcast as three ints. Mirror computes the same
+    discrete boundaries and CASE."""
+    from .aggregate import combine_partials
+    from .ops.relational import cents, exact_quantiles_int
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"]).map_batches(
+        lambda b: cents(b, "value", "value_c"), batch_format="pyarrow"
+    )
+    qs = exact_quantiles_int(
+        ev.select_columns(["value_c"]), "value_c", [(1, 4), (1, 2), (3, 4)]
+    )
+    q = np.array(qs, dtype=np.int64)
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = b["value_c"].to_numpy(zero_copy_only=False)
+        bins = (v[:, None] > q[None, :]).sum(axis=1).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy(zero_copy_only=False), "bin": bins}
+        )
+        g = df.groupby(["event_type", "bin"], as_index=False).size().rename(columns={"size": "n_p"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["event_type", "bin"], {"n_p": "n"}
+    )
+    out = out.astype({"bin": "int64", "n": "int64"})
+    return out.sort_values(["event_type", "bin"]).reset_index(drop=True)
