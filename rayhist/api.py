@@ -992,6 +992,45 @@ class MapReducer:
         for batch in self.stream():
             action(batch)
 
+    def convexHull(self) -> pd.DataFrame:
+        """Strict convex hull vertices of the matching snapshot
+        positions, PER TIMESTAMP (spatial/hull.py: exact integer
+        monotone chain, per-batch local hulls as the combiner) —
+        (ts_q, osm_id, lon_e7, lat_e7), one row per hull vertex. A
+        target-side geometric terminal (the reference delegates hulls
+        to JTS client-side); snapshot view only."""
+        if self._view != "snapshot":
+            raise ValueError("convexHull() is a snapshot-view terminal")
+        from .spatial.hull import grouped_convex_hull
+
+        return grouped_convex_hull(self.view(), "ts_q", "osm_id", "lon_e7", "lat_e7")
+
+    def colocationPairs(self, radius_e7: int) -> pd.DataFrame:
+        """All pairs of matching entities within planar distance
+        ``radius_e7`` at the (single) snapshot timestamp, with exact
+        int64 squared distance (spatial/radius.py grid-partitioned
+        self-join) — (id_a, id_b, d2) sorted. Snapshot view with
+        exactly ONE timestamp (pairs must not mix timestamps)."""
+        if self._view != "snapshot":
+            raise ValueError("colocationPairs() is a snapshot-view terminal")
+        if len(self._ts) != 1:
+            raise ValueError(
+                f"colocationPairs() needs exactly one timestamp, got {len(self._ts)}"
+            )
+        import pyarrow as _pa
+
+        from .spatial.radius import radius_self_join
+
+        pts = self.view().map_batches(
+            lambda b: _pa.table(
+                {"id": b["osm_id"], "x": b["lon_e7"], "y": b["lat_e7"]}
+            ),
+            batch_format="pyarrow",
+        )
+        df = radius_self_join(pts, radius_e7).to_pandas()
+        df = df.astype({"id_a": "int64", "id_b": "int64", "d2": "int64"})
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     def collect(self) -> pd.DataFrame:
         """collect (MapReducer.java:1404-1414) — materializes the view
         rows to the driver; small results only, stream() otherwise."""

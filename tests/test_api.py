@@ -656,3 +656,40 @@ def test_sum_returns_python_scalar():
 def test_ungrouped_countuniq_matches_uniq():
     mr = OSMEntitySnapshotView.on(SF).timestamps([T_MID])
     assert mr.countUniq("uid") == len(mr.uniq("uid"))
+
+
+def test_colocation_pairs_matches_pipeline():
+    """Facade colocationPairs == the oracle-checked
+    q_snapshot_colocation_pairs direct pipeline (same T_MID, same
+    radius, no filters)."""
+    from rayhist.pipelines import COLOC_RADIUS_E7, q_snapshot_colocation_pairs
+
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .colocationPairs(COLOC_RADIUS_E7)
+    )
+    want = q_snapshot_colocation_pairs(SF)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_convex_hull_matches_direct_kernel():
+    """Facade convexHull == grouped_convex_hull applied directly to
+    the snapshot view rows (the kernel itself is oracle-checked via
+    snapshot_hull_by_type and property-tested in test_spatial)."""
+    from rayhist.ingest import read_documents
+    from rayhist.spatial.hull import grouped_convex_hull
+    from rayhist.views import snapshot_view
+
+    got = OSMEntitySnapshotView.on(SF).timestamps([T_MID]).convexHull()
+    snaps = snapshot_view(read_documents(SF), [T_MID])
+    want = grouped_convex_hull(snaps, "ts_q", "osm_id", "lon_e7", "lat_e7")
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) >= 3
+
+
+def test_geometric_terminals_guards():
+    with pytest.raises(ValueError):
+        OSMContributionView.on(SF).timestamps([T_MID, T_MID + 1]).convexHull()
+    with pytest.raises(ValueError):
+        OSMEntitySnapshotView.on(SF).timestamps(SNAP_DAILY).colocationPairs(1000)
