@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_leading_digits": p.q_value_leading_digits,
         "price_percentiles_cont": p.q_price_percentiles_cont,
         "value_equidepth_bins": p.q_value_equidepth_bins,
+        "copurchase_clustering": p.q_copurchase_clustering,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "value_leading_digits": o.value_leading_digits(),
         "price_percentiles_cont": o.price_percentiles_cont(p.PCTL_FRACS),
         "value_equidepth_bins": o.value_equidepth_bins(),
+        "copurchase_clustering": o.copurchase_clustering(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

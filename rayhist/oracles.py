@@ -3094,3 +3094,31 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n
 FROM v, q GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def copurchase_clustering() -> str:
+    """Clustering-coefficient mirror: triangles CTE + degree-based
+    wedge sum, one double division."""
+    return """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), d AS (
+  SELECT v, count(*) AS deg
+  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY 1
+), t AS (
+  SELECT count(*) AS tri
+  FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+            JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+), w AS (
+  SELECT sum(deg * (deg - 1) // 2) AS wedges FROM d
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(w.wedges AS BIGINT) AS n_wedges,
+       CAST(t.tri AS BIGINT) AS n_triangles,
+       CAST(3 * t.tri AS BIGINT) AS coeff_num,
+       CAST(w.wedges AS BIGINT) AS coeff_den,
+       CAST(3 * t.tri AS DOUBLE) / CAST(w.wedges AS DOUBLE) AS clustering
+FROM t, w
+"""

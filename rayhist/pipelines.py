@@ -5820,3 +5820,52 @@ def q_value_equidepth_bins(sf_dir: str) -> pd.DataFrame:
     )
     out = out.astype({"bin": "int64", "n": "int64"})
     return out.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
+def q_copurchase_clustering(sf_dir: str) -> pd.DataFrame:
+    """Global clustering coefficient of the co-purchase graph as an
+    EXACT RATIONAL: 3 * triangles over wedges, where the wedge count
+    sum(C(deg, 2)) is a per-bucket integer sum over the same deduped
+    edge set the triangle count uses — one float division at the end.
+    Mirrors the triangles oracle plus the degree-based wedge sum."""
+    from .ops.triangles import dedupe_edges, triangle_count
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    raw = _copurchase_edges(sf_dir, nb)
+    e = dedupe_edges(raw, "src", "dst", nb).materialize()
+    n_edges, n_tri = triangle_count(e.map_batches(
+        lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow"
+    ), n_buckets=nb)
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table({"node": n, "_bucket": _bucket_of(n, nb)})
+
+    def wedge_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["node"].value_counts().to_numpy(dtype=np.int64)
+        return pd.DataFrame({"w_p": [int((d * (d - 1) // 2).sum())]})
+
+    wedges = int(
+        e.map_batches(explode, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(wedge_partial, batch_format="pandas")
+        .sum("w_p")
+        or 0
+    )
+    out = pd.DataFrame(
+        {
+            "n_edges": [n_edges],
+            "n_wedges": [wedges],
+            "n_triangles": [n_tri],
+            "coeff_num": [3 * n_tri],
+            "coeff_den": [wedges],
+        }
+    ).astype("int64")
+    out["clustering"] = np.float64(3 * n_tri) / np.float64(wedges)
+    return out
