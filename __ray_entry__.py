@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_percentiles_cont": p.q_price_percentiles_cont,
         "value_equidepth_bins": p.q_value_equidepth_bins,
         "copurchase_clustering": p.q_copurchase_clustering,
+        "copurchase_kcore": p.q_copurchase_kcore,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -319,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         "price_percentiles_cont": o.price_percentiles_cont(p.PCTL_FRACS),
         "value_equidepth_bins": o.value_equidepth_bins(),
         "copurchase_clustering": o.copurchase_clustering(),
+        "copurchase_kcore": o.copurchase_kcore(p.KCORE_K, p.KCORE_UNROLL),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

@@ -3122,3 +3122,41 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
        CAST(3 * t.tri AS DOUBLE) / CAST(w.wedges AS DOUBLE) AS clustering
 FROM t, w
 """
+
+
+def copurchase_kcore(k: int, unroll: int) -> str:
+    """k-core mirror: the peel unrolled as a CTE chain; rounds =
+    first count-equal consecutive pair minus one (sets are nested, so
+    count equality is set equality)."""
+    k = int(k)
+    parts = ["""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), dir AS (
+  SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e
+), s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM dir)"""]
+    for i in range(1, int(unroll) + 1):
+        # AS MATERIALIZED: each peel level is referenced three times
+        # (twice by the next level, once by the counts CTE) — inlining
+        # would blow up 2^unroll copies of the whole chain
+        parts.append(
+            f""", s{i} AS MATERIALIZED (
+  SELECT d.u AS node FROM dir d
+  JOIN s{i-1} a ON a.node = d.u JOIN s{i-1} b ON b.node = d.v
+  GROUP BY 1 HAVING count(*) >= {k}
+)"""
+        )
+    counts = " UNION ALL ".join(
+        f"SELECT {i} AS i, count(*) AS c FROM s{i}" for i in range(int(unroll) + 1)
+    )
+    parts.append(
+        f""", c AS ({counts})
+, r AS (SELECT min(a.i) - 1 AS rounds FROM c a JOIN c b ON b.i = a.i - 1 AND b.c = a.c)
+SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM s{int(unroll)}) AS n_core,
+       CAST(r.rounds AS BIGINT) AS n_rounds
+FROM r"""
+    )
+    return "".join(parts)

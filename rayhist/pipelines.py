@@ -5869,3 +5869,32 @@ def q_copurchase_clustering(sf_dir: str) -> pd.DataFrame:
     ).astype("int64")
     out["clustering"] = np.float64(3 * n_tri) / np.float64(wedges)
     return out
+
+
+KCORE_K = 80
+KCORE_UNROLL = 8  # oracle unroll depth; the engine asserts fixpoint within it
+
+
+def q_copurchase_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-CORE of the co-purchase graph (k=80): iterative peeling with
+    DATA-DEPENDENT termination (ops/kcore.py — two bucket shuffles per
+    round, one integer count to the driver per round; the alive set
+    only shrinks, so count-unchanged == fixpoint). Returns the summary
+    row (k, n_core, n_rounds); the mirror unrolls the same peel as a
+    non-recursive CTE chain and recovers the round count from the
+    first count-equal consecutive pair (valid because the peel sets
+    are nested)."""
+    from .ops.kcore import k_core
+    from .ops.triangles import dedupe_edges
+    from .ops.window import _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    edges = dedupe_edges(_copurchase_edges(sf_dir, nb), "src", "dst", nb).map_batches(
+        lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow"
+    )
+    core, rounds = k_core(edges, KCORE_K, n_buckets=nb, max_rounds=KCORE_UNROLL)
+    if rounds >= KCORE_UNROLL:
+        raise RuntimeError("q_copurchase_kcore: peel depth exceeded the oracle unroll")
+    return pd.DataFrame(
+        {"k": [KCORE_K], "n_core": [core.count()], "n_rounds": [rounds]}
+    ).astype("int64")

@@ -1834,3 +1834,49 @@ def test_percentile_cont_int_matches_numpy():
     # exact index: p=1/2 over odd count hits a single order stat
     (pnum, pden, _), = percentile_cont_int(ds, "x", [(1, 2)])
     assert pnum % pden == 0 and pnum // pden == int(sv[(n - 1) // 2])
+
+
+def _kcore_brute(edges, k):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    nodes = set(adj)
+    rounds = 0
+    while True:
+        drop = {n for n in nodes if sum((m in nodes) for m in adj[n]) < k}
+        if not drop:
+            return sorted(nodes), rounds
+        nodes -= drop
+        rounds += 1
+        if not nodes:
+            return [], rounds
+
+
+def test_k_core_brute_force_and_path_equality():
+    """Random graphs vs the Python peel, broadcast and distributed
+    paths pinned equal (gate=0 forces the message rounds)."""
+    import ray
+
+    from rayhist.ops.kcore import k_core
+    from rayhist.ops.triangles import dedupe_edges
+
+    rng = np.random.RandomState(23)
+    for n, m, k in [(15, 40, 3), (30, 200, 6)]:
+        u = rng.randint(0, n, m)
+        v = rng.randint(0, n, m)
+        raw = ray.data.from_pandas(
+            pd.DataFrame({"src": u.astype(np.int64), "dst": v.astype(np.int64)})
+        )
+        edges = dedupe_edges(raw, n_buckets=4).map_batches(
+            lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow"
+        ).materialize()
+        want_nodes, want_rounds = _kcore_brute(list(zip(u.tolist(), v.tolist())), k)
+        for gate in (2_000_000, 0):
+            core, rounds = k_core(edges, k, n_buckets=4, broadcast_gate=gate)
+            got = sorted(core.to_pandas()["node"].tolist())
+            assert got == want_nodes, (n, m, k, gate)
+            assert rounds == want_rounds, (n, m, k, gate)
