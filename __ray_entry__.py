@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_equidepth_bins": p.q_value_equidepth_bins,
         "copurchase_clustering": p.q_copurchase_clustering,
         "copurchase_kcore": p.q_copurchase_kcore,
+        "split_contamination": p.q_split_contamination,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -321,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "value_equidepth_bins": o.value_equidepth_bins(),
         "copurchase_clustering": o.copurchase_clustering(),
         "copurchase_kcore": o.copurchase_kcore(p.KCORE_K, p.KCORE_UNROLL),
+        "split_contamination": o.split_contamination(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

@@ -3160,3 +3160,25 @@ SELECT CAST({k} AS BIGINT) AS k,
 FROM r"""
     )
     return "".join(parts)
+
+
+def split_contamination() -> str:
+    """Contamination mirror: md5 content fp x md5 split thresholds;
+    per non-train split, distinct leaked fps and affected docs."""
+    t80 = (8 << 32) // 10
+    t90 = (9 << 32) // 10
+    return f"""
+WITH s AS (
+  SELECT md5(substr(text, 1, 32)) AS fp,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < {t80} THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < {t90} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), tr AS (SELECT DISTINCT fp FROM s WHERE split = 'train')
+SELECT s.split,
+       CAST(count(DISTINCT s.fp) AS BIGINT) AS n_contaminated_fps,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM s JOIN tr USING (fp)
+WHERE s.split <> 'train'
+GROUP BY 1 ORDER BY 1
+"""

@@ -5898,3 +5898,82 @@ def q_copurchase_kcore(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"k": [KCORE_K], "n_core": [core.count()], "n_rounds": [rounds]}
     ).astype("int64")
+
+
+def q_split_contamination(sf_dir: str) -> pd.DataFrame:
+    """TRAIN/TEST CONTAMINATION check: documents whose 32-char OPENING
+    matches a training document's opening across the deterministic
+    80/10/10 split (the exact-content variant is this with the full-
+    text fingerprint; the synthetic corpus has shared openings at
+    every scale but no full duplicates below sf0.1, so the prefix
+    variant keeps the check non-degenerate). Composition of the
+    fingerprint, deterministic_split and a fingerprint-bucket groupby
+    (complete fingerprints per bucket, so the cross-split test runs
+    in-stage). Reports, per non-train split, the distinct contaminated
+    openings and affected documents — the numbers a training run must
+    drive to zero. md5 fp + md5 split because both VALUES feed the
+    oracle; production composes the vectorized twins. ASCII corpus:
+    Arrow codeunit slicing == SQL character substr."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .ops.relational import deterministic_split
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def prefix_fp(b: pa.Table) -> pa.Table:
+        heads = pc.utf8_slice_codeunits(b["text"], 0, 32).to_pylist()
+        fp = pa.array([hashlib.md5(h.encode()).hexdigest() for h in heads])
+        return b.drop_columns(["text"]).append_column("fp", fp)
+
+    ds = ds.map_batches(prefix_fp, batch_format="pyarrow")
+    ds = deterministic_split(ds, "doc_id", [("train", 8, 10), ("val", 9, 10)], "test", "md5")
+
+    def tag(b: pa.Table) -> pa.Table:
+        fp = b["fp"].to_numpy(zero_copy_only=False)
+        key = pd.util.hash_array(fp.astype(object), categorize=False).astype(np.int64)
+        return pa.table(
+            {"fp": b["fp"], "split": b["split"], "_bucket": _bucket_of(key, nb)}
+        )
+
+    def leaks(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["fp", "split"]].drop_duplicates()
+        tr = set(d.loc[d["split"] == "train", "fp"])
+        rows = []
+        for s in ("val", "test"):
+            fps = set(d.loc[d["split"] == s, "fp"]) & tr
+            if fps:
+                n_docs = int(((g["split"] == s) & g["fp"].isin(fps)).sum())
+                rows.append({"split": s, "n_contaminated_fps": len(fps), "n_docs": n_docs})
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "split": pd.Series(dtype=object),
+                    "n_contaminated_fps": pd.Series(dtype="int64"),
+                    "n_docs": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(leaks, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "split": pd.Series(dtype=object),
+                "n_contaminated_fps": pd.Series(dtype="int64"),
+                "n_docs": pd.Series(dtype="int64"),
+            }
+        )
+    out = parts.groupby("split", as_index=False).agg(
+        n_contaminated_fps=("n_contaminated_fps", "sum"), n_docs=("n_docs", "sum")
+    )
+    out = out.astype({"n_contaminated_fps": "int64", "n_docs": "int64"})
+    return out.sort_values("split").reset_index(drop=True)
