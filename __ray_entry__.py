@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_clustering": p.q_copurchase_clustering,
         "copurchase_kcore": p.q_copurchase_kcore,
         "split_contamination": p.q_split_contamination,
+        "copurchase_assortativity": p.q_copurchase_assortativity,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -323,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_clustering": o.copurchase_clustering(),
         "copurchase_kcore": o.copurchase_kcore(p.KCORE_K, p.KCORE_UNROLL),
         "split_contamination": o.split_contamination(),
+        "copurchase_assortativity": o.copurchase_assortativity(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

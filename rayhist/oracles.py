@@ -3182,3 +3182,29 @@ FROM s JOIN tr USING (fp)
 WHERE s.split <> 'train'
 GROUP BY 1 ORDER BY 1
 """
+
+
+def copurchase_assortativity() -> str:
+    """Assortativity mirror: same exact sufficient statistics over the
+    directed edge list; for the symmetric case r = (m*sxy - sx^2) /
+    (m*sxx - sx^2) — ONE double division of exact ints."""
+    return """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), dir AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+deg AS (SELECT u AS node, count(*) AS d FROM dir GROUP BY 1),
+j AS (
+  SELECT gu.d AS du, gv.d AS dv
+  FROM dir JOIN deg gu ON gu.node = dir.u JOIN deg gv ON gv.node = dir.v
+), s AS (
+  SELECT count(*) AS m, sum(du) AS sx, sum(du*du) AS sxx, sum(du*dv) AS sxy FROM j
+)
+SELECT CAST(m AS BIGINT) AS m, CAST(sx AS BIGINT) AS sx,
+       CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+       CAST(m*sxy - sx*sx AS BIGINT) AS r_num,
+       CAST(m*sxx - sx*sx AS BIGINT) AS r_den,
+       CAST(m*sxy - sx*sx AS DOUBLE) / CAST(m*sxx - sx*sx AS DOUBLE) AS assortativity
+FROM s
+"""

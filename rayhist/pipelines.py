@@ -5977,3 +5977,71 @@ def q_split_contamination(sf_dir: str) -> pd.DataFrame:
     )
     out = out.astype({"n_contaminated_fps": "int64", "n_docs": "int64"})
     return out.sort_values("split").reset_index(drop=True)
+
+
+def q_copurchase_assortativity(sf_dir: str) -> pd.DataFrame:
+    """DEGREE ASSORTATIVITY of the co-purchase graph: Pearson r of
+    (deg_u, deg_v) over the directed edge list, published as the EXACT
+    int64 sufficient statistics (m, sx, sxx, sxy — symmetric, so
+    sy=sx, syy=sxx — so the sqrt cancels and r reduces to
+    (m*sxy - sx^2)/(m*sxx - sx^2)) plus r as ONE IEEE division of the
+    exact ints (int->double casts exact below 2^53). Degrees attach
+    under the triangles-convention broadcast gate; above the gate the
+    distributed co-group attach in ops/triangles.py is the shape."""
+    from .ops.triangles import dedupe_edges
+    from .ops.window import _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    e = dedupe_edges(_copurchase_edges(sf_dir, nb), "src", "dst", nb).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, cnt = np.unique(n, return_counts=True)
+        return pa.table({"node": nodes, "d_p": cnt.astype(np.int64)})
+
+    degs = (
+        e.map_batches(deg_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("node")["d_p"]
+        .sum()
+    )
+    import ray as _ray
+
+    nodes_ref = _ray.put(np.sort(degs.index.to_numpy(dtype=np.int64)))
+    deg_ref = _ray.put(degs.sort_index().to_numpy(dtype=np.int64))
+
+    def sums(b: pa.Table) -> pa.Table:
+        nd, dg = _ray.get(nodes_ref), _ray.get(deg_ref)
+        du = dg[np.searchsorted(nd, b["u"].to_numpy(zero_copy_only=False))]
+        dv = dg[np.searchsorted(nd, b["v"].to_numpy(zero_copy_only=False))]
+        # directed edge list = both orientations: symmetric sums
+        sx = int(du.sum() + dv.sum())
+        sxx = int((du * du).sum() + (dv * dv).sum())
+        sxy = int(2 * (du * dv).sum())
+        return pa.table(
+            {
+                "m_p": pa.array([2 * len(b)], type=pa.int64()),
+                "sx_p": pa.array([sx], type=pa.int64()),
+                "sxx_p": pa.array([sxx], type=pa.int64()),
+                "sxy_p": pa.array([sxy], type=pa.int64()),
+            }
+        )
+
+    parts = e.map_batches(sums, batch_format="pyarrow").to_pandas()
+    m = int(parts["m_p"].sum())
+    sx = int(parts["sx_p"].sum())
+    sxx = int(parts["sxx_p"].sum())
+    sxy = int(parts["sxy_p"].sum())
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    out = pd.DataFrame(
+        {"m": [m], "sx": [sx], "sxx": [sxx], "sxy": [sxy],
+         "r_num": [num], "r_den": [den]}
+    ).astype("int64")
+    out["assortativity"] = np.float64(num) / np.float64(den)
+    return out
