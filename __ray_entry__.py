@@ -89,9 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_daily": p.q_gapfill_daily,
         "user_journeys": p.q_user_journeys,
         "snapshot_hull_by_type": p.q_snapshot_hull_by_type,
-        "value_bitops_by_type": p.q_value_bitops_by_type,
-        "extreme_events_by_type": p.q_extreme_events_by_type,
         "copurchase_pagerank": p.q_copurchase_pagerank,
+        "copurchase_clustering": p.q_copurchase_clustering,
+        "copurchase_kcore": p.q_copurchase_kcore,
         "jsonl_events_by_type": p.q_jsonl_events_by_type,
         "train_val_test_split": p.q_train_val_test_split,
         "snapshot_diff": p.q_snapshot_diff,
@@ -102,10 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_leading_digits": p.q_value_leading_digits,
         "price_percentiles_cont": p.q_price_percentiles_cont,
         "value_equidepth_bins": p.q_value_equidepth_bins,
-        "copurchase_clustering": p.q_copurchase_clustering,
-        "copurchase_kcore": p.q_copurchase_kcore,
         "split_contamination": p.q_split_contamination,
         "copurchase_assortativity": p.q_copurchase_assortativity,
+        "value_bitops_by_type": p.q_value_bitops_by_type,
+        "extreme_events_by_type": p.q_extreme_events_by_type,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
