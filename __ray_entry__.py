@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_equidepth_bins": p.q_value_equidepth_bins,
         "split_contamination": p.q_split_contamination,
         "copurchase_assortativity": p.q_copurchase_assortativity,
+        "entity_sinuosity": p.q_entity_sinuosity,
         "value_bitops_by_type": p.q_value_bitops_by_type,
         "extreme_events_by_type": p.q_extreme_events_by_type,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
@@ -325,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_kcore": o.copurchase_kcore(p.KCORE_K, p.KCORE_UNROLL),
         "split_contamination": o.split_contamination(),
         "copurchase_assortativity": o.copurchase_assortativity(),
+        "entity_sinuosity": o.entity_sinuosity(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

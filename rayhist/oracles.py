@@ -3208,3 +3208,50 @@ SELECT CAST(m AS BIGINT) AS m, CAST(sx AS BIGINT) AS sx,
        CAST(m*sxy - sx*sx AS DOUBLE) / CAST(m*sxx - sx*sx AS DOUBLE) AS assortativity
 FROM s
 """
+
+
+def entity_sinuosity() -> str:
+    """Sinuosity mirror: lag-window consecutive visible pairs, the
+    identical equirect floor-micrometer expression per pair, int sums,
+    one double division."""
+    dist = """floor(6371000.0 * sqrt(
+    (radians({b}lon_e7/10000000.0 - {a}lon_e7/10000000.0)
+       * cos(radians(({b}lat_e7/10000000.0 + {a}lat_e7/10000000.0) / 2)))
+    * (radians({b}lon_e7/10000000.0 - {a}lon_e7/10000000.0)
+       * cos(radians(({b}lat_e7/10000000.0 + {a}lat_e7/10000000.0) / 2)))
+    + radians({b}lat_e7/10000000.0 - {a}lat_e7/10000000.0)
+    * radians({b}lat_e7/10000000.0 - {a}lat_e7/10000000.0)
+  ) * 1000000.0)"""
+    seg = dist.format(a="p", b="")
+    # per-entity endpoints: first/last visible version
+    endd = dist.format(a="f", b="l")
+    return (
+        DERIVE
+        + f"""
+, vis AS (
+  SELECT osm_id, v, lon_e7, lat_e7,
+         lag(lon_e7) OVER w AS plon_e7, lag(lat_e7) OVER w AS plat_e7
+  FROM d WHERE visible
+  WINDOW w AS (PARTITION BY osm_id ORDER BY v)
+), segs AS (
+  SELECT osm_id,
+         CAST({seg.replace('plon_e7', 'plon_e7').replace('plat_e7', 'plat_e7').replace(' lon_e7', ' lon_e7')} AS BIGINT) AS seg_um
+  FROM (SELECT osm_id, lon_e7, lat_e7, plon_e7 AS plon_e7, plat_e7 AS plat_e7 FROM vis WHERE plon_e7 IS NOT NULL)
+), agg AS (
+  SELECT osm_id, count(*) AS n_moves, sum(seg_um) AS path_um FROM segs GROUP BY 1
+), ends AS (
+  SELECT osm_id,
+         arg_min(lon_e7, v) AS flon_e7, arg_min(lat_e7, v) AS flat_e7,
+         arg_max(lon_e7, v) AS llon_e7, arg_max(lat_e7, v) AS llat_e7
+  FROM d WHERE visible GROUP BY 1
+), j AS (
+  SELECT a.osm_id, a.n_moves, a.path_um,
+         CAST({endd} AS BIGINT) AS disp_um
+  FROM agg a JOIN ends USING (osm_id)
+)
+SELECT osm_id, CAST(n_moves AS BIGINT) AS n_moves,
+       CAST(path_um AS BIGINT) AS path_um, disp_um,
+       CAST(path_um AS DOUBLE) / CAST(disp_um AS DOUBLE) AS sinuosity
+FROM j WHERE disp_um > 0 ORDER BY osm_id
+"""
+    )

@@ -6045,3 +6045,74 @@ def q_copurchase_assortativity(sf_dir: str) -> pd.DataFrame:
     ).astype("int64")
     out["assortativity"] = np.float64(num) / np.float64(den)
     return out
+
+
+def q_entity_sinuosity(sf_dir: str) -> pd.DataFrame:
+    """Per-entity TRAJECTORY SINUOSITY: path length over displacement
+    for every entity that moved — path = sum of per-pair equirect
+    floor-micrometer segment lengths over consecutive VISIBLE versions
+    (exact int sum, order-free; the Geo.java:37-45 formula in the
+    way_lengths op order), displacement = the same metric first->last,
+    ratio = ONE IEEE division. ZERO shuffle: a document's versions
+    decode into one batch, so the whole trajectory folds in-stage."""
+    from .functions.geo import distance_equirectangular
+    from .model import decode_spans
+
+    def stage(batch: pa.Table) -> pa.Table:
+        t = decode_spans(batch, tags=False)
+        df = pd.DataFrame(
+            {
+                "osm_id": t["osm_id"].to_numpy(zero_copy_only=False),
+                "v": t["v"].to_numpy(zero_copy_only=False),
+                "visible": t["visible"].to_numpy(zero_copy_only=False),
+                "lon": t["lon_e7"].to_numpy(zero_copy_only=False),
+                "lat": t["lat_e7"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df[df["visible"]].sort_values(["osm_id", "v"], kind="mergesort")
+        if df.empty:
+            return pa.table(
+                {
+                    "osm_id": pa.array([], type=pa.int64()),
+                    "n_moves": pa.array([], type=pa.int64()),
+                    "path_um": pa.array([], type=pa.int64()),
+                    "disp_um": pa.array([], type=pa.int64()),
+                    "sinuosity": pa.array([], type=pa.float64()),
+                }
+            )
+        same = df["osm_id"].to_numpy()[1:] == df["osm_id"].to_numpy()[:-1]
+        lo1 = df["lon"].to_numpy()[:-1][same] / 1e7
+        la1 = df["lat"].to_numpy()[:-1][same] / 1e7
+        lo2 = df["lon"].to_numpy()[1:][same] / 1e7
+        la2 = df["lat"].to_numpy()[1:][same] / 1e7
+        seg = np.floor(distance_equirectangular(la1, lo1, la2, lo2) * 1e6).astype(np.int64)
+        oid = df["osm_id"].to_numpy()[1:][same]
+        g = pd.DataFrame({"osm_id": oid, "seg": seg}).groupby("osm_id", as_index=False)
+        agg = g.agg(n_moves=("seg", "size"), path_um=("seg", "sum"))
+        ends = df.groupby("osm_id", as_index=False).agg(
+            lon0=("lon", "first"), lat0=("lat", "first"),
+            lon1=("lon", "last"), lat1=("lat", "last"),
+        )
+        out = agg.merge(ends, on="osm_id")
+        disp = np.floor(
+            distance_equirectangular(
+                out["lat0"].to_numpy() / 1e7, out["lon0"].to_numpy() / 1e7,
+                out["lat1"].to_numpy() / 1e7, out["lon1"].to_numpy() / 1e7,
+            )
+            * 1e6
+        ).astype(np.int64)
+        out["disp_um"] = disp
+        out = out[out["disp_um"] > 0]
+        out["sinuosity"] = out["path_um"].to_numpy(dtype=np.int64).astype(
+            np.float64
+        ) / out["disp_um"].to_numpy(dtype=np.int64).astype(np.float64)
+        return pa.Table.from_pandas(
+            out[["osm_id", "n_moves", "path_um", "disp_um", "sinuosity"]],
+            preserve_index=False,
+        )
+
+    df = _docs(sf_dir).map_batches(stage, batch_format="pyarrow").to_pandas()
+    df = df.astype(
+        {"osm_id": "int64", "n_moves": "int64", "path_um": "int64", "disp_um": "int64"}
+    )
+    return df.sort_values("osm_id").reset_index(drop=True)
