@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_contamination": p.q_split_contamination,
         "copurchase_assortativity": p.q_copurchase_assortativity,
         "entity_sinuosity": p.q_entity_sinuosity,
+        "user_value_ewma": p.q_user_value_ewma,
         "value_bitops_by_type": p.q_value_bitops_by_type,
         "extreme_events_by_type": p.q_extreme_events_by_type,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "split_contamination": o.split_contamination(),
         "copurchase_assortativity": o.copurchase_assortativity(),
         "entity_sinuosity": o.entity_sinuosity(),
+        "user_value_ewma": o.user_value_ewma(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

@@ -132,3 +132,63 @@ def ordered_prefix_sum(
         cols[out_col] = pa.array([], type=pa.int64())
         return ray.data.from_arrow(pa.table(cols))
     return ray.data.from_arrow_refs(out_refs)
+
+
+def grouped_recurrence_ewma_int(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    n_buckets: int = 64,
+):
+    """Per-key integer EWMA — the NON-ASSOCIATIVE ordered recurrence
+    ``s_1 = v_1; s_t = (s_{t-1} + v_t) // 2`` (floor halving, exact
+    ints, no float drift). A fold like this has no combiner, so the
+    distributed shape is complete-keys-per-bucket + an in-bucket scan;
+    the scan itself is VECTORIZED ACROSS KEYS, not rows: rows sort by
+    (key, order), per-key step indices come from cumcount, and one
+    numpy pass per STEP updates every key still alive at that step —
+    O(max key length) passes over shrinking arrays, never a Python
+    per-row loop. Returns one row per key: (key, n, ewma_c).
+
+    SQL mirror: the identical recurrence as a recursive CTE stepping
+    rn -> rn+1. (Associative scans belong in ordered_prefix_sum; this
+    operator exists precisely for the recurrences that are not.)"""
+    import pandas as pd
+    import ray.data  # noqa: F401
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        return b.select([key_col, value_col, *order_cols]).append_column(
+            "_bucket", pa.array((k % n_buckets).astype(np.int64))
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        keys = g[key_col].to_numpy(dtype=np.int64)
+        vals = g[value_col].to_numpy(dtype=np.int64)
+        step = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        first = step == 0
+        kid = np.cumsum(first) - 1  # dense key index in sorted order
+        nk = int(kid[-1]) + 1 if len(kid) else 0
+        state = np.zeros(nk, dtype=np.int64)
+        max_step = int(step.max()) + 1 if len(step) else 0
+        order = np.lexsort((kid, step))  # group rows by step
+        s_sorted, k_sorted, v_sorted = step[order], kid[order], vals[order]
+        bounds = np.searchsorted(s_sorted, np.arange(max_step + 1))
+        for t in range(max_step):
+            lo, hi = bounds[t], bounds[t + 1]
+            ks, vs = k_sorted[lo:hi], v_sorted[lo:hi]
+            if t == 0:
+                state[ks] = vs
+            else:
+                state[ks] = (state[ks] + vs) >> 1  # floor((s+v)/2), all >= 0
+        uk = keys[first]
+        n = np.bincount(kid, minlength=nk).astype(np.int64)
+        return pd.DataFrame({key_col: uk, "n": n, "ewma_c": state})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

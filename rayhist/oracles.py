@@ -3255,3 +3255,25 @@ SELECT osm_id, CAST(n_moves AS BIGINT) AS n_moves,
 FROM j WHERE disp_um > 0 ORDER BY osm_id
 """
     )
+
+
+def user_value_ewma() -> str:
+    """EWMA mirror: the identical floor-halving recurrence as a
+    recursive CTE stepping rn -> rn+1 in the same total order."""
+    return """
+WITH RECURSIVE v AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS val,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, val AS s FROM v WHERE rn = 1
+  UNION ALL
+  SELECT v.user_id, v.rn, (r.s + v.val) // 2
+  FROM r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1
+)
+SELECT user_id,
+       CAST(max(rn) AS BIGINT) AS n,
+       CAST(arg_max(s, rn) AS BIGINT) AS ewma_c
+FROM r GROUP BY 1 ORDER BY 1
+"""

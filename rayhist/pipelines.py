@@ -6116,3 +6116,36 @@ def q_entity_sinuosity(sf_dir: str) -> pd.DataFrame:
         {"osm_id": "int64", "n_moves": "int64", "path_um": "int64", "disp_um": "int64"}
     )
     return df.sort_values("osm_id").reset_index(drop=True)
+
+
+def q_user_value_ewma(sf_dir: str) -> pd.DataFrame:
+    """Per-user integer EWMA of event cents in exact (ts, event_id)
+    order — the NON-ASSOCIATIVE recurrence s_t = (s_{t-1} + v_t) // 2
+    (ops/scan.py grouped_recurrence_ewma_int: complete-keys bucket
+    shuffle, scan vectorized ACROSS keys per step). The mirror is the
+    identical recurrence as a recursive CTE."""
+    from .ops.relational import cents
+    from .ops.scan import grouped_recurrence_ewma_int
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "value_c": b["value_c"],
+            }
+        )
+
+    out = grouped_recurrence_ewma_int(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["t", "event_id"],
+        "value_c",
+    ).to_pandas()
+    out = out.astype({"user_id": "int64", "n": "int64", "ewma_c": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)

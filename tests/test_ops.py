@@ -1880,3 +1880,38 @@ def test_k_core_brute_force_and_path_equality():
             got = sorted(core.to_pandas()["node"].tolist())
             assert got == want_nodes, (n, m, k, gate)
             assert rounds == want_rounds, (n, m, k, gate)
+
+
+def test_grouped_ewma_brute_force():
+    """Vectorized-across-keys fold vs the per-row Python recurrence,
+    with ragged key lengths and order ties broken by the tiebreaker."""
+    import ray
+
+    from rayhist.ops.scan import grouped_recurrence_ewma_int
+
+    rng = np.random.RandomState(41)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 9, n).astype(np.int64),
+            "o1": rng.randint(0, 20, n).astype(np.int64),
+            "o2": np.arange(n, dtype=np.int64),
+            "v": rng.randint(0, 10_000, n).astype(np.int64),
+        }
+    )
+    got = (
+        grouped_recurrence_ewma_int(
+            ray.data.from_pandas(df), "k", ["o1", "o2"], "v", n_buckets=4
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for k, g in df.sort_values(["k", "o1", "o2"]).groupby("k"):
+        s = None
+        for v in g["v"]:
+            s = int(v) if s is None else (s + int(v)) // 2
+        rows.append({"k": int(k), "n": len(g), "ewma_c": s})
+    want = pd.DataFrame(rows).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
