@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_assortativity": p.q_copurchase_assortativity,
         "entity_sinuosity": p.q_entity_sinuosity,
         "user_value_ewma": p.q_user_value_ewma,
+        "snapshot_diameter_by_type": p.q_snapshot_diameter_by_type,
         "value_bitops_by_type": p.q_value_bitops_by_type,
         "extreme_events_by_type": p.q_extreme_events_by_type,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_assortativity": o.copurchase_assortativity(),
         "entity_sinuosity": o.entity_sinuosity(),
         "user_value_ewma": o.user_value_ewma(),
+        "snapshot_diameter_by_type": o.snapshot_diameter_by_type(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

@@ -3277,3 +3277,30 @@ SELECT user_id,
        CAST(arg_max(s, rn) AS BIGINT) AS ewma_c
 FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+def snapshot_diameter_by_type() -> str:
+    """Farthest-pair mirror: subset self-join argmax through HUGEINT
+    squared distance, ties to the smallest (id_a, id_b)."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+, pts AS (
+  SELECT etype, osm_id, lon_e7 AS x, lat_e7 AS y FROM snap WHERE osm_id % 5 = 0
+), pairs AS (
+  SELECT a.etype, a.osm_id AS id_a, b.osm_id AS id_b,
+         abs(a.x - b.x) AS adx, abs(a.y - b.y) AS ady,
+         CAST(a.x - b.x AS HUGEINT) * (a.x - b.x)
+           + CAST(a.y - b.y AS HUGEINT) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON a.etype = b.etype AND a.osm_id < b.osm_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY etype
+                               ORDER BY d2 DESC, id_a, id_b) AS rn
+  FROM pairs
+)
+SELECT etype, id_a, id_b, CAST(adx AS BIGINT) AS adx, CAST(ady AS BIGINT) AS ady
+FROM r WHERE rn = 1 ORDER BY etype
+"""
+    )

@@ -6149,3 +6149,66 @@ def q_user_value_ewma(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out = out.astype({"user_id": "int64", "n": "int64", "ewma_c": "int64"})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_snapshot_diameter_by_type(sf_dir: str) -> pd.DataFrame:
+    """FARTHEST PAIR (diameter) of each event type's T_MID snapshot
+    positions (osm_id % 5 subset): the diameter endpoints of a point
+    set lie on its convex hull, so the combiner-shaped hull reduction
+    (spatial/hull.py) shrinks each group to a handful of vertices and
+    the exact argmax runs over |hull|^2 Python-int pairs — squared e7
+    distances need 65 bits, so the comparison stays in unbounded ints
+    (and the published columns are the int64-safe |dx|, |dy|). Tie
+    rule: smallest (id_a, id_b). The mirror is the subset self-join
+    argmax through HUGEINT."""
+    from .model import decode_spans
+    from .spatial.hull import grouped_convex_hull
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=True), ts)
+        ids = s["osm_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 5 == 0
+        return pa.table(
+            {
+                "etype": pa.array(s["etype"].to_numpy(zero_copy_only=False)[keep]),
+                "osm_id": ids[keep],
+                "lon_e7": s["lon_e7"].to_numpy(zero_copy_only=False)[keep],
+                "lat_e7": s["lat_e7"].to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    pts = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    hull = grouped_convex_hull(pts, "etype", "osm_id", "lon_e7", "lat_e7")
+    rows = []
+    for etype, g in hull.groupby("etype"):
+        ids = g["osm_id"].to_numpy(dtype=np.int64)
+        xs = g["lon_e7"].to_numpy(dtype=np.int64)
+        ys = g["lat_e7"].to_numpy(dtype=np.int64)
+        best = None
+        for i in range(len(ids)):
+            for j in range(len(ids)):
+                if ids[i] >= ids[j]:
+                    continue
+                d2 = (int(xs[i]) - int(xs[j])) ** 2 + (int(ys[i]) - int(ys[j])) ** 2
+                key = (-d2, int(ids[i]), int(ids[j]))
+                if best is None or key < best[0]:
+                    best = (key, i, j)
+        if best is None:
+            continue  # fewer than 2 distinct hull points
+        _, i, j = best
+        rows.append(
+            {
+                "etype": etype,
+                "id_a": int(ids[i]),
+                "id_b": int(ids[j]),
+                "adx": abs(int(xs[i]) - int(xs[j])),
+                "ady": abs(int(ys[i]) - int(ys[j])),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"id_a": "int64", "id_b": "int64", "adx": "int64", "ady": "int64"}
+    )
+    return out.sort_values("etype").reset_index(drop=True)
