@@ -3304,3 +3304,18 @@ SELECT etype, id_a, id_b, CAST(adx AS BIGINT) AS adx, CAST(ady AS BIGINT) AS ady
 FROM r WHERE rn = 1 ORDER BY etype
 """
     )
+
+
+def etype_share_by_day(t0: int, day_us: int) -> str:
+    """ratio_to_report mirror: count / sum(count) OVER (day)."""
+    return f"""
+WITH c AS (
+  SELECT CAST((epoch_us(ts) - {int(t0)}) // {int(day_us)} AS BIGINT) AS day,
+         event_type AS etype, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, etype, n,
+       CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day) AS DOUBLE) AS share
+FROM c ORDER BY 1, 2
+"""

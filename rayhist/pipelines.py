@@ -6212,3 +6212,36 @@ def q_snapshot_diameter_by_type(sf_dir: str) -> pd.DataFrame:
         {"id_a": "int64", "id_b": "int64", "adx": "int64", "ady": "int64"}
     )
     return out.sort_values("etype").reset_index(drop=True)
+
+
+def q_etype_share_by_day(sf_dir: str) -> pd.DataFrame:
+    """RATIO_TO_REPORT: each event type's share of its day's events —
+    per-(day, etype) counts and per-day totals from ONE partial pass,
+    the share as ONE IEEE division of exact ints. The window-function
+    mirror divides by sum(n) OVER (PARTITION BY day)."""
+    from .aggregate import combine_partials
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "day": (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0)
+                // DAY_US,
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["day", "etype"], as_index=False).size().rename(columns={"size": "n_p"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["day", "etype"], {"n_p": "n"}
+    )
+    tot = base.groupby("day")["n"].transform("sum")
+    out = base.copy()
+    out["day_total"] = tot.astype(np.int64)
+    out["share"] = out["n"].to_numpy(dtype=np.int64).astype(np.float64) / out[
+        "day_total"
+    ].to_numpy(dtype=np.int64).astype(np.float64)
+    out = out.astype({"day": "int64", "n": "int64", "day_total": "int64"})
+    return out.sort_values(["day", "etype"]).reset_index(drop=True)
