@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ewma": p.q_user_value_ewma,
         "snapshot_diameter_by_type": p.q_snapshot_diameter_by_type,
         "etype_share_by_day": p.q_etype_share_by_day,
+        "copurchase_bfs_hops": p.q_copurchase_bfs_hops,
         "value_bitops_by_type": p.q_value_bitops_by_type,
         "extreme_events_by_type": p.q_extreme_events_by_type,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
@@ -333,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_ewma": o.user_value_ewma(),
         "snapshot_diameter_by_type": o.snapshot_diameter_by_type(),
         "etype_share_by_day": o.etype_share_by_day(p.T0, p.DAY_US),
+        "copurchase_bfs_hops": o.copurchase_bfs_hops(p.BFS_SEED_MOD, p.BFS_HOPS),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

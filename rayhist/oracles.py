@@ -3319,3 +3319,33 @@ SELECT day, etype, n,
        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day) AS DOUBLE) AS share
 FROM c ORDER BY 1, 2
 """
+
+
+def copurchase_bfs_hops(seed_mod: int, max_hops: int) -> str:
+    """BFS mirror: frontier levels unrolled as MATERIALIZED CTEs
+    (visited = union of all earlier levels; each level referenced
+    multiple times)."""
+    parts = [f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), dir AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+f0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM dir WHERE u % {int(seed_mod)} = 0),
+vis0 AS MATERIALIZED (SELECT node FROM f0)"""]
+    for h in range(1, int(max_hops) + 1):
+        parts.append(
+            f""", f{h} AS MATERIALIZED (
+  SELECT DISTINCT d.v AS node FROM dir d
+  JOIN f{h-1} f ON f.node = d.u
+  WHERE NOT EXISTS (SELECT 1 FROM vis{h-1} x WHERE x.node = d.v)
+), vis{h} AS MATERIALIZED (
+  SELECT node FROM vis{h-1} UNION ALL SELECT node FROM f{h}
+)"""
+        )
+    counts = " UNION ALL ".join(
+        f"SELECT {h} AS hop, CAST(count(*) AS BIGINT) AS n FROM f{h}"
+        for h in range(int(max_hops) + 1)
+    )
+    parts.append(f"\n{counts}\nORDER BY hop")
+    return "".join(parts)

@@ -6245,3 +6245,26 @@ def q_etype_share_by_day(sf_dir: str) -> pd.DataFrame:
     ].to_numpy(dtype=np.int64).astype(np.float64)
     out = out.astype({"day": "int64", "n": "int64", "day_total": "int64"})
     return out.sort_values(["day", "etype"]).reset_index(drop=True)
+
+
+BFS_HOPS = 4
+BFS_SEED_MOD = 97
+
+
+def q_copurchase_bfs_hops(sf_dir: str) -> pd.DataFrame:
+    """Multi-source BOUNDED-HOP BFS over the co-purchase graph: how
+    many parts are first reached at each hop 0..4 from the seed set
+    (part_id % 97 == 0) — frontier-expansion message rounds
+    (ops/bfs.py, the cc.py co-group shape; gated broadcast fast path,
+    message rounds pinned equal in pytest). The mirror unrolls the
+    same expansion as MATERIALIZED CTE levels."""
+    from .ops.bfs import bfs_hops
+    from .ops.triangles import dedupe_edges
+    from .ops.window import _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    edges = dedupe_edges(_copurchase_edges(sf_dir, nb), "src", "dst", nb).map_batches(
+        lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow"
+    )
+    out = bfs_hops(edges, lambda n: n % BFS_SEED_MOD == 0, BFS_HOPS, n_buckets=nb)
+    return out

@@ -1915,3 +1915,47 @@ def test_grouped_ewma_brute_force():
         rows.append({"k": int(k), "n": len(g), "ewma_c": s})
     want = pd.DataFrame(rows).astype("int64")
     pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_bfs_hops_brute_force_and_path_equality():
+    """Random graphs vs a Python BFS; broadcast and distributed
+    message-round paths pinned equal (gate=0 forces the rounds)."""
+    import collections
+
+    import ray
+
+    from rayhist.ops.bfs import bfs_hops
+    from rayhist.ops.triangles import dedupe_edges
+
+    rng = np.random.RandomState(29)
+    for n, m in [(20, 50), (40, 160)]:
+        u = rng.randint(0, n, m)
+        v = rng.randint(0, n, m)
+        raw = ray.data.from_pandas(
+            pd.DataFrame({"src": u.astype(np.int64), "dst": v.astype(np.int64)})
+        )
+        edges = dedupe_edges(raw, n_buckets=4).map_batches(
+            lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow"
+        ).materialize()
+        adj = collections.defaultdict(set)
+        for a, b in zip(edges.to_pandas()["src"], edges.to_pandas()["dst"]):
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+        seeds = sorted(x for x in adj if x % 5 == 0)
+        dist = {s: 0 for s in seeds}
+        frontier = list(seeds)
+        want = [(0, len(seeds))]
+        for h in range(1, 4):
+            nxt = sorted(
+                {y for x in frontier for y in adj[x] if y not in dist}
+            )
+            for y in nxt:
+                dist[y] = h
+            want.append((h, len(nxt)))
+            frontier = nxt
+        want_df = pd.DataFrame(want, columns=["hop", "n"]).astype("int64")
+        for gate in (2_000_000, 0):
+            got = bfs_hops(
+                edges, lambda a: a % 5 == 0, 3, n_buckets=4, broadcast_gate=gate
+            )
+            pd.testing.assert_frame_equal(got, want_df), (n, m, gate)
