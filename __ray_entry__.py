@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diameter_by_type": p.q_snapshot_diameter_by_type,
         "etype_share_by_day": p.q_etype_share_by_day,
         "copurchase_bfs_hops": p.q_copurchase_bfs_hops,
+        "copurchase_lcc": p.q_copurchase_lcc,
         "value_bitops_by_type": p.q_value_bitops_by_type,
         "extreme_events_by_type": p.q_extreme_events_by_type,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
@@ -335,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diameter_by_type": o.snapshot_diameter_by_type(),
         "etype_share_by_day": o.etype_share_by_day(p.T0, p.DAY_US),
         "copurchase_bfs_hops": o.copurchase_bfs_hops(p.BFS_SEED_MOD, p.BFS_HOPS),
+        "copurchase_lcc": o.copurchase_lcc(),
         "top_words": o.top_words(),
         "revenue_by_nation_month": o.revenue_by_nation_month(),
         "mad_value_by_type": o.mad_value_by_type(),

@@ -328,3 +328,104 @@ def _triangles_broadcast(e: ray.data.Dataset, n_buckets: int) -> int:
 
     closed = oriented.groupby("_bucket").map_groups(wedges_close, batch_format="pandas")
     return int(closed.sum("n") or 0)
+
+
+def triangle_counts_per_node(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Per-node triangle participation counts (node, deg, n_triangles)
+    — the LOCAL clustering numerator. Same gated broadcast machinery
+    as triangle_count's fast path, with the wedge SOURCE carried
+    through the close so each found triangle credits all three
+    corners; per-bucket partial counts reduce to |V| rows. (Nodes on
+    zero triangles still appear, with n_triangles = 0.)"""
+    n_buckets = _resolve_buckets(n_buckets, floor=64)
+    e = dedupe_edges(edges, src, dst, n_buckets).materialize()
+    if e.count() == 0:
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype="int64"),
+                "deg": pd.Series(dtype="int64"),
+                "n_triangles": pd.Series(dtype="int64"),
+            }
+        )
+    import ray as _ray
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, cnt = np.unique(n, return_counts=True)
+        return pa.table({"node": nodes, "d_p": cnt.astype(np.int64)})
+
+    degs = (
+        e.map_batches(deg_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("node")["d_p"]
+        .sum()
+        .sort_index()
+    )
+    nodes = degs.index.to_numpy(dtype=np.int64)
+    dvals = degs.to_numpy(dtype=np.int64)
+    nv = len(nodes)
+    rank = np.empty(nv, dtype=np.int64)
+    rank[np.lexsort((nodes, dvals))] = np.arange(nv, dtype=np.int64)
+    nodes_ref = _ray.put(nodes)
+    rank_ref = _ray.put(rank)
+
+    def orient(b: pa.Table) -> pa.Table:
+        nd, rk = _ray.get(nodes_ref), _ray.get(rank_ref)
+        ru = rk[np.searchsorted(nd, b["u"].to_numpy(zero_copy_only=False))]
+        rv = rk[np.searchsorted(nd, b["v"].to_numpy(zero_copy_only=False))]
+        s = np.minimum(ru, rv)
+        t = np.maximum(ru, rv)
+        return pa.table({"s": s, "t": t, "_bucket": _bucket_of(s, n_buckets)})
+
+    oriented = e.map_batches(orient, batch_format="pyarrow").materialize()
+    opd = oriented.to_pandas()
+    keys = np.sort(
+        opd["s"].to_numpy(dtype=np.int64) * nv + opd["t"].to_numpy(dtype=np.int64)
+    )
+    keys_ref = _ray.put(keys)
+
+    def wedges_close(g: pd.DataFrame) -> pd.DataFrame:
+        k = _ray.get(keys_ref)
+        g = g.sort_values(["s", "t"], kind="mergesort")
+        g = g.assign(_r=g.groupby("s", sort=False).cumcount())
+        m = g.merge(g, on="s", suffixes=("_a", "_b"))
+        m = m[m["_r_a"] < m["_r_b"]]
+        if m.empty:
+            return pd.DataFrame({"rk": pd.Series(dtype="int64"), "t_p": pd.Series(dtype="int64")})
+        key = m["t_a"].to_numpy(dtype=np.int64) * nv + m["t_b"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(k, key)
+        found = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == key)
+        corners = np.concatenate(
+            [
+                m["s"].to_numpy(dtype=np.int64)[found],
+                m["t_a"].to_numpy(dtype=np.int64)[found],
+                m["t_b"].to_numpy(dtype=np.int64)[found],
+            ]
+        )
+        rk_u, cnt = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"rk": rk_u, "t_p": cnt.astype(np.int64)})
+
+    parts = (
+        oriented.groupby("_bucket")
+        .map_groups(wedges_close, batch_format="pandas")
+        .to_pandas()
+    )
+    per_rank = parts.groupby("rk")["t_p"].sum() if len(parts) else pd.Series(dtype="int64")
+    tri = np.zeros(nv, dtype=np.int64)
+    if len(per_rank):
+        tri[per_rank.index.to_numpy(dtype=np.int64)] = per_rank.to_numpy(dtype=np.int64)
+    # node i (ascending-id order) holds rank rank[i] -> count tri[rank[i]]
+    out = pd.DataFrame(
+        {"node": nodes, "deg": dvals, "n_triangles": tri[rank]}
+    )
+    return out.sort_values("node").reset_index(drop=True)

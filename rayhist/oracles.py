@@ -3349,3 +3349,35 @@ vis0 AS MATERIALIZED (SELECT node FROM f0)"""]
     )
     parts.append(f"\n{counts}\nORDER BY hop")
     return "".join(parts)
+
+
+def copurchase_lcc() -> str:
+    """Local-clustering mirror: corner-unioned triangle counts joined
+    to degrees, the identical rational and one double division."""
+    return """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT v AS node, count(*) AS d
+  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY 1
+), tri AS (
+  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+            JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+), tc AS (
+  SELECT v AS node, count(*) AS t
+  FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+  GROUP BY 1
+)
+SELECT deg.node AS part_id,
+       CAST(deg.d AS BIGINT) AS deg,
+       CAST(coalesce(tc.t, 0) AS BIGINT) AS lcc_num,
+       CAST(deg.d * (deg.d - 1) // 2 AS BIGINT) AS lcc_den,
+       CAST(coalesce(tc.t, 0) AS DOUBLE)
+         / CAST(deg.d * (deg.d - 1) // 2 AS DOUBLE) AS lcc
+FROM deg LEFT JOIN tc USING (node)
+WHERE deg.d >= 2
+ORDER BY 1
+"""

@@ -6268,3 +6268,28 @@ def q_copurchase_bfs_hops(sf_dir: str) -> pd.DataFrame:
     )
     out = bfs_hops(edges, lambda n: n % BFS_SEED_MOD == 0, BFS_HOPS, n_buckets=nb)
     return out
+
+
+def q_copurchase_lcc(sf_dir: str) -> pd.DataFrame:
+    """LOCAL clustering coefficient per part: triangles through each
+    node over C(deg, 2), as exact ints plus ONE IEEE division
+    (ops/triangles.triangle_counts_per_node — the wedge close carries
+    the source so every triangle credits its three corners). Nodes
+    with deg < 2 are excluded (undefined denominator)."""
+    from .ops.triangles import triangle_counts_per_node
+    from .ops.window import _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    df = triangle_counts_per_node(_copurchase_edges(sf_dir, nb), n_buckets=nb)
+    df = df[df["deg"] >= 2].copy()
+    df = df.rename(columns={"node": "part_id", "n_triangles": "lcc_num"})
+    df["lcc_den"] = df["deg"].to_numpy(dtype=np.int64) * (
+        df["deg"].to_numpy(dtype=np.int64) - 1
+    ) // 2
+    df["lcc"] = df["lcc_num"].to_numpy(dtype=np.int64).astype(np.float64) / df[
+        "lcc_den"
+    ].to_numpy(dtype=np.int64).astype(np.float64)
+    df = df.astype({"part_id": "int64", "deg": "int64", "lcc_num": "int64", "lcc_den": "int64"})
+    return df[["part_id", "deg", "lcc_num", "lcc_den", "lcc"]].sort_values(
+        "part_id"
+    ).reset_index(drop=True)

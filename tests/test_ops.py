@@ -1959,3 +1959,35 @@ def test_bfs_hops_brute_force_and_path_equality():
                 edges, lambda a: a % 5 == 0, 3, n_buckets=4, broadcast_gate=gate
             )
             pd.testing.assert_frame_equal(got, want_df), (n, m, gate)
+
+
+def test_triangle_counts_per_node_brute_force():
+    import ray
+
+    from rayhist.ops.triangles import triangle_counts_per_node
+
+    rng = np.random.RandomState(37)
+    n, m = 25, 120
+    u = rng.randint(0, n, m)
+    v = rng.randint(0, n, m)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": u.astype(np.int64), "dst": v.astype(np.int64)})
+    )
+    got = triangle_counts_per_node(ds, n_buckets=4)
+    E = {(min(a, b), max(a, b)) for a, b in zip(u.tolist(), v.tolist()) if a != b}
+    adj: dict[int, set] = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {x: 0 for x in adj}
+    for a, b in E:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    want = pd.DataFrame(
+        sorted((x, len(adj[x]), tri[x]) for x in adj),
+        columns=["node", "deg", "n_triangles"],
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), want)

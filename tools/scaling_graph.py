@@ -14,7 +14,7 @@ pair").
     python tools/scaling_graph.py --level 8                        # one child level
 
 The stress graph is deterministic (fmix-hashed endpoints, no RNG
-state), ~3M distinct edges over 300k nodes (avg degree ~20 — wedge
+state), ~6M distinct edges over 600k nodes (avg degree ~20 — wedge
 volume stays linear-ish so the triangle join is CPU-bound, not a
 blow-up), generated once under the cache dir and reused.
 """
@@ -32,8 +32,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-N_EDGES = int(os.environ.get("RAYHIST_STRESS_EDGES", str(3_000_000)))
-N_NODES = int(os.environ.get("RAYHIST_STRESS_NODES", str(300_000)))
+N_EDGES = int(os.environ.get("RAYHIST_STRESS_EDGES", str(6_000_000)))
+N_NODES = int(os.environ.get("RAYHIST_STRESS_NODES", str(600_000)))
 KCORE_K = 18
 BFS_HOPS = 2
 
@@ -75,16 +75,8 @@ def ensure_stress_graph() -> str:
     return str(f)
 
 
-def run_level(ncpu: int, edge_path: str) -> dict:
-    import pyarrow as pa
-    import ray
-
-    ray.init(
-        address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR"
-    )
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+def _run_ops(edge_path: str, kcore_k: int) -> dict:
+    """Time the four distributed ops over one edge file."""
     from rayhist import io as rio
     from rayhist.ops.bfs import bfs_hops
     from rayhist.ops.kcore import k_core
@@ -98,33 +90,79 @@ def run_level(ncpu: int, edge_path: str) -> dict:
         )
 
     times: dict[str, float] = {}
-
     t0 = time.perf_counter()
     n_edges, n_tri = triangle_count(edges(), broadcast_gate=0)
     times["triangles"] = round(time.perf_counter() - t0, 3)
-
     t0 = time.perf_counter()
     pagerank_int(edges(), iters=2).to_pandas()
     times["pagerank_2it"] = round(time.perf_counter() - t0, 3)
-
     t0 = time.perf_counter()
-    _core, k_rounds = k_core(edges(), KCORE_K, broadcast_gate=0)
+    _core, k_rounds = k_core(edges(), kcore_k, broadcast_gate=0)
     times["kcore"] = round(time.perf_counter() - t0, 3)
-
     t0 = time.perf_counter()
     bfs_hops(edges(), lambda n: n % 1000 == 0, BFS_HOPS, broadcast_gate=0)
     times["bfs"] = round(time.perf_counter() - t0, 3)
+    return {
+        "times": times,
+        "n_edges": int(n_edges),
+        "n_tri": int(n_tri),
+        "k_rounds": int(k_rounds),
+    }
 
+
+def ensure_floor_graph() -> str:
+    """Tiny graph (2k edges): running the identical op sequence over it
+    measures the ROUND-LATENCY FLOOR — the per-shuffle fixed cost that
+    does not parallelize (bench.py's pipeline_floor methodology applied
+    to the iterative family)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(os.environ.get("RAYHIST_CACHE", "/tmp/rayhist_cache")) / "floor_graph_2k"
+    f = out / "edges.parquet"
+    if f.exists():
+        return str(f)
+    i = np.arange(2000, dtype=np.int64)
+    tmp = out.parent / f".tmp_fg_{os.getpid()}"
+    tmp.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table({"src": i % 97, "dst": (i * 7 + 1) % 97}), tmp / "edges.parquet"
+    )
+    try:
+        tmp.rename(out)
+    except OSError:
+        if not f.exists():
+            raise
+    return str(f)
+
+
+def run_level(ncpu: int, edge_path: str) -> dict:
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR"
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    floor = _run_ops(ensure_floor_graph(), 3)  # warms pools AND measures the floor
+    main_run = _run_ops(edge_path, KCORE_K)
     ray.shutdown()
+    times = main_run["times"]
     total = round(sum(times.values()), 3)
+    floor_total = round(sum(floor["times"].values()), 3)
     return {
         "num_cpus": ncpu,
         "value": total,
         "queries": times,
-        "edges": int(n_edges),
-        "triangles": int(n_tri),
-        "kcore_rounds": int(k_rounds),
-        "edges_per_sec_total": round(len(times) * int(n_edges) / total, 1),
+        "floor": floor_total,
+        "floors": floor["times"],
+        "edges": main_run["n_edges"],
+        "triangles": main_run["n_tri"],
+        "kcore_rounds": main_run["k_rounds"],
+        "edges_per_sec_total": round(len(times) * main_run["n_edges"] / total, 1),
     }
 
 
@@ -148,10 +186,12 @@ def main() -> int:
         )
         out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
     t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    f_lo, f_hi = out[lo]["floor"], out[hi]["floor"]
     per_op = {
         q: round((out[lo]["queries"][q] / out[hi]["queries"][q]) / (hi / lo), 3)
         for q in out[lo]["queries"]
     }
+    work_eff = round(((t_lo - f_lo) / max(t_hi - f_hi, 1e-9)) / (hi / lo), 3)
     print(
         json.dumps(
             {
@@ -160,6 +200,9 @@ def main() -> int:
                 f"sec_{hi}": t_hi,
                 "speedup": round(t_lo / t_hi, 3),
                 "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+                f"floor_{lo}": f_lo,
+                f"floor_{hi}": f_hi,
+                "work_scaling_efficiency": work_eff,
                 "per_op_efficiency": per_op,
                 "edges": out[lo]["edges"],
                 "triangles": out[lo]["triangles"],
