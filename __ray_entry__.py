@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_lcc": p.q_copurchase_lcc,
         "value_bitops_by_type": p.q_value_bitops_by_type,
         "extreme_events_by_type": p.q_extreme_events_by_type,
+        # --- round-5 eighth-session additions ---
+        "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -316,6 +318,9 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_hull_by_type": o.snapshot_hull_by_type(),
         "value_bitops_by_type": o.value_bitops_by_type(),
         "extreme_events_by_type": o.extreme_events_by_type(),
+        "copurchase_cheapest_paths": o.copurchase_cheapest_paths(
+            p.SSSP_SEED_MOD, p.SSSP_ROUNDS
+        ),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

@@ -3351,6 +3351,47 @@ vis0 AS MATERIALIZED (SELECT node FROM f0)"""]
     return "".join(parts)
 
 
+def copurchase_cheapest_paths(seed_mod: int, rounds: int) -> str:
+    """Weighted-shortest-path mirror: the identical Bellman-Ford
+    relaxation unrolled as MATERIALIZED CTE levels (each level is
+    referenced twice — by the relax join and the carry-forward), with
+    the same finite 2^62 "unreached" sentinel and exact BIGINT costs."""
+    inf = 1 << 62
+    parts = [
+        f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+  FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), dir AS (SELECT pa AS u, pb AS v, w FROM e UNION ALL SELECT pb, pa, w FROM e),
+d0 AS MATERIALIZED (
+  SELECT u AS node,
+         CAST(CASE WHEN u % {int(seed_mod)} = 0 THEN 0 ELSE {inf} END AS BIGINT) AS dist
+  FROM (SELECT DISTINCT u FROM dir)
+)"""
+    ]
+    for i in range(1, int(rounds) + 1):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+  SELECT d.node, least(d.dist, coalesce(m.md, d.dist)) AS dist
+  FROM d{i-1} d LEFT JOIN (
+    SELECT dir.v AS node, min(p.dist + dir.w) AS md
+    FROM dir JOIN d{i-1} p ON p.node = dir.u AND p.dist < {inf}
+    GROUP BY 1
+  ) m ON m.node = d.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part_id, CAST(dist AS BIGINT) AS dist
+FROM d{int(rounds)} WHERE dist < {inf} ORDER BY 1
+"""
+    )
+    return "".join(parts)
+
+
 def copurchase_lcc() -> str:
     """Local-clustering mirror: corner-unioned triangle counts joined
     to degrees, the identical rational and one double division."""

@@ -6249,6 +6249,67 @@ def q_etype_share_by_day(sf_dir: str) -> pd.DataFrame:
 
 BFS_HOPS = 4
 BFS_SEED_MOD = 97
+SSSP_ROUNDS = 4
+SSSP_SEED_MOD = 101
+
+
+def _copurchase_weighted_edges(sf_dir: str, nb: int):
+    """Canonical co-purchase pairs weighted by their DISTINCT co-order
+    count (how many orders contain both parts): one pair-hash bucket
+    shuffle completes each pair's count in its bucket (a pair's
+    occurrences across orders all land together), the dedupe_edges
+    shape with a size() instead of a drop_duplicates()."""
+    from .ops.triangles import _pair_key
+    from .ops.window import _bucket_of
+
+    raw = _copurchase_edges(sf_dir, nb)  # src < dst, one row per (order, pair)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        u = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"src": u, "dst": v, "_bucket": _bucket_of(_pair_key(u, v), nb)}
+        )
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["src", "dst"], sort=False).size()
+        idx = m.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "src": idx["src"].to_numpy(dtype=np.int64),
+                "dst": idx["dst"].to_numpy(dtype=np.int64),
+                "w": m.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        raw.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(count, batch_format="pandas")
+    )
+
+
+def q_copurchase_cheapest_paths(sf_dir: str) -> pd.DataFrame:
+    """Bounded-round WEIGHTED shortest paths (Bellman-Ford) over the
+    co-purchase graph: the exact cheapest <=4-edge path cost from the
+    seed set (part_id % 101 == 0) where an edge costs its distinct
+    co-order count — ops/sssp.py relaxation message rounds (the
+    bfs.py co-group shape with int64 costs and a finite 2^62
+    "unreached" sentinel; gated broadcast fast path, message rounds
+    pinned equal in pytest). The mirror unrolls the same relaxation
+    as MATERIALIZED CTE levels with least()+min() joins."""
+    from .ops.sssp import sssp_int
+    from .ops.window import _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    edges = _copurchase_weighted_edges(sf_dir, nb)
+    df = sssp_int(
+        edges, lambda n: n % SSSP_SEED_MOD == 0, SSSP_ROUNDS, n_buckets=nb
+    )
+    df = df.rename(columns={"node": "part_id"}).astype(
+        {"part_id": "int64", "dist": "int64"}
+    )
+    return df.sort_values("part_id").reset_index(drop=True)
 
 
 def q_copurchase_bfs_hops(sf_dir: str) -> pd.DataFrame:

@@ -1991,3 +1991,63 @@ def test_triangle_counts_per_node_brute_force():
         columns=["node", "deg", "n_triangles"],
     ).astype("int64")
     pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_sssp_int_brute_force_and_path_equality():
+    """Random weighted graphs vs a Python Bellman-Ford; broadcast and
+    distributed message-round paths pinned equal (gate=0 forces the
+    rounds)."""
+    import ray
+
+    from rayhist.ops.sssp import INF, sssp_int
+
+    rng = np.random.RandomState(31)
+    for n, m, rounds in [(20, 50, 3), (40, 160, 4)]:
+        u = rng.randint(0, n, m).astype(np.int64)
+        v = rng.randint(0, n, m).astype(np.int64)
+        w = rng.randint(1, 9, m).astype(np.int64)
+        # canonical distinct pairs, min weight per pair, no self-loops
+        df = pd.DataFrame(
+            {"src": np.minimum(u, v), "dst": np.maximum(u, v), "w": w}
+        )
+        df = df[df["src"] != df["dst"]]
+        df = df.groupby(["src", "dst"], as_index=False)["w"].min()
+        edges = ray.data.from_pandas(df)
+        dist = {
+            x: (0 if x % 5 == 0 else INF)
+            for x in set(df["src"]).union(df["dst"])
+        }
+        for _ in range(rounds):
+            nd = dict(dist)
+            for a, b, ww in zip(df["src"], df["dst"], df["w"]):
+                if dist[a] < INF:
+                    nd[b] = min(nd[b], dist[a] + int(ww))
+                if dist[b] < INF:
+                    nd[a] = min(nd[a], dist[b] + int(ww))
+            dist = nd
+        want = pd.DataFrame(
+            sorted((x, d) for x, d in dist.items() if d < INF),
+            columns=["node", "dist"],
+        ).astype("int64")
+        for gate in (2_000_000, 0):
+            got = sssp_int(
+                edges,
+                lambda a: a % 5 == 0,
+                rounds,
+                n_buckets=4,
+                broadcast_gate=gate,
+            )
+            pd.testing.assert_frame_equal(got, want), (n, m, gate)
+
+
+def test_sssp_int_weight_validation():
+    import pytest
+    import ray
+
+    from rayhist.ops.sssp import sssp_int
+
+    bad = ray.data.from_pandas(
+        pd.DataFrame({"src": [1], "dst": [2], "w": [0]})
+    )
+    with pytest.raises(Exception, match="weights"):
+        sssp_int(bad, lambda a: a % 2 == 0, 2, n_buckets=2)
