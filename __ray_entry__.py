@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extreme_events_by_type": p.q_extreme_events_by_type,
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
+        "snapshot_kmeans": p.q_snapshot_kmeans,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -321,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_cheapest_paths": o.copurchase_cheapest_paths(
             p.SSSP_SEED_MOD, p.SSSP_ROUNDS
         ),
+        "snapshot_kmeans": o.snapshot_kmeans(p.KMEANS_K, p.KMEANS_ITERS),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

@@ -3422,3 +3422,69 @@ FROM deg LEFT JOIN tc USING (node)
 WHERE deg.d >= 2
 ORDER BY 1
 """
+
+
+def snapshot_kmeans(k: int, iters: int) -> str:
+    """k-means mirror: the identical exact-integer Lloyd rounds
+    unrolled as MATERIALIZED CTE chains — init = k smallest osm_ids,
+    assignment = row_number argmin over the point x centroid cross
+    join (dist ties -> lowest cluster), update = HUGEINT sums with
+    the same // floor mean, empty clusters carry their centroid; the
+    final pass re-assigns against the last centroids and zerofills."""
+    k = int(k)
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    parts = [
+        DERIVE
+        + cte
+        + f"""
+, pts AS MATERIALIZED (
+  SELECT osm_id AS pid,
+         (lon_e7 + 1800000000) // 100 AS gx,
+         (lat_e7 + 900000000) // 100 AS gy
+  FROM snap
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS cluster,
+         gx AS cx, gy AS cy
+  FROM (SELECT * FROM pts ORDER BY pid LIMIT {k})
+)"""
+    ]
+    assign = """, a{i} AS MATERIALIZED (
+  SELECT pid, gx, gy, cluster FROM (
+    SELECT p.pid, p.gx, p.gy, c.cluster,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY (p.gx-c.cx)*(p.gx-c.cx) + (p.gy-c.cy)*(p.gy-c.cy), c.cluster
+           ) AS rn
+    FROM pts p CROSS JOIN c{j} c
+  ) WHERE rn = 1
+)"""
+    for i in range(1, int(iters) + 1):
+        parts.append(assign.format(i=i, j=i - 1))
+        parts.append(
+            f""", c{i} AS MATERIALIZED (
+  SELECT c.cluster,
+         CAST(coalesce(s.sx // s.n, c.cx) AS BIGINT) AS cx,
+         CAST(coalesce(s.sy // s.n, c.cy) AS BIGINT) AS cy
+  FROM c{i-1} c LEFT JOIN (
+    SELECT cluster, count(*) AS n, sum(gx) AS sx, sum(gy) AS sy
+    FROM a{i} GROUP BY 1
+  ) s ON s.cluster = c.cluster
+)"""
+        )
+    fin = int(iters) + 1
+    parts.append(assign.format(i=fin, j=int(iters)))
+    parts.append(
+        f"""
+SELECT c.cluster, c.cx, c.cy,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n,
+       CAST(coalesce(s.sx, 0) AS BIGINT) AS sum_gx,
+       CAST(coalesce(s.sy, 0) AS BIGINT) AS sum_gy
+FROM c{int(iters)} c LEFT JOIN (
+  SELECT cluster, count(*) AS n, sum(gx) AS sx, sum(gy) AS sy
+  FROM a{fin} GROUP BY 1
+) s ON s.cluster = c.cluster
+ORDER BY c.cluster
+"""
+    )
+    return "".join(parts)

@@ -6354,3 +6354,40 @@ def q_copurchase_lcc(sf_dir: str) -> pd.DataFrame:
     return df[["part_id", "deg", "lcc_num", "lcc_den", "lcc"]].sort_values(
         "part_id"
     ).reset_index(drop=True)
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def q_snapshot_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Exact-integer k-means (k=4, 3 Lloyd iterations) over entity
+    positions at T_MID on the shifted //100 e7 grid (gx/gy in
+    [0, 2^27) so squared spans stay int64-exact) — ops/kmeans.py
+    broadcast-centroid passes: each round ray.put-ships the k x 2
+    centroid ints, one map_batches pass emits k-row exact partials,
+    the driver combines them in PYTHON ints. Init = the k
+    smallest-osm_id points; ties assign to the lowest cluster; floor
+    means. The mirror unrolls the identical rounds as MATERIALIZED
+    CTE chains (row_number argmin + HUGEINT sums + the same //)."""
+    from .model import decode_spans
+    from .ops.kmeans import kmeans_int
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        t = snapshots_fn(decode_spans(batch, tags=False), ts)
+        lon = t["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = t["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pid": t["osm_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "gx": (lon + 1800000000) // 100,
+                "gy": (lat + 900000000) // 100,
+            }
+        )
+
+    pts = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    out = kmeans_int(pts, k=KMEANS_K, iters=KMEANS_ITERS)
+    return out.sort_values("cluster").reset_index(drop=True)

@@ -2051,3 +2051,82 @@ def test_sssp_int_weight_validation():
     )
     with pytest.raises(Exception, match="weights"):
         sssp_int(bad, lambda a: a % 2 == 0, 2, n_buckets=2)
+
+
+def test_kmeans_int_brute_force():
+    """Random point sets vs a pure-Python exact Lloyd reference:
+    centroids, counts and coordinate sums bit-identical, including
+    the emptied-cluster carry and lowest-cluster tie-break."""
+    import ray
+
+    from rayhist.ops.kmeans import kmeans_int
+
+    rng = np.random.RandomState(47)
+    for n, k, iters, nblk in [(30, 3, 2, 2), (120, 5, 4, 3)]:
+        pid = rng.permutation(n * 7)[:n].astype(np.int64)
+        gx = rng.randint(0, 1 << 20, n).astype(np.int64)
+        gy = rng.randint(0, 1 << 20, n).astype(np.int64)
+        df = pd.DataFrame({"pid": pid, "gx": gx, "gy": gy})
+        order = np.argsort(pid, kind="stable")
+        cx = [int(gx[order[j]]) for j in range(k)]
+        cy = [int(gy[order[j]]) for j in range(k)]
+
+        def assign():
+            a = []
+            for x, y in zip(gx.tolist(), gy.tolist()):
+                best, bd = 0, None
+                for j in range(k):
+                    d = (x - cx[j]) ** 2 + (y - cy[j]) ** 2
+                    if bd is None or d < bd:
+                        best, bd = j, d
+                a.append(best)
+            return a
+
+        for _ in range(iters):
+            a = assign()
+            for j in range(k):
+                pts = [i for i, c in enumerate(a) if c == j]
+                if pts:
+                    cx[j] = sum(int(gx[i]) for i in pts) // len(pts)
+                    cy[j] = sum(int(gy[i]) for i in pts) // len(pts)
+        a = assign()
+        want = pd.DataFrame(
+            {
+                "cluster": np.arange(k, dtype=np.int64),
+                "cx": np.array(cx, dtype=np.int64),
+                "cy": np.array(cy, dtype=np.int64),
+                "n": np.array(
+                    [sum(1 for c in a if c == j) for j in range(k)], dtype=np.int64
+                ),
+                "sum_gx": np.array(
+                    [sum(int(gx[i]) for i, c in enumerate(a) if c == j) for j in range(k)],
+                    dtype=np.int64,
+                ),
+                "sum_gy": np.array(
+                    [sum(int(gy[i]) for i, c in enumerate(a) if c == j) for j in range(k)],
+                    dtype=np.int64,
+                ),
+            }
+        )
+        # split into several blocks so the partial-combine path is real
+        ds = ray.data.from_pandas(
+            [df.iloc[i::nblk].reset_index(drop=True) for i in range(nblk)]
+        )
+        got = kmeans_int(ds, k=k, iters=iters)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_kmeans_int_validation():
+    import pytest
+    import ray
+
+    from rayhist.ops.kmeans import kmeans_int
+
+    few = ray.data.from_pandas(pd.DataFrame({"pid": [1, 2], "gx": [0, 1], "gy": [0, 1]}))
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_int(few, k=3, iters=1)
+    neg = ray.data.from_pandas(pd.DataFrame({"pid": [1], "gx": [-1], "gy": [0]}))
+    with pytest.raises(Exception, match="coordinates"):
+        kmeans_int(neg, k=1, iters=1)
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_int(few, k=0, iters=1)
