@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
+        "snapshot_bbox_overlaps": p.q_snapshot_bbox_overlaps,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -323,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
             p.SSSP_SEED_MOD, p.SSSP_ROUNDS
         ),
         "snapshot_kmeans": o.snapshot_kmeans(p.KMEANS_K, p.KMEANS_ITERS),
+        "snapshot_bbox_overlaps": o.snapshot_bbox_overlaps(p.RECT_HALF_E7, p.RECT_CELL_E7),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

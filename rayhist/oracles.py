@@ -3488,3 +3488,35 @@ ORDER BY c.cluster
 """
     )
     return "".join(parts)
+
+
+def snapshot_bbox_overlaps(half: int, cell: int) -> str:
+    """Rectangle-join mirror: the identical closed-box intersection
+    predicate and exact integer corner/area arithmetic; `cell` only
+    bounds the distributed layout, the SQL needs no partitioning."""
+    h = int(half)
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, b AS (
+  SELECT osm_id AS pid,
+         lon_e7 - (osm_id % 7 + 1) * {h} AS lx,
+         lat_e7 - (osm_id % 5 + 1) * {h} AS ly,
+         lon_e7 + (osm_id % 7 + 1) * {h} AS hx,
+         lat_e7 + (osm_id % 5 + 1) * {h} AS hy
+  FROM snap
+)
+SELECT a.pid AS id_a, c.pid AS id_b,
+       CAST(greatest(a.lx, c.lx) AS BIGINT) AS ix,
+       CAST(greatest(a.ly, c.ly) AS BIGINT) AS iy,
+       CAST((least(a.hx, c.hx) - greatest(a.lx, c.lx))
+          * (least(a.hy, c.hy) - greatest(a.ly, c.ly)) AS BIGINT) AS area
+FROM b a JOIN b c
+  ON a.pid < c.pid
+ AND a.lx <= c.hx AND c.lx <= a.hx
+ AND a.ly <= c.hy AND c.ly <= a.hy
+ORDER BY 1, 2
+"""
+    )

@@ -6391,3 +6391,48 @@ def q_snapshot_kmeans(sf_dir: str) -> pd.DataFrame:
     pts = _docs(sf_dir).map_batches(positions, batch_format="pyarrow")
     out = kmeans_int(pts, k=KMEANS_K, iters=KMEANS_ITERS)
     return out.sort_values("cluster").reset_index(drop=True)
+
+
+RECT_CELL_E7 = 600_000_000  # PBSM cell side; >= max box side (560e6)
+RECT_HALF_E7 = 40_000_000   # per-step half extent (deterministic per id)
+
+
+def q_snapshot_bbox_overlaps(sf_dir: str) -> pd.DataFrame:
+    """Rectangle-intersection self-join: each visible entity at T_MID
+    carries a deterministic closed box around its position (half
+    extents (osm_id%7+1) x 40e6 lon, (osm_id%5+1) x 40e6 lat, planar
+    e7 units); reports every intersecting pair with the intersection's
+    lower-left corner and exact int64 area. Distributed as PBSM
+    (spatial/rectjoin.py): <=2x2 cell replication, one bucket shuffle,
+    reference-point dedup — no tie-break state, nothing quadratic in
+    the corpus. The mirror is the prefiltered self-join over the
+    identical snapshot CTE and box arithmetic."""
+    from .model import decode_spans
+    from .spatial.rectjoin import rect_self_join
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        oid = s["osm_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = s["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = s["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rx = (oid % 7 + 1) * RECT_HALF_E7
+        ry = (oid % 5 + 1) * RECT_HALF_E7
+        return pa.table(
+            {
+                "id": oid,
+                "lx": lon - rx,
+                "ly": lat - ry,
+                "hx": lon + rx,
+                "hy": lat + ry,
+            }
+        )
+
+    boxes = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = rect_self_join(boxes, RECT_CELL_E7).to_pandas()
+    df = df.astype(
+        {"id_a": "int64", "id_b": "int64", "ix": "int64", "iy": "int64", "area": "int64"}
+    )
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -2130,3 +2130,75 @@ def test_kmeans_int_validation():
         kmeans_int(neg, k=1, iters=1)
     with pytest.raises(ValueError, match="k must be"):
         kmeans_int(few, k=0, iters=1)
+
+
+def test_rect_self_join_brute_force():
+    """Random box sets (including touching edges, containment, and
+    boxes straddling many cell borders, negative coords) vs an O(n^2)
+    brute force — every intersecting pair exactly once with the exact
+    corner and area."""
+    import ray
+
+    from rayhist.spatial.rectjoin import rect_self_join
+
+    rng = np.random.RandomState(53)
+    for n, cell in [(60, 100), (200, 64)]:
+        cx = rng.randint(-500, 500, n).astype(np.int64)
+        cy = rng.randint(-500, 500, n).astype(np.int64)
+        rx = rng.randint(0, cell // 2 + 1, n).astype(np.int64)
+        ry = rng.randint(0, cell // 2 + 1, n).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(n, dtype=np.int64) * 3 + 1,
+                "lx": cx - rx,
+                "ly": cy - ry,
+                "hx": cx + rx,
+                "hy": cy + ry,
+            }
+        )
+        rows = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                ix = max(df.lx[i], df.lx[j])
+                iy = max(df.ly[i], df.ly[j])
+                jx = min(df.hx[i], df.hx[j])
+                jy = min(df.hy[i], df.hy[j])
+                if ix <= jx and iy <= jy:
+                    rows.append(
+                        (int(df.id[i]), int(df.id[j]), int(ix), int(iy),
+                         int((jx - ix) * (jy - iy)))
+                    )
+        want = pd.DataFrame(
+            sorted(rows), columns=["id_a", "id_b", "ix", "iy", "area"]
+        ).astype("int64")
+        ds = ray.data.from_pandas(
+            [df.iloc[i::3].reset_index(drop=True) for i in range(3)]
+        )
+        got = (
+            rect_self_join(ds, cell, n_buckets=4)
+            .to_pandas()
+            .astype("int64")
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_rect_self_join_validation():
+    import pytest
+    import ray
+
+    from rayhist.spatial.rectjoin import rect_self_join
+
+    wide = ray.data.from_pandas(
+        pd.DataFrame({"id": [1, 2], "lx": [0, 0], "ly": [0, 0], "hx": [200, 1], "hy": [1, 1]})
+    )
+    with pytest.raises(Exception, match="side exceeds cell"):
+        rect_self_join(wide, 100, n_buckets=2).to_pandas()
+    flipped = ray.data.from_pandas(
+        pd.DataFrame({"id": [1], "lx": [5], "ly": [0], "hx": [0], "hy": [1]})
+    )
+    with pytest.raises(Exception, match="low > high"):
+        rect_self_join(flipped, 100, n_buckets=2).to_pandas()
+    with pytest.raises(ValueError, match="area budget"):
+        rect_self_join(wide, 1 << 32, n_buckets=2)
