@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
         "snapshot_bbox_overlaps": p.q_snapshot_bbox_overlaps,
+        "tag_reverts": p.q_tag_reverts,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -325,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_kmeans": o.snapshot_kmeans(p.KMEANS_K, p.KMEANS_ITERS),
         "snapshot_bbox_overlaps": o.snapshot_bbox_overlaps(p.RECT_HALF_E7, p.RECT_CELL_E7),
+        "tag_reverts": o.tag_reverts(p.T0, p.DAY_US),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

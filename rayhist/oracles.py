@@ -853,6 +853,31 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def tag_reverts(t0: int, day_us: int) -> str:
+    """Edit-war mirror: a version reverts when its tag signature
+    equals lag-2's while differing from lag-1's, over the SAME
+    (osm_id, ts_us, v) version order the engine's _sorted_versions
+    realign produces."""
+    return (
+        DERIVE
+        + f"""
+, s AS (
+  SELECT osm_id, ts_us, tag_sig,
+         lag(tag_sig)    OVER w AS sig1,
+         lag(tag_sig, 2) OVER w AS sig2
+  FROM d WINDOW w AS (PARTITION BY osm_id ORDER BY ts_us, v)
+), r AS (
+  SELECT osm_id, (ts_us - {int(t0)}) // {int(day_us)} AS day
+  FROM s WHERE sig2 IS NOT NULL AND tag_sig = sig2 AND tag_sig <> sig1
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_reverts,
+       CAST(count(DISTINCT osm_id) AS BIGINT) AS n_entities
+FROM r GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 def modal_value_by_type() -> str:
     """Grouped MODE with the deterministic min-value tie-break the
     engine implements (DuckDB's mode() leaves ties unspecified, so the

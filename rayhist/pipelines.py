@@ -247,6 +247,76 @@ def q_etype_dwell_time(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("etype").reset_index(drop=True)
 
 
+_REVERT_EMPTY = pa.table(
+    {
+        "day": pa.array([], pa.int64()),
+        "n_reverts_p": pa.array([], pa.int64()),
+        "n_entities_p": pa.array([], pa.int64()),
+    }
+)
+
+
+def _revert_stage(b: pa.Table) -> pa.Table:
+    """Fused tag-revert partial: decode on the int keytable
+    (tags="ids" — a revert test is tag-SIGNATURE equality, and sig ids
+    are bijective with signatures) -> per-doc version realign
+    (_sorted_versions) -> vectorized lag-2 compare -> per-(day)
+    partial counts. A version REVERTS when its tags equal the
+    before-previous version's tags while differing from the previous
+    version's (the A->B->A edit-war shape; OSHDB users detect
+    vandalism this way over OSMContributionView, reference semantics
+    per contribution TAG_CHANGE classification,
+    CellIterator.java:578-595 — the revert predicate itself is a
+    target-side analysis). Distinct-entity partials are exact because
+    every document's versions decode inside one batch, so (day, doc)
+    pairs never repeat across blocks."""
+    from .model import decode_spans
+    from .temporal import _sorted_versions
+
+    tbl, codes, ts, _v, _ = _sorted_versions(decode_spans(b, tags="ids", geom=False))
+    n = len(ts)
+    if n < 3:
+        return _REVERT_EMPTY
+    tid = tbl["tag_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rev = np.zeros(n, dtype=bool)
+    rev[2:] = (
+        (codes[2:] == codes[:-2])
+        & (tid[2:] == tid[:-2])
+        & (tid[2:] != tid[1:-1])
+    )
+    if not rev.any():
+        return _REVERT_EMPTY
+    day = (ts[rev] - T0) // DAY_US
+    df = pd.DataFrame({"day": day, "doc": codes[rev]})
+    g = df.groupby("day").agg(
+        n_reverts_p=("doc", "size"), n_entities_p=("doc", "nunique")
+    ).reset_index()
+    return pa.table(
+        {
+            "day": pa.array(g["day"].to_numpy(), pa.int64()),
+            "n_reverts_p": pa.array(g["n_reverts_p"].to_numpy(), pa.int64()),
+            "n_entities_p": pa.array(g["n_entities_p"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def q_tag_reverts(sf_dir: str) -> pd.DataFrame:
+    """Edit-war detection: per day, how many versions REVERT their
+    entity's tags to the state two versions back (A -> B -> A), and
+    how many distinct entities did so — the OSM vandalism-analysis
+    primitive. One fused map_batches (pruned int-keytable decode +
+    lag-2 compare + per-batch partials); the driver combines |days|
+    rows. SQL mirror: lag(tag_sig, 2) window over the derivation."""
+    from .aggregate import combine_partials
+
+    partials = _docs(sf_dir).map_batches(_revert_stage, batch_format="pyarrow")
+    df = combine_partials(
+        partials, ["day"], {"n_reverts_p": "n_reverts", "n_entities_p": "n_entities"}
+    )
+    df = df.astype({"day": "int64", "n_reverts": "int64", "n_entities": "int64"})
+    return df.sort_values("day").reset_index(drop=True)
+
+
 # ------------------------------------------------------------ contributions
 def _contrib_flags_to_int(batch: pa.Table) -> pa.Table:
     out = batch

@@ -400,3 +400,45 @@ def test_dwell_time_invariant_under_unsorted_runs():
     ).sort_values("etype").reset_index(drop=True)
     assert clean.equals(dirty)
     assert (clean["dwell_us"] > 0).all() and len(clean) == 4
+
+
+def test_tag_reverts_brute_force_and_unsorted_invariance():
+    """Edit-war pipeline vs a pandas reference over the raw events
+    derivation (tag state = (event_type, props.k) per version, user
+    order = (ts, event_id)), plus the reversed-version-runs invariance
+    (_revert_stage realigns per doc before the lag-2 compare)."""
+    import json
+
+    import pandas as pd
+
+    from rayhist.aggregate import combine_partials
+    from rayhist.model import reverse_version_runs
+    from rayhist.pipelines import DAY_US, T0, _docs, _revert_stage, q_tag_reverts
+
+    got = q_tag_reverts("/root/testdata/sf0.001")
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["kk"] = ev["props"].map(lambda s: int(json.loads(s)["k"]))
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["sig"] = ev["event_type"] + "|" + ev["kk"].astype(str)
+    g = ev.groupby("user_id")
+    rev = (ev["sig"] == g["sig"].shift(2)) & (ev["sig"] != g["sig"].shift(1))
+    r = ev[rev].copy()
+    r["day"] = (r["ts"].astype("int64") - T0) // DAY_US
+    want = (
+        r.groupby("day")
+        .agg(n_reverts=("user_id", "size"), n_entities=("user_id", "nunique"))
+        .reset_index()
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_reverts"].sum() > 0  # corpus exercises real reverts
+
+    docs = _docs("/root/testdata/sf0.001")
+    names = {"n_reverts_p": "n_reverts", "n_entities_p": "n_entities"}
+    dirty = combine_partials(
+        docs.map_batches(reverse_version_runs, batch_format="pyarrow")
+        .map_batches(_revert_stage, batch_format="pyarrow"),
+        ["day"], names,
+    ).astype("int64").sort_values("day").reset_index(drop=True)
+    pd.testing.assert_frame_equal(dirty, want)
