@@ -878,6 +878,33 @@ FROM r GROUP BY 1 ORDER BY 1
     )
 
 
+def entity_lifespans(dwell_end: int, day_us: int) -> str:
+    """Entity-age mirror: creation = first version ts; the entity is
+    deleted iff its LAST version (by ts, v) is invisible, ending the
+    lifespan there, else it runs to the window close."""
+    return (
+        DERIVE
+        + f"""
+, r AS (
+  SELECT osm_id, ts_us, visible,
+         row_number() OVER (PARTITION BY osm_id
+                            ORDER BY ts_us DESC, v DESC) AS rn,
+         min(ts_us) OVER (PARTITION BY osm_id) AS t_first
+  FROM d
+), e AS (
+  SELECT osm_id, t_first,
+         CASE WHEN visible THEN 0 ELSE 1 END AS deleted,
+         CASE WHEN visible THEN {int(dwell_end)} ELSE ts_us END AS t_end
+  FROM r WHERE rn = 1
+)
+SELECT CAST((t_end - t_first) // {int(day_us)} AS BIGINT) AS lifespan_days,
+       CAST(deleted AS BIGINT) AS deleted,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
 def modal_value_by_type() -> str:
     """Grouped MODE with the deterministic min-value tie-break the
     engine implements (DuckDB's mode() leaves ties unspecified, so the

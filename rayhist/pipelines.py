@@ -317,6 +317,66 @@ def q_tag_reverts(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("day").reset_index(drop=True)
 
 
+_LIFESPAN_EMPTY = pa.table(
+    {
+        "lifespan_days": pa.array([], pa.int64()),
+        "deleted": pa.array([], pa.int64()),
+        "n_entities_p": pa.array([], pa.int64()),
+    }
+)
+
+
+def _lifespan_stage(b: pa.Table) -> pa.Table:
+    """Entity-age partial: decode (tags and geom both pruned — only
+    ts/visible are read) -> per-doc realign -> lifespan = creation
+    (first version ts) to deletion (last version ts when the final
+    state is a tombstone) or to the window close when still alive.
+    Floor-binned to whole days; per-(lifespan_days, deleted) counts
+    leave the batch. Every doc decodes inside one batch, so summed
+    partials count each entity exactly once."""
+    from .model import decode_spans
+    from .temporal import _sorted_versions
+
+    tbl, codes, ts, _v, _ = _sorted_versions(decode_spans(b, tags=False, geom=False))
+    if not len(ts):
+        return _LIFESPAN_EMPTY
+    first = np.r_[True, codes[1:] != codes[:-1]]
+    last = np.r_[codes[1:] != codes[:-1], True]
+    vis = tbl["visible"].to_numpy(zero_copy_only=False)
+    deleted = ~vis[last]  # final state is a tombstone
+    end = np.where(deleted, ts[last], DWELL_END)
+    days = (end - ts[first]) // DAY_US
+    df = pd.DataFrame({"lifespan_days": days, "deleted": deleted.astype(np.int64)})
+    g = df.groupby(["lifespan_days", "deleted"], as_index=False).size()
+    return pa.table(
+        {
+            "lifespan_days": pa.array(g["lifespan_days"].to_numpy(), pa.int64()),
+            "deleted": pa.array(g["deleted"].to_numpy(), pa.int64()),
+            "n_entities_p": pa.array(g["size"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def q_entity_lifespans(sf_dir: str) -> pd.DataFrame:
+    """Entity-age histogram: how long entities live from creation to
+    deletion (or to the window close when still alive) — the OSM
+    object-age / data-freshness analysis (the reference models the
+    same creation->tombstone life cycle via version<=0 deletion
+    markers, osm/OSMEntity.java:25). Zero shuffle: per-doc lifespans
+    resolve inside the fused decode stage and only the
+    |days x 2|-sized histogram partials leave each block."""
+    from .aggregate import combine_partials
+
+    partials = _docs(sf_dir).map_batches(_lifespan_stage, batch_format="pyarrow")
+    df = combine_partials(
+        partials, ["lifespan_days", "deleted"], {"n_entities_p": "n_entities"}
+    )
+    df = df.astype(
+        {"lifespan_days": "int64", "deleted": "int64", "n_entities": "int64"}
+    )
+    return df.sort_values(["lifespan_days", "deleted"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------------ contributions
 def _contrib_flags_to_int(batch: pa.Table) -> pa.Table:
     out = batch

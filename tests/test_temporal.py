@@ -442,3 +442,37 @@ def test_tag_reverts_brute_force_and_unsorted_invariance():
         ["day"], names,
     ).astype("int64").sort_values("day").reset_index(drop=True)
     pd.testing.assert_frame_equal(dirty, want)
+
+
+def test_entity_lifespans_brute_force():
+    """Entity-age histogram vs a pandas reference over raw events:
+    lifespan = first event ts to last event ts when the last event is
+    an error (tombstone), else to the window close."""
+    import pandas as pd
+
+    from rayhist.pipelines import DAY_US, DWELL_END, q_entity_lifespans
+
+    got = q_entity_lifespans("/root/testdata/sf0.001")
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    ev["t"] = ev["ts"].astype("int64")
+    g = ev.groupby("user_id")
+    first = g["t"].first()
+    last_row = g.tail(1).set_index("user_id")
+    deleted = (last_row["event_type"] == "error").astype("int64")
+    end = last_row["t"].where(deleted == 1, DWELL_END)
+    days = (end - first) // DAY_US
+    want = (
+        pd.DataFrame({"lifespan_days": days, "deleted": deleted})
+        .groupby(["lifespan_days", "deleted"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_entities"})
+        .astype("int64")
+        .sort_values(["lifespan_days", "deleted"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_entities"].sum() == ev["user_id"].nunique()
+    assert (got["deleted"] == 1).any()  # corpus has tombstoned entities
