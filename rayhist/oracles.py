@@ -479,6 +479,43 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def doc_repetition() -> str:
+    """Within-doc repetition mirror: tokens via the same RE2 split as
+    q_top_words; lockstep unnest(l)/unnest(range(...)) keeps each
+    token's within-doc position so the bigram self-join on i+1 is
+    exact; docs with zero tokens drop, docs with one keep bigram 0."""
+    from .pipelines import WORD_SPLIT_RE
+
+    return f"""
+WITH d0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{WORD_SPLIT_RE}'),
+                     x -> x <> '') AS l
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS i FROM d0
+), c AS (
+  SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         max(c) AS top_tok_n
+  FROM c GROUP BY 1
+), bg AS (
+  SELECT a.doc_id, a.tok AS t1, b.tok AS t2, count(*) AS c
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2, 3
+), bper AS (
+  SELECT doc_id, max(c) AS top_bigram_n FROM bg GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(top_tok_n AS BIGINT) AS top_tok_n,
+       CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM per p LEFT JOIN bper USING (doc_id) ORDER BY p.doc_id
+"""
+
+
 def events_dow_hour() -> str:
     """SQL date-part mirror: DuckDB's dayofweek (Sunday=0) and hour
     equal the integer epoch arithmetic on the Ray side."""

@@ -4291,6 +4291,95 @@ def q_top_words(sf_dir: str) -> pd.DataFrame:
     return df[["word", "n"]].reset_index(drop=True)
 
 
+def _repetition_stage(b: pa.Table) -> pa.Table:
+    """Per-doc repetition partial: one Arrow split + two np.unique
+    passes produce token totals, distincts, the modal token count and
+    the modal BIGRAM count for every doc in the batch — no shuffle
+    (a doc's tokens never leave its row's batch). Token codes come
+    from pandas.factorize (O(n) hashing); (doc, code) and
+    (doc, code-pair) occurrences collapse via integer keys so the
+    per-doc maxima reduce on small unique arrays, never Python rows."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    tok = flat.to_numpy(zero_copy_only=False)
+    keep = tok != ""
+    parent, tok = parent[keep], tok[keep]
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+            "top_tok_n": pa.array([], pa.int64()),
+            "top_bigram_n": pa.array([], pa.int64()),
+        }
+    )
+    if not len(tok):
+        return empty
+    codes, uniq = pd.factorize(tok)
+    v = np.int64(len(uniq))
+    doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+
+    n_tokens = np.bincount(parent, minlength=len(b))
+    # (doc, token) occurrence counts via one integer-key unique
+    pk, pc_ = np.unique(parent.astype(np.int64) * v + codes, return_counts=True)
+    pdoc = pk // v
+    per = pd.DataFrame({"doc": pdoc, "c": pc_}).groupby("doc")["c"].agg(["size", "max"])
+
+    # consecutive same-doc token pairs -> modal bigram count per doc
+    adj = parent[1:] == parent[:-1]
+    top_bigram = np.zeros(len(b), dtype=np.int64)
+    if adj.any():
+        p2 = parent[:-1][adj].astype(np.int64)
+        pair = codes[:-1][adj].astype(np.int64) * v + codes[1:][adj]
+        # re-factorize the pair ids so the (doc, pair) key never
+        # overflows int64 at large vocabularies (pair codes are dense,
+        # bounded by the batch's adjacent-pair count)
+        pcodes, puniq = pd.factorize(pair)
+        w = np.int64(len(puniq))
+        bk, bc = np.unique(p2 * w + pcodes, return_counts=True)
+        bdoc = bk // w
+        bm = pd.DataFrame({"doc": bdoc, "c": bc}).groupby("doc")["c"].max()
+        top_bigram[bm.index.to_numpy()] = bm.to_numpy()
+
+    rows = per.index.to_numpy()  # docs with >= 1 token, batch-local idx
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[rows], pa.int64()),
+            "n_tokens": pa.array(n_tokens[rows], pa.int64()),
+            "n_distinct": pa.array(per["size"].to_numpy(), pa.int64()),
+            "top_tok_n": pa.array(per["max"].to_numpy(), pa.int64()),
+            "top_bigram_n": pa.array(top_bigram[rows], pa.int64()),
+        }
+    )
+
+
+def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Within-document repetition profile — the Gopher-rule family of
+    LLM corpus quality signals (Rae et al. 2021 §A1.1: repetitious
+    documents are low-quality): per doc, total tokens, distinct
+    tokens, the most frequent token's count and the most frequent
+    BIGRAM's count. All integer-exact; the duplicate-token and
+    top-2-gram FRACTIONS any curation threshold needs are single
+    IEEE divisions of these columns downstream. Zero shuffle; output
+    is one row per doc (driver collect is the oracle-compare
+    convention, production terminates in write_parquet)."""
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = ds.map_batches(_repetition_stage, batch_format="pyarrow").to_pandas()
+    df = df.astype(
+        {
+            "doc_id": "int64",
+            "n_tokens": "int64",
+            "n_distinct": "int64",
+            "top_tok_n": "int64",
+            "top_bigram_n": "int64",
+        }
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_revenue_by_nation_month(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q3/Q10-shaped STAR JOIN CHAIN on two different keys:
     lineitem |x| orders (orderkey) |x| customer (custkey) |x| nation

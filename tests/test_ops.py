@@ -2202,3 +2202,32 @@ def test_rect_self_join_validation():
         rect_self_join(flipped, 100, n_buckets=2).to_pandas()
     with pytest.raises(ValueError, match="area budget"):
         rect_self_join(wide, 1 << 32, n_buckets=2)
+
+
+def test_repetition_stage_edge_cases():
+    """Within-doc repetition kernel on adversarial docs: empty doc
+    (dropped), single token (bigram 0), a dominant repeated bigram,
+    and separator-only text (dropped)."""
+    import pyarrow as pa
+
+    from rayhist.pipelines import _repetition_stage
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "text": pa.array(
+                [
+                    "",                       # dropped: zero tokens
+                    "Solo",                   # 1 token, bigram 0
+                    "a b a b a b c",          # top tok a=3, bigram (a,b)=3
+                    "x x x x",                # top tok 4, bigram (x,x)=3
+                    "123 ,,, 456",            # alpha-only split -> dropped
+                ]
+            ),
+        }
+    )
+    out = _repetition_stage(b).to_pandas().set_index("doc_id")
+    assert list(out.index) == [11, 12, 13]
+    assert out.loc[11].tolist() == [1, 1, 1, 0]
+    assert out.loc[12].tolist() == [7, 3, 3, 3]
+    assert out.loc[13].tolist() == [4, 1, 4, 3]
