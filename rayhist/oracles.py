@@ -516,6 +516,31 @@ FROM per p LEFT JOIN bper USING (doc_id) ORDER BY p.doc_id
 """
 
 
+def inverted_index(k: int) -> str:
+    """Posting-list mirror: df/tf per token plus the first-k ordered
+    doc ids via a rank-filtered string_agg (CASE nulls are skipped)."""
+    from .pipelines import WORD_SPLIT_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '{WORD_SPLIT_RE}'),
+                            x -> x <> '')) AS word
+  FROM documents
+), c AS (
+  SELECT word, doc_id, count(*) AS c FROM t GROUP BY 1, 2
+), r AS (
+  SELECT word, doc_id, c,
+         row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+  FROM c
+)
+SELECT word, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS tf,
+       string_agg(CASE WHEN rn <= {int(k)} THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings
+FROM r GROUP BY word ORDER BY word
+"""
+
+
 def events_dow_hour() -> str:
     """SQL date-part mirror: DuckDB's dayofweek (Sunday=0) and hour
     equal the integer epoch arithmetic on the Ray side."""

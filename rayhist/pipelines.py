@@ -4380,6 +4380,69 @@ def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+POSTINGS_K = 8  # posting-list prefix length exposed per token
+
+
+def q_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build — the search/retrieval primitive over a
+    text corpus: per token, document frequency, total term frequency,
+    and the ORDERED posting-list prefix (first POSTINGS_K doc ids,
+    comma-joined). Per-batch explode + (word, doc) pre-count bounds
+    the shuffle at distinct pairs per block ((word, doc) pairs are
+    globally unique because a doc lives in one batch); one
+    complete-word hash-bucket shuffle (token vocabulary is
+    corpus-scaled — the high-card rule, never combine_partials);
+    df/tf/prefix all resolve in-stage so only |vocab| rows reach the
+    driver. Production terminates in write_parquet partitioned by
+    word-hash — this collect is the oracle-compare convention."""
+    import pyarrow.compute as pc
+
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        tok = flat.to_numpy(zero_copy_only=False)
+        keep = tok != ""
+        tok, parent = tok[keep], parent[keep]
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        t = pa.table({"word": pa.array(tok, pa.string()), "doc_id": pa.array(doc, pa.int64())})
+        g = pa.TableGroupBy(t, ["word", "doc_id"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["word", "doc_id", "c"])
+        w = g["word"].to_numpy(zero_copy_only=False)
+        return g.append_column("_bucket", pa.array(_bucket_of(w, nb)))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["word", "doc_id"], kind="mergesort")
+        gb = g.groupby("word", sort=False)
+        head = g[gb.cumcount() < POSTINGS_K]
+        postings = head.groupby("word", sort=False)["doc_id"].agg(
+            lambda s: ",".join(map(str, s))
+        )
+        out = pd.DataFrame(
+            {
+                "word": postings.index,
+                "df": gb.size().to_numpy(dtype=np.int64),
+                "tf": gb["c"].sum().to_numpy(dtype=np.int64),
+                "postings": postings.to_numpy(),
+            }
+        )
+        return out
+
+    df = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    df = df.astype({"df": "int64", "tf": "int64"})
+    return df.sort_values("word").reset_index(drop=True)
+
+
 def q_revenue_by_nation_month(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q3/Q10-shaped STAR JOIN CHAIN on two different keys:
     lineitem |x| orders (orderkey) |x| customer (custkey) |x| nation

@@ -2231,3 +2231,30 @@ def test_repetition_stage_edge_cases():
     assert out.loc[11].tolist() == [1, 1, 1, 0]
     assert out.loc[12].tolist() == [7, 3, 3, 3]
     assert out.loc[13].tolist() == [4, 1, 4, 3]
+
+
+def test_inverted_index_postings_prefix():
+    """Posting lists: df counts distinct docs, tf total occurrences,
+    prefix keeps the first POSTINGS_K ascending doc ids even when a
+    word spans more docs than the prefix."""
+    import pandas as pd
+
+    from rayhist.pipelines import POSTINGS_K, q_inverted_index
+
+    got = q_inverted_index("/root/testdata/sf0.001").set_index("word")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    import re
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        for w in re.split("[^a-z]+", text.lower()):
+            if w:
+                rows.append((w, did))
+    t = pd.DataFrame(rows, columns=["word", "doc_id"])
+    c = t.groupby(["word", "doc_id"]).size().rename("c").reset_index()
+    for w, g in c.groupby("word"):
+        ids = g["doc_id"].sort_values().tolist()
+        assert got.loc[w, "df"] == len(ids)
+        assert got.loc[w, "tf"] == g["c"].sum()
+        assert got.loc[w, "postings"] == ",".join(map(str, ids[:POSTINGS_K]))
+    assert (got["df"] > POSTINGS_K).any()  # prefixes actually truncate
