@@ -429,3 +429,183 @@ def triangle_counts_per_node(
         {"node": nodes, "deg": dvals, "n_triangles": tri[rank]}
     )
     return out.sort_values("node").reset_index(drop=True)
+
+
+def edge_triangle_support(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int | None = None,
+    broadcast_gate: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Per-EDGE triangle support — the k-truss / link-prediction
+    primitive: for every distinct undirected edge (u, v), the number
+    of common neighbors cn = |N(u) ∩ N(v)| (= triangles through the
+    edge), plus both endpoint degrees. Returns a DATASET of
+    (u, v, deg_u, deg_v, cn) rows, u < v by node id.
+
+    Same rank-relabeled broadcast path as triangle_counts_per_node
+    (the documented size-gated graph-family design; nv-sized node /
+    rank / degree arrays ride ray.put): each triangle is found exactly
+    once as a closed wedge and credits its THREE edges in rank space.
+    At or below ``broadcast_gate`` deduped edges the per-bucket credit
+    PARTIALS reduce at the driver (|E|-bounded, same budget as the
+    ray.put edge-key set already in flight) and join the edge table
+    there — no extra shuffle rounds. Above the gate the credits reduce
+    in a distributed groupby on the int64 rank-pair key and the
+    support table left-joins back with the partitioned hash join —
+    zero-support edges survive with cn = 0 on both paths (pinned equal
+    in tests via gate=0)."""
+    from .relational import hash_join
+
+    n_buckets = _resolve_buckets(n_buckets, floor=64)
+    e = dedupe_edges(edges, src, dst, n_buckets).materialize()
+    empty = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "deg_u": pa.array([], pa.int64()),
+            "deg_v": pa.array([], pa.int64()),
+            "cn": pa.array([], pa.int64()),
+        }
+    )
+    if e.count() == 0:
+        return ray.data.from_arrow(empty)
+    import ray as _ray
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, cnt = np.unique(n, return_counts=True)
+        return pa.table({"node": nodes, "d_p": cnt.astype(np.int64)})
+
+    degs = (
+        e.map_batches(deg_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("node")["d_p"]
+        .sum()
+        .sort_index()
+    )
+    nodes = degs.index.to_numpy(dtype=np.int64)
+    dvals = degs.to_numpy(dtype=np.int64)
+    nv = len(nodes)
+    rank = np.empty(nv, dtype=np.int64)
+    rank[np.lexsort((nodes, dvals))] = np.arange(nv, dtype=np.int64)
+    node_of_rank = np.empty(nv, dtype=np.int64)
+    node_of_rank[rank] = nodes
+    deg_of_rank = np.empty(nv, dtype=np.int64)
+    deg_of_rank[rank] = dvals
+    nodes_ref = _ray.put(nodes)
+    rank_ref = _ray.put(rank)
+    inv_ref = _ray.put(node_of_rank)
+    dor_ref = _ray.put(deg_of_rank)
+
+    def orient(b: pa.Table) -> pa.Table:
+        nd, rk = _ray.get(nodes_ref), _ray.get(rank_ref)
+        ru = rk[np.searchsorted(nd, b["u"].to_numpy(zero_copy_only=False))]
+        rv = rk[np.searchsorted(nd, b["v"].to_numpy(zero_copy_only=False))]
+        s = np.minimum(ru, rv)
+        t = np.maximum(ru, rv)
+        return pa.table({"s": s, "t": t, "_bucket": _bucket_of(s, n_buckets)})
+
+    oriented = e.map_batches(orient, batch_format="pyarrow").materialize()
+    opd = oriented.to_pandas()
+    keys = np.sort(
+        opd["s"].to_numpy(dtype=np.int64) * nv + opd["t"].to_numpy(dtype=np.int64)
+    )
+    keys_ref = _ray.put(keys)
+
+    def wedges_credit(g: pd.DataFrame) -> pd.DataFrame:
+        k = _ray.get(keys_ref)
+        g = g.sort_values(["s", "t"], kind="mergesort")
+        g = g.assign(_r=g.groupby("s", sort=False).cumcount())
+        m = g.merge(g, on="s", suffixes=("_a", "_b"))
+        m = m[m["_r_a"] < m["_r_b"]]
+        if m.empty:
+            return pd.DataFrame({"ek": pd.Series(dtype="int64"), "cn_p": pd.Series(dtype="int64")})
+        key = m["t_a"].to_numpy(dtype=np.int64) * nv + m["t_b"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(k, key)
+        found = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == key)
+        s_f = m["s"].to_numpy(dtype=np.int64)[found]
+        ta = m["t_a"].to_numpy(dtype=np.int64)[found]
+        tb = m["t_b"].to_numpy(dtype=np.int64)[found]
+        # three edges per triangle, already rank-canonical (s < t_a < t_b)
+        eks = np.concatenate([s_f * nv + ta, s_f * nv + tb, ta * nv + tb])
+        u_ek, cnt = np.unique(eks, return_counts=True)
+        return pd.DataFrame({"ek": u_ek, "cn_p": cnt.astype(np.int64)})
+
+    credits = oriented.groupby("_bucket").map_groups(
+        wedges_credit, batch_format="pandas"
+    )
+
+    if len(opd) <= broadcast_gate:
+        # |E|-bounded driver final: per-bucket partials collapse to one
+        # row per supported edge; the edge table (opd) is already here
+        parts = credits.to_pandas()
+        sup = (
+            parts.groupby("ek")["cn_p"].sum()
+            if len(parts)
+            else pd.Series(dtype="int64")
+        )
+        s = opd["s"].to_numpy(dtype=np.int64)
+        t = opd["t"].to_numpy(dtype=np.int64)
+        ek = s * np.int64(nv) + t
+        cn = np.zeros(len(ek), dtype=np.int64)
+        if len(sup):
+            sk = sup.index.to_numpy(dtype=np.int64)
+            pos = np.searchsorted(sk, ek)
+            hit = (pos < len(sk)) & (sk[np.minimum(pos, len(sk) - 1)] == ek)
+            cn[hit] = sup.to_numpy(dtype=np.int64)[pos[hit]]
+        nu, nvv = node_of_rank[s], node_of_rank[t]
+        lo = np.minimum(nu, nvv)
+        out = pa.table(
+            {
+                "u": lo,
+                "v": np.maximum(nu, nvv),
+                "deg_u": np.where(nu <= nvv, deg_of_rank[s], deg_of_rank[t]),
+                "deg_v": np.where(nu <= nvv, deg_of_rank[t], deg_of_rank[s]),
+                "cn": cn,
+            }
+        )
+        return ray.data.from_arrow(out)
+
+    support = credits.groupby("ek").sum("cn_p")
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        t = b["t"].to_numpy(zero_copy_only=False)
+        return pa.table({"ek": s * np.int64(nv) + t})
+
+    joined = hash_join(
+        oriented.map_batches(edge_rows, batch_format="pyarrow"),
+        support,
+        on="ek",
+        n_buckets=n_buckets,
+        how="left",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return empty
+        inv, dor = _ray.get(inv_ref), _ray.get(dor_ref)
+        ek = b["ek"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s, t = ek // nv, ek % nv
+        cn = b["sum(cn_p)"].to_numpy(zero_copy_only=False)
+        cn = np.nan_to_num(cn.astype(np.float64), nan=0.0).astype(np.int64)
+        nu, nvv = inv[s], inv[t]
+        lo, hi = np.minimum(nu, nvv), np.maximum(nu, nvv)
+        return pa.table(
+            {
+                "u": lo,
+                "v": hi,
+                "deg_u": np.where(nu <= nvv, dor[s], dor[t]),
+                "deg_v": np.where(nu <= nvv, dor[t], dor[s]),
+                "cn": cn,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

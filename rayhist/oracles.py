@@ -2779,6 +2779,40 @@ FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
 """
 
 
+def copurchase_edge_jaccard(k: int) -> str:
+    """Edge-support mirror: enumerate each triangle once with the
+    ordered three-way self-join, unpivot it to its three edges, count
+    support per edge, LEFT-join back so zero-support edges keep cn=0,
+    and score with the same single int/int division."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), sup AS (
+  SELECT u, v, count(*) AS cn FROM (
+    SELECT a AS u, b AS v FROM tri
+    UNION ALL SELECT a AS u, c AS v FROM tri
+    UNION ALL SELECT b AS u, c AS v FROM tri
+  ) GROUP BY 1, 2
+), deg AS (
+  SELECT x AS node, count(*) AS d FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e
+  ) GROUP BY 1
+)
+SELECT e.u, e.v, CAST(coalesce(sup.cn, 0) AS BIGINT) AS cn,
+       CAST(coalesce(sup.cn, 0) AS DOUBLE)
+         / (du.d + dv.d - coalesce(sup.cn, 0)) AS jaccard
+FROM e LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
+JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+ORDER BY jaccard DESC, e.u, e.v LIMIT {int(k)}
+"""
+
+
 def snapshot_colocation_pairs(radius: int) -> str:
     """Radius self-join mirror: |delta| prefilter keeps the squares in
     int64 range on both sides (same rule as spatial/radius.py)."""

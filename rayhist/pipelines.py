@@ -5289,6 +5289,64 @@ def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_edges": [n_edges], "n_triangles": [n_tri]}).astype("int64")
 
 
+EDGE_JACCARD_K = 20  # top edges reported by neighborhood Jaccard
+
+
+def q_copurchase_edge_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Link-strength scoring — the k-truss / link-prediction feature:
+    for every co-purchase edge, the common-neighbor count (= triangle
+    support) and the neighborhood Jaccard cn / (deg_u + deg_v - cn);
+    reported: the top EDGE_JACCARD_K edges by (jaccard DESC, u, v).
+    Support comes from ops.triangles.edge_triangle_support (each
+    triangle credits its three edges; distributed credit reduce +
+    partitioned left join back to the edge set); the Jaccard is ONE
+    IEEE division of exact int64s, bit-identical in DuckDB, so the
+    top-k cut is deterministic on both sides. The final reduce moves
+    EDGE_JACCARD_K candidate rows per block, never the edge set."""
+    from .ops.triangles import edge_triangle_support
+    from .ops.window import _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    sup = edge_triangle_support(_copurchase_edges(sf_dir, nb), n_buckets=nb)
+
+    def score(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "cn": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        cn = b["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        den = (
+            b["deg_u"].to_numpy(zero_copy_only=False)
+            + b["deg_v"].to_numpy(zero_copy_only=False)
+            - cn
+        )
+        df = pd.DataFrame(
+            {
+                "u": b["u"].to_numpy(zero_copy_only=False),
+                "v": b["v"].to_numpy(zero_copy_only=False),
+                "cn": cn,
+                "jaccard": cn / den,
+            }
+        )
+        df = df.sort_values(
+            ["jaccard", "u", "v"], ascending=[False, True, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(EDGE_JACCARD_K), preserve_index=False)
+
+    cands = sup.map_batches(score, batch_format="pyarrow").to_pandas()
+    cands = cands.sort_values(
+        ["jaccard", "u", "v"], ascending=[False, True, True], kind="mergesort"
+    ).head(EDGE_JACCARD_K)
+    return cands.astype({"u": "int64", "v": "int64", "cn": "int64"}).reset_index(
+        drop=True
+    )
+
+
 COLOC_RADIUS_E7 = 400_000_000  # 40 degrees in e7 units
 
 

@@ -2258,3 +2258,49 @@ def test_inverted_index_postings_prefix():
         assert got.loc[w, "tf"] == g["c"].sum()
         assert got.loc[w, "postings"] == ",".join(map(str, ids[:POSTINGS_K]))
     assert (got["df"] > POSTINGS_K).any()  # prefixes actually truncate
+
+
+def test_edge_triangle_support_brute_force_and_paths_pinned():
+    """Per-edge support vs an adjacency-intersection brute force on
+    random multigraph inputs (dupes + self-loops tolerated), with the
+    driver-final and distributed (gate=0) paths pinned equal —
+    including zero-support edges, which must survive with cn=0."""
+    import ray
+
+    from rayhist.ops.triangles import edge_triangle_support
+
+    rng = np.random.RandomState(11)
+    for n, m in [(8, 14), (24, 90), (50, 260)]:
+        u = rng.randint(0, n, size=m)
+        v = rng.randint(0, n, size=m)
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"src": u.astype(np.int64), "dst": v.astype(np.int64)})
+        )
+
+        E = {(min(a, b), max(a, b)) for a, b in zip(u.tolist(), v.tolist()) if a != b}
+        adj: dict[int, set] = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = (
+            pd.DataFrame(
+                [
+                    (a, b, len(adj[a]), len(adj[b]), len(adj[a] & adj[b]))
+                    for a, b in sorted(E)
+                ],
+                columns=["u", "v", "deg_u", "deg_v", "cn"],
+            )
+            .astype("int64")
+            .reset_index(drop=True)
+        )
+
+        for gate in (2_000_000, 0):
+            got = (
+                edge_triangle_support(ds, n_buckets=4, broadcast_gate=gate)
+                .to_pandas()
+                .astype("int64")
+                .sort_values(["u", "v"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (want["cn"] == 0).any()  # zero-support edges exercised
