@@ -2779,6 +2779,30 @@ FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
 """
 
 
+def trimmed_mean_by_type(num: int, den: int) -> str:
+    """Trimmed-mean mirror: rank-trim via row_number over the sorted
+    cent values; sum(BIGINT)->HUGEINT casts to DOUBLE by
+    round-to-nearest exactly like numpy's int->float64, and the mean
+    is the same single IEEE division."""
+    return f"""
+WITH s AS (
+  SELECT event_type AS etype, CAST(round(value*100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT etype, c,
+         row_number() OVER (PARTITION BY etype ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY etype) AS n
+  FROM s
+)
+SELECT etype, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(c) AS BIGINT) AS sum_kept_c,
+       CAST(sum(c) AS DOUBLE) / count(*) AS trimmed_mean_c
+FROM r
+WHERE rn > n * {int(num)} // {int(den)}
+  AND rn <= n - n * {int(num)} // {int(den)}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def copurchase_edge_jaccard(k: int) -> str:
     """Edge-support mirror: enumerate each triangle once with the
     ordered three-way self-join, unpivot it to its three edges, count

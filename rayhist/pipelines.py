@@ -6128,6 +6128,56 @@ def q_price_percentiles_cont(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["pct_den", "pct_num"]).reset_index(drop=True)
 
 
+TRIM_FRAC = (1, 10)  # trimmed mean: drop floor(n/10) rows per tail
+
+
+def q_trimmed_mean_by_type(sf_dir: str) -> pd.DataFrame:
+    """TRIMMED (truncated) mean per event type — the outlier-robust
+    location estimator: drop the lowest and highest floor(n*num/den)
+    values BY RANK, average the rest. Distributed as ONE
+    groupby(etype, value-cents).count() — the value histogram, small
+    relative to the data, exactly the exact_quantiles_int shape (no
+    global sort); the driver trims by rank over the histogram's
+    cumulative counts (boundary values keep partial multiplicity) and
+    sums kept value*count in PYTHON ints (exact at any magnitude).
+    The mean is ONE IEEE division; rank-trimming makes tie order
+    irrelevant, so the result is deterministic on both engines."""
+    from .ops.relational import cents
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+    hist = ev.groupby(["event_type", "value_c"]).count().to_pandas()
+    num, den = TRIM_FRAC
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("value_c")
+        cnt = g["count()"].to_numpy(dtype=np.int64)
+        val = g["value_c"].to_numpy(dtype=np.int64)
+        end = np.cumsum(cnt)
+        start = end - cnt
+        n = int(end[-1])
+        t = n * num // den
+        lo, hi = t, n - t
+        kept = np.clip(np.minimum(end, hi) - np.maximum(start, lo), 0, None)
+        total = sum(int(v) * int(k) for v, k in zip(val, kept) if k)
+        n_kept = hi - lo
+        if not (-(2**63) < total < 2**63):
+            raise OverflowError("trimmed mean: kept sum exceeds int64")
+        rows.append(
+            {
+                "etype": et,
+                "n_kept": n_kept,
+                "sum_kept_c": total,
+                "trimmed_mean_c": np.float64(total) / np.float64(n_kept),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"n_kept": "int64", "sum_kept_c": "int64", "trimmed_mean_c": "float64"}
+    )
+    return out.sort_values("etype").reset_index(drop=True)
+
+
 def q_value_equidepth_bins(sf_dir: str) -> pd.DataFrame:
     """EQUI-DEPTH histogram: global exact quartile boundaries of the
     cent values (exact_quantiles_int — distributed value-histogram, no

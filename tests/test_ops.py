@@ -2304,3 +2304,25 @@ def test_edge_triangle_support_brute_force_and_paths_pinned():
             )
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert (want["cn"] == 0).any()  # zero-support edges exercised
+
+
+def test_trimmed_mean_brute_force():
+    """Histogram rank-trim vs a literal sort-and-slice reference,
+    including the boundary case where a single value straddles the
+    trim cut (partial multiplicity must be kept)."""
+    from rayhist.pipelines import TRIM_FRAC, q_trimmed_mean_by_type
+
+    got = q_trimmed_mean_by_type("/root/testdata/sf0.001").set_index("etype")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_type", "value"])
+    ev["c"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    num, den = TRIM_FRAC
+    for et, g in ev.groupby("event_type"):
+        c = np.sort(g["c"].to_numpy())
+        t = len(c) * num // den
+        kept = c[t: len(c) - t]
+        assert got.loc[et, "n_kept"] == len(kept)
+        assert got.loc[et, "sum_kept_c"] == int(kept.sum())
+        assert got.loc[et, "trimmed_mean_c"] == np.float64(int(kept.sum())) / np.float64(len(kept))
+        # the trim actually removed rows and changed the mean
+        assert len(kept) < len(c)
