@@ -2779,6 +2779,28 @@ FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
 """
 
 
+def etype_rank_delta(t0: int, day_us: int) -> str:
+    """Rank-movement mirror: row_number within day by (n DESC, etype),
+    lag over the type's PRESENT days; first appearance coalesces to
+    0 so the engine's fillna matches."""
+    return f"""
+WITH c AS (
+  SELECT (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day,
+         event_type AS etype, count(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT day, etype, n,
+         row_number() OVER (PARTITION BY day ORDER BY n DESC, etype) AS rnk
+  FROM c
+)
+SELECT CAST(day AS BIGINT) AS day, etype, CAST(n AS BIGINT) AS n,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(coalesce(lag(rnk) OVER (PARTITION BY etype ORDER BY day) - rnk, 0)
+            AS BIGINT) AS rank_delta
+FROM r ORDER BY 1, 2
+"""
+
+
 def trimmed_mean_by_type(num: int, den: int) -> str:
     """Trimmed-mean mirror: rank-trim via row_number over the sorted
     cent values; sum(BIGINT)->HUGEINT casts to DOUBLE by

@@ -6604,6 +6604,49 @@ def q_snapshot_diameter_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("etype").reset_index(drop=True)
 
 
+def q_etype_rank_delta(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day RANK MOVEMENT: each event type's popularity rank
+    within its day (count DESC, etype ASC — total order) and the
+    delta vs its rank on the previous PRESENT day (lag semantics;
+    first appearance reports 0). One distributed partial pass builds
+    the |days x etypes| count grid; the rank/lag final runs on the
+    driver over that grid — bounded by the window span times the type
+    vocabulary, never the corpus (the combine_partials contract)."""
+    from .aggregate import combine_partials
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "day": (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0)
+                // DAY_US,
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["day", "etype"], as_index=False).size().rename(columns={"size": "n_p"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["day", "etype"], {"n_p": "n"}
+    )
+    base = base.sort_values(["day", "etype"]).reset_index(drop=True)
+    # rank within day by (n desc, etype asc); row_number semantics
+    base["rnk"] = (
+        base.sort_values(["day", "n", "etype"], ascending=[True, False, True])
+        .groupby("day")
+        .cumcount()
+        .add(1)
+        .sort_index()
+    )
+    prev = base.sort_values("day").groupby("etype")["rnk"].shift(1)
+    base["rank_delta"] = (prev - base["rnk"]).fillna(0)
+    out = base.astype(
+        {"day": "int64", "n": "int64", "rnk": "int64", "rank_delta": "int64"}
+    )
+    return out.sort_values(["day", "etype"]).reset_index(drop=True)
+
+
 def q_etype_share_by_day(sf_dir: str) -> pd.DataFrame:
     """RATIO_TO_REPORT: each event type's share of its day's events —
     per-(day, etype) counts and per-day totals from ONE partial pass,

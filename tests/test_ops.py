@@ -2326,3 +2326,19 @@ def test_trimmed_mean_brute_force():
         assert got.loc[et, "trimmed_mean_c"] == np.float64(int(kept.sum())) / np.float64(len(kept))
         # the trim actually removed rows and changed the mean
         assert len(kept) < len(c)
+
+
+def test_etype_rank_delta_properties():
+    """Ranks are a permutation of 1..k within every day; deltas sum to
+    zero per day after the first (rank moves are conservative when the
+    type set is stable); the corpus has real movement."""
+    from rayhist.pipelines import q_etype_rank_delta
+
+    got = q_etype_rank_delta("/root/testdata/sf0.001")
+    for day, g in got.groupby("day"):
+        assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
+    first_day = got["day"].min()
+    later = got[got["day"] > first_day]
+    assert (later.groupby("day")["rank_delta"].sum() == 0).all()
+    assert (got["rank_delta"] != 0).any()
+    assert (got[got["day"] == first_day]["rank_delta"] == 0).all()
