@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_edge_jaccard": p.q_copurchase_edge_jaccard,
         "trimmed_mean_by_type": p.q_trimmed_mean_by_type,
         "etype_rank_delta": p.q_etype_rank_delta,
+        "etype_daily_autocorr": p.q_etype_daily_autocorr,
+        "entity_tag_churn": p.q_entity_tag_churn,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -339,6 +341,8 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_edge_jaccard": o.copurchase_edge_jaccard(p.EDGE_JACCARD_K),
         "trimmed_mean_by_type": o.trimmed_mean_by_type(*p.TRIM_FRAC),
         "etype_rank_delta": o.etype_rank_delta(p.T0, p.DAY_US),
+        "etype_daily_autocorr": o.etype_daily_autocorr(p.T0, p.DAY_US),
+        "entity_tag_churn": o.entity_tag_churn(),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

@@ -2779,6 +2779,52 @@ FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
 """
 
 
+def entity_tag_churn() -> str:
+    """Tag-churn mirror: versions and distinct signatures per entity,
+    regrouped into the (n_versions, n_sigs) grid."""
+    return (
+        DERIVE
+        + """
+, per AS (
+  SELECT osm_id, count(*) AS n_versions,
+         count(DISTINCT tag_sig) AS n_sigs
+  FROM d GROUP BY 1
+)
+SELECT CAST(n_versions AS BIGINT) AS n_versions,
+       CAST(n_sigs AS BIGINT) AS n_sigs,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
+def etype_daily_autocorr(t0: int, day_us: int) -> str:
+    """Lag-1 autocorrelation mirror: lead() pairs over present days,
+    HUGEINT sufficient statistics, and the identical single-IEEE
+    cast/multiply/sqrt/divide tail."""
+    return f"""
+WITH c AS (
+  SELECT (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day,
+         event_type AS etype, count(*) AS n
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT etype, n AS x,
+         lead(n) OVER (PARTITION BY etype ORDER BY day) AS y
+  FROM c
+), s AS (
+  SELECT etype, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM p WHERE y IS NOT NULL GROUP BY 1
+)
+SELECT etype, CAST(n AS BIGINT) AS n_pairs,
+       CAST(n*sxy - sx*sy AS BIGINT) AS num,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         AS autocorr
+FROM s ORDER BY 1
+"""
+
+
 def etype_rank_delta(t0: int, day_us: int) -> str:
     """Rank-movement mirror: row_number within day by (n DESC, etype),
     lag over the type's PRESENT days; first appearance coalesces to

@@ -377,6 +377,64 @@ def q_entity_lifespans(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["lifespan_days", "deleted"]).reset_index(drop=True)
 
 
+_CHURN_EMPTY = pa.table(
+    {
+        "n_versions": pa.array([], pa.int64()),
+        "n_sigs": pa.array([], pa.int64()),
+        "n_entities_p": pa.array([], pa.int64()),
+    }
+)
+
+
+def _churn_stage(b: pa.Table) -> pa.Table:
+    """Tag-churn partial: int-keytable decode -> per-doc version and
+    DISTINCT-signature counts (one integer-key unique over
+    (doc, tag_id)) -> (n_versions, n_sigs) grid counts per batch.
+    Docs decode whole-in-batch, so summed partials count each entity
+    once."""
+    from .model import decode_spans
+
+    tbl = decode_spans(b, tags="ids", geom=False)
+    if not len(tbl):
+        return _CHURN_EMPTY
+    from .temporal import _doc_codes
+
+    codes = _doc_codes(tbl)
+    tid = tbl["tag_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nver = np.bincount(codes)
+    # distinct (doc, sig) pairs via one integer-key unique
+    nt = np.int64(tid.max()) + 1 if len(tid) else np.int64(1)
+    pairs = np.unique(codes.astype(np.int64) * nt + tid)
+    nsig = np.bincount((pairs // nt).astype(np.int64), minlength=len(nver))
+    docs = np.flatnonzero(nver)
+    df = pd.DataFrame({"n_versions": nver[docs], "n_sigs": nsig[docs]})
+    g = df.groupby(["n_versions", "n_sigs"], as_index=False).size()
+    return pa.table(
+        {
+            "n_versions": pa.array(g["n_versions"].to_numpy(), pa.int64()),
+            "n_sigs": pa.array(g["n_sigs"].to_numpy(), pa.int64()),
+            "n_entities_p": pa.array(g["size"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def q_entity_tag_churn(sf_dir: str) -> pd.DataFrame:
+    """Tag-stability grid: how many entities have V versions but only
+    S distinct tag signatures — the churn profile separating stable
+    entities (S=1 at any V) from edit-churned ones (S~V). Zero
+    shuffle: per-doc counts resolve inside the fused int-keytable
+    decode; the driver combines grid-bounded partials. SQL mirror:
+    count(DISTINCT tag_sig) per osm_id."""
+    from .aggregate import combine_partials
+
+    partials = _docs(sf_dir).map_batches(_churn_stage, batch_format="pyarrow")
+    df = combine_partials(
+        partials, ["n_versions", "n_sigs"], {"n_entities_p": "n_entities"}
+    )
+    df = df.astype({"n_versions": "int64", "n_sigs": "int64", "n_entities": "int64"})
+    return df.sort_values(["n_versions", "n_sigs"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------------ contributions
 def _contrib_flags_to_int(batch: pa.Table) -> pa.Table:
     out = batch
@@ -6645,6 +6703,62 @@ def q_etype_rank_delta(sf_dir: str) -> pd.DataFrame:
         {"day": "int64", "n": "int64", "rnk": "int64", "rank_delta": "int64"}
     )
     return out.sort_values(["day", "etype"]).reset_index(drop=True)
+
+
+def q_etype_daily_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 AUTOCORRELATION of each event type's daily count series —
+    the time-series persistence diagnostic. One distributed partial
+    pass builds the |days x etypes| count grid; the driver forms
+    (x_t, x_{t+1}) pairs over the type's PRESENT days (lead
+    semantics) and computes Pearson r from EXACT integer sufficient
+    statistics in Python ints — the only floats are the final
+    cast / multiply / sqrt / divide, each a single IEEE op mirrored
+    verbatim in SQL."""
+    from .aggregate import combine_partials
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "day": (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0)
+                // DAY_US,
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["day", "etype"], as_index=False).size().rename(columns={"size": "n_p"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["day", "etype"], {"n_p": "n"}
+    ).sort_values(["etype", "day"])
+    rows = []
+    for et, g in base.groupby("etype"):
+        cnt = [int(c) for c in g["n"]]
+        x, y = cnt[:-1], cnt[1:]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+        num = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx == 0 or vy == 0:
+            raise ValueError(f"autocorr: zero-variance daily series for {et!r}")
+        if not (-(2**63) < num < 2**63):
+            raise OverflowError("autocorr numerator exceeds int64")
+        rows.append(
+            {
+                "etype": et,
+                "n_pairs": n,
+                "num": num,
+                "autocorr": np.float64(num)
+                / np.sqrt(np.float64(vx) * np.float64(vy)),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"n_pairs": "int64", "num": "int64", "autocorr": "float64"}
+    )
+    return out.sort_values("etype").reset_index(drop=True)
 
 
 def q_etype_share_by_day(sf_dir: str) -> pd.DataFrame:

@@ -2342,3 +2342,22 @@ def test_etype_rank_delta_properties():
     assert (later.groupby("day")["rank_delta"].sum() == 0).all()
     assert (got["rank_delta"] != 0).any()
     assert (got[got["day"] == first_day]["rank_delta"] == 0).all()
+
+
+def test_etype_daily_autocorr_brute_force():
+    """Exact-sufficient-statistics Pearson r vs numpy corrcoef on the
+    same (x_t, x_{t+1}) pairs (agreement to float ulps; the pipeline's
+    own value is additionally bit-pinned by the SQL oracle)."""
+    from rayhist.pipelines import DAY_US, T0, q_etype_daily_autocorr
+
+    got = q_etype_daily_autocorr("/root/testdata/sf0.001").set_index("etype")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["ts", "event_type"])
+    ev["day"] = (ev["ts"].astype("int64") - T0) // DAY_US
+    c = ev.groupby(["event_type", "day"]).size()
+    for et in got.index:
+        s = c.loc[et].sort_index().to_numpy(dtype=np.float64)
+        r = np.corrcoef(s[:-1], s[1:])[0, 1]
+        assert abs(got.loc[et, "autocorr"] - r) < 1e-12
+        assert got.loc[et, "n_pairs"] == len(s) - 1
+    assert (got["autocorr"].abs() < 1).all()

@@ -476,3 +476,19 @@ def test_entity_lifespans_brute_force():
     pd.testing.assert_frame_equal(got, want)
     assert got["n_entities"].sum() == ev["user_id"].nunique()
     assert (got["deleted"] == 1).any()  # corpus has tombstoned entities
+
+
+def test_entity_tag_churn_conservation():
+    """Grid cells sum to the entity count; version-weighted cells sum
+    to the corpus size; n_sigs never exceeds n_versions."""
+    import pandas as pd
+
+    from rayhist.pipelines import q_entity_tag_churn
+
+    got = q_entity_tag_churn("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id"])
+    assert got["n_entities"].sum() == ev["user_id"].nunique()
+    assert (got["n_versions"] * got["n_entities"]).sum() == len(ev)
+    assert (got["n_sigs"] <= got["n_versions"]).all()
+    assert (got["n_sigs"] < got["n_versions"]).any()  # real churn
