@@ -881,6 +881,21 @@ FROM runs GROUP BY user_id ORDER BY user_id
 """
 
 
+def rolling_active_users(t0: int, day_us: int, win: int, grid_n: int) -> str:
+    """Rolling distinct-actives mirror: BETWEEN join of the day grid
+    to distinct (user, day) pairs."""
+    return f"""
+WITH days AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day
+  FROM events
+), w AS (SELECT unnest(range(0, {int(grid_n)})) AS wday)
+SELECT CAST(wday AS BIGINT) AS wday,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM w JOIN days d ON d.day BETWEEN wday - {int(win) - 1} AND wday
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def cohort_retention(t0: int, day_us: int) -> str:
     """First-active-day cohorts x day offsets, distinct active users
     per cell; (user, day) rows are distinct so count(*) is the

@@ -1828,6 +1828,60 @@ def q_user_streaks(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+ROLL_WIN_DAYS = 7  # rolling-active window length (WAU-style)
+DAY_GRID_N = 31  # testdata day grid 0..30 (January 2024)
+
+
+def q_rolling_active_users(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window COUNT DISTINCT: per day W, the number of
+    distinct users active in [W-6, W] (the rolling weekly-active
+    metric). Distinct-over-a-sliding-window has NO mergeable partial
+    per window, so the scale shape inverts it: per-batch (user, day)
+    pre-dedup -> one complete-user bucket shuffle -> each user fans
+    its active days out to the <= 7 windows each covers and dedupes
+    IN-STAGE, so the driver combines |windows| count partials — never
+    user sets. SQL mirror: count(DISTINCT user) per window over a
+    BETWEEN join."""
+    from .aggregate import combine_partials
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prededup(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        d = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0) // DAY_US
+        df = pd.DataFrame({"user_id": u, "day": d}).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "day": df["day"].to_numpy(),
+                "_bucket": _bucket_of(df["user_id"].to_numpy(), nb),
+            }
+        )
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        u = np.repeat(g["user_id"].to_numpy(), ROLL_WIN_DAYS)
+        w = (
+            np.repeat(g["day"].to_numpy(), ROLL_WIN_DAYS)
+            + np.tile(np.arange(ROLL_WIN_DAYS), len(g))
+        )
+        keep = w < DAY_GRID_N
+        pairs = pd.DataFrame({"u": u[keep], "w": w[keep]}).drop_duplicates()
+        p = pairs.groupby("w", as_index=False).size()
+        return p.rename(columns={"w": "wday", "size": "n_active_p"})
+
+    partials = (
+        ev.map_batches(prededup, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(cover, batch_format="pandas")
+    )
+    df = combine_partials(partials, ["wday"], {"n_active_p": "n_active"})
+    df = df.astype({"wday": "int64", "n_active": "int64"})
+    return df.sort_values("wday").reset_index(drop=True)
+
+
 def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix: users cohorted by FIRST active day;
     for each (cohort_day, day_offset), the count of distinct users

@@ -1097,3 +1097,26 @@ def test_interval_union_length_rejects_negative():
     ds = ray.data.from_pandas(pd.DataFrame({"k": [1], "s": [10], "e": [5]}))
     with pytest.raises(Exception):
         interval_union_length(ds, "k", "s", "e", n_buckets=2).to_pandas()
+
+
+def test_rolling_active_users_brute_force():
+    """Window-coverage fan-out vs a literal per-window distinct count."""
+    from rayhist.pipelines import (
+        DAY_GRID_N,
+        DAY_US,
+        ROLL_WIN_DAYS,
+        T0,
+        q_rolling_active_users,
+    )
+
+    got = q_rolling_active_users("/root/testdata/sf0.001").set_index("wday")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "ts"])
+    ev["day"] = (ev["ts"].astype("int64") - T0) // DAY_US
+    days = ev[["user_id", "day"]].drop_duplicates()
+    for w in range(DAY_GRID_N):
+        sel = days[(days["day"] >= w - (ROLL_WIN_DAYS - 1)) & (days["day"] <= w)]
+        assert got.loc[w, "n_active"] == sel["user_id"].nunique(), w
+    # windows genuinely widen the daily count
+    daily = days.groupby("day")["user_id"].nunique()
+    assert (got["n_active"].to_numpy()[7:] >= daily.reindex(range(7, DAY_GRID_N)).fillna(0).to_numpy()).all()
