@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "etype_daily_autocorr": p.q_etype_daily_autocorr,
         "entity_tag_churn": p.q_entity_tag_churn,
         "rolling_active_users": p.q_rolling_active_users,
+        "arrow_events_by_type": p.q_arrow_events_by_type,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -347,6 +348,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active_users": o.rolling_active_users(
             p.T0, p.DAY_US, p.ROLL_WIN_DAYS, p.DAY_GRID_N
         ),
+        # IPC wire path shares the JSONL twin's parquet-side mirror
+        "arrow_events_by_type": o.jsonl_events_by_type(),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

@@ -5922,6 +5922,51 @@ def q_jsonl_events_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_arrow_events_by_type(sf_dir: str) -> pd.DataFrame:
+    """Third wire format end-to-end: the content-addressed Arrow-IPC
+    twin (sources/arrowipc.py) read back through read_binary_files +
+    in-pipeline IPC decode, then the standard per-batch partial
+    aggregate. The oracle reads the PARQUET with the same derivations,
+    so a pass certifies the IPC write+read wire path."""
+    from .sources.arrowipc import ensure_arrow_events, read_arrow_ipc
+
+    ds = read_arrow_ipc(ensure_arrow_events(sf_dir))
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "v": b["value_c"].to_numpy(zero_copy_only=False),
+                "t": b["ts_us"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("event_type")
+        out = pd.DataFrame(
+            {
+                "n_p": g["v"].size(),
+                "sum_p": g["v"].sum(),
+                "tmin_p": g["t"].min(),
+                "tmax_p": g["t"].max(),
+            }
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("event_type")
+    out = pd.DataFrame(
+        {
+            "n": g["n_p"].sum(),
+            "sum_value_c": g["sum_p"].sum(),
+            "ts_min_us": g["tmin_p"].min(),
+            "ts_max_us": g["tmax_p"].max(),
+        }
+    ).reset_index()
+    out = out.astype(
+        {"n": "int64", "sum_value_c": "int64", "ts_min_us": "int64", "ts_max_us": "int64"}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_train_val_test_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic 80/10/10 corpus split summarized per source:
     hash-threshold assignment (ops.relational.deterministic_split —

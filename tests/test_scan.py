@@ -150,3 +150,30 @@ def test_csv_fixture_cold_cache_rebuild(ray_session, monkeypatch, tmp_path):
         f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')"
     ).fetchone()[0]
     assert read_csv_log(ensure_csv_events(sf)).count() == n_parquet
+
+
+def test_arrow_ipc_fixture_cold_cache_rebuild(ray_session, monkeypatch, tmp_path):
+    """Arrow-IPC twin of the JSONL cold-cache guard: fresh-cache
+    rebuild reproduces the warm aggregate; row count matches the
+    parquet; shards are content-addressed .arrow files."""
+    import pandas as pd
+
+    from rayhist.pipelines import q_arrow_events_by_type
+    from rayhist.sources.arrowipc import ensure_arrow_events, read_arrow_ipc
+
+    sf = "/root/testdata/sf0.001"
+    warm = q_arrow_events_by_type(sf)
+    monkeypatch.setenv("RAYHIST_CACHE", str(tmp_path / "cold"))
+    cold = q_arrow_events_by_type(sf)
+    pd.testing.assert_frame_equal(warm, cold)
+    import duckdb
+
+    n_parquet = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    shards = ensure_arrow_events(sf)
+    assert read_arrow_ipc(shards).count() == n_parquet
+    from pathlib import Path
+
+    names = [f.name for f in Path(shards).iterdir()]
+    assert names and all(n.startswith("part-") and n.endswith(".arrow") for n in names)
