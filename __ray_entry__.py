@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_tag_churn": p.q_entity_tag_churn,
         "rolling_active_users": p.q_rolling_active_users,
         "arrow_events_by_type": p.q_arrow_events_by_type,
+        "snapshot_incremental_merge": p.q_snapshot_incremental_merge,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # IPC wire path shares the JSONL twin's parquet-side mirror
         "arrow_events_by_type": o.jsonl_events_by_type(),
+        "snapshot_incremental_merge": o.snapshot_incremental_merge(p.T_DIFF_B),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

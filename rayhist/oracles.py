@@ -2794,6 +2794,20 @@ FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
 """
 
 
+def snapshot_incremental_merge(t_b: int) -> str:
+    """MERGE-apply mirror: the DIRECT snapshot at the target time —
+    the merge must reconstruct it exactly from base + change stream."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list([t_b]))
+    return (
+        DERIVE
+        + cte
+        + """
+SELECT osm_id, etype, CAST(kk AS BIGINT) AS kk
+FROM snap ORDER BY osm_id
+"""
+    )
+
+
 def entity_tag_churn() -> str:
     """Tag-churn mirror: versions and distinct signatures per entity,
     regrouped into the (n_versions, n_sigs) grid."""

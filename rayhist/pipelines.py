@@ -6007,6 +6007,95 @@ def q_train_val_test_split(sf_dir: str) -> pd.DataFrame:
 T_DIFF_B = T0 + 21 * DAY_US  # 2024-01-22: the diff's second snapshot
 
 
+def q_snapshot_incremental_merge(sf_dir: str) -> pd.DataFrame:
+    """MERGE INTO / CDC-apply — incremental view maintenance: a BASE
+    table (the visible state at T_MID) has a CHANGE stream (each
+    entity's last version in (T_MID, T_DIFF_B], visible = upsert,
+    tombstone = delete) applied to it, and the result must equal the
+    direct snapshot at T_DIFF_B. Base and changes are two separate
+    Datasets unioned with a side marker and co-grouped by one
+    osm_id-bucket shuffle (the cc.py one-schema pattern); the apply
+    rule (change wins, delete drops, else base survives) resolves
+    vectorized in-bucket. The oracle is the direct T_DIFF_B snapshot —
+    a pass certifies the merge operator end to end, not a replay of
+    the same code path."""
+    from .model import decode_spans
+    from .ops.window import _bucket_of, _resolve_buckets
+    from .temporal import _sorted_versions
+    from .temporal import snapshots as snapshots_fn
+
+    nb = _resolve_buckets(None, floor=64)
+    t_mid = np.array([T_MID], dtype=np.int64)
+
+    def base_stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=True), t_mid)
+        oid = s["osm_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "osm_id": s["osm_id"],
+                "etype": s["etype"],
+                "kk": s["kk"],
+                "vis": pa.array(np.ones(len(oid), dtype=np.int64)),
+                "side": pa.array(np.zeros(len(oid), dtype=np.int64)),
+                "_bucket": pa.array(_bucket_of(oid, nb)),
+            }
+        )
+
+    def change_stage(batch: pa.Table) -> pa.Table:
+        tbl, codes, ts, _v, _ = _sorted_versions(
+            decode_spans(batch, tags=True, geom=False)
+        )
+        in_win = (ts > T_MID) & (ts <= T_DIFF_B)
+        idx = np.flatnonzero(in_win)
+        if not len(idx):
+            return pa.table(
+                {
+                    "osm_id": pa.array([], pa.int64()),
+                    "etype": pa.array([], pa.string()),
+                    "kk": pa.array([], pa.int64()),
+                    "vis": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "_bucket": pa.array([], pa.int64()),
+                }
+            )
+        c = codes[idx]
+        last = idx[np.r_[c[1:] != c[:-1], True]]
+        sel = tbl.take(pa.array(last))
+        oid = sel["osm_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "osm_id": sel["osm_id"],
+                "etype": sel["etype"],
+                "kk": sel["kk"],
+                "vis": pa.array(
+                    sel["visible"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "side": pa.array(np.ones(len(oid), dtype=np.int64)),
+                "_bucket": pa.array(_bucket_of(oid, nb)),
+            }
+        )
+
+    docs = _docs(sf_dir)
+    base = docs.map_batches(base_stage, batch_format="pyarrow")
+    changes = docs.map_batches(change_stage, batch_format="pyarrow")
+
+    def apply_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["osm_id", "side"], kind="mergesort")
+        # change (side=1) wins per entity; keep the winner iff visible
+        last = g.drop_duplicates("osm_id", keep="last")
+        keep = last[last["vis"] == 1]
+        return keep[["osm_id", "etype", "kk"]]
+
+    df = (
+        base.union(changes)
+        .groupby("_bucket")
+        .map_groups(apply_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    df = df.astype({"osm_id": "int64", "kk": "int64"})
+    return df.sort_values("osm_id").reset_index(drop=True)
+
+
 def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """Change-data-capture between two snapshots (T_MID -> T_DIFF_B):
     per event type, how many entities were ADDED (visible only after),

@@ -492,3 +492,38 @@ def test_entity_tag_churn_conservation():
     assert (got["n_versions"] * got["n_entities"]).sum() == len(ev)
     assert (got["n_sigs"] <= got["n_versions"]).all()
     assert (got["n_sigs"] < got["n_versions"]).any()  # real churn
+
+
+def test_snapshot_incremental_merge_brute_force():
+    """MERGE-apply vs a pandas-derived direct snapshot at T_DIFF_B,
+    asserting the change stream really exercised all three actions
+    (upsert of base rows, inserts, deletes)."""
+    import json
+
+    import pandas as pd
+
+    from rayhist.pipelines import T_DIFF_B, T_MID, q_snapshot_incremental_merge
+
+    got = q_snapshot_incremental_merge("/root/testdata/sf0.001")
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["kk"] = ev["props"].map(lambda s: int(json.loads(s)["k"]))
+    ev["t"] = ev["ts"].astype("int64")
+    ev = ev.sort_values(["user_id", "t", "event_id"])
+
+    def snap_at(t):
+        s = ev[ev["t"] <= t].groupby("user_id").tail(1)
+        s = s[s["event_type"] != "error"]
+        return s.set_index("user_id")
+
+    want = snap_at(T_DIFF_B)
+    assert got["osm_id"].tolist() == sorted(want.index)
+    w = want.loc[got["osm_id"]]
+    assert (got["etype"].to_numpy() == w["event_type"].to_numpy()).all()
+    assert (got["kk"].to_numpy() == w["kk"].to_numpy()).all()
+
+    base = snap_at(T_MID)
+    changed = ev[(ev["t"] > T_MID) & (ev["t"] <= T_DIFF_B)]["user_id"].unique()
+    assert len(set(base.index) - set(want.index)) > 0      # deletes applied
+    assert len(set(want.index) - set(base.index)) > 0      # inserts applied
+    assert len(set(changed) & set(base.index) & set(want.index)) > 0  # updates
