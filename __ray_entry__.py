@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": p.q_rolling_active_users,
         "arrow_events_by_type": p.q_arrow_events_by_type,
         "snapshot_incremental_merge": p.q_snapshot_incremental_merge,
+        "doc_compressibility": p.q_doc_compressibility,
+        "user_distinct_etypes": p.q_user_distinct_etypes,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -352,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         # IPC wire path shares the JSONL twin's parquet-side mirror
         "arrow_events_by_type": o.jsonl_events_by_type(),
         "snapshot_incremental_merge": o.snapshot_incremental_merge(p.T_DIFF_B),
+        "user_distinct_etypes": o.user_distinct_etypes(),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),
@@ -445,5 +448,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible): tdigest_price_quantiles,
         # tdigest_value_by_type, minhash_lsh_pairs, simhash_pairs, langid,
         # media_features, hll_uniq_uids_daily (estimators/sketches —
-        # accuracy contracts live in pytest)
+        # accuracy contracts live in pytest), doc_compressibility
+        # (deflate has no SQL mirror; byte-exactness pinned in pytest)
     }

@@ -881,6 +881,16 @@ FROM runs GROUP BY user_id ORDER BY user_id
 """
 
 
+def user_distinct_etypes() -> str:
+    """Distinct-ordered-collect mirror."""
+    return """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS etypes,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_etypes
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def rolling_active_users(t0: int, day_us: int, win: int, grid_n: int) -> str:
     """Rolling distinct-actives mirror: BETWEEN join of the day grid
     to distinct (user, day) pairs."""

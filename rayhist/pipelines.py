@@ -1882,6 +1882,57 @@ def q_rolling_active_users(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("wday").reset_index(drop=True)
 
 
+def q_user_distinct_etypes(sf_dir: str) -> pd.DataFrame:
+    """DISTINCT ordered collect (SQL string_agg(DISTINCT .. ORDER BY))
+    per user: the sorted set of event types each user produced, plus
+    its size — the collect_set terminal next to user_journeys' ordered
+    collect. Per-batch (user, etype) pre-dedup bounds the shuffle at
+    distinct pairs per block; one complete-user bucket shuffle; the
+    per-user sorted join resolves in-stage."""
+    from .aggregate import combine_partials  # noqa: F401 (symmetry w/ sibs)
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def prededup(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "etype": df["etype"].to_numpy(),
+                "_bucket": pa.array(_bucket_of(df["user_id"].to_numpy(), nb)),
+            }
+        )
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "etype"]).sort_values(
+            ["user_id", "etype"], kind="mergesort"
+        )
+        gb = g.groupby("user_id", sort=False)["etype"]
+        return pd.DataFrame(
+            {
+                "user_id": gb.agg("first").index,
+                "etypes": gb.agg(lambda s: ",".join(s)).to_numpy(),
+                "n_etypes": gb.size().to_numpy(dtype=np.int64),
+            }
+        )
+
+    df = (
+        ev.map_batches(prededup, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(collect, batch_format="pandas")
+        .to_pandas()
+    )
+    df = df.astype({"user_id": "int64", "n_etypes": "int64"})
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix: users cohorted by FIRST active day;
     for each (cohort_day, day_offset), the count of distinct users
@@ -4493,6 +4544,56 @@ def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
 
 
 POSTINGS_K = 8  # posting-list prefix length exposed per token
+
+
+def _compress_stage(b: pa.Table) -> pa.Table:
+    """Per-source compressibility partial: zlib level-6 size per doc
+    (deflate is deterministic for a fixed level and input). The per-doc
+    loop calls straight into C per document — the documented
+    per-payload boundary, same as the multimodal decode stages."""
+    import zlib
+
+    texts = b["text"].to_numpy(zero_copy_only=False)
+    raw = np.fromiter((len(t.encode("utf-8")) for t in texts), np.int64, len(texts))
+    comp = np.fromiter(
+        (len(zlib.compress(t.encode("utf-8"), 6)) for t in texts),
+        np.int64,
+        len(texts),
+    )
+    df = pd.DataFrame(
+        {"source": b["source"].to_numpy(zero_copy_only=False), "raw": raw, "comp": comp}
+    )
+    g = df.groupby("source", as_index=False).agg(
+        n_docs_p=("raw", "size"), raw_p=("raw", "sum"), comp_p=("comp", "sum")
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_doc_compressibility(sf_dir: str) -> pd.DataFrame:
+    """Compression-ratio quality signal per source — the
+    CCNet/RedPajama-style curation heuristic (highly compressible
+    text is repetitive/boilerplate; barely compressible text is
+    noise): per source, doc count, total UTF-8 bytes, total zlib
+    level-6 deflate bytes, and the ratio as ONE IEEE division.
+    Deflate has no SQL mirror, so this is a rows-only driver check by
+    design — byte-exactness is pinned by a direct-zlib pytest
+    instead. One fused map_batches + |sources| combine."""
+    from .aggregate import combine_partials
+
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    partials = ds.map_batches(_compress_stage, batch_format="pyarrow")
+    df = combine_partials(
+        partials,
+        ["source"],
+        {"n_docs_p": "n_docs", "raw_p": "sum_raw_bytes", "comp_p": "sum_zlib_bytes"},
+    )
+    df = df.astype(
+        {"n_docs": "int64", "sum_raw_bytes": "int64", "sum_zlib_bytes": "int64"}
+    )
+    df["zlib_ratio"] = df["sum_zlib_bytes"].to_numpy(np.int64).astype(
+        np.float64
+    ) / df["sum_raw_bytes"].to_numpy(np.int64).astype(np.float64)
+    return df.sort_values("source").reset_index(drop=True)
 
 
 def q_inverted_index(sf_dir: str) -> pd.DataFrame:

@@ -2361,3 +2361,24 @@ def test_etype_daily_autocorr_brute_force():
         assert abs(got.loc[et, "autocorr"] - r) < 1e-12
         assert got.loc[et, "n_pairs"] == len(s) - 1
     assert (got["autocorr"].abs() < 1).all()
+
+
+def test_doc_compressibility_exact():
+    """Pipeline sums equal direct zlib over the same corpus (deflate
+    is deterministic at a fixed level), and the signal separates:
+    ratios fall strictly inside (0, 1) for the synthetic corpus."""
+    import zlib
+
+    from rayhist.pipelines import q_doc_compressibility
+
+    got = q_doc_compressibility("/root/testdata/sf0.001").set_index("source")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["source", "text"])
+    for src, g in docs.groupby("source"):
+        raw = sum(len(t.encode()) for t in g["text"])
+        comp = sum(len(zlib.compress(t.encode(), 6)) for t in g["text"])
+        assert got.loc[src, "n_docs"] == len(g)
+        assert got.loc[src, "sum_raw_bytes"] == raw
+        assert got.loc[src, "sum_zlib_bytes"] == comp
+        assert got.loc[src, "zlib_ratio"] == np.float64(comp) / np.float64(raw)
+    assert ((got["zlib_ratio"] > 0) & (got["zlib_ratio"] < 1)).all()
