@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_incremental_merge": p.q_snapshot_incremental_merge,
         "doc_compressibility": p.q_doc_compressibility,
         "user_distinct_etypes": p.q_user_distinct_etypes,
+        "value_percentile_mass_by_type": p.q_value_percentile_mass_by_type,
+        "contributor_activity": p.q_contributor_activity,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,
@@ -355,6 +357,8 @@ def oracle_sql() -> dict[str, str]:
         "arrow_events_by_type": o.jsonl_events_by_type(),
         "snapshot_incremental_merge": o.snapshot_incremental_merge(p.T_DIFF_B),
         "user_distinct_etypes": o.user_distinct_etypes(),
+        "value_percentile_mass_by_type": o.value_percentile_mass_by_type(),
+        "contributor_activity": o.contributor_activity(),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

@@ -2818,6 +2818,21 @@ FROM snap ORDER BY osm_id
     )
 
 
+def contributor_activity() -> str:
+    """Contributor-leaderboard mirror over the derivation."""
+    return (
+        DERIVE
+        + """
+SELECT CAST(uid AS BIGINT) AS uid,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(count(DISTINCT osm_id) AS BIGINT) AS n_entities,
+       CAST(min(ts_us) AS BIGINT) AS first_ts,
+       CAST(max(ts_us) AS BIGINT) AS last_ts
+FROM d GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 def entity_tag_churn() -> str:
     """Tag-churn mirror: versions and distinct signatures per entity,
     regrouped into the (n_versions, n_sigs) grid."""
@@ -2883,6 +2898,24 @@ SELECT CAST(day AS BIGINT) AS day, etype, CAST(n AS BIGINT) AS n,
        CAST(coalesce(lag(rnk) OVER (PARTITION BY etype ORDER BY day) - rnk, 0)
             AS BIGINT) AS rank_delta
 FROM r ORDER BY 1, 2
+"""
+
+
+def value_percentile_mass_by_type() -> str:
+    """Rank-transform mirror: rank() - 1 = strictly-below count; the
+    mean fraction is the same float multiply-then-divide tail."""
+    return """
+WITH s AS (
+  SELECT event_type AS etype, CAST(round(value*100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT etype, rank() OVER (ORDER BY c) - 1 AS rb FROM s
+)
+SELECT etype, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(rb) AS BIGINT) AS sum_below,
+       CAST(sum(rb) AS DOUBLE)
+         / (count(*) * CAST((SELECT count(*) FROM s) AS DOUBLE))
+         AS mean_below_frac
+FROM r GROUP BY 1 ORDER BY 1
 """
 
 

@@ -377,6 +377,81 @@ def q_entity_lifespans(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["lifespan_days", "deleted"]).reset_index(drop=True)
 
 
+_ACTIVITY_EMPTY = pa.table(
+    {
+        "uid": pa.array([], pa.int64()),
+        "n_versions_p": pa.array([], pa.int64()),
+        "n_entities_p": pa.array([], pa.int64()),
+        "first_ts_p": pa.array([], pa.int64()),
+        "last_ts_p": pa.array([], pa.int64()),
+    }
+)
+
+
+def _activity_stage(b: pa.Table) -> pa.Table:
+    """Contributor-leaderboard partial: versions, distinct entities
+    touched, first/last edit timestamp per uid — all per-batch
+    combinable (first/last as min/max witnesses; (uid, doc) distinct
+    pairs are exact because docs decode whole-in-batch)."""
+    from .model import decode_spans
+    from .temporal import _doc_codes
+
+    tbl = decode_spans(b, tags=False, geom=False)
+    if not len(tbl):
+        return _ACTIVITY_EMPTY
+    codes = _doc_codes(tbl)
+    df = pd.DataFrame(
+        {
+            "uid": tbl["uid"].to_numpy(zero_copy_only=False),
+            "doc": codes,
+            "ts": tbl["ts"].to_numpy(zero_copy_only=False),
+        }
+    )
+    g = df.groupby("uid")
+    out = pd.DataFrame(
+        {
+            "n_versions_p": g["ts"].size(),
+            "n_entities_p": g["doc"].nunique(),
+            "first_ts_p": g["ts"].min(),
+            "last_ts_p": g["ts"].max(),
+        }
+    ).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_contributor_activity(sf_dir: str) -> pd.DataFrame:
+    """Contributor leaderboard — the OSM community-analysis staple
+    (edits, objects touched, first/last activity per mapper;
+    the reference exposes uid via OSMEntity.getUserId,
+    osm/OSMEntity.java:60): one fused decode pass, |uids| combinable
+    partials (min/max witnesses for the activity span; entity counts
+    stay exact because a document's versions never split across
+    batches)."""
+    from .aggregate import combine_partials
+
+    partials = _docs(sf_dir).map_batches(_activity_stage, batch_format="pyarrow")
+    parts = partials.to_pandas()
+    g = parts.groupby("uid")
+    df = pd.DataFrame(
+        {
+            "n_versions": g["n_versions_p"].sum(),
+            "n_entities": g["n_entities_p"].sum(),
+            "first_ts": g["first_ts_p"].min(),
+            "last_ts": g["last_ts_p"].max(),
+        }
+    ).reset_index()
+    df = df.astype(
+        {
+            "uid": "int64",
+            "n_versions": "int64",
+            "n_entities": "int64",
+            "first_ts": "int64",
+            "last_ts": "int64",
+        }
+    )
+    return df.sort_values("uid").reset_index(drop=True)
+
+
 _CHURN_EMPTY = pa.table(
     {
         "n_versions": pa.array([], pa.int64()),
@@ -6473,6 +6548,55 @@ def q_price_percentiles_cont(sf_dir: str) -> pd.DataFrame:
         {"pct_num": "int64", "pct_den": "int64", "value_num": "int64", "value_den": "int64"}
     )
     return out.sort_values(["pct_den", "pct_num"]).reset_index(drop=True)
+
+
+def q_value_percentile_mass_by_type(sf_dir: str) -> pd.DataFrame:
+    """Rank transform / quantile normalization: each value maps to its
+    GLOBAL strictly-below count (the discrete CDF), then per type the
+    exact integer sum of those ranks and the mean rank fraction —
+    'does this type sit high or low in the global distribution'. Two
+    passes: the distributed value histogram (exact_quantiles_int's
+    shape) builds the global cumulative table ONCE, broadcasts it
+    (ray.put, searchsorted lookup per batch), and the second fused
+    pass reduces per-type integer partials. Mirror: rank() - 1 is the
+    strictly-below count (ties share the min rank)."""
+    from .aggregate import combine_partials
+    from .ops.relational import cents
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(lambda b: cents(b, "value", "value_c"), batch_format="pyarrow")
+    hist = ev.groupby("value_c").count().to_pandas().sort_values("value_c")
+    vals = hist["value_c"].to_numpy(dtype=np.int64)
+    below = np.r_[0, np.cumsum(hist["count()"].to_numpy(dtype=np.int64))[:-1]]
+    n_total = int(hist["count()"].sum())
+    import ray as _ray
+
+    vals_ref, below_ref = _ray.put(vals), _ray.put(below)
+
+    def partials(b: pa.Table) -> pa.Table:
+        v, bl = _ray.get(vals_ref), _ray.get(below_ref)
+        c = b["value_c"].to_numpy(zero_copy_only=False)
+        r = bl[np.searchsorted(v, c)]
+        df = pd.DataFrame(
+            {"etype": b["event_type"].to_numpy(zero_copy_only=False), "r": r}
+        )
+        g = df.groupby("etype", as_index=False).agg(
+            n_p=("r", "size"), sum_below_p=("r", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"),
+        ["etype"],
+        {"n_p": "n", "sum_below_p": "sum_below"},
+    )
+    df = df.astype({"n": "int64", "sum_below": "int64"})
+    # mean strictly-below fraction: one division of exact ints
+    df["mean_below_frac"] = df["sum_below"].to_numpy(np.int64).astype(
+        np.float64
+    ) / (df["n"].to_numpy(np.int64).astype(np.float64) * np.float64(n_total))
+    return df.sort_values("etype").reset_index(drop=True)
 
 
 TRIM_FRAC = (1, 10)  # trimmed mean: drop floor(n/10) rows per tail

@@ -2382,3 +2382,22 @@ def test_doc_compressibility_exact():
         assert got.loc[src, "sum_zlib_bytes"] == comp
         assert got.loc[src, "zlib_ratio"] == np.float64(comp) / np.float64(raw)
     assert ((got["zlib_ratio"] > 0) & (got["zlib_ratio"] < 1)).all()
+
+
+def test_value_percentile_mass_invariants():
+    """Global rank-transform: total strictly-below mass equals the
+    sorted-array pair count minus tie corrections; per-type means lie
+    in (0, 1)."""
+    from rayhist.pipelines import q_value_percentile_mass_by_type
+
+    got = q_value_percentile_mass_by_type("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["value"])
+    c = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    order = np.sort(c)
+    # sum over values of strictly-below counts, computed independently
+    uniq, cnt = np.unique(order, return_counts=True)
+    below = np.r_[0, np.cumsum(cnt)[:-1]]
+    assert got["sum_below"].sum() == int((below * cnt).sum())
+    assert got["n"].sum() == len(c)
+    assert ((got["mean_below_frac"] > 0) & (got["mean_below_frac"] < 1)).all()

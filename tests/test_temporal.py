@@ -527,3 +527,26 @@ def test_snapshot_incremental_merge_brute_force():
     assert len(set(base.index) - set(want.index)) > 0      # deletes applied
     assert len(set(want.index) - set(base.index)) > 0      # inserts applied
     assert len(set(changed) & set(base.index) & set(want.index)) > 0  # updates
+
+
+def test_contributor_activity_brute_force():
+    """Leaderboard vs raw-events reference (uid = round(value*100)%37)."""
+    import pandas as pd
+
+    from rayhist.pipelines import q_contributor_activity
+
+    got = q_contributor_activity("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["uid"] = (ev["value"].mul(100).round().astype("int64")) % 37
+    ev["t"] = ev["ts"].astype("int64")
+    g = ev.groupby("uid")
+    want = pd.DataFrame(
+        {
+            "n_versions": g.size(),
+            "n_entities": g["user_id"].nunique(),
+            "first_ts": g["t"].min(),
+            "last_ts": g["t"].max(),
+        }
+    ).reset_index().astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    assert (want["n_entities"] > 1).any()
