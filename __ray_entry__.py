@@ -45,7 +45,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # on round-3 code; the round-4-green block closes the dict so
         # the union of r4+r5 windows covers the full surface.
         "osmpbf_relation_member_sums": p.q_osmpbf_relation_member_sums,
-        # --- new round-5 queries (reserved window slots) ---
+        # --- round-5 eighth-session additions ---
+        "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
+        "snapshot_kmeans": p.q_snapshot_kmeans,
+        "snapshot_bbox_overlaps": p.q_snapshot_bbox_overlaps,
+        "tag_reverts": p.q_tag_reverts,
+        "entity_lifespans": p.q_entity_lifespans,
+        "doc_repetition": p.q_doc_repetition,
+        "inverted_index": p.q_inverted_index,
+        "copurchase_edge_jaccard": p.q_copurchase_edge_jaccard,
+        "trimmed_mean_by_type": p.q_trimmed_mean_by_type,
+        "etype_rank_delta": p.q_etype_rank_delta,
+        "etype_daily_autocorr": p.q_etype_daily_autocorr,
+        "entity_tag_churn": p.q_entity_tag_churn,
+        "rolling_active_users": p.q_rolling_active_users,
+        "arrow_events_by_type": p.q_arrow_events_by_type,
+        "snapshot_incremental_merge": p.q_snapshot_incremental_merge,
+        "doc_compressibility": p.q_doc_compressibility,
+        "user_distinct_etypes": p.q_user_distinct_etypes,
+        "value_percentile_mass_by_type": p.q_value_percentile_mass_by_type,
+        "contributor_activity": p.q_contributor_activity,
+        # --- new round-5 queries (reserved window slots; the
+        # eighth-session block above fills the rest of the 50) ---
         "top_words": p.q_top_words,
         "revenue_by_nation_month": p.q_revenue_by_nation_month,
         "mad_value_by_type": p.q_mad_value_by_type,
@@ -112,26 +133,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_lcc": p.q_copurchase_lcc,
         "value_bitops_by_type": p.q_value_bitops_by_type,
         "extreme_events_by_type": p.q_extreme_events_by_type,
-        # --- round-5 eighth-session additions ---
-        "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
-        "snapshot_kmeans": p.q_snapshot_kmeans,
-        "snapshot_bbox_overlaps": p.q_snapshot_bbox_overlaps,
-        "tag_reverts": p.q_tag_reverts,
-        "entity_lifespans": p.q_entity_lifespans,
-        "doc_repetition": p.q_doc_repetition,
-        "inverted_index": p.q_inverted_index,
-        "copurchase_edge_jaccard": p.q_copurchase_edge_jaccard,
-        "trimmed_mean_by_type": p.q_trimmed_mean_by_type,
-        "etype_rank_delta": p.q_etype_rank_delta,
-        "etype_daily_autocorr": p.q_etype_daily_autocorr,
-        "entity_tag_churn": p.q_entity_tag_churn,
-        "rolling_active_users": p.q_rolling_active_users,
-        "arrow_events_by_type": p.q_arrow_events_by_type,
-        "snapshot_incremental_merge": p.q_snapshot_incremental_merge,
-        "doc_compressibility": p.q_doc_compressibility,
-        "user_distinct_etypes": p.q_user_distinct_etypes,
-        "value_percentile_mass_by_type": p.q_value_percentile_mass_by_type,
-        "contributor_activity": p.q_contributor_activity,
         # --- 44 queries last sampled in CORRECTNESS_r03 ---
         "contrib_type_counts_click": p.q_contrib_type_counts_click,
         "contrib_daily": p.q_contrib_daily,

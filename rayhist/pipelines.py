@@ -476,9 +476,14 @@ def _churn_stage(b: pa.Table) -> pa.Table:
 
     codes = _doc_codes(tbl)
     tid = tbl["tag_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if (tid < 0).any():
+        # -1 marks a keytable miss or a compound doc with no packed
+        # tag_ids; the integer pair key below would credit a phantom
+        # signature to the PREVIOUS doc — fail loudly instead
+        raise ValueError("entity_tag_churn: corpus carries tag_id=-1 versions")
     nver = np.bincount(codes)
     # distinct (doc, sig) pairs via one integer-key unique
-    nt = np.int64(tid.max()) + 1 if len(tid) else np.int64(1)
+    nt = np.int64(tid.max()) + 1
     pairs = np.unique(codes.astype(np.int64) * nt + tid)
     nsig = np.bincount((pairs // nt).astype(np.int64), minlength=len(nver))
     docs = np.flatnonzero(nver)
@@ -1964,7 +1969,6 @@ def q_user_distinct_etypes(sf_dir: str) -> pd.DataFrame:
     collect. Per-batch (user, etype) pre-dedup bounds the shuffle at
     distinct pairs per block; one complete-user bucket shuffle; the
     per-user sorted join resolves in-stage."""
-    from .aggregate import combine_partials  # noqa: F401 (symmetry w/ sibs)
     from .ops.window import _bucket_of, _resolve_buckets
 
     nb = _resolve_buckets(None, floor=64)
@@ -4629,11 +4633,10 @@ def _compress_stage(b: pa.Table) -> pa.Table:
     import zlib
 
     texts = b["text"].to_numpy(zero_copy_only=False)
-    raw = np.fromiter((len(t.encode("utf-8")) for t in texts), np.int64, len(texts))
+    encoded = [t.encode("utf-8") for t in texts]  # encode ONCE per doc
+    raw = np.fromiter((len(e) for e in encoded), np.int64, len(encoded))
     comp = np.fromiter(
-        (len(zlib.compress(t.encode("utf-8"), 6)) for t in texts),
-        np.int64,
-        len(texts),
+        (len(zlib.compress(e, 6)) for e in encoded), np.int64, len(encoded)
     )
     df = pd.DataFrame(
         {"source": b["source"].to_numpy(zero_copy_only=False), "raw": raw, "comp": comp}
@@ -6204,7 +6207,7 @@ def q_snapshot_incremental_merge(sf_dir: str) -> pd.DataFrame:
     t_mid = np.array([T_MID], dtype=np.int64)
 
     def base_stage(batch: pa.Table) -> pa.Table:
-        s = snapshots_fn(decode_spans(batch, tags=True), t_mid)
+        s = snapshots_fn(decode_spans(batch, tags=True, geom=False), t_mid)
         oid = s["osm_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -7075,14 +7078,11 @@ def q_snapshot_diameter_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("etype").reset_index(drop=True)
 
 
-def q_etype_rank_delta(sf_dir: str) -> pd.DataFrame:
-    """Day-over-day RANK MOVEMENT: each event type's popularity rank
-    within its day (count DESC, etype ASC — total order) and the
-    delta vs its rank on the previous PRESENT day (lag semantics;
-    first appearance reports 0). One distributed partial pass builds
-    the |days x etypes| count grid; the rank/lag final runs on the
-    driver over that grid — bounded by the window span times the type
-    vocabulary, never the corpus (the combine_partials contract)."""
+def _etype_day_grid(sf_dir: str) -> pd.DataFrame:
+    """Shared (day, etype) count grid: one distributed partial pass,
+    driver combine bounded by window span x type vocabulary. Used by
+    the rank-movement and autocorrelation finals (their day
+    derivation must stay identical)."""
     from .aggregate import combine_partials
 
     ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
@@ -7098,9 +7098,20 @@ def q_etype_rank_delta(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["day", "etype"], as_index=False).size().rename(columns={"size": "n_p"})
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    base = combine_partials(
+    return combine_partials(
         ev.map_batches(partials, batch_format="pyarrow"), ["day", "etype"], {"n_p": "n"}
     )
+
+
+def q_etype_rank_delta(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day RANK MOVEMENT: each event type's popularity rank
+    within its day (count DESC, etype ASC — total order) and the
+    delta vs its rank on the previous PRESENT day (lag semantics;
+    first appearance reports 0). One distributed partial pass builds
+    the |days x etypes| count grid; the rank/lag final runs on the
+    driver over that grid — bounded by the window span times the type
+    vocabulary, never the corpus (the combine_partials contract)."""
+    base = _etype_day_grid(sf_dir)
     base = base.sort_values(["day", "etype"]).reset_index(drop=True)
     # rank within day by (n desc, etype asc); row_number semantics
     base["rnk"] = (
@@ -7127,24 +7138,7 @@ def q_etype_daily_autocorr(sf_dir: str) -> pd.DataFrame:
     statistics in Python ints — the only floats are the final
     cast / multiply / sqrt / divide, each a single IEEE op mirrored
     verbatim in SQL."""
-    from .aggregate import combine_partials
-
-    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
-
-    def partials(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "day": (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0)
-                // DAY_US,
-                "etype": b["event_type"].to_numpy(zero_copy_only=False),
-            }
-        )
-        g = df.groupby(["day", "etype"], as_index=False).size().rename(columns={"size": "n_p"})
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    base = combine_partials(
-        ev.map_batches(partials, batch_format="pyarrow"), ["day", "etype"], {"n_p": "n"}
-    ).sort_values(["etype", "day"])
+    base = _etype_day_grid(sf_dir).sort_values(["etype", "day"])
     rows = []
     for et, g in base.groupby("etype"):
         cnt = [int(c) for c in g["n"]]

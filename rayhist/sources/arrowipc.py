@@ -51,7 +51,16 @@ def ensure_arrow_events(sf_dir: str) -> str:
     done = out / "_DONE"
     if done.exists():
         return str(shards)
-    shards.mkdir(parents=True, exist_ok=True)
+    # build into a FRESH staging dir and publish with one atomic
+    # rename: shards from a crashed partial build (no _DONE) must
+    # never union with a rebuild's — a rerun under a different block
+    # slicing writes different content hashes, so stale shards would
+    # survive as silent duplicate data
+    import shutil
+
+    staging = out / f".building-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    staging.mkdir(parents=True, exist_ok=True)
 
     def write_shard(b: pa.Table) -> pa.Table:
         from ..ops.relational import cents
@@ -71,10 +80,10 @@ def ensure_arrow_events(sf_dir: str) -> str:
             w.write_table(t)
         buf = sink.getvalue().to_pybytes()
         name = hashlib.sha256(buf).hexdigest()[:24]
-        tmp = shards / f".tmp-{name}"
+        tmp = staging / f".tmp-{name}"
         with open(tmp, "wb") as f:
             f.write(buf)
-        os.replace(tmp, shards / f"part-{name}.arrow")
+        os.replace(tmp, staging / f"part-{name}.arrow")
         return pa.table({"rows": pa.array([len(t)], pa.int64())})
 
     ds = rio.read_table(
@@ -86,6 +95,8 @@ def ensure_arrow_events(sf_dir: str) -> str:
     )
     if n != ds.count():
         raise RuntimeError(f"arrow ipc fixture wrote {n} rows, expected {ds.count()}")
+    shutil.rmtree(shards, ignore_errors=True)  # crashed earlier build
+    os.replace(staging, shards)
     done.touch()
     return str(shards)
 

@@ -177,3 +177,35 @@ def test_arrow_ipc_fixture_cold_cache_rebuild(ray_session, monkeypatch, tmp_path
 
     names = [f.name for f in Path(shards).iterdir()]
     assert names and all(n.startswith("part-") and n.endswith(".arrow") for n in names)
+
+
+def test_arrow_ipc_crashed_partial_build_never_unions(ray_session, monkeypatch, tmp_path):
+    """Shards from a crashed partial build (data present, no _DONE)
+    must be REPLACED by the rebuild, not unioned with it — stale
+    content-addressed shards would otherwise survive as silent
+    duplicate rows."""
+    import duckdb
+    import pyarrow as pa
+
+    from rayhist.sources.arrowipc import ensure_arrow_events, read_arrow_ipc
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("RAYHIST_CACHE", str(tmp_path / "cache"))
+    # simulate the crash: a shard exists at the final path, no _DONE
+    real = ensure_arrow_events(sf)
+    from pathlib import Path
+
+    done = Path(real).parent / "_DONE"
+    done.unlink()
+    bogus = pa.table({"event_id": pa.array([1], pa.int64())})
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_file(sink, bogus.schema) as w:
+        w.write_table(bogus)
+    (Path(real) / "part-deadbeef.arrow").write_bytes(sink.getvalue().to_pybytes())
+
+    rebuilt = ensure_arrow_events(sf)
+    n_parquet = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert read_arrow_ipc(rebuilt).count() == n_parquet
+    assert not (Path(rebuilt) / "part-deadbeef.arrow").exists()
