@@ -992,6 +992,64 @@ class MapReducer:
         for batch in self.stream():
             action(batch)
 
+    def _require_plain_history(self, name: str) -> None:
+        """The per-doc history terminals below run over the RAW
+        document stream (filters apply per version, which these
+        whole-history analyses do not define yet) — raise loudly on
+        any configured filter rather than silently ignoring it."""
+        if (
+            self._tag_filters
+            or self._types
+            or self._bbox is not None
+            or self._rings is not None
+            or self._entity_filters
+            or self._transforms
+        ):
+            raise ValueError(
+                f"{name} analyses the WHOLE entity history; combine it "
+                "with filters via the direct pipelines instead"
+            )
+
+    def tagReverts(self) -> pd.DataFrame:
+        """Edit-war terminal: per day, versions that revert their
+        entity's tags to the state two versions back (A -> B -> A)
+        and the distinct entities doing so — the vandalism-analysis
+        primitive over the contribution history (pipelines.
+        q_tag_reverts' fused lag-2 stage). Contribution view only;
+        whole-history (no filters)."""
+        if self._view != "contribution":
+            raise ValueError("tagReverts() is a contribution-view terminal")
+        self._require_plain_history("tagReverts()")
+        from .aggregate import combine_partials
+        from .pipelines import _revert_stage
+
+        partials = self._docs().map_batches(_revert_stage, batch_format="pyarrow")
+        df = combine_partials(
+            partials, ["day"], {"n_reverts_p": "n_reverts", "n_entities_p": "n_entities"}
+        )
+        df = df.astype({"day": "int64", "n_reverts": "int64", "n_entities": "int64"})
+        return df.sort_values("day").reset_index(drop=True)
+
+    def lifespans(self) -> pd.DataFrame:
+        """Entity-age terminal: the (lifespan_days, deleted) histogram
+        from creation to tombstone / window close (pipelines.
+        q_entity_lifespans' zero-shuffle stage). Contribution view
+        only; whole-history (no filters)."""
+        if self._view != "contribution":
+            raise ValueError("lifespans() is a contribution-view terminal")
+        self._require_plain_history("lifespans()")
+        from .aggregate import combine_partials
+        from .pipelines import _lifespan_stage
+
+        partials = self._docs().map_batches(_lifespan_stage, batch_format="pyarrow")
+        df = combine_partials(
+            partials, ["lifespan_days", "deleted"], {"n_entities_p": "n_entities"}
+        )
+        df = df.astype(
+            {"lifespan_days": "int64", "deleted": "int64", "n_entities": "int64"}
+        )
+        return df.sort_values(["lifespan_days", "deleted"]).reset_index(drop=True)
+
     def convexHull(self) -> pd.DataFrame:
         """Strict convex hull vertices of the matching snapshot
         positions, PER TIMESTAMP (spatial/hull.py: exact integer

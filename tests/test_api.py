@@ -693,3 +693,21 @@ def test_geometric_terminals_guards():
         OSMContributionView.on(SF).timestamps([T_MID, T_MID + 1]).convexHull()
     with pytest.raises(ValueError):
         OSMEntitySnapshotView.on(SF).timestamps(SNAP_DAILY).colocationPairs(1000)
+
+
+def test_history_terminals_pinned_to_direct_pipelines():
+    """Facade tagReverts()/lifespans() == the oracle-checked direct
+    pipelines, and the whole-history guard raises on any filter."""
+    from rayhist.pipelines import q_entity_lifespans, q_tag_reverts
+
+    v = OSMContributionView.on(SF)
+    pd.testing.assert_frame_equal(v.tagReverts(), q_tag_reverts(SF))
+    pd.testing.assert_frame_equal(v.lifespans(), q_entity_lifespans(SF))
+    with pytest.raises(ValueError, match="snapshot|contribution"):
+        OSMEntitySnapshotView.on(SF).tagReverts()
+    with pytest.raises(ValueError, match="WHOLE entity history"):
+        OSMContributionView.on(SF).osmTag("etype", "click").tagReverts()
+    with pytest.raises(ValueError, match="WHOLE entity history"):
+        OSMContributionView.on(SF).areaOfInterest(
+            bbox=(-1_000_000_000, -500_000_000, 1_000_000_000, 500_000_000)
+        ).lifespans()
