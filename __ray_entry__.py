@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_distinct_etypes": p.q_user_distinct_etypes,
         "value_percentile_mass_by_type": p.q_value_percentile_mass_by_type,
         "contributor_activity": p.q_contributor_activity,
+        "anomalous_days_by_type": p.q_anomalous_days_by_type,
+        "knn_majority_label": p.q_knn_majority_label,
+        "near_dup_source_matrix": p.q_near_dup_source_matrix,
         # --- new round-5 queries (reserved window slots; the
         # eighth-session block above fills the rest of the 50) ---
         "top_words": p.q_top_words,
@@ -360,6 +363,11 @@ def oracle_sql() -> dict[str, str]:
         "user_distinct_etypes": o.user_distinct_etypes(),
         "value_percentile_mass_by_type": o.value_percentile_mass_by_type(),
         "contributor_activity": o.contributor_activity(),
+        "anomalous_days_by_type": o.anomalous_days_by_type(
+            p.T0, p.DAY_US, p.ZSCORE_K
+        ),
+        "knn_majority_label": o.knn_majority_label(),
+        "near_dup_source_matrix": o.near_dup_source_matrix(),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

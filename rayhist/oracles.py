@@ -400,6 +400,41 @@ ORDER BY query_id, rank
     )
 
 
+def knn_majority_label(query_filter: str = "osm_id % 17 = 0") -> str:
+    """kNN-vote mirror: the knn top-3 CTE joined back to the snapshot
+    labels, majority with the (count DESC, etype) tie order."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, pts AS (SELECT osm_id, lon_e7, lat_e7, etype FROM snap),
+q AS (SELECT * FROM pts WHERE {query_filter}),
+cand AS (
+  SELECT q.osm_id AS query_id, p.osm_id AS neighbor_id,
+         (CAST(p.lon_e7 AS DOUBLE) - CAST(q.lon_e7 AS DOUBLE)) AS dx,
+         (CAST(p.lat_e7 AS DOUBLE) - CAST(q.lat_e7 AS DOUBLE)) AS dy
+  FROM q JOIN pts p ON p.osm_id <> q.osm_id
+), top AS (
+  SELECT query_id, neighbor_id
+  FROM cand
+  WINDOW w AS (PARTITION BY query_id ORDER BY dx*dx + dy*dy, neighbor_id)
+  QUALIFY row_number() OVER w <= 3
+), v AS (
+  SELECT t.query_id, p.etype, count(*) AS c
+  FROM top t JOIN pts p ON p.osm_id = t.neighbor_id
+  GROUP BY 1, 2
+), r AS (
+  SELECT query_id, etype, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, etype) AS rn
+  FROM v
+)
+SELECT query_id, etype AS pred_etype, CAST(c AS BIGINT) AS n_votes
+FROM r WHERE rn = 1 ORDER BY query_id
+"""
+    )
+
+
 # ------------------------------------------------------------- relational
 def lineitem_agg() -> str:
     return """
@@ -731,6 +766,37 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE common * 2 >= (sa.n + sb.n - common) * 1
 ORDER BY doc_a, doc_b
+"""
+
+
+def near_dup_source_matrix() -> str:
+    """Contamination-matrix mirror: the near-dup pair CTE joined to
+    both docs' sources, canonicalized with least/greatest."""
+    return """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM idx
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), kept AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 2 >= (sa.n + sb.n - common) * 1
+)
+SELECT least(da.source, db.source) AS src_lo,
+       greatest(da.source, db.source) AS src_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM kept
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -2850,6 +2916,24 @@ SELECT CAST(n_versions AS BIGINT) AS n_versions,
 FROM per GROUP BY 1, 2 ORDER BY 1, 2
 """
     )
+
+
+def anomalous_days_by_type(t0: int, day_us: int, k: int) -> str:
+    """Integer z-test mirror: the cross-multiplied compare in HUGEINT."""
+    return f"""
+WITH c AS (
+  SELECT event_type AS etype,
+         (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT etype, count(*) AS t, sum(n) AS sn, sum(n*n) AS sxx
+  FROM c GROUP BY 1
+)
+SELECT c.etype, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n
+FROM c JOIN s USING (etype)
+WHERE (n*t - sn)*(n*t - sn) > {int(k) * int(k)} * (t*sxx - sn*sn)
+ORDER BY 1, 2
+"""
 
 
 def etype_daily_autocorr(t0: int, day_us: int) -> str:

@@ -717,6 +717,57 @@ def q_knn(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "rank", "dist2"]].reset_index(drop=True)
 
 
+def q_knn_majority_label(sf_dir: str) -> pd.DataFrame:
+    """kNN CLASSIFICATION: each query point takes the MAJORITY event
+    type among its 3 nearest neighbors at T_MID (tie -> min etype) —
+    the vote terminal on top of the distributed halo-join kNN. Two
+    bounded passes: the oracle-checked knn_queries resolve (output-
+    sized), then one fused snapshot pass that looks up ONLY the
+    neighbor ids' labels (the id set rides ray.put into a pc.is_in
+    filter — nq x k ids, never the corpus); the vote is a driver
+    reduce over nq x k rows."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from .model import decode_spans
+    from .spatial.knn import knn_queries
+    from .temporal import snapshots as snapshots_fn
+
+    mod = int(os.environ.get("RAYHIST_KNN_MOD", "17"))
+    pos, _n, zoom = _knn_positions_flagged(sf_dir, mod)
+    nn = knn_queries(pos, k=3, id_col="osm_id", zoom=zoom, halo=1)
+
+    ids = np.unique(nn["neighbor_id"].to_numpy(dtype=np.int64))
+    ids_ref = _ray.put(ids)
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def labels(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=True, geom=False), ts)
+        keep = pc.is_in(s["osm_id"], pa.array(_ray.get(ids_ref), pa.int64()))
+        s = s.filter(keep)
+        return pa.table({"osm_id": s["osm_id"], "etype": s["etype"]})
+
+    lab = _docs(sf_dir).map_batches(labels, batch_format="pyarrow").to_pandas()
+    m = nn.merge(lab, left_on="neighbor_id", right_on="osm_id", how="left")
+    if m["etype"].isna().any():
+        raise ValueError("knn majority: neighbor without a visible T_MID label")
+    v = m.groupby(["query_id", "etype"], as_index=False).size()
+    v = v.sort_values(
+        ["query_id", "size", "etype"], ascending=[True, False, True], kind="mergesort"
+    )
+    win = v.drop_duplicates("query_id", keep="first")
+    out = pd.DataFrame(
+        {
+            "query_id": win["query_id"].to_numpy(dtype=np.int64),
+            "pred_etype": win["etype"].to_numpy(),
+            "n_votes": win["size"].to_numpy(dtype=np.int64),
+        }
+    )
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------- relational
 def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-style grouped aggregate over lineitem; money summed as
@@ -1249,6 +1300,60 @@ def q_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
 
     ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_jaccard_pairs(ds, 1, 2)
+
+
+def q_near_dup_source_matrix(sf_dir: str) -> pd.DataFrame:
+    """Cross-source contamination matrix: near-duplicate pair counts
+    per unordered SOURCE pair — 'which feeds duplicate each other',
+    the question a corpus-mixing decision needs answered before
+    weighting sources. Composition: the oracle-checked exact-Jaccard
+    pair stage (O(near-dups) rows, never the corpus), then ONE fused
+    documents pass that looks up only the participating doc ids'
+    sources (broadcast id set -> pc.is_in, the knn-label pattern), and
+    a driver reduce over the pair list."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from .ops.dedup import exact_jaccard_pairs
+
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, 1, 2)
+    if not len(pairs):
+        return pd.DataFrame(
+            {
+                "src_lo": pd.Series(dtype=object),
+                "src_hi": pd.Series(dtype=object),
+                "n_pairs": pd.Series(dtype="int64"),
+            }
+        )
+    ids = np.unique(
+        np.r_[pairs["doc_a"].to_numpy(np.int64), pairs["doc_b"].to_numpy(np.int64)]
+    )
+    ids_ref = _ray.put(ids)
+
+    def src_lookup(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["doc_id"], pa.array(_ray.get(ids_ref), b["doc_id"].type))
+        s = b.filter(keep)
+        return pa.table({"doc_id": s["doc_id"], "source": s["source"]})
+
+    lab = (
+        rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+        .map_batches(src_lookup, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")["source"]
+    )
+    sa = lab.loc[pairs["doc_a"]].to_numpy()
+    sb = lab.loc[pairs["doc_b"]].to_numpy()
+    lo = np.minimum(sa, sb)
+    hi = np.maximum(sa, sb)
+    out = (
+        pd.DataFrame({"src_lo": lo, "src_hi": hi})
+        .groupby(["src_lo", "src_hi"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_pairs"})
+        .astype({"n_pairs": "int64"})
+    )
+    return out.sort_values(["src_lo", "src_hi"]).reset_index(drop=True)
 
 
 def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
@@ -7166,6 +7271,42 @@ def q_etype_daily_autocorr(sf_dir: str) -> pd.DataFrame:
         {"n_pairs": "int64", "num": "int64", "autocorr": "float64"}
     )
     return out.sort_values("etype").reset_index(drop=True)
+
+
+ZSCORE_K = 2  # anomaly threshold: |z| > 2 population standard deviations
+
+
+def q_anomalous_days_by_type(sf_dir: str) -> pd.DataFrame:
+    """Anomaly detection WITHOUT floats: days whose count deviates
+    more than ZSCORE_K population standard deviations from the type's
+    daily mean. The z test is cross-multiplied into pure integers —
+    z^2 > K^2 is EXACTLY (n*T - S)^2 > K^2 * (T*Sxx - S^2) with
+    T = #days, S = sum, Sxx = sum of squares — so there is no float
+    threshold to disagree on, ever (the same trick as above_user_mean
+    pushed to second moments). One distributed partial pass; the flag
+    final runs on the grid in Python ints."""
+    base = _etype_day_grid(sf_dir)
+    rows = []
+    for et, g in base.groupby("etype"):
+        n = [int(x) for x in g["n"]]
+        t = len(n)
+        s = sum(n)
+        sxx = sum(x * x for x in n)
+        var_num = t * sxx - s * s  # T^2 * population variance
+        for day, x in zip(g["day"], n):
+            dev = x * t - s
+            if dev * dev > ZSCORE_K * ZSCORE_K * var_num:
+                rows.append({"etype": et, "day": int(day), "n": x})
+    if not rows:
+        return pd.DataFrame(
+            {
+                "etype": pd.Series(dtype=object),
+                "day": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    out = pd.DataFrame(rows).astype({"day": "int64", "n": "int64"})
+    return out.sort_values(["etype", "day"]).reset_index(drop=True)
 
 
 def q_etype_share_by_day(sf_dir: str) -> pd.DataFrame:

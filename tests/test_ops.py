@@ -2401,3 +2401,41 @@ def test_value_percentile_mass_invariants():
     assert got["sum_below"].sum() == int((below * cnt).sum())
     assert got["n"].sum() == len(c)
     assert ((got["mean_below_frac"] > 0) & (got["mean_below_frac"] < 1)).all()
+
+
+def test_anomalous_days_integer_zscore():
+    """The integer cross-multiplied flag equals the literal float
+    z-test on the same grid (strict inequality, population variance)."""
+    from rayhist.pipelines import ZSCORE_K, _etype_day_grid, q_anomalous_days_by_type
+
+    got = q_anomalous_days_by_type("/root/testdata/sf0.001")
+    grid = _etype_day_grid("/root/testdata/sf0.001")
+    want = []
+    for et, g in grid.groupby("etype"):
+        x = g["n"].to_numpy(dtype=np.float64)
+        mu, var = x.mean(), x.var()
+        for day, n in zip(g["day"], g["n"]):
+            if (n - mu) ** 2 > ZSCORE_K**2 * var + 1e-9:
+                want.append((et, int(day), int(n)))
+    assert list(map(tuple, got.to_numpy())) == want
+    assert len(want) > 0
+
+
+def test_knn_majority_label_votes():
+    """Votes per query sum to k, and the winner's count is the max."""
+    from rayhist.pipelines import q_knn_majority_label
+
+    got = q_knn_majority_label("/root/testdata/sf0.001")
+    assert (got["n_votes"] >= 1).all() and (got["n_votes"] <= 3).all()
+    assert got["query_id"].is_unique and len(got) >= 1
+
+
+def test_near_dup_source_matrix_conservation():
+    """Matrix cells sum to the near-dup pair count; source pairs are
+    canonical (lo <= hi)."""
+    from rayhist.pipelines import q_near_dup_pairs, q_near_dup_source_matrix
+
+    got = q_near_dup_source_matrix("/root/testdata/sf0.001")
+    pairs = q_near_dup_pairs("/root/testdata/sf0.001")
+    assert got["n_pairs"].sum() == len(pairs)
+    assert (got["src_lo"] <= got["src_hi"]).all()
