@@ -573,20 +573,29 @@ def edge_triangle_support(
         )
         return ray.data.from_arrow(out)
 
-    support = credits.groupby("ek").sum("cn_p")
+    # materialize the |E|-bounded support table: hash_join reads both
+    # schemas up front, and a lazy groupby-sum plan can report schema
+    # None under constrained clusters (observed at the 6M-edge stress
+    # level with 2 cpus) — blocks stay in the object store either way
+    support = credits.groupby("ek").sum("cn_p").materialize()
 
     def edge_rows(b: pa.Table) -> pa.Table:
         s = b["s"].to_numpy(zero_copy_only=False)
         t = b["t"].to_numpy(zero_copy_only=False)
         return pa.table({"ek": s * np.int64(nv) + t})
 
-    joined = hash_join(
-        oriented.map_batches(edge_rows, batch_format="pyarrow"),
-        support,
-        on="ek",
-        n_buckets=n_buckets,
-        how="left",
-    )
+    if support.count() == 0:
+        # triangle-free graph: an all-empty map_groups output has no
+        # schema for hash_join to read — emit cn=0 rows directly
+        joined = oriented.map_batches(edge_rows, batch_format="pyarrow")
+    else:
+        joined = hash_join(
+            oriented.map_batches(edge_rows, batch_format="pyarrow"),
+            support,
+            on="ek",
+            n_buckets=n_buckets,
+            how="left",
+        )
 
     def finish(b: pa.Table) -> pa.Table:
         if len(b) == 0:
@@ -594,8 +603,11 @@ def edge_triangle_support(
         inv, dor = _ray.get(inv_ref), _ray.get(dor_ref)
         ek = b["ek"].to_numpy(zero_copy_only=False).astype(np.int64)
         s, t = ek // nv, ek % nv
-        cn = b["sum(cn_p)"].to_numpy(zero_copy_only=False)
-        cn = np.nan_to_num(cn.astype(np.float64), nan=0.0).astype(np.int64)
+        if "sum(cn_p)" in b.column_names:
+            cn = b["sum(cn_p)"].to_numpy(zero_copy_only=False)
+            cn = np.nan_to_num(cn.astype(np.float64), nan=0.0).astype(np.int64)
+        else:
+            cn = np.zeros(len(ek), dtype=np.int64)
         nu, nvv = inv[s], inv[t]
         lo, hi = np.minimum(nu, nvv), np.maximum(nu, nvv)
         return pa.table(

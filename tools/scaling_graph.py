@@ -102,6 +102,13 @@ def _run_ops(edge_path: str, kcore_k: int) -> dict:
     t0 = time.perf_counter()
     bfs_hops(edges(), lambda n: n % 1000 == 0, BFS_HOPS, broadcast_gate=0)
     times["bfs"] = round(time.perf_counter() - t0, 3)
+    from rayhist.ops.triangles import edge_triangle_support
+
+    t0 = time.perf_counter()
+    # distributed credit-groupby + partitioned left join (gate off);
+    # consume via count() so the |E|-row result never concatenates
+    edge_triangle_support(edges(), broadcast_gate=0).count()
+    times["edge_support"] = round(time.perf_counter() - t0, 3)
     return {
         "times": times,
         "n_edges": int(n_edges),
