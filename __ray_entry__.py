@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomalous_days_by_type": p.q_anomalous_days_by_type,
         "knn_majority_label": p.q_knn_majority_label,
         "near_dup_source_matrix": p.q_near_dup_source_matrix,
+        "predominant_etype_dwell": p.q_predominant_etype_dwell,
         # --- new round-5 queries (reserved window slots; the
         # eighth-session block above fills the rest of the 50) ---
         "top_words": p.q_top_words,
@@ -368,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_majority_label": o.knn_majority_label(),
         "near_dup_source_matrix": o.near_dup_source_matrix(),
+        "predominant_etype_dwell": o.predominant_etype_dwell(p.T0, p.DWELL_END),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

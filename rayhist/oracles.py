@@ -2884,6 +2884,35 @@ FROM snap ORDER BY osm_id
     )
 
 
+def predominant_etype_dwell(t0: int, dwell_end: int) -> str:
+    """Time-weighted mode mirror: lead()-interval dwell per
+    (entity, etype), argmax with the (dwell DESC, etype) tie order,
+    zero-dwell states excluded before the vote."""
+    return (
+        DERIVE
+        + f"""
+, iv AS (
+  SELECT osm_id, etype, visible, ts_us,
+         lead(ts_us) OVER (PARTITION BY osm_id ORDER BY ts_us, v) AS nxt
+  FROM d
+), dw AS (
+  SELECT osm_id, etype,
+         sum(greatest(0, least(coalesce(nxt, {int(dwell_end)}), {int(dwell_end)})
+                         - greatest(ts_us, {int(t0)}))) AS dwell
+  FROM iv WHERE visible GROUP BY 1, 2
+), w AS (
+  SELECT osm_id, etype, dwell,
+         row_number() OVER (PARTITION BY osm_id
+                            ORDER BY dwell DESC, etype) AS rn
+  FROM dw WHERE dwell > 0
+)
+SELECT etype, CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(dwell) AS BIGINT) AS sum_dwell_us
+FROM w WHERE rn = 1 GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 def contributor_activity() -> str:
     """Contributor-leaderboard mirror over the derivation."""
     return (

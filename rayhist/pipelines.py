@@ -317,6 +317,71 @@ def q_tag_reverts(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("day").reset_index(drop=True)
 
 
+_PREDOM_EMPTY = pa.table(
+    {
+        "etype": pa.array([], pa.string()),
+        "n_entities_p": pa.array([], pa.int64()),
+        "sum_dwell_p": pa.array([], pa.int64()),
+    }
+)
+
+
+def _predominant_stage(b: pa.Table) -> pa.Table:
+    """Time-weighted modal tag partial: per doc, each etype's total
+    visible validity microseconds inside [T0, DWELL_END); the doc's
+    PREDOMINANT etype is the dwell argmax (tie -> min etype). The
+    'what was this entity, weighted by time' analysis — a snapshot
+    mode would overweight whatever happened to be true on the grid.
+    Per-batch exact: docs decode whole-in-batch."""
+    from .model import decode_spans
+    from .temporal import _sorted_versions
+
+    tbl, codes, ts, _v, _ = _sorted_versions(decode_spans(b, tags=True, geom=False))
+    if not len(ts):
+        return _PREDOM_EMPTY
+    last_of_doc = np.r_[codes[1:] != codes[:-1], True]
+    nxt = np.where(last_of_doc, DWELL_END, np.r_[ts[1:], DWELL_END])
+    dur = np.clip(np.minimum(nxt, DWELL_END) - np.maximum(ts, T0), 0, None)
+    vis = tbl["visible"].to_numpy(zero_copy_only=False)
+    et = tbl["etype"].to_numpy(zero_copy_only=False)
+    df = pd.DataFrame({"doc": codes[vis], "etype": et[vis], "dwell": dur[vis]})
+    dw = df.groupby(["doc", "etype"], as_index=False)["dwell"].sum()
+    dw = dw[dw["dwell"] > 0]
+    if not len(dw):
+        return _PREDOM_EMPTY
+    win = dw.sort_values(
+        ["doc", "dwell", "etype"], ascending=[True, False, True], kind="mergesort"
+    ).drop_duplicates("doc", keep="first")
+    g = win.groupby("etype", as_index=False).agg(
+        n_entities_p=("doc", "size"), sum_dwell_p=("dwell", "sum")
+    )
+    return pa.table(
+        {
+            "etype": pa.array(g["etype"].to_numpy(), pa.string()),
+            "n_entities_p": pa.array(g["n_entities_p"].to_numpy(), pa.int64()),
+            "sum_dwell_p": pa.array(g["sum_dwell_p"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def q_predominant_etype_dwell(sf_dir: str) -> pd.DataFrame:
+    """TIME-WEIGHTED MODE: how many entities have each etype as their
+    longest-lived visible tag state over [T0, DWELL_END), and those
+    winners' total dwell — the 'predominant land use' analysis (a
+    plain snapshot mode would overweight the sampling grid; this is
+    the integral argmax). Zero shuffle; |etypes| partials combine."""
+    from .aggregate import combine_partials
+
+    partials = _docs(sf_dir).map_batches(_predominant_stage, batch_format="pyarrow")
+    df = combine_partials(
+        partials,
+        ["etype"],
+        {"n_entities_p": "n_entities", "sum_dwell_p": "sum_dwell_us"},
+    )
+    df = df.astype({"n_entities": "int64", "sum_dwell_us": "int64"})
+    return df.sort_values("etype").reset_index(drop=True)
+
+
 _LIFESPAN_EMPTY = pa.table(
     {
         "lifespan_days": pa.array([], pa.int64()),

@@ -550,3 +550,40 @@ def test_contributor_activity_brute_force():
     ).reset_index().astype("int64")
     pd.testing.assert_frame_equal(got, want)
     assert (want["n_entities"] > 1).any()
+
+
+def test_predominant_etype_dwell_invariants():
+    """Winners partition the visible-dwell entity set: n_entities sums
+    to the count of entities with any positive visible dwell, and the
+    unsorted-runs invariance holds for the time-weighted mode too."""
+    import pandas as pd
+
+    from rayhist.aggregate import combine_partials
+    from rayhist.model import reverse_version_runs
+    from rayhist.pipelines import (
+        _docs,
+        _predominant_stage,
+        q_etype_dwell_time,
+        q_predominant_etype_dwell,
+    )
+
+    got = q_predominant_etype_dwell("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "event_type"])
+    # every user has at least one non-error event in January -> dwell
+    has_vis = ev[ev["event_type"] != "error"]["user_id"].nunique()
+    assert got["n_entities"].sum() == has_vis
+    # winners' dwell is a lower-bounded share of the total dwell
+    total = q_etype_dwell_time("/root/testdata/sf0.001")["dwell_us"].sum()
+    assert 0 < got["sum_dwell_us"].sum() <= total
+
+    names = {"n_entities_p": "n_entities", "sum_dwell_p": "sum_dwell_us"}
+    dirty = combine_partials(
+        _docs("/root/testdata/sf0.001")
+        .map_batches(reverse_version_runs, batch_format="pyarrow")
+        .map_batches(_predominant_stage, batch_format="pyarrow"),
+        ["etype"], names,
+    ).astype({"n_entities": "int64", "sum_dwell_us": "int64"}).sort_values(
+        "etype"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dirty, got)
