@@ -551,6 +551,44 @@ FROM per p LEFT JOIN bper USING (doc_id) ORDER BY p.doc_id
 """
 
 
+def doc_lm_surprisal() -> str:
+    """Bigram-LM surprisal mirror: per-bigram milli-nats quantized to
+    BIGINT before any sum (round half-away = engine's round_half_away;
+    ln = the same libm), so the per-doc totals are order-free integer
+    sums on both engines."""
+    from .pipelines import WORD_SPLIT_RE
+
+    return f"""
+WITH d0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{WORD_SPLIT_RE}'),
+                     x -> x <> '') AS l
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS i FROM d0
+), bgr AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bgr GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+), vv AS (SELECT count(DISTINCT tok) AS v FROM t),
+s AS (
+  SELECT w1, w2,
+         CAST(round(1000 * (ln(c1 + v) - ln(c2 + 1))) AS BIGINT) AS sm
+  FROM c2 JOIN c1 USING (w1), vv
+), doc AS (
+  SELECT doc_id, w1, w2, count(*) AS n FROM bgr GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       CAST(sum(n * sm) AS BIGINT) AS surprisal_milli,
+       CAST(sum(n * sm) AS DOUBLE) / sum(n) AS avg_surprisal_milli
+FROM doc JOIN s USING (w1, w2)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def inverted_index(k: int) -> str:
     """Posting-list mirror: df/tf per token plus the first-k ordered
     doc ids via a rank-filtered string_agg (CASE nulls are skipped)."""

@@ -4844,6 +4844,126 @@ def q_doc_compressibility(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
+def _doc_bigram_stage(b: pa.Table) -> pa.Table:
+    """(doc_id, w1, w2, n) per-batch bigram pre-count over the
+    standard token split — consecutive tokens within one doc."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    tok = flat.to_numpy(zero_copy_only=False)
+    keep = tok != ""
+    parent, tok = parent[keep], tok[keep]
+    adj = parent[1:] == parent[:-1]
+    if not adj.any():
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    doc = b["doc_id"].to_numpy(zero_copy_only=False)[parent[:-1][adj]]
+    df = pd.DataFrame({"doc_id": doc, "w1": tok[:-1][adj], "w2": tok[1:][adj]})
+    g = df.groupby(["doc_id", "w1", "w2"], as_index=False).size().rename(
+        columns={"size": "n"}
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_doc_lm_surprisal(sf_dir: str) -> pd.DataFrame:
+    """Language-model quality scoring — the CCNet-style curation
+    signal: each document's total and mean SURPRISAL under an
+    add-one-smoothed bigram model trained on the corpus itself
+    (P(w2|w1) = (c2+1)/(c1+V)). Floats obey the money rule by
+    QUANTIZING per-bigram surprisal to integer milli-nats FIRST —
+    round(1000*(ln(c1+V) - ln(c2+1))), ln via math.log (glibc libm,
+    bit-identical to DuckDB's ln; numpy's vectorized log is NOT) over
+    LUTs of the distinct integer inputs, half-away rounding — so the
+    per-doc totals are exact INT sums in any order. Shape: per-batch
+    bigram pre-counts; model = two vocabulary-cardinality Dataset
+    groupbys; scoring = two partitioned hash joins (composite
+    (w1, w2) key, then w1); per-doc totals on a doc_id Dataset
+    groupby (high-card rule)."""
+    import math
+
+    from .ops.relational import hash_join
+
+    docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bg = docs.map_batches(_doc_bigram_stage, batch_format="pyarrow")
+
+    c2 = (
+        bg.groupby(["w1", "w2"])
+        .sum("n")
+        .map_batches(
+            lambda b: b.rename_columns(["w1", "w2", "c2"]), batch_format="pyarrow"
+        )
+    )
+    c1 = (
+        c2.groupby("w1")
+        .sum("c2")
+        .map_batches(lambda b: b.rename_columns(["w1", "c1"]), batch_format="pyarrow")
+    )
+
+    # vocabulary size: distinct tokens over the WHOLE token stream
+    def tok_stage(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        words = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+        )
+        words = words.filter(pc.not_equal(words, ""))
+        return pa.table({"word": pa.array(pd.unique(words.to_numpy(zero_copy_only=False)))})
+
+    v = docs.map_batches(tok_stage, batch_format="pyarrow").groupby("word").count().count()
+
+    scored = hash_join(hash_join(bg, c2, on=["w1", "w2"]), c1, on="w1")
+
+    def score_stage(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "nb_p": pa.array([], pa.int64()),
+                    "sm_p": pa.array([], pa.int64()),
+                }
+            )
+        from .ops.relational import round_half_away as _rha
+
+        den = b["c1"].to_numpy(zero_copy_only=False).astype(np.int64) + np.int64(v)
+        num = b["c2"].to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        lut_d = {x: math.log(x) for x in np.unique(den).tolist()}
+        lut_n = {x: math.log(x) for x in np.unique(num).tolist()}
+        ln_d = np.array([lut_d[x] for x in den.tolist()])
+        ln_n = np.array([lut_n[x] for x in num.tolist()])
+        sm = _rha(1000.0 * (ln_d - ln_n)).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "nb_p": pa.array(n),
+                "sm_p": pa.array(n * sm),
+            }
+        )
+
+    per_doc = (
+        scored.map_batches(score_stage, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum(["nb_p", "sm_p"])
+        .to_pandas()
+        .rename(columns={"sum(nb_p)": "n_bigrams", "sum(sm_p)": "surprisal_milli"})
+    )
+    per_doc = per_doc.astype(
+        {"doc_id": "int64", "n_bigrams": "int64", "surprisal_milli": "int64"}
+    )
+    per_doc["avg_surprisal_milli"] = per_doc["surprisal_milli"].to_numpy(
+        np.int64
+    ).astype(np.float64) / per_doc["n_bigrams"].to_numpy(np.int64).astype(np.float64)
+    return per_doc.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Inverted-index build — the search/retrieval primitive over a
     text corpus: per token, document frequency, total term frequency,

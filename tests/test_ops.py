@@ -2439,3 +2439,42 @@ def test_near_dup_source_matrix_conservation():
     pairs = q_near_dup_pairs("/root/testdata/sf0.001")
     assert got["n_pairs"].sum() == len(pairs)
     assert (got["src_lo"] <= got["src_hi"]).all()
+
+
+def test_doc_lm_surprisal_brute_force():
+    """Pipeline vs a literal Python bigram-LM reference on the real
+    sf0.001 corpus: same split, add-one smoothing, milli-nat
+    quantization BEFORE summation."""
+    import math
+    import re
+
+    from rayhist.ops.relational import round_half_away
+    from rayhist.pipelines import q_doc_lm_surprisal
+
+    got = q_doc_lm_surprisal("/root/testdata/sf0.001").set_index("doc_id")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = {d: [w for w in re.split("[^a-z]+", t.lower()) if w]
+            for d, t in zip(docs["doc_id"], docs["text"])}
+    from collections import Counter
+    c2: Counter = Counter()
+    vocab = set()
+    for ws in toks.values():
+        vocab.update(ws)
+        c2.update(zip(ws, ws[1:]))
+    c1: Counter = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    V = len(vocab)
+    for d, ws in list(toks.items())[:60]:  # spot-check 60 docs
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            assert d not in got.index
+            continue
+        sm = sum(
+            int(round_half_away(np.array([1000.0 * (math.log(c1[w1] + V)
+                                                    - math.log(c2[(w1, w2)] + 1))]))[0])
+            for w1, w2 in bgs
+        )
+        assert got.loc[d, "n_bigrams"] == len(bgs)
+        assert got.loc[d, "surprisal_milli"] == sm
