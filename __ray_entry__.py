@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_source_matrix": p.q_near_dup_source_matrix,
         "predominant_etype_dwell": p.q_predominant_etype_dwell,
         "doc_lm_surprisal": p.q_doc_lm_surprisal,
+        "label_centroid_cosine": p.q_label_centroid_cosine,
         # --- new round-5 queries (reserved window slots; the
         # eighth-session block above fills the rest of the 50) ---
         "top_words": p.q_top_words,
@@ -372,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_source_matrix": o.near_dup_source_matrix(),
         "predominant_etype_dwell": o.predominant_etype_dwell(p.T0, p.DWELL_END),
         "doc_lm_surprisal": o.doc_lm_surprisal(),
+        "label_centroid_cosine": o.label_centroid_cosine(p.EMB_QUANT),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

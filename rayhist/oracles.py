@@ -551,6 +551,35 @@ FROM per p LEFT JOIN bper USING (doc_id) ORDER BY p.doc_id
 """
 
 
+def label_centroid_cosine(quant: int) -> str:
+    """Centroid-cosine mirror: per-component half-away quantization to
+    BIGINT before any sum; sqrt-then-multiply-then-divide in the same
+    op order as the engine."""
+    return f"""
+WITH q AS (
+  SELECT label, i,
+         sum(CAST(round(CAST(embedding[i] AS DOUBLE) * {int(quant)}) AS BIGINT)) AS s
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY 1, 2
+), n2 AS (
+  SELECT label, sum(s*s) AS nn FROM q GROUP BY 1
+), dots AS (
+  SELECT a.label AS label_lo, b.label AS label_hi, sum(a.s * b.s) AS dot
+  FROM q a JOIN q b ON a.i = b.i AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT CAST(label_lo AS BIGINT) AS label_lo,
+       CAST(label_hi AS BIGINT) AS label_hi,
+       CAST(dot AS BIGINT) AS dot,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+FROM dots
+JOIN n2 na ON na.label = label_lo
+JOIN n2 nb ON nb.label = label_hi
+ORDER BY 1, 2
+"""
+
+
 def doc_lm_surprisal() -> str:
     """Bigram-LM surprisal mirror: per-bigram milli-nats quantized to
     BIGINT before any sum (round half-away = engine's round_half_away;

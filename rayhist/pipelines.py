@@ -4873,6 +4873,76 @@ def _doc_bigram_stage(b: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+EMB_QUANT = 1000  # embedding quantization scale (milli-units)
+
+
+def q_label_centroid_cosine(sf_dir: str) -> pd.DataFrame:
+    """Class-separation diagnostic over the embedding table: the
+    cosine similarity between every pair of LABEL CENTROIDS. Exact by
+    quantization: each float32 component rounds (half-away) to
+    integer milli-units FIRST, so the per-(label, dim) sums are
+    order-free integer partials and the cosine — scale-invariant, so
+    the sums stand in for the centroids directly — is three float
+    conversions + sqrt + one division on exact ints, mirrored op for
+    op in SQL. One fused pass; |labels| x 64 partial rows combine."""
+    from .aggregate import combine_partials
+    from .ops.relational import round_half_away
+
+    ds = rio.read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(b["embedding"]).to_numpy(zero_copy_only=False)
+        dims = pc.list_value_length(b["embedding"]).to_numpy(zero_copy_only=False)
+        if len(np.unique(dims)) > 1:
+            raise ValueError("label_centroid_cosine: ragged embedding dims")
+        d = int(dims[0]) if len(dims) else 0
+        q = round_half_away(flat.astype(np.float64) * float(EMB_QUANT)).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "label": np.repeat(lab, d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), len(lab)),
+                "s_p": q,
+            }
+        )
+        g = df.groupby(["label", "dim"], as_index=False)["s_p"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = combine_partials(
+        ds.map_batches(partials, batch_format="pyarrow"), ["label", "dim"], {"s_p": "s"}
+    )
+    piv = sums.pivot_table(index="label", columns="dim", values="s", fill_value=0)
+    labels = sorted(int(x) for x in piv.index)
+    vecs = {l: [int(x) for x in piv.loc[l]] for l in labels}
+    rows = []
+    for i, a in enumerate(labels):
+        va = vecs[a]
+        na2 = sum(x * x for x in va)
+        for b_ in labels[i + 1 :]:
+            vb = vecs[b_]
+            nb2 = sum(x * x for x in vb)
+            dot = sum(x * y for x, y in zip(va, vb))
+            if not (-(2**63) < dot < 2**63):
+                raise OverflowError("centroid dot exceeds int64; lower EMB_QUANT")
+            rows.append(
+                {
+                    "label_lo": a,
+                    "label_hi": b_,
+                    "dot": dot,
+                    "cosine": np.float64(dot)
+                    / (np.sqrt(np.float64(na2)) * np.sqrt(np.float64(nb2))),
+                }
+            )
+    out = pd.DataFrame(rows).astype(
+        {"label_lo": "int64", "label_hi": "int64", "dot": "int64"}
+    )
+    return out.sort_values(["label_lo", "label_hi"]).reset_index(drop=True)
+
+
 def q_doc_lm_surprisal(sf_dir: str) -> pd.DataFrame:
     """Language-model quality scoring — the CCNet-style curation
     signal: each document's total and mean SURPRISAL under an

@@ -2478,3 +2478,34 @@ def test_doc_lm_surprisal_brute_force():
         )
         assert got.loc[d, "n_bigrams"] == len(bgs)
         assert got.loc[d, "surprisal_milli"] == sm
+
+
+def test_label_centroid_cosine_brute_force():
+    """Quantized-centroid cosine vs a literal numpy reference (exact
+    equality: the reference reproduces the quantize-sum-divide op
+    order); 10 labels -> 45 pairs with |cos| < 1."""
+    from rayhist.ops.relational import round_half_away
+    from rayhist.pipelines import EMB_QUANT, q_label_centroid_cosine
+
+    got = q_label_centroid_cosine("/root/testdata/sf0.001")
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["label", "embedding"])
+    sums: dict = {}
+    for lab, e in zip(emb["label"], emb["embedding"]):
+        q = round_half_away(np.asarray(e, dtype=np.float64) * EMB_QUANT).astype(object)
+        sums[lab] = q if lab not in sums else sums[lab] + q
+    labs = sorted(sums)
+    k = 0
+    for i, a in enumerate(labs):
+        for b in labs[i + 1:]:
+            va, vb = sums[a], sums[b]
+            dot = int(sum(x * y for x, y in zip(va, vb)))
+            na2 = int(sum(x * x for x in va))
+            nb2 = int(sum(x * x for x in vb))
+            row = got.iloc[k]; k += 1
+            assert (row["label_lo"], row["label_hi"]) == (a, b)
+            assert row["dot"] == dot
+            assert row["cosine"] == np.float64(dot) / (
+                np.sqrt(np.float64(na2)) * np.sqrt(np.float64(nb2))
+            )
+    assert k == len(got) and (got["cosine"].abs() < 1).all()
