@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predominant_etype_dwell": p.q_predominant_etype_dwell,
         "doc_lm_surprisal": p.q_doc_lm_surprisal,
         "label_centroid_cosine": p.q_label_centroid_cosine,
+        "customer_rfm_segments": p.q_customer_rfm_segments,
         # --- new round-5 queries (reserved window slots; the
         # eighth-session block above fills the rest of the 50) ---
         "top_words": p.q_top_words,
@@ -374,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "predominant_etype_dwell": o.predominant_etype_dwell(p.T0, p.DWELL_END),
         "doc_lm_surprisal": o.doc_lm_surprisal(),
         "label_centroid_cosine": o.label_centroid_cosine(p.EMB_QUANT),
+        "customer_rfm_segments": o.customer_rfm_segments(),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

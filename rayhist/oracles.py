@@ -3588,6 +3588,43 @@ FROM v, q GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def customer_rfm_segments() -> str:
+    """RFM mirror: per-customer aggregates, the discrete rank-rule
+    quartile bounds per metric, strictly-above coding."""
+
+    def qcte(col: str, name: str) -> str:
+        return f"""
+{name}_r AS (
+  SELECT {col} AS v, row_number() OVER (ORDER BY {col}) AS rn,
+         count(*) OVER () AS n
+  FROM pc
+), {name}_q AS (
+  SELECT max(CASE WHEN rn = 1 + ((n-1)*1)//4 THEN v END) AS q1,
+         max(CASE WHEN rn = 1 + ((n-1)*2)//4 THEN v END) AS q2,
+         max(CASE WHEN rn = 1 + ((n-1)*3)//4 THEN v END) AS q3
+  FROM {name}_r
+)"""
+
+    return f"""
+WITH pc AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // 86400000000) AS r,
+         count(*) AS f,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS m
+  FROM orders GROUP BY 1
+), {qcte("r", "rq")}, {qcte("f", "fq")}, {qcte("m", "mq")}
+SELECT CAST((pc.r > rq_q.q1) AS BIGINT) + CAST((pc.r > rq_q.q2) AS BIGINT)
+         + CAST((pc.r > rq_q.q3) AS BIGINT) AS r_code,
+       CAST((pc.f > fq_q.q1) AS BIGINT) + CAST((pc.f > fq_q.q2) AS BIGINT)
+         + CAST((pc.f > fq_q.q3) AS BIGINT) AS f_code,
+       CAST((pc.m > mq_q.q1) AS BIGINT) + CAST((pc.m > mq_q.q2) AS BIGINT)
+         + CAST((pc.m > mq_q.q3) AS BIGINT) AS m_code,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM pc, rq_q, fq_q, mq_q
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def copurchase_clustering() -> str:
     """Clustering-coefficient mirror: triangles CTE + degree-based
     wedge sum, one double division."""

