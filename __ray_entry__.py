@@ -72,6 +72,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_surprisal": p.q_doc_lm_surprisal,
         "label_centroid_cosine": p.q_label_centroid_cosine,
         "customer_rfm_segments": p.q_customer_rfm_segments,
+        "etype_day_entropy": p.q_etype_day_entropy,
+        "etype_daily_crosscorr": p.q_etype_daily_crosscorr,
+        "etype_cusum_changepoint": p.q_etype_cusum_changepoint,
+        "user_gini_by_etype": p.q_user_gini_by_etype,
+        "doc_pattern_counts": p.q_doc_pattern_counts,
         # --- new round-5 queries (reserved window slots; the
         # eighth-session block above fills the rest of the 50) ---
         "top_words": p.q_top_words,
@@ -376,6 +381,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_surprisal": o.doc_lm_surprisal(),
         "label_centroid_cosine": o.label_centroid_cosine(p.EMB_QUANT),
         "customer_rfm_segments": o.customer_rfm_segments(),
+        "etype_day_entropy": o.etype_day_entropy(p.T0, p.DAY_US),
+        "etype_daily_crosscorr": o.etype_daily_crosscorr(p.T0, p.DAY_US),
+        "etype_cusum_changepoint": o.etype_cusum_changepoint(p.T0, p.DAY_US),
+        "user_gini_by_etype": o.user_gini_by_etype(),
+        "doc_pattern_counts": o.doc_pattern_counts(
+            p.PAT_S_WORD, p.PAT_E_END, p.PAT_TA
+        ),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

@@ -4049,3 +4049,114 @@ FROM b a JOIN b c
 ORDER BY 1, 2
 """
     )
+
+
+def etype_day_entropy(t0: int, day_us: int) -> str:
+    """Entropy mirror: identical milli-nat quantization (bare round()
+    = half-away, ln = the same libm) inside exact integer sums, then
+    the single-IEEE division tail."""
+    return f"""
+WITH c AS (
+  SELECT (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day,
+         event_type AS etype, count(*) AS n
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT day, sum(n) AS t,
+         sum(n * CAST(round(1000*ln(CAST(n AS DOUBLE))) AS BIGINT)) AS s
+  FROM c GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(t AS BIGINT) AS n_events,
+       CAST(t * CAST(round(1000*ln(CAST(t AS DOUBLE))) AS BIGINT) - s AS BIGINT)
+         AS num,
+       CAST(t * CAST(round(1000*ln(CAST(t AS DOUBLE))) AS BIGINT) - s AS DOUBLE)
+         / CAST(t AS DOUBLE) AS entropy_mnat
+FROM d ORDER BY 1
+"""
+
+
+def etype_daily_crosscorr(t0: int, day_us: int) -> str:
+    """Cross-correlation mirror: day-grid self-join on common days,
+    HUGEINT sufficient statistics, the autocorr single-IEEE tail."""
+    return f"""
+WITH c AS (
+  SELECT (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day,
+         event_type AS etype, count(*) AS n
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.etype AS ea, b.etype AS eb, a.n AS x, b.n AS y
+  FROM c a JOIN c b ON a.day = b.day AND a.etype < b.etype
+), s AS (
+  SELECT ea, eb, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM p GROUP BY 1, 2
+)
+SELECT ea AS etype_a, eb AS etype_b, CAST(n AS BIGINT) AS n_days,
+       CAST(n*sxy - sx*sy AS BIGINT) AS num,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         AS crosscorr
+FROM s ORDER BY 1, 2
+"""
+
+
+def etype_cusum_changepoint(t0: int, day_us: int) -> str:
+    """CUSUM mirror: windowed prefix sum of the cross-multiplied
+    integer deviations, argmax by (|cusum| DESC, day ASC) — pure
+    integers end to end."""
+    return f"""
+WITH c AS (
+  SELECT (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day,
+         event_type AS etype, count(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT etype, count(*) AS t, sum(n) AS sm FROM c GROUP BY 1
+), u AS (
+  SELECT c.etype, c.day,
+         sum(c.n * s.t - s.sm) OVER (PARTITION BY c.etype ORDER BY c.day) AS cus
+  FROM c JOIN s USING (etype)
+), r AS (
+  SELECT etype, day, abs(cus) AS a,
+         row_number() OVER (PARTITION BY etype ORDER BY abs(cus) DESC, day) AS rn
+  FROM u
+)
+SELECT r.etype, CAST(s.t AS BIGINT) AS n_days, CAST(r.day AS BIGINT) AS chg_day,
+       CAST(r.a AS BIGINT) AS cusum_abs
+FROM r JOIN s ON r.etype = s.etype
+WHERE r.rn = 1 ORDER BY 1
+"""
+
+
+def user_gini_by_etype() -> str:
+    """Gini mirror: row_number over per-user counts (tie order is
+    rank-sum-invariant), exact integer numerator/denominator, one
+    IEEE division."""
+    return """
+WITH uc AS (
+  SELECT event_type AS etype, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT etype, c, row_number() OVER (PARTITION BY etype ORDER BY c) AS rn
+  FROM uc
+), s AS (
+  SELECT etype, count(*) AS n, sum(c) AS tot, sum(rn*c) AS rs
+  FROM r GROUP BY 1
+)
+SELECT etype, CAST(n AS BIGINT) AS n_users, CAST(tot AS BIGINT) AS total,
+       CAST(2*rs - (n+1)*tot AS BIGINT) AS gini_num,
+       CAST(2*rs - (n+1)*tot AS DOUBLE) / CAST(n*tot AS DOUBLE) AS gini
+FROM s ORDER BY 1
+"""
+
+
+def doc_pattern_counts(pat_s: str, pat_e: str, pat_ta: str) -> str:
+    """Regex-extraction mirror: regexp_extract_all is the same RE2
+    leftmost non-overlapping scan as Arrow's count_substring_regex."""
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(regexp_extract_all(text, '{pat_s}'))) AS BIGINT) AS s_words,
+       CAST(sum(length(regexp_extract_all(text, '{pat_e}'))) AS BIGINT) AS e_ends,
+       CAST(sum(length(regexp_extract_all(text, '{pat_ta}'))) AS BIGINT) AS ta_hits,
+       CAST(sum(CASE WHEN length(regexp_extract_all(text, '{pat_s}')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_s
+FROM documents GROUP BY 1 ORDER BY 1
+"""

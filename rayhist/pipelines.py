@@ -7853,3 +7853,270 @@ def q_snapshot_bbox_overlaps(sf_dir: str) -> pd.DataFrame:
         {"id_a": "int64", "id_b": "int64", "ix": "int64", "iy": "int64", "area": "int64"}
     )
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Distribution-statistics family: entropy / Gini / cross-correlation /
+# CUSUM change point / regex feature extraction. All four time-series
+# finals run over the shared |days x etypes| grid (one distributed
+# partial pass, combine_partials contract); Gini reduces the corpus to
+# a (etype, count)-value histogram first. Float outputs obey the money
+# rule: exact integer sufficient statistics, then at most single IEEE
+# ops (cast / multiply / sqrt / divide), each mirrored verbatim in SQL.
+
+
+def _q_mnat(x: int) -> int:
+    """Quantize ln(x) to integer MILLI-NATS with half-away rounding —
+    the doc_lm_surprisal contract (math.log = glibc libm, bit-identical
+    to DuckDB's ln(); round_half_away = SQL round())."""
+    import math
+
+    from .ops.relational import round_half_away
+
+    return int(round_half_away(np.array([1000.0 * math.log(x)]))[0])
+
+
+def q_etype_day_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-day Shannon ENTROPY of the event-type mix — the diversity
+    diagnostic next to etype_share_by_day. H = ln(T) - (1/T) * sum_k
+    c_k ln(c_k) becomes the EXACT integer numerator
+    T*q(T) - sum_k c_k*q(c_k) with q = milli-nat quantization, so the
+    sum is order-free; the only float is the final single IEEE
+    division by T."""
+    base = _etype_day_grid(sf_dir)
+    rows = []
+    for day, g in base.groupby("day"):
+        c = [int(x) for x in g["n"]]
+        t = sum(c)
+        num = t * _q_mnat(t) - sum(ci * _q_mnat(ci) for ci in c)
+        if not (-(2**63) < num < 2**63):
+            raise OverflowError("entropy numerator exceeds int64")
+        rows.append(
+            {
+                "day": int(day),
+                "n_events": t,
+                "num": num,
+                "entropy_mnat": np.float64(num) / np.float64(t),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"day": "int64", "n_events": "int64", "num": "int64", "entropy_mnat": "float64"}
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q_etype_daily_crosscorr(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson CROSS-CORRELATION between event types' daily
+    count series over their COMMON present days (inner-join
+    semantics) — which signals move together. Grid pass as autocorr;
+    the per-pair sufficient statistics are exact Python ints and the
+    tail is the identical single-IEEE cast/multiply/sqrt/divide."""
+    base = _etype_day_grid(sf_dir)
+    series = {
+        et: {int(d): int(n) for d, n in zip(g["day"], g["n"])}
+        for et, g in base.groupby("etype")
+    }
+    rows = []
+    for ea, eb in ((a, b) for a in sorted(series) for b in sorted(series) if a < b):
+        days = sorted(set(series[ea]) & set(series[eb]))
+        x = [series[ea][d] for d in days]
+        y = [series[eb][d] for d in days]
+        n = len(days)
+        if n == 0:
+            continue
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+        num = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx == 0 or vy == 0:
+            raise ValueError(f"crosscorr: zero-variance series in pair {ea!r},{eb!r}")
+        if not (-(2**63) < num < 2**63):
+            raise OverflowError("crosscorr numerator exceeds int64")
+        rows.append(
+            {
+                "etype_a": ea,
+                "etype_b": eb,
+                "n_days": n,
+                "num": num,
+                "crosscorr": np.float64(num)
+                / np.sqrt(np.float64(vx) * np.float64(vy)),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"n_days": "int64", "num": "int64", "crosscorr": "float64"}
+    )
+    return out.sort_values(["etype_a", "etype_b"]).reset_index(drop=True)
+
+
+def q_etype_cusum_changepoint(sf_dir: str) -> pd.DataFrame:
+    """CUSUM change-point detection per event type — the day whose
+    cumulative deviation from the series mean peaks. Cross-multiplied
+    into PURE integers: the prefix sum of (T*x_i - S) over present
+    days (T = #days, S = total) is T times the classic CUSUM, so the
+    argmax day is identical and there is no float anywhere. Ties on
+    |cusum| break to the EARLIEST day."""
+    base = _etype_day_grid(sf_dir).sort_values(["etype", "day"])
+    rows = []
+    for et, g in base.groupby("etype"):
+        days = [int(d) for d in g["day"]]
+        cnt = [int(c) for c in g["n"]]
+        t, s = len(cnt), sum(cnt)
+        cus, best_day, best_abs = 0, days[0], -1
+        for d, x in zip(days, cnt):
+            cus += x * t - s
+            if abs(cus) > best_abs:
+                best_abs, best_day = abs(cus), d
+        if not (0 <= best_abs < 2**63):
+            raise OverflowError("cusum exceeds int64")
+        rows.append(
+            {"etype": et, "n_days": t, "chg_day": best_day, "cusum_abs": best_abs}
+        )
+    out = pd.DataFrame(rows).astype(
+        {"n_days": "int64", "chg_day": "int64", "cusum_abs": "int64"}
+    )
+    return out.sort_values("etype").reset_index(drop=True)
+
+
+def q_user_gini_by_etype(sf_dir: str) -> pd.DataFrame:
+    """GINI COEFFICIENT of per-user activity concentration within each
+    event type — the inequality metric over how unevenly a type's
+    events spread across users. Shape: per-batch (etype, user) partial
+    counts -> complete-user bucket shuffle (counts finalize in-stage)
+    -> per-bucket VALUE-HISTOGRAM partials (etype, c) -> combine
+    bounded by |etypes x distinct count values|, never the user
+    corpus. The driver final walks each type's histogram in count
+    order: rank-sum via the tie-block identity
+    sum(i*c) = v*(m*B + m*(m+1)/2), then
+    gini = (2*rank_sum - (n+1)*S) / (n*S) — exact integer numerator
+    and denominator, ONE IEEE division. Tie order is irrelevant (equal
+    values contribute the same rank-sum under any total order), which
+    is what lets the SQL mirror use a bare row_number() ORDER BY c."""
+    from .aggregate import combine_partials
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "uid": b["user_id"].to_numpy(zero_copy_only=False),
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["uid", "etype"], as_index=False).size()
+        return pa.table(
+            {
+                "uid": g["uid"].to_numpy(),
+                "etype": g["etype"].to_numpy(),
+                "n_p": g["size"].to_numpy(dtype=np.int64),
+                "_bucket": pa.array(_bucket_of(g["uid"].to_numpy(), nb)),
+            }
+        )
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        uc = g.groupby(["uid", "etype"], as_index=False)["n_p"].sum()
+        h = uc.groupby(["etype", "n_p"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "etype": h["etype"].to_numpy(),
+                "c": h["n_p"].to_numpy(dtype=np.int64),
+                "m_p": h["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(hist, batch_format="pandas"),
+        ["etype", "c"],
+        {"m_p": "m"},
+    )
+    rows = []
+    for et, g in base.sort_values(["etype", "c"]).groupby("etype"):
+        n_users, total, rank_sum, b = 0, 0, 0, 0
+        for v, m in zip((int(x) for x in g["c"]), (int(x) for x in g["m"])):
+            rank_sum += v * (m * b + m * (m + 1) // 2)
+            b += m
+            n_users += m
+            total += v * m
+        num = 2 * rank_sum - (n_users + 1) * total
+        den = n_users * total
+        if not (0 <= num < 2**63 and 0 < den < 2**63):
+            raise OverflowError("gini terms exceed int64")
+        rows.append(
+            {
+                "etype": et,
+                "n_users": n_users,
+                "total": total,
+                "gini_num": num,
+                "gini": np.float64(num) / np.float64(den),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"n_users": "int64", "total": "int64", "gini_num": "int64", "gini": "float64"}
+    )
+    return out.sort_values("etype").reset_index(drop=True)
+
+
+# RE2 patterns shared verbatim with the oracle's regexp_extract_all —
+# both engines are RE2, leftmost non-overlapping scan.
+PAT_S_WORD = "\\bs[a-z]+"  # tokens starting with s
+PAT_E_END = "[a-z]+e\\b"  # alpha runs ending in e
+PAT_TA = "ta"  # plain substring occurrences
+
+
+def q_doc_pattern_counts(sf_dir: str) -> pd.DataFrame:
+    """Regex FEATURE EXTRACTION over the document corpus: per source,
+    total occurrence counts of three RE2 patterns plus the number of
+    docs matching the first — the curation-signal shape (URL / PII /
+    boilerplate counters) on the synthetic corpus. Fully vectorized:
+    pyarrow.compute.count_substring_regex per batch (RE2, identical
+    non-overlapping semantics to DuckDB's regexp_extract_all), partial
+    sums per source in-stage, |sources| rows to the driver."""
+    from .aggregate import combine_partials
+
+    docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = b["text"]
+        c1 = pc.count_substring_regex(txt, PAT_S_WORD).to_numpy(zero_copy_only=False)
+        c2 = pc.count_substring_regex(txt, PAT_E_END).to_numpy(zero_copy_only=False)
+        c3 = pc.count_substring_regex(txt, PAT_TA).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(zero_copy_only=False),
+                "n_docs_p": np.ones(len(b), dtype=np.int64),
+                "s_words_p": c1.astype(np.int64),
+                "e_ends_p": c2.astype(np.int64),
+                "ta_hits_p": c3.astype(np.int64),
+                "docs_with_s_p": (c1 > 0).astype(np.int64),
+            }
+        )
+        g = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = combine_partials(
+        docs.map_batches(stage, batch_format="pyarrow"),
+        ["source"],
+        {
+            "n_docs_p": "n_docs",
+            "s_words_p": "s_words",
+            "e_ends_p": "e_ends",
+            "ta_hits_p": "ta_hits",
+            "docs_with_s_p": "docs_with_s",
+        },
+    )
+    out = out.astype(
+        {
+            "n_docs": "int64",
+            "s_words": "int64",
+            "e_ends": "int64",
+            "ta_hits": "int64",
+            "docs_with_s": "int64",
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)

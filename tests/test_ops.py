@@ -2526,3 +2526,106 @@ def test_customer_rfm_segments_conservation():
         assert set(marg.index) <= {0, 1, 2, 3}
         assert marg.max() <= got["n_customers"].sum()  # sanity
         assert len(marg) >= 2  # the axis actually separates customers
+
+
+def test_etype_day_entropy_bounds_and_recompute():
+    """num matches a direct per-day recompute from raw events; the
+    milli-nat entropy lies in [0, 1000*ln(#types present)]."""
+    import math
+
+    from rayhist.pipelines import DAY_US, T0, _q_mnat, q_etype_day_entropy
+
+    got = q_etype_day_entropy("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["ts", "event_type"])
+    day = (ev["ts"].astype("int64") - T0) // DAY_US
+    for _, row in got.iterrows():
+        cnt = ev.loc[day == row["day"], "event_type"].value_counts()
+        t = int(cnt.sum())
+        num = t * _q_mnat(t) - sum(int(c) * _q_mnat(int(c)) for c in cnt)
+        assert row["n_events"] == t and row["num"] == num
+        assert -1 <= row["entropy_mnat"] <= 1000.0 * math.log(len(cnt)) + 1
+
+
+def test_etype_daily_crosscorr_pinned_to_numpy():
+    """Every pair's r equals numpy's corrcoef to 1e-12 and sits in
+    [-1, 1]; pairs are strictly ordered."""
+    from rayhist.pipelines import DAY_US, T0, q_etype_daily_crosscorr
+
+    got = q_etype_daily_crosscorr("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["ts", "event_type"])
+    g = pd.DataFrame({"day": (ev["ts"].astype("int64") - T0) // DAY_US,
+                      "etype": ev["event_type"]})
+    grid = g.groupby(["day", "etype"]).size().unstack()
+    assert (got["etype_a"] < got["etype_b"]).all()
+    assert got["crosscorr"].abs().max() <= 1.0
+    for _, row in got.iterrows():
+        sub = grid[[row["etype_a"], row["etype_b"]]].dropna()
+        r = np.corrcoef(sub.iloc[:, 0], sub.iloc[:, 1])[0, 1]
+        assert abs(row["crosscorr"] - r) < 1e-12
+        assert row["n_days"] == len(sub)
+
+
+def test_etype_cusum_changepoint_direct():
+    """chg_day equals the argmax of |prefix sum of (T*x - S)| with
+    earliest-day ties, recomputed directly per type."""
+    from rayhist.pipelines import DAY_US, T0, q_etype_cusum_changepoint
+
+    got = q_etype_cusum_changepoint("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["ts", "event_type"])
+    g = pd.DataFrame({"day": (ev["ts"].astype("int64") - T0) // DAY_US,
+                      "etype": ev["event_type"]})
+    for _, row in got.iterrows():
+        s = g[g["etype"] == row["etype"]].groupby("day").size().sort_index()
+        dev = s.to_numpy(dtype=object) * len(s) - int(s.sum())
+        cus = np.cumsum(dev)
+        best = int(np.argmax(np.abs(cus)))  # first occurrence = earliest day
+        assert row["chg_day"] == int(s.index[best])
+        assert row["cusum_abs"] == abs(int(cus[best]))
+        assert row["n_days"] == len(s)
+
+
+def test_user_gini_by_etype_matches_sorted_rank_formula():
+    """Histogram-walk Gini equals the textbook sorted-rank formula on
+    the raw per-user counts, and lies in [0, 1)."""
+    from rayhist.pipelines import q_user_gini_by_etype
+
+    got = q_user_gini_by_etype("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "event_type"])
+    for _, row in got.iterrows():
+        c = np.sort(
+            ev[ev["event_type"] == row["etype"]]
+            .groupby("user_id").size().to_numpy(dtype=np.int64)
+        )
+        n, s = len(c), int(c.sum())
+        rank_sum = int(np.dot(np.arange(1, n + 1, dtype=object), c.astype(object)))
+        num = 2 * rank_sum - (n + 1) * s
+        assert row["n_users"] == n and row["total"] == s
+        assert row["gini_num"] == num
+        assert 0.0 <= row["gini"] < 1.0
+
+
+def test_doc_pattern_counts_matches_python_re():
+    """Arrow's RE2 counts equal Python re.findall on every doc (same
+    leftmost non-overlapping contract), and totals conserve."""
+    import re
+
+    from rayhist.pipelines import (PAT_E_END, PAT_S_WORD, PAT_TA,
+                                   q_doc_pattern_counts)
+
+    got = q_doc_pattern_counts("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["source", "text"])
+    assert got["n_docs"].sum() == len(docs)
+    pats = {"s_words": PAT_S_WORD, "e_ends": PAT_E_END, "ta_hits": PAT_TA}
+    for col, pat in pats.items():
+        rx = re.compile(pat)
+        exp = docs.assign(n=[len(rx.findall(t)) for t in docs["text"]]) \
+                  .groupby("source")["n"].sum()
+        for _, row in got.iterrows():
+            assert row[col] == int(exp[row["source"]])
+    assert (got["docs_with_s"] <= got["n_docs"]).all()
+    assert (got["s_words"] >= got["docs_with_s"]).all()
