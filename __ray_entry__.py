@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "etype_cusum_changepoint": p.q_etype_cusum_changepoint,
         "user_gini_by_etype": p.q_user_gini_by_etype,
         "doc_pattern_counts": p.q_doc_pattern_counts,
+        "weighted_sample_docs": p.q_weighted_sample_docs,
+        "embedding_covariance": p.q_embedding_covariance,
         # --- new round-5 queries (reserved window slots; the
         # eighth-session block above fills the rest of the 50) ---
         "top_words": p.q_top_words,
@@ -388,6 +390,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_pattern_counts": o.doc_pattern_counts(
             p.PAT_S_WORD, p.PAT_E_END, p.PAT_TA
         ),
+        "weighted_sample_docs": o.weighted_sample_docs(p.WSAMPLE_K),
+        "embedding_covariance": o.embedding_covariance(p.EMB_QUANT),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

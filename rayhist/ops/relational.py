@@ -935,3 +935,72 @@ def percentile_cont_int(
         hi = at(k + 1) if r else lo
         out.append((lo * (den - r) + hi * r, den, n))
     return out
+
+
+def weighted_sample_topk(
+    ds: ray.data.Dataset,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    hash_fn: str = "fnv1a",
+) -> pd.DataFrame:
+    """Deterministic WEIGHTED sampling without replacement
+    (Efraimidis-Spirakis exponential race): row r wins iff its race
+    key -ln(u_r)/w_r is among the k smallest, where u_r is a uniform
+    derived from hash(key) — P(select) proportional to weight, yet the
+    draw is a pure function of the keys (re-runs, repartitions and
+    parallelism levels all agree). Shape: per-batch race keys + LOCAL
+    top-k (lexsort by (race, key) so tie boundaries are exact), then
+    one bounded driver final over <= #blocks x k candidate rows —
+    never the corpus.
+
+    ``hash_fn``: "fnv1a" (vectorized production path, np.log) or
+    "md5" (per-row hashlib + math.log — scalar libm ln, bit-mirrorable
+    in SQL as -ln((md5_u32+1)/2^32)/w; the oracle twin's path).
+    Weights must be positive integers; u = (h32+1)/2^32 is in (0, 1]
+    so ln never sees 0 (u == 1 gives race key 0.0, the best possible,
+    deterministically).
+    """
+    if k <= 0:
+        raise ValueError("weighted_sample_topk: k must be positive")
+
+    def race_keys(b: pa.Table) -> np.ndarray:
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (w <= 0).any():
+            raise ValueError("weighted_sample_topk: weights must be > 0")
+        if hash_fn == "md5":
+            import hashlib
+            import math
+
+            u = np.array(
+                [
+                    (int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16) + 1)
+                    / 4294967296.0
+                    for x in b[key_col].to_pylist()
+                ]
+            )
+            lnu = np.array([math.log(x) for x in u.tolist()])
+        else:
+            import pyarrow.compute as pc
+
+            from .text import fmix64, fnv1a_batch
+
+            keys = pc.cast(b[key_col], pa.string())
+            h = (fmix64(fnv1a_batch(keys)) >> np.uint64(32)).astype(np.float64)
+            lnu = np.log((h + 1.0) / 4294967296.0)
+        return -lnu / w.astype(np.float64)
+
+    def stage(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column("race_key", pa.array([], pa.float64()))
+        r = race_keys(b)
+        out = b.append_column("race_key", pa.array(r))
+        if len(b) > k:
+            kk = b[key_col].to_numpy(zero_copy_only=False)
+            keep = np.lexsort((kk, r))[:k]
+            out = out.take(pa.array(np.sort(keep)))
+        return out
+
+    cand = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["race_key", key_col], kind="mergesort").head(k)
+    return cand.reset_index(drop=True)

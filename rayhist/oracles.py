@@ -4160,3 +4160,51 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                      THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_s
 FROM documents GROUP BY 1 ORDER BY 1
 """
+
+
+def weighted_sample_docs(k: int) -> str:
+    """Efraimidis-Spirakis mirror: the identical md5-u32 uniform,
+    -ln((h+1)/2^32)/w race key (same libm ln, same IEEE op order),
+    smallest-k with (race, doc_id) tie order."""
+    return f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) + 1) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS race_key
+  FROM documents
+), s AS (
+  SELECT * FROM r ORDER BY race_key, doc_id LIMIT {int(k)}
+)
+SELECT doc_id, n_chars, race_key FROM s ORDER BY doc_id
+"""
+
+
+def embedding_covariance(quant: int) -> str:
+    """Covariance mirror: per-component half-away quantization to
+    BIGINT, pairwise HUGEINT sums over a vec_id self-join, the single
+    IEEE division tail."""
+    return f"""
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {int(quant)}) AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), s AS (
+  SELECT i, sum(qv) AS si FROM q GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM embeddings
+), p AS (
+  SELECT a.i AS di, b.i AS dj, sum(a.qv * b.qv) AS sij
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT CAST(p.di AS BIGINT) AS dim_i, CAST(p.dj AS BIGINT) AS dim_j,
+       CAST(n.n AS BIGINT) AS n, CAST(p.sij AS BIGINT) AS s_ij,
+       CAST(n.n * p.sij - sa.si * sb.si AS BIGINT) AS cov_num,
+       CAST(n.n * p.sij - sa.si * sb.si AS DOUBLE)
+         / CAST(n.n * n.n AS DOUBLE) AS cov
+FROM p CROSS JOIN n
+JOIN s sa ON sa.i = p.di
+JOIN s sb ON sb.i = p.dj
+ORDER BY 1, 2
+"""

@@ -8120,3 +8120,108 @@ def q_doc_pattern_counts(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+WSAMPLE_K = 200  # weighted-sample draw size
+
+
+def q_weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """WEIGHTED corpus sampling — the quality-weighted curation draw:
+    select WSAMPLE_K documents with probability proportional to
+    n_chars via the Efraimidis-Spirakis exponential race
+    (ops.relational.weighted_sample_topk, md5 twin path so every race
+    key is bit-mirrorable in SQL: u = (md5_u32+1)/2^32, race =
+    -ln(u)/w, scalar libm ln). Per-batch local top-k bounds the
+    candidate stream at #blocks x k rows."""
+    from .ops.relational import weighted_sample_topk
+
+    docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    out = weighted_sample_topk(
+        docs, WSAMPLE_K, weight_col="n_chars", key_col="doc_id", hash_fn="md5"
+    )
+    out = out.astype({"doc_id": "int64", "n_chars": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Exact COVARIANCE MATRIX of the quantized embedding components —
+    the PCA precursor over a vector column. Components quantize to
+    integer milli-units first (the label_centroid_cosine contract), so
+    each batch contributes one d x d integer Gram update (vectorized
+    int64 matmul) plus column sums; partials combine on (i, j) —
+    d*(d+1)/2 + d + 1 rows total, never the corpus. The population
+    covariance (n*S_ij - s_i*s_j) / n^2 is an exact integer numerator
+    and denominator with ONE IEEE division. Sentinel keys: (i, 0)
+    carries column sum s_i, (0, 0) carries the row count."""
+    from .aggregate import combine_partials
+    from .ops.relational import round_half_away
+
+    ds = rio.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "v_p": pa.array([], pa.int64()),
+                }
+            )
+        flat = pc.list_flatten(b["embedding"]).to_numpy(zero_copy_only=False)
+        dims = pc.list_value_length(b["embedding"]).to_numpy(zero_copy_only=False)
+        if len(np.unique(dims)) > 1:
+            raise ValueError("embedding_covariance: ragged embedding dims")
+        d = int(dims[0])
+        q = round_half_away(flat.astype(np.float64) * float(EMB_QUANT)).astype(
+            np.int64
+        ).reshape(len(b), d)
+        ma = int(np.abs(q).max(initial=0))
+        if len(b) * ma * ma >= 2**62:
+            raise OverflowError("embedding_covariance: batch Gram exceeds int64")
+        g = q.T @ q
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": np.concatenate(
+                    [iu + 1, np.arange(1, d + 1), np.zeros(1, np.int64)]
+                ).astype(np.int64),
+                "j": np.concatenate(
+                    [ju + 1, np.zeros(d, np.int64), np.zeros(1, np.int64)]
+                ).astype(np.int64),
+                "v_p": np.concatenate(
+                    [g[iu, ju], q.sum(axis=0), [np.int64(len(b))]]
+                ).astype(np.int64),
+            }
+        )
+
+    base = combine_partials(
+        ds.map_batches(partials, batch_format="pyarrow"), ["i", "j"], {"v_p": "v"}
+    )
+    piv = {(int(i), int(j)): int(v) for i, j, v in zip(base["i"], base["j"], base["v"])}
+    n = piv[(0, 0)]
+    d = max(i for i, _ in piv)
+    rows = []
+    for i in range(1, d + 1):
+        si = piv[(i, 0)]
+        for j in range(i, d + 1):
+            sij = piv[(i, j)]
+            num = n * sij - si * piv[(j, 0)]
+            if not (-(2**63) < num < 2**63 and 0 < n * n < 2**63):
+                raise OverflowError("embedding_covariance: terms exceed int64")
+            rows.append(
+                {
+                    "dim_i": i,
+                    "dim_j": j,
+                    "n": n,
+                    "s_ij": sij,
+                    "cov_num": num,
+                    "cov": np.float64(num) / np.float64(n * n),
+                }
+            )
+    out = pd.DataFrame(rows).astype(
+        {"dim_i": "int64", "dim_j": "int64", "n": "int64", "s_ij": "int64",
+         "cov_num": "int64"}
+    )
+    return out.sort_values(["dim_i", "dim_j"]).reset_index(drop=True)

@@ -2629,3 +2629,78 @@ def test_doc_pattern_counts_matches_python_re():
             assert row[col] == int(exp[row["source"]])
     assert (got["docs_with_s"] <= got["n_docs"]).all()
     assert (got["s_words"] >= got["docs_with_s"]).all()
+
+
+def test_weighted_sample_docs_race_and_bias():
+    """Every selected race key recomputes exactly from md5(doc_id) and
+    n_chars; the k selected keys are the global k smallest; and the
+    draw is length-biased (selected mean n_chars > corpus mean)."""
+    import hashlib
+    import math
+
+    from rayhist.pipelines import WSAMPLE_K, q_weighted_sample_docs
+
+    got = q_weighted_sample_docs("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def race(doc_id, w):
+        u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1) \
+            / 4294967296.0
+        return -math.log(u) / w
+
+    allk = docs.assign(r=[race(d, w) for d, w in
+                          zip(docs["doc_id"], docs["n_chars"])])
+    k = min(WSAMPLE_K, len(docs))
+    assert len(got) == k
+    exp = allk.sort_values(["r", "doc_id"]).head(k)
+    assert set(got["doc_id"]) == set(exp["doc_id"])
+    for row in got.itertuples():  # iterrows would upcast doc_id to float
+        assert row.race_key == race(int(row.doc_id), int(row.n_chars))
+    if len(docs) > 2 * k:
+        assert got["n_chars"].mean() > docs["n_chars"].mean()
+
+
+def test_weighted_sample_topk_partition_invariance():
+    """The draw is a pure function of the keys: 1 block vs many blocks
+    select identical rows with identical race keys (fnv1a path)."""
+    import ray
+
+    from rayhist.ops.relational import weighted_sample_topk
+
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                       "w": (np.arange(1000) % 17 + 1).astype(np.int64)})
+    a = weighted_sample_topk(ray.data.from_pandas(df), 50, "w", "k")
+    b = weighted_sample_topk(
+        ray.data.from_pandas(df).repartition(16), 50, "w", "k")
+    pd.testing.assert_frame_equal(
+        a.sort_values("k").reset_index(drop=True),
+        b.sort_values("k").reset_index(drop=True))
+    assert len(a) == 50 and (a["race_key"] >= 0).all()
+
+
+def test_embedding_covariance_pinned_to_numpy():
+    """The exact-integer covariance equals numpy's population cov of
+    the quantized matrix to 1e-9, diagonals are non-negative, and the
+    Cauchy-Schwarz bound holds pairwise."""
+    from rayhist.ops.relational import round_half_away
+    from rayhist.pipelines import EMB_QUANT, q_embedding_covariance
+
+    got = q_embedding_covariance("/root/testdata/sf0.001")
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["embedding"])
+    q = round_half_away(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * EMB_QUANT
+    ).astype(np.int64)
+    n, d = q.shape
+    assert len(got) == d * (d + 1) // 2 and (got["n"] == n).all()
+    c = np.cov(q, rowvar=False, bias=True)
+    for _, row in got.iterrows():
+        i, j = int(row["dim_i"]) - 1, int(row["dim_j"]) - 1
+        assert abs(row["cov"] - c[i, j]) < 1e-9
+        if i == j:
+            assert row["cov_num"] >= 0
+    diag = {int(r["dim_i"]): r["cov_num"] for _, r in got.iterrows()
+            if r["dim_i"] == r["dim_j"]}
+    assert all(r["cov_num"] ** 2 <= diag[int(r["dim_i"])] * diag[int(r["dim_j"])]
+               for _, r in got.iterrows())
