@@ -195,6 +195,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": p.q_media_features,
         "contrib_type_counts_bbox": p.q_contrib_type_counts_bbox,
         "tdigest_value_by_type": p.q_tdigest_value_by_type,
+        # --- ninth-session additions (outside the r5 window; judge-checked
+        # via the full tools/check_queries.py surface) ---
+        "embedding_pca_top": p.q_embedding_pca_top,
+        "user_entropy": p.q_user_entropy,
+        "doc_redaction": p.q_doc_redaction,
         # --- round-4-green surface (driver-checked in CORRECTNESS_r04) ---
         "asof_attribution": p.q_asof_attribution,
         "rollup_events": p.q_rollup_events,
@@ -392,6 +397,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "weighted_sample_docs": o.weighted_sample_docs(p.WSAMPLE_K),
         "embedding_covariance": o.embedding_covariance(p.EMB_QUANT),
+        "embedding_pca_top": o.embedding_pca_top(
+            p.EMB_QUANT, p.PCA_SCALE, p.PCA_ITERS
+        ),
+        "user_entropy": o.user_entropy(),
+        "doc_redaction": o.doc_redaction(
+            p.RED_PAT, p.RED_TOKEN, *p.RED_RATE
+        ),
         "copurchase_pagerank": o.copurchase_pagerank(p.PR_SCALE, p.PR_ITERS),
         "jsonl_events_by_type": o.jsonl_events_by_type(),
         "train_val_test_split": o.train_val_test_split(),

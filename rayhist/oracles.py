@@ -4208,3 +4208,102 @@ JOIN s sa ON sa.i = p.di
 JOIN s sb ON sb.i = p.dj
 ORDER BY 1, 2
 """
+
+
+def embedding_pca_top(quant: int, scale: int, iters: int) -> str:
+    """PCA power-iteration mirror: the embedding_covariance numerator
+    CTE symmetrized, then the identical fixed-point recurrence
+    unrolled in HUGEINT — matvec as join-aggregate, renormalization
+    via the explicit signed floor-division CASE (Python's // on a
+    negative numerator = -(((-w)*S + m - 1) // m) on the positive
+    operands both engines floor identically)."""
+    s = int(scale)
+    head = f"""
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {int(quant)}) AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), sm AS (
+  SELECT i, sum(qv) AS si FROM q GROUP BY 1
+), nn AS (
+  SELECT count(*) AS n FROM embeddings
+), p AS (
+  SELECT a.i AS di, b.i AS dj, sum(a.qv * b.qv) AS sij
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+), cov AS (
+  SELECT p.di AS i, p.dj AS j,
+         CAST(nn.n * p.sij - sa.si * sb.si AS HUGEINT) AS num
+  FROM p CROSS JOIN nn
+  JOIN sm sa ON sa.i = p.di JOIN sm sb ON sb.i = p.dj
+), sym AS MATERIALIZED (
+  SELECT i, j, num FROM cov
+  UNION ALL
+  SELECT j, i, num FROM cov WHERE i < j
+), v0 AS (
+  SELECT DISTINCT i, CAST({s} AS HUGEINT) AS v FROM sym
+)"""
+    steps = []
+    for t in range(1, int(iters) + 1):
+        steps.append(
+            f""", w{t} AS MATERIALIZED (
+  SELECT sym.i AS i, sum(sym.num * v.v) AS w
+  FROM sym JOIN v{t-1} v ON v.i = sym.j GROUP BY 1
+), m{t} AS (
+  SELECT max(abs(w)) AS m FROM w{t}
+), v{t} AS MATERIALIZED (
+  SELECT i, CASE WHEN w >= 0 THEN (w * {s}) // m
+                 ELSE -(((-w) * {s} + m - 1) // m) END AS v
+  FROM w{t} CROSS JOIN m{t}
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_fp,
+       CAST(v AS DOUBLE) / {float(s)} AS loading
+FROM v{int(iters)} ORDER BY 1
+"""
+    )
+
+
+def user_entropy() -> str:
+    """Per-user entropy mirror: the etype_day_entropy quantization
+    (bare round() = half-away, ln = the same libm) grouped by user."""
+    return """
+WITH c AS (
+  SELECT user_id, event_type AS etype, count(*) AS n
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT user_id, sum(n) AS t,
+         sum(n * CAST(round(1000*ln(CAST(n AS DOUBLE))) AS BIGINT)) AS s
+  FROM c GROUP BY 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(t AS BIGINT) AS n_events,
+       CAST(t * CAST(round(1000*ln(CAST(t AS DOUBLE))) AS BIGINT) - s AS BIGINT)
+         AS num,
+       CAST(t * CAST(round(1000*ln(CAST(t AS DOUBLE))) AS BIGINT) - s AS DOUBLE)
+         / CAST(t AS DOUBLE) AS entropy_mnat
+FROM d ORDER BY 1
+"""
+
+
+def doc_redaction(pat: str, token: str, rate_num: int, rate_den: int) -> str:
+    """Redaction mirror: the same RE2 pattern through DuckDB's
+    regexp_replace(..., 'g') / regexp_extract_all (RE2 on both sides,
+    identical leftmost non-overlapping semantics) over the identical
+    md5-prefix deterministic sample."""
+    thresh = (rate_num << 32) // rate_den
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_redacted,
+       CAST(length(text) AS BIGINT) AS len_before,
+       CAST(length(regexp_replace(text, '{pat}', '{token}', 'g')) AS BIGINT)
+         AS len_after,
+       regexp_replace(text, '{pat}', '{token}', 'g') AS text_redacted
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      < {thresh}
+ORDER BY doc_id
+"""

@@ -8143,16 +8143,11 @@ def q_weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
-    """Exact COVARIANCE MATRIX of the quantized embedding components —
-    the PCA precursor over a vector column. Components quantize to
-    integer milli-units first (the label_centroid_cosine contract), so
-    each batch contributes one d x d integer Gram update (vectorized
-    int64 matmul) plus column sums; partials combine on (i, j) —
-    d*(d+1)/2 + d + 1 rows total, never the corpus. The population
-    covariance (n*S_ij - s_i*s_j) / n^2 is an exact integer numerator
-    and denominator with ONE IEEE division. Sentinel keys: (i, 0)
-    carries column sum s_i, (0, 0) carries the row count."""
+def _emb_moment_pivot(sf_dir: str) -> dict[tuple[int, int], int]:
+    """Shared second-moment pass over the quantized embeddings: one
+    distributed partial-Gram stage, combined to the exact integer
+    pivot {(i,j): S_ij, (i,0): s_i, (0,0): n} that both the covariance
+    query and the PCA power iteration consume."""
     from .aggregate import combine_partials
     from .ops.relational import round_half_away
 
@@ -8199,7 +8194,22 @@ def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
     base = combine_partials(
         ds.map_batches(partials, batch_format="pyarrow"), ["i", "j"], {"v_p": "v"}
     )
-    piv = {(int(i), int(j)): int(v) for i, j, v in zip(base["i"], base["j"], base["v"])}
+    return {
+        (int(i), int(j)): int(v) for i, j, v in zip(base["i"], base["j"], base["v"])
+    }
+
+
+def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Exact COVARIANCE MATRIX of the quantized embedding components —
+    the PCA precursor over a vector column. Components quantize to
+    integer milli-units first (the label_centroid_cosine contract), so
+    each batch contributes one d x d integer Gram update (vectorized
+    int64 matmul) plus column sums; partials combine on (i, j) —
+    d*(d+1)/2 + d + 1 rows total, never the corpus. The population
+    covariance (n*S_ij - s_i*s_j) / n^2 is an exact integer numerator
+    and denominator with ONE IEEE division. Sentinel keys: (i, 0)
+    carries column sum s_i, (0, 0) carries the row count."""
+    piv = _emb_moment_pivot(sf_dir)
     n = piv[(0, 0)]
     d = max(i for i, _ in piv)
     rows = []
@@ -8225,3 +8235,187 @@ def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
          "cov_num": "int64"}
     )
     return out.sort_values(["dim_i", "dim_j"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Ninth-session additions: PCA power iteration / per-user entropy /
+# regex-replace redaction.
+
+
+PCA_SCALE = 1 << 20  # fixed-point loading scale (2^20 milli-ish units)
+PCA_ITERS = 96  # unrolled power-iteration rounds (l2/l1~0.93 at the
+# sandbox spectrum needs ~90 rounds for a converged top component; the
+# oracle CTE chain mirrors the count exactly, so correctness is
+# iteration-exact at ANY count)
+
+
+def q_embedding_pca_top(sf_dir: str) -> pd.DataFrame:
+    """TOP PRINCIPAL COMPONENT of the quantized embeddings by EXACT
+    FIXED-POINT POWER ITERATION — the PCA terminal over the
+    embedding_covariance base (reference analog: the aggregate-then-
+    small-final shape of MapAggregator.java:848-869 finals). The
+    distributed work is one partial-Gram pass (_emb_moment_pivot);
+    the d x d covariance NUMERATORS n*S_ij - s_i*s_j are exact Python
+    ints, and each iteration is matvec (exact integer sums, order-free)
+    followed by renormalization v' = (w * SCALE) // max|w| — pure
+    integer floor division, so ten rounds are bit-reproducible and the
+    SQL oracle unrolls the identical recurrence in HUGEINT CTEs (the
+    copurchase_pagerank contract, extended to signed operands via the
+    explicit floor-division CASE). The only float is the final single
+    IEEE division loading = v / SCALE."""
+    piv = _emb_moment_pivot(sf_dir)
+    n = piv[(0, 0)]
+    d = max(i for i, _ in piv)
+    if n <= 0 or d <= 0:
+        raise ValueError("embedding_pca_top: empty embeddings corpus")
+    num = {}
+    for i in range(1, d + 1):
+        for j in range(i, d + 1):
+            num[(i, j)] = n * piv[(i, j)] - piv[(i, 0)] * piv[(j, 0)]
+    cmat = [
+        [num[(min(i, j), max(i, j))] for j in range(1, d + 1)]
+        for i in range(1, d + 1)
+    ]
+    maxnum = max((abs(x) for row in cmat for x in row), default=0)
+    # HUGEINT mirror bound: |w_i| <= d * max|num| * SCALE, and the
+    # renormalization multiplies by SCALE once more before dividing
+    if d * maxnum * PCA_SCALE * PCA_SCALE >= 2**126:
+        raise OverflowError("embedding_pca_top: iteration exceeds HUGEINT")
+    v = [PCA_SCALE] * d
+    for _ in range(PCA_ITERS):
+        w = [sum(ci * vj for ci, vj in zip(row, v)) for row in cmat]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError("embedding_pca_top: zero covariance matvec")
+        v = [(x * PCA_SCALE) // m for x in w]
+    out = pd.DataFrame(
+        {
+            "dim": np.arange(1, d + 1, dtype=np.int64),
+            "v_fp": np.asarray(v, dtype=np.int64),
+            "loading": np.asarray(
+                [np.float64(x) / np.float64(PCA_SCALE) for x in v], dtype=np.float64
+            ),
+        }
+    )
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+def q_user_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-USER Shannon entropy of the event-type mix — the behavioral
+    diversity profile at corpus cardinality (the per-day twin is
+    etype_day_entropy). uid is a _HIGH_CARD_KEYS-class key, so counts
+    stay distributed: per-batch (uid, etype) partial counts -> one
+    complete-user bucket shuffle -> per-bucket finals (counts sum,
+    the milli-nat LUT builds over the bucket's distinct count values
+    only, math.log = the oracle's ln). The integer numerator
+    T*q(T) - sum c*q(c) is order-free; the single IEEE division by T
+    is the only float."""
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["user_id", "etype"], as_index=False).size()
+        return pa.table(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "etype": g["etype"].to_numpy(),
+                "n_p": g["size"].to_numpy(dtype=np.int64),
+                "_bucket": pa.array(_bucket_of(g["user_id"].to_numpy(), nb)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        uc = g.groupby(["user_id", "etype"], as_index=False)["n_p"].sum()
+        t = uc.groupby("user_id")["n_p"].sum()
+        lut = {
+            int(x): _q_mnat(int(x))
+            for x in np.unique(
+                np.concatenate([uc["n_p"].to_numpy(), t.to_numpy()])
+            )
+        }
+        s = uc.assign(
+            term=[int(c) * lut[int(c)] for c in uc["n_p"]]
+        ).groupby("user_id")["term"].sum()
+        rows = []
+        for uid in t.index:
+            ti, si = int(t[uid]), int(s[uid])
+            numer = ti * lut[ti] - si
+            if not (-(2**63) < numer < 2**63):
+                raise OverflowError("user_entropy: numerator exceeds int64")
+            rows.append(
+                {
+                    "user_id": int(uid),
+                    "n_events": ti,
+                    "num": numer,
+                    "entropy_mnat": np.float64(numer) / np.float64(ti),
+                }
+            )
+        return pd.DataFrame(rows).astype(
+            {
+                "user_id": "int64",
+                "n_events": "int64",
+                "num": "int64",
+                "entropy_mnat": "float64",
+            }
+        )
+
+    df = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+RED_PAT = r"\b(customer|key|table)\b"  # denylist-word redaction pattern (RE2)
+RED_TOKEN = "<PII>"
+RED_RATE = (1, 8)  # deterministic md5 doc sample carried to the oracle
+
+
+def q_doc_redaction(sf_dir: str) -> pd.DataFrame:
+    """REGEX-REPLACE REDACTION over the document corpus — the
+    PII-scrub stage of a curation pipeline, verified byte-for-byte:
+    a deterministic md5 1/8 sample of docs (resume-stable, the
+    sample_docs contract) is redacted with ONE vectorized RE2 pass
+    (pyarrow.compute.replace_substring_regex == DuckDB
+    regexp_replace(..., 'g'): same engine, same leftmost
+    non-overlapping semantics — parity smoke-tested in
+    tests/test_ops.py), and the value-hash compare pins the full
+    redacted text plus hit counts and before/after lengths. The stage
+    is a streaming filter + map_batches; at production scale it
+    terminates in write_parquet, the driver collect is the
+    oracle-compare convention."""
+    from .ops.relational import deterministic_sample
+
+    docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sampled = deterministic_sample(docs, RED_RATE[0], RED_RATE[1], "doc_id", hash_fn="md5")
+
+    def stage(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        red = pc.replace_substring_regex(
+            b["text"], pattern=RED_PAT, replacement=RED_TOKEN
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_redacted": pc.count_substring_regex(b["text"], RED_PAT).cast(
+                    pa.int64()
+                ),
+                "len_before": pc.utf8_length(b["text"]).cast(pa.int64()),
+                "len_after": pc.utf8_length(red).cast(pa.int64()),
+                "text_redacted": red,
+            }
+        )
+
+    df = sampled.map_batches(stage, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)

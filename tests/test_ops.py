@@ -2704,3 +2704,79 @@ def test_embedding_covariance_pinned_to_numpy():
             if r["dim_i"] == r["dim_j"]}
     assert all(r["cov_num"] ** 2 <= diag[int(r["dim_i"])] * diag[int(r["dim_j"])]
                for _, r in got.iterrows())
+
+
+def test_embedding_pca_top_matches_numpy_eigvec():
+    """Ten fixed-point power-iteration rounds land on numpy's dominant
+    eigenvector of the exact integer covariance numerators (|cos| >
+    0.999), and the renormalization invariant max|v_fp| == SCALE
+    holds exactly."""
+    from rayhist.pipelines import PCA_SCALE, _emb_moment_pivot, q_embedding_pca_top
+
+    got = q_embedding_pca_top("/root/testdata/sf0.001")
+    piv = _emb_moment_pivot("/root/testdata/sf0.001")
+    n = piv[(0, 0)]
+    d = max(i for i, _ in piv)
+    assert list(got["dim"]) == list(range(1, d + 1))
+    assert int(got["v_fp"].abs().max()) == PCA_SCALE
+    cmat = np.array(
+        [
+            [
+                float(n * piv[(min(i, j), max(i, j))] - piv[(i, 0)] * piv[(j, 0)])
+                for j in range(1, d + 1)
+            ]
+            for i in range(1, d + 1)
+        ]
+    )
+    w, v = np.linalg.eigh(cmat)
+    top = v[:, np.argmax(w)]
+    g = got["loading"].to_numpy()
+    cos = abs(g @ top) / (np.linalg.norm(g) * np.linalg.norm(top))
+    assert cos > 0.9999
+
+
+def test_user_entropy_bounds_and_recompute():
+    """Per-user entropy is within [0, 1000*ln(k_user)] and equals the
+    direct pandas recomputation of the integer numerator."""
+    import math
+
+    from rayhist.pipelines import _q_mnat, q_user_entropy
+
+    got = q_user_entropy("/root/testdata/sf0.001")
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "event_type"]
+    )
+    c = ev.groupby(["user_id", "event_type"]).size()
+    for _, row in got.iterrows():
+        cu = c[int(row["user_id"])]
+        t = int(cu.sum())
+        num = t * _q_mnat(t) - sum(int(x) * _q_mnat(int(x)) for x in cu)
+        assert row["n_events"] == t and row["num"] == num
+        assert -1.0 <= row["entropy_mnat"] <= 1000.0 * math.log(len(cu)) + 1.0
+    assert len(got) == ev["user_id"].nunique()
+
+
+def test_doc_redaction_parity_and_invariants():
+    """The RE2 redaction matches Python re word-by-word (same
+    leftmost non-overlapping semantics for this alternation), the
+    token count in the output equals n_redacted (the token cannot
+    occur in the lowercase source), and unredacted docs pass through
+    byte-identical."""
+    import re as _re
+
+    from rayhist.pipelines import RED_PAT, RED_TOKEN, q_doc_redaction
+
+    got = q_doc_redaction("/root/testdata/sf0.001")
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).set_index("doc_id")
+    assert 0 < len(got) < len(docs)
+    rx = _re.compile(RED_PAT)
+    for _, row in got.iterrows():
+        src = docs.loc[int(row["doc_id"]), "text"]
+        assert row["len_before"] == len(src)
+        assert row["text_redacted"] == rx.sub(RED_TOKEN, src)
+        assert row["text_redacted"].count(RED_TOKEN) == row["n_redacted"]
+        assert row["len_after"] == len(row["text_redacted"])
+        if row["n_redacted"] == 0:
+            assert row["text_redacted"] == src
