@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- ninth-session additions (outside the r5 window; judge-checked
         # via the full tools/check_queries.py surface) ---
         "embedding_pca_top": p.q_embedding_pca_top,
+        "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
         # --- round-4-green surface (driver-checked in CORRECTNESS_r04) ---
@@ -263,6 +264,7 @@ def _poly_oracle(o, p) -> str:
 def oracle_sql() -> dict[str, str]:
     from rayhist import oracles as o
     from rayhist import pipelines as p
+    from rayhist.spatial import hexgrid as hx
 
     return {
         "asof_attribution": o.asof_attribution(),
@@ -401,6 +403,9 @@ def oracle_sql() -> dict[str, str]:
             p.EMB_QUANT, p.PCA_SCALE, p.PCA_ITERS
         ),
         "user_entropy": o.user_entropy(),
+        "snapshot_count_by_hexcell": o.snapshot_count_by_hexcell(
+            hx.HEX_W, hx.HEX_H
+        ),
         "doc_redaction": o.doc_redaction(
             p.RED_PAT, p.RED_TOKEN, *p.RED_RATE
         ),

@@ -4307,3 +4307,45 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
       < {thresh}
 ORDER BY doc_id
 """
+
+
+def snapshot_count_by_hexcell(w: int, h: int) -> str:
+    """Hex-grid mirror: the identical 4-candidate nearest-center
+    argmin in pure integer SQL — Python floor division on signed
+    operands spelled as the explicit CASE (DuckDB // truncates), exact
+    int64 squared distances, the same (d2, i, j) tie-break."""
+    from .pipelines import T_MID
+
+    w, h = int(w), int(h)
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, pt AS (
+  SELECT osm_id, lon_e7 AS x, lat_e7 AS y FROM snap
+), c1 AS (
+  SELECT osm_id, x, y,
+         (CASE WHEN y >= 0 THEN y // {h}
+               ELSE -(((-y) + {h} - 1) // {h}) END) + dj.dj AS j
+  FROM pt CROSS JOIN (VALUES (0), (1)) AS dj(dj)
+), c2 AS (
+  SELECT osm_id, x, y, j,
+         (CASE WHEN x - {w}*j >= 0 THEN (x - {w}*j) // {2 * w}
+               ELSE -(((-(x - {w}*j)) + {2 * w} - 1) // {2 * w}) END)
+           + di.di AS i
+  FROM c1 CROSS JOIN (VALUES (0), (1)) AS di(di)
+), best AS (
+  SELECT osm_id, i, j
+  FROM c2
+  QUALIFY row_number() OVER (
+    PARTITION BY osm_id
+    ORDER BY (x - ({2 * w}*i + {w}*j))*(x - ({2 * w}*i + {w}*j))
+             + (y - {h}*j)*(y - {h}*j), i, j
+  ) = 1
+)
+SELECT CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j,
+       CAST(count(*) AS BIGINT) AS n_snapshots
+FROM best GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )

@@ -8419,3 +8419,40 @@ def q_doc_redaction(sf_dir: str) -> pd.DataFrame:
 
     df = sampled.map_batches(stage, batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_snapshot_count_by_hexcell(sf_dir: str) -> pd.DataFrame:
+    """Snapshot count at T_MID grouped by HEXAGONAL GRID CELL
+    (spatial/hexgrid.py: exact nearest-center assignment on an integer
+    hex lattice — the planar H3-style partition key beside the S2-style
+    one). The engine groups by the PACKED int64 cell id (the key a
+    cluster would shuffle on) and decodes (i, j) back for output, so
+    the oracle — which re-derives the 4-candidate argmin in pure
+    integer SQL with the identical (d2, i, j) tie-break — transitively
+    value-checks the pack/unpack bijection too. No floats anywhere in
+    the assignment."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell, pack_hex, unpack_hex
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        i, j = hex_cell(
+            s["lon_e7"].to_numpy(zero_copy_only=False),
+            s["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        cid, cnt = np.unique(pack_hex(i, j), return_counts=True)
+        return pa.table(
+            {"cell": pa.array(cid), "n_part": pa.array(cnt.astype(np.int64))}
+        )
+
+    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = combine_partials(partials, ["cell"], {"n_part": "n_snapshots"})
+    i, j = unpack_hex(df["cell"].to_numpy(dtype=np.int64))
+    out = pd.DataFrame(
+        {"hex_i": i, "hex_j": j, "n_snapshots": df["n_snapshots"].astype("int64")}
+    )
+    return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)

@@ -1044,3 +1044,55 @@ def test_hull_vertices_degenerate_and_collinear():
     y = np.array([0, 0, 10], dtype=np.int64)
     idx = hull_vertices(np.array([7, 3, 9], dtype=np.int64), x, y)
     assert 1 in idx.tolist() and 0 not in idx.tolist()
+
+
+def test_hexgrid_nearest_center_exhaustive():
+    """The 4-candidate hex assignment equals the exhaustive 16-candidate
+    ring on random world-extent points (the reduced-basis nearest-corner
+    property), the pack/unpack id layer is a bijection, and every point
+    lies within the lattice circumradius of its assigned center."""
+    import numpy as np
+
+    from rayhist.spatial.hexgrid import (
+        HEX_H,
+        HEX_W,
+        hex_cell,
+        pack_hex,
+        unpack_hex,
+    )
+
+    rng = np.random.default_rng(42)
+    n = 50_000
+    x = rng.integers(-1_800_000_000, 1_800_000_001, n)
+    y = rng.integers(-900_000_000, 900_000_001, n)
+    i4, j4 = hex_cell(x, y)
+
+    best_d2 = None
+    best_i = None
+    best_j = None
+    j0 = np.floor_divide(y, HEX_H)
+    for dj in range(-1, 3):
+        j = j0 + dj
+        bi = np.floor_divide(x - HEX_W * j, 2 * HEX_W)
+        for di in range(-1, 3):
+            i = bi + di
+            d2 = (x - (2 * HEX_W * i + HEX_W * j)) ** 2 + (y - HEX_H * j) ** 2
+            if best_d2 is None:
+                best_d2, best_i, best_j = d2.copy(), i.copy(), j.copy()
+            else:
+                better = (d2 < best_d2) | (
+                    (d2 == best_d2)
+                    & ((i < best_i) | ((i == best_i) & (j < best_j)))
+                )
+                best_d2 = np.where(better, d2, best_d2)
+                best_i = np.where(better, i, best_i)
+                best_j = np.where(better, j, best_j)
+    assert (i4 == best_i).all() and (j4 == best_j).all()
+
+    pk = pack_hex(i4, j4)
+    ui, uj = unpack_hex(pk)
+    assert (ui == i4).all() and (uj == j4).all()
+
+    d2 = (x - (2 * HEX_W * i4 + HEX_W * j4)) ** 2 + (y - HEX_H * j4) ** 2
+    circum2 = (2 * HEX_W) ** 2 + HEX_H**2  # > squared circumradius of the cell
+    assert int(d2.max()) <= circum2
