@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via the full tools/check_queries.py surface) ---
         "embedding_pca_top": p.q_embedding_pca_top,
         "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
+        "nearest_road_distance": p.q_nearest_road_distance,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
         # --- round-4-green surface (driver-checked in CORRECTNESS_r04) ---
@@ -403,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
             p.EMB_QUANT, p.PCA_SCALE, p.PCA_ITERS
         ),
         "user_entropy": o.user_entropy(),
+        "nearest_road_distance": o.nearest_road_distance(p.ROAD_CLASS_MOD),
         "snapshot_count_by_hexcell": o.snapshot_count_by_hexcell(
             hx.HEX_W, hx.HEX_H
         ),

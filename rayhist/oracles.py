@@ -4349,3 +4349,55 @@ SELECT CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j,
 FROM best GROUP BY 1, 2 ORDER BY 1, 2
 """
     )
+
+
+def nearest_road_distance(class_mod: int) -> str:
+    """Nearest-segment mirror: the identical point-to-segment IEEE
+    expression tree (exact int64 diffs cast to DOUBLE, then the same
+    mul/add/div shapes per projection branch), the same incident-
+    segment exclusion, the same (d2, seg) argmin."""
+    from .pipelines import T_MID
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, seg AS (
+  SELECT a.osm_id AS seg, a.lon_e7 AS ax, a.lat_e7 AS ay,
+         b.lon_e7 AS bx, b.lat_e7 AS by2
+  FROM snap a JOIN snap b ON b.osm_id = a.osm_id + 1
+  WHERE a.osm_id % {int(class_mod)} = 0
+), pt AS (
+  SELECT osm_id, lon_e7 AS px, lat_e7 AS py FROM snap
+), c AS (
+  SELECT pt.osm_id, seg.seg,
+         CAST(pt.px - seg.ax AS DOUBLE) AS dxpa,
+         CAST(pt.py - seg.ay AS DOUBLE) AS dypa,
+         CAST(pt.px - seg.bx AS DOUBLE) AS dxpb,
+         CAST(pt.py - seg.by2 AS DOUBLE) AS dypb,
+         CAST(seg.bx - seg.ax AS DOUBLE) AS dxba,
+         CAST(seg.by2 - seg.ay AS DOUBLE) AS dyba
+  FROM pt JOIN seg ON seg.seg <> pt.osm_id AND seg.seg <> pt.osm_id - 1
+), s AS (
+  SELECT osm_id, seg,
+         dxpa*dxba + dypa*dyba AS dot,
+         dxba*dxba + dyba*dyba AS len2,
+         dxpa*dxpa + dypa*dypa AS dpa2,
+         dxpb*dxpb + dypb*dypb AS dpb2,
+         dxpa, dypa, dxba, dyba
+  FROM c
+), dd AS (
+  SELECT osm_id, seg,
+         CASE WHEN dot <= 0 THEN dpa2
+              WHEN dot >= len2 THEN dpb2
+              ELSE (dxpa - (dot/len2)*dxba)*(dxpa - (dot/len2)*dxba)
+                 + (dypa - (dot/len2)*dyba)*(dypa - (dot/len2)*dyba) END AS d2
+  FROM s
+)
+SELECT osm_id, seg AS nearest_seg, d2, sqrt(d2) AS dist_deg7
+FROM dd
+QUALIFY row_number() OVER (PARTITION BY osm_id ORDER BY d2, seg) = 1
+ORDER BY osm_id
+"""
+    )

@@ -8456,3 +8456,128 @@ def q_snapshot_count_by_hexcell(sf_dir: str) -> pd.DataFrame:
         {"hex_i": i, "hex_j": j, "n_snapshots": df["n_snapshots"].astype("int64")}
     )
     return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)
+
+
+ROAD_CLASS_MOD = 16  # "road class" proxy: ways with id % 16 == 0 form the layer
+
+
+def q_nearest_road_distance(sf_dir: str) -> pd.DataFrame:
+    """PROXIMITY ANALYSIS: for every node visible at T_MID, the exact
+    nearest SEGMENT of the class-filtered way layer (synthetic way u =
+    node/u -> node/(u+1), layer = u % ROAD_CLASS_MOD == 0 — the
+    'distance to nearest highway' shape, reference geometry analog
+    Geo.java:37-60 neighborhoods). The reference layer is SMALL BY
+    CONSTRUCTION (a selected feature class), so it broadcasts into an
+    actor pool once per actor (__init__), never per batch; a dense
+    layer at 10^12 rows would instead ride the knn_queries halo join
+    (spatial/knn.py:792). Distance math is the knn contract: integer
+    coordinate diffs cast exactly to float64, then an op-for-op IEEE
+    expression tree (mul/add/div per branch of the point-to-segment
+    projection) mirrored literally in SQL, so d2 is bit-identical in
+    both engines and the (d2, seg) argmin agrees exactly; segments
+    incident to the node itself are excluded."""
+    from .model import decode_spans
+    from .ops.relational import hash_join
+    from .spatial.predicates import point_segment_d2
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(
+            ["osm_id", "lon_e7", "lat_e7"]
+        )
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
+
+    def as_left(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(
+            pc.bit_wise_and(batch["osm_id"], ROAD_CLASS_MOD - 1), 0
+        )  # osm_id % 16 == 0 (ids are non-negative)
+        b = batch.filter(keep)
+        return pa.table(
+            {"join_k": b["osm_id"], "ax": b["lon_e7"], "ay": b["lat_e7"]}
+        )
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "join_k": pc.subtract(batch["osm_id"], 1),
+                "bx": batch["lon_e7"],
+                "by": batch["lat_e7"],
+            }
+        )
+
+    seg = hash_join(
+        pos.map_batches(as_left, batch_format="pyarrow"),
+        pos.map_batches(as_right, batch_format="pyarrow"),
+        on="join_k",
+    ).to_pandas()  # |ways|/ROAD_CLASS_MOD rows — the bounded broadcast side
+    if seg.empty:
+        return pd.DataFrame(
+            {
+                "osm_id": pd.Series([], dtype="int64"),
+                "nearest_seg": pd.Series([], dtype="int64"),
+                "d2": pd.Series([], dtype="float64"),
+                "dist_deg7": pd.Series([], dtype="float64"),
+            }
+        )
+
+    class Stage:
+        def __init__(self, segdf: pd.DataFrame):
+            self.sid = segdf["join_k"].to_numpy(dtype=np.int64)
+            self.ax = segdf["ax"].to_numpy(dtype=np.int64)
+            self.ay = segdf["ay"].to_numpy(dtype=np.int64)
+            self.bx = segdf["bx"].to_numpy(dtype=np.int64)
+            self.by = segdf["by"].to_numpy(dtype=np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pid = batch["osm_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            px = batch["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+            py = batch["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_id, out_seg, out_d2 = [], [], []
+            CH = 256  # point chunk: CH x |seg| float panels stay < ~30 MB
+            for s0 in range(0, len(pid), CH):
+                ids = pid[s0 : s0 + CH]
+                d2 = point_segment_d2(
+                    px[s0 : s0 + CH, None],
+                    py[s0 : s0 + CH, None],
+                    self.ax[None, :],
+                    self.ay[None, :],
+                    self.bx[None, :],
+                    self.by[None, :],
+                )
+                # exclude segments incident to the point itself
+                excl = (self.sid[None, :] == ids[:, None]) | (
+                    self.sid[None, :] == ids[:, None] - 1
+                )
+                d2 = np.where(excl, np.inf, d2)
+                k = np.lexsort((np.broadcast_to(self.sid[None, :], d2.shape), d2), axis=1)[:, 0]
+                rr = np.arange(len(ids))
+                keep = np.isfinite(d2[rr, k])
+                out_id.append(ids[keep])
+                out_seg.append(self.sid[k][keep])
+                out_d2.append(d2[rr, k][keep])
+            oid = np.concatenate(out_id) if out_id else np.array([], np.int64)
+            osg = np.concatenate(out_seg) if out_seg else np.array([], np.int64)
+            od2 = np.concatenate(out_d2) if out_d2 else np.array([], np.float64)
+            return pa.table(
+                {
+                    "osm_id": pa.array(oid, pa.int64()),
+                    "nearest_seg": pa.array(osg, pa.int64()),
+                    "d2": pa.array(od2, pa.float64()),
+                    "dist_deg7": pa.array(np.sqrt(od2), pa.float64()),
+                }
+            )
+
+    df = pos.map_batches(
+        Stage,
+        fn_constructor_args=(seg,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).to_pandas()
+    return df.sort_values("osm_id").reset_index(drop=True)

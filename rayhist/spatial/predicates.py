@@ -68,3 +68,42 @@ def segments_cross(
     o3 = orient_sign(cx, cy, dx, dy, ax, ay).astype(np.int16)
     o4 = orient_sign(cx, cy, dx, dy, bx, by).astype(np.int16)
     return (o1 * o2 < 0) & (o3 * o4 < 0)
+
+
+def point_segment_d2(
+    px: np.ndarray,
+    py: np.ndarray,
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+) -> np.ndarray:
+    """Squared point-to-segment distance in e7 units, broadcast over
+    any common shape, as ONE FIXED IEEE EXPRESSION TREE: the integer
+    coordinate diffs are exact in int64 and cast exactly to float64,
+    and every subsequent op (mul/add/div/sub per projection branch)
+    appears in the same shape in the SQL mirror
+    (oracles.nearest_road_distance), so results are bit-identical
+    across engines. Degenerate zero-length segments resolve through
+    the dot <= 0 branch (dot is exactly 0)."""
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    ax = np.asarray(ax, dtype=np.int64)
+    ay = np.asarray(ay, dtype=np.int64)
+    bx = np.asarray(bx, dtype=np.int64)
+    by = np.asarray(by, dtype=np.int64)
+    dxpa = (px - ax).astype(np.float64)
+    dypa = (py - ay).astype(np.float64)
+    dxpb = (px - bx).astype(np.float64)
+    dypb = (py - by).astype(np.float64)
+    dxba = (bx - ax).astype(np.float64)
+    dyba = (by - ay).astype(np.float64)
+    dot = dxpa * dxba + dypa * dyba
+    len2 = dxba * dxba + dyba * dyba
+    dpa2 = dxpa * dxpa + dypa * dypa
+    dpb2 = dxpb * dxpb + dypb * dypb
+    t = np.divide(dot, len2, out=np.zeros_like(dot), where=len2 > 0)
+    ex = dxpa - t * dxba
+    ey = dypa - t * dyba
+    din = ex * ex + ey * ey
+    return np.where(dot <= 0, dpa2, np.where(dot >= len2, dpb2, din))

@@ -1096,3 +1096,38 @@ def test_hexgrid_nearest_center_exhaustive():
     d2 = (x - (2 * HEX_W * i4 + HEX_W * j4)) ** 2 + (y - HEX_H * j4) ** 2
     circum2 = (2 * HEX_W) ** 2 + HEX_H**2  # > squared circumradius of the cell
     assert int(d2.max()) <= circum2
+
+
+def test_point_segment_d2_branches_and_brute_force():
+    """The one-expression-tree point-to-segment kernel hits all three
+    projection branches correctly (endpoint A, endpoint B, interior),
+    treats zero-length segments as point distance, and matches a
+    scalar clamp-projection reference on random integer inputs."""
+    import numpy as np
+
+    from rayhist.spatial.predicates import point_segment_d2
+
+    # horizontal segment (0,0)-(10,0)
+    assert point_segment_d2(-3, 4, 0, 0, 10, 0) == 25.0  # before A
+    assert point_segment_d2(13, 4, 0, 0, 10, 0) == 25.0  # past B
+    assert point_segment_d2(5, 7, 0, 0, 10, 0) == 49.0  # interior
+    assert point_segment_d2(5, 7, 2, 3, 2, 3) == float(9 + 16)  # degenerate
+    assert point_segment_d2(4, 0, 0, 0, 10, 0) == 0.0  # on the segment
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    P = rng.integers(-(10**9), 10**9, size=(n, 6))
+    got = point_segment_d2(P[:, 0], P[:, 1], P[:, 2], P[:, 3], P[:, 4], P[:, 5])
+    for k in range(0, n, 97):
+        px, py, ax, ay, bx, by = (float(v) for v in P[k])
+        dxba, dyba = bx - ax, by - ay
+        len2 = dxba * dxba + dyba * dyba
+        dot = (px - ax) * dxba + (py - ay) * dyba
+        if len2 == 0 or dot <= 0:
+            ref = (px - ax) ** 2 + (py - ay) ** 2
+        elif dot >= len2:
+            ref = (px - bx) ** 2 + (py - by) ** 2
+        else:
+            t = dot / len2
+            ref = (px - (ax + t * dxba)) ** 2 + (py - (ay + t * dyba)) ** 2
+        assert abs(got[k] - ref) <= 1e-6 * max(ref, 1.0)
