@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_top": p.q_embedding_pca_top,
         "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
         "nearest_road_distance": p.q_nearest_road_distance,
+        "hexcell_weekly": p.q_hexcell_weekly,
+        "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
         # --- round-4-green surface (driver-checked in CORRECTNESS_r04) ---
@@ -405,6 +407,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "user_entropy": o.user_entropy(),
         "nearest_road_distance": o.nearest_road_distance(p.ROAD_CLASS_MOD),
+        "hexcell_weekly": o.hexcell_weekly(hx.HEX_W, hx.HEX_H),
+        "hex_hotspot_gi": o.hex_hotspot_gi(hx.HEX_W, hx.HEX_H, p.HEX_GI_W),
         "snapshot_count_by_hexcell": o.snapshot_count_by_hexcell(
             hx.HEX_W, hx.HEX_H
         ),

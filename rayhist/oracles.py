@@ -4309,46 +4309,56 @@ ORDER BY doc_id
 """
 
 
-def snapshot_count_by_hexcell(w: int, h: int) -> str:
-    """Hex-grid mirror: the identical 4-candidate nearest-center
-    argmin in pure integer SQL — Python floor division on signed
-    operands spelled as the explicit CASE (DuckDB // truncates), exact
-    int64 squared distances, the same (d2, i, j) tie-break."""
-    from .pipelines import T_MID
-
+def _hex_best_sql(w: int, h: int, keys: str) -> str:
+    """Shared hex-assignment SQL: expects a CTE `pt` with columns
+    ({keys}, x, y); yields `best` with ({keys}, i, j) — the identical
+    4-candidate nearest-center argmin (Python floor division on signed
+    operands spelled as the explicit CASE since DuckDB // truncates),
+    exact int64 squared distances, (d2, i, j) tie-break."""
     w, h = int(w), int(h)
-    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
-    return (
-        DERIVE
-        + cte
-        + f"""
-, pt AS (
-  SELECT osm_id, lon_e7 AS x, lat_e7 AS y FROM snap
-), c1 AS (
-  SELECT osm_id, x, y,
+    return f"""
+, c1 AS (
+  SELECT {keys}, x, y,
          (CASE WHEN y >= 0 THEN y // {h}
                ELSE -(((-y) + {h} - 1) // {h}) END) + dj.dj AS j
   FROM pt CROSS JOIN (VALUES (0), (1)) AS dj(dj)
 ), c2 AS (
-  SELECT osm_id, x, y, j,
+  SELECT {keys}, x, y, j,
          (CASE WHEN x - {w}*j >= 0 THEN (x - {w}*j) // {2 * w}
                ELSE -(((-(x - {w}*j)) + {2 * w} - 1) // {2 * w}) END)
            + di.di AS i
   FROM c1 CROSS JOIN (VALUES (0), (1)) AS di(di)
 ), best AS (
-  SELECT osm_id, i, j
+  SELECT {keys}, i, j
   FROM c2
   QUALIFY row_number() OVER (
-    PARTITION BY osm_id
+    PARTITION BY {keys}
     ORDER BY (x - ({2 * w}*i + {w}*j))*(x - ({2 * w}*i + {w}*j))
              + (y - {h}*j)*(y - {h}*j), i, j
   ) = 1
-)
+)"""
+
+
+def snapshot_count_by_hexcell(w: int, h: int) -> str:
+    """Hex-grid mirror over the T_MID snapshot (see _hex_best_sql)."""
+    from .pipelines import T_MID
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+, pt AS (
+  SELECT osm_id, lon_e7 AS x, lat_e7 AS y FROM snap
+)"""
+        + _hex_best_sql(w, h, "osm_id")
+        + """
 SELECT CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j,
        CAST(count(*) AS BIGINT) AS n_snapshots
 FROM best GROUP BY 1, 2 ORDER BY 1, 2
 """
     )
+
 
 
 def nearest_road_distance(class_mod: int) -> str:
@@ -4399,5 +4409,69 @@ SELECT osm_id, seg AS nearest_seg, d2, sqrt(d2) AS dist_deg7
 FROM dd
 QUALIFY row_number() OVER (PARTITION BY osm_id ORDER BY d2, seg) = 1
 ORDER BY osm_id
+"""
+    )
+
+
+def hexcell_weekly(w: int, h: int) -> str:
+    """Space-time-cube mirror: the shared hex assignment keyed by
+    (ts_q, osm_id) over the weekly snapshot CTE."""
+    from .pipelines import SNAP_WEEKLY
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list(SNAP_WEEKLY))
+    return (
+        DERIVE
+        + cte
+        + """
+, pt AS (
+  SELECT ts_q, osm_id, lon_e7 AS x, lat_e7 AS y FROM snap
+)"""
+        + _hex_best_sql(w, h, "ts_q, osm_id")
+        + """
+SELECT CAST(ts_q AS BIGINT) AS ts_q,
+       CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j,
+       CAST(count(*) AS BIGINT) AS n
+FROM best GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+    )
+
+
+def hex_hotspot_gi(w: int, h: int, gi_w: int) -> str:
+    """Gi* mirror: version counts per hex cell, 6-offset neighbor
+    left-join, exact HUGEINT sufficient statistics, the identical
+    four-single-IEEE-op float tail (mul, div, sqrt, div)."""
+    gw = int(gi_w)
+    return (
+        DERIVE
+        + """
+, pt AS (
+  SELECT row_number() OVER (ORDER BY osm_id, v) AS rid,
+         lon_e7 AS x, lat_e7 AS y
+  FROM d
+)"""
+        + _hex_best_sql(w, h, "rid")
+        + f"""
+, c AS (
+  SELECT i, j, count(*) AS n FROM best GROUP BY 1, 2
+), st AS (
+  SELECT count(*) AS nc, sum(n) AS s1, sum(n*n) AS s2 FROM c
+), nbr AS (
+  SELECT a.i, a.j, a.n, a.n + coalesce(sum(b.n), 0) AS nbr_sum
+  FROM c a
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+    AS o(di, dj)
+  LEFT JOIN c b ON b.i = a.i + o.di AND b.j = a.j + o.dj
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(nbr.i AS BIGINT) AS hex_i, CAST(nbr.j AS BIGINT) AS hex_j,
+       CAST(nbr.n AS BIGINT) AS n_versions,
+       CAST(nbr.nbr_sum AS BIGINT) AS nbr_sum,
+       CAST(st.nc * nbr.nbr_sum - {gw} * st.s1 AS BIGINT) AS gi_num,
+       CAST(st.nc * nbr.nbr_sum - {gw} * st.s1 AS DOUBLE)
+         / sqrt(CAST({gw} * (st.nc - {gw}) AS DOUBLE)
+                * CAST(st.nc * st.s2 - st.s1 * st.s1 AS DOUBLE)
+                / CAST(st.nc - 1 AS DOUBLE)) AS gi_z
+FROM nbr CROSS JOIN st
+ORDER BY 1, 2
 """
     )

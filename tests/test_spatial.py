@@ -1131,3 +1131,35 @@ def test_point_segment_d2_branches_and_brute_force():
             t = dot / len2
             ref = (px - (ax + t * dxba)) ** 2 + (py - (ay + t * dyba)) ** 2
         assert abs(got[k] - ref) <= 1e-6 * max(ref, 1.0)
+
+
+def test_hexcell_weekly_mass_matches_snapshot_cells():
+    """The space-time cube conserves snapshot mass: per-week totals
+    equal the XYGrid cell query's per-week totals (same snapshots,
+    different spatial key)."""
+    from rayhist.pipelines import q_hexcell_weekly, q_snapshot_cells
+
+    hexd = q_hexcell_weekly("/root/testdata/sf0.001")
+    grid = q_snapshot_cells("/root/testdata/sf0.001")
+    a = hexd.groupby("ts_q")["n"].sum()
+    b = grid.groupby("ts_q")["n"].sum()
+    assert a.to_dict() == b.to_dict()
+
+
+def test_hex_hotspot_gi_flags_the_mega_cell():
+    """Gi* sanity: statistics recompute from the returned cells, the
+    skewed mega-cell carries the maximum z-score and it is strongly
+    positive, and gi_num reconstructs from (n_cells, nbr_sum, S1)."""
+    from rayhist.pipelines import HEX_GI_W, q_hex_hotspot_gi
+
+    got = q_hex_hotspot_gi("/root/testdata/sf0.001")
+    n_cells = len(got)
+    s1 = int(got["n_versions"].sum())
+    assert (
+        got["gi_num"]
+        == n_cells * got["nbr_sum"] - HEX_GI_W * s1
+    ).all()
+    top = got.loc[got["n_versions"].idxmax()]
+    assert top["gi_z"] == got["gi_z"].max() and top["gi_z"] > 3.0
+    # neighborhood sums are at least the cell's own mass
+    assert (got["nbr_sum"] >= got["n_versions"]).all()
