@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
         "nearest_road_distance": p.q_nearest_road_distance,
         "hexcell_weekly": p.q_hexcell_weekly,
+        "idw_snapshot_field": p.q_idw_snapshot_field,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -408,6 +409,9 @@ def oracle_sql() -> dict[str, str]:
         "user_entropy": o.user_entropy(),
         "nearest_road_distance": o.nearest_road_distance(p.ROAD_CLASS_MOD),
         "hexcell_weekly": o.hexcell_weekly(hx.HEX_W, hx.HEX_H),
+        "idw_snapshot_field": o.idw_snapshot_field(
+            hx.HEX_W, hx.HEX_H, p.IDW_WSCALE, p.IDW_W0, p.IDW_R2, p.IDW_RLIM
+        ),
         "hex_hotspot_gi": o.hex_hotspot_gi(hx.HEX_W, hx.HEX_H, p.HEX_GI_W),
         "snapshot_count_by_hexcell": o.snapshot_count_by_hexcell(
             hx.HEX_W, hx.HEX_H

@@ -4475,3 +4475,49 @@ FROM nbr CROSS JOIN st
 ORDER BY 1, 2
 """
     )
+
+
+def idw_snapshot_field(
+    w: int, h: int, wscale: int, w0: int, r2: int, rlim: int
+) -> str:
+    """IDW mirror: hex centers from the version points' own cells,
+    the identical quantized weight (one IEEE division of exact
+    operands + half-away round), exact integer weight sums, one final
+    IEEE division."""
+    w, h = int(w), int(h)
+    return (
+        DERIVE
+        + """
+, pt AS (
+  SELECT row_number() OVER (ORDER BY osm_id, v) AS rid,
+         v AS val, lon_e7 AS x, lat_e7 AS y
+  FROM d
+)"""
+        + _hex_best_sql(w, h, "rid")
+        + f"""
+, cen AS (
+  SELECT DISTINCT i, j FROM best
+), boxed AS MATERIALIZED (
+  SELECT cen.i, cen.j, pt.val,
+         pt.x - ({2 * w}*cen.i + {w}*cen.j) AS dx,
+         pt.y - {h}*cen.j AS dy
+  FROM pt CROSS JOIN cen
+  WHERE abs(pt.x - ({2 * w}*cen.i + {w}*cen.j)) <= {int(rlim)}
+    AND abs(pt.y - {h}*cen.j) <= {int(rlim)}
+), pairs AS (
+  SELECT i, j, val, dx*dx + dy*dy AS d2 FROM boxed
+), wts AS (
+  SELECT i, j, val,
+         CASE WHEN d2 = 0 THEN CAST({int(w0)} AS BIGINT)
+              ELSE CAST(round(CAST({int(wscale)} AS DOUBLE)
+                              / CAST(d2 AS DOUBLE)) AS BIGINT) END AS w
+  FROM pairs WHERE d2 <= {int(r2)}
+)
+SELECT CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(w) AS BIGINT) AS sw,
+       CAST(sum(w * val) AS BIGINT) AS swx,
+       CAST(sum(w * val) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS idw_v
+FROM wts WHERE w > 0 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )

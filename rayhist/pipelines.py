@@ -8715,3 +8715,129 @@ def q_hex_hotspot_gi(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)
+
+
+IDW_WSCALE = 1 << 44  # weight quantization: w = round(WSCALE / d2);
+# sized so sum(w) <= n_points * 2^44 stays deep inside int64 at every
+# sandbox scale (the loud guard below covers the rest)
+IDW_W0 = 1 << 44  # exact-hit weight cap == max nonzero weight (d2=1)
+IDW_R2 = 1 << 45  # influence radius^2 aligned with the w >= 1 cutoff (~0.59 deg)
+IDW_RLIM = 5931641  # isqrt(IDW_R2): box prefilter bound so squared
+# diffs never exceed int64 (world-extent diffs would)
+
+
+def q_idw_snapshot_field(sf_dir: str) -> pd.DataFrame:
+    """INVERSE-DISTANCE-WEIGHTED spatial interpolation of an integer
+    field (the entity version number) at the occupied hex-cell
+    centers, from ALL entity-version points within the influence
+    radius. IDW's float-weight sum is order-dependent, so the weights
+    QUANTIZE first: w = round(WSCALE / d2) where d2 is the exact
+    integer squared distance cast once to float64 (single IEEE
+    division + half-away round, bit-identical in SQL) — then sum(w)
+    and sum(w*x) are EXACT INTEGER sums (order-free across any
+    partitioning) and the interpolated value is ONE final IEEE
+    division. Points exactly on a center take the capped weight W0.
+    Distributed shape: centers are the bounded hex lattice broadcast
+    into the stage; per-batch partial (center, sum_w, sum_wx) sums
+    combine on the lattice key."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .ops.relational import round_half_away
+    from .spatial.hexgrid import HEX_H, HEX_W, hex_cell
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return decode_spans(batch, tags=False).select(["v", "lon_e7", "lat_e7"])
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
+
+    # occupied-cell centers: |cells| is bounded by the fixed lattice
+    def cells_stage(b: pa.Table) -> pa.Table:
+        i, j = hex_cell(
+            b["lon_e7"].to_numpy(zero_copy_only=False),
+            b["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        g = pd.DataFrame({"i": i, "j": j}).drop_duplicates()
+        return pa.table(
+            {
+                "i": g["i"].to_numpy(dtype=np.int64),
+                "j": g["j"].to_numpy(dtype=np.int64),
+                "one_p": np.ones(len(g), dtype=np.int64),
+            }
+        )
+
+    cen = combine_partials(
+        pos.map_batches(cells_stage, batch_format="pyarrow"), ["i", "j"], {"one_p": "_"}
+    )
+    ci = cen["i"].to_numpy(dtype=np.int64)
+    cj = cen["j"].to_numpy(dtype=np.int64)
+    cx = 2 * HEX_W * ci + HEX_W * cj
+    cy = HEX_H * cj
+
+    class Stage:
+        def __init__(self, ci, cj, cx, cy):
+            self.ci, self.cj, self.cx, self.cy = ci, cj, cx, cy
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            px = b["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+            py = b["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+            xv = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = len(self.cx)
+            sw = np.zeros(m, np.int64)
+            swx = np.zeros(m, np.int64)
+            npts = np.zeros(m, np.int64)
+            CH = 512  # CH x |centers| panels; all reductions vectorized
+            for s0 in range(0, len(px), CH):
+                dx = px[s0 : s0 + CH, None] - self.cx[None, :]
+                dy = py[s0 : s0 + CH, None] - self.cy[None, :]
+                # box prefilter: keeps every d2 <= R2 pair while
+                # bounding the squares away from int64 overflow
+                inbox = (np.abs(dx) <= IDW_RLIM) & (np.abs(dy) <= IDW_RLIM)
+                dx = np.where(inbox, dx, 0)
+                dy = np.where(inbox, dy, 0)
+                d2 = dx * dx + dy * dy
+                d2 = np.where(inbox, d2, IDW_R2 + 1)
+                zero = d2 == 0
+                w = np.where(
+                    zero,
+                    np.int64(IDW_W0),
+                    round_half_away(
+                        np.float64(IDW_WSCALE)
+                        / np.where(zero, 1, d2).astype(np.float64)
+                    ).astype(np.int64),
+                )
+                w = np.where((d2 <= IDW_R2) & (w > 0), w, 0)
+                sw += w.sum(axis=0)
+                swx += (w * xv[s0 : s0 + CH, None]).sum(axis=0)
+                npts += (w > 0).sum(axis=0)
+            keep = npts > 0
+            return pa.table(
+                {
+                    "i": self.ci[keep],
+                    "j": self.cj[keep],
+                    "sw_p": sw[keep],
+                    "swx_p": swx[keep],
+                    "n_p": npts[keep],
+                }
+            )
+
+    part = pos.map_batches(
+        Stage,
+        fn_constructor_args=(ci, cj, cx, cy),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    df = combine_partials(part, ["i", "j"], {"sw_p": "sw", "swx_p": "swx", "n_p": "n_pts"})
+    if (df["sw"].to_numpy(dtype=np.int64) >= 2**62).any():
+        raise OverflowError("idw: weight sum exceeds int64 headroom")
+    out = pd.DataFrame(
+        {
+            "hex_i": df["i"].astype("int64"),
+            "hex_j": df["j"].astype("int64"),
+            "n_pts": df["n_pts"].astype("int64"),
+            "sw": df["sw"].astype("int64"),
+            "swx": df["swx"].astype("int64"),
+            "idw_v": df["swx"].to_numpy(dtype=np.float64)
+            / df["sw"].to_numpy(dtype=np.float64),
+        }
+    )
+    return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)

@@ -1163,3 +1163,63 @@ def test_hex_hotspot_gi_flags_the_mega_cell():
     assert top["gi_z"] == got["gi_z"].max() and top["gi_z"] > 3.0
     # neighborhood sums are at least the cell's own mass
     assert (got["nbr_sum"] >= got["n_versions"]).all()
+
+
+def test_idw_field_matches_python_int_brute_force():
+    """The quantized-weight IDW recomputes exactly (Python bigints, no
+    int64 wrap) from the raw version points: same pair set, same
+    weights, same integer sums, same final division."""
+    import numpy as np
+
+    from rayhist.ops.relational import round_half_away
+    from rayhist.pipelines import (
+        IDW_R2,
+        IDW_RLIM,
+        IDW_W0,
+        IDW_WSCALE,
+        q_idw_snapshot_field,
+    )
+    from rayhist.spatial.hexgrid import HEX_H, HEX_W, hex_cell
+
+    got = q_idw_snapshot_field("/root/testdata/sf0.001")
+
+    import duckdb
+
+    from rayhist import oracles as o
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS FROM '/root/testdata/sf0.001/events.parquet'"
+    )
+    pts = con.sql(o.DERIVE + "SELECT v, lon_e7, lat_e7 FROM d").df()
+    x = pts["lon_e7"].to_numpy(dtype=np.int64)
+    y = pts["lat_e7"].to_numpy(dtype=np.int64)
+    v = pts["v"].to_numpy(dtype=np.int64)
+    ci, cj = hex_cell(x, y)
+    centers = sorted(set(zip(ci.tolist(), cj.tolist())))
+    acc = {}
+    for i, j in centers:
+        cx, cy = 2 * HEX_W * i + HEX_W * j, HEX_H * j
+        sw = swx = n = 0
+        for k in range(len(x)):
+            dx, dy = int(x[k]) - cx, int(y[k]) - cy
+            if abs(dx) > IDW_RLIM or abs(dy) > IDW_RLIM:
+                continue
+            d2 = dx * dx + dy * dy
+            if d2 > IDW_R2:
+                continue
+            if d2 == 0:
+                w = IDW_W0
+            else:
+                w = int(round_half_away(np.array([IDW_WSCALE / np.float64(d2)]))[0])
+            if w > 0:
+                sw += w
+                swx += w * int(v[k])
+                n += 1
+        if n:
+            acc[(i, j)] = (n, sw, swx)
+    assert len(got) == len(acc)
+    for _, r in got.iterrows():
+        n, sw, swx = acc[(int(r["hex_i"]), int(r["hex_j"]))]
+        assert (r["n_pts"], r["sw"], r["swx"]) == (n, sw, swx)
+        assert r["idw_v"] == np.float64(swx) / np.float64(sw)
