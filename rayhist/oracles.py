@@ -4521,3 +4521,55 @@ SELECT CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j,
 FROM wts WHERE w > 0 GROUP BY 1, 2 ORDER BY 1, 2
 """
     )
+
+
+def road_buffer_count(class_mod: int, r2: float) -> str:
+    """Buffer-count mirror: the nearest_road_distance IEEE distance
+    tree, <= R2 test, left-join zerofill per segment."""
+    from .pipelines import T_MID
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, seg AS (
+  SELECT a.osm_id AS seg, a.lon_e7 AS ax, a.lat_e7 AS ay,
+         b.lon_e7 AS bx, b.lat_e7 AS by2
+  FROM snap a JOIN snap b ON b.osm_id = a.osm_id + 1
+  WHERE a.osm_id % {int(class_mod)} = 0
+), pt AS (
+  SELECT osm_id, lon_e7 AS px, lat_e7 AS py FROM snap
+), c AS (
+  SELECT seg.seg,
+         CAST(pt.px - seg.ax AS DOUBLE) AS dxpa,
+         CAST(pt.py - seg.ay AS DOUBLE) AS dypa,
+         CAST(pt.px - seg.bx AS DOUBLE) AS dxpb,
+         CAST(pt.py - seg.by2 AS DOUBLE) AS dypb,
+         CAST(seg.bx - seg.ax AS DOUBLE) AS dxba,
+         CAST(seg.by2 - seg.ay AS DOUBLE) AS dyba
+  FROM pt CROSS JOIN seg
+), s AS (
+  SELECT seg,
+         dxpa*dxba + dypa*dyba AS dot,
+         dxba*dxba + dyba*dyba AS len2,
+         dxpa*dxpa + dypa*dypa AS dpa2,
+         dxpb*dxpb + dypb*dypb AS dpb2,
+         dxpa, dypa, dxba, dyba
+  FROM c
+), dd AS (
+  SELECT seg,
+         CASE WHEN dot <= 0 THEN dpa2
+              WHEN dot >= len2 THEN dpb2
+              ELSE (dxpa - (dot/len2)*dxba)*(dxpa - (dot/len2)*dxba)
+                 + (dypa - (dot/len2)*dyba)*(dypa - (dot/len2)*dyba) END AS d2
+  FROM s
+), cnt AS (
+  SELECT seg, count(*) AS n FROM dd WHERE d2 <= {float(r2)!r} GROUP BY 1
+)
+SELECT CAST(seg.seg AS BIGINT) AS seg,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_within
+FROM seg LEFT JOIN cnt ON cnt.seg = seg.seg
+ORDER BY 1
+"""
+    )

@@ -8841,3 +8841,95 @@ def q_idw_snapshot_field(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)
+
+
+ROAD_BUF_R2 = 2.5e15  # buffer radius^2 (5e7 e7-units = 5 deg), exact in float64
+
+
+def q_road_buffer_count(sf_dir: str) -> pd.DataFrame:
+    """BUFFER SEMI-JOIN COUNT: for every segment of the class-filtered
+    way layer, how many T_MID nodes lie within the buffer radius
+    (point-to-segment distance <= R) — the 'features near each road'
+    aggregate, zerofilled so empty buffers report 0. Same broadcast +
+    IEEE-expression-tree contract as nearest_road_distance (d2 is
+    bit-identical in SQL, so the <= R2 test agrees exactly); per-batch
+    partial counts per segment combine on the small segment key."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .ops.relational import hash_join
+    from .spatial.predicates import point_segment_d2
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(
+            ["osm_id", "lon_e7", "lat_e7"]
+        )
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
+
+    def as_left(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(pc.bit_wise_and(batch["osm_id"], ROAD_CLASS_MOD - 1), 0)
+        b = batch.filter(keep)
+        return pa.table({"join_k": b["osm_id"], "ax": b["lon_e7"], "ay": b["lat_e7"]})
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "join_k": pc.subtract(batch["osm_id"], 1),
+                "bx": batch["lon_e7"],
+                "by": batch["lat_e7"],
+            }
+        )
+
+    seg = hash_join(
+        pos.map_batches(as_left, batch_format="pyarrow"),
+        pos.map_batches(as_right, batch_format="pyarrow"),
+        on="join_k",
+    ).to_pandas()
+    if seg.empty:
+        return pd.DataFrame(
+            {"seg": pd.Series([], dtype="int64"), "n_within": pd.Series([], dtype="int64")}
+        )
+
+    class Stage:
+        def __init__(self, segdf: pd.DataFrame):
+            self.sid = segdf["join_k"].to_numpy(dtype=np.int64)
+            self.ax = segdf["ax"].to_numpy(dtype=np.int64)
+            self.ay = segdf["ay"].to_numpy(dtype=np.int64)
+            self.bx = segdf["bx"].to_numpy(dtype=np.int64)
+            self.by = segdf["by"].to_numpy(dtype=np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            px = batch["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+            py = batch["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cnt = np.zeros(len(self.sid), np.int64)
+            CH = 256
+            for s0 in range(0, len(px), CH):
+                d2 = point_segment_d2(
+                    px[s0 : s0 + CH, None],
+                    py[s0 : s0 + CH, None],
+                    self.ax[None, :],
+                    self.ay[None, :],
+                    self.bx[None, :],
+                    self.by[None, :],
+                )
+                cnt += (d2 <= ROAD_BUF_R2).sum(axis=0)
+            keep = cnt > 0
+            return pa.table({"seg": self.sid[keep], "n_p": cnt[keep]})
+
+    part = pos.map_batches(
+        Stage, fn_constructor_args=(seg,), batch_format="pyarrow", concurrency=(1, 8)
+    )
+    df = combine_partials(part, ["seg"], {"n_p": "n_within"})
+    from .aggregate import zerofill
+
+    out = zerofill(df, {"seg": sorted(int(s) for s in seg["join_k"])}, {"n_within": 0})
+    return out.sort_values("seg").reset_index(drop=True).astype(
+        {"seg": "int64", "n_within": "int64"}
+    )
