@@ -4573,3 +4573,46 @@ FROM seg LEFT JOIN cnt ON cnt.seg = seg.seg
 ORDER BY 1
 """
     )
+
+
+def hex_emerging_hotspots(w: int, h: int) -> str:
+    """Emerging-hotspot mirror: the weekly hex cube zerofilled via a
+    cell x week cross join, Mann-Kendall S as an integer sign-sum over
+    the ordered week pairs."""
+    from .pipelines import SNAP_WEEKLY
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list(SNAP_WEEKLY))
+    ts_vals = ", ".join(f"({int(t)})" for t in SNAP_WEEKLY)
+    return (
+        DERIVE
+        + cte
+        + """
+, pt AS (
+  SELECT ts_q, osm_id, lon_e7 AS x, lat_e7 AS y FROM snap
+)"""
+        + _hex_best_sql(w, h, "ts_q, osm_id")
+        + f"""
+, cube AS (
+  SELECT ts_q, i, j, count(*) AS n FROM best GROUP BY 1, 2, 3
+), cells AS (
+  SELECT DISTINCT i, j FROM cube
+), grid AS (
+  SELECT cells.i, cells.j, wk.t AS ts_q, coalesce(cube.n, 0) AS n
+  FROM cells CROSS JOIN (VALUES {ts_vals}) AS wk(t)
+  LEFT JOIN cube ON cube.i = cells.i AND cube.j = cells.j AND cube.ts_q = wk.t
+), mk AS (
+  SELECT a.i, a.j, sum(sign(b.n - a.n)) AS s
+  FROM grid a JOIN grid b ON a.i = b.i AND a.j = b.j AND a.ts_q < b.ts_q
+  GROUP BY 1, 2
+), tot AS (
+  SELECT i, j, sum(n) AS n_total FROM grid GROUP BY 1, 2
+)
+SELECT CAST(mk.i AS BIGINT) AS hex_i, CAST(mk.j AS BIGINT) AS hex_j,
+       CAST(tot.n_total AS BIGINT) AS n_total,
+       CAST(mk.s AS BIGINT) AS mk_s,
+       CASE WHEN mk.s > 0 THEN 'increasing'
+            WHEN mk.s < 0 THEN 'decreasing' ELSE 'flat' END AS trend
+FROM mk JOIN tot ON tot.i = mk.i AND tot.j = mk.j
+ORDER BY 1, 2
+"""
+    )

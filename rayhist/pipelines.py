@@ -8933,3 +8933,64 @@ def q_road_buffer_count(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("seg").reset_index(drop=True).astype(
         {"seg": "int64", "n_within": "int64"}
     )
+
+
+def q_hex_emerging_hotspots(sf_dir: str) -> pd.DataFrame:
+    """EMERGING-HOTSPOT classification (the space-time-cube trend
+    analysis): for every hex cell occupied in ANY week, the
+    Mann-Kendall trend statistic S = sum over week pairs i<j of
+    sign(x_j - x_i) over the ZEROFILLED weekly snapshot series —
+    exact integers end to end (S in [-10, 10] for 5 weeks), classified
+    increasing / flat / decreasing. One fused stage produces the
+    weekly cube partials (the hexcell_weekly shape); the driver final
+    walks |cells| x 5 zerofilled values."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell, pack_hex, unpack_hex
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array(SNAP_WEEKLY, dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        i, j = hex_cell(
+            s["lon_e7"].to_numpy(zero_copy_only=False),
+            s["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        df = pd.DataFrame(
+            {"ts_q": s["ts_q"].to_numpy(zero_copy_only=False), "cell": pack_hex(i, j)}
+        )
+        g = df.groupby(["ts_q", "cell"], as_index=False).size()
+        return pa.table(
+            {
+                "ts_q": g["ts_q"].to_numpy(dtype=np.int64),
+                "cell": g["cell"].to_numpy(dtype=np.int64),
+                "n_part": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = combine_partials(partials, ["ts_q", "cell"], {"n_part": "n"})
+    piv = (
+        df.pivot_table(index="cell", columns="ts_q", values="n", fill_value=0)
+        .reindex(columns=SNAP_WEEKLY, fill_value=0)
+        .astype("int64")
+    )
+    x = piv.to_numpy()
+    s = np.zeros(len(piv), dtype=np.int64)
+    k = x.shape[1]
+    for a in range(k):
+        for b in range(a + 1, k):
+            s += np.sign(x[:, b] - x[:, a]).astype(np.int64)
+    i, j = unpack_hex(piv.index.to_numpy(dtype=np.int64))
+    trend = np.where(s > 0, "increasing", np.where(s < 0, "decreasing", "flat"))
+    out = pd.DataFrame(
+        {
+            "hex_i": i,
+            "hex_j": j,
+            "n_total": x.sum(axis=1),
+            "mk_s": s,
+            "trend": trend,
+        }
+    ).astype({"hex_i": "int64", "hex_j": "int64", "n_total": "int64", "mk_s": "int64"})
+    return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)

@@ -711,3 +711,39 @@ def test_history_terminals_pinned_to_direct_pipelines():
         OSMContributionView.on(SF).areaOfInterest(
             bbox=(-1_000_000_000, -500_000_000, 1_000_000_000, 500_000_000)
         ).lifespans()
+
+
+def test_facade_hexcell_indexer_pinned_to_direct_pipeline():
+    """The fluent chain aggregateBy(hex-pack indexer).count() over the
+    T_MID snapshot equals q_snapshot_count_by_hexcell — the H3-style
+    spatial key through the reference's function-typed aggregateBy
+    overload (MapReducer.java:735-766)."""
+    import numpy as np
+
+    from rayhist.pipelines import T_MID, q_snapshot_count_by_hexcell
+    from rayhist.spatial.hexgrid import hex_cell, pack_hex, unpack_hex
+
+    def hex_indexer(t):
+        i, j = hex_cell(
+            t["lon_e7"].to_numpy(zero_copy_only=False),
+            t["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        return pack_hex(i, j)
+
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .aggregateBy(hex_indexer, name="hex")
+        .count()
+    )
+    i, j = unpack_hex(got["hex"].to_numpy(dtype=np.int64))
+    got = (
+        got.assign(hex_i=i, hex_j=j)
+        .rename(columns={"count": "n_snapshots"})[["hex_i", "hex_j", "n_snapshots"]]
+        .sort_values(["hex_i", "hex_j"])
+        .reset_index(drop=True)
+    )
+    want = q_snapshot_count_by_hexcell(SF)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_snapshots": "int64"}), want.astype({"n_snapshots": "int64"})
+    )
