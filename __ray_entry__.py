@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_snapshot_field": p.q_idw_snapshot_field,
         "road_buffer_count": p.q_road_buffer_count,
         "hex_emerging_hotspots": p.q_hex_emerging_hotspots,
+        "zonal_raster_stats": p.q_zonal_raster_stats,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "road_buffer_count": o.road_buffer_count(p.ROAD_CLASS_MOD, p.ROAD_BUF_R2),
         "hexcell_weekly": o.hexcell_weekly(hx.HEX_W, hx.HEX_H),
         "hex_emerging_hotspots": o.hex_emerging_hotspots(hx.HEX_W, hx.HEX_H),
+        "zonal_raster_stats": o.zonal_raster_stats(),
         "idw_snapshot_field": o.idw_snapshot_field(
             hx.HEX_W, hx.HEX_H, p.IDW_WSCALE, p.IDW_W0, p.IDW_R2, p.IDW_RLIM
         ),

@@ -4616,3 +4616,39 @@ FROM mk JOIN tot ON tot.i = mk.i AND tot.j = mk.j
 ORDER BY 1, 2
 """
     )
+
+
+def zonal_raster_stats() -> str:
+    """Zonal-statistics mirror: the PIP membership condition per
+    region (the snapshot_pip_regions edge mirror), the raster band
+    formula, integer count/sum, one IEEE division for the mean."""
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    nx = 1 << RASTER_ZOOM
+    ny = 1 << (RASTER_ZOOM - 1)
+    rv = (
+        f"(CAST(least((lat_e7 + 900000000) * {ny} // 1800000000, {ny - 1}) * {nx}"
+        f" + ((lon_e7 + 1800000000) % 3600000000) * {nx} // 3600000000 AS BIGINT)"
+        f" * {RASTER_HASH}) % {RASTER_MOD}"
+    )
+    parts = [
+        f"""SELECT '{rid}' AS region_id,
+       CAST(count(*) FILTER ({_convex_condition(ring)}) AS BIGINT) AS n_points,
+       CAST(coalesce(sum({rv}) FILTER ({_convex_condition(ring)}), 0) AS BIGINT)
+         AS sum_raster
+FROM snap"""
+        for rid, ring in sorted(REGIONS.items())
+    ]
+    return (
+        DERIVE
+        + cte
+        + "\n, z AS ("
+        + " UNION ALL ".join(parts)
+        + """)
+SELECT region_id, n_points, sum_raster,
+       CASE WHEN n_points > 0
+            THEN CAST(sum_raster AS DOUBLE) / CAST(n_points AS DOUBLE)
+            ELSE 0.0 END AS mean_raster
+FROM z ORDER BY region_id
+"""
+    )

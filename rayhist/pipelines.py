@@ -8994,3 +8994,52 @@ def q_hex_emerging_hotspots(sf_dir: str) -> pd.DataFrame:
         }
     ).astype({"hex_i": "int64", "hex_j": "int64", "n_total": "int64", "mk_s": "int64"})
     return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)
+
+
+def q_zonal_raster_stats(sf_dir: str) -> pd.DataFrame:
+    """ZONAL STATISTICS: per boundary region, count and SUM of the
+    raster band value sampled at each member snapshot point — the
+    raster<->vector composition (PIP semi-join x raster lookup) in ONE
+    fused stage with per-region integer partials; zerofilled regions
+    report 0 (mean 0.0 by convention). The mean is the single final
+    IEEE division."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.fip import contains_convex
+    from .temporal import snapshots as snapshots_fn
+
+    region_items = sorted(REGIONS.items())
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        lon = s["lon_e7"].to_numpy(zero_copy_only=False)
+        lat = s["lat_e7"].to_numpy(zero_copy_only=False)
+        rv = raster_value_for(cell_id(lon, lat, RASTER_ZOOM)).astype(np.int64)
+        lonf = lon.astype(np.float64)
+        latf = lat.astype(np.float64)
+        rids, ns, sums = [], [], []
+        for rid, ring in region_items:
+            inside = contains_convex(np.asarray(ring), lonf, latf)
+            rids.append(rid)
+            ns.append(int(inside.sum()))
+            sums.append(int(rv[inside].sum()))
+        return pa.table(
+            {
+                "region_id": pa.array(rids),
+                "n_p": pa.array(ns, type=pa.int64()),
+                "s_p": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = combine_partials(partials, ["region_id"], {"n_p": "n_points", "s_p": "sum_raster"})
+    out = zerofill(
+        df,
+        {"region_id": [r for r, _ in region_items]},
+        {"n_points": 0, "sum_raster": 0},
+    ).astype({"n_points": "int64", "sum_raster": "int64"})
+    n = out["n_points"].to_numpy(dtype=np.float64)
+    s = out["sum_raster"].to_numpy(dtype=np.float64)
+    out["mean_raster"] = np.where(out["n_points"] > 0, s / np.where(n > 0, n, 1.0), 0.0)
+    return out.sort_values("region_id").reset_index(drop=True)
