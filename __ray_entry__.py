@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "road_buffer_count": p.q_road_buffer_count,
         "hex_emerging_hotspots": p.q_hex_emerging_hotspots,
         "zonal_raster_stats": p.q_zonal_raster_stats,
+        "cell_flows": p.q_cell_flows,
+        "contributor_territory": p.q_contributor_territory,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -415,6 +417,8 @@ def oracle_sql() -> dict[str, str]:
         "hexcell_weekly": o.hexcell_weekly(hx.HEX_W, hx.HEX_H),
         "hex_emerging_hotspots": o.hex_emerging_hotspots(hx.HEX_W, hx.HEX_H),
         "zonal_raster_stats": o.zonal_raster_stats(),
+        "cell_flows": o.cell_flows(hx.HEX_W, hx.HEX_H),
+        "contributor_territory": o.contributor_territory(hx.HEX_W, hx.HEX_H),
         "idw_snapshot_field": o.idw_snapshot_field(
             hx.HEX_W, hx.HEX_H, p.IDW_WSCALE, p.IDW_W0, p.IDW_R2, p.IDW_RLIM
         ),

@@ -4652,3 +4652,61 @@ SELECT region_id, n_points, sum_raster,
 FROM z ORDER BY region_id
 """
     )
+
+
+def cell_flows(w: int, h: int) -> str:
+    """OD-flow mirror: per-version hex assignment (keyed osm_id, v over
+    the visible rows), lag window ordered (ts_us, v) within each
+    entity — the _sorted_versions order — cell-change filter, grouped
+    counts."""
+    return (
+        DERIVE
+        + """
+, pt AS (
+  SELECT osm_id, v, ts_us, lon_e7 AS x, lat_e7 AS y FROM d WHERE visible
+)"""
+        + _hex_best_sql(w, h, "osm_id, v")
+        + """
+, ordered AS (
+  SELECT b.i, b.j,
+         lag(b.i) OVER (PARTITION BY b.osm_id ORDER BY p.ts_us, b.v) AS pi,
+         lag(b.j) OVER (PARTITION BY b.osm_id ORDER BY p.ts_us, b.v) AS pj
+  FROM best b JOIN pt p ON p.osm_id = b.osm_id AND p.v = b.v
+)
+SELECT CAST(pi AS BIGINT) AS from_i, CAST(pj AS BIGINT) AS from_j,
+       CAST(i AS BIGINT) AS to_i, CAST(j AS BIGINT) AS to_j,
+       CAST(count(*) AS BIGINT) AS n_moves
+FROM ordered
+WHERE pi IS NOT NULL AND (pi <> i OR pj <> j)
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+"""
+    )
+
+
+def contributor_territory(w: int, h: int) -> str:
+    """Territory mirror: per-(uid, cell) visible-edit counts, modal
+    cell via row_number ordered (n DESC, i, j), totals joined back."""
+    return (
+        DERIVE
+        + """
+, pt AS (
+  SELECT osm_id, v, uid, lon_e7 AS x, lat_e7 AS y FROM d WHERE visible
+)"""
+        + _hex_best_sql(w, h, "osm_id, v, uid")
+        + """
+, c AS (
+  SELECT uid, i, j, count(*) AS n FROM best GROUP BY 1, 2, 3
+), top AS (
+  SELECT uid, i, j, n FROM c
+  QUALIFY row_number() OVER (PARTITION BY uid ORDER BY n DESC, i, j) = 1
+), tot AS (
+  SELECT uid, sum(n) AS n_total FROM c GROUP BY 1
+)
+SELECT CAST(top.uid AS BIGINT) AS uid,
+       CAST(top.i AS BIGINT) AS home_i, CAST(top.j AS BIGINT) AS home_j,
+       CAST(top.n AS BIGINT) AS n_home,
+       CAST(tot.n_total AS BIGINT) AS n_total
+FROM top JOIN tot ON tot.uid = top.uid
+ORDER BY 1
+"""
+    )

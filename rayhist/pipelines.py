@@ -9043,3 +9043,114 @@ def q_zonal_raster_stats(sf_dir: str) -> pd.DataFrame:
     s = out["sum_raster"].to_numpy(dtype=np.float64)
     out["mean_raster"] = np.where(out["n_points"] > 0, s / np.where(n > 0, n, 1.0), 0.0)
     return out.sort_values("region_id").reset_index(drop=True)
+
+
+def q_cell_flows(sf_dir: str) -> pd.DataFrame:
+    """ORIGIN-DESTINATION FLOW MATRIX over the hex index: for every
+    pair of consecutive VISIBLE versions of an entity whose position
+    crossed a cell boundary, one (from_cell -> to_cell) move — the
+    movement-aggregation shape (OD matrices / desire lines). Zero
+    shuffle: docs are rows, so consecutive-version pairing resolves
+    inside the fused decode (per-doc realign via _sorted_versions,
+    the HEADER_TIMESTAMPS_NOT_IN_ORDER tolerance); partials combine
+    on the bounded (cell, cell) key."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell
+    from .temporal import _sorted_versions
+
+    def stage(b: pa.Table) -> pd.DataFrame:
+        tbl, codes, ts, v, _ = _sorted_versions(decode_spans(b, tags=False))
+        empty = pa.table(
+            {
+                "from_i": pa.array([], pa.int64()),
+                "from_j": pa.array([], pa.int64()),
+                "to_i": pa.array([], pa.int64()),
+                "to_j": pa.array([], pa.int64()),
+                "n_p": pa.array([], pa.int64()),
+            }
+        )
+        if not len(ts):
+            return empty
+        vis = tbl["visible"].to_numpy(zero_copy_only=False).astype(bool)
+        codes = codes[vis]
+        lon = tbl["lon_e7"].to_numpy(zero_copy_only=False)[vis]
+        lat = tbl["lat_e7"].to_numpy(zero_copy_only=False)[vis]
+        if len(codes) < 2:
+            return empty
+        i, j = hex_cell(lon, lat)
+        same = codes[1:] == codes[:-1]
+        moved = same & ((i[1:] != i[:-1]) | (j[1:] != j[:-1]))
+        df = pd.DataFrame(
+            {
+                "from_i": i[:-1][moved],
+                "from_j": j[:-1][moved],
+                "to_i": i[1:][moved],
+                "to_j": j[1:][moved],
+            }
+        )
+        g = df.groupby(["from_i", "from_j", "to_i", "to_j"], as_index=False).size()
+        return pa.table(
+            {
+                "from_i": g["from_i"].to_numpy(dtype=np.int64),
+                "from_j": g["from_j"].to_numpy(dtype=np.int64),
+                "to_i": g["to_i"].to_numpy(dtype=np.int64),
+                "to_j": g["to_j"].to_numpy(dtype=np.int64),
+                "n_p": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = combine_partials(
+        partials, ["from_i", "from_j", "to_i", "to_j"], {"n_p": "n_moves"}
+    ).astype(
+        {"from_i": "int64", "from_j": "int64", "to_i": "int64", "to_j": "int64",
+         "n_moves": "int64"}
+    )
+    return df.sort_values(["from_i", "from_j", "to_i", "to_j"]).reset_index(drop=True)
+
+
+def q_contributor_territory(sf_dir: str) -> pd.DataFrame:
+    """CONTRIBUTOR TERRITORY: each user's MODAL hex cell over their
+    visible version edits (ties break to the smallest (i, j)) plus
+    their edit count there and overall — 'where does each contributor
+    mostly map'. Partials combine on the bounded (uid x lattice) key;
+    the per-uid argmax walks |uids x their cells| at the driver."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell
+
+    def stage(b: pa.Table) -> pa.Table:
+        d = decode_spans(b, tags=False)
+        vis = d["visible"].to_numpy(zero_copy_only=False).astype(bool)
+        uid = d["uid"].to_numpy(zero_copy_only=False)[vis]
+        i, j = hex_cell(
+            d["lon_e7"].to_numpy(zero_copy_only=False)[vis],
+            d["lat_e7"].to_numpy(zero_copy_only=False)[vis],
+        )
+        g = pd.DataFrame({"uid": uid, "i": i, "j": j}).groupby(
+            ["uid", "i", "j"], as_index=False
+        ).size()
+        return pa.table(
+            {
+                "uid": g["uid"].to_numpy(dtype=np.int64),
+                "i": g["i"].to_numpy(dtype=np.int64),
+                "j": g["j"].to_numpy(dtype=np.int64),
+                "n_p": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = combine_partials(partials, ["uid", "i", "j"], {"n_p": "n"})
+    df = df.sort_values(
+        ["uid", "n", "i", "j"], ascending=[True, False, True, True], kind="mergesort"
+    )
+    top = df.groupby("uid", as_index=False).first()
+    tot = df.groupby("uid", as_index=False)["n"].sum().rename(columns={"n": "n_total"})
+    out = top.merge(tot, on="uid").rename(
+        columns={"uid": "uid", "i": "home_i", "j": "home_j", "n": "n_home"}
+    )[["uid", "home_i", "home_j", "n_home", "n_total"]].astype(
+        {"uid": "int64", "home_i": "int64", "home_j": "int64", "n_home": "int64",
+         "n_total": "int64"}
+    )
+    return out.sort_values("uid").reset_index(drop=True)
