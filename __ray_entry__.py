@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_raster_stats": p.q_zonal_raster_stats,
         "cell_flows": p.q_cell_flows,
         "contributor_territory": p.q_contributor_territory,
+        "etype_seasonal_profile": p.q_etype_seasonal_profile,
+        "doc_join_collocates": p.q_doc_join_collocates,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -419,6 +421,10 @@ def oracle_sql() -> dict[str, str]:
         "zonal_raster_stats": o.zonal_raster_stats(),
         "cell_flows": o.cell_flows(hx.HEX_W, hx.HEX_H),
         "contributor_territory": o.contributor_territory(hx.HEX_W, hx.HEX_H),
+        "doc_join_collocates": o.doc_join_collocates(p.COLLOC_PAT),
+        "etype_seasonal_profile": o.etype_seasonal_profile(
+            p.T0, p.DAY_US, p.SEAS_HALF
+        ),
         "idw_snapshot_field": o.idw_snapshot_field(
             hx.HEX_W, hx.HEX_H, p.IDW_WSCALE, p.IDW_W0, p.IDW_R2, p.IDW_RLIM
         ),

@@ -4710,3 +4710,53 @@ FROM top JOIN tot ON tot.uid = top.uid
 ORDER BY 1
 """
     )
+
+
+def etype_seasonal_profile(t0: int, day_us: int, half: int) -> str:
+    """Seasonal-profile mirror: zerofilled global day grid, exact
+    integer window sum (frame ROWS +-half, full windows only),
+    integer-scaled detrend, one IEEE division."""
+    k = 2 * int(half) + 1
+    return f"""
+WITH c AS (
+  SELECT (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day,
+         event_type AS etype, count(*) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM c
+), grid AS (
+  SELECT e.etype, d.day, coalesce(c.n, 0) AS n
+  FROM (SELECT DISTINCT etype FROM c) e
+  CROSS JOIN (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b) d
+  LEFT JOIN c ON c.etype = e.etype AND c.day = d.day
+), w AS (
+  SELECT etype, day, n,
+         sum(n) OVER (PARTITION BY etype ORDER BY day
+                      ROWS BETWEEN {int(half)} PRECEDING
+                      AND {int(half)} FOLLOWING) AS trend,
+         count(*) OVER (PARTITION BY etype ORDER BY day
+                        ROWS BETWEEN {int(half)} PRECEDING
+                        AND {int(half)} FOLLOWING) AS wn
+  FROM grid
+), det AS (
+  SELECT etype, day % 7 AS dow, {k}*n - trend AS det
+  FROM w WHERE wn = {k}
+)
+SELECT etype, CAST(dow AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(det) AS BIGINT) AS sum_det,
+       CAST(sum(det) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS seasonal_x7
+FROM det GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def doc_join_collocates(pat: str) -> str:
+    """Collocate mirror: RE2 first-match capture group 1 per doc,
+    empty string = no match (DuckDB convention), grouped counts."""
+    return f"""
+WITH x AS (
+  SELECT regexp_extract(text, '{pat}', 1) AS word FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n_docs
+FROM x WHERE word <> '' GROUP BY 1 ORDER BY 1
+"""

@@ -9154,3 +9154,91 @@ def q_contributor_territory(sf_dir: str) -> pd.DataFrame:
          "n_total": "int64"}
     )
     return out.sort_values("uid").reset_index(drop=True)
+
+
+SEAS_HALF = 3  # centered moving-average half-window (7-day MA)
+
+
+def q_etype_seasonal_profile(sf_dir: str) -> pd.DataFrame:
+    """SEASONAL (day-of-week) PROFILE after moving-average detrend —
+    the time-series decomposition primitive, float-free until the last
+    division: over the ZEROFILLED per-type daily grid, the 7-day
+    centered trend is the exact integer window sum, the detrended
+    series is 7*x_t - trend (integer-scaled to avoid the MA division),
+    edge days without a full window drop, and the per-(etype, dow)
+    seasonal mean is ONE IEEE division of exact integer sums. dow 0 =
+    the first testdata day (2024-01-01, a Monday)."""
+    base = _etype_day_grid(sf_dir)
+    days = np.arange(base["day"].min(), base["day"].max() + 1, dtype=np.int64)
+    rows = []
+    for etype, g in base.groupby("etype"):
+        x = (
+            g.set_index("day")["n"].reindex(days, fill_value=0).to_numpy(dtype=np.int64)
+        )
+        if len(x) < 2 * SEAS_HALF + 1:
+            continue
+        k = 2 * SEAS_HALF + 1
+        trend = np.convolve(x, np.ones(k, dtype=np.int64), mode="valid")  # exact ints
+        core = x[SEAS_HALF:-SEAS_HALF]
+        det = k * core - trend
+        dows = (days[SEAS_HALF:-SEAS_HALF]) % 7
+        df = pd.DataFrame({"dow": dows, "det": det})
+        s = df.groupby("dow", as_index=False).agg(
+            sum_det=("det", "sum"), n_days=("det", "size")
+        )
+        for _, r in s.iterrows():
+            rows.append(
+                {
+                    "etype": etype,
+                    "dow": int(r["dow"]),
+                    "n_days": int(r["n_days"]),
+                    "sum_det": int(r["sum_det"]),
+                    "seasonal_x7": np.float64(r["sum_det"]) / np.float64(r["n_days"]),
+                }
+            )
+    out = pd.DataFrame(rows).astype(
+        {"etype": "object", "dow": "int64", "n_days": "int64", "sum_det": "int64",
+         "seasonal_x7": "float64"}
+    )
+    return out.sort_values(["etype", "dow"]).reset_index(drop=True)
+
+
+COLLOC_PAT = r"\b([a-z]+) join\b"  # capture: the word preceding "join"
+
+
+def q_doc_join_collocates(sf_dir: str) -> pd.DataFrame:
+    """STRUCTURED FIELD EXTRACTION: per document, the FIRST capture of
+    an RE2 group (the word preceding 'join'), aggregated into a
+    collocate vocabulary with document counts — the
+    extract-into-columns curation primitive. One vectorized
+    pyarrow.compute.extract_regex pass (first-match semantics ==
+    DuckDB regexp_extract(text, pat, 1)); per-batch partial counts
+    per extracted word combine on the bounded vocabulary."""
+    from .aggregate import combine_partials
+
+    docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    # pyarrow needs a NAMED group; DuckDB's numbered group 1 is the same
+    pat = COLLOC_PAT.replace("(", "(?P<w>", 1)
+
+    def stage(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ex = pc.extract_regex(b["text"], pat)
+        w = pc.struct_field(ex, "w") if len(b) else pa.array([], pa.string())
+        g = (
+            pd.DataFrame({"word": w.to_pandas()})
+            .dropna()
+            .groupby("word", as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "word": g["word"].to_numpy(),
+                "n_p": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    df = combine_partials(
+        docs.map_batches(stage, batch_format="pyarrow"), ["word"], {"n_p": "n_docs"}
+    ).astype({"word": "object", "n_docs": "int64"})
+    return df.sort_values("word").reset_index(drop=True)
