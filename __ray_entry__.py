@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contributor_territory": p.q_contributor_territory,
         "etype_seasonal_profile": p.q_etype_seasonal_profile,
         "doc_join_collocates": p.q_doc_join_collocates,
+        "hex_morans_i": p.q_hex_morans_i,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -422,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_flows": o.cell_flows(hx.HEX_W, hx.HEX_H),
         "contributor_territory": o.contributor_territory(hx.HEX_W, hx.HEX_H),
         "doc_join_collocates": o.doc_join_collocates(p.COLLOC_PAT),
+        "hex_morans_i": o.hex_morans_i(hx.HEX_W, hx.HEX_H),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

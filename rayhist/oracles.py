@@ -4760,3 +4760,44 @@ WITH x AS (
 SELECT word, CAST(count(*) AS BIGINT) AS n_docs
 FROM x WHERE word <> '' GROUP BY 1 ORDER BY 1
 """
+
+
+def hex_morans_i(w: int, h: int) -> str:
+    """Moran's-I mirror: version counts per hex cell, occupied
+    6-neighbor self-join, N-scaled integer deviations in HUGEINT,
+    the three-IEEE-op tail (N/W) * (num/den)."""
+    return (
+        DERIVE
+        + """
+, pt AS (
+  SELECT row_number() OVER (ORDER BY osm_id, v) AS rid,
+         lon_e7 AS x, lat_e7 AS y
+  FROM d
+)"""
+        + _hex_best_sql(w, h, "rid")
+        + """
+, c AS (
+  SELECT i, j, count(*) AS n FROM best GROUP BY 1, 2
+), st AS (
+  SELECT count(*) AS nc, sum(n) AS s1 FROM c
+), pr AS (
+  SELECT sum((st.nc * a.n - st.s1) * (st.nc * b.n - st.s1)) AS num,
+         count(*) AS w_pairs
+  FROM c a
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+    AS o(di, dj)
+  JOIN c b ON b.i = a.i + o.di AND b.j = a.j + o.dj
+  CROSS JOIN st
+), dn AS (
+  SELECT sum((st.nc * c.n - st.s1) * (st.nc * c.n - st.s1)) AS den
+  FROM c CROSS JOIN st
+)
+SELECT CAST(st.nc AS BIGINT) AS n_cells,
+       CAST(pr.w_pairs AS BIGINT) AS w_pairs,
+       CAST(pr.num AS BIGINT) AS num,
+       CAST(dn.den AS BIGINT) AS den,
+       (CAST(st.nc AS DOUBLE) / CAST(pr.w_pairs AS DOUBLE))
+         * (CAST(pr.num AS DOUBLE) / CAST(dn.den AS DOUBLE)) AS morans_i
+FROM st CROSS JOIN pr CROSS JOIN dn
+"""
+    )

@@ -9242,3 +9242,75 @@ def q_doc_join_collocates(sf_dir: str) -> pd.DataFrame:
         docs.map_batches(stage, batch_format="pyarrow"), ["word"], {"n_p": "n_docs"}
     ).astype({"word": "object", "n_docs": "int64"})
     return df.sort_values("word").reset_index(drop=True)
+
+
+def q_hex_morans_i(sf_dir: str) -> pd.DataFrame:
+    """GLOBAL SPATIAL AUTOCORRELATION (Moran's I) of edit intensity
+    over the hex lattice — the global companion to the local Gi*
+    scores. Multiplying the deviations through by N makes every
+    sufficient statistic an EXACT integer: num = sum over occupied
+    6-neighbor pairs of (N*x_a - S1)(N*x_b - S1), den = sum over
+    cells of (N*x_c - S1)^2, W = directed occupied-pair count; the
+    only floats are the three final IEEE ops (N/W) * (num/den),
+    mirrored literally. Same distributed shape as hex_hotspot_gi:
+    lattice-bounded partials, |cells|-walk driver final."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell
+
+    def stage(batch: pa.Table) -> pa.Table:
+        d = decode_spans(batch, tags=False)
+        i, j = hex_cell(
+            d["lon_e7"].to_numpy(zero_copy_only=False),
+            d["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        g = pd.DataFrame({"i": i, "j": j}).groupby(["i", "j"], as_index=False).size()
+        return pa.table(
+            {
+                "i": g["i"].to_numpy(dtype=np.int64),
+                "j": g["j"].to_numpy(dtype=np.int64),
+                "n_part": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = combine_partials(
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"), ["i", "j"],
+        {"n_part": "n"},
+    )
+    cells = {
+        (int(i), int(j)): int(n) for i, j, n in zip(base["i"], base["j"], base["n"])
+    }
+    n_cells = len(cells)
+    s1 = sum(cells.values())
+    offs = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+    num = 0
+    w_pairs = 0
+    for (i, j), x in cells.items():
+        da = n_cells * x - s1
+        for di, dj in offs:
+            nb = cells.get((i + di, j + dj))
+            if nb is not None:
+                num += da * (n_cells * nb - s1)
+                w_pairs += 1
+    den = sum((n_cells * x - s1) ** 2 for x in cells.values())
+    if w_pairs == 0 or den == 0:
+        raise ValueError("hex_morans_i: degenerate lattice (no pairs or variance)")
+    if not (-(2**63) < num < 2**63 and 0 < den < 2**63):
+        raise OverflowError("hex_morans_i: statistic exceeds int64")
+    morans = (np.float64(n_cells) / np.float64(w_pairs)) * (
+        np.float64(num) / np.float64(den)
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_cells": n_cells,
+                "w_pairs": w_pairs,
+                "num": num,
+                "den": den,
+                "morans_i": morans,
+            }
+        ]
+    ).astype(
+        {"n_cells": "int64", "w_pairs": "int64", "num": "int64", "den": "int64",
+         "morans_i": "float64"}
+    )
