@@ -1004,3 +1004,79 @@ def weighted_sample_topk(
     cand = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["race_key", key_col], kind="mergesort").head(k)
     return cand.reset_index(drop=True)
+
+
+def island_length_histogram(
+    ds: "ray.data.Dataset", col: str, range_size: int = 1024
+) -> "pd.DataFrame":
+    """Distributed GAPS-AND-ISLANDS: lengths of maximal runs of
+    consecutive integers in ``col`` (values assumed distinct), as a
+    (length -> n_chains) histogram.
+
+    Scale shape: RANGE-bucket by value // range_size (contiguous
+    ranges, one Dataset shuffle); each bucket resolves its interior
+    runs locally and emits at most TWO boundary-touching segments, so
+    the driver stitch walks O(#buckets) segments — never the value
+    corpus. The SQL mirror is the classic id - row_number() island
+    key; equality is pinned by the *_chain_lengths oracle."""
+    import pandas as pd
+    import pyarrow as pa
+
+    rs = int(range_size)
+
+    def add_rb(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({col: v, "_rb": np.floor_divide(v, rs)})
+
+    def local_runs(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = np.sort(np.unique(g[col].to_numpy(dtype=np.int64)))
+        rb = int(g["_rb"].iloc[0])
+        lo, hi = rb * rs, rb * rs + rs - 1
+        brk = np.nonzero(np.diff(v) > 1)[0]
+        starts = np.r_[0, brk + 1]
+        ends = np.r_[brk, len(v) - 1]
+        first, last = v[starts], v[ends]
+        edge = (first == lo) | (last == hi)
+        lens = (last - first + 1)[~edge]
+        ul, uc = np.unique(lens, return_counts=True)
+        out = pd.DataFrame(
+            {
+                "kind": ["len"] * len(ul) + ["seg"] * int(edge.sum()),
+                "a": np.concatenate([ul, first[edge]]),
+                "b": np.concatenate([uc, last[edge]]),
+            }
+        )
+        return out.astype({"kind": "object", "a": "int64", "b": "int64"})
+
+    rows = (
+        ds.map_batches(add_rb, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(local_runs, batch_format="pandas")
+        .to_pandas()  # O(#buckets) rows by construction
+    )
+    hist: dict[int, int] = {}
+    segs = []
+    for _, r in rows.iterrows():
+        if r["kind"] == "len":
+            hist[int(r["a"])] = hist.get(int(r["a"]), 0) + int(r["b"])
+        else:
+            segs.append((int(r["a"]), int(r["b"])))
+    segs.sort()
+    k = 0
+    while k < len(segs):
+        first, last = segs[k]
+        k2 = k + 1
+        while k2 < len(segs) and segs[k2][0] == last + 1:
+            last = segs[k2][1]
+            k2 += 1
+        ln = last - first + 1
+        hist[ln] = hist.get(ln, 0) + 1
+        k = k2
+    out = pd.DataFrame(
+        {"length": sorted(hist), "n_chains": [hist[x] for x in sorted(hist)]}
+    ).astype({"length": "int64", "n_chains": "int64"})
+    return out

@@ -4801,3 +4801,26 @@ SELECT CAST(st.nc AS BIGINT) AS n_cells,
 FROM st CROSS JOIN pr CROSS JOIN dn
 """
     )
+
+
+def way_chain_lengths() -> str:
+    """Islands mirror: the classic id - row_number() island key over
+    the visible T_MID ids, grouped into a length histogram."""
+    from .pipelines import T_MID
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+, ids AS (
+  SELECT osm_id, osm_id - row_number() OVER (ORDER BY osm_id) AS isl
+  FROM snap
+), runs AS (
+  SELECT count(*) AS length FROM ids GROUP BY isl
+)
+SELECT CAST(length AS BIGINT) AS length,
+       CAST(count(*) AS BIGINT) AS n_chains
+FROM runs GROUP BY 1 ORDER BY 1
+"""
+    )

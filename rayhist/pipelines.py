@@ -9314,3 +9314,26 @@ def q_hex_morans_i(sf_dir: str) -> pd.DataFrame:
         {"n_cells": "int64", "w_pairs": "int64", "num": "int64", "den": "int64",
          "morans_i": "float64"}
     )
+
+
+def q_way_chain_lengths(sf_dir: str) -> pd.DataFrame:
+    """NETWORK CHAIN LENGTHS: the histogram of maximal runs of
+    consecutive osm_ids visible at T_MID — connected way-chain sizes
+    under the synthetic way model (way u links node u -> u+1, so a run
+    of L consecutive live nodes is one connected chain of L-1 ways /
+    L nodes; we report node-run lengths). Distributed gaps-and-islands
+    (ops.relational.island_length_histogram): range-bucketed local
+    runs + O(buckets) boundary stitch — never a global sort or a
+    single-reducer as-of."""
+    from .model import decode_spans
+    from .ops.relational import island_length_histogram
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def ids(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False, geom=False), ts)
+        return s.select(["osm_id"])
+
+    ds = _docs(sf_dir).map_batches(ids, batch_format="pyarrow")
+    return island_length_histogram(ds, "osm_id")

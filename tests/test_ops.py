@@ -2780,3 +2780,28 @@ def test_doc_redaction_parity_and_invariants():
         assert row["len_after"] == len(row["text_redacted"])
         if row["n_redacted"] == 0:
             assert row["text_redacted"] == src
+
+
+def test_island_length_histogram_brute_force():
+    """Distributed gaps-and-islands equals the brute-force run-length
+    histogram on adversarial id sets: chains spanning 3+ range
+    buckets, fully-saturated buckets, singletons at bucket edges."""
+    import ray.data
+
+    from rayhist.ops.relational import island_length_histogram
+
+    rng = np.random.default_rng(5)
+    ids = set()
+    ids.update(range(1000, 1000 + 3000))  # spans ~3 buckets of 1024
+    ids.update(range(5120, 6144))  # exactly one saturated bucket
+    ids.update({8191, 8192, 8193})  # straddles an edge
+    ids.update(int(x) for x in rng.choice(50_000, 4000, replace=False) + 10_000)
+    arr = np.array(sorted(ids), dtype=np.int64)
+    got = island_length_histogram(
+        ray.data.from_arrow(pa.table({"osm_id": arr})), "osm_id", range_size=1024
+    )
+    brk = np.nonzero(np.diff(arr) > 1)[0]
+    lens = np.diff(np.r_[-1, brk, len(arr) - 1])
+    ul, uc = np.unique(lens, return_counts=True)
+    want = dict(zip(ul.tolist(), uc.tolist()))
+    assert dict(zip(got["length"], got["n_chains"])) == want
