@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_join_collocates": p.q_doc_join_collocates,
         "hex_morans_i": p.q_hex_morans_i,
         "way_chain_lengths": p.q_way_chain_lengths,
+        "way_compactness": p.q_way_compactness,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -426,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_join_collocates": o.doc_join_collocates(p.COLLOC_PAT),
         "hex_morans_i": o.hex_morans_i(hx.HEX_W, hx.HEX_H),
         "way_chain_lengths": o.way_chain_lengths(),
+        "way_compactness": o.way_compactness(),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

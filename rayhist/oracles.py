@@ -4824,3 +4824,51 @@ SELECT CAST(length AS BIGINT) AS length,
 FROM runs GROUP BY 1 ORDER BY 1
 """
     )
+
+
+def way_compactness() -> str:
+    """Compactness mirror: the way_areas excess expression (unfloored)
+    and three way_lengths equirect edges, composed with the literal
+    ((4*pi)*A)/(P*P) tail; degenerate perimeter -> 0."""
+    from .pipelines import T_MID
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+
+    def dist(p, q):
+        return f"""(6371000.0 * sqrt(
+      (radians({q}.lon_e7/10000000.0 - {p}.lon_e7/10000000.0)
+         * cos(radians(({q}.lat_e7/10000000.0 + {p}.lat_e7/10000000.0) / 2)))
+      * (radians({q}.lon_e7/10000000.0 - {p}.lon_e7/10000000.0)
+         * cos(radians(({q}.lat_e7/10000000.0 + {p}.lat_e7/10000000.0) / 2)))
+      + radians({q}.lat_e7/10000000.0 - {p}.lat_e7/10000000.0)
+      * radians({q}.lat_e7/10000000.0 - {p}.lat_e7/10000000.0)
+    ))"""
+
+    area = """abs((
+        (radians(c.lon_e7/10000000.0) - radians(a.lon_e7/10000000.0))
+          * sin(radians(b.lat_e7/10000000.0))
+      + (radians(a.lon_e7/10000000.0) - radians(b.lon_e7/10000000.0))
+          * sin(radians(c.lat_e7/10000000.0))
+      + (radians(b.lon_e7/10000000.0) - radians(c.lon_e7/10000000.0))
+          * sin(radians(a.lat_e7/10000000.0))
+    ) * 6371000.0 * 6371000.0 / 2)"""
+    perim = f"(({dist('a','b')} + {dist('b','c')}) + {dist('c','a')})"
+    return (
+        DERIVE
+        + cte
+        + f"""
+, pos AS (SELECT osm_id, lon_e7, lat_e7 FROM snap)
+, tri AS (
+  SELECT a.osm_id AS way_id, {area} AS area_f, {perim} AS perim_f
+  FROM pos a
+  JOIN pos b ON b.osm_id = a.osm_id + 1
+  JOIN pos c ON c.osm_id = a.osm_id + 2
+)
+SELECT way_id,
+       CAST(floor(area_f) AS BIGINT) AS area_m2,
+       CAST(floor(perim_f * 1000000.0) AS BIGINT) AS perim_um,
+       CASE WHEN perim_f = 0 THEN 0.0
+            ELSE ((4.0 * pi()) * area_f) / (perim_f * perim_f) END AS compactness
+FROM tri ORDER BY way_id
+"""
+    )

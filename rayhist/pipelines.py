@@ -9337,3 +9337,91 @@ def q_way_chain_lengths(sf_dir: str) -> pd.DataFrame:
 
     ds = _docs(sf_dir).map_batches(ids, batch_format="pyarrow")
     return island_length_histogram(ds, "osm_id")
+
+
+def q_way_compactness(sf_dir: str) -> pd.DataFrame:
+    """POLSBY-POPPER COMPACTNESS 4*pi*A / P^2 per synthetic way
+    triangle — the shape-regularity metric composing the two pinned
+    geodesy kernels (spherical-excess area, Geo.java:147-180;
+    equirectangular perimeter, Geo.java:37-45). Same one-shuffle
+    corner fan-out as way_areas; every float after the exact integer
+    coordinates is a single IEEE op in the same order as the SQL
+    mirror, so area, perimeter and the compactness ratio are
+    bit-identical. Degenerate (zero-perimeter) triangles report 0."""
+    from .functions.geo import EARTH_RADIUS
+    from .model import decode_spans
+    from .ops.window import _bucket_of, _resolve_buckets
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(
+            ["osm_id", "lon_e7", "lat_e7"]
+        )
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
+    nb = _resolve_buckets(None, floor=64)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        osm = batch["osm_id"].to_numpy(zero_copy_only=False)
+        way = np.concatenate([osm - i for i in range(3)])
+        return pa.table(
+            {
+                "way_id": way,
+                "corner": np.repeat(np.arange(3, dtype=np.int64), len(osm)),
+                "lon_e7": np.tile(batch["lon_e7"].to_numpy(zero_copy_only=False), 3),
+                "lat_e7": np.tile(batch["lat_e7"].to_numpy(zero_copy_only=False), 3),
+                "_bucket": _bucket_of(way, nb),
+            }
+        )
+
+    def _equirect(lond_a, latd_a, lond_b, latd_b):
+        d_lat = np.radians(latd_b - latd_a)
+        d_lng = np.radians(lond_b - lond_a) * np.cos(np.radians((latd_b + latd_a) / 2))
+        return EARTH_RADIUS * np.sqrt(d_lng * d_lng + d_lat * d_lat)
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["way_id", "corner"], kind="mergesort")
+        counts = g.groupby("way_id", sort=False)["corner"].transform("size")
+        g = g[counts == 3]
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "way_id": pd.Series(dtype="int64"),
+                    "area_m2": pd.Series(dtype="int64"),
+                    "perim_um": pd.Series(dtype="int64"),
+                    "compactness": pd.Series(dtype="float64"),
+                }
+            )
+        lon = g["lon_e7"].to_numpy().reshape(-1, 3)
+        lat = g["lat_e7"].to_numpy().reshape(-1, 3)
+        lond = [lon[:, i] / 1e7 for i in range(3)]
+        latd = [lat[:, i] / 1e7 for i in range(3)]
+        lo = [np.radians(x) for x in lond]
+        la = [np.radians(x) for x in latd]
+        t0 = (lo[2] - lo[0]) * np.sin(la[1])
+        t1 = (lo[0] - lo[1]) * np.sin(la[2])
+        t2 = (lo[1] - lo[2]) * np.sin(la[0])
+        a = np.abs(((t0 + t1) + t2) * EARTH_RADIUS * EARTH_RADIUS / 2)
+        d01 = _equirect(lond[0], latd[0], lond[1], latd[1])
+        d12 = _equirect(lond[1], latd[1], lond[2], latd[2])
+        d20 = _equirect(lond[2], latd[2], lond[0], latd[0])
+        p = (d01 + d12) + d20
+        comp = np.where(p == 0, 0.0, ((np.float64(4.0) * np.pi) * a) / (p * p))
+        return pd.DataFrame(
+            {
+                "way_id": g["way_id"].to_numpy()[::3],
+                "area_m2": np.floor(a).astype(np.int64),
+                "perim_um": np.floor(p * 1000000.0).astype(np.int64),
+                "compactness": comp,
+            }
+        )
+
+    df = (
+        pos.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(assemble, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values("way_id").reset_index(drop=True)
