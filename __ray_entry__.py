@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_morans_i": p.q_hex_morans_i,
         "way_chain_lengths": p.q_way_chain_lengths,
         "way_compactness": p.q_way_compactness,
+        "source_drift_psi": p.q_source_drift_psi,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_morans_i": o.hex_morans_i(hx.HEX_W, hx.HEX_H),
         "way_chain_lengths": o.way_chain_lengths(),
         "way_compactness": o.way_compactness(),
+        "source_drift_psi": o.source_drift_psi(p.PSI_BIN_W),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

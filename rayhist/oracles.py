@@ -4872,3 +4872,33 @@ SELECT way_id,
 FROM tri ORDER BY way_id
 """
     )
+
+
+def source_drift_psi(bin_w: int) -> str:
+    """PSI mirror: (source, bin) counts, pairwise inner join on bin,
+    the identical milli-nat quantization inside exact integer sums,
+    one IEEE division by A*B."""
+    q = "CAST(round(1000*ln(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return f"""
+WITH c AS (
+  SELECT source, n_chars // {int(bin_w)} AS bin, count(*) AS n
+  FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT source, sum(n) AS tot FROM c GROUP BY 1
+), p AS (
+  SELECT a.source AS sa, b.source AS sb, ta.tot AS ta, tb.tot AS tb,
+         a.n AS an, b.n AS bn
+  FROM c a JOIN c b ON a.bin = b.bin AND a.source < b.source
+  JOIN t ta ON ta.source = a.source
+  JOIN t tb ON tb.source = b.source
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(count(*) AS BIGINT) AS n_bins_used,
+       CAST(sum((an*tb - bn*ta)
+                * ({q.format(x='an*tb')} - {q.format(x='bn*ta')})) AS BIGINT)
+         AS psi_num,
+       CAST(sum((an*tb - bn*ta)
+                * ({q.format(x='an*tb')} - {q.format(x='bn*ta')})) AS DOUBLE)
+         / CAST(ta * tb AS DOUBLE) AS psi_mnat
+FROM p GROUP BY 1, 2, ta, tb ORDER BY 1, 2
+"""

@@ -9425,3 +9425,79 @@ def q_way_compactness(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return df.sort_values("way_id").reset_index(drop=True)
+
+
+PSI_BIN_W = 100  # n_chars histogram bin width for the drift metric
+
+
+def q_source_drift_psi(sf_dir: str) -> pd.DataFrame:
+    """DISTRIBUTION DRIFT between document sources: pairwise
+    POPULATION STABILITY INDEX over the n_chars histogram (bin width
+    PSI_BIN_W), the data-validation gate of a training pipeline. The
+    PSI term (a/A - b/B)*ln((a*B)/(b*A)) becomes the EXACT integer
+    (a*B - b*A) * (q(a*B) - q(b*A)) with q = milli-nat quantization
+    (the doc_lm_surprisal contract), summed over bins where BOTH
+    sources are present (the standard zero-bin exclusion), divided
+    ONCE by A*B — so the only float is that final IEEE division.
+    Partials: per-batch (source, bin) counts -> combine bounded by
+    |sources x bins|; the driver walks source pairs."""
+    from .aggregate import combine_partials
+
+    docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(zero_copy_only=False),
+                "bin": b["n_chars"].to_numpy(zero_copy_only=False) // PSI_BIN_W,
+            }
+        )
+        g = df.groupby(["source", "bin"], as_index=False).size()
+        return pa.table(
+            {
+                "source": g["source"].to_numpy(),
+                "bin": g["bin"].to_numpy(dtype=np.int64),
+                "n_p": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = combine_partials(
+        docs.map_batches(stage, batch_format="pyarrow"), ["source", "bin"], {"n_p": "n"}
+    )
+    counts: dict[str, dict[int, int]] = {}
+    for s, b, n in zip(base["source"], base["bin"], base["n"]):
+        counts.setdefault(str(s), {})[int(b)] = int(n)
+    totals = {s: sum(d.values()) for s, d in counts.items()}
+    rows = []
+    for sa in sorted(counts):
+        for sb in sorted(counts):
+            if sa >= sb:
+                continue
+            A, B = totals[sa], totals[sb]
+            num = 0
+            used = 0
+            for bin_, a in counts[sa].items():
+                b = counts[sb].get(bin_)
+                if b is None:
+                    continue
+                num += (a * B - b * A) * (_q_mnat(a * B) - _q_mnat(b * A))
+                used += 1
+            if used == 0:
+                # no shared bins: the SQL inner join emits no row
+                continue
+            if not (-(2**63) < num < 2**63 and 0 < A * B < 2**63):
+                raise OverflowError("source_drift_psi: exceeds int64")
+            rows.append(
+                {
+                    "source_a": sa,
+                    "source_b": sb,
+                    "n_bins_used": used,
+                    "psi_num": num,
+                    "psi_mnat": np.float64(num) / np.float64(A * B),
+                }
+            )
+    out = pd.DataFrame(rows).astype(
+        {"source_a": "object", "source_b": "object", "n_bins_used": "int64",
+         "psi_num": "int64", "psi_mnat": "float64"}
+    )
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
