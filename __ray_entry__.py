@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_chain_lengths": p.q_way_chain_lengths,
         "way_compactness": p.q_way_compactness,
         "source_drift_psi": p.q_source_drift_psi,
+        "contrib_by_hexcell": p.q_contrib_by_hexcell,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "way_chain_lengths": o.way_chain_lengths(),
         "way_compactness": o.way_compactness(),
         "source_drift_psi": o.source_drift_psi(p.PSI_BIN_W),
+        "contrib_by_hexcell": o.contrib_by_hexcell(hx.HEX_W, hx.HEX_H),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

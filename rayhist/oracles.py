@@ -4902,3 +4902,33 @@ SELECT sa AS source_a, sb AS source_b,
          / CAST(ta * tb AS DOUBLE) AS psi_mnat
 FROM p GROUP BY 1, 2, ta, tb ORDER BY 1, 2
 """
+
+
+def contrib_by_hexcell(w: int, h: int) -> str:
+    """Hex-keyed contribution mirror: the contribution CTE's
+    deletion-uses-before-geometry location rule, the shared hex
+    assignment keyed (osm_id, v), grouped flag sums."""
+    return (
+        DERIVE
+        + _contrib_cte()
+        + """
+, pt AS (
+  SELECT osm_id, v,
+         CASE WHEN is_deletion THEN p_lon ELSE lon_e7 END AS x,
+         CASE WHEN is_deletion THEN p_lat ELSE lat_e7 END AS y,
+         is_creation, is_deletion
+  FROM contrib
+)"""
+        + _hex_best_sql(w, h, "osm_id, v")
+        + """
+, lab AS (
+  SELECT b.i, b.j, p.is_creation, p.is_deletion
+  FROM best b JOIN pt p ON p.osm_id = b.osm_id AND p.v = b.v
+)
+SELECT CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j,
+       CAST(count(*) AS BIGINT) AS n_contribs,
+       CAST(count(*) FILTER (is_creation) AS BIGINT) AS n_creations,
+       CAST(count(*) FILTER (is_deletion) AS BIGINT) AS n_deletions
+FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )

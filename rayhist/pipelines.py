@@ -9501,3 +9501,77 @@ def q_source_drift_psi(sf_dir: str) -> pd.DataFrame:
          "psi_num": "int64", "psi_mnat": "float64"}
     )
     return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def q_contrib_by_hexcell(sf_dir: str) -> pd.DataFrame:
+    """CONTRIBUTION COUNTS BY HEX CELL: every contribution in the
+    window keyed by the hex cell of its geometry — the NEW version's
+    position, or (per the reference's deletion semantics, where the
+    contribution geometry is the before-state,
+    OSMContribution.java getGeometryBefore) the PREVIOUS position for
+    deletions. One fused stage: decode -> contribution classification
+    -> hex assign -> per-cell integer partials (total / creations /
+    deletions), combine bounded by the world lattice."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell, pack_hex, unpack_hex
+    from .temporal import contributions as contributions_fn
+
+    def stage(batch: pa.Table) -> pa.Table:
+        c = contributions_fn(decode_spans(batch), CONTRIB_FROM, CONTRIB_TO)
+        if len(c) == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "n_p": pa.array([], pa.int64()),
+                    "cre_p": pa.array([], pa.int64()),
+                    "del_p": pa.array([], pa.int64()),
+                }
+            )
+        is_del = c["is_deletion"].to_numpy(zero_copy_only=False).astype(bool)
+        is_cre = c["is_creation"].to_numpy(zero_copy_only=False).astype(bool)
+        lon = np.where(
+            is_del,
+            c["prev_lon_e7"].to_numpy(zero_copy_only=False),
+            c["lon_e7"].to_numpy(zero_copy_only=False),
+        )
+        lat = np.where(
+            is_del,
+            c["prev_lat_e7"].to_numpy(zero_copy_only=False),
+            c["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        i, j = hex_cell(lon, lat)
+        df = pd.DataFrame(
+            {
+                "cell": pack_hex(i, j),
+                "one": np.ones(len(i), dtype=np.int64),
+                "cre": is_cre.astype(np.int64),
+                "dele": is_del.astype(np.int64),
+            }
+        )
+        g = df.groupby("cell", as_index=False).sum()
+        return pa.table(
+            {
+                "cell": g["cell"].to_numpy(dtype=np.int64),
+                "n_p": g["one"].to_numpy(dtype=np.int64),
+                "cre_p": g["cre"].to_numpy(dtype=np.int64),
+                "del_p": g["dele"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    df = combine_partials(
+        partials, ["cell"],
+        {"n_p": "n_contribs", "cre_p": "n_creations", "del_p": "n_deletions"},
+    )
+    i, j = unpack_hex(df["cell"].to_numpy(dtype=np.int64))
+    out = pd.DataFrame(
+        {
+            "hex_i": i,
+            "hex_j": j,
+            "n_contribs": df["n_contribs"].astype("int64"),
+            "n_creations": df["n_creations"].astype("int64"),
+            "n_deletions": df["n_deletions"].astype("int64"),
+        }
+    )
+    return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)
