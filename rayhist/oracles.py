@@ -4932,3 +4932,34 @@ SELECT CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j,
 FROM lab GROUP BY 1, 2 ORDER BY 1, 2
 """
     )
+
+
+def hexcell_churn(w: int, h: int) -> str:
+    """Churn mirror: occupied-cell sets at the first and last weekly
+    snapshots via the shared hex CTE, full-outer set compare."""
+    from .pipelines import SNAP_WEEKLY
+
+    cte = _snap_cte().replace(
+        "TS_LIST", _ts_list([SNAP_WEEKLY[1], SNAP_WEEKLY[-1]])
+    )
+    return (
+        DERIVE
+        + cte
+        + """
+, pt AS (
+  SELECT ts_q, osm_id, lon_e7 AS x, lat_e7 AS y FROM snap
+)"""
+        + _hex_best_sql(w, h, "ts_q, osm_id")
+        + f"""
+, occ AS (
+  SELECT DISTINCT ts_q, i, j FROM best
+), a AS (SELECT i, j FROM occ WHERE ts_q = {int(SNAP_WEEKLY[1])}),
+  b AS (SELECT i, j FROM occ WHERE ts_q = {int(SNAP_WEEKLY[-1])}),
+  f AS (
+  SELECT (a.i IS NOT NULL) AS active_w1, (b.i IS NOT NULL) AS active_w5
+  FROM a FULL OUTER JOIN b ON a.i = b.i AND a.j = b.j
+)
+SELECT active_w1, active_w5, CAST(count(*) AS BIGINT) AS n_cells
+FROM f GROUP BY 1, 2 ORDER BY 1 DESC, 2 DESC
+"""
+    )

@@ -9575,3 +9575,63 @@ def q_contrib_by_hexcell(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)
+
+
+def q_hexcell_churn(sf_dir: str) -> pd.DataFrame:
+    """SPATIAL CHURN CONTINGENCY: how many hex cells were occupied in
+    the second weekly snapshot (the first non-empty one) vs the LAST — the 2x2 (active_w1,
+    active_w5) contingency that quantifies geographic growth vs
+    abandonment. Rides the weekly-cube partials; the driver final is
+    a |cells|-walk set compare."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell, pack_hex
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([SNAP_WEEKLY[1], SNAP_WEEKLY[-1]], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        i, j = hex_cell(
+            s["lon_e7"].to_numpy(zero_copy_only=False),
+            s["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        df = pd.DataFrame(
+            {"ts_q": s["ts_q"].to_numpy(zero_copy_only=False), "cell": pack_hex(i, j)}
+        ).drop_duplicates()
+        df["one"] = np.int64(1)
+        g = df.groupby(["ts_q", "cell"], as_index=False)["one"].max()
+        return pa.table(
+            {
+                "ts_q": g["ts_q"].to_numpy(dtype=np.int64),
+                "cell": g["cell"].to_numpy(dtype=np.int64),
+                "one_p": g["one"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = combine_partials(
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"),
+        ["ts_q", "cell"],
+        {"one_p": "_"},
+    )
+    w1 = set(base.loc[base["ts_q"] == SNAP_WEEKLY[1], "cell"])
+    w5 = set(base.loc[base["ts_q"] == SNAP_WEEKLY[-1], "cell"])
+    combos = [
+        (True, True, len(w1 & w5)),
+        (True, False, len(w1 - w5)),
+        (False, True, len(w5 - w1)),
+    ]
+    # only observed combos: the SQL full-outer mirror emits no row
+    # for an empty set intersection (e.g. the week-1 snapshot predates
+    # every event at small SFs)
+    rows = [
+        {"active_w1": a, "active_w5": b, "n_cells": n}
+        for a, b, n in combos
+        if n > 0
+    ]
+    out = pd.DataFrame(
+        rows, columns=["active_w1", "active_w5", "n_cells"]
+    ).astype({"active_w1": "bool", "active_w5": "bool", "n_cells": "int64"})
+    return out.sort_values(["active_w1", "active_w5"], ascending=False).reset_index(
+        drop=True
+    )
