@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_drift_psi": p.q_source_drift_psi,
         "contrib_by_hexcell": p.q_contrib_by_hexcell,
         "hexcell_churn": p.q_hexcell_churn,
+        "hexcell_freshness": p.q_hexcell_freshness,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -434,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "source_drift_psi": o.source_drift_psi(p.PSI_BIN_W),
         "contrib_by_hexcell": o.contrib_by_hexcell(hx.HEX_W, hx.HEX_H),
         "hexcell_churn": o.hexcell_churn(hx.HEX_W, hx.HEX_H),
+        "hexcell_freshness": o.hexcell_freshness(hx.HEX_W, hx.HEX_H),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

@@ -4963,3 +4963,31 @@ SELECT active_w1, active_w5, CAST(count(*) AS BIGINT) AS n_cells
 FROM f GROUP BY 1, 2 ORDER BY 1 DESC, 2 DESC
 """
     )
+
+
+def hexcell_freshness(w: int, h: int) -> str:
+    """Freshness mirror: age = T_MID - snapshot version ts per live
+    entity, summed per hex cell, one IEEE division."""
+    from .pipelines import T_MID
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+, pt AS (
+  SELECT osm_id, ts_us, lon_e7 AS x, lat_e7 AS y FROM snap
+)"""
+        + _hex_best_sql(w, h, "osm_id, ts_us")
+        + f"""
+, ag AS (
+  SELECT b.i, b.j, {int(T_MID)} - p.ts_us AS age
+  FROM best b JOIN pt p ON p.osm_id = b.osm_id AND p.ts_us = b.ts_us
+)
+SELECT CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(age) AS BIGINT) AS sum_age_us,
+       CAST(sum(age) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_age_us
+FROM ag GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )

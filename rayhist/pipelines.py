@@ -9635,3 +9635,52 @@ def q_hexcell_churn(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["active_w1", "active_w5"], ascending=False).reset_index(
         drop=True
     )
+
+
+def q_hexcell_freshness(sf_dir: str) -> pd.DataFrame:
+    """DATA CURRENTNESS MAP: per hex cell at T_MID, the count of live
+    entities and the mean AGE of their current versions (T_MID -
+    version ts) — the OSM data-quality 'freshness' metric per tile.
+    Exact integer age sums (microseconds) per cell, one IEEE division
+    for the mean; partials combine on the bounded lattice key."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell, pack_hex, unpack_hex
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        i, j = hex_cell(
+            s["lon_e7"].to_numpy(zero_copy_only=False),
+            s["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        age = T_MID - s["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"cell": pack_hex(i, j), "age": age, "one": np.int64(1)})
+        g = df.groupby("cell", as_index=False).sum()
+        return pa.table(
+            {
+                "cell": g["cell"].to_numpy(dtype=np.int64),
+                "n_p": g["one"].to_numpy(dtype=np.int64),
+                "age_p": g["age"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    df = combine_partials(
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"),
+        ["cell"],
+        {"n_p": "n_entities", "age_p": "sum_age_us"},
+    )
+    i, j = unpack_hex(df["cell"].to_numpy(dtype=np.int64))
+    out = pd.DataFrame(
+        {
+            "hex_i": i,
+            "hex_j": j,
+            "n_entities": df["n_entities"].astype("int64"),
+            "sum_age_us": df["sum_age_us"].astype("int64"),
+            "mean_age_us": df["sum_age_us"].to_numpy(dtype=np.float64)
+            / df["n_entities"].to_numpy(dtype=np.float64),
+        }
+    )
+    return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)
