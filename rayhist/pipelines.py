@@ -8421,6 +8421,72 @@ def q_doc_redaction(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+
+def _hex_version_counts(sf_dir: str) -> pd.DataFrame:
+    """Shared partial producer: ENTITY-VERSION counts per hex cell
+    (i, j) — one fused decode -> hex_cell -> per-batch groupby-count,
+    combined on the bounded world-lattice key. Consumed by the
+    Gi* / Moran's I hotspot finals."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell
+
+    def stage(batch: pa.Table) -> pa.Table:
+        d = decode_spans(batch, tags=False)
+        i, j = hex_cell(
+            d["lon_e7"].to_numpy(zero_copy_only=False),
+            d["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        g = pd.DataFrame({"i": i, "j": j}).groupby(["i", "j"], as_index=False).size()
+        return pa.table(
+            {
+                "i": g["i"].to_numpy(dtype=np.int64),
+                "j": g["j"].to_numpy(dtype=np.int64),
+                "n_part": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return combine_partials(
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"), ["i", "j"],
+        {"n_part": "n"},
+    )
+
+
+def _hex_snapshot_cube(sf_dir: str, timestamps) -> pd.DataFrame:
+    """Shared partial producer: SNAPSHOT counts per (ts_q, packed hex
+    cell) — the space-time-cube base consumed by the weekly cube,
+    emerging-hotspot and churn finals."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell, pack_hex
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array(list(timestamps), dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        i, j = hex_cell(
+            s["lon_e7"].to_numpy(zero_copy_only=False),
+            s["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        df = pd.DataFrame(
+            {"ts_q": s["ts_q"].to_numpy(zero_copy_only=False), "cell": pack_hex(i, j)}
+        )
+        g = df.groupby(["ts_q", "cell"], as_index=False).size()
+        return pa.table(
+            {
+                "ts_q": g["ts_q"].to_numpy(dtype=np.int64),
+                "cell": g["cell"].to_numpy(dtype=np.int64),
+                "n_part": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return combine_partials(
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"), ["ts_q", "cell"],
+        {"n_part": "n"},
+    )
+
+
 def q_snapshot_count_by_hexcell(sf_dir: str) -> pd.DataFrame:
     """Snapshot count at T_MID grouped by HEXAGONAL GRID CELL
     (spatial/hexgrid.py: exact nearest-center assignment on an integer
@@ -8461,24 +8527,15 @@ def q_snapshot_count_by_hexcell(sf_dir: str) -> pd.DataFrame:
 ROAD_CLASS_MOD = 16  # "road class" proxy: ways with id % 16 == 0 form the layer
 
 
-def q_nearest_road_distance(sf_dir: str) -> pd.DataFrame:
-    """PROXIMITY ANALYSIS: for every node visible at T_MID, the exact
-    nearest SEGMENT of the class-filtered way layer (synthetic way u =
-    node/u -> node/(u+1), layer = u % ROAD_CLASS_MOD == 0 — the
-    'distance to nearest highway' shape, reference geometry analog
-    Geo.java:37-60 neighborhoods). The reference layer is SMALL BY
-    CONSTRUCTION (a selected feature class), so it broadcasts into an
-    actor pool once per actor (__init__), never per batch; a dense
-    layer at 10^12 rows would instead ride the knn_queries halo join
-    (spatial/knn.py:792). Distance math is the knn contract: integer
-    coordinate diffs cast exactly to float64, then an op-for-op IEEE
-    expression tree (mul/add/div per branch of the point-to-segment
-    projection) mirrored literally in SQL, so d2 is bit-identical in
-    both engines and the (d2, seg) argmin agrees exactly; segments
-    incident to the node itself are excluded."""
+
+def _road_segment_layer(sf_dir: str):
+    """Shared reference-layer build for the proximity queries:
+    materialized T_MID positions plus the class-filtered way segments
+    (way u = node/u -> node/(u+1), u % ROAD_CLASS_MOD == 0) joined via
+    the co-partitioned hash join. Returns (pos Dataset, seg DataFrame)
+    — seg is the bounded broadcast side."""
     from .model import decode_spans
     from .ops.relational import hash_join
-    from .spatial.predicates import point_segment_d2
     from .temporal import snapshots as snapshots_fn
 
     ts = np.array([T_MID], dtype=np.int64)
@@ -8493,13 +8550,9 @@ def q_nearest_road_distance(sf_dir: str) -> pd.DataFrame:
     def as_left(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        keep = pc.equal(
-            pc.bit_wise_and(batch["osm_id"], ROAD_CLASS_MOD - 1), 0
-        )  # osm_id % 16 == 0 (ids are non-negative)
+        keep = pc.equal(pc.bit_wise_and(batch["osm_id"], ROAD_CLASS_MOD - 1), 0)
         b = batch.filter(keep)
-        return pa.table(
-            {"join_k": b["osm_id"], "ax": b["lon_e7"], "ay": b["lat_e7"]}
-        )
+        return pa.table({"join_k": b["osm_id"], "ax": b["lon_e7"], "ay": b["lat_e7"]})
 
     def as_right(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -8516,7 +8569,28 @@ def q_nearest_road_distance(sf_dir: str) -> pd.DataFrame:
         pos.map_batches(as_left, batch_format="pyarrow"),
         pos.map_batches(as_right, batch_format="pyarrow"),
         on="join_k",
-    ).to_pandas()  # |ways|/ROAD_CLASS_MOD rows — the bounded broadcast side
+    ).to_pandas()
+    return pos, seg
+
+
+def q_nearest_road_distance(sf_dir: str) -> pd.DataFrame:
+    """PROXIMITY ANALYSIS: for every node visible at T_MID, the exact
+    nearest SEGMENT of the class-filtered way layer (synthetic way u =
+    node/u -> node/(u+1), layer = u % ROAD_CLASS_MOD == 0 — the
+    'distance to nearest highway' shape, reference geometry analog
+    Geo.java:37-60 neighborhoods). The reference layer is SMALL BY
+    CONSTRUCTION (a selected feature class), so it broadcasts into an
+    actor pool once per actor (__init__), never per batch; a dense
+    layer at 10^12 rows would instead ride the knn_queries halo join
+    (spatial/knn.py:792). Distance math is the knn contract: integer
+    coordinate diffs cast exactly to float64, then an op-for-op IEEE
+    expression tree (mul/add/div per branch of the point-to-segment
+    projection) mirrored literally in SQL, so d2 is bit-identical in
+    both engines and the (d2, seg) argmin agrees exactly; segments
+    incident to the node itself are excluded."""
+    from .spatial.predicates import point_segment_d2
+
+    pos, seg = _road_segment_layer(sf_dir)
     if seg.empty:
         return pd.DataFrame(
             {
@@ -8590,33 +8664,9 @@ def q_hexcell_weekly(sf_dir: str) -> pd.DataFrame:
     weekly snapshots and hex-assigns them; the hex lattice is a FIXED
     WORLD GRID (<= ~300k cells at HEX_W=0.25deg), so (ts, cell) is a
     genuinely bounded key and the partials combine applies."""
-    from .aggregate import combine_partials
-    from .model import decode_spans
-    from .spatial.hexgrid import hex_cell, pack_hex, unpack_hex
-    from .temporal import snapshots as snapshots_fn
+    from .spatial.hexgrid import unpack_hex
 
-    ts = np.array(SNAP_WEEKLY, dtype=np.int64)
-
-    def stage(batch: pa.Table) -> pa.Table:
-        s = snapshots_fn(decode_spans(batch, tags=False), ts)
-        i, j = hex_cell(
-            s["lon_e7"].to_numpy(zero_copy_only=False),
-            s["lat_e7"].to_numpy(zero_copy_only=False),
-        )
-        df = pd.DataFrame(
-            {"ts_q": s["ts_q"].to_numpy(zero_copy_only=False), "cell": pack_hex(i, j)}
-        )
-        g = df.groupby(["ts_q", "cell"], as_index=False).size()
-        return pa.table(
-            {
-                "ts_q": g["ts_q"].to_numpy(dtype=np.int64),
-                "cell": g["cell"].to_numpy(dtype=np.int64),
-                "n_part": g["size"].to_numpy(dtype=np.int64),
-            }
-        )
-
-    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
-    df = combine_partials(partials, ["ts_q", "cell"], {"n_part": "n"})
+    df = _hex_snapshot_cube(sf_dir, SNAP_WEEKLY)
     i, j = unpack_hex(df["cell"].to_numpy(dtype=np.int64))
     out = pd.DataFrame(
         {
@@ -8646,31 +8696,7 @@ def q_hex_hotspot_gi(sf_dir: str) -> pd.DataFrame:
     world-wide at 0.25deg), driver walks |cells| with 7 dict lookups
     each. Skew note: the corpus has a 20%-mass mega-cell — the
     hotspot this query exists to score."""
-    from .aggregate import combine_partials
-    from .model import decode_spans
-    from .spatial.hexgrid import hex_cell
-
-    def stage(batch: pa.Table) -> pa.Table:
-        d = decode_spans(batch, tags=False)
-        i, j = hex_cell(
-            d["lon_e7"].to_numpy(zero_copy_only=False),
-            d["lat_e7"].to_numpy(zero_copy_only=False),
-        )
-        df = pd.DataFrame({"i": i, "j": j})
-        g = df.groupby(["i", "j"], as_index=False).size()
-        return pa.table(
-            {
-                "i": g["i"].to_numpy(dtype=np.int64),
-                "j": g["j"].to_numpy(dtype=np.int64),
-                "n_part": g["size"].to_numpy(dtype=np.int64),
-            }
-        )
-
-    base = combine_partials(
-        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"),
-        ["i", "j"],
-        {"n_part": "n"},
-    )
+    base = _hex_version_counts(sf_dir)
     cells = {
         (int(i), int(j)): int(n) for i, j, n in zip(base["i"], base["j"], base["n"])
     }
@@ -8827,7 +8853,11 @@ def q_idw_snapshot_field(sf_dir: str) -> pd.DataFrame:
         concurrency=(1, 8),
     )
     df = combine_partials(part, ["i", "j"], {"sw_p": "sw", "swx_p": "swx", "n_p": "n_pts"})
-    if (df["sw"].to_numpy(dtype=np.int64) >= 2**62).any():
+    # input-derived guard: every weight is <= IDW_W0 and point counts
+    # cannot wrap, so n_pts * IDW_W0 bounds sw (and every intermediate
+    # partial, sums of non-negatives being monotone) — checking the
+    # possibly-wrapped sw itself would miss aliased overflow
+    if len(df) and int(df["n_pts"].max()) * IDW_W0 >= 2**62:
         raise OverflowError("idw: weight sum exceeds int64 headroom")
     out = pd.DataFrame(
         {
@@ -8855,43 +8885,9 @@ def q_road_buffer_count(sf_dir: str) -> pd.DataFrame:
     bit-identical in SQL, so the <= R2 test agrees exactly); per-batch
     partial counts per segment combine on the small segment key."""
     from .aggregate import combine_partials
-    from .model import decode_spans
-    from .ops.relational import hash_join
     from .spatial.predicates import point_segment_d2
-    from .temporal import snapshots as snapshots_fn
 
-    ts = np.array([T_MID], dtype=np.int64)
-
-    def positions(batch: pa.Table) -> pa.Table:
-        return snapshots_fn(decode_spans(batch, tags=False), ts).select(
-            ["osm_id", "lon_e7", "lat_e7"]
-        )
-
-    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
-
-    def as_left(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.equal(pc.bit_wise_and(batch["osm_id"], ROAD_CLASS_MOD - 1), 0)
-        b = batch.filter(keep)
-        return pa.table({"join_k": b["osm_id"], "ax": b["lon_e7"], "ay": b["lat_e7"]})
-
-    def as_right(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {
-                "join_k": pc.subtract(batch["osm_id"], 1),
-                "bx": batch["lon_e7"],
-                "by": batch["lat_e7"],
-            }
-        )
-
-    seg = hash_join(
-        pos.map_batches(as_left, batch_format="pyarrow"),
-        pos.map_batches(as_right, batch_format="pyarrow"),
-        on="join_k",
-    ).to_pandas()
+    pos, seg = _road_segment_layer(sf_dir)
     if seg.empty:
         return pd.DataFrame(
             {"seg": pd.Series([], dtype="int64"), "n_within": pd.Series([], dtype="int64")}
@@ -8944,33 +8940,9 @@ def q_hex_emerging_hotspots(sf_dir: str) -> pd.DataFrame:
     increasing / flat / decreasing. One fused stage produces the
     weekly cube partials (the hexcell_weekly shape); the driver final
     walks |cells| x 5 zerofilled values."""
-    from .aggregate import combine_partials
-    from .model import decode_spans
-    from .spatial.hexgrid import hex_cell, pack_hex, unpack_hex
-    from .temporal import snapshots as snapshots_fn
+    from .spatial.hexgrid import unpack_hex
 
-    ts = np.array(SNAP_WEEKLY, dtype=np.int64)
-
-    def stage(batch: pa.Table) -> pa.Table:
-        s = snapshots_fn(decode_spans(batch, tags=False), ts)
-        i, j = hex_cell(
-            s["lon_e7"].to_numpy(zero_copy_only=False),
-            s["lat_e7"].to_numpy(zero_copy_only=False),
-        )
-        df = pd.DataFrame(
-            {"ts_q": s["ts_q"].to_numpy(zero_copy_only=False), "cell": pack_hex(i, j)}
-        )
-        g = df.groupby(["ts_q", "cell"], as_index=False).size()
-        return pa.table(
-            {
-                "ts_q": g["ts_q"].to_numpy(dtype=np.int64),
-                "cell": g["cell"].to_numpy(dtype=np.int64),
-                "n_part": g["size"].to_numpy(dtype=np.int64),
-            }
-        )
-
-    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
-    df = combine_partials(partials, ["ts_q", "cell"], {"n_part": "n"})
+    df = _hex_snapshot_cube(sf_dir, SNAP_WEEKLY)
     piv = (
         df.pivot_table(index="cell", columns="ts_q", values="n", fill_value=0)
         .reindex(columns=SNAP_WEEKLY, fill_value=0)
@@ -9114,11 +9086,16 @@ def q_contributor_territory(sf_dir: str) -> pd.DataFrame:
     """CONTRIBUTOR TERRITORY: each user's MODAL hex cell over their
     visible version edits (ties break to the smallest (i, j)) plus
     their edit count there and overall — 'where does each contributor
-    mostly map'. Partials combine on the bounded (uid x lattice) key;
-    the per-uid argmax walks |uids x their cells| at the driver."""
-    from .aggregate import combine_partials
+    mostly map'. uid is a _HIGH_CARD_KEYS-class key, so the final
+    stays DISTRIBUTED: per-batch (uid, cell) partial counts -> one
+    complete-user bucket shuffle -> the per-uid modal argmax and total
+    resolve IN-STAGE; the driver collects only the |uids| result rows
+    (the query output itself)."""
     from .model import decode_spans
+    from .ops.window import _bucket_of, _resolve_buckets
     from .spatial.hexgrid import hex_cell
+
+    nb = _resolve_buckets(None, floor=64)
 
     def stage(b: pa.Table) -> pa.Table:
         d = decode_spans(b, tags=False)
@@ -9137,21 +9114,35 @@ def q_contributor_territory(sf_dir: str) -> pd.DataFrame:
                 "i": g["i"].to_numpy(dtype=np.int64),
                 "j": g["j"].to_numpy(dtype=np.int64),
                 "n_p": g["size"].to_numpy(dtype=np.int64),
+                "_bucket": pa.array(_bucket_of(g["uid"].to_numpy(), nb)),
             }
         )
 
-    partials = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
-    df = combine_partials(partials, ["uid", "i", "j"], {"n_p": "n"})
-    df = df.sort_values(
-        ["uid", "n", "i", "j"], ascending=[True, False, True, True], kind="mergesort"
-    )
-    top = df.groupby("uid", as_index=False).first()
-    tot = df.groupby("uid", as_index=False)["n"].sum().rename(columns={"n": "n_total"})
-    out = top.merge(tot, on="uid").rename(
-        columns={"uid": "uid", "i": "home_i", "j": "home_j", "n": "n_home"}
-    )[["uid", "home_i", "home_j", "n_home", "n_total"]].astype(
-        {"uid": "int64", "home_i": "int64", "home_j": "int64", "n_home": "int64",
-         "n_total": "int64"}
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby(["uid", "i", "j"], as_index=False)["n_p"].sum().rename(
+            columns={"n_p": "n"}
+        )
+        df = df.sort_values(
+            ["uid", "n", "i", "j"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        top = df.groupby("uid", as_index=False).first()
+        tot = df.groupby("uid", as_index=False)["n"].sum().rename(
+            columns={"n": "n_total"}
+        )
+        return top.merge(tot, on="uid").rename(
+            columns={"i": "home_i", "j": "home_j", "n": "n_home"}
+        )[["uid", "home_i", "home_j", "n_home", "n_total"]].astype(
+            {"uid": "int64", "home_i": "int64", "home_j": "int64",
+             "n_home": "int64", "n_total": "int64"}
+        )
+
+    out = (
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
     )
     return out.sort_values("uid").reset_index(drop=True)
 
@@ -9254,29 +9245,7 @@ def q_hex_morans_i(sf_dir: str) -> pd.DataFrame:
     only floats are the three final IEEE ops (N/W) * (num/den),
     mirrored literally. Same distributed shape as hex_hotspot_gi:
     lattice-bounded partials, |cells|-walk driver final."""
-    from .aggregate import combine_partials
-    from .model import decode_spans
-    from .spatial.hexgrid import hex_cell
-
-    def stage(batch: pa.Table) -> pa.Table:
-        d = decode_spans(batch, tags=False)
-        i, j = hex_cell(
-            d["lon_e7"].to_numpy(zero_copy_only=False),
-            d["lat_e7"].to_numpy(zero_copy_only=False),
-        )
-        g = pd.DataFrame({"i": i, "j": j}).groupby(["i", "j"], as_index=False).size()
-        return pa.table(
-            {
-                "i": g["i"].to_numpy(dtype=np.int64),
-                "j": g["j"].to_numpy(dtype=np.int64),
-                "n_part": g["size"].to_numpy(dtype=np.int64),
-            }
-        )
-
-    base = combine_partials(
-        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"), ["i", "j"],
-        {"n_part": "n"},
-    )
+    base = _hex_version_counts(sf_dir)
     cells = {
         (int(i), int(j)): int(n) for i, j, n in zip(base["i"], base["j"], base["n"])
     }
@@ -9518,7 +9487,7 @@ def q_contrib_by_hexcell(sf_dir: str) -> pd.DataFrame:
     from .temporal import contributions as contributions_fn
 
     def stage(batch: pa.Table) -> pa.Table:
-        c = contributions_fn(decode_spans(batch), CONTRIB_FROM, CONTRIB_TO)
+        c = contributions_fn(decode_spans(batch, tags=False), CONTRIB_FROM, CONTRIB_TO)
         if len(c) == 0:
             return pa.table(
                 {
@@ -9583,37 +9552,7 @@ def q_hexcell_churn(sf_dir: str) -> pd.DataFrame:
     active_w5) contingency that quantifies geographic growth vs
     abandonment. Rides the weekly-cube partials; the driver final is
     a |cells|-walk set compare."""
-    from .aggregate import combine_partials
-    from .model import decode_spans
-    from .spatial.hexgrid import hex_cell, pack_hex
-    from .temporal import snapshots as snapshots_fn
-
-    ts = np.array([SNAP_WEEKLY[1], SNAP_WEEKLY[-1]], dtype=np.int64)
-
-    def stage(batch: pa.Table) -> pa.Table:
-        s = snapshots_fn(decode_spans(batch, tags=False), ts)
-        i, j = hex_cell(
-            s["lon_e7"].to_numpy(zero_copy_only=False),
-            s["lat_e7"].to_numpy(zero_copy_only=False),
-        )
-        df = pd.DataFrame(
-            {"ts_q": s["ts_q"].to_numpy(zero_copy_only=False), "cell": pack_hex(i, j)}
-        ).drop_duplicates()
-        df["one"] = np.int64(1)
-        g = df.groupby(["ts_q", "cell"], as_index=False)["one"].max()
-        return pa.table(
-            {
-                "ts_q": g["ts_q"].to_numpy(dtype=np.int64),
-                "cell": g["cell"].to_numpy(dtype=np.int64),
-                "one_p": g["one"].to_numpy(dtype=np.int64),
-            }
-        )
-
-    base = combine_partials(
-        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"),
-        ["ts_q", "cell"],
-        {"one_p": "_"},
-    )
+    base = _hex_snapshot_cube(sf_dir, [SNAP_WEEKLY[1], SNAP_WEEKLY[-1]])
     w1 = set(base.loc[base["ts_q"] == SNAP_WEEKLY[1], "cell"])
     w5 = set(base.loc[base["ts_q"] == SNAP_WEEKLY[-1], "cell"])
     combos = [
@@ -9672,6 +9611,11 @@ def q_hexcell_freshness(sf_dir: str) -> pd.DataFrame:
         ["cell"],
         {"n_p": "n_entities", "age_p": "sum_age_us"},
     )
+    # input-derived guard (counts cannot wrap below 2^63 rows): if the
+    # largest cell times the maximum possible age fits int64, no int64
+    # partial sum anywhere in the chain wrapped
+    if len(df) and int(df["n_entities"].max()) * (T_MID - T0) >= 2**63:
+        raise OverflowError("hexcell_freshness: age sum exceeds int64")
     i, j = unpack_hex(df["cell"].to_numpy(dtype=np.int64))
     out = pd.DataFrame(
         {

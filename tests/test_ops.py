@@ -2707,7 +2707,7 @@ def test_embedding_covariance_pinned_to_numpy():
 
 
 def test_embedding_pca_top_matches_numpy_eigvec():
-    """Ten fixed-point power-iteration rounds land on numpy's dominant
+    """PCA_ITERS (96) fixed-point power-iteration rounds land on numpy's dominant
     eigenvector of the exact integer covariance numerators (|cos| >
     0.999), and the renormalization invariant max|v_fp| == SCALE
     holds exactly."""
