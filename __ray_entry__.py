@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrib_by_hexcell": p.q_contrib_by_hexcell,
         "hexcell_churn": p.q_hexcell_churn,
         "hexcell_freshness": p.q_hexcell_freshness,
+        "funnel3_users": p.q_funnel3_users,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -436,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "contrib_by_hexcell": o.contrib_by_hexcell(hx.HEX_W, hx.HEX_H),
         "hexcell_churn": o.hexcell_churn(hx.HEX_W, hx.HEX_H),
         "hexcell_freshness": o.hexcell_freshness(hx.HEX_W, hx.HEX_H),
+        "funnel3_users": o.funnel3_users(*p.FUNNEL3),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

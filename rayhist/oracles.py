@@ -4991,3 +4991,25 @@ SELECT CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j,
 FROM ag GROUP BY 1, 2 ORDER BY 1, 2
 """
     )
+
+
+def funnel3_users(s1: str, s2: str, s3: str) -> str:
+    """Funnel mirror: earliest-completion stage times via chained
+    min-after filters, stage population counts."""
+    return f"""
+WITH c1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = '{s1}' GROUP BY 1
+), c2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN c1 ON c1.user_id = e.user_id
+  WHERE e.event_type = '{s2}' AND epoch_us(e.ts) > c1.t1 GROUP BY 1
+), c3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c2 ON c2.user_id = e.user_id
+  WHERE e.event_type = '{s3}' AND epoch_us(e.ts) > c2.t2 GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM c1) AS BIGINT) AS n_stage1,
+       CAST((SELECT count(*) FROM c2) AS BIGINT) AS n_stage2,
+       CAST((SELECT count(*) FROM c3) AS BIGINT) AS n_stage3
+"""

@@ -9628,3 +9628,71 @@ def q_hexcell_freshness(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)
+
+
+FUNNEL3 = ("click", "view", "purchase")  # ordered 3-stage funnel
+
+
+def q_funnel3_users(sf_dir: str) -> pd.DataFrame:
+    """THREE-STAGE ORDERED FUNNEL: how many users exhibit the
+    subsequence click -> view -> purchase (strictly increasing
+    timestamps, earliest-completion semantics: t1 = first click,
+    t2 = first view after t1, t3 = first purchase after t2) — the
+    sequential-pattern terminal beyond the 2-step as-of funnel.
+    Complete-user bucket shuffle; each bucket resolves its users'
+    stage times with three vectorized groupby-min passes and emits
+    THREE partial counters; the driver combine is 3 integers."""
+    from .aggregate import combine_partials
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(b["event_type"], value_set=pa.array(FUNNEL3))
+        b = b.filter(keep)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": uid,
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+                "ts_us": b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "_bucket": pa.array(_bucket_of(uid, nb)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s1, s2, s3 = FUNNEL3
+        t1 = g[g["etype"] == s1].groupby("user_id")["ts_us"].min()
+        v = g[g["etype"] == s2].merge(
+            t1.rename("t1"), left_on="user_id", right_index=True
+        )
+        t2 = v[v["ts_us"] > v["t1"]].groupby("user_id")["ts_us"].min()
+        p = g[g["etype"] == s3].merge(
+            t2.rename("t2"), left_on="user_id", right_index=True
+        )
+        t3 = p[p["ts_us"] > p["t2"]].groupby("user_id")["ts_us"].min()
+        return pd.DataFrame(
+            [
+                {
+                    "stage1_p": np.int64(len(t1)),
+                    "stage2_p": np.int64(len(t2)),
+                    "stage3_p": np.int64(len(t3)),
+                }
+            ]
+        )
+
+    df = combine_partials(
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas"),
+        [],
+        {"stage1_p": "n_stage1", "stage2_p": "n_stage2", "stage3_p": "n_stage3"},
+    )
+    return df.astype(
+        {"n_stage1": "int64", "n_stage2": "int64", "n_stage3": "int64"}
+    ).reset_index(drop=True)
