@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hexcell_churn": p.q_hexcell_churn,
         "hexcell_freshness": p.q_hexcell_freshness,
         "funnel3_users": p.q_funnel3_users,
+        "ab_test_value": p.q_ab_test_value,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -438,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "hexcell_churn": o.hexcell_churn(hx.HEX_W, hx.HEX_H),
         "hexcell_freshness": o.hexcell_freshness(hx.HEX_W, hx.HEX_H),
         "funnel3_users": o.funnel3_users(*p.FUNNEL3),
+        "ab_test_value": o.ab_test_value(),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

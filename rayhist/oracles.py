@@ -5013,3 +5013,37 @@ SELECT CAST((SELECT count(*) FROM c1) AS BIGINT) AS n_stage1,
        CAST((SELECT count(*) FROM c2) AS BIGINT) AS n_stage2,
        CAST((SELECT count(*) FROM c3) AS BIGINT) AS n_stage3
 """
+
+
+def ab_test_value() -> str:
+    """Welch-t mirror: exact integer cents sufficient statistics per
+    (etype, uid-parity cohort), the identical IEEE op sequence."""
+    return """
+WITH s AS (
+  SELECT event_type AS etype, user_id % 2 AS grp,
+         count(*) AS n,
+         sum(CAST(round(value*100) AS BIGINT)) AS s1,
+         sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT))
+           AS s2
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT a.etype,
+         a.n AS na, b.n AS nb, a.s1 AS sa, b.s1 AS sb,
+         a.n * a.s2 - a.s1 * a.s1 AS vna,
+         b.n * b.s2 - b.s1 * b.s1 AS vnb
+  FROM s a JOIN s b ON a.etype = b.etype AND a.grp = 0 AND b.grp = 1
+  WHERE a.n >= 2 AND b.n >= 2
+)
+SELECT etype,
+       CAST(na AS BIGINT) AS n_even, CAST(nb AS BIGINT) AS n_odd,
+       CAST(sa AS BIGINT) AS sum_even_c, CAST(sb AS BIGINT) AS sum_odd_c,
+       CAST(vna AS BIGINT) AS var_num_even, CAST(vnb AS BIGINT) AS var_num_odd,
+       (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+          - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+       / sqrt(CAST(vna AS DOUBLE)
+                / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE))
+            + CAST(vnb AS DOUBLE)
+                / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))
+         AS t_stat
+FROM w ORDER BY etype
+"""

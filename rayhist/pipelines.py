@@ -9696,3 +9696,79 @@ def q_funnel3_users(sf_dir: str) -> pd.DataFrame:
     return df.astype(
         {"n_stage1": "int64", "n_stage2": "int64", "n_stage3": "int64"}
     ).reset_index(drop=True)
+
+
+def q_ab_test_value(sf_dir: str) -> pd.DataFrame:
+    """A/B COMPARISON: Welch two-sample t-statistic on event value
+    (cents) between the even-uid and odd-uid user cohorts, per event
+    type — the experiment-analysis terminal. Sufficient statistics
+    (n, sum, sum-of-squares in exact integer cents) accumulate as
+    order-free partials; the t tail is a fixed sequence of single
+    IEEE ops (two divisions for the means, one subtract, two
+    double-products for the denominators, two divisions, add, sqrt,
+    divide) mirrored literally in SQL."""
+    from .aggregate import combine_partials
+    from .ops.relational import round_half_away
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+                "grp": b["user_id"].to_numpy(zero_copy_only=False) % 2,
+                "n": np.int64(1),
+                "s1": v,
+                "s2": v * v,
+            }
+        )
+        g = df.groupby(["etype", "grp"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"),
+        ["etype", "grp"],
+        {"n": "n", "s1": "s1", "s2": "s2"},
+    )
+    rows = []
+    for etype, g in base.groupby("etype"):
+        d = {int(r["grp"]): (int(r["n"]), int(r["s1"]), int(r["s2"])) for _, r in g.iterrows()}
+        if 0 not in d or 1 not in d:
+            continue  # cohort absent: no t-statistic (SQL inner join drops it)
+        (na, sa, qa), (nb, sb, qb) = d[0], d[1]
+        if na < 2 or nb < 2:
+            continue
+        vna = na * qa - sa * sa
+        vnb = nb * qb - sb * sb
+        if not all(-(2**63) < x < 2**63 for x in (vna, vnb, sa, sb)):
+            raise OverflowError("ab_test_value: statistic exceeds int64")
+        m = np.float64(sa) / np.float64(na) - np.float64(sb) / np.float64(nb)
+        aa = np.float64(vna) / (
+            np.float64(na) * np.float64(na) * np.float64(na - 1)
+        )
+        ab = np.float64(vnb) / (
+            np.float64(nb) * np.float64(nb) * np.float64(nb - 1)
+        )
+        rows.append(
+            {
+                "etype": etype,
+                "n_even": na,
+                "n_odd": nb,
+                "sum_even_c": sa,
+                "sum_odd_c": sb,
+                "var_num_even": vna,
+                "var_num_odd": vnb,
+                "t_stat": m / np.sqrt(aa + ab),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"etype": "object", "n_even": "int64", "n_odd": "int64",
+         "sum_even_c": "int64", "sum_odd_c": "int64",
+         "var_num_even": "int64", "var_num_odd": "int64", "t_stat": "float64"}
+    )
+    return out.sort_values("etype").reset_index(drop=True)
