@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hexcell_freshness": p.q_hexcell_freshness,
         "funnel3_users": p.q_funnel3_users,
         "ab_test_value": p.q_ab_test_value,
+        "ks_test_value": p.q_ks_test_value,
+        "mannwhitney_value": p.q_mannwhitney_value,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -440,6 +442,8 @@ def oracle_sql() -> dict[str, str]:
         "hexcell_freshness": o.hexcell_freshness(hx.HEX_W, hx.HEX_H),
         "funnel3_users": o.funnel3_users(*p.FUNNEL3),
         "ab_test_value": o.ab_test_value(),
+        "ks_test_value": o.ks_test_value(),
+        "mannwhitney_value": o.mannwhitney_value(),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

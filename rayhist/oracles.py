@@ -5047,3 +5047,68 @@ SELECT etype,
          AS t_stat
 FROM w ORDER BY etype
 """
+
+
+_COHORT_HIST = """
+WITH h AS (
+  SELECT event_type AS etype, user_id % 2 AS grp,
+         CAST(round(value*100) AS BIGINT) AS v, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), p AS (
+  SELECT etype, v,
+         coalesce(sum(n) FILTER (grp = 0), 0) AS a,
+         coalesce(sum(n) FILTER (grp = 1), 0) AS b
+  FROM h GROUP BY 1, 2
+), t AS (
+  SELECT etype, sum(a) AS ta, sum(b) AS tb FROM p GROUP BY 1
+)"""
+
+
+def ks_test_value() -> str:
+    """KS mirror: merged-value-grid integer cumulative diffs, first
+    max by (diff DESC, v ASC), one IEEE division."""
+    return (
+        _COHORT_HIST
+        + """
+, c AS (
+  SELECT etype, v,
+         sum(a) OVER (PARTITION BY etype ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(b) OVER (PARTITION BY etype ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cb
+  FROM p
+), d AS (
+  SELECT c.etype, c.v, abs(c.ca * t.tb - c.cb * t.ta) AS diff, t.ta, t.tb
+  FROM c JOIN t ON t.etype = c.etype
+  WHERE t.ta > 0 AND t.tb > 0
+)
+SELECT etype, CAST(ta AS BIGINT) AS n_even, CAST(tb AS BIGINT) AS n_odd,
+       CAST(diff AS BIGINT) AS ks_num, CAST(v AS BIGINT) AS ks_at_v,
+       CAST(diff AS DOUBLE) / CAST(ta * tb AS DOUBLE) AS ks_d
+FROM d
+QUALIFY row_number() OVER (PARTITION BY etype ORDER BY diff DESC, v) = 1
+ORDER BY etype
+"""
+    )
+
+
+def mannwhitney_value() -> str:
+    """Mann-Whitney mirror: doubled tie-corrected U over the shared
+    histogram, complement via 2AB - 2U."""
+    return (
+        _COHORT_HIST
+        + """
+, c AS (
+  SELECT etype, v, a, b,
+         sum(b) OVER (PARTITION BY etype ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) - b AS cumb_less
+  FROM p
+)
+SELECT c.etype, CAST(t.ta AS BIGINT) AS n_even, CAST(t.tb AS BIGINT) AS n_odd,
+       CAST(sum(c.a * (2*c.cumb_less + c.b)) AS BIGINT) AS u2_even,
+       CAST(2*t.ta*t.tb - sum(c.a * (2*c.cumb_less + c.b)) AS BIGINT) AS u2_odd
+FROM c JOIN t ON t.etype = c.etype
+WHERE t.ta > 0 AND t.tb > 0
+GROUP BY 1, t.ta, t.tb ORDER BY 1
+"""
+    )

@@ -9772,3 +9772,126 @@ def q_ab_test_value(sf_dir: str) -> pd.DataFrame:
          "var_num_even": "int64", "var_num_odd": "int64", "t_stat": "float64"}
     )
     return out.sort_values("etype").reset_index(drop=True)
+
+
+def _etype_cohort_value_hist(sf_dir: str) -> pd.DataFrame:
+    """Shared base for the nonparametric cohort tests: exact VALUE
+    HISTOGRAM per (etype, uid-parity cohort, cents value) — partials
+    combine bounded by |etypes x 2 x distinct cents values| (the
+    value_quantiles_by_type histogram contract), never the event
+    corpus."""
+    from .aggregate import combine_partials
+    from .ops.relational import round_half_away
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+                "grp": b["user_id"].to_numpy(zero_copy_only=False) % 2,
+                "v": v,
+            }
+        )
+        g = df.groupby(["etype", "grp", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "etype": g["etype"].to_numpy(),
+                "grp": g["grp"].to_numpy(dtype=np.int64),
+                "v": g["v"].to_numpy(dtype=np.int64),
+                "n_p": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"),
+        ["etype", "grp", "v"],
+        {"n_p": "n"},
+    )
+
+
+def q_ks_test_value(sf_dir: str) -> pd.DataFrame:
+    """KOLMOGOROV-SMIRNOV statistic on event value between the
+    uid-parity cohorts, per etype: D = max_v |cdf_a(v) - cdf_b(v)|
+    computed as the EXACT integer max |cumA*B - cumB*A| over the
+    merged value grid, with ONE final IEEE division by A*B. Ties at
+    the max resolve by the smallest value (deterministic both
+    engines)."""
+    base = _etype_cohort_value_hist(sf_dir)
+    rows = []
+    for etype, g in base.groupby("etype"):
+        piv = (
+            g.pivot_table(index="v", columns="grp", values="n", fill_value=0)
+            .reindex(columns=[0, 1], fill_value=0)
+            .sort_index()
+        )
+        a = piv[0].to_numpy(dtype=np.int64)
+        b = piv[1].to_numpy(dtype=np.int64)
+        A, B = int(a.sum()), int(b.sum())
+        if A == 0 or B == 0:
+            continue
+        ca = np.cumsum(a)
+        cb = np.cumsum(b)
+        if A * B >= 2**62 or int(ca[-1]) * B >= 2**62:
+            raise OverflowError("ks_test_value: statistic exceeds int64")
+        diff = np.abs(ca * B - cb * A)
+        k = int(diff.argmax())  # first max = smallest value
+        rows.append(
+            {
+                "etype": etype,
+                "n_even": A,
+                "n_odd": B,
+                "ks_num": int(diff[k]),
+                "ks_at_v": int(piv.index[k]),
+                "ks_d": np.float64(int(diff[k])) / np.float64(A * B),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"etype": "object", "n_even": "int64", "n_odd": "int64",
+         "ks_num": "int64", "ks_at_v": "int64", "ks_d": "float64"}
+    )
+    return out.sort_values("etype").reset_index(drop=True)
+
+
+def q_mannwhitney_value(sf_dir: str) -> pd.DataFrame:
+    """MANN-WHITNEY U on event value between the uid-parity cohorts,
+    per etype, tie-corrected and EXACT: doubling clears the half-tie
+    term, so 2U_even = sum_v a_v * (2*cumb_less(v) + b_v) is a pure
+    integer over the shared value histogram; the identity
+    2U_even + 2U_odd = 2*A*B pins the complement."""
+    base = _etype_cohort_value_hist(sf_dir)
+    rows = []
+    for etype, g in base.groupby("etype"):
+        piv = (
+            g.pivot_table(index="v", columns="grp", values="n", fill_value=0)
+            .reindex(columns=[0, 1], fill_value=0)
+            .sort_index()
+        )
+        a = piv[0].to_numpy(dtype=np.int64)
+        b = piv[1].to_numpy(dtype=np.int64)
+        A, B = int(a.sum()), int(b.sum())
+        if A == 0 or B == 0:
+            continue
+        cumb_less = np.cumsum(b) - b
+        u2 = int((a * (2 * cumb_less + b)).sum())
+        if not (0 <= u2 < 2**63 and 0 < 2 * A * B < 2**63):
+            raise OverflowError("mannwhitney_value: exceeds int64")
+        rows.append(
+            {
+                "etype": etype,
+                "n_even": A,
+                "n_odd": B,
+                "u2_even": u2,
+                "u2_odd": 2 * A * B - u2,
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"etype": "object", "n_even": "int64", "n_odd": "int64",
+         "u2_even": "int64", "u2_odd": "int64"}
+    )
+    return out.sort_values("etype").reset_index(drop=True)

@@ -2805,3 +2805,28 @@ def test_island_length_histogram_brute_force():
     ul, uc = np.unique(lens, return_counts=True)
     want = dict(zip(ul.tolist(), uc.tolist()))
     assert dict(zip(got["length"], got["n_chains"])) == want
+
+
+def test_mannwhitney_identity_and_scipy_free_check():
+    """2U_even + 2U_odd == 2*A*B per etype, and the doubled U equals
+    a direct pairwise-count recomputation on one etype."""
+    from rayhist.pipelines import q_mannwhitney_value
+    from rayhist.ops.relational import round_half_away
+
+    got = q_mannwhitney_value("/root/testdata/sf0.001")
+    assert (
+        got["u2_even"] + got["u2_odd"] == 2 * got["n_even"] * got["n_odd"]
+    ).all()
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+    ev = ev[ev["event_type"] == "click"]
+    v = round_half_away(ev["value"].to_numpy() * 100).astype(np.int64)
+    grp = ev["user_id"].to_numpy() % 2
+    a, b = v[grp == 0], v[grp == 1]
+    u2 = int(
+        2 * (a[:, None] > b[None, :]).sum() + (a[:, None] == b[None, :]).sum()
+    )
+    row = got[got["etype"] == "click"].iloc[0]
+    assert row["u2_even"] == u2
