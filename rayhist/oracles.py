@@ -5112,3 +5112,44 @@ WHERE t.ta > 0 AND t.tb > 0
 GROUP BY 1, t.ta, t.tb ORDER BY 1
 """
     )
+
+
+def kaplan_meier(dwell_end: int, day_us: int) -> str:
+    """KM mirror: the entity_lifespans derivation, at-risk via a
+    descending window sum, the identical milli-nat log factors in an
+    exact ordered-integer cumulative sum, exp(cum/1000)."""
+    return (
+        DERIVE
+        + f"""
+, r AS (
+  SELECT osm_id, ts_us, visible,
+         row_number() OVER (PARTITION BY osm_id
+                            ORDER BY ts_us DESC, v DESC) AS rn,
+         min(ts_us) OVER (PARTITION BY osm_id) AS t_first
+  FROM d
+), e AS (
+  SELECT osm_id, t_first,
+         CASE WHEN visible THEN 0 ELSE 1 END AS deleted,
+         CASE WHEN visible THEN {int(dwell_end)} ELSE ts_us END AS t_end
+  FROM r WHERE rn = 1
+), h AS (
+  SELECT (t_end - t_first) // {int(day_us)} AS t,
+         count(*) AS m, coalesce(sum(deleted), 0) AS d
+  FROM e GROUP BY 1
+), rk AS (
+  SELECT t, d,
+         sum(m) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n
+  FROM h
+), dd AS (
+  SELECT t, n, d,
+         sum(CAST(round(1000*ln(CAST(n - d AS DOUBLE))) AS BIGINT)
+             - CAST(round(1000*ln(CAST(n AS DOUBLE))) AS BIGINT))
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rk WHERE d > 0
+)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_deaths, CAST(cum AS BIGINT) AS cum_mnat,
+       exp(CAST(cum AS DOUBLE) / 1000.0) AS survival
+FROM dd ORDER BY 1
+"""
+    )

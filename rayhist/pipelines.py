@@ -9895,3 +9895,59 @@ def q_mannwhitney_value(sf_dir: str) -> pd.DataFrame:
          "u2_even": "int64", "u2_odd": "int64"}
     )
     return out.sort_values("etype").reset_index(drop=True)
+
+
+def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
+    """KAPLAN-MEIER SURVIVAL CURVE over entity lifespans (deletion =
+    event, alive-at-window-close = right-censored) — survival
+    analysis as a streaming pipeline. Rides the zero-shuffle lifespan
+    histogram (_lifespan_stage); the driver final walks <= 31
+    distinct durations. The survival product becomes an EXACT integer
+    cumulative sum of milli-nat log factors q(n-d) - q(n) (q = the
+    doc_lm_surprisal quantization), so the curve is order-free and
+    partitioning-invariant; survival itself is exp(cum/1000) — two
+    single IEEE ops. A duration where everyone at risk dies would
+    need ln(0): rejected loudly (cannot occur while any entity is
+    censored later)."""
+    from .aggregate import combine_partials
+
+    partials = _docs(sf_dir).map_batches(_lifespan_stage, batch_format="pyarrow")
+    base = combine_partials(
+        partials, ["lifespan_days", "deleted"], {"n_entities_p": "n"}
+    )
+    piv = (
+        base.pivot_table(index="lifespan_days", columns="deleted", values="n",
+                         fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    m = (piv[0] + piv[1]).to_numpy(dtype=np.int64)  # entities with duration t
+    d = piv[1].to_numpy(dtype=np.int64)  # deaths at duration t
+    at_risk = m[::-1].cumsum()[::-1]  # lifespans >= t
+    rows = []
+    cum = 0
+    for k in range(len(piv)):
+        if d[k] == 0:
+            continue
+        n_t, d_t = int(at_risk[k]), int(d[k])
+        if n_t == d_t:
+            raise ValueError("kaplan_meier: total extinction at a death time")
+        cum += _q_mnat(n_t - d_t) - _q_mnat(n_t)
+        import math
+
+        rows.append(
+            {
+                "t_days": int(piv.index[k]),
+                "n_at_risk": n_t,
+                "n_deaths": d_t,
+                "cum_mnat": cum,
+                # math.exp = glibc libm, bit-identical to DuckDB's exp()
+                # (np.exp's SIMD path can differ by 1 ULP)
+                "survival": math.exp(np.float64(cum) / 1000.0),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"t_days": "int64", "n_at_risk": "int64", "n_deaths": "int64",
+         "cum_mnat": "int64", "survival": "float64"}
+    )
+    return out.sort_values("t_days").reset_index(drop=True)
