@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_test_value": p.q_ks_test_value,
         "mannwhitney_value": p.q_mannwhitney_value,
         "kaplan_meier": p.q_kaplan_meier,
+        "turn_angle_histogram": p.q_turn_angle_histogram,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -446,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_test_value": o.ks_test_value(),
         "mannwhitney_value": o.mannwhitney_value(),
         "kaplan_meier": o.kaplan_meier(p.DWELL_END, p.DAY_US),
+        "turn_angle_histogram": o.turn_angle_histogram(),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

@@ -5153,3 +5153,42 @@ SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_at_risk,
 FROM dd ORDER BY 1
 """
     )
+
+
+_OCTANT_CASE = """CASE
+  WHEN dx >= 0 AND dy > 0 AND dx < dy THEN 0
+  WHEN dx > 0 AND dy > 0 AND dx >= dy THEN 1
+  WHEN dx > 0 AND dy <= 0 AND -dy < dx THEN 2
+  WHEN dx > 0 AND dy < 0 AND -dy >= dx THEN 3
+  WHEN dx <= 0 AND dy < 0 AND -dx < -dy THEN 4
+  WHEN dx < 0 AND dy < 0 AND -dx >= -dy THEN 5
+  WHEN dx < 0 AND dy >= 0 AND dy < -dx THEN 6
+  ELSE 7 END"""
+
+
+def turn_angle_histogram() -> str:
+    """Turning-angle mirror: per-entity consecutive visible versions
+    -> zero-length-free moves -> octants (the exact integer ladder)
+    -> lag within entity move order -> (o - po) mod 8 histogram."""
+    return (
+        DERIVE
+        + f"""
+, vv AS (
+  SELECT osm_id, ts_us, v, lon_e7, lat_e7 FROM d WHERE visible
+), st AS (
+  SELECT osm_id, ts_us, v,
+         lon_e7 - lag(lon_e7) OVER w AS dx,
+         lat_e7 - lag(lat_e7) OVER w AS dy
+  FROM vv WINDOW w AS (PARTITION BY osm_id ORDER BY ts_us, v)
+), mv AS (
+  SELECT osm_id, ts_us, v, {_OCTANT_CASE} AS oc
+  FROM st WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
+), tr AS (
+  SELECT oc, lag(oc) OVER (PARTITION BY osm_id ORDER BY ts_us, v) AS po
+  FROM mv
+)
+SELECT CAST(((oc - po) % 8 + 8) % 8 AS BIGINT) AS turn,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM tr WHERE po IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+    )

@@ -6726,6 +6726,28 @@ def q_csv_events_daily(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("day").reset_index(drop=True)
 
 
+def _octant_of(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+    """Exact integer 45-degree bearing sector (0 = N, clockwise) —
+    sign tests and |dx| vs |dy| compares only (numpy's SIMD atan2 is
+    NOT bit-identical to DuckDB's libm atan2, so the exact
+    formulation is also the only oracle-stable one). Zero vectors
+    return -1."""
+    return np.select(
+        [
+            (dx >= 0) & (dy > 0) & (dx < dy),
+            (dx > 0) & (dy > 0) & (dx >= dy),
+            (dx > 0) & (dy <= 0) & (-dy < dx),
+            (dx > 0) & (dy < 0) & (-dy >= dx),
+            (dx <= 0) & (dy < 0) & (-dx < -dy),
+            (dx < 0) & (dy < 0) & (-dx >= -dy),
+            (dx < 0) & (dy >= 0) & (dy < -dx),
+            (dx < 0) & (dy > 0) & (dy >= -dx),
+        ],
+        np.arange(8, dtype=np.int64),
+        default=np.int64(-1),
+    )
+
+
 def q_way_bearing_rose(sf_dir: str) -> pd.DataFrame:
     """Compass rose of way segments (node/u -> node/(u+1) at T_MID):
     counts per 45-degree bearing sector, computed WITHOUT floats —
@@ -6767,21 +6789,7 @@ def q_way_bearing_rose(sf_dir: str) -> pd.DataFrame:
         dx = b["x2"].to_numpy(zero_copy_only=False) - b["x1"].to_numpy(zero_copy_only=False)
         dy = b["y2"].to_numpy(zero_copy_only=False) - b["y1"].to_numpy(zero_copy_only=False)
         live = (dx != 0) | (dy != 0)
-        dx, dy = dx[live], dy[live]
-        oct_ = np.select(
-            [
-                (dx >= 0) & (dy > 0) & (dx < dy),
-                (dx > 0) & (dy > 0) & (dx >= dy),
-                (dx > 0) & (dy <= 0) & (-dy < dx),
-                (dx > 0) & (dy < 0) & (-dy >= dx),
-                (dx <= 0) & (dy < 0) & (-dx < -dy),
-                (dx < 0) & (dy < 0) & (-dx >= -dy),
-                (dx < 0) & (dy >= 0) & (dy < -dx),
-                (dx < 0) & (dy > 0) & (dy >= -dx),
-            ],
-            np.arange(8, dtype=np.int64),
-            default=np.int64(-1),
-        )
+        oct_ = _octant_of(dx[live], dy[live])
         o, n = np.unique(oct_, return_counts=True)
         return pa.table({"octant": o, "n_p": n.astype(np.int64)})
 
@@ -9951,3 +9959,52 @@ def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
          "cum_mnat": "int64", "survival": "float64"}
     )
     return out.sort_values("t_days").reset_index(drop=True)
+
+
+def q_turn_angle_histogram(sf_dir: str) -> pd.DataFrame:
+    """TURNING-ANGLE HISTOGRAM: for every entity trajectory, the
+    distribution of direction changes between consecutive MOVES
+    (45-degree sectors, turn = (octant2 - octant1) mod 8) — the
+    movement-analysis companion to sinuosity. Zero shuffle: moves and
+    their consecutive pairing resolve per doc inside the fused decode
+    (_sorted_versions realign, visible versions only, zero-length
+    steps skipped); the 8-row histogram combines at the driver."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .temporal import _sorted_versions
+
+    def stage(b: pa.Table) -> pa.Table:
+        tbl, codes, ts, v, _ = _sorted_versions(decode_spans(b, tags=False))
+        empty = pa.table(
+            {"turn": pa.array([], pa.int64()), "n_p": pa.array([], pa.int64())}
+        )
+        if not len(ts):
+            return empty
+        vis = tbl["visible"].to_numpy(zero_copy_only=False).astype(bool)
+        codes = codes[vis]
+        x = tbl["lon_e7"].to_numpy(zero_copy_only=False)[vis]
+        y = tbl["lat_e7"].to_numpy(zero_copy_only=False)[vis]
+        if len(codes) < 3:
+            return empty
+        same = codes[1:] == codes[:-1]
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        move = same & ((dx != 0) | (dy != 0))
+        oc = _octant_of(dx[move], dy[move])
+        # consecutive moves of the SAME doc: the move inherits the
+        # doc code of its endpoints
+        mcodes = codes[1:][move]
+        if len(oc) < 2:
+            return empty
+        pair = mcodes[1:] == mcodes[:-1]
+        turn = (oc[1:][pair] - oc[:-1][pair]) % 8
+        t, n = np.unique(turn, return_counts=True)
+        return pa.table(
+            {"turn": t.astype(np.int64), "n_p": n.astype(np.int64)}
+        )
+
+    df = combine_partials(
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"), ["turn"],
+        {"n_p": "n_turns"},
+    ).astype({"turn": "int64", "n_turns": "int64"})
+    return df.sort_values("turn").reset_index(drop=True)
