@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_value": p.q_mannwhitney_value,
         "kaplan_meier": p.q_kaplan_meier,
         "turn_angle_histogram": p.q_turn_angle_histogram,
+        "theilsen_trend_by_type": p.q_theilsen_trend_by_type,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -448,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney_value": o.mannwhitney_value(),
         "kaplan_meier": o.kaplan_meier(p.DWELL_END, p.DAY_US),
         "turn_angle_histogram": o.turn_angle_histogram(),
+        "theilsen_trend_by_type": o.theilsen_trend_by_type(p.T0, p.DAY_US),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

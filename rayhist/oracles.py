@@ -5192,3 +5192,38 @@ SELECT CAST(((oc - po) % 8 + 8) % 8 AS BIGINT) AS turn,
 FROM tr WHERE po IS NOT NULL GROUP BY 1 ORDER BY 1
 """
     )
+
+
+def theilsen_trend_by_type(t0: int, day_us: int) -> str:
+    """Theil-Sen mirror: zerofilled global day grid, pairwise slopes,
+    rank (cnt+1)//2 under the identical (ratio, dn, dd) order."""
+    return f"""
+WITH c AS (
+  SELECT (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day,
+         event_type AS etype, count(*) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM c
+), grid AS (
+  SELECT e.etype, d.day, coalesce(c.n, 0) AS n
+  FROM (SELECT DISTINCT etype FROM c) e
+  CROSS JOIN (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b) d
+  LEFT JOIN c ON c.etype = e.etype AND c.day = d.day
+), p AS (
+  SELECT g1.etype, g2.n - g1.n AS dn, g2.day - g1.day AS dd
+  FROM grid g1 JOIN grid g2
+    ON g2.etype = g1.etype AND g2.day > g1.day
+), sel AS (
+  SELECT etype, dn, dd,
+         row_number() OVER (
+           PARTITION BY etype
+           ORDER BY CAST(dn AS DOUBLE) / CAST(dd AS DOUBLE), dn, dd
+         ) AS rn,
+         count(*) OVER (PARTITION BY etype) AS cnt
+  FROM p
+)
+SELECT etype, CAST(cnt AS BIGINT) AS n_pairs,
+       CAST(dn AS BIGINT) AS slope_num, CAST(dd AS BIGINT) AS slope_den,
+       CAST(dn AS DOUBLE) / CAST(dd AS DOUBLE) AS slope
+FROM sel WHERE rn = (cnt + 1) // 2 ORDER BY etype
+"""

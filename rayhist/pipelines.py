@@ -10008,3 +10008,45 @@ def q_turn_angle_histogram(sf_dir: str) -> pd.DataFrame:
         {"n_p": "n_turns"},
     ).astype({"turn": "int64", "n_turns": "int64"})
     return df.sort_values("turn").reset_index(drop=True)
+
+
+def q_theilsen_trend_by_type(sf_dir: str) -> pd.DataFrame:
+    """THEIL-SEN ROBUST TREND per event type: the median of all
+    pairwise slopes (n_j - n_i)/(day_j - day_i) over the zerofilled
+    daily count series — the outlier-robust regression companion to
+    the OLS value_trend. EXACT: slopes stay integer rationals
+    (slope_num, slope_den); the selection order is (IEEE ratio,
+    dn, dd) — the single division is bit-identical in both engines
+    and the integer tiebreak resolves double collisions — and the
+    median is the row at rank (cnt+1)//2. Distributed work is the
+    shared one-pass day grid; the final walks |etypes| x C(31,2)
+    pairs."""
+    base = _etype_day_grid(sf_dir)
+    days = np.arange(base["day"].min(), base["day"].max() + 1, dtype=np.int64)
+    iu, ju = np.triu_indices(len(days), k=1)
+    rows = []
+    for etype, g in base.groupby("etype"):
+        x = (
+            g.set_index("day")["n"].reindex(days, fill_value=0).to_numpy(dtype=np.int64)
+        )
+        dn = x[ju] - x[iu]
+        dd = days[ju] - days[iu]
+        ratio = dn.astype(np.float64) / dd.astype(np.float64)
+        order = np.lexsort((dd, dn, ratio))
+        cnt = len(order)
+        k = (cnt + 1) // 2 - 1
+        m = order[k]
+        rows.append(
+            {
+                "etype": etype,
+                "n_pairs": cnt,
+                "slope_num": int(dn[m]),
+                "slope_den": int(dd[m]),
+                "slope": np.float64(dn[m]) / np.float64(dd[m]),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"etype": "object", "n_pairs": "int64", "slope_num": "int64",
+         "slope_den": "int64", "slope": "float64"}
+    )
+    return out.sort_values("etype").reset_index(drop=True)
