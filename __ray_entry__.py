@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier": p.q_kaplan_meier,
         "turn_angle_histogram": p.q_turn_angle_histogram,
         "theilsen_trend_by_type": p.q_theilsen_trend_by_type,
+        "knox_pairs": p.q_knox_pairs,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -450,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "kaplan_meier": o.kaplan_meier(p.DWELL_END, p.DAY_US),
         "turn_angle_histogram": o.turn_angle_histogram(),
         "theilsen_trend_by_type": o.theilsen_trend_by_type(p.T0, p.DAY_US),
+        "knox_pairs": o.knox_pairs(p.KNOX_R_E7, p.KNOX_W_US),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

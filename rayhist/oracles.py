@@ -5227,3 +5227,30 @@ SELECT etype, CAST(cnt AS BIGINT) AS n_pairs,
        CAST(dn AS DOUBLE) / CAST(dd AS DOUBLE) AS slope
 FROM sel WHERE rn = (cnt + 1) // 2 ORDER BY etype
 """
+
+
+def knox_pairs(r: int, w: int) -> str:
+    """Knox mirror: boxed (overflow-safe) visible-version self-join
+    across entities, exact integer distance and time predicates."""
+    return (
+        DERIVE
+        + f"""
+, vv AS (
+  SELECT osm_id, ts_us, lon_e7, lat_e7 FROM d WHERE visible
+), boxed AS MATERIALIZED (
+  SELECT a.lon_e7 - b.lon_e7 AS dx, a.lat_e7 - b.lat_e7 AS dy,
+         a.ts_us - b.ts_us AS dt
+  FROM vv a JOIN vv b
+    ON a.osm_id < b.osm_id
+   AND abs(a.lon_e7 - b.lon_e7) <= {int(r)}
+   AND abs(a.lat_e7 - b.lat_e7) <= {int(r)}
+)
+SELECT CAST(count(*) FILTER (
+         dx*dx + dy*dy <= CAST({int(r)} AS BIGINT)*{int(r)}) AS BIGINT)
+         AS n_space_pairs,
+       CAST(count(*) FILTER (
+         dx*dx + dy*dy <= CAST({int(r)} AS BIGINT)*{int(r)}
+         AND abs(dt) <= {int(w)}) AS BIGINT) AS n_spacetime_pairs
+FROM boxed
+"""
+    )

@@ -10050,3 +10050,71 @@ def q_theilsen_trend_by_type(sf_dir: str) -> pd.DataFrame:
          "slope_den": "int64", "slope": "float64"}
     )
     return out.sort_values("etype").reset_index(drop=True)
+
+
+KNOX_R_E7 = 20_000_000  # Knox spatial radius (2 degrees)
+KNOX_W_US = 86_400_000_000  # Knox temporal window (1 day)
+
+
+def q_knox_pairs(sf_dir: str) -> pd.DataFrame:
+    """KNOX SPACE-TIME INTERACTION counts: over all VISIBLE version
+    points of DIFFERENT entities, how many pairs are close in space
+    (d <= KNOX_R_E7) and how many of those are also close in time
+    (|dt| <= KNOX_W_US) — the epidemiology-style clustering test's
+    exact sufficient statistics. The pair stage is the
+    grid-partitioned radius self-join (9-cell ghost replication,
+    nothing quadratic in the corpus) with osm_id/ts carried through;
+    version ids pack order-preserving as osm_id*2^20 + v, so the
+    engine's id_a < id_b pair set equals the oracle's
+    osm_id_a < osm_id_b one after the same-entity exclusion."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.radius import radius_self_join
+
+    def points(b: pa.Table) -> pa.Table:
+        d = decode_spans(b, tags=False)
+        vis = d["visible"].to_numpy(zero_copy_only=False).astype(bool)
+        osm = d["osm_id"].to_numpy(zero_copy_only=False)[vis].astype(np.int64)
+        v = d["v"].to_numpy(zero_copy_only=False)[vis].astype(np.int64)
+        if len(v) and (int(v.max()) >= 1 << 20 or int(osm.max()) >= 1 << 43):
+            raise OverflowError("knox_pairs: version id pack range exceeded")
+        return pa.table(
+            {
+                "id": osm * (1 << 20) + v,
+                "x": d["lon_e7"].to_numpy(zero_copy_only=False)[vis],
+                "y": d["lat_e7"].to_numpy(zero_copy_only=False)[vis],
+                "osm": osm,
+                "ts_us": d["ts"].to_numpy(zero_copy_only=False)[vis].astype(np.int64),
+            }
+        )
+
+    pairs = radius_self_join(
+        _docs(sf_dir).map_batches(points, batch_format="pyarrow"),
+        KNOX_R_E7,
+        carry=("osm", "ts_us"),
+    )
+
+    def agg(b: pa.Table) -> pa.Table:
+        cross = (
+            b["osm_a"].to_numpy(zero_copy_only=False)
+            != b["osm_b"].to_numpy(zero_copy_only=False)
+        )
+        dt = np.abs(
+            b["ts_us_a"].to_numpy(zero_copy_only=False)[cross]
+            - b["ts_us_b"].to_numpy(zero_copy_only=False)[cross]
+        )
+        return pa.table(
+            {
+                "n_space_p": pa.array([np.int64(cross.sum())]),
+                "n_st_p": pa.array([np.int64((dt <= KNOX_W_US).sum())]),
+            }
+        )
+
+    df = combine_partials(
+        pairs.map_batches(agg, batch_format="pyarrow"),
+        [],
+        {"n_space_p": "n_space_pairs", "n_st_p": "n_spacetime_pairs"},
+    )
+    return df.astype(
+        {"n_space_pairs": "int64", "n_spacetime_pairs": "int64"}
+    ).reset_index(drop=True)

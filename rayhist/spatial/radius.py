@@ -44,11 +44,13 @@ def radius_self_join(
     x_col: str = "x",
     y_col: str = "y",
     n_buckets: int | None = None,
+    carry: tuple = (),
 ) -> ray.data.Dataset:
     """(id_a, id_b, d2) for every unordered pair with id_a < id_b and
     squared planar distance d2 <= radius^2. Coordinates and ids must be
     int64; the metric is planar (no meridian wrap — callers spanning
-    the antimeridian shift coordinates first)."""
+    the antimeridian shift coordinates first). ``carry`` columns ride
+    along and come back suffixed _a/_b (int64)."""
     if radius <= 0 or radius > 2_100_000_000:
         raise ValueError(f"radius_self_join: radius {radius} out of the exact-int64 range")
     n_buckets = _resolve_buckets(n_buckets, floor=64)
@@ -61,6 +63,9 @@ def radius_self_join(
         cx = np.floor_divide(x, r)
         cy = np.floor_divide(y, r)
         n = len(pid)
+        extra = {
+            c: b[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in carry
+        }
         frames = []
         for dx, dy in _OFFSETS:
             frames.append(
@@ -72,6 +77,7 @@ def radius_self_join(
                         "x": x,
                         "y": y,
                         "res": np.full(n, dx == 0 and dy == 0, dtype=bool),
+                        **extra,
                     }
                 )
             )
@@ -94,13 +100,15 @@ def radius_self_join(
         dx, dy = dx[near], dy[near]
         d2 = dx * dx + dy * dy
         keep = d2 <= r * r
-        return pd.DataFrame(
-            {
-                "id_a": m["pid_a"].to_numpy(dtype=np.int64)[near][keep],
-                "id_b": m["pid_b"].to_numpy(dtype=np.int64)[near][keep],
-                "d2": d2[keep],
-            }
-        )
+        out = {
+            "id_a": m["pid_a"].to_numpy(dtype=np.int64)[near][keep],
+            "id_b": m["pid_b"].to_numpy(dtype=np.int64)[near][keep],
+            "d2": d2[keep],
+        }
+        for c in carry:
+            out[f"{c}_a"] = m[f"{c}_a"].to_numpy(dtype=np.int64)[near][keep]
+            out[f"{c}_b"] = m[f"{c}_b"].to_numpy(dtype=np.int64)[near][keep]
+        return pd.DataFrame(out)
 
     return (
         points.map_batches(scatter, batch_format="pyarrow")
