@@ -8807,22 +8807,34 @@ def q_idw_snapshot_field(sf_dir: str) -> pd.DataFrame:
     cx = 2 * HEX_W * ci + HEX_W * cj
     cy = HEX_H * cj
 
-    class Stage:
-        def __init__(self, ci, cj, cx, cy):
-            self.ci, self.cj, self.cx, self.cy = ci, cj, cx, cy
+    # centers sorted by x ONCE at the driver; the arrays are tiny
+    # (O(lattice) ints), so they ship by closure capture — once per
+    # task, not per batch (the tagtranslator precedent) — and the
+    # stage runs in the TASK pool: actor-pool spin-up costs more than
+    # this state ever will
+    _order = np.argsort(cx, kind="mergesort")
+    sci, scj = ci[_order], cj[_order]
+    scx, scy = cx[_order], cy[_order]
 
-        def __call__(self, b: pa.Table) -> pa.Table:
+    def idw_stage(b: pa.Table) -> pa.Table:
             px = b["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
             py = b["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
             xv = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-            m = len(self.cx)
+            porder = np.argsort(px, kind="mergesort")
+            px, py, xv = px[porder], py[porder], xv[porder]
+            m = len(scx)
             sw = np.zeros(m, np.int64)
             swx = np.zeros(m, np.int64)
             npts = np.zeros(m, np.int64)
-            CH = 512  # CH x |centers| panels; all reductions vectorized
+            CH = 512  # CH x |window| panels; all reductions vectorized
             for s0 in range(0, len(px), CH):
-                dx = px[s0 : s0 + CH, None] - self.cx[None, :]
-                dy = py[s0 : s0 + CH, None] - self.cy[None, :]
+                pxc = px[s0 : s0 + CH]
+                lo = int(np.searchsorted(scx, pxc[0] - IDW_RLIM, "left"))
+                hi = int(np.searchsorted(scx, pxc[-1] + IDW_RLIM, "right"))
+                if lo >= hi:
+                    continue
+                dx = pxc[:, None] - scx[None, lo:hi]
+                dy = py[s0 : s0 + CH, None] - scy[None, lo:hi]
                 # box prefilter: keeps every d2 <= R2 pair while
                 # bounding the squares away from int64 overflow
                 inbox = (np.abs(dx) <= IDW_RLIM) & (np.abs(dy) <= IDW_RLIM)
@@ -8840,26 +8852,21 @@ def q_idw_snapshot_field(sf_dir: str) -> pd.DataFrame:
                     ).astype(np.int64),
                 )
                 w = np.where((d2 <= IDW_R2) & (w > 0), w, 0)
-                sw += w.sum(axis=0)
-                swx += (w * xv[s0 : s0 + CH, None]).sum(axis=0)
-                npts += (w > 0).sum(axis=0)
+                sw[lo:hi] += w.sum(axis=0)
+                swx[lo:hi] += (w * xv[s0 : s0 + CH, None]).sum(axis=0)
+                npts[lo:hi] += (w > 0).sum(axis=0)
             keep = npts > 0
             return pa.table(
                 {
-                    "i": self.ci[keep],
-                    "j": self.cj[keep],
+                    "i": sci[keep],
+                    "j": scj[keep],
                     "sw_p": sw[keep],
                     "swx_p": swx[keep],
                     "n_p": npts[keep],
                 }
             )
 
-    part = pos.map_batches(
-        Stage,
-        fn_constructor_args=(ci, cj, cx, cy),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    part = pos.map_batches(idw_stage, batch_format="pyarrow")
     df = combine_partials(part, ["i", "j"], {"sw_p": "sw", "swx_p": "swx", "n_p": "n_pts"})
     # input-derived guard: every weight is <= IDW_W0 and point counts
     # cannot wrap, so n_pts * IDW_W0 bounds sw (and every intermediate
