@@ -8609,59 +8609,54 @@ def q_nearest_road_distance(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    class Stage:
-        def __init__(self, segdf: pd.DataFrame):
-            self.sid = segdf["join_k"].to_numpy(dtype=np.int64)
-            self.ax = segdf["ax"].to_numpy(dtype=np.int64)
-            self.ay = segdf["ay"].to_numpy(dtype=np.int64)
-            self.bx = segdf["bx"].to_numpy(dtype=np.int64)
-            self.by = segdf["by"].to_numpy(dtype=np.int64)
+    # segment arrays are tiny (class-filtered layer): closure capture
+    # ships them once per task — cheaper than actor-pool spin-up
+    sid = seg["join_k"].to_numpy(dtype=np.int64)
+    sax = seg["ax"].to_numpy(dtype=np.int64)
+    say = seg["ay"].to_numpy(dtype=np.int64)
+    sbx = seg["bx"].to_numpy(dtype=np.int64)
+    sby = seg["by"].to_numpy(dtype=np.int64)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pid = batch["osm_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            px = batch["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
-            py = batch["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
-            out_id, out_seg, out_d2 = [], [], []
-            CH = 256  # point chunk: CH x |seg| float panels stay < ~30 MB
-            for s0 in range(0, len(pid), CH):
-                ids = pid[s0 : s0 + CH]
-                d2 = point_segment_d2(
-                    px[s0 : s0 + CH, None],
-                    py[s0 : s0 + CH, None],
-                    self.ax[None, :],
-                    self.ay[None, :],
-                    self.bx[None, :],
-                    self.by[None, :],
-                )
-                # exclude segments incident to the point itself
-                excl = (self.sid[None, :] == ids[:, None]) | (
-                    self.sid[None, :] == ids[:, None] - 1
-                )
-                d2 = np.where(excl, np.inf, d2)
-                k = np.lexsort((np.broadcast_to(self.sid[None, :], d2.shape), d2), axis=1)[:, 0]
-                rr = np.arange(len(ids))
-                keep = np.isfinite(d2[rr, k])
-                out_id.append(ids[keep])
-                out_seg.append(self.sid[k][keep])
-                out_d2.append(d2[rr, k][keep])
-            oid = np.concatenate(out_id) if out_id else np.array([], np.int64)
-            osg = np.concatenate(out_seg) if out_seg else np.array([], np.int64)
-            od2 = np.concatenate(out_d2) if out_d2 else np.array([], np.float64)
-            return pa.table(
-                {
-                    "osm_id": pa.array(oid, pa.int64()),
-                    "nearest_seg": pa.array(osg, pa.int64()),
-                    "d2": pa.array(od2, pa.float64()),
-                    "dist_deg7": pa.array(np.sqrt(od2), pa.float64()),
-                }
+    def nearest_stage(batch: pa.Table) -> pa.Table:
+        pid = batch["osm_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = batch["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_seg, out_d2 = [], [], []
+        CH = 256  # point chunk: CH x |seg| float panels stay < ~30 MB
+        for s0 in range(0, len(pid), CH):
+            ids = pid[s0 : s0 + CH]
+            d2 = point_segment_d2(
+                px[s0 : s0 + CH, None],
+                py[s0 : s0 + CH, None],
+                sax[None, :],
+                say[None, :],
+                sbx[None, :],
+                sby[None, :],
             )
+            # exclude segments incident to the point itself
+            excl = (sid[None, :] == ids[:, None]) | (
+                sid[None, :] == ids[:, None] - 1
+            )
+            d2 = np.where(excl, np.inf, d2)
+            k = np.lexsort((np.broadcast_to(sid[None, :], d2.shape), d2), axis=1)[:, 0]
+            rr = np.arange(len(ids))
+            keep = np.isfinite(d2[rr, k])
+            out_id.append(ids[keep])
+            out_seg.append(sid[k][keep])
+            out_d2.append(d2[rr, k][keep])
+        oid = np.concatenate(out_id) if out_id else np.array([], np.int64)
+        osg = np.concatenate(out_seg) if out_seg else np.array([], np.int64)
+        od2 = np.concatenate(out_d2) if out_d2 else np.array([], np.float64)
+        return pa.table(
+            {
+                "osm_id": pa.array(oid, pa.int64()),
+                "nearest_seg": pa.array(osg, pa.int64()),
+                "d2": pa.array(od2, pa.float64()),
+                "dist_deg7": pa.array(np.sqrt(od2), pa.float64()),
+            }
+        )
 
-    df = pos.map_batches(
-        Stage,
-        fn_constructor_args=(seg,),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).to_pandas()
+    df = pos.map_batches(nearest_stage, batch_format="pyarrow").to_pandas()
     return df.sort_values("osm_id").reset_index(drop=True)
 
 
@@ -8908,35 +8903,31 @@ def q_road_buffer_count(sf_dir: str) -> pd.DataFrame:
             {"seg": pd.Series([], dtype="int64"), "n_within": pd.Series([], dtype="int64")}
         )
 
-    class Stage:
-        def __init__(self, segdf: pd.DataFrame):
-            self.sid = segdf["join_k"].to_numpy(dtype=np.int64)
-            self.ax = segdf["ax"].to_numpy(dtype=np.int64)
-            self.ay = segdf["ay"].to_numpy(dtype=np.int64)
-            self.bx = segdf["bx"].to_numpy(dtype=np.int64)
-            self.by = segdf["by"].to_numpy(dtype=np.int64)
+    sid = seg["join_k"].to_numpy(dtype=np.int64)
+    sax = seg["ax"].to_numpy(dtype=np.int64)
+    say = seg["ay"].to_numpy(dtype=np.int64)
+    sbx = seg["bx"].to_numpy(dtype=np.int64)
+    sby = seg["by"].to_numpy(dtype=np.int64)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            px = batch["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
-            py = batch["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
-            cnt = np.zeros(len(self.sid), np.int64)
-            CH = 256
-            for s0 in range(0, len(px), CH):
-                d2 = point_segment_d2(
-                    px[s0 : s0 + CH, None],
-                    py[s0 : s0 + CH, None],
-                    self.ax[None, :],
-                    self.ay[None, :],
-                    self.bx[None, :],
-                    self.by[None, :],
-                )
-                cnt += (d2 <= ROAD_BUF_R2).sum(axis=0)
-            keep = cnt > 0
-            return pa.table({"seg": self.sid[keep], "n_p": cnt[keep]})
+    def buffer_stage(batch: pa.Table) -> pa.Table:
+        px = batch["lon_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch["lat_e7"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.zeros(len(sid), np.int64)
+        CH = 256
+        for s0 in range(0, len(px), CH):
+            d2 = point_segment_d2(
+                px[s0 : s0 + CH, None],
+                py[s0 : s0 + CH, None],
+                sax[None, :],
+                say[None, :],
+                sbx[None, :],
+                sby[None, :],
+            )
+            cnt += (d2 <= ROAD_BUF_R2).sum(axis=0)
+        keep = cnt > 0
+        return pa.table({"seg": sid[keep], "n_p": cnt[keep]})
 
-    part = pos.map_batches(
-        Stage, fn_constructor_args=(seg,), batch_format="pyarrow", concurrency=(1, 8)
-    )
+    part = pos.map_batches(buffer_stage, batch_format="pyarrow")
     df = combine_partials(part, ["seg"], {"n_p": "n_within"})
     from .aggregate import zerofill
 
