@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_angle_histogram": p.q_turn_angle_histogram,
         "theilsen_trend_by_type": p.q_theilsen_trend_by_type,
         "knox_pairs": p.q_knox_pairs,
+        "ripley_k": p.q_ripley_k,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -452,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_angle_histogram": o.turn_angle_histogram(),
         "theilsen_trend_by_type": o.theilsen_trend_by_type(p.T0, p.DAY_US),
         "knox_pairs": o.knox_pairs(p.KNOX_R_E7, p.KNOX_W_US),
+        "ripley_k": o.ripley_k(p.RIPLEY_RADII),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

@@ -5254,3 +5254,44 @@ SELECT CAST(count(*) FILTER (
 FROM boxed
 """
     )
+
+
+def ripley_k(radii: tuple) -> str:
+    """Ripley-K mirror: boxed snapshot self-join at the largest
+    radius, threshold counts per ring, the literal normalization
+    pairs * 2 * A / (n * (n-1))."""
+    from .pipelines import T_MID
+
+    rmax = max(int(r) for r in radii)
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    legs = []
+    for r in radii:
+        r = int(r)
+        legs.append(
+            f"""SELECT CAST({r} AS BIGINT) AS radius_e7,
+       (SELECT count(*) FROM snap) AS n_points,
+       count(*) FILTER (dx*dx + dy*dy <= CAST({r} AS BIGINT)*{r}) AS n_pairs
+FROM boxed"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return (
+        DERIVE
+        + cte
+        + f"""
+, boxed AS MATERIALIZED (
+  SELECT a.lon_e7 - b.lon_e7 AS dx, a.lat_e7 - b.lat_e7 AS dy
+  FROM snap a JOIN snap b
+    ON a.osm_id < b.osm_id
+   AND abs(a.lon_e7 - b.lon_e7) <= {rmax}
+   AND abs(a.lat_e7 - b.lat_e7) <= {rmax}
+), u AS (
+{union}
+)
+SELECT radius_e7, CAST(n_points AS BIGINT) AS n_points,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_pairs AS DOUBLE) * 2.0
+         * (CAST(3600000000 AS DOUBLE) * CAST(1800000000 AS DOUBLE))
+         / (CAST(n_points AS DOUBLE) * CAST(n_points - 1 AS DOUBLE)) AS k_hat
+FROM u ORDER BY radius_e7
+"""
+    )

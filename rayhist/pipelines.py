@@ -10116,3 +10116,79 @@ def q_knox_pairs(sf_dir: str) -> pd.DataFrame:
     return df.astype(
         {"n_space_pairs": "int64", "n_spacetime_pairs": "int64"}
     ).reset_index(drop=True)
+
+
+RIPLEY_RADII = (100_000_000, 200_000_000, 300_000_000, 400_000_000)  # e7 units
+
+
+def q_ripley_k(sf_dir: str) -> pd.DataFrame:
+    """RIPLEY'S K FUNCTION over the T_MID snapshot points: exact
+    unordered pair counts within each radius of the ladder (one
+    grid-partitioned radius self-join at the LARGEST radius, pair d2
+    bucketed against the smaller thresholds in-stage — one shuffle for
+    the whole ladder), plus the standard normalization
+    K(r) = 2 * pairs * A / (n * (n-1)) with A = the full lon/lat
+    plane area (planar convention, mirrored literally; the exact
+    integer pair counts are the value-bearing columns)."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.radius import radius_self_join
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        return pa.table({"id": s["osm_id"], "x": s["lon_e7"], "y": s["lat_e7"]})
+
+    pts = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    pairs = radius_self_join(pts, max(RIPLEY_RADII))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        d2 = b["d2"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                **{
+                    f"r{k}_p": pa.array(
+                        [np.int64((d2 <= np.int64(r) * np.int64(r)).sum())]
+                    )
+                    for k, r in enumerate(RIPLEY_RADII)
+                },
+                "n_pts_p": pa.array([np.int64(0)]),
+            }
+        )
+
+    cnt = combine_partials(
+        pairs.map_batches(bucketize, batch_format="pyarrow"),
+        [],
+        {f"r{k}_p": f"r{k}" for k in range(len(RIPLEY_RADII))} | {"n_pts_p": "_"},
+    )
+    n = int(
+        combine_partials(
+            pts.map_batches(
+                lambda b: pa.table({"n_p": pa.array([np.int64(len(b))])}),
+                batch_format="pyarrow",
+            ),
+            [],
+            {"n_p": "n"},
+        )["n"].iloc[0]
+    )
+    area = np.float64(3_600_000_000) * np.float64(1_800_000_000)
+    rows = []
+    for k, r in enumerate(RIPLEY_RADII):
+        npairs = int(cnt[f"r{k}"].iloc[0])
+        rows.append(
+            {
+                "radius_e7": r,
+                "n_points": n,
+                "n_pairs": npairs,
+                "k_hat": np.float64(npairs)
+                * 2.0
+                * area
+                / (np.float64(n) * np.float64(n - 1)),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"radius_e7": "int64", "n_points": "int64", "n_pairs": "int64",
+         "k_hat": "float64"}
+    )
