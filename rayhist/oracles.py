@@ -5295,3 +5295,40 @@ SELECT radius_e7, CAST(n_points AS BIGINT) AS n_points,
 FROM u ORDER BY radius_e7
 """
     )
+
+
+def token_zipf_slope(k: int) -> str:
+    """Zipf mirror: top-K wordcount ranked (freq DESC, word), the
+    identical milli-nat quantization, exact integer OLS sums, the
+    literal two-division + intercept tail."""
+    from .pipelines import WORD_SPLIT_RE
+
+    q = "CAST(round(1000*ln(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(text), '{WORD_SPLIT_RE}')) AS word
+  FROM documents
+), c AS (
+  SELECT word, count(*) AS f FROM w WHERE word <> '' GROUP BY 1
+  ORDER BY f DESC, word LIMIT {int(k)}
+), r AS (
+  SELECT row_number() OVER (ORDER BY f DESC, word) AS rnk, f FROM c
+), s AS (
+  SELECT count(*) AS n,
+         sum({q.format(x='rnk')}) AS sx,
+         sum({q.format(x='f')}) AS sy,
+         sum({q.format(x='rnk')} * {q.format(x='rnk')}) AS sxx,
+         sum({q.format(x='rnk')} * {q.format(x='f')}) AS sxy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_words,
+       CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS slope_den,
+       CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+         AS zipf_slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept_mnat
+FROM s
+"""

@@ -10192,3 +10192,64 @@ def q_ripley_k(sf_dir: str) -> pd.DataFrame:
         {"radius_e7": "int64", "n_points": "int64", "n_pairs": "int64",
          "k_hat": "float64"}
     )
+
+
+ZIPF_K = 40  # Zipf regression over the top-K vocabulary
+
+
+def q_token_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """ZIPF'S-LAW FIT over the token frequency distribution: OLS slope
+    of q(ln freq) on q(ln rank) for the top-K vocabulary (rank by
+    freq DESC, word ASC) — the corpus-statistics diagnostic (a healthy
+    natural corpus slopes ~ -1000 milli-nats/mnat). Logs quantize to
+    integer milli-nats first (the doc_lm_surprisal contract), so the
+    OLS sufficient statistics are EXACT integers and the two final
+    numbers are single IEEE divisions. The count side is the
+    distributed wordcount (vocabulary-cardinality groupby + candidate
+    top-k); the regression walks K rows at the driver."""
+    import pyarrow.compute as pc
+
+    from .ops.relational import topk
+
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode_count(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+        )
+        words = words.filter(pc.not_equal(words, ""))
+        t = pa.table({"word": words})
+        g = pa.TableGroupBy(t, ["word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n_p"])
+
+    counts = (
+        ds.map_batches(explode_count, batch_format="pyarrow").groupby("word").sum("n_p")
+    )
+    df = topk(counts, key="sum(n_p)", k=ZIPF_K, tiebreak="word", descending=True)
+    freqs = df["sum(n_p)"].to_numpy(dtype=np.int64)
+    n = len(freqs)
+    if n < 2:
+        raise ValueError("token_zipf_slope: vocabulary too small")
+    x = [_q_mnat(r) for r in range(1, n + 1)]
+    y = [_q_mnat(int(f)) for f in freqs]
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    if not (-(2**63) < num < 2**63 and 0 < den < 2**63):
+        raise OverflowError("token_zipf_slope: exceeds int64")
+    return pd.DataFrame(
+        [
+            {
+                "n_words": n,
+                "slope_num": num,
+                "slope_den": den,
+                "zipf_slope": np.float64(num) / np.float64(den),
+                "intercept_mnat": (np.float64(sy) - (np.float64(num) / np.float64(den)) * np.float64(sx)) / np.float64(n),
+            }
+        ]
+    ).astype(
+        {"n_words": "int64", "slope_num": "int64", "slope_den": "int64",
+         "zipf_slope": "float64", "intercept_mnat": "float64"}
+    )
