@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knox_pairs": p.q_knox_pairs,
         "ripley_k": p.q_ripley_k,
         "token_zipf_slope": p.q_token_zipf_slope,
+        "vocab_growth": p.q_vocab_growth,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -456,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "knox_pairs": o.knox_pairs(p.KNOX_R_E7, p.KNOX_W_US),
         "ripley_k": o.ripley_k(p.RIPLEY_RADII),
         "token_zipf_slope": o.token_zipf_slope(p.ZIPF_K),
+        "vocab_growth": o.vocab_growth(p.VOCAB_BIN_DOCS),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

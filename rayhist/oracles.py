@@ -5332,3 +5332,25 @@ SELECT CAST(n AS BIGINT) AS n_words,
          / CAST(n AS DOUBLE) AS intercept_mnat
 FROM s
 """
+
+
+def vocab_growth(bin_docs: int) -> str:
+    """Heaps mirror: per-token min doc_id, checkpoint binning, ordered
+    cumulative sum."""
+    from .pipelines import WORD_SPLIT_RE
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '{WORD_SPLIT_RE}')) AS word
+  FROM documents
+), f AS (
+  SELECT word, min(doc_id) AS fd FROM w WHERE word <> '' GROUP BY 1
+), b AS (
+  SELECT fd // {int(bin_docs)} AS bin, count(*) AS new_words FROM f GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS doc_bin,
+       CAST(new_words AS BIGINT) AS new_words,
+       CAST(sum(new_words) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_vocab
+FROM b ORDER BY 1
+"""

@@ -10253,3 +10253,58 @@ def q_token_zipf_slope(sf_dir: str) -> pd.DataFrame:
         {"n_words": "int64", "slope_num": "int64", "slope_den": "int64",
          "zipf_slope": "float64", "intercept_mnat": "float64"}
     )
+
+
+VOCAB_BIN_DOCS = 100  # vocabulary-growth curve checkpoint spacing
+
+
+def q_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """HEAPS'-LAW VOCABULARY GROWTH: cumulative distinct-token count
+    as the corpus is consumed in doc_id order, sampled every
+    VOCAB_BIN_DOCS documents — the corpus-statistics companion to the
+    Zipf fit. Fully distributed: each token reduces to its FIRST
+    doc_id (vocabulary-cardinality groupby min), first-appearance
+    positions bin into the bounded checkpoint grid, and the driver
+    cumsums |bins| rows."""
+    import pyarrow.compute as pc
+
+    ds = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        tok = flat.to_numpy(zero_copy_only=False)
+        keep = tok != ""
+        df = pd.DataFrame({"word": tok[keep], "first_doc_p": doc[keep]})
+        g = df.groupby("word", as_index=False)["first_doc_p"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    firsts = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("word")
+        .min("first_doc_p")
+    )
+
+    def to_bins(b: pa.Table) -> pa.Table:
+        fd = b["min(first_doc_p)"].to_numpy(zero_copy_only=False)
+        bins = fd // VOCAB_BIN_DOCS
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": u.astype(np.int64), "new_p": c.astype(np.int64)}
+        )
+
+    from .aggregate import combine_partials
+
+    df = combine_partials(
+        firsts.map_batches(to_bins, batch_format="pyarrow"), ["bin"], {"new_p": "new_words"}
+    ).sort_values("bin")
+    out = pd.DataFrame(
+        {
+            "doc_bin": df["bin"].astype("int64"),
+            "new_words": df["new_words"].astype("int64"),
+            "cum_vocab": df["new_words"].cumsum().astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)
