@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ripley_k": p.q_ripley_k,
         "token_zipf_slope": p.q_token_zipf_slope,
         "vocab_growth": p.q_vocab_growth,
+        "hexcell_location_quotient": p.q_hexcell_location_quotient,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -458,6 +459,9 @@ def oracle_sql() -> dict[str, str]:
         "ripley_k": o.ripley_k(p.RIPLEY_RADII),
         "token_zipf_slope": o.token_zipf_slope(p.ZIPF_K),
         "vocab_growth": o.vocab_growth(p.VOCAB_BIN_DOCS),
+        "hexcell_location_quotient": o.hexcell_location_quotient(
+            hx.HEX_W, hx.HEX_H
+        ),
         "etype_seasonal_profile": o.etype_seasonal_profile(
             p.T0, p.DAY_US, p.SEAS_HALF
         ),

@@ -5354,3 +5354,37 @@ SELECT CAST(bin AS BIGINT) AS doc_bin,
          AS cum_vocab
 FROM b ORDER BY 1
 """
+
+
+def hexcell_location_quotient(w: int, h: int) -> str:
+    """LQ mirror: per-(cell, etype) version counts over the shared hex
+    assignment, window totals, the exact rational and one division."""
+    return (
+        DERIVE
+        + """
+, pt AS (
+  SELECT row_number() OVER (ORDER BY osm_id, v) AS rid,
+         etype, lon_e7 AS x, lat_e7 AS y
+  FROM d
+)"""
+        + _hex_best_sql(w, h, "rid")
+        + """
+, lab AS (
+  SELECT b.i, b.j, p.etype FROM best b JOIN pt p ON p.rid = b.rid
+), c AS (
+  SELECT i, j, etype, count(*) AS n FROM lab GROUP BY 1, 2, 3
+), x AS (
+  SELECT i, j, etype, n,
+         sum(n) OVER (PARTITION BY i, j) AS nc,
+         sum(n) OVER (PARTITION BY etype) AS ne,
+         sum(n) OVER () AS tot
+  FROM c
+)
+SELECT CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j, etype,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * tot AS BIGINT) AS lq_num,
+       CAST(nc * ne AS BIGINT) AS lq_den,
+       CAST(n * tot AS DOUBLE) / CAST(nc * ne AS DOUBLE) AS lq
+FROM x ORDER BY 1, 2, 3
+"""
+    )

@@ -10308,3 +10308,68 @@ def q_vocab_growth(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.reset_index(drop=True)
+
+
+def q_hexcell_location_quotient(sf_dir: str) -> pd.DataFrame:
+    """LOCATION QUOTIENT per (hex cell, event type): the cell's share
+    of a type relative to the type's global share — the
+    geodemographic specialization metric. LQ = (n_ce/n_c)/(n_e/N)
+    stays an exact integer rational (lq_num = n_ce*N,
+    lq_den = n_c*n_e) with ONE IEEE division; partials combine on the
+    bounded (lattice x |etypes|) key."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell
+
+    def stage(batch: pa.Table) -> pa.Table:
+        d = decode_spans(batch)  # tags NEEDED: etype is a tag-derived column
+        i, j = hex_cell(
+            d["lon_e7"].to_numpy(zero_copy_only=False),
+            d["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        g = pd.DataFrame(
+            {"i": i, "j": j, "etype": d["etype"].to_numpy(zero_copy_only=False)}
+        ).groupby(["i", "j", "etype"], as_index=False).size()
+        return pa.table(
+            {
+                "i": g["i"].to_numpy(dtype=np.int64),
+                "j": g["j"].to_numpy(dtype=np.int64),
+                "etype": g["etype"].to_numpy(),
+                "n_p": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = combine_partials(
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"),
+        ["i", "j", "etype"],
+        {"n_p": "n"},
+    )
+    base = base.astype({"i": "int64", "j": "int64", "n": "int64"})
+    tot = int(base["n"].sum())
+    cell_tot = base.groupby(["i", "j"])["n"].sum()
+    etype_tot = base.groupby("etype")["n"].sum()
+    nc = cell_tot.loc[
+        pd.MultiIndex.from_arrays([base["i"], base["j"]])
+    ].to_numpy(dtype=np.int64)
+    ne = etype_tot.loc[base["etype"]].to_numpy(dtype=np.int64)
+    num = base["n"].to_numpy(dtype=np.int64) * tot
+    den = nc * ne
+    if len(base) and (
+        int(base["n"].max()) * tot >= 2**63 or int(nc.max()) * int(ne.max()) >= 2**63
+    ):
+        raise OverflowError("hexcell_location_quotient: exceeds int64")
+    out = pd.DataFrame(
+        {
+            "hex_i": base["i"],
+            "hex_j": base["j"],
+            "etype": base["etype"],
+            "n": base["n"],
+            "lq_num": num,
+            "lq_den": den,
+            "lq": num.astype(np.float64) / den.astype(np.float64),
+        }
+    ).astype(
+        {"hex_i": "int64", "hex_j": "int64", "etype": "object", "n": "int64",
+         "lq_num": "int64", "lq_den": "int64", "lq": "float64"}
+    )
+    return out.sort_values(["hex_i", "hex_j", "etype"]).reset_index(drop=True)
