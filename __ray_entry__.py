@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_zipf_slope": p.q_token_zipf_slope,
         "vocab_growth": p.q_vocab_growth,
         "hexcell_location_quotient": p.q_hexcell_location_quotient,
+        "etype_stationary": p.q_etype_stationary,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -459,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "ripley_k": o.ripley_k(p.RIPLEY_RADII),
         "token_zipf_slope": o.token_zipf_slope(p.ZIPF_K),
         "vocab_growth": o.vocab_growth(p.VOCAB_BIN_DOCS),
+        "etype_stationary": o.etype_stationary(p.MARKOV_SCALE, p.MARKOV_ITERS),
         "hexcell_location_quotient": o.hexcell_location_quotient(
             hx.HEX_W, hx.HEX_H
         ),

@@ -5388,3 +5388,42 @@ SELECT CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j, etype,
 FROM x ORDER BY 1, 2, 3
 """
     )
+
+
+def etype_stationary(scale: int, iters: int) -> str:
+    """Stationary-distribution mirror: the transition-count CTE, the
+    identical non-negative floor-division rounds unrolled, one IEEE
+    division by the exact total."""
+    head = f"""
+WITH sq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_etype
+  FROM events
+), c AS (
+  SELECT prev_etype AS a, event_type AS b, count(*) AS n
+  FROM sq WHERE prev_etype IS NOT NULL GROUP BY 1, 2
+), st AS (
+  SELECT a, sum(n) AS s FROM c GROUP BY 1
+), v0 AS (
+  SELECT a AS e, CAST({int(scale)} AS BIGINT) AS v FROM st
+)"""
+    steps = []
+    for t in range(1, int(iters) + 1):
+        steps.append(
+            f""", v{t} AS MATERIALIZED (
+  SELECT c.b AS e, sum((v.v * c.n) // st.s) AS v
+  FROM c JOIN v{t-1} v ON v.e = c.a JOIN st ON st.a = c.a
+  GROUP BY 1
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT e AS etype, CAST(v AS BIGINT) AS v_fp,
+       CAST(v AS DOUBLE) / CAST((SELECT sum(v) FROM v{int(iters)}) AS DOUBLE)
+         AS share
+FROM v{int(iters)} ORDER BY 1
+"""
+    )

@@ -10373,3 +10373,47 @@ def q_hexcell_location_quotient(sf_dir: str) -> pd.DataFrame:
          "lq_num": "int64", "lq_den": "int64", "lq": "float64"}
     )
     return out.sort_values(["hex_i", "hex_j", "etype"]).reset_index(drop=True)
+
+
+MARKOV_SCALE = 1 << 40
+MARKOV_ITERS = 12
+
+
+def q_etype_stationary(sf_dir: str) -> pd.DataFrame:
+    """MARKOV STEADY-STATE of the user-behavior chain: the stationary
+    distribution of the per-user event-type transition matrix
+    (etype_transitions base) by EXACT INTEGER fixed-point power
+    iteration — the embedding_pca_top / copurchase_pagerank contract
+    applied to a row-stochastic chain. Each round
+    v'[j] = sum_i (v[i] * c_ij) // s_i is pure floor arithmetic on
+    non-negative ints (total mass is conserved up to floors, so no
+    renormalization step is needed); twelve rounds are bit-identical
+    in the unrolled SQL CTE chain; the share is one final IEEE
+    division by the exact total."""
+    trans = q_etype_transitions(sf_dir)
+    c = {
+        (str(a), str(b)): int(n)
+        for a, b, n in zip(trans["prev_etype"], trans["etype"], trans["n"])
+    }
+    states = sorted({a for a, _ in c} | {b for _, b in c})
+    s = {a: sum(c.get((a, b), 0) for b in states) for a in states}
+    if any(v == 0 for v in s.values()):
+        raise ValueError("etype_stationary: absorbing state with no out-transitions")
+    maxc = max(c.values())
+    if MARKOV_SCALE * len(states) * maxc >= 2**62:
+        raise OverflowError("etype_stationary: iteration exceeds int64")
+    v = {a: MARKOV_SCALE for a in states}
+    for _ in range(MARKOV_ITERS):
+        v = {
+            b: sum((v[a] * c.get((a, b), 0)) // s[a] for a in states)
+            for b in states
+        }
+    tot = sum(v.values())
+    out = pd.DataFrame(
+        {
+            "etype": states,
+            "v_fp": [v[a] for a in states],
+            "share": [np.float64(v[a]) / np.float64(tot) for a in states],
+        }
+    ).astype({"etype": "object", "v_fp": "int64", "share": "float64"})
+    return out.sort_values("etype").reset_index(drop=True)
