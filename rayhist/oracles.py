@@ -5427,3 +5427,28 @@ SELECT e AS etype, CAST(v AS BIGINT) AS v_fp,
 FROM v{int(iters)} ORDER BY 1
 """
     )
+
+
+def cohort_odds_ratio(event: str, min_hits: int) -> str:
+    """Odds-ratio mirror: per-user outcome counts thresholded,
+    parity-cohort 2x2 counts, the exact rational and one division."""
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = '{event}' THEN 1 ELSE 0 END)
+                   >= {int(min_hits)} THEN 1 ELSE 0 END AS hit
+  FROM events GROUP BY 1
+), t AS (
+  SELECT
+    count(*) FILTER (user_id % 2 = 0 AND hit = 1) AS a,
+    count(*) FILTER (user_id % 2 = 0 AND hit = 0) AS b,
+    count(*) FILTER (user_id % 2 = 1 AND hit = 1) AS c,
+    count(*) FILTER (user_id % 2 = 1 AND hit = 0) AS d
+  FROM u
+)
+SELECT CAST(a AS BIGINT) AS n_even_conv, CAST(b AS BIGINT) AS n_even_no,
+       CAST(c AS BIGINT) AS n_odd_conv, CAST(d AS BIGINT) AS n_odd_no,
+       CAST(a*d AS BIGINT) AS or_num, CAST(b*c AS BIGINT) AS or_den,
+       CAST(a*d AS DOUBLE) / CAST(b*c AS DOUBLE) AS odds_ratio
+FROM t
+"""

@@ -10417,3 +10417,76 @@ def q_etype_stationary(sf_dir: str) -> pd.DataFrame:
         }
     ).astype({"etype": "object", "v_fp": "int64", "share": "float64"})
     return out.sort_values("etype").reset_index(drop=True)
+
+
+OR_EVENT = "purchase"  # odds-ratio outcome event
+OR_MIN_HITS = 14  # outcome = at least this many (every user has SOME)
+
+
+def q_cohort_odds_ratio(sf_dir: str) -> pd.DataFrame:
+    """2x2 ODDS RATIO: does the even-uid cohort reach the outcome
+    (>= OR_MIN_HITS {OR_EVENT} events — an ever-flag saturates on this
+    corpus) at different odds than the odd-uid cohort — the
+    epidemiology/AB effect-size metric. Per-user outcome COUNTS reduce
+    per batch, finalize through the complete-user bucket shuffle, and
+    the four exact cell counts yield OR = (a*d)/(b*c) as an integer
+    rational with ONE IEEE division."""
+    from .aggregate import combine_partials
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "hit": (
+                    b["event_type"].to_numpy(zero_copy_only=False) == OR_EVENT
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id", as_index=False)["hit"].sum()
+        g["_bucket"] = _bucket_of(g["user_id"].to_numpy(), nb)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False)["hit"].sum()
+        grp = u["user_id"].to_numpy() % 2
+        hit = (u["hit"].to_numpy() >= OR_MIN_HITS).astype(np.int64)
+        return pd.DataFrame(
+            [
+                {
+                    "a_p": np.int64(((grp == 0) & (hit == 1)).sum()),
+                    "b_p": np.int64(((grp == 0) & (hit == 0)).sum()),
+                    "c_p": np.int64(((grp == 1) & (hit == 1)).sum()),
+                    "d_p": np.int64(((grp == 1) & (hit == 0)).sum()),
+                }
+            ]
+        )
+
+    df = combine_partials(
+        ev.map_batches(flags, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(cells, batch_format="pandas"),
+        [],
+        {"a_p": "n_even_conv", "b_p": "n_even_no", "c_p": "n_odd_conv", "d_p": "n_odd_no"},
+    )
+    a = int(df["n_even_conv"].iloc[0])
+    b = int(df["n_even_no"].iloc[0])
+    c = int(df["n_odd_conv"].iloc[0])
+    d = int(df["n_odd_no"].iloc[0])
+    if b * c == 0:
+        raise ValueError("cohort_odds_ratio: degenerate 2x2 table")
+    if not (0 <= a * d < 2**63 and 0 < b * c < 2**63):
+        raise OverflowError("cohort_odds_ratio: exceeds int64")
+    out = df.astype(
+        {
+            "n_even_conv": "int64", "n_even_no": "int64",
+            "n_odd_conv": "int64", "n_odd_no": "int64",
+        }
+    )
+    out["or_num"] = np.int64(a * d)
+    out["or_den"] = np.int64(b * c)
+    out["odds_ratio"] = np.float64(a * d) / np.float64(b * c)
+    return out.reset_index(drop=True)
