@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hexcell_location_quotient": p.q_hexcell_location_quotient,
         "etype_stationary": p.q_etype_stationary,
         "cohort_odds_ratio": p.q_cohort_odds_ratio,
+        "user_burstiness": p.q_user_burstiness,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -463,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": o.vocab_growth(p.VOCAB_BIN_DOCS),
         "etype_stationary": o.etype_stationary(p.MARKOV_SCALE, p.MARKOV_ITERS),
         "cohort_odds_ratio": o.cohort_odds_ratio(p.OR_EVENT, p.OR_MIN_HITS),
+        "user_burstiness": o.user_burstiness(),
         "hexcell_location_quotient": o.hexcell_location_quotient(
             hx.HEX_W, hx.HEX_H
         ),

@@ -5452,3 +5452,30 @@ SELECT CAST(a AS BIGINT) AS n_even_conv, CAST(b AS BIGINT) AS n_even_no,
        CAST(a*d AS DOUBLE) / CAST(b*c AS DOUBLE) AS odds_ratio
 FROM t
 """
+
+
+def user_burstiness() -> str:
+    """Burstiness mirror: lag gaps per user, exact integer sufficient
+    statistics, the literal IEEE tail."""
+    return """
+WITH s AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g
+  FROM events
+), a AS (
+  SELECT user_id, count(*) AS n, sum(g) AS sg, sum(g*g) AS sg2
+  FROM s WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS n_gaps,
+       CAST(sg AS BIGINT) AS sum_gap_s,
+       CAST(n*sg2 - sg*sg AS BIGINT) AS var_num,
+       (sqrt(CAST(n*sg2 - sg*sg AS DOUBLE)) / CAST(n AS DOUBLE)
+          - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+       / (sqrt(CAST(n*sg2 - sg*sg AS DOUBLE)) / CAST(n AS DOUBLE)
+          + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) AS burstiness
+FROM a
+WHERE n >= 2 AND NOT (sg = 0 AND n*sg2 - sg*sg = 0)
+ORDER BY 1
+"""

@@ -10490,3 +10490,77 @@ def q_cohort_odds_ratio(sf_dir: str) -> pd.DataFrame:
     out["or_den"] = np.int64(b * c)
     out["odds_ratio"] = np.float64(a * d) / np.float64(b * c)
     return out.reset_index(drop=True)
+
+
+def q_user_burstiness(sf_dir: str) -> pd.DataFrame:
+    """BURSTINESS INDEX B = (sigma - mu)/(sigma + mu) of each user's
+    inter-event gaps in WHOLE SECONDS (floor; us^2 squares would
+    overflow int64) (Goh-Barabasi): B -> -1 regular, 0 Poisson,
+    +1 bursty. Complete-user bucket shuffle; gaps and their EXACT
+    integer sufficient statistics resolve in-stage, and the float tail is the fixed IEEE sequence
+    mu = S/n, sigma = sqrt(n*S2 - S*S)/n, B = (sigma-mu)/(sigma+mu)
+    mirrored literally. Users with fewer than 2 gaps, or an all-zero
+    gap stream, drop (the SQL WHERE mirror)."""
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "_bucket": _bucket_of(u, nb),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["t"].to_numpy(dtype=np.int64)
+        same = u[1:] == u[:-1]
+        gaps = (t[1:] - t[:-1])[same] // 1_000_000  # whole seconds
+        gu = u[1:][same]
+        df = pd.DataFrame({"user_id": gu, "g": gaps, "g2": gaps * gaps})
+        s = df.groupby("user_id").agg(
+            n=("g", "size"), sg=("g", "sum"), sg2=("g2", "sum")
+        )
+        rows = []
+        for uid, r in s.iterrows():
+            n, sg, sg2 = int(r["n"]), int(r["sg"]), int(r["sg2"])
+            varnum = n * sg2 - sg * sg
+            if n < 2 or (sg == 0 and varnum == 0):
+                continue
+            if not (0 <= varnum < 2**63 and 0 <= sg < 2**63):
+                raise OverflowError("user_burstiness: exceeds int64")
+            mu = np.float64(sg) / np.float64(n)
+            sd = np.sqrt(np.float64(varnum)) / np.float64(n)
+            rows.append(
+                {
+                    "user_id": int(uid),
+                    "n_gaps": n,
+                    "sum_gap_s": sg,
+                    "var_num": varnum,
+                    "burstiness": (sd - mu) / (sd + mu),
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["user_id", "n_gaps", "sum_gap_s", "var_num", "burstiness"],
+        ).astype(
+            {"user_id": "int64", "n_gaps": "int64", "sum_gap_s": "int64",
+             "var_num": "int64", "burstiness": "float64"}
+        )
+
+    df = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values("user_id").reset_index(drop=True)
