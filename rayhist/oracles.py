@@ -5479,3 +5479,38 @@ FROM a
 WHERE n >= 2 AND NOT (sg = 0 AND n*sg2 - sg*sg = 0)
 ORDER BY 1
 """
+
+
+def flow_reciprocity(w: int, h: int) -> str:
+    """Reciprocity mirror: the cell_flows CTE self-joined on the
+    reversed pair, doubled min over ordered pairs, one division."""
+    return (
+        DERIVE
+        + """
+, pt AS (
+  SELECT osm_id, v, ts_us, lon_e7 AS x, lat_e7 AS y FROM d WHERE visible
+)"""
+        + _hex_best_sql(w, h, "osm_id, v")
+        + """
+, ordered AS (
+  SELECT b.osm_id, b.i, b.j,
+         lag(b.i) OVER (PARTITION BY b.osm_id ORDER BY p.ts_us, b.v) AS pi,
+         lag(b.j) OVER (PARTITION BY b.osm_id ORDER BY p.ts_us, b.v) AS pj
+  FROM best b JOIN pt p ON p.osm_id = b.osm_id AND p.v = b.v
+), fl AS (
+  SELECT pi AS fi, pj AS fj, i AS ti, j AS tj, count(*) AS n
+  FROM ordered
+  WHERE pi IS NOT NULL AND (pi <> i OR pj <> j)
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT 2 * least(a.n, coalesce(b.n, 0)) AS r
+  FROM fl a LEFT JOIN fl b
+    ON b.fi = a.ti AND b.fj = a.tj AND b.ti = a.fi AND b.tj = a.fj
+  WHERE (a.fi, a.fj) < (a.ti, a.tj)
+)
+SELECT CAST((SELECT sum(n) FROM fl) AS BIGINT) AS n_moves,
+       CAST(coalesce((SELECT sum(r) FROM pairs), 0) AS BIGINT) AS n_reciprocal,
+       CAST(coalesce((SELECT sum(r) FROM pairs), 0) AS DOUBLE)
+         / CAST((SELECT sum(n) FROM fl) AS DOUBLE) AS reciprocity
+"""
+    )

@@ -10564,3 +10564,36 @@ def q_user_burstiness(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return df.sort_values("user_id").reset_index(drop=True)
+
+
+def q_flow_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """OD-FLOW RECIPROCITY: what fraction of cell-to-cell movement is
+    matched by reverse movement — sum over unordered cell pairs of
+    min(f_ab, f_ba) doubled, over total moves; 1 = perfectly
+    bidirectional, 0 = pure drift. Exact integers over the bounded
+    flow matrix (the cell_flows base), ONE IEEE division."""
+    flows = q_cell_flows(sf_dir)
+    f = {
+        (int(a), int(b), int(c), int(d)): int(n)
+        for a, b, c, d, n in zip(
+            flows["from_i"], flows["from_j"], flows["to_i"], flows["to_j"],
+            flows["n_moves"],
+        )
+    }
+    total = sum(f.values())
+    recip = 0
+    for (ai, aj, bi, bj), n in f.items():
+        if (ai, aj) < (bi, bj):
+            rev = f.get((bi, bj, ai, aj), 0)
+            recip += 2 * min(n, rev)
+    if total == 0:
+        raise ValueError("flow_reciprocity: no moves in corpus")
+    return pd.DataFrame(
+        [
+            {
+                "n_moves": total,
+                "n_reciprocal": recip,
+                "reciprocity": np.float64(recip) / np.float64(total),
+            }
+        ]
+    ).astype({"n_moves": "int64", "n_reciprocal": "int64", "reciprocity": "float64"})
