@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_odds_ratio": p.q_cohort_odds_ratio,
         "user_burstiness": p.q_user_burstiness,
         "flow_reciprocity": p.q_flow_reciprocity,
+        "hex_gearys_c": p.q_hex_gearys_c,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -467,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_odds_ratio": o.cohort_odds_ratio(p.OR_EVENT, p.OR_MIN_HITS),
         "user_burstiness": o.user_burstiness(),
         "flow_reciprocity": o.flow_reciprocity(hx.HEX_W, hx.HEX_H),
+        "hex_gearys_c": o.hex_gearys_c(hx.HEX_W, hx.HEX_H),
         "hexcell_location_quotient": o.hexcell_location_quotient(
             hx.HEX_W, hx.HEX_H
         ),

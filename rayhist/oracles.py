@@ -5514,3 +5514,42 @@ SELECT CAST((SELECT sum(n) FROM fl) AS BIGINT) AS n_moves,
          / CAST((SELECT sum(n) FROM fl) AS DOUBLE) AS reciprocity
 """
     )
+
+
+def hex_gearys_c(w: int, h: int) -> str:
+    """Geary mirror: occupied 6-neighbor squared contrasts, the
+    N-scaled deviation denominator, the literal IEEE tail."""
+    return (
+        DERIVE
+        + """
+, pt AS (
+  SELECT row_number() OVER (ORDER BY osm_id, v) AS rid,
+         lon_e7 AS x, lat_e7 AS y
+  FROM d
+)"""
+        + _hex_best_sql(w, h, "rid")
+        + """
+, c AS (
+  SELECT i, j, count(*) AS n FROM best GROUP BY 1, 2
+), st AS (
+  SELECT count(*) AS nc, sum(n) AS s1 FROM c
+), pr AS (
+  SELECT sum((a.n - b.n) * (a.n - b.n)) AS p_sum, count(*) AS w_pairs
+  FROM c a
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+    AS o(di, dj)
+  JOIN c b ON b.i = a.i + o.di AND b.j = a.j + o.dj
+), dn AS (
+  SELECT sum((st.nc * c.n - st.s1) * (st.nc * c.n - st.s1)) AS den
+  FROM c CROSS JOIN st
+)
+SELECT CAST(st.nc AS BIGINT) AS n_cells,
+       CAST(pr.w_pairs AS BIGINT) AS w_pairs,
+       CAST(pr.p_sum AS BIGINT) AS p_sum,
+       CAST(dn.den AS BIGINT) AS den,
+       (CAST(st.nc - 1 AS DOUBLE) * CAST(st.nc * st.nc AS DOUBLE)
+          * CAST(pr.p_sum AS DOUBLE))
+         / (CAST(2 * pr.w_pairs AS DOUBLE) * CAST(dn.den AS DOUBLE)) AS gearys_c
+FROM st CROSS JOIN pr CROSS JOIN dn
+"""
+    )

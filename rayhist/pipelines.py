@@ -10597,3 +10597,53 @@ def q_flow_reciprocity(sf_dir: str) -> pd.DataFrame:
             }
         ]
     ).astype({"n_moves": "int64", "n_reciprocal": "int64", "reciprocity": "float64"})
+
+
+def q_hex_gearys_c(sf_dir: str) -> pd.DataFrame:
+    """GEARY'S C over the hex lattice — the local-contrast companion
+    to Moran's I (C < 1 positive autocorrelation, > 1 negative).
+    Every sufficient statistic is exact: P = sum over directed
+    occupied 6-neighbor pairs of (x_i - x_j)^2, D = sum of
+    (N*x_c - S1)^2 (the N-scaled deviation sum), W = directed pair
+    count; C = ((N-1) * N^2 * P) / (2W * D) with a fixed
+    three-multiply, one-divide IEEE tail. Same lattice-bounded
+    distributed shape as hex_morans_i."""
+    base = _hex_version_counts(sf_dir)
+    cells = {
+        (int(i), int(j)): int(n) for i, j, n in zip(base["i"], base["j"], base["n"])
+    }
+    n_cells = len(cells)
+    s1 = sum(cells.values())
+    offs = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+    p_sum = 0
+    w_pairs = 0
+    for (i, j), x in cells.items():
+        for di, dj in offs:
+            nb = cells.get((i + di, j + dj))
+            if nb is not None:
+                p_sum += (x - nb) * (x - nb)
+                w_pairs += 1
+    den = sum((n_cells * x - s1) ** 2 for x in cells.values())
+    if w_pairs == 0 or den == 0 or n_cells < 2:
+        raise ValueError("hex_gearys_c: degenerate lattice")
+    if not (0 <= p_sum < 2**63 and 0 < den < 2**63):
+        raise OverflowError("hex_gearys_c: statistic exceeds int64")
+    c = (
+        np.float64(n_cells - 1)
+        * np.float64(n_cells * n_cells)
+        * np.float64(p_sum)
+    ) / (np.float64(2 * w_pairs) * np.float64(den))
+    return pd.DataFrame(
+        [
+            {
+                "n_cells": n_cells,
+                "w_pairs": w_pairs,
+                "p_sum": p_sum,
+                "den": den,
+                "gearys_c": c,
+            }
+        ]
+    ).astype(
+        {"n_cells": "int64", "w_pairs": "int64", "p_sum": "int64", "den": "int64",
+         "gearys_c": "float64"}
+    )
