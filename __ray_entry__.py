@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_burstiness": p.q_user_burstiness,
         "flow_reciprocity": p.q_flow_reciprocity,
         "hex_gearys_c": p.q_hex_gearys_c,
+        "semivariogram": p.q_semivariogram,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -469,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "user_burstiness": o.user_burstiness(),
         "flow_reciprocity": o.flow_reciprocity(hx.HEX_W, hx.HEX_H),
         "hex_gearys_c": o.hex_gearys_c(hx.HEX_W, hx.HEX_H),
+        "semivariogram": o.semivariogram(p.VARIO_BINS),
         "hexcell_location_quotient": o.hexcell_location_quotient(
             hx.HEX_W, hx.HEX_H
         ),

@@ -5553,3 +5553,47 @@ SELECT CAST(st.nc AS BIGINT) AS n_cells,
 FROM st CROSS JOIN pr CROSS JOIN dn
 """
     )
+
+
+def semivariogram(bins: tuple) -> str:
+    """Semivariogram mirror: boxed snapshot self-join at the outer
+    ring, the identical half-open ring assignment (zero-distance pairs
+    excluded), zerofilled rings, one division per ring."""
+    from .pipelines import T_MID
+
+    rmax = max(int(r) for r in bins)
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    ring_case = "CASE WHEN d2 = 0 THEN 0 " + " ".join(
+        f"WHEN d2 <= CAST({int(r)} AS BIGINT)*{int(r)} THEN {k + 1}"
+        for k, r in enumerate(bins)
+    ) + " ELSE 0 END"
+    vals = ", ".join(f"({k + 1}, {int(r)})" for k, r in enumerate(bins))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, boxed AS MATERIALIZED (
+  SELECT a.lon_e7 - b.lon_e7 AS dx, a.lat_e7 - b.lat_e7 AS dy,
+         a.v - b.v AS dz
+  FROM snap a JOIN snap b
+    ON a.osm_id < b.osm_id
+   AND abs(a.lon_e7 - b.lon_e7) <= {rmax}
+   AND abs(a.lat_e7 - b.lat_e7) <= {rmax}
+), rp AS (
+  SELECT dz, dx*dx + dy*dy AS d2 FROM boxed
+), rr AS (
+  SELECT {ring_case} AS ring, count(*) AS n, sum(dz*dz) AS s
+  FROM rp WHERE d2 <= CAST({rmax} AS BIGINT)*{rmax}
+  GROUP BY 1
+)
+SELECT CAST(g.ring AS BIGINT) AS ring, CAST(g.edge AS BIGINT) AS edge_e7,
+       CAST(coalesce(rr.n, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(rr.s, 0) AS BIGINT) AS sum_dz2,
+       CASE WHEN coalesce(rr.n, 0) > 0
+            THEN CAST(rr.s AS DOUBLE) / (2.0 * CAST(rr.n AS DOUBLE))
+            ELSE 0.0 END AS gamma
+FROM (VALUES {vals}) AS g(ring, edge)
+LEFT JOIN rr ON rr.ring = g.ring
+ORDER BY 1
+"""
+    )

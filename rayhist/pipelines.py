@@ -10647,3 +10647,81 @@ def q_hex_gearys_c(sf_dir: str) -> pd.DataFrame:
         {"n_cells": "int64", "w_pairs": "int64", "p_sum": "int64", "den": "int64",
          "gearys_c": "float64"}
     )
+
+
+VARIO_BINS = (50_000_000, 100_000_000, 200_000_000, 400_000_000)  # ring edges, e7
+
+
+def q_semivariogram(sf_dir: str) -> pd.DataFrame:
+    """EMPIRICAL SEMIVARIOGRAM of the version-number field over the
+    T_MID snapshot points: gamma(h) = sum (z_i - z_j)^2 / (2 n_h)
+    per distance ring — the geostatistics structure function that
+    motivates the IDW/kriging interpolation family. One radius
+    self-join at the outermost ring edge with the field CARRIED
+    through; per-ring exact integer squared-contrast sums and pair
+    counts combine from in-stage partials; one IEEE division per
+    ring."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.radius import radius_self_join
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        return pa.table(
+            {
+                "id": s["osm_id"],
+                "x": s["lon_e7"],
+                "y": s["lat_e7"],
+                "val": s["v"],
+            }
+        )
+
+    pts = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    pairs = radius_self_join(pts, max(VARIO_BINS), carry=("val",))
+
+    def per_ring(b: pa.Table) -> pa.Table:
+        d2 = b["d2"].to_numpy(zero_copy_only=False)
+        dz = b["val_a"].to_numpy(zero_copy_only=False) - b["val_b"].to_numpy(
+            zero_copy_only=False
+        )
+        dz2 = dz * dz
+        edges = np.array([0] + [int(r) * int(r) for r in VARIO_BINS], dtype=np.int64)
+        ring = np.searchsorted(edges, d2, side="left")  # 1..len(bins); d2=0 -> ring 0
+        rows = {"ring": [], "n_p": [], "s_p": []}
+        for k in range(1, len(VARIO_BINS) + 1):
+            m = ring == k
+            rows["ring"].append(np.int64(k))
+            rows["n_p"].append(np.int64(m.sum()))
+            rows["s_p"].append(np.int64(dz2[m].sum()))
+        return pa.table(
+            {
+                "ring": pa.array(rows["ring"], pa.int64()),
+                "n_p": pa.array(rows["n_p"], pa.int64()),
+                "s_p": pa.array(rows["s_p"], pa.int64()),
+            }
+        )
+
+    df = combine_partials(
+        pairs.map_batches(per_ring, batch_format="pyarrow"), ["ring"],
+        {"n_p": "n_pairs", "s_p": "sum_dz2"},
+    ).sort_values("ring")
+    n = df["n_pairs"].to_numpy(dtype=np.int64)
+    s = df["sum_dz2"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {
+            "ring": df["ring"].astype("int64"),
+            "edge_e7": [VARIO_BINS[int(r) - 1] for r in df["ring"]],
+            "n_pairs": n,
+            "sum_dz2": s,
+            "gamma": np.where(
+                n > 0, s.astype(np.float64) / (2.0 * n.astype(np.float64)), 0.0
+            ),
+        }
+    ).astype(
+        {"ring": "int64", "edge_e7": "int64", "n_pairs": "int64", "sum_dz2": "int64",
+         "gamma": "float64"}
+    )
+    return out.reset_index(drop=True)
