@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_reciprocity": p.q_flow_reciprocity,
         "hex_gearys_c": p.q_hex_gearys_c,
         "semivariogram": p.q_semivariogram,
+        "hexcell_dominant_uid": p.q_hexcell_dominant_uid,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
@@ -471,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_reciprocity": o.flow_reciprocity(hx.HEX_W, hx.HEX_H),
         "hex_gearys_c": o.hex_gearys_c(hx.HEX_W, hx.HEX_H),
         "semivariogram": o.semivariogram(p.VARIO_BINS),
+        "hexcell_dominant_uid": o.hexcell_dominant_uid(hx.HEX_W, hx.HEX_H),
         "hexcell_location_quotient": o.hexcell_location_quotient(
             hx.HEX_W, hx.HEX_H
         ),

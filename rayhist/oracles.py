@@ -5597,3 +5597,33 @@ LEFT JOIN rr ON rr.ring = g.ring
 ORDER BY 1
 """
     )
+
+
+def hexcell_dominant_uid(w: int, h: int) -> str:
+    """Dominant-contributor mirror: per-(cell, uid) visible-edit
+    counts, row_number argmax (n DESC, uid), cell totals, one
+    division."""
+    return (
+        DERIVE
+        + """
+, pt AS (
+  SELECT osm_id, v, uid, lon_e7 AS x, lat_e7 AS y FROM d WHERE visible
+)"""
+        + _hex_best_sql(w, h, "osm_id, v, uid")
+        + """
+, c AS (
+  SELECT i, j, uid, count(*) AS n FROM best GROUP BY 1, 2, 3
+), top AS (
+  SELECT i, j, uid, n FROM c
+  QUALIFY row_number() OVER (PARTITION BY i, j ORDER BY n DESC, uid) = 1
+), tot AS (
+  SELECT i, j, sum(n) AS n_cell FROM c GROUP BY 1, 2
+)
+SELECT CAST(top.i AS BIGINT) AS hex_i, CAST(top.j AS BIGINT) AS hex_j,
+       CAST(top.uid AS BIGINT) AS top_uid, CAST(top.n AS BIGINT) AS n_top,
+       CAST(tot.n_cell AS BIGINT) AS n_cell,
+       CAST(top.n AS DOUBLE) / CAST(tot.n_cell AS DOUBLE) AS share
+FROM top JOIN tot ON tot.i = top.i AND tot.j = top.j
+ORDER BY 1, 2
+"""
+    )

@@ -10725,3 +10725,60 @@ def q_semivariogram(sf_dir: str) -> pd.DataFrame:
          "gamma": "float64"}
     )
     return out.reset_index(drop=True)
+
+
+def q_hexcell_dominant_uid(sf_dir: str) -> pd.DataFrame:
+    """DOMINANT CONTRIBUTOR per hex cell: the uid with the most
+    visible version edits in each occupied cell (ties to the smallest
+    uid), plus their share of the cell's edits — 'who owns this
+    tile', the inverse of contributor_territory. (cell, uid) partials
+    combine on the lattice-bounded key (uid count per cell is bounded
+    by the cell's edits); per-cell argmax and the single IEEE share
+    division resolve at the driver over |cells| groups."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.hexgrid import hex_cell
+
+    def stage(b: pa.Table) -> pa.Table:
+        d = decode_spans(b, tags=False)
+        vis = d["visible"].to_numpy(zero_copy_only=False).astype(bool)
+        uid = d["uid"].to_numpy(zero_copy_only=False)[vis]
+        i, j = hex_cell(
+            d["lon_e7"].to_numpy(zero_copy_only=False)[vis],
+            d["lat_e7"].to_numpy(zero_copy_only=False)[vis],
+        )
+        g = pd.DataFrame({"i": i, "j": j, "uid": uid}).groupby(
+            ["i", "j", "uid"], as_index=False
+        ).size()
+        return pa.table(
+            {
+                "i": g["i"].to_numpy(dtype=np.int64),
+                "j": g["j"].to_numpy(dtype=np.int64),
+                "uid": g["uid"].to_numpy(dtype=np.int64),
+                "n_p": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = combine_partials(
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"),
+        ["i", "j", "uid"],
+        {"n_p": "n"},
+    ).astype({"i": "int64", "j": "int64", "uid": "int64", "n": "int64"})
+    base = base.sort_values(
+        ["i", "j", "n", "uid"], ascending=[True, True, False, True], kind="mergesort"
+    )
+    top = base.groupby(["i", "j"], as_index=False).first()
+    tot = base.groupby(["i", "j"], as_index=False)["n"].sum().rename(
+        columns={"n": "n_cell"}
+    )
+    out = top.merge(tot, on=["i", "j"]).rename(
+        columns={"i": "hex_i", "j": "hex_j", "uid": "top_uid", "n": "n_top"}
+    )
+    out["share"] = out["n_top"].to_numpy(dtype=np.float64) / out["n_cell"].to_numpy(
+        dtype=np.float64
+    )
+    out = out[["hex_i", "hex_j", "top_uid", "n_top", "n_cell", "share"]].astype(
+        {"hex_i": "int64", "hex_j": "int64", "top_uid": "int64", "n_top": "int64",
+         "n_cell": "int64", "share": "float64"}
+    )
+    return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)
