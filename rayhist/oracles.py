@@ -5414,6 +5414,7 @@ WITH sq AS (
             f""", v{t} AS MATERIALIZED (
   SELECT c.b AS e, sum((v.v * c.n) // st.s) AS v
   FROM c JOIN v{t-1} v ON v.e = c.a JOIN st ON st.a = c.a
+  JOIN st dst ON dst.a = c.b
   GROUP BY 1
 )"""
         )

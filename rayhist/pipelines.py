@@ -9724,6 +9724,15 @@ def q_ab_test_value(sf_dir: str) -> pd.DataFrame:
         v = round_half_away(
             b["value"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
+        # the value_moments_by_type contract: numpy int64 wraps
+        # SILENTLY, so bound the batch's sum of squares (float
+        # estimate) with cross-batch headroom BEFORE forming v*v —
+        # a guard on the possibly-wrapped output could not fire
+        if v.size and float(np.sum(v.astype(np.float64) ** 2)) > 1e15:
+            raise OverflowError(
+                "ab_test_value: batch sum of squared cents exceeds the "
+                "int64 safety bound"
+            )
         df = pd.DataFrame(
             {
                 "etype": b["event_type"].to_numpy(zero_copy_only=False),
@@ -9821,6 +9830,20 @@ def _etype_cohort_value_hist(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _cohort_pivot(g: pd.DataFrame):
+    """Shared per-etype (value, even-count, odd-count) extraction for
+    the nonparametric cohort tests: merged value grid sorted
+    ascending, zero-filled cohorts, exact totals."""
+    piv = (
+        g.pivot_table(index="v", columns="grp", values="n", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    a = piv[0].to_numpy(dtype=np.int64)
+    b = piv[1].to_numpy(dtype=np.int64)
+    return piv, a, b, int(a.sum()), int(b.sum())
+
+
 def q_ks_test_value(sf_dir: str) -> pd.DataFrame:
     """KOLMOGOROV-SMIRNOV statistic on event value between the
     uid-parity cohorts, per etype: D = max_v |cdf_a(v) - cdf_b(v)|
@@ -9831,19 +9854,13 @@ def q_ks_test_value(sf_dir: str) -> pd.DataFrame:
     base = _etype_cohort_value_hist(sf_dir)
     rows = []
     for etype, g in base.groupby("etype"):
-        piv = (
-            g.pivot_table(index="v", columns="grp", values="n", fill_value=0)
-            .reindex(columns=[0, 1], fill_value=0)
-            .sort_index()
-        )
-        a = piv[0].to_numpy(dtype=np.int64)
-        b = piv[1].to_numpy(dtype=np.int64)
-        A, B = int(a.sum()), int(b.sum())
+        piv, a, b, A, B = _cohort_pivot(g)
         if A == 0 or B == 0:
             continue
         ca = np.cumsum(a)
         cb = np.cumsum(b)
-        if A * B >= 2**62 or int(ca[-1]) * B >= 2**62:
+        if A * B >= 2**62:
+            # ca*B and cb*A are bounded by A*B elementwise
             raise OverflowError("ks_test_value: statistic exceeds int64")
         diff = np.abs(ca * B - cb * A)
         k = int(diff.argmax())  # first max = smallest value
@@ -9873,14 +9890,7 @@ def q_mannwhitney_value(sf_dir: str) -> pd.DataFrame:
     base = _etype_cohort_value_hist(sf_dir)
     rows = []
     for etype, g in base.groupby("etype"):
-        piv = (
-            g.pivot_table(index="v", columns="grp", values="n", fill_value=0)
-            .reindex(columns=[0, 1], fill_value=0)
-            .sort_index()
-        )
-        a = piv[0].to_numpy(dtype=np.int64)
-        b = piv[1].to_numpy(dtype=np.int64)
-        A, B = int(a.sum()), int(b.sum())
+        _piv, a, b, A, B = _cohort_pivot(g)
         if A == 0 or B == 0:
             continue
         cumb_less = np.cumsum(b) - b
@@ -9929,6 +9939,8 @@ def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
     )
     m = (piv[0] + piv[1]).to_numpy(dtype=np.int64)  # entities with duration t
     d = piv[1].to_numpy(dtype=np.int64)  # deaths at duration t
+    import math
+
     at_risk = m[::-1].cumsum()[::-1]  # lifespans >= t
     rows = []
     cum = 0
@@ -9939,8 +9951,6 @@ def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
         if n_t == d_t:
             raise ValueError("kaplan_meier: total extinction at a death time")
         cum += _q_mnat(n_t - d_t) - _q_mnat(n_t)
-        import math
-
         rows.append(
             {
                 "t_days": int(piv.index[k]),
@@ -10141,38 +10151,29 @@ def q_ripley_k(sf_dir: str) -> pd.DataFrame:
         s = snapshots_fn(decode_spans(batch, tags=False), ts)
         return pa.table({"id": s["osm_id"], "x": s["lon_e7"], "y": s["lat_e7"]})
 
-    pts = _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+    # MATERIALIZE: the point set feeds both the pair join and the
+    # count — a lazy upstream would re-run the decode+interpolate
+    # chain once per consumer (the way_lengths multi-consumer hazard)
+    pts = _docs(sf_dir).map_batches(stage, batch_format="pyarrow").materialize()
     pairs = radius_self_join(pts, max(RIPLEY_RADII))
 
     def bucketize(b: pa.Table) -> pa.Table:
         d2 = b["d2"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                **{
-                    f"r{k}_p": pa.array(
-                        [np.int64((d2 <= np.int64(r) * np.int64(r)).sum())]
-                    )
-                    for k, r in enumerate(RIPLEY_RADII)
-                },
-                "n_pts_p": pa.array([np.int64(0)]),
+                f"r{k}_p": pa.array(
+                    [np.int64((d2 <= np.int64(r) * np.int64(r)).sum())]
+                )
+                for k, r in enumerate(RIPLEY_RADII)
             }
         )
 
     cnt = combine_partials(
         pairs.map_batches(bucketize, batch_format="pyarrow"),
         [],
-        {f"r{k}_p": f"r{k}" for k in range(len(RIPLEY_RADII))} | {"n_pts_p": "_"},
+        {f"r{k}_p": f"r{k}" for k in range(len(RIPLEY_RADII))},
     )
-    n = int(
-        combine_partials(
-            pts.map_batches(
-                lambda b: pa.table({"n_p": pa.array([np.int64(len(b))])}),
-                batch_format="pyarrow",
-            ),
-            [],
-            {"n_p": "n"},
-        )["n"].iloc[0]
-    )
+    n = int(pts.count())  # metadata count on the materialized table
     area = np.float64(3_600_000_000) * np.float64(1_800_000_000)
     rows = []
     for k, r in enumerate(RIPLEY_RADII):
@@ -10391,29 +10392,35 @@ def q_etype_stationary(sf_dir: str) -> pd.DataFrame:
     in the unrolled SQL CTE chain; the share is one final IEEE
     division by the exact total."""
     trans = q_etype_transitions(sf_dir)
-    c = {
+    call = {
         (str(a), str(b)): int(n)
         for a, b, n in zip(trans["prev_etype"], trans["etype"], trans["n"])
     }
-    states = sorted({a for a, _ in c} | {b for _, b in c})
-    s = {a: sum(c.get((a, b), 0) for b in states) for a in states}
-    if any(v == 0 for v in s.values()):
-        raise ValueError("etype_stationary: absorbing state with no out-transitions")
-    maxc = max(c.values())
-    if MARKOV_SCALE * len(states) * maxc >= 2**62:
+    sources = sorted({a for a, _ in call})
+    # keep only transitions INTO source states (a destination-only
+    # absorbing state has no row in the oracle's out-degree CTE, so
+    # both engines drop its in-edges identically); row sums are over
+    # the UNFILTERED out-degree, mirroring the SQL st CTE
+    c = {(a, b): n for (a, b), n in call.items() if b in set(sources)}
+    dests = sorted({b for _, b in c})
+    s = {a: sum(n for (x, _), n in call.items() if x == a) for a in sources}
+    maxc = max(c.values()) if c else 0
+    if not c:
+        raise ValueError("etype_stationary: no transitions between sources")
+    if MARKOV_SCALE * len(sources) * maxc >= 2**62:
         raise OverflowError("etype_stationary: iteration exceeds int64")
-    v = {a: MARKOV_SCALE for a in states}
+    v = {a: MARKOV_SCALE for a in sources}
     for _ in range(MARKOV_ITERS):
         v = {
-            b: sum((v[a] * c.get((a, b), 0)) // s[a] for a in states)
-            for b in states
+            b: sum((v.get(a, 0) * c.get((a, b), 0)) // s[a] for a in sources)
+            for b in dests
         }
     tot = sum(v.values())
     out = pd.DataFrame(
         {
-            "etype": states,
-            "v_fp": [v[a] for a in states],
-            "share": [np.float64(v[a]) / np.float64(tot) for a in states],
+            "etype": dests,
+            "v_fp": [v[a] for a in dests],
+            "share": [np.float64(v[a]) / np.float64(tot) for a in dests],
         }
     ).astype({"etype": "object", "v_fp": "int64", "share": "float64"})
     return out.sort_values("etype").reset_index(drop=True)
@@ -10731,13 +10738,18 @@ def q_hexcell_dominant_uid(sf_dir: str) -> pd.DataFrame:
     """DOMINANT CONTRIBUTOR per hex cell: the uid with the most
     visible version edits in each occupied cell (ties to the smallest
     uid), plus their share of the cell's edits — 'who owns this
-    tile', the inverse of contributor_territory. (cell, uid) partials
-    combine on the lattice-bounded key (uid count per cell is bounded
-    by the cell's edits); per-cell argmax and the single IEEE share
-    division resolve at the driver over |cells| groups."""
-    from .aggregate import combine_partials
+    tile', the inverse of contributor_territory. The intermediate
+    (cell, uid) key is CORPUS-scaled (distinct pairs grow with the
+    edit volume), so the final stays DISTRIBUTED: per-batch pair
+    partials -> one complete-cell bucket shuffle (keyed on the packed
+    cell id) -> per-cell argmax, total and the single IEEE share
+    division resolve IN-STAGE; the driver collects only the |cells|
+    result rows."""
     from .model import decode_spans
-    from .spatial.hexgrid import hex_cell
+    from .ops.window import _bucket_of, _resolve_buckets
+    from .spatial.hexgrid import hex_cell, pack_hex
+
+    nb = _resolve_buckets(None, floor=64)
 
     def stage(b: pa.Table) -> pa.Table:
         d = decode_spans(b, tags=False)
@@ -10750,35 +10762,47 @@ def q_hexcell_dominant_uid(sf_dir: str) -> pd.DataFrame:
         g = pd.DataFrame({"i": i, "j": j, "uid": uid}).groupby(
             ["i", "j", "uid"], as_index=False
         ).size()
+        cell = pack_hex(
+            g["i"].to_numpy(dtype=np.int64), g["j"].to_numpy(dtype=np.int64)
+        )
         return pa.table(
             {
                 "i": g["i"].to_numpy(dtype=np.int64),
                 "j": g["j"].to_numpy(dtype=np.int64),
                 "uid": g["uid"].to_numpy(dtype=np.int64),
                 "n_p": g["size"].to_numpy(dtype=np.int64),
+                "_bucket": pa.array(_bucket_of(cell, nb)),
             }
         )
 
-    base = combine_partials(
-        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"),
-        ["i", "j", "uid"],
-        {"n_p": "n"},
-    ).astype({"i": "int64", "j": "int64", "uid": "int64", "n": "int64"})
-    base = base.sort_values(
-        ["i", "j", "n", "uid"], ascending=[True, True, False, True], kind="mergesort"
-    )
-    top = base.groupby(["i", "j"], as_index=False).first()
-    tot = base.groupby(["i", "j"], as_index=False)["n"].sum().rename(
-        columns={"n": "n_cell"}
-    )
-    out = top.merge(tot, on=["i", "j"]).rename(
-        columns={"i": "hex_i", "j": "hex_j", "uid": "top_uid", "n": "n_top"}
-    )
-    out["share"] = out["n_top"].to_numpy(dtype=np.float64) / out["n_cell"].to_numpy(
-        dtype=np.float64
-    )
-    out = out[["hex_i", "hex_j", "top_uid", "n_top", "n_cell", "share"]].astype(
-        {"hex_i": "int64", "hex_j": "int64", "top_uid": "int64", "n_top": "int64",
-         "n_cell": "int64", "share": "float64"}
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        base = g.groupby(["i", "j", "uid"], as_index=False)["n_p"].sum().rename(
+            columns={"n_p": "n"}
+        )
+        base = base.sort_values(
+            ["i", "j", "n", "uid"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        )
+        top = base.groupby(["i", "j"], as_index=False).first()
+        tot = base.groupby(["i", "j"], as_index=False)["n"].sum().rename(
+            columns={"n": "n_cell"}
+        )
+        out = top.merge(tot, on=["i", "j"]).rename(
+            columns={"i": "hex_i", "j": "hex_j", "uid": "top_uid", "n": "n_top"}
+        )
+        out["share"] = out["n_top"].to_numpy(dtype=np.float64) / out[
+            "n_cell"
+        ].to_numpy(dtype=np.float64)
+        return out[["hex_i", "hex_j", "top_uid", "n_top", "n_cell", "share"]].astype(
+            {"hex_i": "int64", "hex_j": "int64", "top_uid": "int64",
+             "n_top": "int64", "n_cell": "int64", "share": "float64"}
+        )
+
+    out = (
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
     )
     return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)
