@@ -45,6 +45,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # on round-3 code; the round-4-green block closes the dict so
         # the union of r4+r5 windows covers the full surface.
         "osmpbf_relation_member_sums": p.q_osmpbf_relation_member_sums,
+        # --- round-5 twelfth-session additions ---
+        "event_debounce": p.q_event_debounce,
+        "etype_chi2_cohort": p.q_etype_chi2_cohort,
+        "etype_dow_mutual_info": p.q_etype_dow_mutual_info,
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
@@ -304,6 +308,9 @@ def oracle_sql() -> dict[str, str]:
     from rayhist.spatial import hexgrid as hx
 
     return {
+        "event_debounce": o.event_debounce(p.DEBOUNCE_GAP_US),
+        "etype_chi2_cohort": o.etype_chi2_cohort(p.CHI2_SCALE),
+        "etype_dow_mutual_info": o.etype_dow_mutual_info(p.T0, p.DAY_US),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

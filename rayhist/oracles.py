@@ -5628,3 +5628,83 @@ FROM top JOIN tot ON tot.i = top.i AND tot.j = top.j
 ORDER BY 1, 2
 """
     )
+
+
+# ------------------------------------------------ twelfth-session sweep
+def event_debounce(gap_us: int) -> str:
+    """Debounce mirror: lag gap per (user, etype) ordered by
+    (ts, event_id), FILTER-split kept/dropped counts."""
+    return f"""
+WITH x AS (
+  SELECT event_type AS etype,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT etype,
+       CAST(count(*) FILTER (WHERE gap IS NULL OR gap >= {int(gap_us)}) AS BIGINT)
+         AS n_kept,
+       CAST(count(*) FILTER (WHERE gap < {int(gap_us)}) AS BIGINT) AS n_dropped
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+
+def etype_chi2_cohort(scale: int) -> str:
+    """Chi-square mirror: full r x g cross (zero cells contribute),
+    per-cell HUGEINT floor division to micro-units, fixed IEEE tails.
+    DuckDB // truncates; every numerator is a square so truncation is
+    floor."""
+    return f"""
+WITH c AS (
+  SELECT event_type AS etype, user_id % 2 AS grp, count(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (SELECT etype, sum(n) AS rn FROM c GROUP BY 1),
+g AS (SELECT grp, sum(n) AS cn FROM c GROUP BY 1),
+t AS (SELECT sum(n) AS n FROM c),
+x AS (
+  SELECT r.rn, g.cn, t.n, COALESCE(c.n, 0) AS o
+  FROM r CROSS JOIN g CROSS JOIN t
+  LEFT JOIN c ON c.etype = r.etype AND c.grp = g.grp
+), s AS (
+  SELECT count(*) AS cells,
+         sum((CAST({int(scale)} AS HUGEINT)
+              * (CAST(o AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn)
+              * (CAST(o AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn))
+             // (CAST(n AS HUGEINT) * rn * cn)) AS chi2_micro
+  FROM x
+), dims AS (
+  SELECT CASE WHEN (SELECT count(*) FROM r) - 1 < (SELECT count(*) FROM g) - 1
+              THEN (SELECT count(*) FROM r) - 1
+              ELSE (SELECT count(*) FROM g) - 1 END AS mindim
+)
+SELECT CAST(t.n AS BIGINT) AS n_events, CAST(s.cells AS BIGINT) AS n_cells,
+       CAST(s.chi2_micro AS BIGINT) AS chi2_micro,
+       CAST(s.chi2_micro AS DOUBLE) / CAST({int(scale)} AS DOUBLE) AS chi2,
+       sqrt(CAST(s.chi2_micro AS DOUBLE)
+            / CAST({int(scale)} * t.n * dims.mindim AS DOUBLE)) AS cramers_v
+FROM s CROSS JOIN t CROSS JOIN dims
+"""
+
+
+def etype_dow_mutual_info(t0: int, day_us: int) -> str:
+    """Mutual-information mirror: present cells only (n > 0), the
+    etype_day_entropy milli-nat quantization on every log, single
+    IEEE division tail."""
+    q = "CAST(round(1000*ln(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return f"""
+WITH c AS (
+  SELECT event_type AS etype,
+         ((epoch_us(ts) - {int(t0)}) // {int(day_us)}) % 7 AS dow, count(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (SELECT etype, sum(n) AS rn FROM c GROUP BY 1),
+g AS (SELECT dow, sum(n) AS cn FROM c GROUP BY 1),
+t AS (SELECT sum(n) AS n FROM c),
+s AS (
+  SELECT sum(c.n * ({q.format(x='c.n')} + {q.format(x='t.n')}
+                    - {q.format(x='r.rn')} - {q.format(x='g.cn')})) AS num
+  FROM c JOIN r USING (etype) JOIN g USING (dow) CROSS JOIN t
+)
+SELECT CAST(t.n AS BIGINT) AS n_events, CAST(s.num AS BIGINT) AS num,
+       CAST(s.num AS DOUBLE) / CAST(t.n AS DOUBLE) AS mi_mnat
+FROM s CROSS JOIN t
+"""

@@ -45,6 +45,8 @@ CONTRIB_BINS = [T0 + i * DAY_US for i in range(4, 24)]  # daily bins in interval
 
 CELL_ZOOM = 4
 RASTER_ZOOM = 6
+DEBOUNCE_GAP_US = 300 * 1_000_000  # debounce suppression window
+CHI2_SCALE = 1_000_000  # chi-square micro-unit quantization
 
 # convex CCW region polygons in e7 coordinates (mirrored literally in SQL)
 REGIONS: dict[str, list[tuple[float, float]]] = {
@@ -10806,3 +10808,193 @@ def q_hexcell_dominant_uid(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["hex_i", "hex_j"]).reset_index(drop=True)
+
+
+# ------------------------------------------------ twelfth-session sweep
+def q_event_debounce(sf_dir: str) -> pd.DataFrame:
+    """DEBOUNCE / duplicate-suppression over the event stream: an
+    event is NOISE when it lands within 300 s of the PREVIOUS event of
+    the same (user, event_type) key — the stream-processor duplicate
+    filter (flink-style deduplication on a key + time gap). Shape:
+    complete-key bucket shuffle (the sessions contract), vectorized
+    per-bucket lag compare on (ts, event_id)-ordered runs, per-bucket
+    kept/dropped partials; the driver combines |etypes| rows."""
+    from .aggregate import combine_partials
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    gap_us = DEBOUNCE_GAP_US
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def route(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "uid": uid,
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+                "ts": b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "eid": b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "_bucket": _bucket_of(uid, nb),
+            }
+        )
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["uid", "etype", "ts", "eid"], kind="mergesort")
+        ts = g["ts"].to_numpy(dtype=np.int64)
+        same = (
+            (g["uid"].to_numpy(dtype=np.int64)[1:] == g["uid"].to_numpy(dtype=np.int64)[:-1])
+            & (g["etype"].to_numpy()[1:] == g["etype"].to_numpy()[:-1])
+        )
+        noise = np.zeros(len(g), dtype=bool)
+        noise[1:] = same & (ts[1:] - ts[:-1] < gap_us)
+        out = pd.DataFrame({"etype": g["etype"].to_numpy(), "noise": noise})
+        r = out.groupby(["etype", "noise"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "etype": r["etype"].to_numpy(),
+                "noise": r["noise"].to_numpy(dtype=np.int64),
+                "n_p": r["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = combine_partials(
+        ev.map_batches(route, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(debounce, batch_format="pandas"),
+        ["etype", "noise"],
+        {"n_p": "n"},
+    )
+    w = base.pivot_table(index="etype", columns="noise", values="n", fill_value=0, aggfunc="sum")
+    out = pd.DataFrame(
+        {
+            "etype": w.index.to_numpy(),
+            "n_kept": w.get(0, pd.Series(0, index=w.index)).to_numpy(dtype=np.int64),
+            "n_dropped": w.get(1, pd.Series(0, index=w.index)).to_numpy(dtype=np.int64),
+        }
+    )
+    return out.sort_values("etype").reset_index(drop=True)
+
+
+def q_etype_chi2_cohort(sf_dir: str) -> pd.DataFrame:
+    """CHI-SQUARE test of independence + CRAMER'S V between event type
+    and the even/odd-uid cohort — the categorical-association terminal
+    beside ab_test_value. The per-cell contribution
+    (O*N - R*C)^2 / (N*R*C) quantizes to integer MICRO-UNITS by floor
+    division over exact Python ints (HUGEINT in the mirror), so the
+    sum is order-free; chi2 and V are fixed IEEE tails over the exact
+    integer."""
+    from .aggregate import combine_partials
+
+    scale = CHI2_SCALE
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+                "grp": b["user_id"].to_numpy(zero_copy_only=False) % 2,
+            }
+        )
+        g = df.groupby(["etype", "grp"], as_index=False).size()
+        return pa.table(
+            {
+                "etype": g["etype"].to_numpy(),
+                "grp": g["grp"].to_numpy(dtype=np.int64),
+                "n_p": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["etype", "grp"], {"n_p": "n"}
+    )
+    o = {(e, int(g)): int(n) for e, g, n in zip(base["etype"], base["grp"], base["n"])}
+    ets = sorted({e for e, _ in o})
+    grps = sorted({g for _, g in o})
+    r = {e: sum(o.get((e, g), 0) for g in grps) for e in ets}
+    c = {g: sum(o.get((e, g), 0) for e in ets) for g in grps}
+    n = sum(r.values())
+    chi2_micro = 0
+    for e in ets:
+        for g in grps:
+            num = (o.get((e, g), 0) * n - r[e] * c[g]) ** 2
+            chi2_micro += (scale * num) // (n * r[e] * c[g])
+    mindim = min(len(ets) - 1, len(grps) - 1)
+    if not (0 <= chi2_micro < 2**63):
+        raise OverflowError("chi2_micro exceeds int64")
+    out = pd.DataFrame(
+        {
+            "n_events": [n],
+            "n_cells": [len(ets) * len(grps)],
+            "chi2_micro": [chi2_micro],
+            "chi2": [np.float64(chi2_micro) / np.float64(scale)],
+            "cramers_v": [
+                np.sqrt(np.float64(chi2_micro) / np.float64(scale * n * mindim))
+            ],
+        }
+    ).astype(
+        {
+            "n_events": "int64",
+            "n_cells": "int64",
+            "chi2_micro": "int64",
+            "chi2": "float64",
+            "cramers_v": "float64",
+        }
+    )
+    return out
+
+
+def q_etype_dow_mutual_info(sf_dir: str) -> pd.DataFrame:
+    """MUTUAL INFORMATION between event type and day-of-week — how
+    much the weekly rhythm tells you about what users do. N*MI in
+    milli-nats is the EXACT integer
+    sum_ij n_ij * (q(n_ij) + q(N) - q(r_i) - q(c_j)) with q = the
+    etype_day_entropy milli-nat quantization; the only float is the
+    final single IEEE division by N."""
+    from .aggregate import combine_partials
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0) // DAY_US
+        df = pd.DataFrame(
+            {
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+                "dow": day % 7,
+            }
+        )
+        g = df.groupby(["etype", "dow"], as_index=False).size()
+        return pa.table(
+            {
+                "etype": g["etype"].to_numpy(),
+                "dow": g["dow"].to_numpy(dtype=np.int64),
+                "n_p": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["etype", "dow"], {"n_p": "n"}
+    )
+    o = {(e, int(d)): int(n) for e, d, n in zip(base["etype"], base["dow"], base["n"])}
+    ets = sorted({e for e, _ in o})
+    dows = sorted({d for _, d in o})
+    r = {e: sum(o.get((e, d), 0) for d in dows) for e in ets}
+    c = {d: sum(o.get((e, d), 0) for e in ets) for d in dows}
+    n = sum(r.values())
+    qn = _q_mnat(n)
+    num = sum(
+        o[k] * (_q_mnat(o[k]) + qn - _q_mnat(r[k[0]]) - _q_mnat(c[k[1]]))
+        for k in o
+        if o[k] > 0
+    )
+    if not (-(2**63) < num < 2**63):
+        raise OverflowError("mutual-information numerator exceeds int64")
+    out = pd.DataFrame(
+        {
+            "n_events": [n],
+            "num": [num],
+            "mi_mnat": [np.float64(num) / np.float64(n)],
+        }
+    ).astype({"n_events": "int64", "num": "int64", "mi_mnat": "float64"})
+    return out
