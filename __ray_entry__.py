@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": p.q_event_debounce,
         "etype_chi2_cohort": p.q_etype_chi2_cohort,
         "etype_dow_mutual_info": p.q_etype_dow_mutual_info,
+        "rolling_median_value": p.q_rolling_median_value,
+        "rrf_fusion": p.q_rrf_fusion,
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
@@ -311,6 +313,8 @@ def oracle_sql() -> dict[str, str]:
         "event_debounce": o.event_debounce(p.DEBOUNCE_GAP_US),
         "etype_chi2_cohort": o.etype_chi2_cohort(p.CHI2_SCALE),
         "etype_dow_mutual_info": o.etype_dow_mutual_info(p.T0, p.DAY_US),
+        "rolling_median_value": o.rolling_median_value(p.T0, p.DAY_US),
+        "rrf_fusion": o.rrf_fusion(p.RRF_K, p.RRF_SCALE, p.RRF_POOL, p.RRF_TOP),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

@@ -5708,3 +5708,52 @@ SELECT CAST(t.n AS BIGINT) AS n_events, CAST(s.num AS BIGINT) AS num,
        CAST(s.num AS DOUBLE) / CAST(t.n AS DOUBLE) AS mi_mnat
 FROM s CROSS JOIN t
 """
+
+
+def rolling_median_value(t0: int, day_us: int) -> str:
+    """Rolling-median mirror: BETWEEN range join to the 7-day window,
+    lower-median rank (t+1)//2 over the windowed order statistics."""
+    return f"""
+WITH d AS (
+  SELECT event_type AS etype, (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), w AS (
+  SELECT e.x AS wend, d.etype, d.c
+  FROM range(31) e(x) JOIN d ON d.day BETWEEN e.x - 6 AND e.x
+), r AS (
+  SELECT etype, wend, c,
+         row_number() OVER (PARTITION BY etype, wend ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY etype, wend) AS t
+  FROM w
+)
+SELECT etype, CAST(wend AS BIGINT) AS wend, CAST(t AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS median_cents
+FROM r WHERE rn = (t + 1) // 2 ORDER BY 1, 2
+"""
+
+
+def rrf_fusion(k: int, scale: int, pool: int, top: int) -> str:
+    """RRF mirror: two row_number pools (key DESC, doc_id), FULL OUTER
+    join, exact integer floor-division scores."""
+    return f"""
+WITH ta AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents QUALIFY r <= {int(pool)}
+), tb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ws DESC, doc_id) AS r FROM (
+    SELECT doc_id, CASE WHEN text = '' THEN 0
+           ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS ws
+    FROM documents) QUALIFY r <= {int(pool)}
+), u AS (
+  SELECT COALESCE(ta.doc_id, tb.doc_id) AS doc_id,
+         COALESCE(ta.r, -1) AS rank_len, COALESCE(tb.r, -1) AS rank_tok,
+         (CASE WHEN ta.r IS NULL THEN 0 ELSE {int(scale)} // ({int(k)} + ta.r) END
+          + CASE WHEN tb.r IS NULL THEN 0 ELSE {int(scale)} // ({int(k)} + tb.r) END)
+           AS s
+  FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank_len AS BIGINT) AS rank_len,
+       CAST(rank_tok AS BIGINT) AS rank_tok, CAST(s AS BIGINT) AS rrf_score
+FROM u ORDER BY s DESC, doc_id LIMIT {int(top)}
+"""

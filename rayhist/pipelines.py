@@ -10998,3 +10998,124 @@ def q_etype_dow_mutual_info(sf_dir: str) -> pd.DataFrame:
         }
     ).astype({"n_events": "int64", "num": "int64", "mi_mnat": "float64"})
     return out
+
+
+def q_rolling_median_value(sf_dir: str) -> pd.DataFrame:
+    """7-day ROLLING EXACT MEDIAN of event value per type — the
+    order-statistic sibling of rolling_active_users. No mergeable
+    median partial exists, so each (etype, day, cents) HISTOGRAM row
+    fans out to the <= 7 windows it covers (bounded replication of the
+    bounded histogram, never the event rows); the complete-(etype,
+    window) groups resolve the LOWER MEDIAN rank (T+1)//2 by cumsum
+    walk, and the driver combines |etypes x windows| rows."""
+    from .ops.relational import cents
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        b = cents(b, "value", "c")
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0) // DAY_US
+        df = pd.DataFrame(
+            {
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+                "day": day,
+                "c": b["c"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["etype", "day", "c"], as_index=False).size()
+        k = len(g)
+        off = np.tile(np.arange(7, dtype=np.int64), k)
+        wend = np.repeat(g["day"].to_numpy(dtype=np.int64), 7) + off
+        keep = wend <= 30
+        return pa.table(
+            {
+                "etype": np.repeat(g["etype"].to_numpy(), 7)[keep],
+                "wend": wend[keep],
+                "c": np.repeat(g["c"].to_numpy(dtype=np.int64), 7)[keep],
+                "m_p": np.repeat(g["size"].to_numpy(dtype=np.int64), 7)[keep],
+            }
+        )
+
+    def median(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("c", as_index=False)["m_p"].sum().sort_values("c")
+        m = h["m_p"].to_numpy(dtype=np.int64)
+        t = int(m.sum())
+        cum = np.cumsum(m)
+        med = int(h["c"].to_numpy(dtype=np.int64)[np.searchsorted(cum, (t + 1) // 2)])
+        return pd.DataFrame(
+            {
+                "etype": [g["etype"].iloc[0]],
+                "wend": [int(g["wend"].iloc[0])],
+                "n_events": [t],
+                "median_cents": [med],
+            }
+        )
+
+    out = (
+        ev.map_batches(hist, batch_format="pyarrow")
+        .groupby(["etype", "wend"])
+        .map_groups(median, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype(
+        {"wend": "int64", "n_events": "int64", "median_cents": "int64"}
+    )
+    return out.sort_values(["etype", "wend"]).reset_index(drop=True)
+
+
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+RRF_POOL = 100
+RRF_TOP = 20
+
+
+def q_rrf_fusion(sf_dir: str) -> pd.DataFrame:
+    """RECIPROCAL RANK FUSION of two document rankings — the
+    multi-retriever result-merging terminal of an IR stack. Ranking A
+    orders by n_chars, ranking B by whitespace token count (the
+    doc_tokens ws contract), both (key DESC, doc_id ASC) top-100 via
+    the distributed candidate top-k (k rows per batch move, never the
+    corpus). Scores are EXACT integers floor(SCALE/(K + rank)) so the
+    fused order is bit-stable; absent-in-one-list docs keep rank -1."""
+    from .ops.relational import topk
+
+    docs = rio.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.utf8_length(b["text"])
+        sp = pc.count_substring(b["text"], " ")
+        ws = pc.if_else(
+            pc.equal(n, 0), pa.scalar(0, pa.int64()),
+            pc.add(sp.cast(pa.int64()), 1),
+        )
+        return pa.table({"doc_id": b["doc_id"], "ws_tokens": ws})
+
+    a = topk(docs, "n_chars", RRF_POOL, "doc_id")
+    b = topk(
+        docs.map_batches(with_tokens, batch_format="pyarrow"),
+        "ws_tokens", RRF_POOL, "doc_id",
+    )
+    ra = {int(d): i + 1 for i, d in enumerate(a["doc_id"])}
+    rb = {int(d): i + 1 for i, d in enumerate(b["doc_id"])}
+    rows = []
+    for d in sorted(set(ra) | set(rb)):
+        s = 0
+        if d in ra:
+            s += RRF_SCALE // (RRF_K + ra[d])
+        if d in rb:
+            s += RRF_SCALE // (RRF_K + rb[d])
+        rows.append(
+            {"doc_id": d, "rank_len": ra.get(d, -1), "rank_tok": rb.get(d, -1), "rrf_score": s}
+        )
+    out = (
+        pd.DataFrame(rows)
+        .sort_values(["rrf_score", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(RRF_TOP)
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "rank_len": "int64", "rank_tok": "int64", "rrf_score": "int64"})
+    )
+    return out
