@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "etype_dow_mutual_info": p.q_etype_dow_mutual_info,
         "rolling_median_value": p.q_rolling_median_value,
         "rrf_fusion": p.q_rrf_fusion,
+        "part_hits_authority": p.q_part_hits_authority,
+        "snapshot_count_by_geohash": p.q_snapshot_count_by_geohash,
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
@@ -315,6 +317,8 @@ def oracle_sql() -> dict[str, str]:
         "etype_dow_mutual_info": o.etype_dow_mutual_info(p.T0, p.DAY_US),
         "rolling_median_value": o.rolling_median_value(p.T0, p.DAY_US),
         "rrf_fusion": o.rrf_fusion(p.RRF_K, p.RRF_SCALE, p.RRF_POOL, p.RRF_TOP),
+        "part_hits_authority": o.part_hits_authority(p.HITS_SCALE, p.HITS_ITERS),
+        "snapshot_count_by_geohash": o.snapshot_count_by_geohash(),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

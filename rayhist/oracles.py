@@ -5757,3 +5757,65 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank_len AS BIGINT) AS rank_len,
        CAST(rank_tok AS BIGINT) AS rank_tok, CAST(s AS BIGINT) AS rrf_score
 FROM u ORDER BY s DESC, doc_id LIMIT {int(top)}
 """
+
+
+def part_hits_authority(scale: int, iters: int) -> str:
+    """Integer-HITS mirror: the identical fixed-point half-rounds
+    unrolled as MATERIALIZED join-aggregate CTEs (// floors the
+    all-positive operands on both engines; sums are exact ints)."""
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), h0 AS MATERIALIZED (
+  SELECT c AS node, CAST({int(scale)} AS BIGINT) AS v
+  FROM (SELECT DISTINCT c FROM e)
+)"""
+    cur = "h0"
+    steps = []
+    for i in range(1, int(iters) + 1):
+        steps.append(f""", a{i}r AS MATERIALIZED (
+  SELECT e.p AS node, sum(h.v) AS v FROM e JOIN {cur} h ON h.node = e.c GROUP BY 1
+), a{i} AS MATERIALIZED (
+  SELECT node, (v * {int(scale)}) // (SELECT sum(v) FROM a{i}r) AS v FROM a{i}r
+)""")
+        if i < int(iters):
+            steps.append(f""", h{i}r AS MATERIALIZED (
+  SELECT e.c AS node, sum(a.v) AS v FROM e JOIN a{i} a ON a.node = e.p GROUP BY 1
+), h{i} AS MATERIALIZED (
+  SELECT node, (v * {int(scale)}) // (SELECT sum(v) FROM h{i}r) AS v FROM h{i}r
+)""")
+            cur = f"h{i}"
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT node AS part_id, CAST(v AS BIGINT) AS auth FROM a{int(iters)} ORDER BY 1
+"""
+    )
+
+
+def snapshot_count_by_geohash() -> str:
+    """Geohash mirror: the identical integer scaled divisions and the
+    25-term shift-and interleave, base32 via substr (the alphabet is
+    ascending ASCII, so string order == packed-id order)."""
+    from .pipelines import T_MID
+
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+, b AS (
+  SELECT ((lon_e7 + 1800000000) * 8192) // 3600000000 AS bx,
+         ((lat_e7 + 900000000) * 4096) // 1800000000 AS by
+  FROM snap
+), gh AS (
+  SELECT (((bx >> 0) & 1) << 0) + (((bx >> 1) & 1) << 2) + (((bx >> 2) & 1) << 4) + (((bx >> 3) & 1) << 6) + (((bx >> 4) & 1) << 8) + (((bx >> 5) & 1) << 10) + (((bx >> 6) & 1) << 12) + (((bx >> 7) & 1) << 14) + (((bx >> 8) & 1) << 16) + (((bx >> 9) & 1) << 18) + (((bx >> 10) & 1) << 20) + (((bx >> 11) & 1) << 22) + (((bx >> 12) & 1) << 24) + (((by >> 0) & 1) << 1) + (((by >> 1) & 1) << 3) + (((by >> 2) & 1) << 5) + (((by >> 3) & 1) << 7) + (((by >> 4) & 1) << 9) + (((by >> 5) & 1) << 11) + (((by >> 6) & 1) << 13) + (((by >> 7) & 1) << 15) + (((by >> 8) & 1) << 17) + (((by >> 9) & 1) << 19) + (((by >> 10) & 1) << 21) + (((by >> 11) & 1) << 23) AS g FROM b
+), s AS (
+  SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 20) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 15) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 10) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 5) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 0) & 31 AS INTEGER) + 1, 1) AS geohash FROM gh
+)
+SELECT geohash, CAST(count(*) AS BIGINT) AS n_snapshots
+FROM s GROUP BY 1 ORDER BY 1
+"""
+    )

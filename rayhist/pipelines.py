@@ -11119,3 +11119,73 @@ def q_rrf_fusion(sf_dir: str) -> pd.DataFrame:
         .astype({"doc_id": "int64", "rank_len": "int64", "rank_tok": "int64", "rrf_score": "int64"})
     )
     return out
+
+
+HITS_ITERS = 2
+HITS_SCALE = 1_000_000
+
+
+def q_part_hits_authority(sf_dir: str) -> pd.DataFrame:
+    """HITS AUTHORITY scores of parts in the customer->part purchase
+    graph (ops/hits.py): 2 exact fixed-point Kleinberg iterations —
+    integer message sums along the distinct bipartite edges, L1
+    renormalization by floor division — so the scores are
+    bit-identical at any parallelism and the oracle is the identical
+    rounds unrolled as MATERIALIZED join-aggregate CTEs."""
+    from .ops.hits import hits_bipartite
+    from .ops.relational import hash_join
+
+    li = rio.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+    od = rio.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    # raw join output: hits_bipartite dedupes (cust, part) in its
+    # routing pass (every copy hashes to the same src bucket)
+    edges = hash_join(li, od, on="o_orderkey")
+    df = hits_bipartite(
+        edges, src="o_custkey", dst="l_partkey", iters=HITS_ITERS, scale=HITS_SCALE
+    )
+    df = df.rename(columns={"node": "part_id", "val": "auth"})
+    return df.sort_values("part_id").reset_index(drop=True)
+
+
+def q_snapshot_count_by_geohash(sf_dir: str) -> pd.DataFrame:
+    """Snapshot count at T_MID grouped by GEOHASH-5 cell — the
+    string-keyed industry-standard spatial key beside the XYGrid, S2
+    and hex-lattice partitions (spatial/geohash.py: two integer scaled
+    divisions + a 25-bit interleave, no floats, so the cell id is a
+    bit-stable shuffle key; the base32 rendering is order-isomorphic
+    to the packed id)."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.geohash import geohash_bits, geohash_str
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        g = geohash_bits(
+            s["lon_e7"].to_numpy(zero_copy_only=False),
+            s["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        cid, cnt = np.unique(g, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(cid), "n_part": pa.array(cnt.astype(np.int64))}
+        )
+
+    df = combine_partials(
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"),
+        ["cell"],
+        {"n_part": "n_snapshots"},
+    )
+    out = pd.DataFrame(
+        {
+            "geohash": [geohash_str(c) for c in df["cell"]],
+            "n_snapshots": df["n_snapshots"].astype("int64"),
+        }
+    )
+    return out.sort_values("geohash").reset_index(drop=True)

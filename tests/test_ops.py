@@ -2830,3 +2830,49 @@ def test_mannwhitney_identity_and_scipy_free_check():
     )
     row = got[got["etype"] == "click"].iloc[0]
     assert row["u2_even"] == u2
+
+
+# ---------------------------------------------------------------- HITS
+def test_hits_bipartite_matches_bruteforce():
+    """Distributed integer HITS equals the single-process fixed-point
+    reference (exact Python ints) on a random bipartite graph, at two
+    bucket counts (partitioning invariance)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rayhist.ops.hits import hits_bipartite
+
+    rng = np.random.default_rng(11)
+    n_edges = 400
+    src = rng.integers(0, 40, n_edges)
+    dst = rng.integers(1000, 1030, n_edges)
+    edges = pd.DataFrame({"s": src, "d": dst}).drop_duplicates()
+    scale, iters = 1_000_000, 2
+
+    # exact integer reference
+    h = {int(c): scale for c in edges["s"].unique()}
+    a = {}
+    pairs = list(zip(edges["s"].astype(int), edges["d"].astype(int)))
+    for i in range(iters):
+        a = {}
+        for c, p in pairs:
+            a[p] = a.get(p, 0) + h[c]
+        s = sum(a.values())
+        a = {p: (v * scale) // s for p, v in a.items()}
+        if i < iters - 1:
+            h = {}
+            for c, p in pairs:
+                h[c] = h.get(c, 0) + a[p]
+            s = sum(h.values())
+            h = {c: (v * scale) // s for c, v in h.items()}
+
+    # duplicated edge rows must dedupe in the routing pass
+    dup = pd.concat([edges, edges.head(50)], ignore_index=True)
+    for nb, gate in ((4, 0), (17, 0), (8, 10**9)):
+        ds = ray.data.from_pandas(dup).repartition(5)
+        got = hits_bipartite(
+            ds, src="s", dst="d", iters=iters, scale=scale,
+            n_buckets=nb, broadcast_gate=gate,
+        )
+        assert dict(zip(got["node"], got["val"])) == a

@@ -1223,3 +1223,73 @@ def test_idw_field_matches_python_int_brute_force():
         n, sw, swx = acc[(int(r["hex_i"]), int(r["hex_j"]))]
         assert (r["n_pts"], r["sw"], r["swx"]) == (n, sw, swx)
         assert r["idw_v"] == np.float64(swx) / np.float64(sw)
+
+
+# ---------------------------------------------------------------- geohash
+def test_geohash_matches_float_bisection():
+    """The integer scaled-division encode equals the classic float
+    bisection geohash, character for character, on a world-spanning
+    grid of points (including cell-border and extreme coordinates)."""
+    import numpy as np
+
+    from rayhist.spatial.geohash import geohash_bits, geohash_str
+
+    def classic(lon: float, lat: float, precision: int = 5) -> str:
+        alph = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+        bits, out, ch, even = 0, [], 0, True
+        while len(out) < precision:
+            if even:
+                mid = (lo_lon + hi_lon) / 2
+                if lon >= mid:
+                    ch = ch * 2 + 1
+                    lo_lon = mid
+                else:
+                    ch = ch * 2
+                    hi_lon = mid
+            else:
+                mid = (lo_lat + hi_lat) / 2
+                if lat >= mid:
+                    ch = ch * 2 + 1
+                    lo_lat = mid
+                else:
+                    ch = ch * 2
+                    hi_lat = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(alph[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    rng = np.random.default_rng(7)
+    lon_e7 = np.concatenate(
+        [
+            rng.integers(-1_800_000_000, 1_800_000_000, 500),
+            np.array([-1_800_000_000, 0, 1_799_999_999, 439_453_125]),
+        ]
+    ).astype(np.int64)
+    lat_e7 = np.concatenate(
+        [
+            rng.integers(-900_000_000, 900_000_000, 500),
+            np.array([-900_000_000, 0, 899_999_999, -439_453_125]),
+        ]
+    ).astype(np.int64)
+    g = geohash_bits(lon_e7, lat_e7)
+    for k in range(len(g)):
+        # e7 ints are exact in float64, and the bisection midpoints are
+        # dyadic degrees (also exact), so the float reference is exact
+        want = classic(lon_e7[k] / 1e7, lat_e7[k] / 1e7)
+        assert geohash_str(int(g[k])) == want, (lon_e7[k], lat_e7[k])
+
+
+def test_geohash_rejects_out_of_range():
+    import numpy as np
+    import pytest
+
+    from rayhist.spatial.geohash import geohash_bits
+
+    with pytest.raises(ValueError):
+        geohash_bits(np.array([1_800_000_000]), np.array([0]))
+    with pytest.raises(ValueError):
+        geohash_bits(np.array([0]), np.array([900_000_000]))
