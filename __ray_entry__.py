@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": p.q_rrf_fusion,
         "part_hits_authority": p.q_part_hits_authority,
         "snapshot_count_by_geohash": p.q_snapshot_count_by_geohash,
+        "bm25_top_docs": p.q_bm25_top_docs,
+        "way_centroids": p.q_way_centroids,
+        "lifespan_overlap_pairs": p.q_lifespan_overlap_pairs,
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
@@ -319,6 +322,9 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": o.rrf_fusion(p.RRF_K, p.RRF_SCALE, p.RRF_POOL, p.RRF_TOP),
         "part_hits_authority": o.part_hits_authority(p.HITS_SCALE, p.HITS_ITERS),
         "snapshot_count_by_geohash": o.snapshot_count_by_geohash(),
+        "bm25_top_docs": o.bm25_top_docs(p.BM25_TERMS, p.BM25_TOP),
+        "way_centroids": o.way_centroids(),
+        "lifespan_overlap_pairs": o.lifespan_overlap_pairs(p.DWELL_END),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

@@ -5819,3 +5819,89 @@ SELECT geohash, CAST(count(*) AS BIGINT) AS n_snapshots
 FROM s GROUP BY 1 ORDER BY 1
 """
     )
+
+
+def bm25_top_docs(terms: tuple, top: int) -> str:
+    """BM25 mirror: identical all-integer rational (HUGEINT) with the
+    milli-nat idf quantization; ORDER BY score DESC, doc_id LIMIT k."""
+    from .pipelines import WORD_SPLIT_RE
+
+    tl = ", ".join(f"'{t}'" for t in sorted(terms))
+    q = "CAST(round(1000*ln(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '{WORD_SPLIT_RE}')) AS word
+  FROM documents
+), tok AS (
+  SELECT doc_id, word FROM w WHERE word <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+), l AS (SELECT count(*) AS ll FROM tok),
+dd AS (SELECT count(*) AS d FROM documents),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok
+  WHERE word IN ({tl}) GROUP BY 1, 2
+), df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum((CAST(44000 AS HUGEINT)
+              * ({q.format(x='dd.d')} - {q.format(x='df.df')})
+              * tf.tf * l.ll)
+             // (CAST(20 AS HUGEINT) * l.ll * tf.tf + 6 * l.ll
+                 + 18 * dl.dl * dd.d)) AS bm25_micro
+  FROM tf JOIN df USING (word) JOIN dl USING (doc_id)
+  CROSS JOIN l CROSS JOIN dd
+  GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bm25_micro AS BIGINT) AS bm25_micro
+FROM s ORDER BY bm25_micro DESC, doc_id LIMIT {int(top)}
+"""
+
+
+def way_centroids() -> str:
+    """Triangle shoelace-centroid mirror: exact int corner sums, two
+    single IEEE divisions by 3."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+, pos AS (SELECT osm_id, lon_e7, lat_e7 FROM snap)
+SELECT a.osm_id AS way_id,
+       CAST(a.lon_e7 + b.lon_e7 + c.lon_e7 AS BIGINT) AS cx_num,
+       CAST(a.lat_e7 + b.lat_e7 + c.lat_e7 AS BIGINT) AS cy_num,
+       CAST(a.lon_e7 + b.lon_e7 + c.lon_e7 AS DOUBLE) / 3.0 AS cx_e7,
+       CAST(a.lat_e7 + b.lat_e7 + c.lat_e7 AS DOUBLE) / 3.0 AS cy_e7
+FROM pos a
+JOIN pos b ON b.osm_id = a.osm_id + 1
+JOIN pos c ON c.osm_id = a.osm_id + 2
+ORDER BY way_id
+"""
+    )
+
+
+def lifespan_overlap_pairs(dwell_end: int) -> str:
+    """Interval-overlap mirror: the n^2 inequality join (DuckDB
+    IEJoin) counts strict e < s disjoint pairs; overlap = C(n,2) - d."""
+    return (
+        DERIVE
+        + f"""
+, r AS (
+  SELECT osm_id, ts_us, visible,
+         row_number() OVER (PARTITION BY osm_id
+                            ORDER BY ts_us DESC, v DESC) AS rn,
+         min(ts_us) OVER (PARTITION BY osm_id) AS t_first
+  FROM d
+), life AS (
+  SELECT t_first AS s,
+         CASE WHEN visible THEN {int(dwell_end)} ELSE ts_us END AS e
+  FROM r WHERE rn = 1
+), n AS (SELECT count(*) AS n FROM life),
+dj AS (SELECT count(*) AS dd FROM life a JOIN life b ON a.e < b.s)
+SELECT CAST(n.n AS BIGINT) AS n_entities,
+       CAST(n.n * (n.n - 1) // 2 AS BIGINT) AS n_pairs,
+       CAST(dj.dd AS BIGINT) AS n_disjoint,
+       CAST(n.n * (n.n - 1) // 2 - dj.dd AS BIGINT) AS n_overlap
+FROM n CROSS JOIN dj
+"""
+    )

@@ -11189,3 +11189,256 @@ def q_snapshot_count_by_geohash(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("geohash").reset_index(drop=True)
+
+
+BM25_TERMS = ("merge", "spark", "vector", "window")
+BM25_TOP = 15
+
+
+def q_bm25_top_docs(sf_dir: str) -> pd.DataFrame:
+    """BM25 RANKING of documents against a fixed term set — the
+    retrieval terminal beside tfidf_top_terms, in EXACT INTEGER
+    fixed-point so the ranking is bit-stable under any partitioning.
+    With k1 = 6/5 and b = 3/4 the classic score
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) multiplies
+    through by 20*L (L = corpus token count, avgdl = L/D) into the
+    all-integer rational
+    (44000 * idf_mn * tf * L) // (20*L*tf + 6*L + 18*dl*D)
+    with idf_mn = q(D) - q(df) in milli-nats (the etype_day_entropy q
+    kernel). One tokenize pass emits matched (doc, term, tf, dl) rows
+    plus sentinel partials for L and df; scoring is a broadcast-free
+    map with the |terms|-sized df LUT in the task closure, per-doc
+    totals are a Dataset groupby (doc cardinality), and only the
+    top-k candidates reach the driver."""
+    import pyarrow.compute as pc
+
+    from .aggregate import combine_partials
+    from .ops.relational import topk
+
+    docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    terms = sorted(BM25_TERMS)
+
+    def stage(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), n_per)
+        ne = flat != ""
+        ids_f, w_f = ids[ne], flat[ne]
+        uid, ucnt = np.unique(ids_f, return_counts=True)
+        dl_of = dict(zip(uid, ucnt))
+        hit = np.isin(w_f, terms)
+        g = (
+            pd.DataFrame({"doc_id": ids_f[hit], "word": w_f[hit]})
+            .groupby(["doc_id", "word"], as_index=False)
+            .size()
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "word": g["word"].to_numpy(),
+                "tf": g["size"].to_numpy(dtype=np.int64),
+                "dl": g["doc_id"].map(dl_of).to_numpy(dtype=np.int64),
+            }
+        )
+        # sentinels: doc_id=-1 carries the batch token total (L
+        # partial); doc_id=-2 per word carries the df partial (each
+        # doc tokenizes whole-in-batch, so per-batch doc counts sum
+        # exactly)
+        dfp = g.groupby("word", as_index=False).size()
+        sent = pd.DataFrame(
+            {
+                "doc_id": np.r_[
+                    np.int64(-1), np.full(len(dfp), -2, dtype=np.int64)
+                ],
+                "word": np.r_[np.array([""], dtype=object), dfp["word"].to_numpy()],
+                "tf": np.r_[np.int64(0), dfp["size"].to_numpy(dtype=np.int64)],
+                "dl": np.r_[np.int64(len(ids_f)), np.zeros(len(dfp), dtype=np.int64)],
+            }
+        )
+        return pa.Table.from_pandas(pd.concat([out, sent]), preserve_index=False)
+
+    m = docs.map_batches(stage, batch_format="pyarrow").materialize()
+    stats = combine_partials(
+        m.map_batches(
+            lambda b: b.filter(pc.less(b["doc_id"], 0)), batch_format="pyarrow"
+        ),
+        ["doc_id", "word"],
+        {"tf": "tf", "dl": "dl"},
+    )
+    corpus_l = int(stats.loc[stats["doc_id"] == -1, "dl"].iloc[0])
+    df_of = {
+        w: int(t)
+        for w, t in zip(
+            stats.loc[stats["doc_id"] == -2, "word"],
+            stats.loc[stats["doc_id"] == -2, "tf"],
+        )
+    }
+    qd = _q_mnat(n_docs)
+    idf_of = {w: qd - _q_mnat(df_of[w]) for w in df_of}
+    if max(idf_of.values(), default=0) * 44_000 * 101 * corpus_l >= 2**62:
+        raise OverflowError("bm25: score numerator exceeds the int64 bound")
+
+    def score(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b["doc_id"], 0)
+        t = b.filter(keep)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        if tf.size and int(tf.max()) > 100:
+            raise OverflowError("bm25: tf exceeds the guarded bound (raise it)")
+        dl = t["dl"].to_numpy(zero_copy_only=False)
+        idf = np.array(
+            [idf_of[w] for w in t["word"].to_numpy(zero_copy_only=False)],
+            dtype=np.int64,
+        )
+        num = 44_000 * idf * tf * corpus_l
+        den = 20 * corpus_l * tf + 6 * corpus_l + 18 * dl * n_docs
+        return pa.table({"doc_id": t["doc_id"], "sc": num // den})
+
+    per_doc = (
+        m.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("sc")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"].cast(pa.int64()),
+                    "bm25_micro": b["sum(sc)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = topk(per_doc, "bm25_micro", BM25_TOP, "doc_id")
+    return out.astype({"doc_id": "int64", "bm25_micro": "int64"}).reset_index(
+        drop=True
+    )
+
+
+def q_way_centroids(sf_dir: str) -> pd.DataFrame:
+    """Area-weighted SHOELACE CENTROID of the synthetic triangle ways
+    at T_MID — for a triangle the shoelace centroid reduces exactly to
+    the vertex mean, so the numerators are EXACT INT SUMS of three e7
+    coordinates and the only floats are the two single IEEE divisions
+    by 3. Same one-shuffle fan-out/assemble shape as q_way_areas (the
+    corner rows route once by triangle id; nothing re-shuffles)."""
+    from .model import decode_spans
+    from .ops.window import _bucket_of, _resolve_buckets
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+    nb = _resolve_buckets(None, floor=64)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        osm = s["osm_id"].to_numpy(zero_copy_only=False)
+        lon = s["lon_e7"].to_numpy(zero_copy_only=False)
+        lat = s["lat_e7"].to_numpy(zero_copy_only=False)
+        way = np.concatenate([osm - i for i in range(3)])
+        return pa.table(
+            {
+                "way_id": way,
+                "corner": np.repeat(np.arange(3, dtype=np.int64), len(osm)),
+                "lon_e7": np.tile(lon, 3),
+                "lat_e7": np.tile(lat, 3),
+                "_bucket": _bucket_of(way, nb),
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["way_id", "corner"], kind="mergesort")
+        counts = g.groupby("way_id", sort=False)["corner"].transform("size")
+        g = g[counts == 3]  # only complete triangles
+        agg = g.groupby("way_id", as_index=False).agg(
+            cx_num=("lon_e7", "sum"), cy_num=("lat_e7", "sum")
+        )
+        return agg
+
+    out = (
+        _docs(sf_dir).map_batches(fan_out, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(assemble, batch_format="pandas")
+        .to_pandas()
+        .astype({"way_id": "int64", "cx_num": "int64", "cy_num": "int64"})
+    )
+    out["cx_e7"] = out["cx_num"].to_numpy(dtype=np.float64) / 3.0
+    out["cy_e7"] = out["cy_num"].to_numpy(dtype=np.float64) / 3.0
+    return out.sort_values("way_id").reset_index(drop=True)
+
+
+def q_lifespan_overlap_pairs(sf_dir: str) -> pd.DataFrame:
+    """ALLEN-INTERVAL OVERLAP COUNTING over entity lifespans: how many
+    unordered pairs of entities were ever alive at the same time
+    (touching endpoints count as overlap). overlap = C(n,2) - disjoint
+    with disjoint = #{(i,j): e_i < s_j} — counted DISTRIBUTED by
+    range-bucketing the time axis (the gaps-and-islands stitch): each
+    bucket counts its own end<start pairs exactly via sorted
+    searchsorted, cross-bucket pairs are per-bucket start counts times
+    the prefix sum of earlier end counts — O(buckets) rows to the
+    driver, exact Python-int combine."""
+    from .model import decode_spans
+    from .ops.window import _bucket_of, _resolve_buckets
+    from .temporal import _sorted_versions
+
+    nb = _resolve_buckets(None, floor=64)
+    span = DWELL_END - T0
+
+    def spans(b: pa.Table) -> pa.Table:
+        tbl, codes, ts, _v, _ = _sorted_versions(
+            decode_spans(b, tags=False, geom=False)
+        )
+        if not len(ts):
+            return pa.table(
+                {
+                    "_bucket": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                }
+            )
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        last = np.r_[codes[1:] != codes[:-1], True]
+        vis = tbl["visible"].to_numpy(zero_copy_only=False)
+        s = ts[first]
+        e = np.where(~vis[last], ts[last], DWELL_END)
+        t = np.concatenate([e, s])
+        kind = np.repeat(np.array([0, 1], dtype=np.int64), [len(e), len(s)])
+        bkt = np.clip((t - T0) * nb // span, 0, nb - 1)
+        return pa.table({"_bucket": bkt, "kind": kind, "t": t})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["kind"].to_numpy(dtype=np.int64)
+        t = g["t"].to_numpy(dtype=np.int64)
+        ends = np.sort(t[k == 0])
+        starts = t[k == 1]
+        inb = int(np.searchsorted(ends, starts, side="left").sum())
+        return pd.DataFrame(
+            {
+                "bucket": [int(g["_bucket"].iloc[0])],
+                "n_starts": [len(starts)],
+                "n_ends": [len(ends)],
+                "in_bucket": [inb],
+            }
+        )
+
+    parts = (
+        _docs(sf_dir).map_batches(spans, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    n = int(parts["n_starts"].sum())
+    cum_ends = 0
+    disjoint = 0
+    for _, r in parts.iterrows():
+        disjoint += int(r["in_bucket"]) + int(r["n_starts"]) * cum_ends
+        cum_ends += int(r["n_ends"])
+    pairs = n * (n - 1) // 2
+    return pd.DataFrame(
+        {
+            "n_entities": [n],
+            "n_pairs": [pairs],
+            "n_disjoint": [disjoint],
+            "n_overlap": [pairs - disjoint],
+        }
+    ).astype("int64")
