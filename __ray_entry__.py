@@ -56,6 +56,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top_docs": p.q_bm25_top_docs,
         "way_centroids": p.q_way_centroids,
         "lifespan_overlap_pairs": p.q_lifespan_overlap_pairs,
+        "frequent_part_triples": p.q_frequent_part_triples,
+        "cms_etype_counts": p.q_cms_etype_counts,
+        "copurchase_recommendations": p.q_copurchase_recommendations,
+        "source_vocab_jaccard": p.q_source_vocab_jaccard,
+        "user_recency_scores": p.q_user_recency_scores,
+        "hapax_rate_by_source": p.q_hapax_rate_by_source,
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
@@ -325,6 +331,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top_docs": o.bm25_top_docs(p.BM25_TERMS, p.BM25_TOP),
         "way_centroids": o.way_centroids(),
         "lifespan_overlap_pairs": o.lifespan_overlap_pairs(p.DWELL_END),
+        "frequent_part_triples": o.frequent_part_triples(p.TRIPLE_MIN_SUP),
+        "cms_etype_counts": o.cms_etype_counts(p.CMS_D, p.CMS_W),
+        "copurchase_recommendations": o.copurchase_recommendations(p.RECO_TOP),
+        "source_vocab_jaccard": o.source_vocab_jaccard(),
+        "user_recency_scores": o.user_recency_scores(p.T0, p.DAY_US),
+        "hapax_rate_by_source": o.hapax_rate_by_source(),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

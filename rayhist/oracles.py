@@ -5905,3 +5905,139 @@ SELECT CAST(n.n AS BIGINT) AS n_entities,
 FROM n CROSS JOIN dj
 """
     )
+
+
+def frequent_part_triples(min_sup: int) -> str:
+    """A-priori triple mirror: distinct (order, part) triple self-join
+    with HAVING support."""
+    return f"""
+WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT CAST(a.l_partkey AS BIGINT) AS p1, CAST(b.l_partkey AS BIGINT) AS p2,
+       CAST(c.l_partkey AS BIGINT) AS p3, CAST(count(*) AS BIGINT) AS support
+FROM dp a
+JOIN dp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN dp c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3 HAVING count(*) >= {int(min_sup)} ORDER BY 1, 2, 3
+"""
+
+
+def cms_etype_counts(d: int, w: int) -> str:
+    """Count-min mirror: the same md5 row hashes, bucket sums and
+    LEAST — the sketch is deterministic, so even its collision
+    overestimates value-match."""
+    return f"""
+WITH c AS (SELECT event_type AS etype, count(*) AS n FROM events GROUP BY 1),
+h AS (
+  SELECT etype, n, r.j AS j,
+         CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || etype), 1, 8))
+              AS UBIGINT) % {int(w)} AS b
+  FROM c CROSS JOIN range({int(d)}) r(j)
+), bs AS (
+  SELECT j, b, sum(n) AS s FROM h GROUP BY 1, 2
+), e AS (
+  SELECT h.etype, min(bs.s) AS n_cms FROM h JOIN bs USING (j, b) GROUP BY 1
+)
+SELECT c.etype, CAST(c.n AS BIGINT) AS n_exact, CAST(e.n_cms AS BIGINT) AS n_cms
+FROM c JOIN e USING (etype) ORDER BY 1
+"""
+
+
+def copurchase_recommendations(top: int) -> str:
+    """Link-prediction mirror: wedge counts per pair minus the
+    adjacency via LEFT JOIN ... IS NULL, ORDER BY common DESC."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), dir AS (
+  SELECT pa AS node, pb AS peer FROM e UNION ALL SELECT pb, pa FROM e
+), w AS (
+  SELECT d1.peer AS pa, d2.peer AS pb, count(*) AS cn
+  FROM dir d1 JOIN dir d2 ON d1.node = d2.node AND d1.peer < d2.peer
+  GROUP BY 1, 2
+)
+SELECT CAST(w.pa AS BIGINT) AS part_a, CAST(w.pb AS BIGINT) AS part_b,
+       CAST(w.cn AS BIGINT) AS common
+FROM w LEFT JOIN e ON e.pa = w.pa AND e.pb = w.pb
+WHERE e.pa IS NULL
+ORDER BY w.cn DESC, w.pa, w.pb LIMIT {int(top)}
+"""
+
+
+def source_vocab_jaccard() -> str:
+    """Vocabulary-Jaccard mirror: distinct (word, source) pairs,
+    per-source vocab sizes, pairwise intersections, union by
+    inclusion-exclusion; zero-overlap pairs survive the LEFT JOIN."""
+    from .pipelines import WORD_SPLIT_RE
+
+    return f"""
+WITH ws AS (
+  SELECT DISTINCT word, source FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(text), '{WORD_SPLIT_RE}')) AS word
+    FROM documents)
+  WHERE word <> ''
+), s AS (SELECT DISTINCT source FROM documents),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM s a JOIN s b ON a.source < b.source
+), vs AS (SELECT source, count(*) AS nv FROM ws GROUP BY 1),
+ix AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS ni
+  FROM ws a JOIN ws b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(COALESCE(ix.ni, 0) AS BIGINT) AS n_inter,
+       CAST(va.nv + vb.nv - COALESCE(ix.ni, 0) AS BIGINT) AS n_union,
+       CAST(COALESCE(ix.ni, 0) AS DOUBLE)
+         / CAST(va.nv + vb.nv - COALESCE(ix.ni, 0) AS DOUBLE) AS jaccard
+FROM p
+LEFT JOIN ix ON ix.sa = p.source_a AND ix.sb = p.source_b
+JOIN vs va ON va.source = p.source_a
+JOIN vs vb ON vb.source = p.source_b
+ORDER BY 1, 2
+"""
+
+
+def user_recency_scores(t0: int, day_us: int) -> str:
+    """Recency-score mirror: the same power-of-two day weights as
+    exact integer shifts."""
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(1 AS BIGINT)
+             << (30 - CAST((epoch_us(ts) - {int(t0)}) // {int(day_us)} AS INTEGER)))
+           AS score
+  FROM events GROUP BY 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(score AS BIGINT) AS score
+FROM u ORDER BY score DESC, user_id LIMIT 25
+"""
+
+
+def hapax_rate_by_source() -> str:
+    """Hapax mirror: corpus wordcounts filter n = 1, per-source token
+    totals, one IEEE division."""
+    from .pipelines import WORD_SPLIT_RE
+
+    return f"""
+WITH tok AS (
+  SELECT source, word FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(text), '{WORD_SPLIT_RE}')) AS word
+    FROM documents)
+  WHERE word <> ''
+), wc AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+t AS (SELECT source, count(*) AS n_tokens FROM tok GROUP BY 1),
+h AS (
+  SELECT tok.source, count(*) AS n_hapax
+  FROM tok JOIN wc USING (word) WHERE wc.n = 1 GROUP BY 1
+)
+SELECT t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(h.n_hapax, 0) AS BIGINT) AS n_hapax,
+       CAST(COALESCE(h.n_hapax, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+         AS hapax_rate
+FROM t LEFT JOIN h USING (source) ORDER BY 1
+"""

@@ -11442,3 +11442,422 @@ def q_lifespan_overlap_pairs(sf_dir: str) -> pd.DataFrame:
             "n_overlap": [pairs - disjoint],
         }
     ).astype("int64")
+
+
+TRIPLE_MIN_SUP = 2
+CMS_D = 3
+CMS_W = 16
+RECO_TOP = 20
+
+
+def q_frequent_part_triples(sf_dir: str) -> pd.DataFrame:
+    """A-PRIORI FREQUENT 3-ITEMSETS over market baskets: part triples
+    co-purchased in >= TRIPLE_MIN_SUP orders. Complete-by-order bucket
+    fan-out (the _copurchase_edges shape); per-order triple emission is
+    two vectorized self-merges bounded by C(basket, 3) <= ~35 rows;
+    triples PACK into one int64 (21 bits per part, loud guard) so the
+    support count is a single high-cardinality Dataset groupby; only
+    the frequent triples reach the driver."""
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    li = rio.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ok": ok,
+                "pk": b["l_partkey"].cast(pa.int64()),
+                "_bucket": _bucket_of(ok, nb),
+            }
+        )
+
+    def order_triples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["ok", "pk"]].drop_duplicates()
+        if g["pk"].max() >= 1 << 21:
+            raise OverflowError(
+                "frequent_part_triples: part id exceeds the 21-bit pack"
+            )
+        m = g.merge(g, on="ok", suffixes=("_a", "_b"))
+        m = m[m["pk_a"] < m["pk_b"]]
+        m = m.merge(g.rename(columns={"pk": "pk_c"}), on="ok")
+        m = m[m["pk_b"] < m["pk_c"]]
+        key = (
+            (m["pk_a"].to_numpy(dtype=np.int64) << 42)
+            | (m["pk_b"].to_numpy(dtype=np.int64) << 21)
+            | m["pk_c"].to_numpy(dtype=np.int64)
+        )
+        # in-group pre-combine, then route by TRIPLE-key bucket (the
+        # copurchase_recommendations shape — a native high-cardinality
+        # groupby costs a full sort shuffle; the bucketed map_groups
+        # resolve is one co-group over 64 buckets)
+        ks, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {"key": ks, "n_p": cnt.astype(np.int64), "_kb": _bucket_of(ks, nb)}
+        )
+
+    def support(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("key", as_index=False)["n_p"].sum()
+        return s[s["n_p"] >= TRIPLE_MIN_SUP]
+
+    out = (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(order_triples, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(support, batch_format="pandas")
+        .to_pandas()
+    )
+    k = out["key"].to_numpy(dtype=np.int64)
+    res = pd.DataFrame(
+        {
+            "p1": k >> 42,
+            "p2": (k >> 21) & ((1 << 21) - 1),
+            "p3": k & ((1 << 21) - 1),
+            "support": out["n_p"].to_numpy(dtype=np.int64),
+        }
+    ).astype("int64")
+    return res.sort_values(["p1", "p2", "p3"]).reset_index(drop=True)
+
+
+def q_cms_etype_counts(sf_dir: str) -> pd.DataFrame:
+    """COUNT-MIN SKETCH with a VALUE-EXACT oracle: the sketch is
+    deterministic (md5 row hashes, the sampling-oracle convention), so
+    its collision overestimates are themselves mirrorable — the oracle
+    recomputes the d x w bucket sums in SQL and takes the same LEAST.
+    The engine builds the sketch from per-batch (row, bucket) partials
+    (d*w bounded combine), reporting exact vs estimated side by side —
+    the overestimate IS the sketch's documented behavior, value-pinned
+    here instead of rows-only like the HLL family."""
+    import hashlib
+
+    from .aggregate import combine_partials
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def bucket_of(j: int, etype: str) -> int:
+        h = hashlib.md5(f"{j}:{etype}".encode()).hexdigest()[:8]
+        return int(h, 16) % CMS_W
+
+    def partials(b: pa.Table) -> pa.Table:
+        et, cnt = np.unique(
+            b["event_type"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        rows = []
+        for e, n in zip(et, cnt):
+            rows.append((e, -1, -1, int(n)))  # exact-count partial
+            for j in range(CMS_D):
+                rows.append(("", j, bucket_of(j, e), int(n)))
+        df = pd.DataFrame(rows, columns=["etype", "j", "b", "n"])
+        g = df.groupby(["etype", "j", "b"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"),
+        ["etype", "j", "b"],
+        {"n": "n"},
+    )
+    cms = {
+        (int(j), int(bb)): int(n)
+        for e, j, bb, n in zip(base["etype"], base["j"], base["b"], base["n"])
+        if e == ""
+    }
+    rows = []
+    for e, j, _bb, n in zip(base["etype"], base["j"], base["b"], base["n"]):
+        if e == "":
+            continue
+        est = min(cms[(j2, bucket_of(j2, e))] for j2 in range(CMS_D))
+        rows.append({"etype": e, "n_exact": int(n), "n_cms": est})
+    out = pd.DataFrame(rows).astype({"n_exact": "int64", "n_cms": "int64"})
+    return out.sort_values("etype").reset_index(drop=True)
+
+
+def q_copurchase_recommendations(sf_dir: str) -> pd.DataFrame:
+    """TRIADIC-CLOSURE LINK PREDICTION: the top non-adjacent part
+    pairs by common co-purchase neighbors ("customers who bought
+    these also bought..."). Wedges (neighbor pairs centered at each
+    node) and the adjacency itself route to the SAME pair-key groups,
+    so non-adjacency filtering and wedge counting resolve in one
+    high-cardinality groupby — no second anti-join shuffle; only the
+    distributed top-k candidates reach the driver. Per-node wedge
+    emission is C(deg, 2) — bounded here by the <= ~7-item baskets; a
+    degree cap raises loudly (the DF-cap convention) rather than
+    silently exploding on a hub."""
+    from .ops.relational import topk
+    from .ops.triangles import dedupe_edges
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    edges = dedupe_edges(_copurchase_edges(sf_dir, nb), "src", "dst", nb).map_batches(
+        lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow"
+    )
+
+    def directed(b: pa.Table) -> pa.Table:
+        u = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.concatenate([u, v])
+        return pa.table(
+            {
+                "node": n,
+                "peer": np.concatenate([v, u]),
+                "_bucket": _bucket_of(n, nb),
+            }
+        )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        if (g.groupby("node")["peer"].size() > 10_000).any():
+            raise OverflowError(
+                "copurchase_recommendations: hub degree exceeds the wedge "
+                "cap — shard the neighbor list before pairing"
+            )
+        m = g.merge(g, on="node", suffixes=("_a", "_b"))
+        m = m[m["peer_a"] < m["peer_b"]]
+        key = (m["peer_a"].to_numpy(dtype=np.int64) << 21) | m[
+            "peer_b"
+        ].to_numpy(dtype=np.int64)
+        # pre-combine in-group (one row per distinct pair), route by
+        # pair-key bucket; arrow out to union with the adjacency
+        ks, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": ks, "w": cnt.astype(np.int64), "_kb": _bucket_of(ks, nb)}
+        )
+
+    def adjacency(b: pa.Table) -> pa.Table:
+        u = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u) and (max(int(u.max()), int(v.max())) >= 1 << 21):
+            raise OverflowError(
+                "copurchase_recommendations: part id exceeds the 21-bit pack"
+            )
+        key = (u << 21) | v
+        return pa.table(
+            {
+                "key": key,
+                "w": np.full(len(u), -(1 << 40), dtype=np.int64),
+                "_kb": _bucket_of(key, nb),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # complete pair-keys per bucket: vectorized sum, never a
+        # per-pair map_groups (millions of tiny groups)
+        s = g.groupby("key", as_index=False)["w"].sum()
+        s = s[s["w"] > 0]  # any adjacency sentinel drives the sum negative
+        return s[["key", "w"]]
+
+    scored = (
+        edges.map_batches(directed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(wedges, batch_format="pandas")
+        .union(edges.map_batches(adjacency, batch_format="pyarrow"))
+        .groupby("_kb")
+        .map_groups(resolve, batch_format="pandas")
+    )
+    top = topk(scored, "w", RECO_TOP, "key")
+    k = top["key"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {
+            "part_a": k >> 21,
+            "part_b": k & ((1 << 21) - 1),
+            "common": top["w"].to_numpy(dtype=np.int64),
+        }
+    ).astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Pairwise VOCABULARY JACCARD between document sources — the
+    corpus-mixing diagnostic beside source_drift_psi (drift compares
+    frequency mass; this compares which words exist at all). Distinct
+    (word, source) pairs finalize per batch (docs tokenize
+    whole-in-batch), one vocabulary-cardinality groupby attaches each
+    word's source BITMASK (sources are an enum, so the mask is one
+    int), and the |sources|^2-bounded mask histogram reaches the
+    driver; every pair's intersection/union then reads off the mask
+    counts — no pairwise join anywhere."""
+    import pyarrow.compute as pc
+
+    from .aggregate import combine_partials
+
+    docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+    # source enum (bounded): distinct via per-batch unique partials
+    # over a SOURCE-ONLY read (don't ship the text column twice)
+    docs_src = rio.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    order = sorted(
+        combine_partials(
+            docs_src.map_batches(
+                lambda b: pa.table(
+                    {"source": np.unique(b["source"].to_numpy(zero_copy_only=False)),
+                     "one": np.ones(
+                         len(np.unique(b["source"].to_numpy(zero_copy_only=False))),
+                         dtype=np.int64)}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["source"],
+            {"one": "n"},
+        )["source"]
+    )
+    if len(order) > 62:
+        raise OverflowError("source_vocab_jaccard: source enum exceeds the 62-bit mask")
+    code = {s: 1 << i for i, s in enumerate(order)}
+
+    def pairs(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        src = np.repeat(b["source"].to_numpy(zero_copy_only=False), n_per)
+        ne = flat != ""
+        g = pd.DataFrame({"word": flat[ne], "source": src[ne]}).drop_duplicates()
+        from .ops.window import _bucket_of, _resolve_buckets
+
+        g["_bucket"] = _bucket_of(g["word"].to_numpy(), _resolve_buckets(None, floor=64))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def mask_of(g: pd.DataFrame) -> pd.DataFrame:
+        # complete words per hash bucket -> vectorized: dedupe the
+        # cross-batch (word, source) copies, then the per-word bit sum
+        # equals the OR (each source bit appears once)
+        g = g.drop_duplicates(["word", "source"])
+        g = g.assign(bit=g["source"].map(code).to_numpy(dtype=np.int64))
+        m = g.groupby("word", sort=False)["bit"].sum()
+        h = pd.Series(m.values).value_counts()
+        return pd.DataFrame(
+            {
+                "mask": h.index.to_numpy(dtype=np.int64),
+                "n_p": h.to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = combine_partials(
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(mask_of, batch_format="pandas"),
+        ["mask"],
+        {"n_p": "n"},
+    )
+    hist = dict(zip((int(m) for m in base["mask"]), (int(n) for n in base["n"])))
+    rows = []
+    for i, sa in enumerate(order):
+        for sb in order[i + 1 :]:
+            ba, bb = code[sa], code[sb]
+            inter = sum(n for m, n in hist.items() if (m & ba) and (m & bb))
+            union = sum(n for m, n in hist.items() if (m & ba) or (m & bb))
+            rows.append(
+                {
+                    "source_a": sa,
+                    "source_b": sb,
+                    "n_inter": inter,
+                    "n_union": union,
+                    "jaccard": np.float64(inter) / np.float64(union),
+                }
+            )
+    out = pd.DataFrame(rows).astype(
+        {"n_inter": "int64", "n_union": "int64", "jaccard": "float64"}
+    )
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def q_user_recency_scores(sf_dir: str) -> pd.DataFrame:
+    """RECENCY-WEIGHTED ENGAGEMENT: per user, the exponentially
+    time-decayed activity score with a one-day half-life — EXACT,
+    because a day of age is one bit of shift: weight = 2^(30 - age_days)
+    is an integer, so the score is an order-free int sum (the money
+    rule applied to decay weights; float exp decay would be
+    order-dependent). Per-batch (user, day) partials -> one
+    user-cardinality groupby; the report is the top-25 scores."""
+    from .ops.relational import topk
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0) // DAY_US
+        if day.size and (day.min() < 0 or day.max() > 30):
+            raise ValueError("user_recency_scores: day outside the January window")
+        w = np.int64(1) << (30 - day)
+        df = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(zero_copy_only=False), "w": w}
+        )
+        g = df.groupby("user_id", as_index=False)["w"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum("w")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"].cast(pa.int64()),
+                    "score": b["sum(w)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = topk(per_user, "score", 25, "user_id")
+    return out.astype({"user_id": "int64", "score": "int64"}).reset_index(drop=True)
+
+
+def q_hapax_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """HAPAX LEGOMENA rate per source — vocabulary richness: the share
+    of a source's token occurrences whose word occurs EXACTLY ONCE in
+    the whole corpus. Per-batch (word, source) counts -> one
+    vocabulary-cardinality groupby resolves each word's corpus count
+    and per-source occurrences together (hapax iff corpus count == 1,
+    which also pins its source) -> |sources|-bounded partials. The
+    rate is one IEEE division of exact ints."""
+    import pyarrow.compute as pc
+
+    from .aggregate import combine_partials
+
+    docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(b["text"]), WORD_SPLIT_RE)
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        src = np.repeat(b["source"].to_numpy(zero_copy_only=False), n_per)
+        ne = flat != ""
+        g = (
+            pd.DataFrame({"word": flat[ne], "source": src[ne]})
+            .groupby(["word", "source"], as_index=False)
+            .size()
+        )
+        from .ops.window import _bucket_of, _resolve_buckets
+
+        g["_bucket"] = _bucket_of(g["word"].to_numpy(), _resolve_buckets(None, floor=64))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_word(g: pd.DataFrame) -> pd.DataFrame:
+        # complete words per hash bucket; all-vectorized pandas
+        tot = g.groupby("word", as_index=False)["size"].sum()
+        hapax_words = set(tot.loc[tot["size"] == 1, "word"])
+        out = g.groupby("source", as_index=False)["size"].sum().rename(
+            columns={"size": "n_tokens_p"}
+        )
+        hx = (
+            g[g["word"].isin(hapax_words)]
+            .groupby("source", as_index=False)["size"]
+            .sum()
+            .rename(columns={"size": "n_hapax_p"})
+        )
+        out = out.merge(hx, on="source", how="left")
+        out["n_hapax_p"] = out["n_hapax_p"].fillna(0).astype(np.int64)
+        return out
+
+    base = combine_partials(
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_word, batch_format="pandas"),
+        ["source"],
+        {"n_tokens_p": "n_tokens", "n_hapax_p": "n_hapax"},
+    )
+    out = base.astype({"n_tokens": "int64", "n_hapax": "int64"})
+    out["hapax_rate"] = out["n_hapax"].to_numpy(dtype=np.float64) / out[
+        "n_tokens"
+    ].to_numpy(dtype=np.float64)
+    return out.sort_values("source").reset_index(drop=True)
