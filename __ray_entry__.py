@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_jaccard": p.q_source_vocab_jaccard,
         "user_recency_scores": p.q_user_recency_scores,
         "hapax_rate_by_source": p.q_hapax_rate_by_source,
+        "etype_spearman": p.q_etype_spearman,
+        "prop_ztest_click": p.q_prop_ztest_click,
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
@@ -337,6 +339,8 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_jaccard": o.source_vocab_jaccard(),
         "user_recency_scores": o.user_recency_scores(p.T0, p.DAY_US),
         "hapax_rate_by_source": o.hapax_rate_by_source(),
+        "etype_spearman": o.etype_spearman(p.T0, p.DAY_US),
+        "prop_ztest_click": o.prop_ztest_click(),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

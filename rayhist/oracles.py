@@ -6041,3 +6041,64 @@ SELECT t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens,
          AS hapax_rate
 FROM t LEFT JOIN h USING (source) ORDER BY 1
 """
+
+
+def etype_spearman(t0: int, day_us: int) -> str:
+    """Spearman mirror: doubled average-tie-ranks via
+    2*rank() + count() OVER value-partition - 1 (exact ints), then the
+    crosscorr sufficient-statistic tail."""
+    return f"""
+WITH c AS (
+  SELECT (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day,
+         event_type AS etype, count(*) AS n
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.etype AS ea, b.etype AS eb, a.n AS x, b.n AS y
+  FROM c a JOIN c b ON a.day = b.day AND a.etype < b.etype
+), r AS (
+  SELECT ea, eb,
+         2 * rank() OVER (PARTITION BY ea, eb ORDER BY x)
+           + count(*) OVER (PARTITION BY ea, eb, x) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY ea, eb ORDER BY y)
+           + count(*) OVER (PARTITION BY ea, eb, y) - 1 AS ry
+  FROM p
+), s AS (
+  SELECT ea, eb, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx*ry) AS sxy, sum(rx*rx) AS sxx, sum(ry*ry) AS syy
+  FROM r GROUP BY 1, 2
+)
+SELECT ea AS etype_a, eb AS etype_b, CAST(n AS BIGINT) AS n_days,
+       CAST(n*sxy - sx*sy AS BIGINT) AS num,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         AS spearman
+FROM s ORDER BY 1, 2
+"""
+
+
+def prop_ztest_click() -> str:
+    """Two-proportion z mirror: the identical IEEE expression tree
+    over the four exact counts."""
+    return """
+WITH g AS (
+  SELECT user_id % 2 AS grp, count(*) AS n,
+         count(*) FILTER (WHERE event_type = 'click') AS x
+  FROM events GROUP BY 1
+), w AS (
+  SELECT max(n) FILTER (WHERE grp = 0) AS n1,
+         max(x) FILTER (WHERE grp = 0) AS x1,
+         max(n) FILTER (WHERE grp = 1) AS n2,
+         max(x) FILTER (WHERE grp = 1) AS x2
+  FROM g
+)
+SELECT CAST(n1 AS BIGINT) AS n_even, CAST(x1 AS BIGINT) AS x_even,
+       CAST(n2 AS BIGINT) AS n_odd, CAST(x2 AS BIGINT) AS x_odd,
+       (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (CAST(1 AS DOUBLE)
+                 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 + CAST(1 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS z
+FROM w
+"""

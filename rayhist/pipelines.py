@@ -11861,3 +11861,101 @@ def q_hapax_rate_by_source(sf_dir: str) -> pd.DataFrame:
         "n_tokens"
     ].to_numpy(dtype=np.float64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_etype_spearman(sf_dir: str) -> pd.DataFrame:
+    """SPEARMAN RANK CORRELATION between event types' daily count
+    series over their common days — the outlier-robust sibling of
+    etype_daily_crosscorr. Ranks use the doubled average-tie-rank
+    2*minrank + ties - 1 so every rank is an EXACT INT under ties; the
+    sufficient statistics are exact Python ints and the tail is the
+    identical crosscorr single-IEEE cast/multiply/sqrt/divide."""
+    base = _etype_day_grid(sf_dir)
+    series = {
+        et: {int(d): int(n) for d, n in zip(g["day"], g["n"])}
+        for et, g in base.groupby("etype")
+    }
+
+    def r2_of(vals: list) -> list:
+        a = np.array(vals, dtype=np.int64)
+        order = np.sort(a)
+        minrank = np.searchsorted(order, a, side="left") + 1
+        ties = np.searchsorted(order, a, side="right") - (minrank - 1)
+        return (2 * minrank + ties - 1).tolist()
+
+    rows = []
+    for ea, eb in ((a, b) for a in sorted(series) for b in sorted(series) if a < b):
+        days = sorted(set(series[ea]) & set(series[eb]))
+        if not days:
+            continue
+        x = r2_of([series[ea][d] for d in days])
+        y = r2_of([series[eb][d] for d in days])
+        n = len(days)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+        num = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx == 0 or vy == 0:
+            raise ValueError(f"spearman: constant rank series in pair {ea!r},{eb!r}")
+        if not (-(2**63) < num < 2**63):
+            raise OverflowError("spearman numerator exceeds int64")
+        rows.append(
+            {
+                "etype_a": ea,
+                "etype_b": eb,
+                "n_days": n,
+                "num": num,
+                "spearman": np.float64(num)
+                / np.sqrt(np.float64(vx) * np.float64(vy)),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"n_days": "int64", "num": "int64", "spearman": "float64"}
+    )
+    return out.sort_values(["etype_a", "etype_b"]).reset_index(drop=True)
+
+
+def q_prop_ztest_click(sf_dir: str) -> pd.DataFrame:
+    """TWO-PROPORTION Z-TEST on the click share between the even-uid
+    and odd-uid cohorts — the conversion-rate A/B terminal beside
+    ab_test_value. Counts are exact-int partials (combine_partials);
+    the pooled z is a FIXED IEEE expression tree over the four ints,
+    mirrored operation for operation in SQL."""
+    from .aggregate import combine_partials
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        grp = (b["user_id"].to_numpy(zero_copy_only=False) % 2).astype(np.int64)
+        click = (
+            b["event_type"].to_numpy(zero_copy_only=False) == "click"
+        ).astype(np.int64)
+        df = pd.DataFrame({"grp": grp, "n": np.int64(1), "x": click})
+        g = df.groupby("grp", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["grp"], {"n": "n", "x": "x"}
+    ).set_index("grp")
+    n1, x1 = int(base.loc[0, "n"]), int(base.loc[0, "x"])
+    n2, x2 = int(base.loc[1, "n"]), int(base.loc[1, "x"])
+    p1 = np.float64(x1) / np.float64(n1)
+    p2 = np.float64(x2) / np.float64(n2)
+    p = np.float64(x1 + x2) / np.float64(n1 + n2)
+    z = (p1 - p2) / np.sqrt(
+        p * (np.float64(1) - p)
+        * (np.float64(1) / np.float64(n1) + np.float64(1) / np.float64(n2))
+    )
+    return pd.DataFrame(
+        {
+            "n_even": [n1],
+            "x_even": [x1],
+            "n_odd": [n2],
+            "x_odd": [x2],
+            "z": [z],
+        }
+    ).astype(
+        {"n_even": "int64", "x_even": "int64", "n_odd": "int64", "x_odd": "int64",
+         "z": "float64"}
+    )

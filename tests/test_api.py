@@ -747,3 +747,37 @@ def test_facade_hexcell_indexer_pinned_to_direct_pipeline():
     pd.testing.assert_frame_equal(
         got.astype({"n_snapshots": "int64"}), want.astype({"n_snapshots": "int64"})
     )
+
+
+def test_facade_geohash_indexer_pinned_to_direct_pipeline():
+    """The fluent chain aggregateBy(geohash indexer).count() over the
+    T_MID snapshot equals q_snapshot_count_by_geohash — the
+    string-keyed industry spatial key through the function-typed
+    aggregateBy overload (MapReducer.java:735-766)."""
+    import numpy as np
+
+    from rayhist.pipelines import T_MID, q_snapshot_count_by_geohash
+    from rayhist.spatial.geohash import geohash_bits, geohash_str
+
+    def gh_indexer(t):
+        return geohash_bits(
+            t["lon_e7"].to_numpy(zero_copy_only=False),
+            t["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+
+    got = (
+        OSMEntitySnapshotView.on(SF)
+        .timestamps([T_MID])
+        .aggregateBy(gh_indexer, name="gh")
+        .count()
+    )
+    got = (
+        got.assign(geohash=[geohash_str(g) for g in got["gh"]])
+        .rename(columns={"count": "n_snapshots"})[["geohash", "n_snapshots"]]
+        .sort_values("geohash")
+        .reset_index(drop=True)
+    )
+    want = q_snapshot_count_by_geohash(SF)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_snapshots": "int64"}), want.astype({"n_snapshots": "int64"})
+    )
