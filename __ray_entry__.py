@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_rate_by_source": p.q_hapax_rate_by_source,
         "etype_spearman": p.q_etype_spearman,
         "prop_ztest_click": p.q_prop_ztest_click,
+        "partitioned_day_scan": p.q_partitioned_day_scan,
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
@@ -341,6 +342,9 @@ def oracle_sql() -> dict[str, str]:
         "hapax_rate_by_source": o.hapax_rate_by_source(),
         "etype_spearman": o.etype_spearman(p.T0, p.DAY_US),
         "prop_ztest_click": o.prop_ztest_click(),
+        "partitioned_day_scan": o.partitioned_day_scan(
+            p.T0, p.DAY_US, p.PART_SCAN_DAYS
+        ),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

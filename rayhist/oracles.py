@@ -6102,3 +6102,20 @@ SELECT CAST(n1 AS BIGINT) AS n_even, CAST(x1 AS BIGINT) AS x_even,
                  + CAST(1 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS z
 FROM w
 """
+
+
+def partitioned_day_scan(t0: int, day_us: int, days: list) -> str:
+    """Partitioned wire-path mirror: the original parquet filtered to
+    the same day window with the same cents derivation."""
+    lo, hi = min(days), max(days)
+    return f"""
+WITH d AS (
+  SELECT (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day,
+         event_type AS etype, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+)
+SELECT CAST(day AS BIGINT) AS day, etype, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_value_c
+FROM d WHERE day BETWEEN {int(lo)} AND {int(hi)}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

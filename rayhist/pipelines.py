@@ -11959,3 +11959,41 @@ def q_prop_ztest_click(sf_dir: str) -> pd.DataFrame:
         {"n_even": "int64", "x_even": "int64", "n_odd": "int64", "x_odd": "int64",
          "z": "float64"}
     )
+
+
+PART_SCAN_DAYS = list(range(10, 16))  # the pruned mid-January window
+
+
+def q_partitioned_day_scan(sf_dir: str) -> pd.DataFrame:
+    """HIVE-PARTITIONED SINK + PARTITION-PRUNED READ end-to-end
+    (sources/hivepart.py): the event log lands as day=N parquet
+    directories (the resumable-output unit) and the query opens ONLY
+    the six requested day partitions — pruning by directory selection
+    at the read, the way a time-ranged query must skip the other 96%
+    of a 100-TB corpus. The oracle reads the ORIGINAL parquet with the
+    same day filter, so a pass certifies the partitioned write + the
+    pruned read + the aggregate, not just the aggregate."""
+    from .aggregate import combine_partials
+    from .sources.hivepart import ensure_partitioned_events, read_partition_days
+
+    root = ensure_partitioned_events(sf_dir, T0, DAY_US)
+    ds = read_partition_days(root, PART_SCAN_DAYS)
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "day": b["day"].to_numpy(zero_copy_only=False),
+                "etype": b["event_type"].to_numpy(zero_copy_only=False),
+                "n": np.int64(1),
+                "v": b["value_c"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["day", "etype"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = combine_partials(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["day", "etype"],
+        {"n": "n", "v": "sum_value_c"},
+    ).astype({"day": "int64", "n": "int64", "sum_value_c": "int64"})
+    return out.sort_values(["day", "etype"]).reset_index(drop=True)

@@ -209,3 +209,43 @@ def test_arrow_ipc_crashed_partial_build_never_unions(ray_session, monkeypatch, 
     ).fetchone()[0]
     assert read_arrow_ipc(rebuilt).count() == n_parquet
     assert not (Path(rebuilt) / "part-deadbeef.arrow").exists()
+
+
+def test_hivepart_fixture_cold_cache_rebuild(ray_session, monkeypatch, tmp_path):
+    """Hive-partition twin of the JSONL cold-cache guard: a fresh
+    RAYHIST_CACHE rebuild reproduces the pruned-scan aggregate
+    exactly; the pruned read only opens the requested day dirs (a
+    missing partition raises loudly); the partition tree covers every
+    January day."""
+    import pandas as pd
+    import pytest
+
+    from rayhist.pipelines import DAY_US, T0, q_partitioned_day_scan
+    from rayhist.sources.hivepart import (
+        ensure_partitioned_events,
+        read_partition_days,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    warm = q_partitioned_day_scan(sf)
+    monkeypatch.setenv("RAYHIST_CACHE", str(tmp_path / "cold"))
+    cold = q_partitioned_day_scan(sf)
+    pd.testing.assert_frame_equal(warm, cold)
+    root = ensure_partitioned_events(sf, T0, DAY_US)
+    from pathlib import Path
+
+    days = sorted(
+        int(p.name.split("=")[1]) for p in Path(root).iterdir() if p.is_dir()
+    )
+    import duckdb
+
+    want_days = [
+        int(r[0])
+        for r in duckdb.sql(
+            f"SELECT DISTINCT (epoch_us(ts) - {T0}) // {DAY_US} AS d "
+            f"FROM read_parquet('{sf}/events.parquet') ORDER BY 1"
+        ).fetchall()
+    ]
+    assert days == want_days
+    with pytest.raises(FileNotFoundError, match="day_k=99"):
+        read_partition_days(root, [99])
