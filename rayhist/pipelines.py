@@ -10921,6 +10921,8 @@ def q_etype_chi2_cohort(sf_dir: str) -> pd.DataFrame:
             num = (o.get((e, g), 0) * n - r[e] * c[g]) ** 2
             chi2_micro += (scale * num) // (n * r[e] * c[g])
     mindim = min(len(ets) - 1, len(grps) - 1)
+    if mindim < 1:
+        raise ValueError("chi2: degenerate contingency table (one row or column)")
     if not (0 <= chi2_micro < 2**63):
         raise OverflowError("chi2_micro exceeds int64")
     out = pd.DataFrame(
