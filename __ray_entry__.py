@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "etype_spearman": p.q_etype_spearman,
         "prop_ztest_click": p.q_prop_ztest_click,
         "partitioned_day_scan": p.q_partitioned_day_scan,
+        "etype_kendall_tau": p.q_etype_kendall_tau,
+        "knn_value_regression": p.q_knn_value_regression,
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
@@ -345,6 +347,8 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_day_scan": o.partitioned_day_scan(
             p.T0, p.DAY_US, p.PART_SCAN_DAYS
         ),
+        "etype_kendall_tau": o.etype_kendall_tau(p.T0, p.DAY_US),
+        "knn_value_regression": o.knn_value_regression(),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

@@ -6119,3 +6119,65 @@ SELECT CAST(day AS BIGINT) AS day, etype, CAST(count(*) AS BIGINT) AS n,
 FROM d WHERE day BETWEEN {int(lo)} AND {int(hi)}
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def etype_kendall_tau(t0: int, day_us: int) -> str:
+    """Kendall tau-b mirror: day-pair self-join per etype pair, exact
+    sign-product and distinct-value pair counts, single-IEEE tail."""
+    return f"""
+WITH c AS (
+  SELECT (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS day,
+         event_type AS etype, count(*) AS n
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.etype AS ea, b.etype AS eb, a.day AS day, a.n AS x, b.n AS y
+  FROM c a JOIN c b ON a.day = b.day AND a.etype < b.etype
+), j AS (
+  SELECT a.ea, a.eb,
+         sign(a.x - b.x) * sign(a.y - b.y) AS s,
+         CASE WHEN a.x <> b.x THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.y <> b.y THEN 1 ELSE 0 END AS ty
+  FROM p a JOIN p b ON a.ea = b.ea AND a.eb = b.eb AND a.day < b.day
+), d AS (
+  SELECT ea, eb, sum(s) AS num, sum(tx) AS dx, sum(ty) AS dy
+  FROM j GROUP BY 1, 2
+), nd AS (
+  SELECT ea, eb, count(*) AS n FROM p GROUP BY 1, 2
+)
+SELECT d.ea AS etype_a, d.eb AS etype_b, CAST(nd.n AS BIGINT) AS n_days,
+       CAST(d.num AS BIGINT) AS num,
+       CAST(d.num AS DOUBLE)
+         / sqrt(CAST(d.dx AS DOUBLE) * CAST(d.dy AS DOUBLE)) AS tau_b
+FROM d JOIN nd ON nd.ea = d.ea AND nd.eb = d.eb
+ORDER BY 1, 2
+"""
+
+
+def knn_value_regression(query_filter: str = "osm_id % 17 = 0") -> str:
+    """kNN-regression mirror: the knn top-3 CTE joined back to the
+    snapshot uid, exact int sums, one IEEE division."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + f"""
+, pts AS (SELECT osm_id, lon_e7, lat_e7, uid FROM snap),
+q AS (SELECT * FROM pts WHERE {query_filter}),
+cand AS (
+  SELECT q.osm_id AS query_id, p.osm_id AS neighbor_id,
+         (CAST(p.lon_e7 AS DOUBLE) - CAST(q.lon_e7 AS DOUBLE)) AS dx,
+         (CAST(p.lat_e7 AS DOUBLE) - CAST(q.lat_e7 AS DOUBLE)) AS dy
+  FROM q JOIN pts p ON p.osm_id <> q.osm_id
+), top AS (
+  SELECT query_id, neighbor_id
+  FROM cand
+  WINDOW w AS (PARTITION BY query_id ORDER BY dx*dx + dy*dy, neighbor_id)
+  QUALIFY row_number() OVER w <= 3
+)
+SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_nn,
+       CAST(sum(p.uid) AS BIGINT) AS sum_uid,
+       CAST(sum(p.uid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pred_uid
+FROM top t JOIN pts p ON p.osm_id = t.neighbor_id
+GROUP BY 1 ORDER BY 1
+"""
+    )

@@ -11999,3 +11999,98 @@ def q_partitioned_day_scan(sf_dir: str) -> pd.DataFrame:
         {"n": "n", "v": "sum_value_c"},
     ).astype({"day": "int64", "n": "int64", "sum_value_c": "int64"})
     return out.sort_values(["day", "etype"]).reset_index(drop=True)
+
+
+def q_etype_kendall_tau(sf_dir: str) -> pd.DataFrame:
+    """KENDALL TAU-B between event types' daily count series — the
+    third of the correlation trio (Pearson crosscorr / Spearman /
+    Kendall). Concordance sum, tie-aware denominators and pair counts
+    are ALL exact ints (num = sum of sign products; denom legs =
+    #pairs with distinct x / distinct y); the tail is the single-IEEE
+    cast/multiply/sqrt/divide."""
+    base = _etype_day_grid(sf_dir)
+    series = {
+        et: sorted((int(d), int(n)) for d, n in zip(g["day"], g["n"]))
+        for et, g in base.groupby("etype")
+    }
+    rows = []
+    for ea, eb in ((a, b) for a in sorted(series) for b in sorted(series) if a < b):
+        da = dict(series[ea])
+        db = dict(series[eb])
+        days = sorted(set(da) & set(db))
+        n = len(days)
+        num = dx = dy = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                xa, xb = da[days[i]], da[days[j]]
+                ya, yb = db[days[i]], db[days[j]]
+                sx = (xa > xb) - (xa < xb)
+                sy = (ya > yb) - (ya < yb)
+                num += sx * sy
+                dx += xa != xb
+                dy += ya != yb
+        if dx == 0 or dy == 0:
+            raise ValueError(f"kendall: tie-degenerate series in pair {ea!r},{eb!r}")
+        rows.append(
+            {
+                "etype_a": ea,
+                "etype_b": eb,
+                "n_days": n,
+                "num": num,
+                "tau_b": np.float64(num) / np.sqrt(np.float64(dx) * np.float64(dy)),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"n_days": "int64", "num": "int64", "tau_b": "float64"}
+    )
+    return out.sort_values(["etype_a", "etype_b"]).reset_index(drop=True)
+
+
+def q_knn_value_regression(sf_dir: str) -> pd.DataFrame:
+    """kNN REGRESSION: each query point predicts the MEAN uid of its
+    3 nearest neighbors at T_MID — the regression twin of
+    knn_majority_label on the same distributed halo-join kNN. The
+    neighbor attribute lookup ships only the nq x k id set
+    (ray.put + pc.is_in, never the corpus); sums are exact ints and
+    the prediction is one IEEE division."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from .model import decode_spans
+    from .spatial.knn import knn_queries
+    from .temporal import snapshots as snapshots_fn
+
+    mod = int(os.environ.get("RAYHIST_KNN_MOD", "17"))
+    pos, _n, zoom = _knn_positions_flagged(sf_dir, mod)
+    nn = knn_queries(pos, k=3, id_col="osm_id", zoom=zoom, halo=1)
+
+    ids = np.unique(nn["neighbor_id"].to_numpy(dtype=np.int64))
+    ids_ref = _ray.put(ids)
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def attrs(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False, geom=False), ts)
+        keep = pc.is_in(s["osm_id"], pa.array(_ray.get(ids_ref), pa.int64()))
+        s = s.filter(keep)
+        return pa.table({"osm_id": s["osm_id"], "uid": s["uid"]})
+
+    lab = _docs(sf_dir).map_batches(attrs, batch_format="pyarrow").to_pandas()
+    m = nn.merge(lab, left_on="neighbor_id", right_on="osm_id", how="left")
+    if m["uid"].isna().any():
+        raise ValueError("knn regression: neighbor without a visible T_MID row")
+    g = m.groupby("query_id", as_index=False).agg(
+        n_nn=("uid", "size"), sum_uid=("uid", "sum")
+    )
+    out = pd.DataFrame(
+        {
+            "query_id": g["query_id"].to_numpy(dtype=np.int64),
+            "n_nn": g["n_nn"].to_numpy(dtype=np.int64),
+            "sum_uid": g["sum_uid"].to_numpy(dtype=np.int64),
+        }
+    )
+    out["pred_uid"] = out["sum_uid"].to_numpy(dtype=np.float64) / out[
+        "n_nn"
+    ].to_numpy(dtype=np.float64)
+    return out.sort_values("query_id").reset_index(drop=True)
