@@ -6181,3 +6181,39 @@ FROM top t JOIN pts p ON p.osm_id = t.neighbor_id
 GROUP BY 1 ORDER BY 1
 """
     )
+
+
+def twa_entities_daily(t0: int, day_us: int, t_end: int) -> str:
+    """Daily time-weighted-average mirror: lead() spans (the dwell
+    derivation) range-joined to the day grid with exact clipped
+    overlaps; LEFT JOIN zerofill; one IEEE division by the constant
+    day length."""
+    return (
+        DERIVE
+        + f"""
+, iv AS (
+  SELECT visible, ts_us,
+         lead(ts_us, 1, {int(t_end)}) OVER (
+           PARTITION BY osm_id ORDER BY ts_us, v) AS ts_next
+  FROM d
+), vs AS (
+  SELECT greatest(ts_us, {int(t0)}) AS a,
+         least(ts_next, {int(t_end)}) AS b
+  FROM iv WHERE visible AND least(ts_next, {int(t_end)}) > greatest(ts_us, {int(t0)})
+), w AS (
+  SELECT r.x AS day,
+         sum(least(b, {int(t0)} + (r.x + 1) * {int(day_us)})
+             - greatest(a, {int(t0)} + r.x * {int(day_us)})) AS visible_us
+  FROM range(31) r(x) JOIN vs
+    ON a < {int(t0)} + (r.x + 1) * {int(day_us)}
+   AND b > {int(t0)} + r.x * {int(day_us)}
+  GROUP BY 1
+)
+SELECT CAST(r.x AS BIGINT) AS day,
+       CAST(COALESCE(w.visible_us, 0) AS BIGINT) AS visible_us,
+       CAST(COALESCE(w.visible_us, 0) AS DOUBLE)
+         / CAST({int(day_us)} AS DOUBLE) AS avg_entities
+FROM range(31) r(x) LEFT JOIN w ON w.day = r.x
+ORDER BY 1
+"""
+    )
