@@ -12096,6 +12096,44 @@ def q_knn_value_regression(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("query_id").reset_index(drop=True)
 
 
+def _twa_stage(b: pa.Table) -> pa.Table:
+    """Fused TWA partial: decode (tags+geom pruned) -> per-doc realign
+    (_sorted_versions, the HEADER_TIMESTAMPS_NOT_IN_ORDER tolerance)
+    -> visible half-open intervals -> vectorized fan-out to the days
+    each interval crosses with exact clipped overlaps. Module-level so
+    the reversed-runs invariance test can drive it (the _dwell_stage
+    convention)."""
+    from .model import decode_spans
+    from .temporal import _sorted_versions
+
+    tbl, codes, ts, _v, _ = _sorted_versions(decode_spans(b, tags=False, geom=False))
+    if not len(ts):
+        return pa.table(
+            {"day": pa.array([], pa.int64()), "vis_p": pa.array([], pa.int64())}
+        )
+    last_of_doc = np.r_[codes[1:] != codes[:-1], True]
+    nxt = np.where(last_of_doc, DWELL_END, np.r_[ts[1:], DWELL_END])
+    vis = tbl["visible"].to_numpy(zero_copy_only=False)
+    a = np.maximum(ts, T0)[vis]
+    bnd = np.minimum(nxt, DWELL_END)[vis]
+    keep = bnd > a
+    a, bnd = a[keep], bnd[keep]
+    d0 = (a - T0) // DAY_US
+    d1 = (bnd - 1 - T0) // DAY_US  # inclusive last day touched
+    reps = (d1 - d0 + 1).astype(np.int64)
+    day = np.repeat(d0, reps) + (
+        np.arange(int(reps.sum()), dtype=np.int64)
+        - np.repeat(np.cumsum(reps) - reps, reps)
+    )
+    aa = np.repeat(a, reps)
+    bb = np.repeat(bnd, reps)
+    lo = np.maximum(aa, T0 + day * DAY_US)
+    hi = np.minimum(bb, T0 + (day + 1) * DAY_US)
+    df = pd.DataFrame({"day": day, "vis_p": hi - lo})
+    g = df.groupby("day", as_index=False)["vis_p"].sum()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def q_twa_entities_daily(sf_dir: str) -> pd.DataFrame:
     """CONTINUOUS-TIME daily average of visible entities — the exact
     integral the snapshot grid only samples: per day,
@@ -12108,40 +12146,9 @@ def q_twa_entities_daily(sf_dir: str) -> pd.DataFrame:
     rows per block; the average is the only float (one IEEE division
     by the constant day length). Days nothing was alive zerofill."""
     from .aggregate import combine_partials, zerofill
-    from .model import decode_spans
-    from .temporal import _sorted_versions
-
-    def stage(b: pa.Table) -> pa.Table:
-        tbl, codes, ts, _v, _ = _sorted_versions(decode_spans(b, tags=False, geom=False))
-        if not len(ts):
-            return pa.table(
-                {"day": pa.array([], pa.int64()),
-                 "vis_p": pa.array([], pa.int64())}
-            )
-        last_of_doc = np.r_[codes[1:] != codes[:-1], True]
-        nxt = np.where(last_of_doc, DWELL_END, np.r_[ts[1:], DWELL_END])
-        vis = tbl["visible"].to_numpy(zero_copy_only=False)
-        a = np.maximum(ts, T0)[vis]
-        bnd = np.minimum(nxt, DWELL_END)[vis]
-        keep = bnd > a
-        a, bnd = a[keep], bnd[keep]
-        d0 = (a - T0) // DAY_US
-        d1 = (bnd - 1 - T0) // DAY_US  # inclusive last day touched
-        reps = (d1 - d0 + 1).astype(np.int64)
-        day = np.repeat(d0, reps) + (
-            np.arange(int(reps.sum()), dtype=np.int64)
-            - np.repeat(np.cumsum(reps) - reps, reps)
-        )
-        aa = np.repeat(a, reps)
-        bb = np.repeat(bnd, reps)
-        lo = np.maximum(aa, T0 + day * DAY_US)
-        hi = np.minimum(bb, T0 + (day + 1) * DAY_US)
-        df = pd.DataFrame({"day": day, "vis_p": hi - lo})
-        g = df.groupby("day", as_index=False)["vis_p"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     df = combine_partials(
-        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"),
+        _docs(sf_dir).map_batches(_twa_stage, batch_format="pyarrow"),
         ["day"],
         {"vis_p": "visible_us"},
     )

@@ -587,3 +587,30 @@ def test_predominant_etype_dwell_invariants():
         "etype"
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(dirty, got)
+
+
+def test_twa_daily_invariant_under_unsorted_runs():
+    """The daily TWA integral must survive out-of-order version runs
+    (_twa_stage realigns per doc), and the per-day integrals must sum
+    to the dwell-time total integral over the same window (the two
+    derivations share the span model, so the identity is exact)."""
+    from rayhist.aggregate import combine_partials
+    from rayhist.model import reverse_version_runs
+    from rayhist.pipelines import _docs, _dwell_stage, _twa_stage
+
+    docs = _docs("/root/testdata/sf0.001")
+    clean = combine_partials(
+        docs.map_batches(_twa_stage, batch_format="pyarrow"),
+        ["day"], {"vis_p": "visible_us"},
+    ).sort_values("day").reset_index(drop=True)
+    dirty = combine_partials(
+        docs.map_batches(reverse_version_runs, batch_format="pyarrow")
+        .map_batches(_twa_stage, batch_format="pyarrow"),
+        ["day"], {"vis_p": "visible_us"},
+    ).sort_values("day").reset_index(drop=True)
+    assert clean.equals(dirty)
+    dwell = combine_partials(
+        docs.map_batches(_dwell_stage, batch_format="pyarrow"),
+        ["etype"], {"dwell_p": "dwell_us"},
+    )
+    assert int(clean["visible_us"].sum()) == int(dwell["dwell_us"].sum())
