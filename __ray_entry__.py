@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "etype_kendall_tau": p.q_etype_kendall_tau,
         "knn_value_regression": p.q_knn_value_regression,
         "twa_entities_daily": p.q_twa_entities_daily,
+        "clark_evans": p.q_clark_evans,
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
@@ -351,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "etype_kendall_tau": o.etype_kendall_tau(p.T0, p.DAY_US),
         "knn_value_regression": o.knn_value_regression(),
         "twa_entities_daily": o.twa_entities_daily(p.T0, p.DAY_US, p.DWELL_END),
+        "clark_evans": o.clark_evans(),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

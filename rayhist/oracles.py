@@ -6217,3 +6217,37 @@ FROM range(31) r(x) LEFT JOIN w ON w.day = r.x
 ORDER BY 1
 """
     )
+
+
+def clark_evans() -> str:
+    """Clark-Evans mirror: per-point min over the all-pairs double d2
+    (identical representation to the engine's halo-join kNN), the same
+    floor(sqrt) integer quantization, exact bbox, and the identical
+    IEEE index tree."""
+    cte = _snap_cte().replace("TS_LIST", _ts_list([T_MID]))
+    return (
+        DERIVE
+        + cte
+        + """
+, pts AS (SELECT osm_id, lon_e7, lat_e7 FROM snap),
+nn AS (
+  SELECT a.osm_id,
+         min((CAST(b.lon_e7 AS DOUBLE) - CAST(a.lon_e7 AS DOUBLE))
+               * (CAST(b.lon_e7 AS DOUBLE) - CAST(a.lon_e7 AS DOUBLE))
+             + (CAST(b.lat_e7 AS DOUBLE) - CAST(a.lat_e7 AS DOUBLE))
+               * (CAST(b.lat_e7 AS DOUBLE) - CAST(a.lat_e7 AS DOUBLE))) AS d2
+  FROM pts a JOIN pts b ON b.osm_id <> a.osm_id GROUP BY 1
+), s AS (
+  SELECT count(*) AS n, sum(CAST(floor(sqrt(d2)) AS BIGINT)) AS sm FROM nn
+), bb AS (
+  SELECT max(lon_e7) - min(lon_e7) AS mx, max(lat_e7) - min(lat_e7) AS my
+  FROM pts
+)
+SELECT CAST(s.n AS BIGINT) AS n_points, CAST(s.sm AS BIGINT) AS sum_nn_floor,
+       CAST(bb.mx AS BIGINT) AS bbox_w, CAST(bb.my AS BIGINT) AS bbox_h,
+       (CAST(s.sm AS DOUBLE) / CAST(s.n AS DOUBLE))
+         / (0.5 * sqrt(CAST(bb.mx AS DOUBLE) * CAST(bb.my AS DOUBLE)
+                       / CAST(s.n AS DOUBLE))) AS ce_index
+FROM s CROSS JOIN bb
+"""
+    )

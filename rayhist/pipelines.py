@@ -12159,3 +12159,76 @@ def q_twa_entities_daily(sf_dir: str) -> pd.DataFrame:
         DAY_US
     )
     return out.sort_values("day").reset_index(drop=True)
+
+
+def q_clark_evans(sf_dir: str) -> pd.DataFrame:
+    """CLARK-EVANS AGGREGATION INDEX of the T_MID point pattern — the
+    classic ESDA clustered/dispersed diagnostic: observed mean
+    nearest-neighbor distance over the expected mean under CSR
+    (0.5 * sqrt(A/n), A = the exact integer bbox area). The 1-NN
+    distances ride the distributed halo-join kNN (spatial.knn.knn_all,
+    k=1); each distance quantizes to floor(sqrt(d2)) — both engines
+    sqrt the SAME correctly-rounded double of the exact int d2, so the
+    integer sum is order-free and mirrorable; the index is a fixed
+    IEEE expression tree over (sum, n, bbox)."""
+    from .model import decode_spans
+    from .spatial.knn import knn_all
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        return snapshots_fn(decode_spans(batch, tags=False), ts).select(
+            ["osm_id", "lon_e7", "lat_e7"]
+        )
+
+    pos = _docs(sf_dir).map_batches(positions, batch_format="pyarrow").materialize()
+    n = pos.count()
+    zoom = max(1, min(12, int(np.ceil((np.log2(max(n, 1) / 2000.0) + 1) / 2))))
+    nn = knn_all(pos, k=1, zoom=zoom)
+    d2 = nn["dist2"].to_numpy(dtype=np.float64)
+    s = int(np.floor(np.sqrt(d2)).astype(np.int64).sum())
+
+    def bbox(b: pa.Table) -> pa.Table:
+        lon = b["lon_e7"].to_numpy(zero_copy_only=False)
+        lat = b["lat_e7"].to_numpy(zero_copy_only=False)
+        if not len(lon):
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "k": np.arange(4, dtype=np.int64),
+                "v": np.array(
+                    [-lon.min(), lon.max(), -lat.min(), lat.max()], dtype=np.int64
+                ),
+            }
+        )
+
+    # 4-rows-per-block max-witness partials; driver max combine (the
+    # combine_partials pattern, max instead of sum)
+    bb = (
+        pos.map_batches(bbox, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("k", as_index=False)["v"]
+        .max()
+    )
+    vals = dict(zip((int(k) for k in bb["k"]), (int(v) for v in bb["v"])))
+    mx = vals[1] + vals[0]  # max - min (mins stored negated for max-combine)
+    my = vals[3] + vals[2]
+    mean = np.float64(s) / np.float64(n)
+    expected = np.float64(0.5) * np.sqrt(
+        np.float64(mx) * np.float64(my) / np.float64(n)
+    )
+    return pd.DataFrame(
+        {
+            "n_points": [n],
+            "sum_nn_floor": [s],
+            "bbox_w": [mx],
+            "bbox_h": [my],
+            "ce_index": [mean / expected],
+        }
+    ).astype(
+        {"n_points": "int64", "sum_nn_floor": "int64", "bbox_w": "int64",
+         "bbox_h": "int64", "ce_index": "float64"}
+    )
