@@ -41,9 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ORDER = driver correctness-window rotation (the driver
         # samples the FIRST 50): round-4's one red row first, then the
-        # new round-5 queries, then the 44 queries last driver-checked
-        # on round-3 code; the round-4-green block closes the dict so
-        # the union of r4+r5 windows covers the full surface.
+        # 23 twelfth-session queries, then 26 representatives of the
+        # ninth..eleventh-session families — none of these have a
+        # driver record yet; older blocks (all driver-green in r3/r4
+        # or locally sweep-checked) close the dict.
         "osmpbf_relation_member_sums": p.q_osmpbf_relation_member_sums,
         # --- round-5 twelfth-session additions ---
         "event_debounce": p.q_event_debounce,
@@ -69,6 +70,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_value_regression": p.q_knn_value_regression,
         "twa_entities_daily": p.q_twa_entities_daily,
         "clark_evans": p.q_clark_evans,
+        # --- rotation: ninth..eleventh-session representatives
+        # (never driver-checked; fills the 50-slot window) ---
+        "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
+        "hexcell_weekly": p.q_hexcell_weekly,
+        "hex_hotspot_gi": p.q_hex_hotspot_gi,
+        "hex_emerging_hotspots": p.q_hex_emerging_hotspots,
+        "hex_morans_i": p.q_hex_morans_i,
+        "hex_gearys_c": p.q_hex_gearys_c,
+        "hexcell_location_quotient": p.q_hexcell_location_quotient,
+        "hexcell_dominant_uid": p.q_hexcell_dominant_uid,
+        "contrib_by_hexcell": p.q_contrib_by_hexcell,
+        "nearest_road_distance": p.q_nearest_road_distance,
+        "road_buffer_count": p.q_road_buffer_count,
+        "idw_snapshot_field": p.q_idw_snapshot_field,
+        "zonal_raster_stats": p.q_zonal_raster_stats,
+        "cell_flows": p.q_cell_flows,
+        "contributor_territory": p.q_contributor_territory,
+        "way_compactness": p.q_way_compactness,
+        "way_chain_lengths": p.q_way_chain_lengths,
+        "kaplan_meier": p.q_kaplan_meier,
+        "theilsen_trend_by_type": p.q_theilsen_trend_by_type,
+        "knox_pairs": p.q_knox_pairs,
+        "ripley_k": p.q_ripley_k,
+        "semivariogram": p.q_semivariogram,
+        "ab_test_value": p.q_ab_test_value,
+        "ks_test_value": p.q_ks_test_value,
+        "mannwhitney_value": p.q_mannwhitney_value,
+        "embedding_pca_top": p.q_embedding_pca_top,
         # --- round-5 eighth-session additions ---
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
@@ -221,45 +250,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_value_by_type": p.q_tdigest_value_by_type,
         # --- ninth-session additions (outside the r5 window; judge-checked
         # via the full tools/check_queries.py surface) ---
-        "embedding_pca_top": p.q_embedding_pca_top,
-        "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
-        "nearest_road_distance": p.q_nearest_road_distance,
-        "hexcell_weekly": p.q_hexcell_weekly,
-        "idw_snapshot_field": p.q_idw_snapshot_field,
-        "road_buffer_count": p.q_road_buffer_count,
-        "hex_emerging_hotspots": p.q_hex_emerging_hotspots,
-        "zonal_raster_stats": p.q_zonal_raster_stats,
-        "cell_flows": p.q_cell_flows,
-        "contributor_territory": p.q_contributor_territory,
         "etype_seasonal_profile": p.q_etype_seasonal_profile,
         "doc_join_collocates": p.q_doc_join_collocates,
-        "hex_morans_i": p.q_hex_morans_i,
-        "way_chain_lengths": p.q_way_chain_lengths,
-        "way_compactness": p.q_way_compactness,
         "source_drift_psi": p.q_source_drift_psi,
-        "contrib_by_hexcell": p.q_contrib_by_hexcell,
         "hexcell_churn": p.q_hexcell_churn,
         "hexcell_freshness": p.q_hexcell_freshness,
         "funnel3_users": p.q_funnel3_users,
-        "ab_test_value": p.q_ab_test_value,
-        "ks_test_value": p.q_ks_test_value,
-        "mannwhitney_value": p.q_mannwhitney_value,
-        "kaplan_meier": p.q_kaplan_meier,
         "turn_angle_histogram": p.q_turn_angle_histogram,
-        "theilsen_trend_by_type": p.q_theilsen_trend_by_type,
-        "knox_pairs": p.q_knox_pairs,
-        "ripley_k": p.q_ripley_k,
         "token_zipf_slope": p.q_token_zipf_slope,
         "vocab_growth": p.q_vocab_growth,
-        "hexcell_location_quotient": p.q_hexcell_location_quotient,
         "etype_stationary": p.q_etype_stationary,
         "cohort_odds_ratio": p.q_cohort_odds_ratio,
         "user_burstiness": p.q_user_burstiness,
         "flow_reciprocity": p.q_flow_reciprocity,
-        "hex_gearys_c": p.q_hex_gearys_c,
-        "semivariogram": p.q_semivariogram,
-        "hexcell_dominant_uid": p.q_hexcell_dominant_uid,
-        "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "user_entropy": p.q_user_entropy,
         "doc_redaction": p.q_doc_redaction,
         # --- round-4-green surface (driver-checked in CORRECTNESS_r04) ---
