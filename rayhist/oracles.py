@@ -6251,3 +6251,40 @@ SELECT CAST(s.n AS BIGINT) AS n_points, CAST(s.sm AS BIGINT) AS sum_nn_floor,
 FROM s CROSS JOIN bb
 """
     )
+
+
+def linreg_value_day_parity(t0: int, day_us: int) -> str:
+    """Exact-OLS mirror: HUGEINT sufficient statistics, Cramer's-rule
+    determinants spelled out, one IEEE division per coefficient."""
+
+    def det(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+        return (
+            f"({a11}*({a22}*{a33} - {a23}*{a32})"
+            f" - {a12}*({a21}*{a33} - {a23}*{a31})"
+            f" + {a13}*({a21}*{a32} - {a22}*{a31}))"
+        )
+
+    d = det("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    d0 = det("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+    d1 = det("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+    d2 = det("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+    return f"""
+WITH e AS (
+  SELECT (epoch_us(ts) - {int(t0)}) // {int(day_us)} AS x1,
+         user_id % 2 AS x2,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x1) AS HUGEINT) AS s1,
+         CAST(sum(x2) AS HUGEINT) AS s2, CAST(sum(x1*x1) AS HUGEINT) AS s11,
+         CAST(sum(x1*x2) AS HUGEINT) AS s12, CAST(sum(x2*x2) AS HUGEINT) AS s22,
+         CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x1*y) AS HUGEINT) AS s1y,
+         CAST(sum(x2*y) AS HUGEINT) AS s2y
+  FROM e
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST({d0} AS DOUBLE) / CAST({d} AS DOUBLE) AS beta0,
+       CAST({d1} AS DOUBLE) / CAST({d} AS DOUBLE) AS beta1,
+       CAST({d2} AS DOUBLE) / CAST({d} AS DOUBLE) AS beta2
+FROM s
+"""

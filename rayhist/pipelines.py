@@ -12232,3 +12232,71 @@ def q_clark_evans(sf_dir: str) -> pd.DataFrame:
         {"n_points": "int64", "sum_nn_floor": "int64", "bbox_w": "int64",
          "bbox_h": "int64", "ce_index": "float64"}
     )
+
+
+def q_linreg_value_day_parity(sf_dir: str) -> pd.DataFrame:
+    """EXACT DISTRIBUTED OLS: regress event value (cents) on
+    [1, day, uid-parity] — multivariate least squares with NO
+    iterative float solver anywhere. The nine sufficient statistics
+    (n, Sx1, Sx2, Sx1x1, Sx1x2, Sx2x2, Sy, Sx1y, Sx2y) are exact int
+    partials; the driver solves the 3x3 normal equations by CRAMER'S
+    RULE in Python bigints (dets exceed int64 — HUGEINT in the
+    mirror), and each coefficient is ONE IEEE division of two
+    correctly-rounded exact ints. Deterministic at any parallelism."""
+    from .aggregate import combine_partials
+    from .ops.relational import cents
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        b = cents(b, "value", "y")
+        x1 = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - T0) // DAY_US
+        x2 = (b["user_id"].to_numpy(zero_copy_only=False) % 2).astype(np.int64)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        if y.size and float(np.abs(y.astype(np.float64)).max()) * 30 * y.size > 1e17:
+            raise OverflowError("linreg: batch moment exceeds the int64 bound")
+        vals = np.array(
+            [
+                len(y), x1.sum(), x2.sum(), (x1 * x1).sum(), (x1 * x2).sum(),
+                (x2 * x2).sum(), y.sum(), (x1 * y).sum(), (x2 * y).sum(),
+            ],
+            dtype=np.int64,
+        )
+        return pa.table({"k": np.arange(9, dtype=np.int64), "v": vals})
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["k"], {"v": "v"}
+    ).set_index("k")
+    n, s1, s2, s11, s12, s22, sy, s1y, s2y = (int(base.loc[i, "v"]) for i in range(9))
+
+    def det3(a):
+        return (
+            a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+            - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+            + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0])
+        )
+
+    A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    b = [sy, s1y, s2y]
+    d = det3(A)
+    if d == 0:
+        raise ValueError("linreg: singular normal equations (degenerate features)")
+    betas = []
+    for i in range(3):
+        Ai = [row[:] for row in A]
+        for r in range(3):
+            Ai[r][i] = b[r]
+        betas.append(np.float64(det3(Ai)) / np.float64(d))
+    return pd.DataFrame(
+        {
+            "n_events": [n],
+            "beta0": [betas[0]],
+            "beta1": [betas[1]],
+            "beta2": [betas[2]],
+        }
+    ).astype(
+        {"n_events": "int64", "beta0": "float64", "beta1": "float64",
+         "beta2": "float64"}
+    )

@@ -2876,3 +2876,26 @@ def test_hits_bipartite_matches_bruteforce():
             n_buckets=nb, broadcast_gate=gate,
         )
         assert dict(zip(got["node"], got["val"])) == a
+
+
+def test_linreg_matches_numpy_lstsq():
+    """The Cramer's-rule exact-int OLS equals numpy's float solver to
+    float tolerance on the real corpus (the PCA-convergence
+    convention: the exact fixed-point path is the contract, the float
+    library is the sanity bound)."""
+    import numpy as np
+    import pandas as pd
+
+    from rayhist.pipelines import DAY_US, T0, q_linreg_value_day_parity
+
+    sf = "/root/testdata/sf0.001"
+    got = q_linreg_value_day_parity(sf)
+    ev = pd.read_parquet(sf + "/events.parquet")
+    x1 = (ev["ts"].astype("int64").to_numpy() - T0) // DAY_US
+    x2 = (ev["user_id"].to_numpy() % 2).astype(np.int64)
+    y = np.round(ev["value"].to_numpy() * 100)
+    X = np.stack([np.ones(len(y)), x1, x2], axis=1).astype(np.float64)
+    ref, *_ = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)
+    assert np.allclose(
+        [got["beta0"][0], got["beta1"][0], got["beta2"][0]], ref, rtol=1e-9
+    )
