@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twa_entities_daily": p.q_twa_entities_daily,
         "clark_evans": p.q_clark_evans,
         "linreg_value_day_parity": p.q_linreg_value_day_parity,
+        "bloom_fpr_users": p.q_bloom_fpr_users,
         # --- rotation: ninth..eleventh-session representatives
         # (never driver-checked; fills the 50-slot window) ---
         "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
@@ -358,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "twa_entities_daily": o.twa_entities_daily(p.T0, p.DAY_US, p.DWELL_END),
         "clark_evans": o.clark_evans(),
         "linreg_value_day_parity": o.linreg_value_day_parity(p.T0, p.DAY_US),
+        "bloom_fpr_users": o.bloom_fpr_users(p.BLOOM_FPR_M, p.BLOOM_FPR_K),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

@@ -6288,3 +6288,35 @@ SELECT CAST(n AS BIGINT) AS n_events,
        CAST({d2} AS DOUBLE) / CAST({d} AS DOUBLE) AS beta2
 FROM s
 """
+
+
+def bloom_fpr_users(m: int, k: int) -> str:
+    """Bloom-FPR mirror: the same md5 bit positions; a probe is a
+    false positive when all k of its bits exist in the key bitset."""
+    def pos(j, uid):
+        return (
+            f"CAST(('0x' || substr(md5({j} || ':' || CAST({uid} AS VARCHAR)), 1, 8))"
+            f" AS UBIGINT) % {int(m)}"
+        )
+
+    exists = "\n    AND ".join(
+        f"EXISTS (SELECT 1 FROM bits WHERE b = {pos(repr(str(j)), 'pr.uid')})"
+        for j in range(int(k))
+    )
+    return f"""
+WITH ks AS (SELECT DISTINCT user_id AS uid FROM events WHERE user_id % 2 = 0),
+pr AS (SELECT DISTINCT user_id AS uid FROM events WHERE user_id % 2 = 1),
+bits AS (
+  SELECT DISTINCT {pos("CAST(r.j AS VARCHAR)", "ks.uid")} AS b
+  FROM ks CROSS JOIN range({int(k)}) r(j)
+), fp AS (
+  SELECT count(*) AS n_fp FROM pr
+  WHERE {exists}
+)
+SELECT CAST((SELECT count(*) FROM ks) AS BIGINT) AS n_keys,
+       CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_probes,
+       CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+       CAST(fp.n_fp AS BIGINT) AS n_fp,
+       CAST(fp.n_fp AS DOUBLE) / CAST((SELECT count(*) FROM pr) AS DOUBLE) AS fpr
+FROM fp
+"""

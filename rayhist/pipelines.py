@@ -12300,3 +12300,120 @@ def q_linreg_value_day_parity(sf_dir: str) -> pd.DataFrame:
         {"n_events": "int64", "beta0": "float64", "beta1": "float64",
          "beta2": "float64"}
     )
+
+
+BLOOM_FPR_M = 1024
+BLOOM_FPR_K = 3
+
+
+def q_bloom_fpr_users(sf_dir: str) -> pd.DataFrame:
+    """BLOOM-FILTER FALSE-POSITIVE RATE, value-exact: build a
+    1024-bit / 3-hash Bloom of the EVEN user ids and probe it with the
+    ODD ones (disjoint by construction, so every hit is a false
+    positive). Like cms_etype_counts, the md5 row hashes make the
+    sketch deterministic, so the measured FPR — normally a
+    statistical quantity — is itself mirrorable in SQL. The build is
+    the mergeable-partial shape (per-batch bit arrays OR-combine at
+    fixed m bits); the probe pass ships the final bitset in the task
+    closure and counts per-batch partials. (functions/bloom.py is the
+    production filter; this query pins the md5 twin the oracle can
+    spell.)"""
+    import hashlib
+
+    from .aggregate import combine_partials
+
+    m, k = BLOOM_FPR_M, BLOOM_FPR_K
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def positions(uids: np.ndarray) -> np.ndarray:
+        out = np.empty((len(uids), k), dtype=np.int64)
+        for i, u in enumerate(uids):
+            for j in range(k):
+                h = hashlib.md5(f"{j}:{int(u)}".encode()).hexdigest()[:8]
+                out[i, j] = int(h, 16) % m
+        return out
+
+    def build(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False))
+        even = u[u % 2 == 0]
+        bits = np.zeros(m, dtype=np.int64)
+        if len(even):
+            bits[np.unique(positions(even).ravel())] = 1
+        return pa.table({"pos": np.arange(m, dtype=np.int64), "bit": bits})
+
+    bloom = combine_partials(
+        ev.map_batches(build, batch_format="pyarrow"), ["pos"], {"bit": "n"}
+    )
+    bits = (bloom.sort_values("pos")["n"].to_numpy() > 0).astype(np.int64)
+
+    def probe(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False))
+        odd = u[u % 2 == 1]
+        hit = np.zeros(len(odd), dtype=bool)
+        if len(odd):
+            hit = bits[positions(odd)].all(axis=1)
+        # distinct uids can repeat across batches: emit (uid, hit)
+        # partials, dedupe at the bounded distinct-user combine
+        return pa.table({"uid": odd, "hit": hit.astype(np.int64)})
+
+    # distinct users are corpus-cardinality: dedupe on complete-uid
+    # hash buckets (the bucketed map_groups shape), |buckets| rows to
+    # the driver — never a distinct-user table
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+
+    def route(b: pa.Table) -> pa.Table:
+        t = probe(b)
+        u = t["uid"].to_numpy(zero_copy_only=False)
+        return t.append_column("_bucket", pa.array(_bucket_of(u, nb)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("uid")
+        return pd.DataFrame(
+            {
+                "bucket": [int(g["_bucket"].iloc[0])],
+                "n_probes_p": [len(g)],
+                "n_fp_p": [int((g["hit"].to_numpy() > 0).sum())],
+            }
+        )
+
+    agg = (
+        ev.map_batches(route, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    n_probes = int(agg["n_probes_p"].sum())
+    n_fp = int(agg["n_fp_p"].sum())
+
+    def route_keys(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False))
+        even = u[u % 2 == 0]
+        return pa.table({"uid": even, "_bucket": _bucket_of(even, nb)})
+
+    def keys_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"bucket": [int(g["_bucket"].iloc[0])],
+             "n_p": [int(g["uid"].nunique())]}
+        )
+
+    n_keys = int(
+        ev.map_batches(route_keys, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(keys_bucket, batch_format="pandas")
+        .to_pandas()["n_p"]
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "n_keys": [n_keys],
+            "n_probes": [n_probes],
+            "n_bits_set": [int(bits.sum())],
+            "n_fp": [n_fp],
+            "fpr": [np.float64(n_fp) / np.float64(n_probes)],
+        }
+    ).astype(
+        {"n_keys": "int64", "n_probes": "int64", "n_bits_set": "int64",
+         "n_fp": "int64", "fpr": "float64"}
+    )
