@@ -1050,6 +1050,30 @@ class MapReducer:
         )
         return df.sort_values(["lifespan_days", "deleted"]).reset_index(drop=True)
 
+    def timeWeightedAverageDaily(self) -> pd.DataFrame:
+        """Continuous-time terminal: per day, the EXACT integral of
+        visible-entity microseconds over the day and its average
+        (pipelines._twa_stage — the span-validity model the snapshot
+        grid only samples; OSMEntitySnapshot.java's validTo).
+        Contribution view only; whole-history (no filters)."""
+        if self._view != "contribution":
+            raise ValueError(
+                "timeWeightedAverageDaily() is a contribution-view terminal"
+            )
+        self._require_plain_history("timeWeightedAverageDaily()")
+        from .aggregate import combine_partials, zerofill
+        from .pipelines import DAY_US, _twa_stage
+
+        partials = self._docs().map_batches(_twa_stage, batch_format="pyarrow")
+        df = combine_partials(partials, ["day"], {"vis_p": "visible_us"})
+        out = zerofill(df, {"day": list(range(31))}, {"visible_us": 0}).astype(
+            {"day": "int64", "visible_us": "int64"}
+        )
+        out["avg_entities"] = out["visible_us"].to_numpy(
+            dtype=np.float64
+        ) / np.float64(DAY_US)
+        return out.sort_values("day").reset_index(drop=True)
+
     def convexHull(self) -> pd.DataFrame:
         """Strict convex hull vertices of the matching snapshot
         positions, PER TIMESTAMP (spatial/hull.py: exact integer

@@ -781,3 +781,16 @@ def test_facade_geohash_indexer_pinned_to_direct_pipeline():
     pd.testing.assert_frame_equal(
         got.astype({"n_snapshots": "int64"}), want.astype({"n_snapshots": "int64"})
     )
+
+
+def test_facade_twa_daily_pinned_to_direct_pipeline():
+    """The contribution-view timeWeightedAverageDaily() terminal
+    equals q_twa_entities_daily — the continuous-time integral
+    through the facade."""
+    from rayhist.pipelines import q_twa_entities_daily
+
+    got = OSMContributionView.on(SF).timeWeightedAverageDaily()
+    want = q_twa_entities_daily(SF)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
