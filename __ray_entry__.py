@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ORDER = driver correctness-window rotation (the driver
         # samples the FIRST 50): round-4's one red row first, then the
-        # 23 twelfth-session queries, then 26 representatives of the
+        # 25 twelfth-session queries, then 24 representatives of the
         # ninth..eleventh-session families — none of these have a
         # driver record yet; older blocks (all driver-green in r3/r4
         # or locally sweep-checked) close the dict.
@@ -82,7 +82,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_gearys_c": p.q_hex_gearys_c,
         "hexcell_location_quotient": p.q_hexcell_location_quotient,
         "hexcell_dominant_uid": p.q_hexcell_dominant_uid,
-        "contrib_by_hexcell": p.q_contrib_by_hexcell,
         "nearest_road_distance": p.q_nearest_road_distance,
         "road_buffer_count": p.q_road_buffer_count,
         "idw_snapshot_field": p.q_idw_snapshot_field,
@@ -90,7 +89,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_flows": p.q_cell_flows,
         "contributor_territory": p.q_contributor_territory,
         "way_compactness": p.q_way_compactness,
-        "way_chain_lengths": p.q_way_chain_lengths,
         "kaplan_meier": p.q_kaplan_meier,
         "theilsen_trend_by_type": p.q_theilsen_trend_by_type,
         "knox_pairs": p.q_knox_pairs,
@@ -101,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_value": p.q_mannwhitney_value,
         "embedding_pca_top": p.q_embedding_pca_top,
         # --- round-5 eighth-session additions ---
+        "contrib_by_hexcell": p.q_contrib_by_hexcell,
+        "way_chain_lengths": p.q_way_chain_lengths,
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
         "snapshot_bbox_overlaps": p.q_snapshot_bbox_overlaps,

@@ -1061,18 +1061,9 @@ class MapReducer:
                 "timeWeightedAverageDaily() is a contribution-view terminal"
             )
         self._require_plain_history("timeWeightedAverageDaily()")
-        from .aggregate import combine_partials, zerofill
-        from .pipelines import DAY_US, _twa_stage
+        from .pipelines import twa_daily_final
 
-        partials = self._docs().map_batches(_twa_stage, batch_format="pyarrow")
-        df = combine_partials(partials, ["day"], {"vis_p": "visible_us"})
-        out = zerofill(df, {"day": list(range(31))}, {"visible_us": 0}).astype(
-            {"day": "int64", "visible_us": "int64"}
-        )
-        out["avg_entities"] = out["visible_us"].to_numpy(
-            dtype=np.float64
-        ) / np.float64(DAY_US)
-        return out.sort_values("day").reset_index(drop=True)
+        return twa_daily_final(self._docs())
 
     def convexHull(self) -> pd.DataFrame:
         """Strict convex hull vertices of the matching snapshot

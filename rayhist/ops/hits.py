@@ -152,6 +152,8 @@ def _rounds_local(
             h = np.zeros(len(su), dtype=np.int64)
             np.add.at(h, si, a[di])
             s = int(h.sum())
+            if s <= 0:
+                raise ValueError("hits: non-positive score total (empty graph?)")
             if s * scale >= 2**62:
                 raise OverflowError(
                     "hits: normalization product exceeds the int64 bound"

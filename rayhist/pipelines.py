@@ -11684,6 +11684,9 @@ def q_source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
 
     from .aggregate import combine_partials
 
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)  # resolve ONCE on the driver
     docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["text", "source"])
     # source enum (bounded): distinct via per-batch unique partials
     # over a SOURCE-ONLY read (don't ship the text column twice)
@@ -11714,9 +11717,7 @@ def q_source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
         src = np.repeat(b["source"].to_numpy(zero_copy_only=False), n_per)
         ne = flat != ""
         g = pd.DataFrame({"word": flat[ne], "source": src[ne]}).drop_duplicates()
-        from .ops.window import _bucket_of, _resolve_buckets
-
-        g["_bucket"] = _bucket_of(g["word"].to_numpy(), _resolve_buckets(None, floor=64))
+        g["_bucket"] = _bucket_of(g["word"].to_numpy(), nb)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def mask_of(g: pd.DataFrame) -> pd.DataFrame:
@@ -11815,7 +11816,9 @@ def q_hapax_rate_by_source(sf_dir: str) -> pd.DataFrame:
     import pyarrow.compute as pc
 
     from .aggregate import combine_partials
+    from .ops.window import _bucket_of, _resolve_buckets
 
+    nb = _resolve_buckets(None, floor=64)  # resolve ONCE on the driver
     docs = rio.read_table(f"{sf_dir}/documents.parquet", columns=["text", "source"])
 
     def counts(b: pa.Table) -> pa.Table:
@@ -11829,9 +11832,7 @@ def q_hapax_rate_by_source(sf_dir: str) -> pd.DataFrame:
             .groupby(["word", "source"], as_index=False)
             .size()
         )
-        from .ops.window import _bucket_of, _resolve_buckets
-
-        g["_bucket"] = _bucket_of(g["word"].to_numpy(), _resolve_buckets(None, floor=64))
+        g["_bucket"] = _bucket_of(g["word"].to_numpy(), nb)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def per_word(g: pd.DataFrame) -> pd.DataFrame:
@@ -12019,6 +12020,8 @@ def q_etype_kendall_tau(sf_dir: str) -> pd.DataFrame:
         db = dict(series[eb])
         days = sorted(set(da) & set(db))
         n = len(days)
+        if n < 2:  # no day pairs: the oracle's pair join drops the pair
+            continue
         num = dx = dy = 0
         for i in range(n):
             for j in range(i + 1, n):
@@ -12134,6 +12137,27 @@ def _twa_stage(b: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def twa_daily_final(docs) -> pd.DataFrame:
+    """Shared final for the daily TWA integral: combine the
+    _twa_stage partials, zerofill the January days, one IEEE division
+    by the constant day length. Both q_twa_entities_daily and the
+    facade terminal call THIS, so the pin holds by construction."""
+    from .aggregate import combine_partials, zerofill
+
+    df = combine_partials(
+        docs.map_batches(_twa_stage, batch_format="pyarrow"),
+        ["day"],
+        {"vis_p": "visible_us"},
+    )
+    out = zerofill(df, {"day": list(range(31))}, {"visible_us": 0}).astype(
+        {"day": "int64", "visible_us": "int64"}
+    )
+    out["avg_entities"] = out["visible_us"].to_numpy(dtype=np.float64) / np.float64(
+        DAY_US
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def q_twa_entities_daily(sf_dir: str) -> pd.DataFrame:
     """CONTINUOUS-TIME daily average of visible entities — the exact
     integral the snapshot grid only samples: per day,
@@ -12145,20 +12169,7 @@ def q_twa_entities_daily(sf_dir: str) -> pd.DataFrame:
     interval crosses with exact clipped overlaps -> |days| partial
     rows per block; the average is the only float (one IEEE division
     by the constant day length). Days nothing was alive zerofill."""
-    from .aggregate import combine_partials, zerofill
-
-    df = combine_partials(
-        _docs(sf_dir).map_batches(_twa_stage, batch_format="pyarrow"),
-        ["day"],
-        {"vis_p": "visible_us"},
-    )
-    out = zerofill(df, {"day": list(range(31))}, {"visible_us": 0}).astype(
-        {"day": "int64", "visible_us": "int64"}
-    )
-    out["avg_entities"] = out["visible_us"].to_numpy(dtype=np.float64) / np.float64(
-        DAY_US
-    )
-    return out.sort_values("day").reset_index(drop=True)
+    return twa_daily_final(_docs(sf_dir))
 
 
 def q_clark_evans(sf_dir: str) -> pd.DataFrame:
@@ -12266,10 +12277,16 @@ def q_linreg_value_day_parity(sf_dir: str) -> pd.DataFrame:
         )
         return pa.table({"k": np.arange(9, dtype=np.int64), "v": vals})
 
-    base = combine_partials(
-        ev.map_batches(partials, batch_format="pyarrow"), ["k"], {"v": "v"}
-    ).set_index("k")
-    n, s1, s2, s11, s12, s22, sy, s1y, s2y = (int(base.loc[i, "v"]) for i in range(9))
+    # combine the per-batch moment rows in PYTHON INTS: the pandas
+    # int64 groupby sum in combine_partials would wrap silently once
+    # blocks x per-batch-bound crosses 2^63 (the oracle is HUGEINT)
+    raw = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("k")["v"]
+        .apply(lambda s: sum(int(x) for x in s))
+    )
+    n, s1, s2, s11, s12, s22, sy, s1y, s2y = (int(raw.loc[i]) for i in range(9))
 
     def det3(a):
         return (

@@ -54,7 +54,15 @@ def ensure_partitioned_events(sf_dir: str, t0: int, day_us: int) -> str:
     done = out / "_DONE"
     if done.exists():
         return str(parts)
-    parts.mkdir(parents=True, exist_ok=True)
+    # build into a FRESH staging dir and publish with one atomic
+    # rename (the arrowipc convention): partitions from a crashed
+    # partial build must never union with a rebuild's — stale shards
+    # would survive as silent duplicate rows under the same day dirs
+    import shutil
+
+    staging = out / f".building-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    staging.mkdir(parents=True, exist_ok=True)
 
     def derive(b: pa.Table) -> pa.Table:
         from ..ops.relational import cents
@@ -80,8 +88,10 @@ def ensure_partitioned_events(sf_dir: str, t0: int, day_us: int) -> str:
         str(src), columns=["event_id", "user_id", "ts", "event_type", "value"]
     )
     ds.map_batches(derive, batch_format="pyarrow").write_parquet(
-        str(parts), partition_cols=["day_k"]
+        str(staging), partition_cols=["day_k"]
     )
+    shutil.rmtree(parts, ignore_errors=True)
+    staging.rename(parts)
     done.touch()
     return str(parts)
 
@@ -99,13 +109,9 @@ def read_partition_days(root: str, days: list[int]) -> ray.data.Dataset:
                 f"read_partition_days: partition day_k={d} missing under {root}"
             )
         dirs.append(str(p))
-    import ray
-
     files = [str(f) for d in dirs for f in sorted(Path(d).rglob("*.parquet"))]
     if not files:
         raise FileNotFoundError(f"read_partition_days: no parquet under {dirs}")
-    ctx = ray.data.DataContext.get_current()
-    n_bytes = sum(Path(f).stat().st_size for f in files)
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    blocks = max(ncpu, n_bytes // max(1, ctx.target_max_block_size or 128 * 2**20))
-    return ray.data.read_parquet(files, override_num_blocks=blocks)
+    # rio.read_table owns the read-task sizing (auto_num_blocks takes
+    # file lists) — never a bare ray.data.read_parquet (CLAUDE.md)
+    return rio.read_table(files)
