@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ORDER = driver correctness-window rotation (the driver
         # samples the FIRST 50): round-4's one red row first, then the
-        # 25 twelfth-session queries, then 24 representatives of the
+        # 26 twelfth-session queries, then 23 representatives of the
         # ninth..eleventh-session families — none of these have a
         # driver record yet; older blocks (all driver-green in r3/r4
         # or locally sweep-checked) close the dict.
@@ -72,10 +72,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clark_evans": p.q_clark_evans,
         "linreg_value_day_parity": p.q_linreg_value_day_parity,
         "bloom_fpr_users": p.q_bloom_fpr_users,
+        "conversion_latency_median": p.q_conversion_latency_median,
         # --- rotation: ninth..eleventh-session representatives
         # (never driver-checked; fills the 50-slot window) ---
         "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
-        "hexcell_weekly": p.q_hexcell_weekly,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "hex_emerging_hotspots": p.q_hex_emerging_hotspots,
         "hex_morans_i": p.q_hex_morans_i,
@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_top": p.q_embedding_pca_top,
         # --- round-5 eighth-session additions ---
         "contrib_by_hexcell": p.q_contrib_by_hexcell,
+        "hexcell_weekly": p.q_hexcell_weekly,
         "way_chain_lengths": p.q_way_chain_lengths,
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
         "snapshot_kmeans": p.q_snapshot_kmeans,
@@ -360,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "clark_evans": o.clark_evans(),
         "linreg_value_day_parity": o.linreg_value_day_parity(p.T0, p.DAY_US),
         "bloom_fpr_users": o.bloom_fpr_users(p.BLOOM_FPR_M, p.BLOOM_FPR_K),
+        "conversion_latency_median": o.conversion_latency_median(p.T0, p.DAY_US),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

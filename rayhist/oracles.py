@@ -6320,3 +6320,30 @@ SELECT CAST((SELECT count(*) FROM ks) AS BIGINT) AS n_keys,
        CAST(fp.n_fp AS DOUBLE) / CAST((SELECT count(*) FROM pr) AS DOUBLE) AS fpr
 FROM fp
 """
+
+
+def conversion_latency_median(t0: int, day_us: int) -> str:
+    """Conversion-latency mirror: per purchase EVENT the max strictly
+    prior click of the same user, lower-median rank per day."""
+    return f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'purchase'
+), g AS (
+  SELECT p.event_id, p.t, p.t - max(c.t) AS gap
+  FROM p JOIN c ON c.user_id = p.user_id AND c.t < p.t
+  GROUP BY 1, 2
+), d AS (
+  SELECT (t - {int(t0)}) // {int(day_us)} AS day, gap FROM g
+), r AS (
+  SELECT day, gap,
+         row_number() OVER (PARTITION BY day ORDER BY gap) AS rn,
+         count(*) OVER (PARTITION BY day) AS cnt
+  FROM d
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(cnt AS BIGINT) AS n_conversions,
+       CAST(gap AS BIGINT) AS median_gap_us
+FROM r WHERE rn = (cnt + 1) // 2 ORDER BY 1
+"""

@@ -12434,3 +12434,77 @@ def q_bloom_fpr_users(sf_dir: str) -> pd.DataFrame:
         {"n_keys": "int64", "n_probes": "int64", "n_bits_set": "int64",
          "n_fp": "int64", "fpr": "float64"}
     )
+
+
+def q_conversion_latency_median(sf_dir: str) -> pd.DataFrame:
+    """CONVERSION LATENCY: per purchase day, the exact LOWER MEDIAN of
+    (purchase ts - latest STRICTLY-PRIOR click ts of the same user) —
+    the product-funnel timing metric composing the as-of join with the
+    order-statistic rank rule. Complete-user bucket shuffle; per
+    bucket a C-vectorized backward merge_asof (allow_exact_matches
+    False = the strict < contract, no event-id order ambiguity);
+    per-day medians resolve on the 31-day groupby; purchases with no
+    prior click are dropped on both engines."""
+    from .ops.window import _bucket_of, _resolve_buckets
+
+    nb = _resolve_buckets(None, floor=64)
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def route(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        t = b.filter(pa.array(keep))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "uid": uid,
+                "ts": t["ts"].cast(pa.int64()),
+                "is_p": (
+                    t["event_type"].to_numpy(zero_copy_only=False) == "purchase"
+                ).astype(np.int64),
+                "_bucket": _bucket_of(uid, nb),
+            }
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        pur = g[g["is_p"] == 1][["uid", "ts"]]
+        clk = g[g["is_p"] == 0][["uid", "ts"]].rename(columns={"ts": "cts"})
+        if pur.empty or clk.empty:
+            return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                                 "gap": pd.Series(dtype="int64")})
+        m = pd.merge_asof(
+            pur, clk, left_on="ts", right_on="cts", by="uid",
+            allow_exact_matches=False,
+        ).dropna(subset=["cts"])
+        return pd.DataFrame(
+            {
+                "day": (m["ts"].to_numpy(dtype=np.int64) - T0) // DAY_US,
+                "gap": m["ts"].to_numpy(dtype=np.int64)
+                - m["cts"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    def median(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["gap"].to_numpy(dtype=np.int64))
+        t = len(v)
+        return pd.DataFrame(
+            {
+                "day": [int(g["day"].iloc[0])],
+                "n_conversions": [t],
+                "median_gap_us": [int(v[(t + 1) // 2 - 1])],
+            }
+        )
+
+    out = (
+        ev.map_batches(route, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(gaps, batch_format="pandas")
+        .groupby("day")
+        .map_groups(median, batch_format="pandas")
+        .to_pandas()
+        .astype({"day": "int64", "n_conversions": "int64", "median_gap_us": "int64"})
+    )
+    return out.sort_values("day").reset_index(drop=True)
