@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ORDER = driver correctness-window rotation (the driver
         # samples the FIRST 50): round-4's one red row first, then the
-        # 26 twelfth-session queries, then 23 representatives of the
+        # 27 twelfth-session queries, then 22 representatives of the
         # ninth..eleventh-session families — none of these have a
         # driver record yet; older blocks (all driver-green in r3/r4
         # or locally sweep-checked) close the dict.
@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linreg_value_day_parity": p.q_linreg_value_day_parity,
         "bloom_fpr_users": p.q_bloom_fpr_users,
         "conversion_latency_median": p.q_conversion_latency_median,
+        "user_value_holt": p.q_user_value_holt,
         # --- rotation: ninth..eleventh-session representatives
         # (never driver-checked; fills the 50-slot window) ---
         "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
@@ -83,7 +84,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hexcell_location_quotient": p.q_hexcell_location_quotient,
         "hexcell_dominant_uid": p.q_hexcell_dominant_uid,
         "nearest_road_distance": p.q_nearest_road_distance,
-        "road_buffer_count": p.q_road_buffer_count,
         "idw_snapshot_field": p.q_idw_snapshot_field,
         "zonal_raster_stats": p.q_zonal_raster_stats,
         "cell_flows": p.q_cell_flows,
@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_top": p.q_embedding_pca_top,
         # --- round-5 eighth-session additions ---
         "contrib_by_hexcell": p.q_contrib_by_hexcell,
+        "road_buffer_count": p.q_road_buffer_count,
         "hexcell_weekly": p.q_hexcell_weekly,
         "way_chain_lengths": p.q_way_chain_lengths,
         "copurchase_cheapest_paths": p.q_copurchase_cheapest_paths,
@@ -362,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "linreg_value_day_parity": o.linreg_value_day_parity(p.T0, p.DAY_US),
         "bloom_fpr_users": o.bloom_fpr_users(p.BLOOM_FPR_M, p.BLOOM_FPR_K),
         "conversion_latency_median": o.conversion_latency_median(p.T0, p.DAY_US),
+        "user_value_holt": o.user_value_holt(),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

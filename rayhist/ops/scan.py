@@ -192,3 +192,74 @@ def grouped_recurrence_ewma_int(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def grouped_recurrence_holt_int(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    n_buckets: int = 64,
+):
+    """Per-key integer HOLT (double-exponential) smoothing — TWO
+    coupled non-associative recurrences with alpha = beta = 1/2:
+
+        l_1 = v_1;  b_1 = 0
+        l_t = trunc((l_{t-1} + b_{t-1} + v_t) / 2)
+        b_t = trunc((b_{t-1} + (l_t - l_{t-1})) / 2)
+
+    The halving is TRUNCATING division (sign * (|x| // 2)) because the
+    trend can go negative and DuckDB's ``//`` truncates where Python's
+    floors — the mirror contract pins truncation on both engines.
+    Same distributed shape as grouped_recurrence_ewma_int:
+    complete-keys-per-bucket, the scan vectorized ACROSS keys per
+    step. Returns one row per key: (key, n, level_c, trend_c)."""
+    import pandas as pd
+    import ray.data  # noqa: F401
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        return b.select([key_col, value_col, *order_cols]).append_column(
+            "_bucket", pa.array((k % n_buckets).astype(np.int64))
+        )
+
+    def tdiv2(x: np.ndarray) -> np.ndarray:
+        return np.sign(x) * (np.abs(x) // 2)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        keys = g[key_col].to_numpy(dtype=np.int64)
+        vals = g[value_col].to_numpy(dtype=np.int64)
+        if len(vals) and int(np.abs(vals).max()) >= 1 << 40:
+            raise OverflowError("holt: value magnitude exceeds the guarded bound")
+        step = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        first = step == 0
+        kid = np.cumsum(first) - 1
+        nk = int(kid[-1]) + 1 if len(kid) else 0
+        lvl = np.zeros(nk, dtype=np.int64)
+        trd = np.zeros(nk, dtype=np.int64)
+        max_step = int(step.max()) + 1 if len(step) else 0
+        order = np.lexsort((kid, step))
+        s_sorted, k_sorted, v_sorted = step[order], kid[order], vals[order]
+        bounds = np.searchsorted(s_sorted, np.arange(max_step + 1))
+        for t in range(max_step):
+            lo, hi = bounds[t], bounds[t + 1]
+            ks, vs = k_sorted[lo:hi], v_sorted[lo:hi]
+            if t == 0:
+                lvl[ks] = vs
+                trd[ks] = 0
+            else:
+                newl = tdiv2(lvl[ks] + trd[ks] + vs)
+                trd[ks] = tdiv2(trd[ks] + (newl - lvl[ks]))
+                lvl[ks] = newl
+        uk = keys[first]
+        n = np.bincount(kid, minlength=nk).astype(np.int64)
+        return pd.DataFrame(
+            {key_col: uk, "n": n, "level_c": lvl, "trend_c": trd}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -6347,3 +6347,28 @@ SELECT CAST(day AS BIGINT) AS day, CAST(cnt AS BIGINT) AS n_conversions,
        CAST(gap AS BIGINT) AS median_gap_us
 FROM r WHERE rn = (cnt + 1) // 2 ORDER BY 1
 """
+
+
+def user_value_holt() -> str:
+    """Holt mirror: the identical coupled recurrences as a recursive
+    CTE — // is the same truncating division the engine pins."""
+    return """
+WITH RECURSIVE v AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS val,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, val AS l, CAST(0 AS BIGINT) AS b FROM v WHERE rn = 1
+  UNION ALL
+  SELECT v.user_id, v.rn,
+         (r.l + r.b + v.val) // 2,
+         (r.b + ((r.l + r.b + v.val) // 2 - r.l)) // 2
+  FROM r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1
+)
+SELECT user_id,
+       CAST(max(rn) AS BIGINT) AS n,
+       CAST(arg_max(l, rn) AS BIGINT) AS level_c,
+       CAST(arg_max(b, rn) AS BIGINT) AS trend_c
+FROM r GROUP BY 1 ORDER BY 1
+"""

@@ -12508,3 +12508,42 @@ def q_conversion_latency_median(sf_dir: str) -> pd.DataFrame:
         .astype({"day": "int64", "n_conversions": "int64", "median_gap_us": "int64"})
     )
     return out.sort_values("day").reset_index(drop=True)
+
+
+def q_user_value_holt(sf_dir: str) -> pd.DataFrame:
+    """Per-user integer HOLT double-exponential smoothing of event
+    value cents (ops/scan.grouped_recurrence_holt_int): the
+    level+trend sibling of user_value_ewma — two coupled
+    non-associative recurrences with truncating halving (pinned to
+    DuckDB's // semantics on the signed trend), scan vectorized across
+    keys per step, one row per user."""
+    from .ops.relational import cents
+    from .ops.scan import grouped_recurrence_holt_int
+
+    ev = rio.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = cents(b, "value", "val")
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "val": b["val"],
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+            }
+        )
+
+    out = (
+        grouped_recurrence_holt_int(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            key_col="user_id",
+            order_cols=["ts_us", "event_id"],
+            value_col="val",
+        )
+        .to_pandas()
+        .astype({"user_id": "int64", "n": "int64", "level_c": "int64",
+                 "trend_c": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
