@@ -11513,6 +11513,10 @@ def q_frequent_part_triples(sf_dir: str) -> pd.DataFrame:
         .map_groups(support, batch_format="pandas")
         .to_pandas()
     )
+    if out.empty:  # no triple reaches min support: empty blocks lose
+        # their columns through map_groups -> rebuild the frame shape
+        out = pd.DataFrame({"key": pd.Series(dtype="int64"),
+                            "n_p": pd.Series(dtype="int64")})
     k = out["key"].to_numpy(dtype=np.int64)
     res = pd.DataFrame(
         {
@@ -11659,6 +11663,9 @@ def q_copurchase_recommendations(sf_dir: str) -> pd.DataFrame:
         .map_groups(resolve, batch_format="pandas")
     )
     top = topk(scored, "w", RECO_TOP, "key")
+    if top.empty:  # all pairs adjacent: empty blocks lose columns
+        top = pd.DataFrame({"key": pd.Series(dtype="int64"),
+                            "w": pd.Series(dtype="int64")})
     k = top["key"].to_numpy(dtype=np.int64)
     out = pd.DataFrame(
         {
