@@ -88,29 +88,29 @@ def _half_round(
         if m["val"].isna().any():
             raise ValueError("hits: edge key with no state row (incomplete bucket)")
         p = m.groupby("o", as_index=False)["val"].sum()
+        o = p["o"].to_numpy(dtype=np.int64)
+        # route the partials by OUT-node bucket: the reduce below is a
+        # 64-group co-group, never a native node-cardinality groupby
+        # (a full sort shuffle — the measured wall at scale)
         return pd.DataFrame(
             {
-                "node": p["o"].to_numpy(dtype=np.int64),
+                "node": o,
                 "val": p["val"].to_numpy(dtype=np.int64),
+                "_ob": _bucket_of(o, n_buckets),
             }
         )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.groupby("node", as_index=False)["val"].sum()
+        return p[["node", "val"]]
 
     raw = (
         edges.map_batches(tag_edges, batch_format="pyarrow")
         .union(state.map_batches(tag_state, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(messages, batch_format="pandas")
-        .groupby("node")
-        .sum("val")
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "node": b["node"].cast(pa.int64()),
-                    "val": b["sum(val)"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .groupby("_ob")
+        .map_groups(reduce_bucket, batch_format="pandas")
         .materialize()
     )
     s = int(raw.sum("val"))

@@ -11614,16 +11614,33 @@ def q_copurchase_recommendations(sf_dir: str) -> pd.DataFrame:
         )
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        if (g.groupby("node")["peer"].size() > 10_000).any():
+        # all neighbor pairs per center node, PURE NUMPY (a pandas
+        # self-merge materializes the ordered-pair double and was the
+        # measured wall of the family scaling pair): sort by (node,
+        # peer), then generate the i<j index pairs with the fan-out
+        # index trick — firsts repeat with shrinking counts, seconds
+        # are an arange offset past each first
+        g = g.sort_values(["node", "peer"], kind="mergesort")
+        nodes = g["node"].to_numpy(dtype=np.int64)
+        peers = g["peer"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, nodes[1:] != nodes[:-1]])
+        ends = np.r_[starts[1:], len(nodes)]
+        deg = ends - starts
+        if deg.size and int(deg.max()) > 10_000:
             raise OverflowError(
                 "copurchase_recommendations: hub degree exceeds the wedge "
                 "cap — shard the neighbor list before pairing"
             )
-        m = g.merge(g, on="node", suffixes=("_a", "_b"))
-        m = m[m["peer_a"] < m["peer_b"]]
-        key = (m["peer_a"].to_numpy(dtype=np.int64) << 21) | m[
-            "peer_b"
-        ].to_numpy(dtype=np.int64)
+        reps = np.repeat(ends, deg) - np.arange(len(nodes)) - 1  # pairs per row
+        total = int(reps.sum())
+        first_idx = np.repeat(np.arange(len(nodes)), reps)
+        sec_idx = (
+            np.arange(total)
+            - np.repeat(np.cumsum(reps) - reps, reps)
+            + first_idx
+            + 1
+        )
+        key = (peers[first_idx] << 21) | peers[sec_idx]  # sorted: a < b
         # pre-combine in-group (one row per distinct pair), route by
         # pair-key bucket; arrow out to union with the adjacency
         ks, cnt = np.unique(key, return_counts=True)
