@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ORDER = driver correctness-window rotation (the driver
         # samples the FIRST 50): round-4's one red row first, then the
-        # 27 twelfth-session queries, then 22 representatives of the
+        # 28 twelfth-session queries, then 21 representatives of the
         # ninth..eleventh-session families — none of these have a
         # driver record yet; older blocks (all driver-green in r3/r4
         # or locally sweep-checked) close the dict.
@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_fpr_users": p.q_bloom_fpr_users,
         "conversion_latency_median": p.q_conversion_latency_median,
         "user_value_holt": p.q_user_value_holt,
+        "theil_index_by_type": p.q_theil_index_by_type,
         # --- rotation: ninth..eleventh-session representatives
         # (never driver-checked; fills the 50-slot window) ---
         "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
@@ -86,7 +87,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_road_distance": p.q_nearest_road_distance,
         "idw_snapshot_field": p.q_idw_snapshot_field,
         "zonal_raster_stats": p.q_zonal_raster_stats,
-        "cell_flows": p.q_cell_flows,
         "contributor_territory": p.q_contributor_territory,
         "way_compactness": p.q_way_compactness,
         "kaplan_meier": p.q_kaplan_meier,
@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_top": p.q_embedding_pca_top,
         # --- round-5 eighth-session additions ---
         "contrib_by_hexcell": p.q_contrib_by_hexcell,
+        "cell_flows": p.q_cell_flows,
         "road_buffer_count": p.q_road_buffer_count,
         "hexcell_weekly": p.q_hexcell_weekly,
         "way_chain_lengths": p.q_way_chain_lengths,
@@ -364,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_fpr_users": o.bloom_fpr_users(p.BLOOM_FPR_M, p.BLOOM_FPR_K),
         "conversion_latency_median": o.conversion_latency_median(p.T0, p.DAY_US),
         "user_value_holt": o.user_value_holt(),
+        "theil_index_by_type": o.theil_index_by_type(),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

@@ -6372,3 +6372,27 @@ SELECT user_id,
        CAST(arg_max(b, rn) AS BIGINT) AS trend_c
 FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+def theil_index_by_type() -> str:
+    """Theil mirror: the (etype, cents) histogram, separately
+    quantized milli-nat logs, exact integer numerator, one IEEE
+    division."""
+    q = "CAST(round(1000*ln(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return f"""
+WITH h AS (
+  SELECT event_type AS etype, CAST(round(value*100) AS BIGINT) AS c,
+         count(*) AS m
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT etype, sum(m) AS n, sum(m*c) AS s FROM h GROUP BY 1
+), x AS (
+  SELECT h.etype,
+         sum(h.m * h.c * ({q.format(x='h.c * t.n')} - {q.format(x='t.s')})) AS num
+  FROM h JOIN t USING (etype) GROUP BY 1
+)
+SELECT x.etype, CAST(t.n AS BIGINT) AS n_events, CAST(t.s AS BIGINT) AS sum_cents,
+       CAST(x.num AS BIGINT) AS num,
+       CAST(x.num AS DOUBLE) / CAST(t.s AS DOUBLE) AS theil_mnat
+FROM x JOIN t USING (etype) ORDER BY 1
+"""

@@ -12571,3 +12571,65 @@ def q_user_value_holt(sf_dir: str) -> pd.DataFrame:
                  "trend_c": "int64"})
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_theil_index_by_type(sf_dir: str) -> pd.DataFrame:
+    """THEIL INEQUALITY INDEX of value concentration per event type —
+    the entropy-based inequality metric beside user_gini_by_etype.
+    T = (1/S) * sum_i x_i * ln(x_i * n / S) becomes the EXACT integer
+    numerator sum_c m_c * c * (q(c*n) - q(S)) over the bounded
+    (etype, cents) value histogram (q = the milli-nat kernel; the two
+    logs quantize separately, the PSI/MI subtraction contract); the
+    only float is the final single IEEE division by S. Requires
+    positive values (loud guard — ln of a non-positive cent is
+    undefined)."""
+    from .aggregate import combine_partials
+    from .ops.relational import round_half_away
+
+    ev = rio.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"etype": b["event_type"].to_numpy(zero_copy_only=False), "c": v}
+        )
+        g = df.groupby(["etype", "c"], as_index=False).size()
+        return pa.table(
+            {
+                "etype": g["etype"].to_numpy(),
+                "c": g["c"].to_numpy(dtype=np.int64),
+                "m_p": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = combine_partials(
+        ev.map_batches(partials, batch_format="pyarrow"), ["etype", "c"], {"m_p": "m"}
+    )
+    rows = []
+    for et, g in base.groupby("etype"):
+        cs = [int(x) for x in g["c"]]
+        ms = [int(x) for x in g["m"]]
+        if min(cs) <= 0:
+            raise ValueError(f"theil: non-positive cents in etype {et!r}")
+        n = sum(ms)
+        s = sum(m * c for m, c in zip(ms, cs))
+        qs = _q_mnat(s)
+        num = sum(m * c * (_q_mnat(c * n) - qs) for m, c in zip(ms, cs))
+        if not (-(2**63) < num < 2**63):
+            raise OverflowError("theil numerator exceeds int64")
+        rows.append(
+            {
+                "etype": et,
+                "n_events": n,
+                "sum_cents": s,
+                "num": num,
+                "theil_mnat": np.float64(num) / np.float64(s),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"n_events": "int64", "sum_cents": "int64", "num": "int64",
+         "theil_mnat": "float64"}
+    )
+    return out.sort_values("etype").reset_index(drop=True)
