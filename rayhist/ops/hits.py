@@ -199,6 +199,8 @@ def hits_bipartite(
         .map_groups(dedupe, batch_format="pandas")
         .materialize()
     )
+    if ded.count() == 0:
+        raise ValueError("hits: non-positive score total (empty graph?)")
     if ded.count() <= broadcast_gate:
         df = ded.to_pandas()
         out = _rounds_local(

@@ -249,3 +249,62 @@ def test_hivepart_fixture_cold_cache_rebuild(ray_session, monkeypatch, tmp_path)
     assert days == want_days
     with pytest.raises(FileNotFoundError, match="day_k=99"):
         read_partition_days(root, [99])
+
+
+def test_hivepart_crashed_partial_build_never_unions(ray_session, monkeypatch, tmp_path):
+    """Partition shards from a crashed partial build (data present, no
+    _DONE) must be REPLACED by the rebuild, not unioned with it — the
+    arrowipc staging contract applied to the hive sink."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayhist.pipelines import DAY_US, T0
+    from rayhist.sources.hivepart import (
+        ensure_partitioned_events,
+        read_partition_days,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("RAYHIST_CACHE", str(tmp_path / "cache"))
+    real = ensure_partitioned_events(sf, T0, DAY_US)
+    from pathlib import Path
+
+    done = Path(real).parent / "_DONE"
+    done.unlink()
+    # simulate the crash: a stale shard inside an existing partition
+    bogus = pa.table(
+        {
+            "event_id": pa.array([10**9], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "ts_us": pa.array([T0], pa.int64()),
+            "event_type": pa.array(["click"]),
+            "value_c": pa.array([1], pa.int64()),
+            "day": pa.array([0], pa.int64()),
+        }
+    )
+    pq.write_table(bogus, Path(real) / "day_k=0" / "stale-deadbeef.parquet")
+
+    rebuilt = ensure_partitioned_events(sf, T0, DAY_US)
+    n_day0 = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet') "
+        f"WHERE (epoch_us(ts) - {T0}) // {DAY_US} = 0"
+    ).fetchone()[0]
+    assert read_partition_days(rebuilt, [0]).count() == n_day0
+    assert not list(Path(rebuilt).rglob("stale-deadbeef.parquet"))
+
+
+def test_hits_empty_graph_raises(ray_session):
+    """An empty edge set must fail LOUDLY (non-positive score total),
+    not emit garbage — both the local and distributed paths."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from rayhist.ops.hits import hits_bipartite
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"s": pd.Series(dtype="int64"), "d": pd.Series(dtype="int64")})
+    )
+    with pytest.raises(ValueError, match="empty graph|non-positive"):
+        hits_bipartite(empty, src="s", dst="d", iters=1)
