@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ORDER = driver correctness-window rotation (the driver
         # samples the FIRST 50): round-4's one red row first, then the
-        # 28 twelfth-session queries, then 21 representatives of the
+        # 30 twelfth-session queries, then 19 representatives of the
         # ninth..eleventh-session families — none of these have a
         # driver record yet; older blocks (all driver-green in r3/r4
         # or locally sweep-checked) close the dict.
@@ -75,14 +75,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency_median": p.q_conversion_latency_median,
         "user_value_holt": p.q_user_value_holt,
         "theil_index_by_type": p.q_theil_index_by_type,
+        "nelson_aalen": p.q_nelson_aalen,
+        "flow_distance_decay": p.q_flow_distance_decay,
         # --- rotation: ninth..eleventh-session representatives
         # (never driver-checked; fills the 50-slot window) ---
         "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
         "hex_hotspot_gi": p.q_hex_hotspot_gi,
         "hex_emerging_hotspots": p.q_hex_emerging_hotspots,
         "hex_morans_i": p.q_hex_morans_i,
-        "hex_gearys_c": p.q_hex_gearys_c,
-        "hexcell_location_quotient": p.q_hexcell_location_quotient,
         "hexcell_dominant_uid": p.q_hexcell_dominant_uid,
         "nearest_road_distance": p.q_nearest_road_distance,
         "idw_snapshot_field": p.q_idw_snapshot_field,
@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_top": p.q_embedding_pca_top,
         # --- round-5 eighth-session additions ---
         "contrib_by_hexcell": p.q_contrib_by_hexcell,
+        "hexcell_location_quotient": p.q_hexcell_location_quotient,
+        "hex_gearys_c": p.q_hex_gearys_c,
         "cell_flows": p.q_cell_flows,
         "road_buffer_count": p.q_road_buffer_count,
         "hexcell_weekly": p.q_hexcell_weekly,
@@ -366,6 +368,8 @@ def oracle_sql() -> dict[str, str]:
         "conversion_latency_median": o.conversion_latency_median(p.T0, p.DAY_US),
         "user_value_holt": o.user_value_holt(),
         "theil_index_by_type": o.theil_index_by_type(),
+        "nelson_aalen": o.nelson_aalen(p.DWELL_END, p.DAY_US),
+        "flow_distance_decay": o.flow_distance_decay(hx.HEX_W, hx.HEX_H),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

@@ -6396,3 +6396,79 @@ SELECT x.etype, CAST(t.n AS BIGINT) AS n_events, CAST(t.s AS BIGINT) AS sum_cent
        CAST(x.num AS DOUBLE) / CAST(t.s AS DOUBLE) AS theil_mnat
 FROM x JOIN t USING (etype) ORDER BY 1
 """
+
+
+def nelson_aalen(dwell_end: int, day_us: int) -> str:
+    """Nelson-Aalen mirror: the KM at-risk derivation with the
+    micro-unit floor-division hazard increments in an ordered
+    cumulative sum."""
+    return (
+        DERIVE
+        + f"""
+, r AS (
+  SELECT osm_id, ts_us, visible,
+         row_number() OVER (PARTITION BY osm_id
+                            ORDER BY ts_us DESC, v DESC) AS rn,
+         min(ts_us) OVER (PARTITION BY osm_id) AS t_first
+  FROM d
+), e AS (
+  SELECT osm_id, t_first,
+         CASE WHEN visible THEN 0 ELSE 1 END AS deleted,
+         CASE WHEN visible THEN {int(dwell_end)} ELSE ts_us END AS t_end
+  FROM r WHERE rn = 1
+), h AS (
+  SELECT (t_end - t_first) // {int(day_us)} AS t,
+         count(*) AS m, coalesce(sum(deleted), 0) AS d
+  FROM e GROUP BY 1
+), rk AS (
+  SELECT t, d,
+         sum(m) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n
+  FROM h
+), dd AS (
+  SELECT t, n, d,
+         sum((1000000 * d) // n)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rk WHERE d > 0
+)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_deaths, CAST(cum AS BIGINT) AS cum_hazard_micro,
+       CAST(cum AS DOUBLE) / CAST(1000000 AS DOUBLE) AS cum_hazard
+FROM dd ORDER BY 1
+"""
+    )
+
+
+def flow_distance_decay(w: int, h: int) -> str:
+    """Gravity-decay mirror: the cell_flows query as a derived table,
+    HUGEINT center-distance squares, milli-nat logs, exact OLS
+    sufficient statistics, one IEEE division."""
+    q = "CAST(round(1000*ln(CAST({x} AS DOUBLE))) AS BIGINT)"
+    flows = cell_flows(w, h)
+    return f"""
+WITH fl AS (
+  SELECT * FROM ({flows}) t
+), p AS (
+  SELECT {q.format(x=(
+      "(CAST(2*" + str(int(w)) + "*(from_i - to_i) + " + str(int(w))
+      + "*(from_j - to_j) AS HUGEINT)"
+      "  * CAST(2*" + str(int(w)) + "*(from_i - to_i) + " + str(int(w))
+      + "*(from_j - to_j) AS HUGEINT)"
+      " + CAST(" + str(int(h)) + "*(from_j - to_j) AS HUGEINT)"
+      "  * CAST(" + str(int(h)) + "*(from_j - to_j) AS HUGEINT))"
+  ))} AS x,
+         {q.format(x='n_moves')} AS y
+  FROM fl
+), s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(x*y) AS sxy
+  FROM p
+)
+SELECT CAST(n AS BIGINT) AS n_flows,
+       CAST(n*sxy - sx*sy AS BIGINT) AS num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS den,
+       CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+         AS decay_slope
+FROM s
+"""
+
+

@@ -12633,3 +12633,91 @@ def q_theil_index_by_type(sf_dir: str) -> pd.DataFrame:
          "theil_mnat": "float64"}
     )
     return out.sort_values("etype").reset_index(drop=True)
+
+
+def q_nelson_aalen(sf_dir: str) -> pd.DataFrame:
+    """NELSON-AALEN CUMULATIVE HAZARD over entity lifespans — the
+    estimator pair of kaplan_meier on the same zero-shuffle lifespan
+    histogram. Each increment d/n quantizes to integer MICRO-UNITS by
+    floor division ((10^6 * d) // n — a float sum of hazards would be
+    order-dependent), so the cumulative curve is an exact ordered
+    integer sum; the reported hazard is ONE IEEE division."""
+    from .aggregate import combine_partials
+
+    partials = _docs(sf_dir).map_batches(_lifespan_stage, batch_format="pyarrow")
+    base = combine_partials(
+        partials, ["lifespan_days", "deleted"], {"n_entities_p": "n"}
+    )
+    piv = (
+        base.pivot_table(index="lifespan_days", columns="deleted", values="n",
+                         fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    m = (piv[0] + piv[1]).to_numpy(dtype=np.int64)
+    d = piv[1].to_numpy(dtype=np.int64)
+    at_risk = m[::-1].cumsum()[::-1]
+    rows = []
+    cum = 0
+    for k in range(len(piv)):
+        if d[k] == 0:
+            continue
+        n_t, d_t = int(at_risk[k]), int(d[k])
+        cum += (1_000_000 * d_t) // n_t
+        rows.append(
+            {
+                "t_days": int(piv.index[k]),
+                "n_at_risk": n_t,
+                "n_deaths": d_t,
+                "cum_hazard_micro": cum,
+                "cum_hazard": np.float64(cum) / np.float64(1_000_000),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"t_days": "int64", "n_at_risk": "int64", "n_deaths": "int64",
+         "cum_hazard_micro": "int64", "cum_hazard": "float64"}
+    )
+    return out.sort_values("t_days").reset_index(drop=True)
+
+
+def q_flow_distance_decay(sf_dir: str) -> pd.DataFrame:
+    """GRAVITY-MODEL DISTANCE DECAY of the OD flows: the log-log OLS
+    slope of flow volume against center-to-center distance — the
+    classic spatial-interaction exponent (flows ~ d^(-beta)).
+    Composes the zero-shuffle cell_flows base with the exact-OLS
+    sufficient-statistic pattern: per OD pair, x = q(d2) and
+    y = q(n_moves) in integer MILLI-NATS (d2 is the exact int squared
+    center distance — Python bigints / HUGEINT, world-extent d2
+    exceeds int64), the slope numerator/denominator are exact int
+    sums, and the slope is ONE IEEE division."""
+    from .spatial.hexgrid import HEX_H, HEX_W
+
+    fl = q_cell_flows(sf_dir)
+    xs, ys = [], []
+    for r in fl.itertuples():
+        dx = 2 * HEX_W * (int(r.from_i) - int(r.to_i)) + HEX_W * (
+            int(r.from_j) - int(r.to_j)
+        )
+        dy = HEX_H * (int(r.from_j) - int(r.to_j))
+        d2 = dx * dx + dy * dy
+        xs.append(_q_mnat(d2))
+        ys.append(_q_mnat(int(r.n_moves)))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    if den == 0:
+        raise ValueError("flow_distance_decay: degenerate distance spectrum")
+    if not (-(2**63) < num < 2**63 and 0 < den < 2**63):
+        raise OverflowError("flow_distance_decay sums exceed int64")
+    return pd.DataFrame(
+        {
+            "n_flows": [n],
+            "num": [num],
+            "den": [den],
+            "decay_slope": [np.float64(num) / np.float64(den)],
+        }
+    ).astype({"n_flows": "int64", "num": "int64", "den": "int64",
+              "decay_slope": "float64"})
