@@ -2899,3 +2899,62 @@ def test_linreg_matches_numpy_lstsq():
     assert np.allclose(
         [got["beta0"][0], got["beta1"][0], got["beta2"][0]], ref, rtol=1e-9
     )
+
+
+def test_rolling_median_brute_force(ray_session):
+    """q_rolling_median_value equals a direct pandas recomputation of
+    the 7-day lower median from the raw events (independent of both
+    the engine's histogram fan-out AND the SQL mirror)."""
+    import numpy as np
+    import pandas as pd
+
+    from rayhist.ops.relational import round_half_away
+    from rayhist.pipelines import DAY_US, T0, q_rolling_median_value
+
+    sf = "/root/testdata/sf0.001"
+    got = q_rolling_median_value(sf)
+    ev = pd.read_parquet(sf + "/events.parquet")
+    ev["day"] = (ev["ts"].astype("int64") - T0) // DAY_US
+    ev["c"] = round_half_away(ev["value"].to_numpy() * 100).astype(np.int64)
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        for wend in range(31):
+            w = g[(g["day"] >= wend - 6) & (g["day"] <= wend)]
+            if w.empty:
+                continue
+            v = np.sort(w["c"].to_numpy())
+            rows.append((et, wend, len(v), int(v[(len(v) + 1) // 2 - 1])))
+    want = pd.DataFrame(
+        rows, columns=["etype", "wend", "n_events", "median_cents"]
+    ).astype({"wend": "int64", "n_events": "int64", "median_cents": "int64"})
+    want = want.sort_values(["etype", "wend"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_event_debounce_brute_force(ray_session):
+    """q_event_debounce equals a direct pandas lag recomputation."""
+    import pandas as pd
+
+    from rayhist.pipelines import DEBOUNCE_GAP_US, q_event_debounce
+
+    sf = "/root/testdata/sf0.001"
+    got = q_event_debounce(sf)
+    ev = pd.read_parquet(sf + "/events.parquet").sort_values(
+        ["user_id", "event_type", "ts", "event_id"]
+    )
+    ts = ev["ts"].astype("int64")
+    gap = ts - ts.groupby([ev["user_id"], ev["event_type"]]).shift(1)
+    noise = gap < DEBOUNCE_GAP_US
+    want = (
+        pd.DataFrame({"etype": ev["event_type"], "noise": noise.fillna(False)})
+        .groupby("etype")["noise"]
+        .agg(n_dropped="sum", n_total="size")
+        .reset_index()
+    )
+    want["n_kept"] = want["n_total"] - want["n_dropped"]
+    want = want[["etype", "n_kept", "n_dropped"]].astype(
+        {"n_kept": "int64", "n_dropped": "int64"}
+    )
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("etype").reset_index(drop=True)
+    )
