@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ORDER = driver correctness-window rotation (the driver
         # samples the FIRST 50): round-4's one red row first, then the
-        # 30 twelfth-session queries, then 19 representatives of the
+        # 31 twelfth-session queries, then 18 representatives of the
         # ninth..eleventh-session families — none of these have a
         # driver record yet; older blocks (all driver-green in r3/r4
         # or locally sweep-checked) close the dict.
@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_index_by_type": p.q_theil_index_by_type,
         "nelson_aalen": p.q_nelson_aalen,
         "flow_distance_decay": p.q_flow_distance_decay,
+        "snapshot_count_by_geohash_multiprec": p.q_snapshot_count_by_geohash_multiprec,
         # --- rotation: ninth..eleventh-session representatives
         # (never driver-checked; fills the 50-slot window) ---
         "snapshot_count_by_hexcell": p.q_snapshot_count_by_hexcell,
@@ -88,7 +89,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_snapshot_field": p.q_idw_snapshot_field,
         "zonal_raster_stats": p.q_zonal_raster_stats,
         "contributor_territory": p.q_contributor_territory,
-        "way_compactness": p.q_way_compactness,
         "kaplan_meier": p.q_kaplan_meier,
         "theilsen_trend_by_type": p.q_theilsen_trend_by_type,
         "knox_pairs": p.q_knox_pairs,
@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_top": p.q_embedding_pca_top,
         # --- round-5 eighth-session additions ---
         "contrib_by_hexcell": p.q_contrib_by_hexcell,
+        "way_compactness": p.q_way_compactness,
         "hexcell_location_quotient": p.q_hexcell_location_quotient,
         "hex_gearys_c": p.q_hex_gearys_c,
         "cell_flows": p.q_cell_flows,
@@ -370,6 +371,8 @@ def oracle_sql() -> dict[str, str]:
         "theil_index_by_type": o.theil_index_by_type(),
         "nelson_aalen": o.nelson_aalen(p.DWELL_END, p.DAY_US),
         "flow_distance_decay": o.flow_distance_decay(hx.HEX_W, hx.HEX_H),
+        "snapshot_count_by_geohash_multiprec":
+            o.snapshot_count_by_geohash_multiprec(p.GH_PRECS),
         "asof_attribution": o.asof_attribution(),
         "rollup_events": o.rollup_events(p.T0, p.DAY_US),
         "pivot_events_daily": o.pivot_events_daily(p.T0, p.DAY_US, p.EVENT_TYPES),

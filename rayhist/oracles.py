@@ -6472,3 +6472,21 @@ FROM s
 """
 
 
+
+
+def snapshot_count_by_geohash_multiprec(precs: tuple) -> str:
+    """Geohash-pyramid mirror: the full geohash-5 rendering, rolled up
+    by STRING PREFIX per precision (UNION ALL) — a pass certifies
+    prefix containment == the engine's bit-shift rollup."""
+    base = snapshot_count_by_geohash()
+    legs = "\nUNION ALL\n".join(
+        f"""SELECT CAST({int(p)} AS BIGINT) AS prec, substr(geohash, 1, {int(p)}) AS geohash,
+       CAST(sum(n_snapshots) AS BIGINT) AS n_snapshots
+FROM g5 GROUP BY 2"""
+        for p in precs
+    )
+    return f"""
+WITH g5 AS ({base})
+{legs}
+ORDER BY 1, 2
+"""

@@ -12721,3 +12721,54 @@ def q_flow_distance_decay(sf_dir: str) -> pd.DataFrame:
         }
     ).astype({"n_flows": "int64", "num": "int64", "den": "int64",
               "decay_slope": "float64"})
+
+
+GH_PRECS = (5, 3, 1)
+
+
+def q_snapshot_count_by_geohash_multiprec(sf_dir: str) -> pd.DataFrame:
+    """HIERARCHICAL GEOHASH ROLLUP: snapshot counts at precisions 5,
+    3 and 1 in one result — the tile-pyramid shape of
+    snapshot_count_bbox_multizoom on the string key. The interleave
+    makes containment a BIT SHIFT (each coarser character drops 5
+    bits), so the coarser levels roll up from the fine histogram on
+    the driver (bounded by cells) with no second corpus pass; the
+    oracle rolls up by string prefix, certifying the
+    prefix==bit-shift containment property end to end."""
+    from .aggregate import combine_partials
+    from .model import decode_spans
+    from .spatial.geohash import PRECISION, geohash_bits, geohash_str
+    from .temporal import snapshots as snapshots_fn
+
+    ts = np.array([T_MID], dtype=np.int64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        s = snapshots_fn(decode_spans(batch, tags=False), ts)
+        g = geohash_bits(
+            s["lon_e7"].to_numpy(zero_copy_only=False),
+            s["lat_e7"].to_numpy(zero_copy_only=False),
+        )
+        cid, cnt = np.unique(g, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(cid), "n_part": pa.array(cnt.astype(np.int64))}
+        )
+
+    fine = combine_partials(
+        _docs(sf_dir).map_batches(stage, batch_format="pyarrow"),
+        ["cell"],
+        {"n_part": "n"},
+    )
+    rows = []
+    for prec in GH_PRECS:
+        shift = 5 * (PRECISION - prec)
+        coarse = fine.assign(c=fine["cell"].to_numpy(dtype=np.int64) >> shift)
+        agg = coarse.groupby("c", as_index=False)["n"].sum()
+        for c, n in zip(agg["c"], agg["n"]):
+            # render the prec-char prefix of the shifted id
+            gh = "".join(
+                "0123456789bcdefghjkmnpqrstuvwxyz"[(int(c) >> (5 * (prec - 1 - k))) & 31]
+                for k in range(prec)
+            )
+            rows.append({"prec": prec, "geohash": gh, "n_snapshots": int(n)})
+    out = pd.DataFrame(rows).astype({"prec": "int64", "n_snapshots": "int64"})
+    return out.sort_values(["prec", "geohash"]).reset_index(drop=True)
