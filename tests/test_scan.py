@@ -308,3 +308,63 @@ def test_hits_empty_graph_raises(ray_session):
     )
     with pytest.raises(ValueError, match="empty graph|non-positive"):
         hits_bipartite(empty, src="s", dst="d", iters=1)
+
+
+def test_holt_recurrence_property(ray_session):
+    """Hypothesis property: the vectorized-across-keys Holt fold
+    equals the pure-Python coupled recurrence (truncating halving) for
+    arbitrary signed value sequences, at two bucket counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rayhist.ops.scan import grouped_recurrence_holt_int
+
+    def tdiv2(x: int) -> int:
+        s = -1 if x < 0 else 1
+        return s * (abs(x) // 2)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 4),  # key
+                st.integers(-(10**6), 10**6),  # value
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(rows):
+        df = pd.DataFrame(
+            {
+                "k": [r[0] for r in rows],
+                "v": [r[1] for r in rows],
+                "o": range(len(rows)),
+            }
+        )
+        want = {}
+        for k, g in df.groupby("k"):
+            lvl = trd = None
+            for v in g.sort_values("o")["v"]:
+                if lvl is None:
+                    lvl, trd = int(v), 0
+                else:
+                    newl = tdiv2(lvl + trd + int(v))
+                    trd = tdiv2(trd + (newl - lvl))
+                    lvl = newl
+            want[int(k)] = (len(g), lvl, trd)
+        for nb in (3, 16):
+            got = (
+                grouped_recurrence_holt_int(
+                    ray.data.from_pandas(df).repartition(4),
+                    key_col="k", order_cols=["o"], value_col="v", n_buckets=nb,
+                )
+                .to_pandas()
+            )
+            res = {
+                int(r["k"]): (int(r["n"]), int(r["level_c"]), int(r["trend_c"]))
+                for _, r in got.iterrows()
+            }
+            assert res == want
+
+    run()
